@@ -1,0 +1,468 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query inventory (SURVEY.md §2.2): scans, filters,
+  * projections, the join family, aggregations, windows, sorts/limits,
+  * set ops, rollup/cube, subqueries, scalar functions.
+  *
+  * The reference (`jly-flink`) implements none of these beyond
+  * filter/project/union (SURVEY.md §2.1 O2–O6); they are the
+  * harness-mandated batch inventory, built entirely from Spark
+  * built-ins so Catalyst handles pushdown, pruning, join selection and
+  * whole-stage codegen (SURVEY.md §4).
+  *
+  * Scale notes (100 TB design stance):
+  *  - dimension tables (region/nation/part/supplier) are joined with
+  *    explicit `broadcast()` — no shuffle of the fact side;
+  *  - fact-fact joins (orders⋈lineitem) shuffle on the join key once
+  *    and aggregations are partial-before-shuffle (Catalyst default);
+  *  - no collect()/driver loops anywhere; top-k is ORDER BY + LIMIT
+  *    which Spark executes as TakeOrderedAndProject (per-partition
+  *    heap, no full sort).
+  */
+object Relational {
+
+  /** Exact 2-dp money value: the fixtures' doubles are all 2-decimal
+    * (verified), so this cast is lossless and makes downstream
+    * arithmetic order-independent → bit-identical to the DuckDB oracle.
+    */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private val DEC = "DECIMAL(12,2)"
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q01_scan_filter_project",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 + CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS gross
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+             |  AND l_quantity > 45""".stripMargin),
+      "Scan + filter + projection; predicate and column pruning reach the parquet scan.") {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1996-04-01").cast("timestamp")
+            && col("l_quantity") > 45)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            (dec(col("l_extendedprice")) * (lit(1) + dec(col("l_tax")))).cast("double").as("gross"))
+    },
+
+    GraftQuery(
+      "q02_agg_pricing_summary",
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       SUM(l_quantity) AS sum_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+             |       AVG(l_quantity) AS avg_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             |       COUNT(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      "TPC-H Q1 flavor: multi-aggregate groupBy; partial aggregation map-side before one shuffle.") {
+      (s, dir) =>
+        val price = dec(col("l_extendedprice"))
+        val disc1 = lit(1) - dec(col("l_discount"))
+        val tax1 = lit(1) + dec(col("l_tax"))
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            sum(price).cast("double").as("sum_base_price"),
+            sum(price * disc1).cast("double").as("sum_disc_price"),
+            sum(price * disc1 * tax1).cast("double").as("sum_charge"),
+            avg(col("l_quantity")).as("avg_qty"),
+            (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order"))
+    },
+
+    GraftQuery(
+      "q03_join_agg_topk",
+      Some("""SELECT l_orderkey,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+             |       o_orderdate, o_orderpriority
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |              JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, o_orderdate, l_orderkey
+             |LIMIT 10""".stripMargin),
+      "TPC-H Q3 flavor: 3-way join + agg + top-k (TakeOrderedAndProject, no global sort).") {
+      (s, dir) =>
+        val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double").as("revenue"))
+          .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+    },
+
+    GraftQuery(
+      "q04_broadcast_dim_join",
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_cust,
+             |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |              JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name, n_name""".stripMargin),
+      "Star-schema rollup through two explicitly broadcast dimension joins — zero fact-side shuffle before the agg.") {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(dec(col("c_acctbal"))).cast("double").as("total_acctbal"))
+    },
+
+    GraftQuery(
+      "q05_semi_join",
+      Some("""SELECT s_suppkey, s_name FROM supplier
+             |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)""".stripMargin),
+      "LEFT SEMI join (EXISTS); small side broadcast by Catalyst.") {
+      (s, dir) =>
+        t(s, dir, "supplier")
+          .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 49),
+            col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+    },
+
+    GraftQuery(
+      "q06_anti_join",
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin),
+      "LEFT ANTI join (NOT EXISTS).") {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+    },
+
+    GraftQuery(
+      "q07_outer_join_histogram",
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey) t
+             |GROUP BY c_count""".stripMargin),
+      "TPC-H Q13 flavor: LEFT OUTER join preserving zero-order customers, double aggregation.") {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+    },
+
+    GraftQuery(
+      "q08_window_topk_per_group",
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3""".stripMargin),
+      "Top-k per group via ROW_NUMBER window; unique (price, orderkey) tiebreak keeps it deterministic.") {
+      (s, dir) =>
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    },
+
+    GraftQuery(
+      "q09_window_running_sum",
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+             |FROM orders""".stripMargin),
+      "Running sum window; decimal accumulation keeps it order-exact vs the oracle.") {
+      (s, dir) =>
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+    },
+
+    GraftQuery(
+      "q10_window_lag_gap",
+      Some("""SELECT o_custkey, o_orderkey,
+             |       DATE_DIFF('day',
+             |         LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             |         o_orderdate) AS gap_days
+             |FROM orders""".stripMargin),
+      "LAG window + date arithmetic: days since the customer's previous order.") {
+      (s, dir) =>
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).cast("long").as("gap_days"))
+    },
+
+    GraftQuery(
+      "q11_sort_limit",
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 25""".stripMargin),
+      "Global top-k: Spark plans TakeOrderedAndProject (per-partition heaps), not a full sort.") {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(25)
+    },
+
+    GraftQuery(
+      "q12_union_all",
+      Some("""SELECT o_orderkey, o_totalprice, 'hi' AS bucket FROM orders WHERE o_totalprice > 450000
+             |UNION ALL
+             |SELECT o_orderkey, o_totalprice, 'lo' AS bucket FROM orders WHERE o_totalprice < 2000""".stripMargin),
+      "UNION ALL (bag semantics — the reference's only set op, SURVEY.md O6).") {
+      (s, dir) =>
+        val o = t(s, dir, "orders")
+        o.filter(col("o_totalprice") > 450000)
+          .select(col("o_orderkey"), col("o_totalprice"), lit("hi").as("bucket"))
+          .unionByName(
+            o.filter(col("o_totalprice") < 2000)
+              .select(col("o_orderkey"), col("o_totalprice"), lit("lo").as("bucket")))
+    },
+
+    GraftQuery(
+      "q13_intersect",
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin),
+      "INTERSECT (distinct set semantics).") {
+      (s, dir) =>
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+          .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+    },
+
+    GraftQuery(
+      "q14_except",
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+             |EXCEPT
+             |SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin),
+      "EXCEPT (distinct set semantics).") {
+      (s, dir) =>
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+          .except(t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+            .select(col("o_custkey").as("c_custkey")))
+    },
+
+    GraftQuery(
+      "q15_rollup",
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin),
+      "ROLLUP grouping hierarchy.") {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .rollup(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("o_totalprice"))).cast("double").as("total"))
+    },
+
+    GraftQuery(
+      "q16_cube",
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin),
+      "CUBE over two dimensions.") {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty"))
+    },
+
+    GraftQuery(
+      "q17_count_distinct",
+      Some("""SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "Exact distinct aggregation (expand + two-phase shuffle under the hood).") {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+    },
+
+    GraftQuery(
+      "q18_string_funcs",
+      Some("""SELECT c_custkey, UPPER(c_mktsegment) AS seg_u, SUBSTRING(c_name, 10, 9) AS cust_no,
+             |       LENGTH(c_name) AS name_len,
+             |       CONCAT_WS('-', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nat,
+             |       REPLACE(c_name, 'Customer#', 'C') AS short_name
+             |FROM customer WHERE c_acctbal > 9000""".stripMargin),
+      "Scalar string functions (upper/substring/length/concat_ws/replace) — all codegen'd built-ins.") {
+      (s, dir) =>
+        t(s, dir, "customer")
+          .filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey"),
+            upper(col("c_mktsegment")).as("seg_u"),
+            substring(col("c_name"), 10, 9).as("cust_no"),
+            length(col("c_name")).as("name_len"),
+            concat_ws("-", col("c_mktsegment"), col("c_nationkey").cast("string")).as("seg_nat"),
+            regexp_replace(col("c_name"), "Customer#", "C").as("short_name"))
+    },
+
+    GraftQuery(
+      "q19_date_funcs",
+      Some("""SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+             |       STRFTIME(MIN(o_orderdate), '%Y-%m-%d') AS first_day,
+             |       COUNT(*) AS n
+             |FROM orders GROUP BY YEAR(o_orderdate), MONTH(o_orderdate)""".stripMargin),
+      "Date/time scalar functions + group by derived keys.") {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+          .agg(date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"),
+            count(lit(1)).as("n"))
+    },
+
+    GraftQuery(
+      "q20_json_extract",
+      Some("""SELECT event_type,
+             |       CAST(SUM(CAST(props->>'$.k' AS INT)) AS DOUBLE) / COUNT(*) AS avg_k,
+             |       COUNT(*) AS n
+             |FROM events GROUP BY event_type""".stripMargin),
+      "JSON field extraction (the reference's core scalar op, StartJob.java:122-146) + aggregation.") {
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy(col("event_type"))
+          .agg((sum(col("k")).cast("double") / count(lit(1))).as("avg_k"),
+            count(lit(1)).as("n"))
+    },
+
+    GraftQuery(
+      "q21_case_conditional_agg",
+      Some("""SELECT l_linestatus,
+             |       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+             |       CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS discounted_value
+             |FROM lineitem GROUP BY l_linestatus""".stripMargin),
+      "CASE WHEN conditional aggregation.") {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(col("l_returnflag") === "R", 1).otherwise(0)).as("n_returned"),
+            sum(when(col("l_discount") > 0.05, dec(col("l_extendedprice")))
+              .otherwise(lit(0).cast("decimal(12,2)"))).cast("double").as("discounted_value"))
+    },
+
+    GraftQuery(
+      "q22_having",
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+             |GROUP BY o_custkey HAVING COUNT(*) >= 15""".stripMargin),
+      "GROUP BY + HAVING (post-aggregation filter).") {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("n_orders") >= 15)
+    },
+
+    GraftQuery(
+      "q23_scalar_subquery_join",
+      Some("""SELECT COUNT(*) AS n,
+             |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM lineitem l
+             |JOIN (SELECT l_partkey AS pk, SUM(l_quantity) / COUNT(*) AS avg_qty
+             |      FROM lineitem GROUP BY l_partkey) a ON l.l_partkey = a.pk
+             |WHERE l.l_quantity < 0.5 * a.avg_qty""".stripMargin),
+      "TPC-H Q17 flavor: correlated-avg rewritten as an aggregate self-join (how Catalyst decorrelates it anyway).") {
+      (s, dir) =>
+        val li = t(s, dir, "lineitem")
+        val avgQ = li.groupBy(col("l_partkey").as("pk"))
+          .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+        li.join(avgQ, col("l_partkey") === col("pk"))
+          .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("l_extendedprice"))).cast("double").as("total"))
+    },
+
+    GraftQuery(
+      "q24_in_subquery",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 7)
+             |  AND o_totalprice > 300000""".stripMargin),
+      "IN subquery → left semi join against a filtered dimension.") {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_totalprice") > 300000)
+          .join(t(s, dir, "customer").filter(col("c_nationkey") === 7).select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    GraftQuery(
+      "q25_grouping_sets",
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+             |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin),
+      "Explicit GROUPING SETS (via Spark SQL).") {
+      (s, dir) =>
+        t(s, dir, "orders").createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+                |FROM orders_gs GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    },
+
+    GraftQuery(
+      "q26_pivot",
+      Some("""SELECT l_returnflag,
+             |       SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
+             |       SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "PIVOT on line status (oracle expressed as conditional aggregation).") {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(count(lit(1)))
+          .na.fill(0)
+    },
+
+    GraftQuery(
+      "q27_time_bucket",
+      Some("""SELECT DATE_TRUNC('day', ts) AS day, event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY DATE_TRUNC('day', ts), event_type""".stripMargin),
+      "Tumbling time bucket over the events stream table (batch view of a streaming window).") {
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("total_value"))
+    },
+
+    GraftQuery(
+      "q28_explode_array",
+      Some("""SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+             |       UNNEST(embedding) AS val
+             |FROM embeddings WHERE vec_id < 5""".stripMargin),
+      "Array explode with position (posexplode ↔ UNNEST WITH ORDINALITY).") {
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .filter(col("vec_id") < 5)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+          .select(col("vec_id"), col("pos"), col("val"))
+    },
+  )
+}
