@@ -1,7 +1,116 @@
 package graft.operators
 
-import graft.GraftQuery
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Similarity search over the `embeddings` table (harness-mandated,
+  * SURVEY.md §2.3): brute-force cosine top-k as the exact baseline and
+  * a random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Scale design (100 TB stance): the brute-force scan is a broadcast
+  * of ONE query vector against a linear scan (no shuffle at all —
+  * TakeOrderedAndProject top-k); the LSH variant buckets every vector
+  * map-side into 4×4-bit band keys, so candidate generation is an
+  * equi-join on band keys and rerank touches only the matched buckets.
+  * Hyperplanes are derived from xxhash64 (deterministic, no RNG state
+  * to ship to executors).
+  */
 object Similarity {
-  val all: Seq[GraftQuery] = Seq()
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+
+  /** Cosine similarity between two double-array columns, in plain
+    * higher-order built-ins (whole-stage codegen keeps this in the
+    * generated loop — no UDF boundary).
+    */
+  private def cosine(a: String, b: String) = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (s, v) -> s + v)
+       | / sqrt(aggregate($a, 0D, (s, x) -> s + x * x)
+       |        * aggregate($b, 0D, (s, x) -> s + x * x))""".stripMargin)
+
+  /** 16 deterministic pseudo-random hyperplanes over dim-64 vectors:
+    * component (p, j) = xxhash64("p:j") scaled to [-1, 1].
+    */
+  private val planesExpr =
+    """transform(sequence(0, 15), p ->
+      |  transform(sequence(0, 63), j ->
+      |    CAST(xxhash64(concat(CAST(p AS STRING), ':', CAST(j AS STRING))) AS DOUBLE)
+      |      / 9.223372036854776E18))""".stripMargin
+
+  /** Sign-bit signature of `e` against the 16 hyperplanes. */
+  private val sigExpr =
+    s"""transform($planesExpr, plane ->
+       |  IF(aggregate(zip_with(e, plane, (x, y) -> x * y), 0D, (s, v) -> s + v) > 0, 1, 0))""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "ss01_cosine_topk",
+      Some("""SELECT vec_id, label,
+             |       ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]),
+             |         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 4) AS sim
+             |FROM embeddings WHERE vec_id <> 0
+             |ORDER BY sim DESC, vec_id LIMIT 20""".stripMargin),
+      "Brute-force cosine top-20 for one query vector: broadcast query, linear scan, per-partition heap top-k.") {
+      (s, dir) =>
+        val all = emb(s, dir)
+        val query = all.filter(col("vec_id") === 0).select(col("e").as("q"))
+        all.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(query))
+          .withColumn("sim", round(cosine("e", "q"), 4))
+          .select(col("vec_id"), col("label"), col("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(20)
+    },
+
+    GraftQuery(
+      "ss02_ann_lsh_topk",
+      None, // xxhash64-derived hyperplanes aren't reproducible in DuckDB → rows-only check
+      "ANN top-10 via random-hyperplane LSH: 16 sign bits → 4 bands of 4 bits; candidates share ≥1 band with the query, then exact cosine rerank. The bucketed scale path for ss01.") {
+      (s, dir) =>
+        val all = emb(s, dir).withColumn("sig", expr(sigExpr))
+        val banded = all.select(col("vec_id"), col("e"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> concat_ws('', slice(sig, b*4+1, 4)))"))
+            .as(Seq("band_idx", "band_key")))
+        val queryBands = banded.filter(col("vec_id") === 0)
+          .select(col("band_idx"), col("band_key"), col("e").as("q"))
+        banded.filter(col("vec_id") =!= 0)
+          .join(broadcast(queryBands), Seq("band_idx", "band_key"))
+          .select(col("vec_id"), col("e"), col("q")).distinct()
+          .withColumn("sim", round(cosine("e", "q"), 4))
+          .select(col("vec_id"), col("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+    },
+
+    GraftQuery(
+      "ss03_label_centroid_sim",
+      Some("""WITH e AS (SELECT label, CAST(GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS INT) AS pos,
+             |                  CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings),
+             |m AS (SELECT label, pos, SUM(v) / COUNT(*) AS m FROM e GROUP BY label, pos),
+             |c AS (SELECT label, LIST(m ORDER BY pos) AS centroid FROM m GROUP BY label)
+             |SELECT a.label AS label_a, b.label AS label_b,
+             |       ROUND(LIST_COSINE_SIMILARITY(a.centroid, b.centroid), 4) AS sim
+             |FROM c a JOIN c b ON a.label < b.label""".stripMargin),
+      "IVF-style coarse quantization step: per-label centroids (the cluster table an IVF index probes), then centroid-pair similarity. Double-sum order differs across engines by ~1 ulp; the 4-dp rounding absorbs it.") {
+      (s, dir) =>
+        val exploded = emb(s, dir)
+          .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(col("v")) / count(lit(1))).as("m"))
+        val centroids = exploded
+          .groupBy(col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("centroid"))
+        val a = centroids.select(col("label").as("label_a"), col("centroid").as("c_a"))
+        val b = centroids.select(col("label").as("label_b"), col("centroid").as("c_b"))
+        a.join(b, col("label_a") < col("label_b"))
+          .withColumn("sim", round(cosine("c_a", "c_b"), 4))
+          .select(col("label_a"), col("label_b"), col("sim"))
+    },
+  )
 }

@@ -1,7 +1,122 @@
 package graft.operators
 
-import graft.GraftQuery
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators over the `documents` table (harness-mandated
+  * training-data-pipeline surface, SURVEY.md §2.3): token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * Everything is built from codegen'd Spark built-ins (split / filter /
+  * transform higher-order functions, md5) — no UDFs — so plans stay
+  * inside whole-stage codegen and scale linearly with input splits at
+  * 100 TB (pure map-side work, zero shuffles except final aggs).
+  */
 object TextAnalysis {
-  val all: Seq[GraftQuery] = Seq()
+
+  /** Stopword profiles for the language-ID heuristic. Tiny and
+    * broadcast-free: they inline as literals into codegen.
+    */
+  private val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "las", "y"))
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "tx01_token_stats",
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |       SUM(LEN(STRING_SPLIT(text, ' '))) AS total_tokens,
+             |       MIN(LEN(STRING_SPLIT(text, ' '))) AS min_tokens,
+             |       MAX(LEN(STRING_SPLIT(text, ' '))) AS max_tokens,
+             |       CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS avg_chars
+             |FROM documents GROUP BY lang""".stripMargin),
+      "Whitespace token counting + per-language corpus stats.") {
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"),
+            (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_chars"))
+    },
+
+    GraftQuery(
+      "tx02_quality_score",
+      Some("""SELECT doc_id,
+             |       LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+             |       CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ('the','a','of','and'))) AS DOUBLE)
+             |         / LEN(STRING_SPLIT(text, ' ')) AS stop_ratio,
+             |       CAST(LENGTH(text) - LEN(STRING_SPLIT(text, ' ')) + 1 AS DOUBLE)
+             |         / LEN(STRING_SPLIT(text, ' ')) AS avg_token_len,
+             |       CASE WHEN LEN(STRING_SPLIT(text, ' ')) BETWEEN 20 AND 120
+             |             AND CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ('the','a','of','and'))) AS DOUBLE)
+             |                   / LEN(STRING_SPLIT(text, ' ')) < 0.3
+             |            THEN 1 ELSE 0 END AS keep
+             |FROM documents""".stripMargin),
+      "Per-document quality scoring: token count, stopword ratio, avg token length, keep flag.") {
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("stop_ratio",
+            expr(s"CAST(size(filter(toks, x -> x IN ${inList(profiles("en"))})) AS DOUBLE)") / col("n_tokens"))
+          .withColumn("avg_token_len",
+            (length(col("text")) - col("n_tokens") + 1).cast("double") / col("n_tokens"))
+          .withColumn("keep",
+            when(col("n_tokens").between(20, 120) && col("stop_ratio") < 0.3, 1).otherwise(0))
+          .select("doc_id", "n_tokens", "stop_ratio", "avg_token_len", "keep")
+    },
+
+    GraftQuery(
+      "tx03_lang_id",
+      Some {
+        val hits = profiles.map { case (l, ws) =>
+          s"LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ${inList(ws)})) AS ${l}_hits"
+        }.mkString(",\n             ")
+        s"""SELECT doc_id, lang,
+           |       CASE WHEN GREATEST(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+           |            WHEN en_hits >= GREATEST(de_hits, fr_hits, es_hits) THEN 'en'
+           |            WHEN de_hits >= GREATEST(fr_hits, es_hits) THEN 'de'
+           |            WHEN fr_hits >= es_hits THEN 'fr'
+           |            ELSE 'es' END AS guess
+           |FROM (SELECT doc_id, lang,
+           |             $hits
+           |      FROM documents) t""".stripMargin
+      },
+      "Stopword-profile language-ID heuristic (n-gram-free variant suited to whitespace text).") {
+      (s, dir) =>
+        var df = Tables.load(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+        for ((l, ws) <- profiles)
+          df = df.withColumn(s"${l}_hits", expr(s"size(filter(toks, x -> x IN ${inList(ws)}))"))
+        df.withColumn("guess",
+          when(greatest(col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits")) === 0, "und")
+            .when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"), col("es_hits")), "en")
+            .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
+            .when(col("fr_hits") >= col("es_hits"), "fr")
+            .otherwise("es"))
+          .select("doc_id", "lang", "guess")
+    },
+
+    GraftQuery(
+      "tx04_fingerprint",
+      Some("""SELECT doc_id,
+             |       MD5(LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS fp,
+             |       SUBSTRING(MD5(LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g'))), 1, 8) AS fp_prefix
+             |FROM documents""".stripMargin),
+      "Document fingerprint: md5 over whitespace-normalized lowercased text (exact-dup key).") {
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+          .select(col("doc_id"), col("fp"), substring(col("fp"), 1, 8).as("fp_prefix"))
+    },
+  )
 }
