@@ -355,7 +355,7 @@ object Relational {
     GraftQuery(
       "q21_case_conditional_agg",
       Some("""SELECT l_linestatus,
-             |       SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+             |       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
              |       CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS discounted_value
              |FROM lineitem GROUP BY l_linestatus""".stripMargin),
       "CASE WHEN conditional aggregation.") {
@@ -417,18 +417,20 @@ object Relational {
       "q25_grouping_sets",
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
              |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin),
-      "Explicit GROUPING SETS (via Spark SQL).") {
+      "Explicit GROUPING SETS via the native Dataset API (Spark 4) — no temp-view catalog mutation.") {
       (s, dir) =>
-        t(s, dir, "orders").createOrReplaceTempView("orders_gs")
-        s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
-                |FROM orders_gs GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+        t(s, dir, "orders")
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
     },
 
     GraftQuery(
       "q26_pivot",
       Some("""SELECT l_returnflag,
-             |       SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F,
-             |       SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O
+             |       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+             |       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O
              |FROM lineitem GROUP BY l_returnflag""".stripMargin),
       "PIVOT on line status (oracle expressed as conditional aggregation).") {
       (s, dir) =>

@@ -30,9 +30,9 @@ object TextAnalysis {
     GraftQuery(
       "tx01_token_stats",
       Some("""SELECT lang, COUNT(*) AS n_docs,
-             |       SUM(LEN(STRING_SPLIT(text, ' '))) AS total_tokens,
-             |       MIN(LEN(STRING_SPLIT(text, ' '))) AS min_tokens,
-             |       MAX(LEN(STRING_SPLIT(text, ' '))) AS max_tokens,
+             |       CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
+             |       CAST(MIN(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS min_tokens,
+             |       CAST(MAX(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS max_tokens,
              |       CAST(SUM(LENGTH(text)) AS DOUBLE) / COUNT(*) AS avg_chars
              |FROM documents GROUP BY lang""".stripMargin),
       "Whitespace token counting + per-language corpus stats.") {
@@ -43,8 +43,8 @@ object TextAnalysis {
           .agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("total_tokens"),
-            min(col("n_tokens")).as("min_tokens"),
-            max(col("n_tokens")).as("max_tokens"),
+            min(col("n_tokens")).cast("long").as("min_tokens"),
+            max(col("n_tokens")).cast("long").as("max_tokens"),
             (sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_chars"))
     },
 
