@@ -9,21 +9,43 @@ import org.apache.spark.sql.functions._
   * (harness-mandated, SURVEY.md §2.3): exact, normalized-key, MinHash
   * LSH, SimHash, exact n-gram Jaccard, embedding-cosine near-dup.
   *
+  * All hash-seeded operators derive their randomness from **md5**, which
+  * both Spark and DuckDB implement identically — so every operator here
+  * carries a full value-level DuckDB oracle (no rows-only checks).
+  * Derived constants (minhash permutations, hyperplane signs) are
+  * computed once in Scala and inlined as literals into BOTH the Spark
+  * expression and the oracle SQL.
+  *
   * Scale design (100 TB stance):
   *  - exact/normalized dedup is one hash-partitioned shuffle on the key
   *    (window row_number), no driver state;
-  *  - MinHash/SimHash candidate generation goes through LSH *banding*
-  *    — candidates meet in a band-key shuffle (equi-join), never an
-  *    O(n²) cross join; signature computation is pure map-side
-  *    higher-order expressions inside whole-stage codegen;
-  *  - the only O(n²) operator is dd06 (exact cosine pairs), kept as
-  *    the correctness baseline for its LSH counterparts (ss02 is the
-  *    scale path).
+  *  - every content hash is computed ONCE per shingle/token; the 32
+  *    minhash permutations are derived by universal hashing
+  *    `(a·h1 + b·h2 + c) mod p` — multiply-adds, not repeated digests;
+  *  - MinHash/SimHash/embedding-LSH candidates meet in a band-key
+  *    equi-join (never an O(n²) cross join), are deduped to distinct
+  *    (a, b) pairs BEFORE scoring, and only then scored once;
+  *  - the n-gram inverted index carries a document-frequency cap: a
+  *    shingle occurring in > [[DfCap]] docs is dropped from the index
+  *    (p docs → p² join rows — frequent shingles are a skew bomb at
+  *    100 TB and carry no near-dup signal anyway);
+  *  - the exact O(n²) cosine scan survives only as a test-only ground
+  *    truth ([[exactEmbeddingPairs]]); the inventory entry is LSH
+  *    candidates + exact rerank.
   */
 object Dedup {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+
+  import Hashing.{P, perms}
+
+  /** Max document frequency a shingle may have and still enter the
+    * dd05 inverted index.
+    */
+  private val DfCap = 50
+
+  // ---- shared expression fragments (Spark SQL dialect) ----
 
   /** Distinct word-trigram shingles per document (empty when <3 tokens). */
   private val shingleExpr =
@@ -32,12 +54,51 @@ object Dedup {
       |    i -> concat_ws(' ', slice(split(text, ' '), i, 3))))
       |ELSE array() END""".stripMargin
 
-  /** 32 MinHash values: for each seed i, min over shingles of
-    * xxhash64(i || shingle). All built-ins, fully codegen'd.
+  /** Hash each shingle ONCE: md5 → two 28-bit halves (h1, h2). */
+  private val shingleHashExpr =
+    """transform(gs, s -> named_struct(
+      |  'h1', CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT),
+      |  'h2', CAST(conv(substring(md5(s), 8, 7), 16, 10) AS BIGINT)))""".stripMargin
+
+  /** 32 minhash values via universal hashing over the per-shingle
+    * (h1, h2) pairs — 32 multiply-adds per shingle, zero extra digests.
     */
-  private val minhashSigExpr =
-    """transform(sequence(0, 31),
-      |  i -> array_min(transform(shingles, s -> xxhash64(concat(CAST(i AS STRING), '|', s)))))""".stripMargin
+  private val minhashSigExpr = {
+    val lits = perms.map { case (a, b, c) =>
+      s"named_struct('a', ${a}L, 'b', ${b}L, 'c', ${c}L)"
+    }.mkString("array(", ", ", ")")
+    s"""transform($lits,
+       |  t -> array_min(transform(hs, h -> (t.a * h.h1 + t.b * h.h2 + t.c) % $P)))""".stripMargin
+  }
+
+  /** The same 32 permutations as a DuckDB struct-list literal. */
+  private val permsDuck = perms.map { case (a, b, c) =>
+    s"{a: $a, b: $b, c: $c}"
+  }.mkString("[", ", ", "]")
+
+  /** DuckDB twin of [[shingleExpr]] (parity established by dd05 r1). */
+  private val shingleDuck =
+    """CASE WHEN LEN(w) >= 3 THEN
+      |  LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |ELSE [] END""".stripMargin
+
+  /** Test-only exact ground truth: all-pairs cosine ≥ threshold.
+    * O(n²) by construction — never in the bench/verify inventory.
+    */
+  def exactEmbeddingPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val a = emb.select(col("vec_id").as("vec_a"), col("e").as("e_a"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("e").as("e_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("sim", expr(
+        """aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0D, (s, v) -> s + v)
+          | / sqrt(aggregate(e_a, 0D, (s, x) -> s + x * x)
+          |        * aggregate(e_b, 0D, (s, x) -> s + x * x))""".stripMargin))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+  }
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -79,110 +140,192 @@ object Dedup {
 
     GraftQuery(
       "dd03_minhash_lsh_pairs",
-      None, // xxhash64 seeds aren't reproducible in DuckDB → rows-only check
-      "MinHash(32) + LSH banding (8 bands × 4 rows): candidate pairs meet in a band-key equi-join (no cross join); est. Jaccard = fraction of agreeing minhashes ≥ 0.5.") {
+      Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+              |sh AS (SELECT doc_id, $shingleDuck AS gs FROM d),
+              |hp AS (SELECT doc_id, LIST_TRANSFORM(gs, s -> {
+              |         h1: CAST(('0x' || substring(md5(s), 1, 7)) AS BIGINT),
+              |         h2: CAST(('0x' || substring(md5(s), 8, 7)) AS BIGINT)}) AS hs
+              |       FROM sh WHERE LEN(gs) > 0),
+              |sigs AS (SELECT doc_id, LIST_TRANSFORM($permsDuck,
+              |           t -> LIST_MIN(LIST_TRANSFORM(hs, h -> (t.a * h.h1 + t.b * h.h2 + t.c) % $P))) AS sig
+              |         FROM hp),
+              |bands AS (SELECT doc_id, bb.b AS band_idx,
+              |                 ARRAY_TO_STRING(sig[bb.b*4+1 : bb.b*4+4], ',') AS band_key
+              |          FROM sigs, (SELECT UNNEST(RANGE(0, 8)) AS b) bb),
+              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |         FROM bands a JOIN bands b
+              |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              |          AND a.doc_id < b.doc_id)
+              |SELECT doc_a, doc_b,
+              |       CAST(LEN(LIST_FILTER(RANGE(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est_jaccard
+              |FROM cand JOIN sigs sa ON sa.doc_id = cand.doc_a
+              |          JOIN sigs sb ON sb.doc_id = cand.doc_b
+              |WHERE CAST(LEN(LIST_FILTER(RANGE(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5""".stripMargin),
+      "MinHash(32) + LSH banding (8 bands × 4 rows): one md5 per shingle, 32 universal-hash permutations; candidates meet in a band-key equi-join, are deduped to distinct pairs, then scored once; est. Jaccard ≥ 0.5.") {
       (s, dir) =>
-        val sig = docs(s, dir)
-          .withColumn("shingles", expr(shingleExpr))
-          .filter(size(col("shingles")) > 0)
+        val sigs = docs(s, dir)
+          .withColumn("gs", expr(shingleExpr))
+          .filter(size(col("gs")) > 0)
+          .withColumn("hs", expr(shingleHashExpr))
           .withColumn("sig", expr(minhashSigExpr))
           .select("doc_id", "sig")
-        val bands = sig.select(col("doc_id"), col("sig"),
+        val bands = sigs.select(col("doc_id"),
           posexplode(expr(
             """transform(sequence(0, 7),
-              |  b -> xxhash64(concat_ws(',', transform(slice(sig, b*4+1, 4), x -> CAST(x AS STRING)))))""".stripMargin))
-            .as(Seq("band_idx", "band_hash")))
-        val a = bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-          col("band_idx"), col("band_hash"))
-        val b = bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-          col("band_idx"), col("band_hash"))
-        a.join(b, Seq("band_idx", "band_hash"))
+              |  b -> concat_ws(',', transform(slice(sig, b*4+1, 4), x -> CAST(x AS STRING))))""".stripMargin))
+            .as(Seq("band_idx", "band_key")))
+        val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
+            Seq("band_idx", "band_key"))
           .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), v -> v = 1))")
-              .cast("double") / 32).as("est_jaccard"))
-          .distinct()
+          .select("doc_a", "doc_b").distinct()
+        cand
+          .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          .withColumn("est_jaccard",
+            expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS DOUBLE) / 32"))
           .filter(col("est_jaccard") >= 0.5)
+          .select("doc_a", "doc_b", "est_jaccard")
     },
 
     GraftQuery(
       "dd04_simhash_pairs",
-      None, // xxhash64-derived bit vectors aren't reproducible in DuckDB → rows-only check
-      "SimHash(64-bit) near-dup: per-token hash bits summed ±1, sign-packed to a bitstring; 4×16-bit band join finds candidates (pigeonhole-complete for hamming ≤ 3); Hamming distance ≤ 3 confirms.") {
+      Some("""WITH tk AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents),
+             |h AS (SELECT doc_id,
+             |        CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) AS h1,
+             |        CAST(('0x' || substring(md5(w), 9, 8)) AS BIGINT) AS h2
+             |      FROM tk),
+             |bt AS (SELECT doc_id, bb.b AS b,
+             |         SUM(CASE WHEN ((CASE WHEN bb.b < 32 THEN h1 >> bb.b
+             |                              ELSE h2 >> (bb.b - 32) END) & 1) = 1
+             |                  THEN 1 ELSE -1 END) AS s
+             |       FROM h, (SELECT UNNEST(RANGE(0, 64)) AS b) bb
+             |       GROUP BY doc_id, bb.b),
+             |sh AS (SELECT doc_id,
+             |         STRING_AGG(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+             |       FROM bt GROUP BY doc_id),
+             |bands AS (SELECT doc_id, bb.b AS band_idx,
+             |                 substring(simhash, bb.b*13 + 1, CASE WHEN bb.b = 4 THEN 12 ELSE 13 END) AS band_bits
+             |          FROM sh, (SELECT UNNEST(RANGE(0, 5)) AS b) bb),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |         FROM bands a JOIN bands b
+             |           ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+             |          AND a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b,
+             |       CAST(LEN(LIST_FILTER(RANGE(1, 65), i -> sa.simhash[i] <> sb.simhash[i])) AS BIGINT) AS hamming
+             |FROM cand JOIN sh sa ON sa.doc_id = cand.doc_a
+             |          JOIN sh sb ON sb.doc_id = cand.doc_b
+             |WHERE CAST(LEN(LIST_FILTER(RANGE(1, 65), i -> sa.simhash[i] <> sb.simhash[i])) AS BIGINT) <= 4""".stripMargin),
+      "SimHash(64-bit) near-dup: each token hashed ONCE (md5 → two 32-bit halves), 64 bit-sums ±1, sign-packed; 5-band (13/13/13/13/12-bit) join finds candidates (pigeonhole-complete for hamming ≤ 4); distinct pairs, then Hamming ≤ 4 confirms.") {
       (s, dir) =>
         val sim = docs(s, dir)
           .withColumn("toks", split(col("text"), " "))
-          // 64-long vector: for each bit b, sum over tokens of ±1 by hash bit
-          .withColumn("bits", expr(
-            """transform(
-              |  aggregate(toks, array_repeat(0L, 64),
-              |    (acc, w) -> zip_with(acc,
+          .withColumn("hs", expr(
+            """transform(toks, w -> named_struct(
+              |  'h1', CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT),
+              |  'h2', CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT)))""".stripMargin))
+          .withColumn("simhash", expr(
+            """concat_ws('', transform(
+              |  aggregate(hs, array_repeat(0L, 64),
+              |    (acc, h) -> zip_with(acc,
               |      transform(sequence(0, 63),
-              |        b -> IF(((shiftright(xxhash64(w), b) & 1L) = 1L), 1L, -1L)),
+              |        b -> IF(((IF(b < 32, shiftright(h.h1, b), shiftright(h.h2, b - 32))) & 1L) = 1L, 1L, -1L)),
               |      (x, y) -> x + y)),
-              |  v -> IF(v > 0, '1', '0'))""".stripMargin))
-          .withColumn("simhash", expr("concat_ws('', bits)"))
+              |  v -> IF(v > 0, '1', '0')))""".stripMargin))
           .select("doc_id", "simhash")
-        val bands = sim.select(col("doc_id"), col("simhash"),
+        val bands = sim.select(col("doc_id"),
           posexplode(expr(
-            "transform(sequence(0, 3), b -> substring(simhash, b*16 + 1, 16))"))
+            "transform(sequence(0, 4), b -> substring(simhash, b*13 + 1, IF(b = 4, 12, 13)))"))
             .as(Seq("band_idx", "band_bits")))
-        val a = bands.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
-          col("band_idx"), col("band_bits"))
-        val b = bands.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
-          col("band_idx"), col("band_bits"))
-        a.join(b, Seq("band_idx", "band_bits"))
+        val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_bits"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_bits")),
+            Seq("band_idx", "band_bits"))
           .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            expr("size(filter(zip_with(split(sh_a, ''), split(sh_b, ''), (x, y) -> CAST(x <> y AS INT)), v -> v = 1))")
-              .as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 3)
+          .select("doc_a", "doc_b").distinct()
+        cand
+          .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), "doc_a")
+          .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), "doc_b")
+          .withColumn("hamming",
+            expr("size(filter(zip_with(split(sh_a, ''), split(sh_b, ''), (x, y) -> x <> y), v -> v))")
+              .cast("long"))
+          .filter(col("hamming") <= 4)
+          .select("doc_a", "doc_b", "hamming")
     },
 
     GraftQuery(
       "dd05_ngram_jaccard_pairs",
-      Some("""WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
-             |sh AS (SELECT doc_id,
-             |         CASE WHEN LEN(w) >= 3 THEN
-             |           LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
-             |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
-             |         ELSE [] END AS gs
-             |       FROM toks),
-             |e AS (SELECT doc_id, LEN(gs) AS n, UNNEST(gs) AS g FROM sh)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |       CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) AS jaccard
-             |FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-             |GROUP BY a.doc_id, b.doc_id
-             |HAVING CAST(COUNT(*) AS DOUBLE) / (ANY_VALUE(a.n) + ANY_VALUE(b.n) - COUNT(*)) >= 0.8""".stripMargin),
-      "Exact word-trigram Jaccard ≥ 0.8 via inverted-index self-join on shared shingles — the oracle-checkable ground truth for dd03.") {
+      Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+              |sh AS (SELECT doc_id, $shingleDuck AS gs FROM d),
+              |e AS (SELECT doc_id, UNNEST(gs) AS g FROM sh),
+              |rare AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= $DfCap),
+              |er AS (SELECT e.doc_id, e.g FROM e JOIN rare USING (g)),
+              |n AS (SELECT doc_id, COUNT(*) AS n FROM er GROUP BY doc_id),
+              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+              |      FROM er a JOIN er b ON a.g = b.g AND a.doc_id < b.doc_id
+              |      GROUP BY a.doc_id, b.doc_id)
+              |SELECT doc_a, doc_b,
+              |       CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+              |FROM p JOIN n na ON na.doc_id = p.doc_a
+              |       JOIN n nb ON nb.doc_id = p.doc_b
+              |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8""".stripMargin),
+      s"Exact word-trigram Jaccard ≥ 0.8 via inverted-index self-join, with a document-frequency cap (df ≤ $DfCap) on the index: frequent shingles are p²-join skew bombs at scale and carry no near-dup signal.") {
       (s, dir) =>
         val sh = docs(s, dir)
           .withColumn("gs", expr(shingleExpr))
-          .select(col("doc_id"), size(col("gs")).as("n"), explode(col("gs")).as("g"))
-        val a = sh.select(col("doc_id").as("doc_a"), col("n").as("n_a"), col("g"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("n").as("n_b"), col("g"))
-        a.join(b, Seq("g"))
+          .select(col("doc_id"), explode(col("gs")).as("g"))
+        val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= DfCap).select("g")
+        val er = sh.join(rare, "g")
+        val n = er.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = er.select(col("doc_id").as("doc_a"), col("g"))
+          .join(er.select(col("doc_id").as("doc_b"), col("g")), "g")
           .filter(col("doc_a") < col("doc_b"))
-          .groupBy(col("doc_a"), col("doc_b"))
-          .agg((count(lit(1)).cast("double") /
-            (first(col("n_a")) + first(col("n_b")) - count(lit(1)))).as("jaccard"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .join(n.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+          .join(n.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+          .withColumn("jaccard",
+            col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
           .filter(col("jaccard") >= 0.8)
+          .select("doc_a", "doc_b", "jaccard")
     },
 
     GraftQuery(
-      "dd06_embedding_neardup_pairs",
-      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             |       ROUND(LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS sim
-             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-             |WHERE LIST_COSINE_SIMILARITY(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45""".stripMargin),
-      "Embedding-cosine near-dup pairs (exact O(n²) baseline; ss02 is the LSH scale path). Double-precision math on both sides; 4-dp rounding absorbs association-order ulps.") {
+      "dd06_embedding_neardup_lsh",
+      Some(s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |pl AS (SELECT ${Hashing.planesDuck} AS planes),
+              |sigs AS (SELECT vec_id, e, ${Hashing.embSigDuck} AS sig
+              |         FROM emb, pl),
+              |bands AS (SELECT vec_id, bb.b AS band_idx,
+              |                 substring(sig, bb.b*4 + 1, 4) AS band_key
+              |          FROM sigs, (SELECT UNNEST(RANGE(0, 8)) AS b) bb),
+              |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |         FROM bands a JOIN bands b
+              |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              |          AND a.vec_id < b.vec_id)
+              |SELECT vec_a, vec_b,
+              |       ROUND(LIST_COSINE_SIMILARITY(ea.e, eb.e), 4) AS sim
+              |FROM cand JOIN emb ea ON ea.vec_id = cand.vec_a
+              |          JOIN emb eb ON eb.vec_id = cand.vec_b
+              |WHERE LIST_COSINE_SIMILARITY(ea.e, eb.e) >= 0.45""".stripMargin),
+      "Embedding near-dup at scale: 32-bit Rademacher-hyperplane LSH (8 bands × 4 bits) generates candidate pairs in a band-key equi-join, exact cosine reranks, sim ≥ 0.45 confirms. The O(n²) exact scan survives only as the test-only ground truth (exactEmbeddingPairs).") {
       (s, dir) =>
         val emb = Tables.load(s, dir, "embeddings")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-        val a = emb.select(col("vec_id").as("vec_a"), col("e").as("e_a"))
-        val b = emb.select(col("vec_id").as("vec_b"), col("e").as("e_b"))
-        a.join(b, col("vec_a") < col("vec_b"))
+        val sigs = emb.withColumn("sig", expr(Hashing.embSigExpr))
+        val bands = sigs.select(col("vec_id"),
+          posexplode(expr(
+            "transform(sequence(0, 7), b -> substring(sig, b*4 + 1, 4))"))
+            .as(Seq("band_idx", "band_key")))
+        val cand = bands.select(col("vec_id").as("vec_a"), col("band_idx"), col("band_key"))
+          .join(bands.select(col("vec_id").as("vec_b"), col("band_idx"), col("band_key")),
+            Seq("band_idx", "band_key"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b").distinct()
+        cand
+          .join(emb.select(col("vec_id").as("vec_a"), col("e").as("e_a")), "vec_a")
+          .join(emb.select(col("vec_id").as("vec_b"), col("e").as("e_b")), "vec_b")
           .withColumn("sim", expr(
             """aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0D, (s, v) -> s + v)
               | / sqrt(aggregate(e_a, 0D, (s, x) -> s + x * x)

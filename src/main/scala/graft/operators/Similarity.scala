@@ -32,20 +32,6 @@ object Similarity {
        | / sqrt(aggregate($a, 0D, (s, x) -> s + x * x)
        |        * aggregate($b, 0D, (s, x) -> s + x * x))""".stripMargin)
 
-  /** 16 deterministic pseudo-random hyperplanes over dim-64 vectors:
-    * component (p, j) = xxhash64("p:j") scaled to [-1, 1].
-    */
-  private val planesExpr =
-    """transform(sequence(0, 15), p ->
-      |  transform(sequence(0, 63), j ->
-      |    CAST(xxhash64(concat(CAST(p AS STRING), ':', CAST(j AS STRING))) AS DOUBLE)
-      |      / 9.223372036854776E18))""".stripMargin
-
-  /** Sign-bit signature of `e` against the 16 hyperplanes. */
-  private val sigExpr =
-    s"""transform($planesExpr, plane ->
-       |  IF(aggregate(zip_with(e, plane, (x, y) -> x * y), 0D, (s, v) -> s + v) > 0, 1, 0))""".stripMargin
-
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -69,19 +55,34 @@ object Similarity {
 
     GraftQuery(
       "ss02_ann_lsh_topk",
-      None, // xxhash64-derived hyperplanes aren't reproducible in DuckDB → rows-only check
-      "ANN top-10 via random-hyperplane LSH: 16 sign bits → 4 bands of 4 bits; candidates share ≥1 band with the query, then exact cosine rerank. The bucketed scale path for ss01.") {
+      Some(s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |pl AS (SELECT ${Hashing.planesDuck} AS planes),
+              |sigs AS (SELECT vec_id, e, ${Hashing.embSigDuck} AS sig
+              |         FROM emb, pl),
+              |bands AS (SELECT vec_id, bb.b AS band_idx,
+              |                 substring(sig, bb.b*4 + 1, 4) AS band_key
+              |          FROM sigs, (SELECT UNNEST(RANGE(0, 8)) AS b) bb),
+              |q AS (SELECT band_idx, band_key FROM bands WHERE vec_id = 0),
+              |cand AS (SELECT DISTINCT b.vec_id FROM bands b
+              |         JOIN q USING (band_idx, band_key) WHERE b.vec_id <> 0),
+              |qe AS (SELECT e AS qv FROM emb WHERE vec_id = 0)
+              |SELECT c.vec_id, ROUND(LIST_COSINE_SIMILARITY(e.e, qe.qv), 4) AS sim
+              |FROM cand c JOIN emb e ON e.vec_id = c.vec_id, qe
+              |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin),
+      "ANN top-10 via Rademacher-hyperplane LSH (md5-derived, oracle-reproducible): 32 sign bits → 8 bands of 4 bits; candidates share ≥1 band with the query, then exact cosine rerank. The bucketed scale path for ss01.") {
       (s, dir) =>
-        val all = emb(s, dir).withColumn("sig", expr(sigExpr))
+        val all = emb(s, dir).withColumn("sig", expr(Hashing.embSigExpr))
         val banded = all.select(col("vec_id"), col("e"),
           posexplode(expr(
-            "transform(sequence(0, 3), b -> concat_ws('', slice(sig, b*4+1, 4)))"))
+            "transform(sequence(0, 7), b -> substring(sig, b*4 + 1, 4))"))
             .as(Seq("band_idx", "band_key")))
         val queryBands = banded.filter(col("vec_id") === 0)
-          .select(col("band_idx"), col("band_key"), col("e").as("q"))
+          .select(col("band_idx"), col("band_key"))
+        val query = all.filter(col("vec_id") === 0).select(col("e").as("q"))
         banded.filter(col("vec_id") =!= 0)
           .join(broadcast(queryBands), Seq("band_idx", "band_key"))
-          .select(col("vec_id"), col("e"), col("q")).distinct()
+          .select(col("vec_id"), col("e")).distinct()
+          .crossJoin(broadcast(query))
           .withColumn("sim", round(cosine("e", "q"), 4))
           .select(col("vec_id"), col("sim"))
           .orderBy(col("sim").desc, col("vec_id"))

@@ -10,7 +10,7 @@ class QueriesSpec extends AnyFunSuite {
 
   // Queries whose correct result CAN be empty at tiny scale.
   private val mayBeEmpty = Set("q06_anti_join", "q14_except",
-    "dd06_embedding_neardup_pairs", "dd03_minhash_lsh_pairs",
+    "dd06_embedding_neardup_lsh", "dd03_minhash_lsh_pairs",
     "dd04_simhash_pairs", "dd05_ngram_jaccard_pairs")
 
   for (q <- GraftQuery.all) {

@@ -28,6 +28,24 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"simhash recall $recall; gt=${gt.size} sh=${sh.size}")
   }
 
+  test("embedding LSH recovers strong exact near-dup pairs (sf0.01)") {
+    // ground truth: the test-only O(n²) exact scan; strong pairs
+    // (sim >= 0.6) must be recovered by the banded candidate path
+    val exact = Dedup.exactEmbeddingPairs(spark, sf001, 0.45)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val strong = exact.filter(_._2 >= 0.6).map(_._1).toSet
+    val lsh = byName("dd06_embedding_neardup_lsh").build(spark, sf001)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain exact near-dup pairs")
+    // every LSH-confirmed pair must be a true exact pair (precision 1.0:
+    // rerank is exact cosine at the same threshold)
+    assert(lsh.subsetOf(exact.map(_._1).toSet), "LSH emitted a non-near-dup pair")
+    if (strong.nonEmpty) {
+      val recall = (strong & lsh).size.toDouble / strong.size
+      assert(recall >= 0.6, s"strong-pair recall $recall; strong=${strong.size} lsh=${lsh.size}")
+    }
+  }
+
   test("exact dedup keeps one row per distinct text (sf0.001)") {
     val docs = graft.Tables.load(spark, sf0001, "documents")
     val distinctTexts = docs.select("text").distinct().count()

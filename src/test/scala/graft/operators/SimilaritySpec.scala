@@ -17,14 +17,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sims.forall(s => s >= -1.0 && s <= 1.0))
   }
 
-  test("LSH ANN candidates are a subset of brute-force ranking order (sf0.01)") {
+  test("LSH ANN is consistent with brute force AND has recall@10 >= 0.6 (sf0.01)") {
     val bf = byName("ss01_cosine_topk").build(spark, sf001)
-      .select("vec_id", "sim").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .select("vec_id", "sim").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val bfMap = bf.toMap
     val ann = byName("ss02_ann_lsh_topk").build(spark, sf001)
       .select("vec_id", "sim").collect().map(r => r.getLong(0) -> r.getDouble(1))
     // every ANN hit that also appears in the exact top-20 must carry the same sim
-    for ((id, sim) <- ann if bf.contains(id))
-      assert(math.abs(bf(id) - sim) < 1e-9, s"sim mismatch for vec $id")
+    for ((id, sim) <- ann if bfMap.contains(id))
+      assert(math.abs(bfMap(id) - sim) < 1e-9, s"sim mismatch for vec $id")
+    // a broken ANN that returns zero overlap must FAIL: recall@10 vs the
+    // exact top-10
+    val exactTop10 = bf.sortBy(r => (-r._2, r._1)).take(10).map(_._1).toSet
+    val annIds = ann.map(_._1).toSet
+    val recall = (exactTop10 & annIds).size.toDouble / exactTop10.size
+    assert(recall >= 0.6, s"ANN recall@10 $recall too low; ann=${annIds.size}")
   }
 
   test("cosine of a vector with itself is 1 (sanity of the expression)") {
