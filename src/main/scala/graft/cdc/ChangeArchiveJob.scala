@@ -1,0 +1,93 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference's whole job, Spark-native: N Debezium-JSON sources →
+  * envelope parse (drop-with-count) → union → broadcast enrichment →
+  * checkpointed micro-batch delivery to pluggable dual sinks
+  * (`/root/reference/save-del-his-job/src/main/java/com/jly/flink/job/StartJob.java:37-107`).
+  *
+  * Structured-Streaming mapping (SURVEY.md §3.1):
+  *  - the reference's MySQL-CDC sources become file streams of
+  *    Debezium-JSON lines (this zero-egress environment has no MySQL;
+  *    the envelope format is identical, `StartJob.java:63-80`);
+  *  - `env.enableCheckpointing(60_000)` becomes `checkpointLocation` +
+  *    a trigger — recovery resumes from the last committed batch with
+  *    no loss;
+  *  - the hand-rolled buffer/timer/synchronized sink machinery
+  *    (`AdbSink.java:54-96`) disappears: micro-batch boundary ≡ flush
+  *    boundary, `batchId` + deterministic labels ≡ replay protection;
+  *  - watermarks are deliberately absent, like the reference
+  *    (`WatermarkStrategy.noWatermarks()`, `StartJob.java:78`) — this
+  *    is a processing-time pipeline.
+  *
+  * Scale stance: nothing here holds driver state; per-table fan-out is
+  * a `partitionBy`/`repartition` on `dbTbName`, enrichment is a
+  * broadcast join against the (tiny) source config, and parse/union are
+  * map-side — the plan holds at 1000 executors reading real streams.
+  */
+object ChangeArchiveJob {
+
+  /** One logical CDC source: where its Debezium-JSON lines arrive. */
+  final case class SourceStream(instanceName: String, dir: String)
+
+  /** The per-instance config table the enrichment join broadcasts
+    * (`instanceName, dbAlias, fbNo` — `AdbSink.java:43-47`).
+    */
+  def sourcesDf(spark: SparkSession, cfg: TaskConfig): DataFrame = {
+    import spark.implicits._
+    cfg.sources.map(s => (s.instanceName, cfg.dbAlias, s.fbNo))
+      .toDF("instanceName", "dbAlias", "fbNo")
+  }
+
+  /** Assemble parse → union → enrich over already-created envelope
+    * frames (streaming or batch — the plan is identical; tests reuse it
+    * in batch mode for golden checks).
+    */
+  def build(
+      streams: Seq[(String, DataFrame)],
+      spark: SparkSession,
+      cfg: TaskConfig): DataFrame = {
+    val parsed = streams.map { case (instanceName, envelopes) =>
+      Debezium.parseChanges(envelopes, instanceName,
+        observeName = Some(s"cdc_parse_$instanceName"))
+    }
+    // bag-semantics union of N per-instance streams (StartJob.java:89-92)
+    val unioned = parsed.reduce(_ unionByName _)
+    Debezium.enrich(unioned, sourcesDf(spark, cfg))
+  }
+
+  /** Start the streaming job: one file-stream per source, dual-sink
+    * `foreachBatch` delivery, checkpointed.
+    *
+    * @param trigger `AvailableNow` drains what exists then stops (used
+    *   by tests/backfills); `ProcessingTime(flushIntervalMs)` matches
+    *   the reference's flush cadence (`SinkConfig.java:21`).
+    */
+  def run(
+      spark: SparkSession,
+      sources: Seq[SourceStream],
+      cfg: TaskConfig,
+      writers: Seq[BatchWriter],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    TaskConfigChecker.check(cfg)
+    val streams = sources.map(s => s.instanceName -> spark.readStream.text(s.dir))
+    val archive = build(streams, spark, cfg)
+    archive.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // one materialization serves every writer (dual-sink delivery,
+        // StartJob.java:95-104) — without it each writer would re-read
+        // the sources and re-parse
+        val pinned = batch.persist()
+        try writers.foreach(_.write(pinned, batchId))
+        finally pinned.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+}

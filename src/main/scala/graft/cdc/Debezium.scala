@@ -1,0 +1,153 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Debezium-JSON envelope parsing — the Spark-native re-expression of
+  * the reference's `ParseDeleteWithSource` map function
+  * (`/root/reference/save-del-his-job/src/main/java/com/jly/flink/job/StartJob.java:113-165`).
+  *
+  * Input: a `value: STRING` column, one Debezium envelope per row
+  * (works identically on a batch DataFrame and a streaming one — the
+  * expressions are pure, so the same plan serves both). The envelope
+  * fields the reference reads: `op`, `source.table`, `before` (full
+  * pre-image), `ts_ms`.
+  *
+  * Drop semantics mirror the reference's branches IN ORDER, but
+  * "drop with an error log" becomes "drop with a metric": every
+  * rejected row is counted per reason via `Dataset.observe`, so the
+  * drop taxonomy is assertable in tests and visible in streaming
+  * progress events (SURVEY.md §7.4).
+  *
+  * `decimal.handling.mode=string` (`StartJob.java:60-61`) is honored
+  * by construction: `before` is never re-typed — the whole pre-image
+  * passes through as raw JSON text (`dataJson`), so decimals encoded
+  * as strings survive byte-for-byte.
+  */
+object Debezium {
+
+  /** Drop reasons, in the reference's branch order. */
+  val Malformed = "malformed"     // unparseable JSON (defensive; the reference would throw)
+  val NotDelete = "not_delete"    // StartJob.java:123-125 (silent skip)
+  val NoTable = "no_table"        // StartJob.java:129-132 (error log)
+  val NoBefore = "no_before"      // StartJob.java:134-138 (error log)
+  val NoId = "no_id"              // StartJob.java:140-144 (error log)
+  val BadTs = "bad_ts"            // StartJob.java:147-151 (error log)
+  val Kept = "kept"
+
+  val reasons: Seq[String] = Seq(Malformed, NotDelete, NoTable, NoBefore, NoId, BadTs)
+
+  private def op(value: Column) = get_json_object(value, "$.op")
+  private def table(value: Column) = get_json_object(value, "$.source.table")
+  private def before(value: Column) = get_json_object(value, "$.before")
+  private def id(value: Column) = get_json_object(value, "$.before.id")
+  private def tsMs(value: Column) = {
+    val raw = get_json_object(value, "$.ts_ms")
+    // regex-guarded cast: ANSI mode would turn a non-numeric ts_ms into
+    // a runtime error; the reference treats it as just another drop
+    when(raw.rlike("^-?\\d{1,18}$"), raw.cast("long"))
+  }
+
+  /** Classification of one envelope: a drop reason, or [[Kept]].
+    * Branches in the reference's order — a row with several defects is
+    * counted under the FIRST failing check, like the reference's early
+    * returns. This is the SPEC form (one full JSON parse per field);
+    * the execution paths below extract every field in a single
+    * `json_tuple` parse — DebeziumSpec pins both to the same taxonomy.
+    */
+  def classify(value: Column): Column =
+    when(get_json_object(value, "$").isNull, Malformed)
+      .when(op(value).isNull || op(value) =!= "d", NotDelete)
+      .when(table(value).isNull || trim(table(value)) === "", NoTable)
+      .when(before(value).isNull, NoBefore)
+      .when(id(value).isNull, NoId)
+      .when(tsMs(value).isNull || tsMs(value) <= 0, BadTs)
+      .otherwise(Kept)
+
+  /** Hot-path field extraction: ONE `json_tuple` parse of the envelope
+    * for the four top-level fields, plus two small parses of the
+    * extracted `source`/`before` subtrees — instead of a full
+    * envelope parse per field (9× on the old path). `try_cast` keeps a
+    * non-numeric `ts_ms` a drop, not an ANSI runtime error.
+    */
+  private def extracted(envelopes: DataFrame): DataFrame =
+    envelopes
+      .select(col("value"),
+        json_tuple(col("value"), "op", "ts_ms", "source", "before")
+          .as(Seq("_op", "_ts_raw", "_src", "_before")))
+      .withColumn("_table", get_json_object(col("_src"), "$.table"))
+      .withColumn("_id", get_json_object(col("_before"), "$.id"))
+      .withColumn("_ts", expr("try_cast(_ts_raw AS BIGINT)"))
+
+  /** [[classify]] over pre-extracted fields. The expensive
+    * whole-envelope re-parse behind the malformed check only runs for
+    * rows where every top-level field came back null (rare).
+    */
+  private def reasonFromExtracted: Column = {
+    val fieldChain =
+      when(col("_op").isNull || col("_op") =!= "d", NotDelete)
+        .when(col("_table").isNull || trim(col("_table")) === "", NoTable)
+        .when(col("_before").isNull, NoBefore)
+        .when(col("_id").isNull, NoId)
+        .when(col("_ts").isNull || col("_ts") <= 0, BadTs)
+        .otherwise(Kept)
+    when(coalesce(col("_op"), col("_ts_raw"), col("_src"), col("_before")).isNotNull, fieldChain)
+      .otherwise(when(get_json_object(col("value"), "$").isNull, Malformed).otherwise(NotDelete))
+  }
+
+  /** Parse a DataFrame/stream of envelopes (`value: STRING`) into
+    * [[ParsedChange]]-shaped rows, dropping invalid envelopes.
+    *
+    * @param observeName when set, attaches `observe(name, total,
+    *   kept, + one counter per drop reason)` so batch listeners and
+    *   streaming progress both expose the drop taxonomy.
+    */
+  def parseChanges(
+      envelopes: DataFrame,
+      instanceName: String,
+      observeName: Option[String] = None): DataFrame = {
+    val classified = extracted(envelopes).withColumn("_reason", reasonFromExtracted)
+    val observed = observeName.fold(classified) { name =>
+      val counters =
+        count(when(col("_reason") === Kept, 1)).as("kept") +:
+          reasons.map(r => count(when(col("_reason") === r, 1)).as(r))
+      classified.observe(name, count(lit(1)).as("total"), counters: _*)
+    }
+    observed
+      .filter(col("_reason") === Kept)
+      .select(
+        lit(instanceName).as("instanceName"),
+        col("_table").as("tableName"),
+        col("_id").as("id"),
+        timestamp_millis(col("_ts")).as("recordDelTime"),
+        col("_before").as("dataJson"))
+  }
+
+  /** Batch-only helper: per-reason drop counts for a set of envelopes
+    * (the assertable twin of the reference's error-log taxonomy).
+    */
+  def dropCounts(envelopes: DataFrame): DataFrame =
+    extracted(envelopes)
+      .groupBy(reasonFromExtracted.as("reason"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Enrichment (SURVEY.md §2.1 O7, done properly): broadcast-join the
+    * parsed stream against the per-instance source config to add
+    * `dbTbName` (= dbAlias + "_" + tableName, `AdbSink.java:88`) and
+    * `fbNo` (`AdbSink.java:90`). `sources` must carry columns
+    * `(instanceName, dbAlias, fbNo)`; unmatched instances are dropped
+    * (the reference would NPE — config always covers its sources).
+    */
+  def enrich(parsed: DataFrame, sources: DataFrame): DataFrame =
+    parsed
+      .join(broadcast(sources.select(
+        col("instanceName"), col("dbAlias"), col("fbNo"))), Seq("instanceName"))
+      .select(
+        col("instanceName"),
+        col("tableName"),
+        concat(col("dbAlias"), lit("_"), col("tableName")).as("dbTbName"),
+        col("id"),
+        col("recordDelTime"),
+        col("fbNo"),
+        col("dataJson"))
+}

@@ -1,19 +1,60 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch views of the reference's CDC-archival semantics (SURVEY.md
   * §2.1 O2–O7) expressed over the `events` fixture table: op-code
   * filtering, JSON payload passthrough, epoch→formatted timestamp,
-  * enrichment, and multi-instance UNION ALL.
-  *
-  * The real Debezium-envelope parser (with drop-with-count semantics)
-  * lives in [[graft.cdc.Debezium]] and is exercised by golden-fixture
-  * tests + the streaming [[graft.cdc.ChangeArchiveJob]]; these queries
-  * make the same row shapes oracle-checkable on driver fixtures.
+  * enrichment, multi-instance UNION ALL — and, in cdc04/cdc05, the
+  * REAL envelope parser [[graft.cdc.Debezium]] run over Debezium
+  * envelopes synthesized deterministically from `events` rows, so the
+  * parser's keep/drop taxonomy is DuckDB-oracle-checkable. The
+  * streaming execution of the same parser (sources → union → enrich →
+  * dual sinks → checkpoint) is `graft.cdc.ChangeArchiveJob`, exercised
+  * by its own golden-fixture + kill/resume specs.
   */
 object CdcQueries {
+
+  /** Deterministic Debezium envelopes from `events`: `event_id % 7`
+    * selects the defect, covering every parser branch
+    * (FIXTURES.md §A): 0/1 = valid delete, 2 = `before` lacks `id`,
+    * 3 = op "i", 4 = blank table, 5 = `before` null (tombstone),
+    * 6 = `ts_ms` 0. `amount` is decimal-rendered-as-string
+    * (`decimal.handling.mode=string`, StartJob.java:60-61).
+    */
+  private def envelopes(s: SparkSession, dir: String): DataFrame = {
+    val m = col("event_id") % 7
+    val k = get_json_object(col("props"), "$.k")
+    val amount = col("value").cast("decimal(12,2)").cast("string")
+    val beforeFull = concat(lit("{\"id\":"), col("event_id"),
+      lit(",\"k\":"), k, lit(",\"amount\":\""), amount, lit("\"}"))
+    val beforeNoId = concat(lit("{\"k\":"), k, lit(",\"amount\":\""), amount, lit("\"}"))
+    val before: Column = when(m === 5, lit("null"))
+      .when(m === 2, beforeNoId).otherwise(beforeFull)
+    val op: Column = when(m === 3, lit("i")).otherwise(lit("d"))
+    val tbl: Column = when(m === 4, lit("")).otherwise(col("event_type"))
+    val ts: Column = when(m === 6, lit(0L)).otherwise(unix_millis(col("ts")))
+    Tables.load(s, dir, "events").select(concat(
+      lit("{\"op\":\""), op,
+      lit("\",\"ts_ms\":"), ts,
+      lit(",\"source\":{\"db\":\"graft\",\"table\":\""), tbl,
+      lit("\"},\"before\":"), before,
+      lit(",\"after\":null}")).as("value"))
+  }
+
+  /** DuckDB twin of [[envelopes]] as a CTE body over `events`. */
+  private val envelopesDuck =
+    """SELECT '{"op":"' || CASE WHEN event_id % 7 = 3 THEN 'i' ELSE 'd' END ||
+      |  '","ts_ms":' || CAST(CASE WHEN event_id % 7 = 6 THEN 0 ELSE EPOCH_MS(ts) END AS VARCHAR) ||
+      |  ',"source":{"db":"graft","table":"' || CASE WHEN event_id % 7 = 4 THEN '' ELSE event_type END ||
+      |  '"},"before":' ||
+      |  CASE WHEN event_id % 7 = 5 THEN 'null'
+      |       WHEN event_id % 7 = 2 THEN '{"k":' || (props->>'$.k') || ',"amount":"' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || '"}'
+      |       ELSE '{"id":' || CAST(event_id AS VARCHAR) || ',"k":' || (props->>'$.k') || ',"amount":"' || CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR) || '"}'
+      |  END || ',"after":null}' AS value
+      |FROM events""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -69,6 +110,47 @@ object CdcQueries {
           .withColumn("db_tb_name", concat(col("db_alias"), lit("_"), col("table_name")))
           .groupBy(col("table_name"), col("db_alias"), col("db_tb_name"))
           .agg(count(lit(1)).as("n"))
+    },
+
+    GraftQuery(
+      "cdc04_envelope_parse",
+      Some(s"""WITH env AS ($envelopesDuck)
+              |SELECT 'inst-a' AS instance_name,
+              |       (value->>'$$.source.table') AS table_name,
+              |       (value->>'$$.before.id') AS id,
+              |       STRFTIME(EPOCH_MS(CAST(value->>'$$.ts_ms' AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS record_del_time,
+              |       (value->>'$$.before') AS data_json
+              |FROM env
+              |WHERE (value->>'$$.op') = 'd'
+              |  AND TRIM(COALESCE(value->>'$$.source.table', '')) <> ''
+              |  AND (value->>'$$.before') IS NOT NULL
+              |  AND (value->>'$$.before.id') IS NOT NULL
+              |  AND COALESCE(CAST(value->>'$$.ts_ms' AS BIGINT), 0) > 0""".stripMargin),
+      "The REAL Debezium envelope parser (graft.cdc.Debezium.parseChanges, StartJob.java:113-165 semantics) over synthesized envelopes: keep op='d' with table/before/id/ts present, stringify id, epoch-ms -> formatted delete time, pass the pre-image through as opaque JSON (decimal-as-string preserved verbatim).") {
+      (s, dir) =>
+        graft.cdc.Debezium.parseChanges(envelopes(s, dir), "inst-a")
+          .select(
+            col("instanceName").as("instance_name"),
+            col("tableName").as("table_name"),
+            col("id"),
+            date_format(col("recordDelTime"), "yyyy-MM-dd HH:mm:ss").as("record_del_time"),
+            col("dataJson").as("data_json"))
+    },
+
+    GraftQuery(
+      "cdc05_drop_taxonomy",
+      Some(s"""WITH env AS ($envelopesDuck)
+              |SELECT CASE WHEN (value->>'$$.op') IS DISTINCT FROM 'd' THEN 'not_delete'
+              |            WHEN TRIM(COALESCE(value->>'$$.source.table', '')) = '' THEN 'no_table'
+              |            WHEN (value->>'$$.before') IS NULL THEN 'no_before'
+              |            WHEN (value->>'$$.before.id') IS NULL THEN 'no_id'
+              |            WHEN COALESCE(CAST(value->>'$$.ts_ms' AS BIGINT), 0) <= 0 THEN 'bad_ts'
+              |            ELSE 'kept' END AS reason,
+              |       COUNT(*) AS n
+              |FROM env GROUP BY 1""".stripMargin),
+      "Drop-with-count observability (SURVEY.md §7.4): the parser's five drop branches (StartJob.java:123-151) plus 'kept', each counted — the assertable twin of the reference's error logs.") {
+      (s, dir) =>
+        graft.cdc.Debezium.dropCounts(envelopes(s, dir))
     },
   )
 }

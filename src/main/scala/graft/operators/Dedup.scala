@@ -38,6 +38,19 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** Spread a (possibly single-file) scan across the session's shuffle
+    * parallelism with an EXPLICIT partition count — AQE would coalesce
+    * a size-based repartition of a small-but-CPU-heavy input back to
+    * one partition (it optimizes bytes, not lambda work). At 100 TB the
+    * scan arrives pre-split; on the single-file fixtures this is what
+    * keeps the LSH pipelines on all cores.
+    */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(32)
+    df.repartition(n, col(key))
+  }
+
   import Hashing.{P, perms}
 
   /** Max document frequency a shingle may have and still enter the
@@ -163,12 +176,16 @@ object Dedup {
               |WHERE CAST(LEN(LIST_FILTER(RANGE(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5""".stripMargin),
       "MinHash(32) + LSH banding (8 bands × 4 rows): one md5 per shingle, 32 universal-hash permutations; candidates meet in a band-key equi-join, are deduped to distinct pairs, then scored once; est. Jaccard ≥ 0.5.") {
       (s, dir) =>
-        val sigs = docs(s, dir)
+        // persist: the signature table feeds both band-join branches and
+        // both score-joins; lambda-bearing subplans defeat exchange
+        // reuse, so an explicit materialization computes it exactly once
+        val sigs = spread(docs(s, dir), "doc_id")
           .withColumn("gs", expr(shingleExpr))
           .filter(size(col("gs")) > 0)
           .withColumn("hs", expr(shingleHashExpr))
           .withColumn("sig", expr(minhashSigExpr))
           .select("doc_id", "sig")
+          .persist()
         val bands = sigs.select(col("doc_id"),
           posexplode(expr(
             """transform(sequence(0, 7),
@@ -218,7 +235,7 @@ object Dedup {
              |WHERE CAST(LEN(LIST_FILTER(RANGE(1, 65), i -> sa.simhash[i] <> sb.simhash[i])) AS BIGINT) <= 4""".stripMargin),
       "SimHash(64-bit) near-dup: each token hashed ONCE (md5 → two 32-bit halves), 64 bit-sums ±1, sign-packed; 5-band (13/13/13/13/12-bit) join finds candidates (pigeonhole-complete for hamming ≤ 4); distinct pairs, then Hamming ≤ 4 confirms.") {
       (s, dir) =>
-        val sim = docs(s, dir)
+        val sim = spread(docs(s, dir), "doc_id")
           .withColumn("toks", split(col("text"), " "))
           .withColumn("hs", expr(
             """transform(toks, w -> named_struct(
@@ -233,6 +250,7 @@ object Dedup {
               |      (x, y) -> x + y)),
               |  v -> IF(v > 0, '1', '0')))""".stripMargin))
           .select("doc_id", "simhash")
+          .persist()
         val bands = sim.select(col("doc_id"),
           posexplode(expr(
             "transform(sequence(0, 4), b -> substring(simhash, b*13 + 1, IF(b = 4, 12, 13)))"))
@@ -270,12 +288,12 @@ object Dedup {
               |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8""".stripMargin),
       s"Exact word-trigram Jaccard ≥ 0.8 via inverted-index self-join, with a document-frequency cap (df ≤ $DfCap) on the index: frequent shingles are p²-join skew bombs at scale and carry no near-dup signal.") {
       (s, dir) =>
-        val sh = docs(s, dir)
+        val sh = spread(docs(s, dir), "doc_id")
           .withColumn("gs", expr(shingleExpr))
           .select(col("doc_id"), explode(col("gs")).as("g"))
         val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") <= DfCap).select("g")
-        val er = sh.join(rare, "g")
+        val er = sh.join(rare, "g").persist()
         val n = er.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val pairs = er.select(col("doc_id").as("doc_a"), col("g"))
           .join(er.select(col("doc_id").as("doc_b"), col("g")), "g")
@@ -311,8 +329,9 @@ object Dedup {
               |WHERE LIST_COSINE_SIMILARITY(ea.e, eb.e) >= 0.45""".stripMargin),
       "Embedding near-dup at scale: 32-bit Rademacher-hyperplane LSH (8 bands × 4 bits) generates candidate pairs in a band-key equi-join, exact cosine reranks, sim ≥ 0.45 confirms. The O(n²) exact scan survives only as the test-only ground truth (exactEmbeddingPairs).") {
       (s, dir) =>
-        val emb = Tables.load(s, dir, "embeddings")
+        val emb = spread(Tables.load(s, dir, "embeddings"), "vec_id")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+          .persist()
         val sigs = emb.withColumn("sig", expr(Hashing.embSigExpr))
         val bands = sigs.select(col("vec_id"),
           posexplode(expr(
