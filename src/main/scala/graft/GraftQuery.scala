@@ -31,5 +31,7 @@ object GraftQuery {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
-      operators.Multimodal.all
+      operators.Multimodal.all ++
+      operators.StreamingWindows.all ++
+      operators.Udx.all
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.functions._
+
+/** Streaming-operator surface (SURVEY.md §2.2 rows "Streaming:
+  * windows" / "Stateful ops"): tumbling, sliding, and session windows
+  * plus key dedup — the operators a Structured Streaming job uses,
+  * expressed over the `events` table.
+  *
+  * Spark's `window`/`session_window`/`dropDuplicates*` are the SAME
+  * expressions in batch and streaming — these inventory entries run the
+  * batch plan (so DuckDB can oracle-check the semantics value-for-value)
+  * and `StreamingEquivalenceSpec` runs the identical transformations
+  * through a real `readStream` → memory sink and asserts the results
+  * coincide. The reference itself disables event time entirely
+  * (`WatermarkStrategy.noWatermarks()`, StartJob.java:78); these
+  * operators are the harness-mandated extension beyond it.
+  */
+object StreamingWindows {
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "st01_tumbling_window",
+      Some("""SELECT DATE_TRUNC('day', ts) AS window_start,
+             |       DATE_TRUNC('day', ts) + INTERVAL 1 DAY AS window_end,
+             |       event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2, 3""".stripMargin),
+      "Tumbling 1-day event-time window (window() — the streaming operator, batch-planned): epoch-aligned UTC buckets with struct start/end.") {
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("event_type"), col("n"), col("total_value"))
+    },
+
+    GraftQuery(
+      "st02_sliding_window",
+      Some("""SELECT DATE_TRUNC('day', ts) - TO_DAYS(CAST(o.o AS INT)) AS window_start,
+             |       DATE_TRUNC('day', ts) - TO_DAYS(CAST(o.o AS INT)) + INTERVAL 2 DAY AS window_end,
+             |       COUNT(*) AS n
+             |FROM events, (SELECT UNNEST([0, 1]) AS o) o
+             |GROUP BY 1, 2""".stripMargin),
+      "Sliding window (2-day size, 1-day slide): every event lands in two overlapping windows.") {
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "2 days", "1 day"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"), col("n"))
+    },
+
+    GraftQuery(
+      "st03_session_window",
+      Some("""WITH o AS (SELECT user_id, ts,
+             |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+             |       FROM events),
+             |s AS (SELECT user_id, ts,
+             |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |      FROM o)
+             |SELECT user_id, MIN(ts) AS session_start,
+             |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             |       COUNT(*) AS n_events
+             |FROM s GROUP BY user_id, sid""".stripMargin),
+      "Session window (30-min gap) per user (session_window() — the streaming stateful operator, batch-planned); oracle is the classic gaps-and-islands rewrite.") {
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events"))
+    },
+
+    GraftQuery(
+      "st04_key_dedup",
+      Some("SELECT DISTINCT user_id, event_type FROM events"),
+      "Key dedup — the batch twin of dropDuplicatesWithinWatermark (the streaming run in StreamingEquivalenceSpec produces this same set).") {
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .select("user_id", "event_type").distinct()
+    },
+  )
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.TestSpark._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The inventory's streaming operators, actually run as streams: the
+  * same transformations go through `readStream` → memory sink and must
+  * produce exactly the batch twin's rows.
+  */
+class StreamingEquivalenceSpec extends AnyFunSuite {
+
+  /** events (sf0.001) staged as a file-stream source. */
+  private lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("events-stream").toString
+    graft.Tables.load(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def streamEvents: DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(stagedDir)
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  test("tumbling window: streaming result == batch twin") {
+    val streamed = runToMemory(
+      streamEvents
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("event_type"), col("n"), col("total_value")),
+      "st01_stream", "complete")
+    val batch = StreamingWindows.all.find(_.name == "st01_tumbling_window").get
+      .build(spark, sf0001)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
+  test("session window: streaming result == batch twin") {
+    val streamed = runToMemory(
+      streamEvents
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events")),
+      "st03_stream", "complete")
+    val batch = StreamingWindows.all.find(_.name == "st03_session_window").get
+      .build(spark, sf0001)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
+  test("streaming dedup (dropDuplicatesWithinWatermark) == batch distinct") {
+    val streamed = runToMemory(
+      streamEvents
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type"),
+      "st04_stream", "append")
+    val batch = StreamingWindows.all.find(_.name == "st04_key_dedup").get
+      .build(spark, sf0001)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+}
