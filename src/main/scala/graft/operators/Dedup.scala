@@ -58,31 +58,10 @@ object Dedup {
     */
   private val DfCap = 50
 
-  // ---- shared expression fragments (Spark SQL dialect) ----
-
-  /** Distinct word-trigram shingles per document (empty when <3 tokens). */
-  private val shingleExpr =
-    """CASE WHEN size(split(text, ' ')) >= 3 THEN
-      |  array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
-      |    i -> concat_ws(' ', slice(split(text, ' '), i, 3))))
-      |ELSE array() END""".stripMargin
-
-  /** Hash each shingle ONCE: md5 → two 28-bit halves (h1, h2). */
-  private val shingleHashExpr =
-    """transform(gs, s -> named_struct(
-      |  'h1', CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT),
-      |  'h2', CAST(conv(substring(md5(s), 8, 7), 16, 10) AS BIGINT)))""".stripMargin
-
-  /** 32 minhash values via universal hashing over the per-shingle
-    * (h1, h2) pairs — 32 multiply-adds per shingle, zero extra digests.
-    */
-  private val minhashSigExpr = {
-    val lits = perms.map { case (a, b, c) =>
-      s"named_struct('a', ${a}L, 'b', ${b}L, 'c', ${c}L)"
-    }.mkString("array(", ", ", ")")
-    s"""transform($lits,
-       |  t -> array_min(transform(hs, h -> (t.a * h.h1 + t.b * h.h2 + t.c) % $P)))""".stripMargin
-  }
+  // ---- oracle (DuckDB dialect) expression fragments ----
+  // the Spark side runs the compiled graft_* expressions
+  // (graft.functions); their SQL-dialect twins live in the specs that
+  // pin bit-equivalence (MinHashSigSpec / TextHashesSpec)
 
   /** The same 32 permutations as a DuckDB struct-list literal. */
   private val permsDuck = perms.map { case (a, b, c) =>
@@ -178,12 +157,14 @@ object Dedup {
       (s, dir) =>
         // persist: the signature table feeds both band-join branches and
         // both score-joins; lambda-bearing subplans defeat exchange
-        // reuse, so an explicit materialization computes it exactly once
+        // reuse, so an explicit materialization computes it exactly once.
+        // graft_shingles/graft_minhash_sig are the compiled twins of the
+        // SQL-dialect formulations (specs pin bit-equivalence).
+        graft.functions.GraftFunctions.register(s)
         val sigs = spread(docs(s, dir), "doc_id")
-          .withColumn("gs", expr(shingleExpr))
+          .withColumn("gs", expr("graft_shingles(text)"))
           .filter(size(col("gs")) > 0)
-          .withColumn("hs", expr(shingleHashExpr))
-          .withColumn("sig", expr(minhashSigExpr))
+          .withColumn("sig", expr("graft_minhash_sig(gs)"))
           .select("doc_id", "sig")
           .persist()
         val bands = sigs.select(col("doc_id"),
@@ -235,20 +216,11 @@ object Dedup {
              |WHERE CAST(LEN(LIST_FILTER(RANGE(1, 65), i -> sa.simhash[i] <> sb.simhash[i])) AS BIGINT) <= 4""".stripMargin),
       "SimHash(64-bit) near-dup: each token hashed ONCE (md5 → two 32-bit halves), 64 bit-sums ±1, sign-packed; 5-band (13/13/13/13/12-bit) join finds candidates (pigeonhole-complete for hamming ≤ 4); distinct pairs, then Hamming ≤ 4 confirms.") {
       (s, dir) =>
+        // graft_simhash64 = compiled twin of the aggregate/zip_with SQL
+        // formulation (TextHashesSpec pins bit-equivalence)
+        graft.functions.GraftFunctions.register(s)
         val sim = spread(docs(s, dir), "doc_id")
-          .withColumn("toks", split(col("text"), " "))
-          .withColumn("hs", expr(
-            """transform(toks, w -> named_struct(
-              |  'h1', CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT),
-              |  'h2', CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT)))""".stripMargin))
-          .withColumn("simhash", expr(
-            """concat_ws('', transform(
-              |  aggregate(hs, array_repeat(0L, 64),
-              |    (acc, h) -> zip_with(acc,
-              |      transform(sequence(0, 63),
-              |        b -> IF(((IF(b < 32, shiftright(h.h1, b), shiftright(h.h2, b - 32))) & 1L) = 1L, 1L, -1L)),
-              |      (x, y) -> x + y)),
-              |  v -> IF(v > 0, '1', '0')))""".stripMargin))
+          .withColumn("simhash", expr("graft_simhash64(split(text, ' '))"))
           .select("doc_id", "simhash")
           .persist()
         val bands = sim.select(col("doc_id"),
@@ -288,8 +260,9 @@ object Dedup {
               |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8""".stripMargin),
       s"Exact word-trigram Jaccard ≥ 0.8 via inverted-index self-join, with a document-frequency cap (df ≤ $DfCap) on the index: frequent shingles are p²-join skew bombs at scale and carry no near-dup signal.") {
       (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
         val sh = spread(docs(s, dir), "doc_id")
-          .withColumn("gs", expr(shingleExpr))
+          .withColumn("gs", expr("graft_shingles(text)"))
           .select(col("doc_id"), explode(col("gs")).as("g"))
         val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
           .filter(col("df") <= DfCap).select("g")
@@ -329,6 +302,7 @@ object Dedup {
               |WHERE LIST_COSINE_SIMILARITY(ea.e, eb.e) >= 0.45""".stripMargin),
       "Embedding near-dup at scale: 32-bit Rademacher-hyperplane LSH (8 bands × 4 bits) generates candidate pairs in a band-key equi-join, exact cosine reranks, sim ≥ 0.45 confirms. The O(n²) exact scan survives only as the test-only ground truth (exactEmbeddingPairs).") {
       (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
         val emb = spread(Tables.load(s, dir, "embeddings"), "vec_id")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
           .persist()
@@ -345,10 +319,7 @@ object Dedup {
         cand
           .join(emb.select(col("vec_id").as("vec_a"), col("e").as("e_a")), "vec_a")
           .join(emb.select(col("vec_id").as("vec_b"), col("e").as("e_b")), "vec_b")
-          .withColumn("sim", expr(
-            """aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0D, (s, v) -> s + v)
-              | / sqrt(aggregate(e_a, 0D, (s, x) -> s + x * x)
-              |        * aggregate(e_b, 0D, (s, x) -> s + x * x))""".stripMargin))
+          .withColumn("sim", expr("graft_cosine(e_a, e_b)"))
           .filter(col("sim") >= 0.45)
           .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
     },

@@ -9,7 +9,7 @@ package graft.operators
   * both implement bit-identically, which is what makes the LSH family
   * oracle-checkable (no `no_oracle` escape hatches).
   */
-private[operators] object Hashing {
+private[graft] object Hashing {
 
   def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")

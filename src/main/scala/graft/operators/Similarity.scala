@@ -18,19 +18,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+  }
 
-  /** Cosine similarity between two double-array columns, in plain
-    * higher-order built-ins (whole-stage codegen keeps this in the
-    * generated loop — no UDF boundary).
+  /** Compiled cosine ([[graft.functions.CosineSim]]) — FP-exact twin of
+    * the SQL fold formulation, which is what the oracles mirror.
     */
-  private def cosine(a: String, b: String) = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (s, v) -> s + v)
-       | / sqrt(aggregate($a, 0D, (s, x) -> s + x * x)
-       |        * aggregate($b, 0D, (s, x) -> s + x * x))""".stripMargin)
+  private def cosine(a: String, b: String) = expr(s"graft_cosine($a, $b)")
 
   val all: Seq[GraftQuery] = Seq(
 

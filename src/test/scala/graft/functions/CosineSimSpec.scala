@@ -1,0 +1,37 @@
+package graft.functions
+
+import graft.TestSpark._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** graft_cosine must be BIT-identical to the SQL fold formulation (the
+  * oracles' arithmetic), not merely close — hash parity depends on it.
+  */
+class CosineSimSpec extends AnyFunSuite {
+
+  test("compiled cosine == SQL fold, bit-for-bit, on real embedding pairs") {
+    GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val pairs = emb.select(col("vec_id").as("va"), col("e").as("e_a"))
+      .crossJoin(emb.select(col("vec_id").as("vb"), col("e").as("e_b")))
+      .filter(col("va") < col("vb")).limit(20000)
+    val rows = pairs.select(
+      expr("graft_cosine(e_a, e_b)").as("fast"),
+      expr("""aggregate(zip_with(e_a, e_b, (x, y) -> x * y), 0D, (s, v) -> s + v)
+             | / sqrt(aggregate(e_a, 0D, (s, x) -> s + x * x)
+             |        * aggregate(e_b, 0D, (s, x) -> s + x * x))""".stripMargin).as("slow"))
+      .withColumn("same", col("fast") === col("slow"))
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("same")), "cosine results diverged bitwise")
+  }
+
+  test("length mismatch yields null (zip_with padding parity)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(expr("graft_cosine(a, b)")).collect().head
+    assert(r.isNullAt(0))
+  }
+}
