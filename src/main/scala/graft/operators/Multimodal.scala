@@ -54,7 +54,48 @@ object Multimodal {
     }
   }
 
+  /** One sampled "frame" of a media payload. */
+  final case class FrameSample(doc_id: Long, frame_idx: Int, frame_sha: String)
+
+  /** Frame sampling: decode the payload's frame count (stub codec),
+    * keep every `step`-th frame, emit one row per sampled frame with a
+    * deterministic per-frame digest (a real impl would hand the frame
+    * bytes to a feature extractor). One-to-many, partition-parallel —
+    * the `flatMap`-shaped media op a training pipeline runs at scale.
+    */
+  def sampleFrames(ds: Dataset[(Long, Array[Byte])], step: Int): Dataset[FrameSample] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      rows.flatMap { case (id, payload) =>
+        val (_, _, frames) = FakeCodec.decode(payload)
+        (0 until frames by step).map { f =>
+          // STUB: a real decoder hashes the frame's pixel buffer; this
+          // hashes payload + frame index, deterministically
+          digest.reset()
+          digest.update(payload)
+          digest.update(java.nio.ByteBuffer.allocate(4).putInt(f).array())
+          FrameSample(id, f, digest.digest().map("%02x".format(_)).mkString.take(16))
+        }
+      }
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "mm03_frame_sample",
+      None, // stub codec is JVM-only → rows-only check; plumbing asserted in MultimodalSpec
+      "Frame sampling over opaque media payloads: stub-decode frame count, keep every 4th frame, one row per sampled frame with a per-frame digest (mapPartitions+flatMap — the real thing minus the codec).") {
+      (s, dir) =>
+        implicit val spark: SparkSession = s
+        import s.implicits._
+        val payloads = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+        sampleFrames(payloads, step = 4).toDF()
+    },
 
     GraftQuery(
       "mm01_binary_metadata",

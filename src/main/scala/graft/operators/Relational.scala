@@ -455,6 +455,25 @@ object Relational {
     },
 
     GraftQuery(
+      "q29_salted_skew_agg",
+      Some("""SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      "Skew-mitigation pattern: two-phase salted aggregation — partial agg on (key, salt16) spreads a hot key over 16 reducers, final agg recombines; decimal/integer partials make the result provably identical to the direct GROUP BY (the oracle).") {
+      (s, dir) =>
+        val salted = t(s, dir, "lineitem")
+          .withColumn("_salt", pmod(hash(col("l_orderkey")), lit(16)))
+          .groupBy(col("l_returnflag"), col("_salt"))
+          .agg(count(lit(1)).as("pn"),
+            sum(col("l_quantity")).as("pqty"),
+            sum(dec(col("l_extendedprice"))).as("ptotal"))
+        salted.groupBy(col("l_returnflag"))
+          .agg(sum(col("pn")).as("n"),
+            sum(col("pqty")).as("qty"),
+            sum(col("ptotal")).cast("double").as("total"))
+    },
+
+    GraftQuery(
       "q28_explode_array",
       Some("""SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
              |       UNNEST(embedding) AS val

@@ -88,6 +88,44 @@ object Similarity {
     },
 
     GraftQuery(
+      "ss04_ivf_probe",
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |x AS (SELECT label, CAST(GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS INT) AS pos,
+             |             CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings),
+             |m AS (SELECT label, pos, SUM(v) / COUNT(*) AS m FROM x GROUP BY label, pos),
+             |c AS (SELECT label, LIST(m ORDER BY pos) AS centroid FROM m GROUP BY label),
+             |q AS (SELECT e AS qv FROM e WHERE vec_id = 0),
+             |best AS (SELECT c.label FROM c, q
+             |         ORDER BY LIST_COSINE_SIMILARITY(c.centroid, q.qv) DESC, c.label LIMIT 1)
+             |SELECT v.vec_id, ROUND(LIST_COSINE_SIMILARITY(v.e, q.qv), 4) AS sim
+             |FROM e v JOIN best b ON v.label = b.label, q
+             |WHERE v.vec_id <> 0
+             |ORDER BY sim DESC, v.vec_id LIMIT 10""".stripMargin),
+      "IVF probe: route the query to its nearest coarse centroid (ss03's cluster table), scan ONLY that cluster's members, exact-rerank top-10 — the inverted-file ANN pattern where a 100 TB corpus scans one cell, not the whole index.") {
+      (s, dir) =>
+        val all = emb(s, dir)
+        val centroids = all
+          .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy(col("label"), col("pos"))
+          .agg((sum(col("v")) / count(lit(1))).as("m"))
+          .groupBy(col("label"))
+          .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("centroid"))
+        val query = all.filter(col("vec_id") === 0).select(col("e").as("qv"))
+        val best = centroids.crossJoin(broadcast(query))
+          .withColumn("csim", cosine("centroid", "qv"))
+          .orderBy(col("csim").desc, col("label"))
+          .limit(1)
+          .select(col("label"))
+        all.filter(col("vec_id") =!= 0)
+          .join(broadcast(best), "label")
+          .crossJoin(broadcast(query))
+          .withColumn("sim", round(cosine("e", "qv"), 4))
+          .select(col("vec_id"), col("sim"))
+          .orderBy(col("sim").desc, col("vec_id"))
+          .limit(10)
+    },
+
+    GraftQuery(
       "ss03_label_centroid_sim",
       Some("""WITH e AS (SELECT label, CAST(GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS INT) AS pos,
              |                  CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings),

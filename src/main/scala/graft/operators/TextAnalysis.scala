@@ -107,6 +107,28 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "tx05_regex_tokens",
+      Some("""SELECT doc_id,
+             |       CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens,
+             |       CAST(LEN(LIST_FILTER(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'),
+             |                            t -> regexp_full_match(t, '[A-Za-z0-9]+'))) AS INT) AS n_alnum,
+             |       CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) -
+             |            LEN(LIST_FILTER(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'),
+             |                            t -> regexp_full_match(t, '[A-Za-z0-9]+'))) AS INT) AS n_punct
+             |FROM documents""".stripMargin),
+      "BPE-ish regex tokenization (alnum runs + single punctuation marks) — the pre-tokenizer split LLM tokenizers apply before merges; counts per document.") {
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("toks", regexp_extract_all(col("text"),
+            lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .withColumn("n_tokens", size(col("toks")))
+          .withColumn("n_alnum",
+            size(expr("filter(toks, t -> t rlike '^[A-Za-z0-9]+$')")))
+          .select(col("doc_id"), col("n_tokens"), col("n_alnum"),
+            (col("n_tokens") - col("n_alnum")).as("n_punct"))
+    },
+
+    GraftQuery(
       "tx04_fingerprint",
       Some("""SELECT doc_id,
              |       MD5(LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS fp,

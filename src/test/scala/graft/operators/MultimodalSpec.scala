@@ -20,6 +20,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.forall(m => m.n_bytes > 0))
   }
 
+  test("sampleFrames is deterministic, strided, and bounded by frame count") {
+    import spark.implicits._
+    val payloads = graft.Tables.load(spark, sf0001, "documents")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+    val a = Multimodal.sampleFrames(payloads, 4).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    val b = Multimodal.sampleFrames(payloads, 4).collect().sortBy(f => (f.doc_id, f.frame_idx))
+    assert(a.toSeq === b.toSeq, "frame sampling must be deterministic")
+    assert(a.nonEmpty)
+    assert(a.forall(_.frame_idx % 4 === 0), "stride must be respected")
+    val metas = Multimodal.decodeMeta(payloads).collect().map(m => m.doc_id -> m.n_frames).toMap
+    val perDoc = a.groupBy(_.doc_id)
+    assert(perDoc.forall { case (id, fs) =>
+      fs.length === (0 until metas(id) by 4).size
+    }, "sampled frame count must match ceil(frames/step)")
+    assert(a.forall(_.frame_sha.length === 16))
+  }
+
   test("payload hash matches Spark-side sha2 (plumbing consistency)") {
     import spark.implicits._
     val sparkSide = graft.Tables.load(spark, sf0001, "documents")
