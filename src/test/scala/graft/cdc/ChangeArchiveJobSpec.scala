@@ -72,6 +72,27 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() === 6)
   }
 
+  test("ProcessingTime trigger: continuous micro-batches deliver files as they arrive") {
+    val (srcA, srcB, ckpt, out) =
+      (tmpDir("pt-a"), tmpDir("pt-b"), tmpDir("pt-ckpt"), tmpDir("pt-out"))
+    writeEnvelopes(srcA, "f1.jsonl", Seq(envelope(1)))
+    writeEnvelopes(srcB, "f1.jsonl", Seq(envelope(10)))
+    val q = ChangeArchiveJob.run(spark,
+      Seq(ChangeArchiveJob.SourceStream("src-a", srcA),
+        ChangeArchiveJob.SourceStream("src-b", srcB)),
+      cfg, Seq(new ParquetBatchWriter(out)), ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 2)
+      // the reference's steady-state: new binlog events arrive while
+      // the job runs (flush-interval cadence, SinkConfig.java:21)
+      writeEnvelopes(srcA, "f2.jsonl", Seq(envelope(2), envelope(3)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 4)
+    } finally q.stop()
+  }
+
   test("stream-load delivery is effectively-once: deterministic labels, replay skips") {
     val (srcA, srcB, ckpt, loads) =
       (tmpDir("sl-a"), tmpDir("sl-b"), tmpDir("sl-ckpt"), tmpDir("sl-loads"))

@@ -32,7 +32,9 @@ class TextHashesSpec extends AnyFunSuite {
     GraftFunctions.register(spark)
     import spark.implicits._
     val corpus = graft.Tables.load(spark, sf0001, "documents").select("text")
-      .unionByName(Seq("", "one", "one two", "a b c", "a  b c", "x y x y x y").toDF("text"))
+      .unionByName(Seq("", "one", "one two", "a b c", "a  b c", "x y x y x y",
+        "日本語 テキスト の 三連 シングル", "émigré café naïve tokens here",
+        "mixed 日本 and ascii words go here").toDF("text"))
     val rows = corpus
       .select(expr("graft_shingles(text)").as("fast"), expr(shingleSql).as("slow"))
       .withColumn("same", col("fast") === col("slow"))
