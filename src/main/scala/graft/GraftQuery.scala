@@ -33,5 +33,6 @@ object GraftQuery {
       operators.TextAnalysis.all ++
       operators.Multimodal.all ++
       operators.StreamingWindows.all ++
-      operators.Udx.all
+      operators.Udx.all ++
+      operators.Temporal.all
 }
