@@ -87,6 +87,73 @@ final class JdbcBatchWriter(
   }
 }
 
+/** Exactly-once JDBC delivery — the upgrade path past the reference's
+  * at-least-once contract: each partition's transaction first claims a
+  * ledger row keyed `(batch_id, partition_id)` (primary key); a
+  * replayed partition hits the key violation, rolls back, and skips —
+  * so its rows commit exactly once. The ledger insert and the data
+  * batch share ONE transaction, which is what makes the claim and the
+  * data atomic. Requires a `{ledgerTable}(batch_id BIGINT,
+  * partition_id INT, PRIMARY KEY (batch_id, partition_id))`.
+  *
+  * Assumes the micro-batch partitioning is deterministic across
+  * replays (true for Spark's file/Kafka sources re-reading committed
+  * offsets) — the same guarantee every batchId-keyed foreachBatch
+  * idempotence pattern rests on.
+  */
+final class IdempotentJdbcBatchWriter(
+    url: String,
+    table: String,
+    ledgerTable: String,
+    props: java.util.Properties,
+    insertBatchSize: Int = 100) extends BatchWriter {
+  val name = "jdbc-idempotent"
+
+  def write(batch: DataFrame, batchId: Long): Unit = {
+    val (u, t, lt, p, bs, bid) = (url, table, ledgerTable, props, insertBatchSize, batchId)
+    batch.select(
+      col("id"), col("fbNo"),
+      date_format(col("recordDelTime"), "yyyy-MM-dd HH:mm:ss").as("recordDelTime"),
+      col("dataJson"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val conn = java.sql.DriverManager.getConnection(u, p)
+          try {
+            conn.setAutoCommit(false)
+            val claimed =
+              try {
+                val claim = conn.prepareStatement(
+                  s"INSERT INTO $lt (batch_id, partition_id) VALUES (?, ?)")
+                claim.setLong(1, bid); claim.setInt(2, pid)
+                claim.executeUpdate()
+                true
+              } catch {
+                case e: java.sql.SQLIntegrityConstraintViolationException =>
+                  conn.rollback(); false // replayed partition: skip
+              }
+            if (claimed) {
+              val st = conn.prepareStatement(
+                s"INSERT INTO $t (id, fb_no, record_del_time, data_json) VALUES (?, ?, ?, ?)")
+              var n = 0
+              rows.foreach { r =>
+                st.setString(1, r.getString(0))
+                st.setString(2, r.getString(1))
+                st.setString(3, r.getString(2))
+                st.setString(4, r.getString(3))
+                st.addBatch()
+                n += 1
+                if (n % bs == 0) st.executeBatch()
+              }
+              st.executeBatch()
+              conn.commit() // ledger row + data rows, atomically
+            }
+          } finally conn.close()
+        }
+      }
+  }
+}
+
 /** Stream-Load-shaped delivery — the reference's StarRocks sink
   * re-expressed (`SrSink.java:104-133`, `SrStreamLoadClient.java:43-101`):
   * per-table JSON chunks of ≤ `chunkSize` rows, each PUT with an

@@ -158,4 +158,44 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
     writer.write(batch, 0L)
     assert(countRows() === 6, "at-least-once: replay re-inserts")
   }
+
+  test("idempotent jdbc delivery is exactly-once: ledger-claimed replay skips") {
+    val db = tmpDir("derby2") + "/adb"
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      """CREATE TABLE archive (
+        |  id VARCHAR(64), fb_no VARCHAR(16),
+        |  record_del_time VARCHAR(32), data_json VARCHAR(4000))""".stripMargin)
+    conn.createStatement().execute(
+      """CREATE TABLE batch_ledger (
+        |  batch_id BIGINT NOT NULL, partition_id INT NOT NULL,
+        |  PRIMARY KEY (batch_id, partition_id))""".stripMargin)
+    conn.close()
+
+    val batch = ChangeArchiveJob.build(
+      Seq("src-a" -> {
+        import spark.implicits._
+        Seq(envelope(1), envelope(2), envelope(3)).toDF("value")
+      }),
+      spark, cfg)
+
+    val writer = new IdempotentJdbcBatchWriter(
+      url, "archive", "batch_ledger", new java.util.Properties, insertBatchSize = 2)
+    def countRows(): Int = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM archive")
+        rs.next(); rs.getInt(1)
+      } finally c.close()
+    }
+    writer.write(batch, 7L)
+    assert(countRows() === 3)
+    // replay of the SAME batch: every partition's ledger claim collides → skip
+    writer.write(batch, 7L)
+    assert(countRows() === 3, "exactly-once: replay must not re-insert")
+    // a NEW batch id still writes
+    writer.write(batch, 8L)
+    assert(countRows() === 6)
+  }
 }
