@@ -93,6 +93,46 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("volume e2e: ~10k synthesized envelopes stream through with exact accounting") {
+    import org.apache.spark.sql.functions._
+    val (srcA, srcB, ckpt, out) =
+      (tmpDir("vol-a"), tmpDir("vol-b"), tmpDir("vol-ckpt"), tmpDir("vol-out"))
+
+    // synthesize Debezium envelopes from the sf0.01 events fixture with
+    // the cdc04 defect mix (event_id % 7 selects the parser branch),
+    // split across two instances by user parity
+    val ev = graft.Tables.load(spark, sf001, "events")
+    val m = col("event_id") % 7
+    val before = when(m === 5, lit("null"))
+      .otherwise(concat(lit("{\"id\":"), col("event_id"), lit(",\"k\":1}")))
+    val env = ev.select(
+      (col("user_id") % 2).as("side"),
+      concat(
+        lit("{\"op\":\""), when(m === 3, lit("i")).otherwise(lit("d")),
+        lit("\",\"ts_ms\":"), when(m === 6, lit(0L)).otherwise(unix_millis(col("ts"))),
+        lit(",\"source\":{\"db\":\"demo\",\"table\":\""),
+        when(m === 4, lit("")).otherwise(lit("t_orders")),
+        lit("\"},\"before\":"), before, lit("}")).as("value"))
+    env.filter(col("side") === 0).select("value")
+      .coalesce(2).write.mode("overwrite").text(srcA)
+    env.filter(col("side") === 1).select("value")
+      .coalesce(2).write.mode("overwrite").text(srcB)
+
+    runOnce(srcA, srcB, ckpt, Seq(new ParquetBatchWriter(out)))
+
+    // expected kept = event_id % 7 in (0, 1, 2), i.e. ~3/7 of rows —
+    // derived from the parser's own batch accounting for independence
+    val expectedKept = Debezium.dropCounts(env.select("value"))
+      .filter(col("reason") === Debezium.Kept)
+      .collect().head.getLong(1)
+    val total = ev.count()
+    val delivered = spark.read.parquet(out)
+    assert(expectedKept > total / 3, "defect mix should keep ~3/7 of rows")
+    assert(delivered.count() === expectedKept)
+    // ids survive the full pipeline uniquely (no loss, no dup)
+    assert(delivered.select("id").distinct().count() === expectedKept)
+  }
+
   test("stream-load delivery is effectively-once: deterministic labels, replay skips") {
     val (srcA, srcB, ckpt, loads) =
       (tmpDir("sl-a"), tmpDir("sl-b"), tmpDir("sl-ckpt"), tmpDir("sl-loads"))
