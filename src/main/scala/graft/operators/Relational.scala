@@ -474,6 +474,39 @@ object Relational {
     },
 
     GraftQuery(
+      "q32_approx_distinct_sketch",
+      Some("""SELECT o_orderstatus,
+             |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cnt,
+             |       TRUE AS sketch_within_5pct
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "HLL sketch surface: approx_count_distinct checked against the exact count in-plan; the emitted boolean asserts the 5% error envelope (HLL is deterministic for fixed data, so the check is hash-stable), the oracle carries the exact counts.") {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            countDistinct(col("o_custkey")).as("exact_cnt"),
+            approx_count_distinct(col("o_custkey"), 0.02).as("approx_cnt"))
+          .select(col("o_orderstatus"), col("exact_cnt"),
+            (abs(col("approx_cnt") - col("exact_cnt")).cast("double") /
+              col("exact_cnt") < 0.05).as("sketch_within_5pct"))
+    },
+
+    GraftQuery(
+      "q33_percentiles",
+      Some("""SELECT o_orderstatus,
+             |       QUANTILE_CONT(o_totalprice, 0.5) AS p50,
+             |       QUANTILE_CONT(o_totalprice, 0.9) AS p90
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "Exact interpolated percentiles (median + p90) — Spark percentile() and DuckDB quantile_cont share the linear-interpolation definition, so values match bit-for-bit.") {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("p50"),
+            expr("percentile(o_totalprice, 0.9)").as("p90"))
+    },
+
+    GraftQuery(
       "q28_explode_array",
       Some("""SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
              |       UNNEST(embedding) AS val

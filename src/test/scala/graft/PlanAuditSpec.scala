@@ -1,0 +1,54 @@
+package graft
+
+import graft.TestSpark._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale properties the 100 TB
+  * design depends on must stay in the plan, not just in review
+  * comments — a regression that turns a broadcast join into a shuffle
+  * or breaks parquet pushdown fails CI here.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private def plan(name: String): String =
+    GraftQuery.all.find(_.name == name).get
+      .build(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q01: filter and column pruning reach the parquet scan") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate predicate must push to the scan")
+    assert(p.contains("ReadSchema"), "scan must expose its read schema")
+    assert(!p.contains("l_returnflag"), "untouched columns must be pruned")
+  }
+
+  test("q03/q04: dimension joins broadcast (no fact-side shuffle)") {
+    assert(plan("q03_join_agg_topk").contains("BroadcastHashJoin"))
+    assert(plan("q04_broadcast_dim_join").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a global sort") {
+    assert(plan("q03_join_agg_topk").contains("TakeOrderedAndProject"))
+    assert(plan("q11_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("semi/anti joins keep their join types") {
+    assert(plan("q05_semi_join").contains("LeftSemi"))
+    assert(plan("q06_anti_join").contains("LeftAnti"))
+  }
+
+  test("no cartesian products anywhere in the inventory") {
+    for (q <- GraftQuery.all) {
+      val p = q.build(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product")
+    }
+  }
+
+  test("LSH pipelines use the compiled expressions") {
+    assert(plan("dd03_minhash_lsh_pairs").contains("graft_minhash_sig"))
+    assert(plan("dd03_minhash_lsh_pairs").contains("graft_shingles"))
+    assert(plan("dd04_simhash_pairs").contains("graft_simhash64"))
+    assert(plan("dd06_embedding_neardup_lsh").contains("graft_cosine"))
+  }
+}
