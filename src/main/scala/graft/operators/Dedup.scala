@@ -283,6 +283,78 @@ object Dedup {
     },
 
     GraftQuery(
+      "dd07_dedup_clusters",
+      Some(s"""WITH RECURSIVE d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+              |sh AS (SELECT doc_id, $shingleDuck AS gs FROM d),
+              |e AS (SELECT doc_id, UNNEST(gs) AS g FROM sh),
+              |rare AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= $DfCap),
+              |er AS (SELECT e.doc_id, e.g FROM e JOIN rare USING (g)),
+              |n AS (SELECT doc_id, COUNT(*) AS n FROM er GROUP BY doc_id),
+              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+              |      FROM er a JOIN er b ON a.g = b.g AND a.doc_id < b.doc_id
+              |      GROUP BY a.doc_id, b.doc_id),
+              |edges AS (SELECT doc_a, doc_b FROM p
+              |          JOIN n na ON na.doc_id = p.doc_a
+              |          JOIN n nb ON nb.doc_id = p.doc_b
+              |          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8),
+              |verts AS (SELECT doc_a AS doc_id FROM edges UNION SELECT doc_b FROM edges),
+              |bi AS (SELECT doc_a AS a, doc_b AS b FROM edges
+              |       UNION SELECT doc_b, doc_a FROM edges),
+              |reach(doc_id, r) AS (
+              |  SELECT doc_id, doc_id FROM verts
+              |  UNION
+              |  SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.doc_id)
+              |SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id""".stripMargin),
+      "Near-dup CLUSTERS: connected components over the dd05 jaccard-pair edges via Pregel-style min-label propagation (iterate: label = min(label, neighbors' labels) until fixpoint) — the grouping step that turns pairwise near-dups into keep-one-per-cluster sets. Oracle is a recursive CTE over the same edges.") {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        val sh = spread(docs(s, dir), "doc_id")
+          .withColumn("gs", expr("graft_shingles(text)"))
+          .select(col("doc_id"), explode(col("gs")).as("g"))
+        val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= DfCap).select("g")
+        val er = sh.join(rare, "g").persist()
+        val n = er.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val edges = er.select(col("doc_id").as("doc_a"), col("g"))
+          .join(er.select(col("doc_id").as("doc_b"), col("g")), "g")
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+          .join(n.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+          .join(n.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+          .filter(col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")) >= 0.8)
+          .select("doc_a", "doc_b").persist()
+        // undirected adjacency + min-label propagation to fixpoint.
+        // each iteration is one shuffle; iterations ~ component diameter
+        // (near-dup clusters are shallow). The convergence probe is a
+        // scalar count, not a data collect — the standard Pregel loop.
+        val bi = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
+          .persist()
+        var labels = bi.select(col("a").as("doc_id")).distinct()
+          .withColumn("cluster", col("doc_id")).persist()
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 20) {
+          val viaNeighbor = bi
+            .join(labels.withColumnRenamed("doc_id", "a"), "a")
+            .groupBy(col("b").as("doc_id"))
+            .agg(min(col("cluster")).as("n_cluster"))
+          val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
+            .persist()
+          val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+            .filter(col("cluster") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+          converged = changed == 0
+          iter += 1
+        }
+        labels.select(col("doc_id"), col("cluster"))
+    },
+
+    GraftQuery(
       "dd06_embedding_neardup_lsh",
       Some(s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
               |pl AS (SELECT ${Hashing.planesDuck} AS planes),

@@ -11,7 +11,8 @@ class QueriesSpec extends AnyFunSuite {
   // Queries whose correct result CAN be empty at tiny scale.
   private val mayBeEmpty = Set("q06_anti_join", "q14_except",
     "dd06_embedding_neardup_lsh", "dd03_minhash_lsh_pairs",
-    "dd04_simhash_pairs", "dd05_ngram_jaccard_pairs")
+    "dd04_simhash_pairs", "dd05_ngram_jaccard_pairs",
+    "dd07_dedup_clusters")
 
   for (q <- GraftQuery.all) {
     test(s"${q.name} executes on sf0.001") {
