@@ -129,6 +129,23 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "tx06_type_token_ratio",
+      Some("""SELECT doc_id,
+             |       CAST(LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS INT) AS n_types,
+             |       CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+             |       CAST(LEN(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' '))) AS DOUBLE)
+             |         / LEN(STRING_SPLIT(text, ' ')) AS ttr
+             |FROM documents""".stripMargin),
+      "Type-token ratio (lexical diversity): distinct lowercased tokens over total tokens — a standard corpus-quality signal for filtering repetitive machine-generated text.") {
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("n_types", size(array_distinct(split(lower(col("text")), " "))))
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .select(col("doc_id"), col("n_types"), col("n_tokens"),
+            (col("n_types").cast("double") / col("n_tokens")).as("ttr"))
+    },
+
+    GraftQuery(
       "tx04_fingerprint",
       Some("""SELECT doc_id,
              |       MD5(LOWER(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS fp,
