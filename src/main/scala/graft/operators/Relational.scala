@@ -507,6 +507,38 @@ object Relational {
     },
 
     GraftQuery(
+      "q34_trailing_range_frame",
+      Some("""SELECT o_custkey, o_orderkey,
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             |         PARTITION BY o_custkey ORDER BY o_orderdate
+             |         RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d
+             |FROM orders""".stripMargin),
+      "Event-time RANGE window frame: trailing 7-day spend per customer — the frame is bounded by an interval over the ORDER BY timestamp, not a row count (ties share the frame).") {
+      (s, dir) =>
+        t(s, dir, "orders").selectExpr(
+          "o_custkey", "o_orderkey",
+          """CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            |  PARTITION BY o_custkey ORDER BY o_orderdate
+            |  RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d""".stripMargin)
+    },
+
+    GraftQuery(
+      "q35_ntile_percent_rank",
+      Some("""SELECT o_orderkey,
+             |       NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile,
+             |       PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS pr
+             |FROM orders""".stripMargin),
+      "Rank-family windows: NTILE quartiles + PERCENT_RANK with a unique tiebreak key (both engines share the SQL-standard definitions).") {
+      (s, dir) =>
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"),
+            ntile(4).over(w).as("quartile"),
+            percent_rank().over(w).as("pr"))
+    },
+
+    GraftQuery(
       "q28_explode_array",
       Some("""SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
              |       UNNEST(embedding) AS val
