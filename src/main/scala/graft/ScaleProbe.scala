@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale check for the LSH pipelines: replicate the sf0.1
+  * corpus N× (distinct ids, same content → every clone group is a real
+  * near-dup cluster, the WORST case for candidate generation) and time
+  * the inventory builders at 1× and N×. A banded equi-join pipeline
+  * should scale ~linearly in input plus output pairs; a hidden
+  * quadratic would blow past that. Prints one JSON line per operator.
+  *
+  * Usage: `runMain graft.ScaleProbe [factor]` (default 10).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val base = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = java.nio.file.Files.createTempDirectory(s"scale${factor}x").toString
+    def replicate(table: String, idCol: String): Unit = {
+      val t = Tables.load(spark, base, table)
+      val copies = (0 until factor).map(i =>
+        t.withColumn(idCol, col(idCol) + lit(i.toLong * 10_000_000L)))
+      copies.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$dir/$table.parquet")
+    }
+    replicate("documents", "doc_id")
+    replicate("embeddings", "vec_id")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(name: String): Unit = {
+      val fn = SparkEntry.queries(name)
+      def once(d: String): (Double, Long) = {
+        var rows = 0L
+        val sec = time { rows = fn(spark, d).count() }
+        spark.catalog.clearCache()
+        (sec, rows)
+      }
+      once(base) // warmup at 1x
+      val (s1, r1) = once(base)
+      val (sN, rN) = once(dir)
+      println(f"""{"op":"$name","sec_1x":$s1%.2f,"rows_1x":$r1,"sec_${factor}x":$sN%.2f,"rows_${factor}x":$rN,"time_ratio":${sN / s1}%.1f}""")
+    }
+    Seq("dd03_minhash_lsh_pairs", "dd04_simhash_pairs",
+      "dd05_ngram_jaccard_pairs", "dd06_embedding_neardup_lsh").foreach(run)
+    spark.stop()
+  }
+}
