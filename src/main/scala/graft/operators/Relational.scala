@@ -539,6 +539,39 @@ object Relational {
     },
 
     GraftQuery(
+      "q36_or_exists_rewrite",
+      Some("""SELECT s_suppkey, s_name FROM supplier s
+             |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+             |   OR s_acctbal > 9000""".stripMargin),
+      "Disjunctive EXISTS: Catalyst cannot decorrelate an OR-of-EXISTS directly, so the Spark-first form is the classic rewrite — union of the semi-join branch and the predicate branch, then distinct.") {
+      (s, dir) =>
+        val sup = t(s, dir, "supplier")
+        val viaExists = sup
+          .join(t(s, dir, "lineitem").filter(col("l_quantity") >= 49),
+            col("s_suppkey") === col("l_suppkey"), "left_semi")
+        val viaPred = sup.filter(col("s_acctbal") > 9000)
+        viaExists.select("s_suppkey", "s_name")
+          .unionByName(viaPred.select("s_suppkey", "s_name"))
+          .distinct()
+    },
+
+    GraftQuery(
+      "q37_correlated_scalar_subquery",
+      Some("""SELECT c_custkey,
+             |       (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders
+             |        WHERE o_custkey = c_custkey) AS max_spend
+             |FROM customer""".stripMargin),
+      "Correlated scalar subquery in the projection — decorrelated to an aggregate + left outer join (NULL preserved for order-less customers), which is exactly Catalyst's own rewrite.") {
+      (s, dir) =>
+        val maxSpend = t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_totalprice")).cast("double").as("max_spend"))
+        t(s, dir, "customer")
+          .join(maxSpend, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("max_spend"))
+    },
+
+    GraftQuery(
       "q28_explode_array",
       Some("""SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
              |       UNNEST(embedding) AS val
