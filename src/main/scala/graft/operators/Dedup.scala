@@ -331,25 +331,30 @@ object Dedup {
         val bi = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
           .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
           .persist()
+        def propagate(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val viaNeighbor = bi
+            .join(l.withColumnRenamed("doc_id", "a"), "a")
+            .groupBy(col("b").as("doc_id"))
+            .agg(min(col("cluster")).as("n_cluster"))
+          l.join(viaNeighbor, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
+        }
+        // one hop per round, materialized: each propagate references the
+        // label table TWICE, so chaining unmaterialized hops doubles the
+        // plan per hop (exponential) — persist keeps the plan flat
         var labels = bi.select(col("a").as("doc_id")).distinct()
           .withColumn("cluster", col("doc_id")).persist()
         var converged = false
-        var iter = 0
-        while (!converged && iter < 20) {
-          val viaNeighbor = bi
-            .join(labels.withColumnRenamed("doc_id", "a"), "a")
-            .groupBy(col("b").as("doc_id"))
-            .agg(min(col("cluster")).as("n_cluster"))
-          val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
-            .persist()
+        var round = 0
+        while (!converged && round < 20) {
+          val next = propagate(labels).persist()
           val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
             .filter(col("cluster") =!= col("old")).count()
           labels.unpersist()
           labels = next
           converged = changed == 0
-          iter += 1
+          round += 1
         }
         labels.select(col("doc_id"), col("cluster"))
     },
