@@ -159,6 +159,24 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
     assert(labels2 === labels1, "replay must not create new loads")
   }
 
+  test("stream-load failure propagates so the streaming query retries the batch") {
+    val batch = ChangeArchiveJob.build(
+      Seq("src-a" -> {
+        import spark.implicits._
+        Seq(envelope(1)).toDF("value")
+      }),
+      spark, cfg)
+    val failing = new StreamLoadBatchWriter("runf", new LoadTransport {
+      def put(table: String, label: String, jsonBody: String): LoadResult =
+        LoadResult.Failure("FE unavailable")
+    })
+    val e = intercept[org.apache.spark.SparkException](failing.write(batch, 0L))
+    // the reference's contract: non-label failures throw -> restart/retry
+    // (SrSink.java:131-133); Spark wraps the task failure
+    assert(e.getMessage.contains("FE unavailable") ||
+      Option(e.getCause).exists(_.getMessage.contains("FE unavailable")))
+  }
+
   test("jdbc delivery is at-least-once: replay duplicates (the reference's ADB contract)") {
     val db = tmpDir("derby") + "/adb"
     val url = s"jdbc:derby:$db;create=true"

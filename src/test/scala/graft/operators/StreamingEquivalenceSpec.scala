@@ -69,6 +69,47 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("streaming dedup state suppresses duplicates ACROSS restarted batches") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("dedup-src").toString
+    val ckpt = Files.createTempDirectory("dedup-ckpt").toString
+    val out = Files.createTempDirectory("dedup-out").toString
+
+    def addFile(name: String, rows: Seq[String]): Unit =
+      Files.write(Paths.get(src, name), rows.mkString("\n").getBytes("UTF-8"))
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING")
+        .json(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select("user_id", "event_type")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    addFile("b1.jsonl", Seq(
+      """{"ts":"2024-01-01 10:00:00","user_id":1,"event_type":"click"}""",
+      """{"ts":"2024-01-01 10:01:00","user_id":2,"event_type":"view"}"""))
+    runOnce()
+    // restart: a duplicate key arrives within the watermark window —
+    // the dedup state store must remember it across the restart
+    addFile("b2.jsonl", Seq(
+      """{"ts":"2024-01-01 10:10:00","user_id":1,"event_type":"click"}""",
+      """{"ts":"2024-01-01 10:11:00","user_id":3,"event_type":"click"}"""))
+    runOnce()
+
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows === Seq((1L, "click"), (2L, "view"), (3L, "click")),
+      s"cross-batch duplicate must be suppressed: $rows")
+  }
+
   test("streaming dedup (dropDuplicatesWithinWatermark) == batch distinct") {
     val streamed = runToMemory(
       streamEvents
