@@ -44,14 +44,27 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> times.min
+      // an errored query's elapsed time is its fast-failure time, not a
+      // runtime — record -1 so it can't flatter the total
+      name -> (if (errors.contains(name)) -1.0 else times.min)
     }
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // The driver parses the LAST 2000 chars of stdout, which also
+    // contain sbt's trailing "[success] Total time..." line — so the
+    // JSON line must stay well under ~1.9 kB. Two levers: 3-decimal
+    // values (ms precision is far below best-of-two noise) and each
+    // query keyed by its unique id prefix ("dd03", "q17", "cdc04" —
+    // the canonical ids in SURVEY/VERDICT/CORRECTNESS) instead of the
+    // full descriptive name. 69 queries land ≈1.1 kB.
+    def j3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def shortId(name: String) = name.takeWhile(_ != '_')
+    require(results.map(r => shortId(r._1)).distinct.size == results.size,
+      "query id prefixes must stay unique — a collision would silently merge bench entries")
+    val qs = results.map { case (k, v) => jstr(shortId(k)) + ":" + j3(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -39,48 +39,95 @@ final class ParquetBatchWriter(outDir: String) extends BatchWriter {
       .parquet(s"$outDir/batch_id=$batchId")
 }
 
+private[cdc] object JdbcRouting {
+  /** Table names come from CDC data (`dbTbName`); reject anything that
+    * isn't a plain identifier so a hostile envelope can't splice SQL.
+    * The reference interpolates unchecked (`AdbSink.java:110`).
+    */
+  def checkIdent(table: String): String = {
+    require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"illegal archive table name from dbTbName: '$table'")
+    table
+  }
+
+  /** The 4 sink columns plus the routing key, sorted within each
+    * partition so every destination table is one contiguous run — the
+    * streaming writers below never hold more than one insert batch.
+    */
+  def routed(batch: DataFrame): DataFrame =
+    batch.select(
+      col("dbTbName"),
+      col("id"), col("fbNo"),
+      date_format(col("recordDelTime"), "yyyy-MM-dd HH:mm:ss").as("recordDelTime"),
+      col("dataJson"))
+      .sortWithinPartitions("dbTbName")
+
+  /** "This (batch, partition) was already claimed." Drivers disagree on
+    * the exception type for a PK violation — MySQL/Derby subclass
+    * `SQLIntegrityConstraintViolationException`, PostgreSQL throws a
+    * plain `SQLException`/`BatchUpdateException` — but all report
+    * SQLState class 23 (integrity constraint violation, SQL standard).
+    */
+  def isDuplicateClaim(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      Option(e.getSQLState).exists(_.startsWith("23"))
+}
+
 /** JDBC batch delivery — the reference's ADB sink re-expressed
-  * (`AdbSink.java:82-132`): multi-row batched INSERTs into the 4-column
-  * archive table, one transaction per (batch, table). At-least-once:
+  * (`AdbSink.java:82-132`): rows are grouped per `dbTbName` and batch-
+  * INSERTed into the table that key names (`AdbSink.java:106-111`),
+  * one transaction per partition covering all its tables — the same
+  * commit unit as the reference's one-commit-per-flush. At-least-once:
   * a retried micro-batch re-INSERTs (no upsert), duplicates possible —
   * exactly the reference's contract.
   *
   * Executor-side: rows never collect to the driver; each partition
   * opens its own connection (`foreachPartition`), addBatch/executeBatch
   * like the reference's prepared-statement loop (`AdbSink.java:111-122`).
+  * Rows arrive sorted by `dbTbName`, so per-table grouping is a streamed
+  * run over the iterator — O(insertBatchSize) memory, never the whole
+  * partition.
+  *
+  * @param tableFor maps `dbTbName` to the destination table (identity =
+  *   the reference's layout); override to route everything into one
+  *   fixed archive table.
   */
 final class JdbcBatchWriter(
     url: String,
-    table: String,
     props: java.util.Properties,
+    tableFor: String => String = identity,
     insertBatchSize: Int = 100) extends BatchWriter {
   val name = "jdbc"
 
   def write(batch: DataFrame, batchId: Long): Unit = {
-    val (u, t, p, bs) = (url, table, props, insertBatchSize)
-    batch.select(
-      col("id"), col("fbNo"),
-      date_format(col("recordDelTime"), "yyyy-MM-dd HH:mm:ss").as("recordDelTime"),
-      col("dataJson"))
+    val (u, tf, p, bs) = (url, tableFor, props, insertBatchSize)
+    JdbcRouting.routed(batch)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {
           val conn = java.sql.DriverManager.getConnection(u, p)
           try {
             conn.setAutoCommit(false)
-            val st = conn.prepareStatement(
-              s"INSERT INTO $t (id, fb_no, record_del_time, data_json) VALUES (?, ?, ?, ?)")
-            var n = 0
-            rows.foreach { r =>
-              st.setString(1, r.getString(0))
-              st.setString(2, r.getString(1))
-              st.setString(3, r.getString(2))
-              st.setString(4, r.getString(3))
-              st.addBatch()
-              n += 1
-              if (n % bs == 0) st.executeBatch()
+            val it = rows.buffered
+            while (it.hasNext) {
+              val table = JdbcRouting.checkIdent(tf(it.head.getString(0)))
+              val st = conn.prepareStatement(
+                s"INSERT INTO $table (id, fb_no, record_del_time, data_json) VALUES (?, ?, ?, ?)")
+              try {
+                var n = 0
+                while (it.hasNext && tf(it.head.getString(0)) == table) {
+                  val r = it.next()
+                  st.setString(1, r.getString(1))
+                  st.setString(2, r.getString(2))
+                  st.setString(3, r.getString(3))
+                  st.setString(4, r.getString(4))
+                  st.addBatch()
+                  n += 1
+                  if (n % bs == 0) st.executeBatch()
+                }
+                st.executeBatch()
+              } finally st.close()
             }
-            st.executeBatch()
-            conn.commit()
+            conn.commit() // all tables of this partition, atomically
           } finally conn.close()
         }
       }
@@ -103,18 +150,15 @@ final class JdbcBatchWriter(
   */
 final class IdempotentJdbcBatchWriter(
     url: String,
-    table: String,
     ledgerTable: String,
     props: java.util.Properties,
+    tableFor: String => String = identity,
     insertBatchSize: Int = 100) extends BatchWriter {
   val name = "jdbc-idempotent"
 
   def write(batch: DataFrame, batchId: Long): Unit = {
-    val (u, t, lt, p, bs, bid) = (url, table, ledgerTable, props, insertBatchSize, batchId)
-    batch.select(
-      col("id"), col("fbNo"),
-      date_format(col("recordDelTime"), "yyyy-MM-dd HH:mm:ss").as("recordDelTime"),
-      col("dataJson"))
+    val (u, tf, lt, p, bs, bid) = (url, tableFor, ledgerTable, props, insertBatchSize, batchId)
+    JdbcRouting.routed(batch)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
@@ -129,23 +173,30 @@ final class IdempotentJdbcBatchWriter(
                 claim.executeUpdate()
                 true
               } catch {
-                case e: java.sql.SQLIntegrityConstraintViolationException =>
+                case e: java.sql.SQLException if JdbcRouting.isDuplicateClaim(e) =>
                   conn.rollback(); false // replayed partition: skip
               }
             if (claimed) {
-              val st = conn.prepareStatement(
-                s"INSERT INTO $t (id, fb_no, record_del_time, data_json) VALUES (?, ?, ?, ?)")
-              var n = 0
-              rows.foreach { r =>
-                st.setString(1, r.getString(0))
-                st.setString(2, r.getString(1))
-                st.setString(3, r.getString(2))
-                st.setString(4, r.getString(3))
-                st.addBatch()
-                n += 1
-                if (n % bs == 0) st.executeBatch()
+              val it = rows.buffered
+              while (it.hasNext) {
+                val table = JdbcRouting.checkIdent(tf(it.head.getString(0)))
+                val st = conn.prepareStatement(
+                  s"INSERT INTO $table (id, fb_no, record_del_time, data_json) VALUES (?, ?, ?, ?)")
+                try {
+                  var n = 0
+                  while (it.hasNext && tf(it.head.getString(0)) == table) {
+                    val r = it.next()
+                    st.setString(1, r.getString(1))
+                    st.setString(2, r.getString(2))
+                    st.setString(3, r.getString(3))
+                    st.setString(4, r.getString(4))
+                    st.addBatch()
+                    n += 1
+                    if (n % bs == 0) st.executeBatch()
+                  }
+                  st.executeBatch()
+                } finally st.close()
               }
-              st.executeBatch()
               conn.commit() // ledger row + data rows, atomically
             }
           } finally conn.close()
@@ -186,19 +237,30 @@ final class StreamLoadBatchWriter(
       .repartition(col("dbTbName"))
       .sortWithinPartitions(col("dbTbName"), col("row_json"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-        rows.map(r => (r.getString(0), r.getString(1)))
-          .toSeq.groupBy(_._1).toSeq.sortBy(_._1)
-          .foreach { case (table, tableRows) =>
-            tableRows.map(_._2).grouped(cs).zipWithIndex.foreach { case (chunk, idx) =>
-              val label = s"graft_${rid}_${batchId}_${table}_$idx"
-              val body = chunk.mkString("[", ",", "]")
-              tr.put(table, label, body) match {
-                case LoadResult.Success | LoadResult.LabelAlreadyExists => ()
-                case LoadResult.Failure(msg) =>
-                  throw new RuntimeException(s"stream load failed for $label: $msg")
-              }
+        // rows arrive sorted by (table, json): each table is one
+        // contiguous run, so chunks stream off the iterator with
+        // O(chunkSize) heap — a hot table's whole micro-batch is NEVER
+        // partition-resident (the r2 memory cliff). Label sequence is
+        // identical to grouping the whole partition: same sort, same
+        // per-table chunk order.
+        val it = rows.map(r => (r.getString(0), r.getString(1))).buffered
+        while (it.hasNext) {
+          val table = it.head._1
+          var idx = 0
+          while (it.hasNext && it.head._1 == table) {
+            val chunk = new scala.collection.mutable.ArrayBuffer[String](cs)
+            while (chunk.size < cs && it.hasNext && it.head._1 == table)
+              chunk += it.next()._2
+            val label = s"graft_${rid}_${batchId}_${table}_$idx"
+            val body = chunk.mkString("[", ",", "]")
+            tr.put(table, label, body) match {
+              case LoadResult.Success | LoadResult.LabelAlreadyExists => ()
+              case LoadResult.Failure(msg) =>
+                throw new RuntimeException(s"stream load failed for $label: $msg")
             }
+            idx += 1
           }
+        }
       }
   }
 }

@@ -74,6 +74,10 @@ object ChangeArchiveJob {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     TaskConfigChecker.check(cfg)
+    // sink timestamps are rendered with date_format (session-timezone
+    // dependent); pin UTC so delivered strings match TargetDataRow's
+    // documented UTC rendering regardless of the caller's session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val streams = sources.map(s => s.instanceName -> spark.readStream.text(s.dir))
     val archive = build(streams, spark, cfg)
     archive.writeStream

@@ -41,12 +41,11 @@ object Debezium {
   private def table(value: Column) = get_json_object(value, "$.source.table")
   private def before(value: Column) = get_json_object(value, "$.before")
   private def id(value: Column) = get_json_object(value, "$.before.id")
-  private def tsMs(value: Column) = {
-    val raw = get_json_object(value, "$.ts_ms")
-    // regex-guarded cast: ANSI mode would turn a non-numeric ts_ms into
-    // a runtime error; the reference treats it as just another drop
-    when(raw.rlike("^-?\\d{1,18}$"), raw.cast("long"))
-  }
+  private def tsMs(value: Column) =
+    // try_cast, not a regex guard: the execution path casts with
+    // try_cast, and the two taxonomies must agree on ALL inputs (a
+    // 19-digit in-range epoch or '+123' is Kept by both, not BadTs here)
+    get_json_object(value, "$.ts_ms").try_cast("long")
 
   /** Classification of one envelope: a drop reason, or [[Kept]].
     * Branches in the reference's order — a row with several defects is

@@ -75,6 +75,60 @@ object Dedup {
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |ELSE [] END""".stripMargin
 
+  /** Connected components over an undirected edge list (`doc_a`,
+    * `doc_b`) via Pregel-style min-label propagation: each round every
+    * vertex takes the min of its own and its neighbors' labels; at
+    * fixpoint every component carries its minimum vertex id. One
+    * shuffle per round, `localCheckpoint` per hop: each `propagate`
+    * references the label table twice, so the LOGICAL plan doubles per
+    * hop — `persist` alone flattens execution but not the plan, and
+    * ~15 chained hops overflow the stack just stringifying the tree
+    * (found by the 29-diameter chain spec). Checkpointing truncates
+    * lineage, keeping every round's plan one hop deep; the convergence
+    * probe is a scalar `count`, never a data collect.
+    *
+    * Rounds needed ≈ component diameter. If `maxRounds` is hit before
+    * fixpoint this THROWS rather than silently emitting labels that
+    * disagree with the oracle's transitive closure — a >20-hop
+    * near-dup chain is data telling you something (or a cap telling
+    * you to raise it), never something to paper over.
+    */
+  def minLabelClusters(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val bi = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .persist()
+    def propagate(l: DataFrame): DataFrame = {
+      val viaNeighbor = bi
+        .join(l.withColumnRenamed("doc_id", "a"), "a")
+        .groupBy(col("b").as("doc_id"))
+        .agg(min(col("cluster")).as("n_cluster"))
+      l.join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
+    }
+    var labels = bi.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")).localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = propagate(labels).localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    bi.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"min-label propagation did not converge in $maxRounds rounds — " +
+          "component diameter exceeds the cap; raise maxRounds")
+    }
+    labels.select(col("doc_id"), col("cluster"))
+  }
+
   /** Test-only exact ground truth: all-pairs cosine ≥ threshold.
     * O(n²) by construction — never in the bench/verify inventory.
     */
@@ -324,39 +378,7 @@ object Dedup {
           .filter(col("shared").cast("double") /
             (col("n_a") + col("n_b") - col("shared")) >= 0.8)
           .select("doc_a", "doc_b").persist()
-        // undirected adjacency + min-label propagation to fixpoint.
-        // each iteration is one shuffle; iterations ~ component diameter
-        // (near-dup clusters are shallow). The convergence probe is a
-        // scalar count, not a data collect — the standard Pregel loop.
-        val bi = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
-          .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
-          .persist()
-        def propagate(l: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-          val viaNeighbor = bi
-            .join(l.withColumnRenamed("doc_id", "a"), "a")
-            .groupBy(col("b").as("doc_id"))
-            .agg(min(col("cluster")).as("n_cluster"))
-          l.join(viaNeighbor, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
-        }
-        // one hop per round, materialized: each propagate references the
-        // label table TWICE, so chaining unmaterialized hops doubles the
-        // plan per hop (exponential) — persist keeps the plan flat
-        var labels = bi.select(col("a").as("doc_id")).distinct()
-          .withColumn("cluster", col("doc_id")).persist()
-        var converged = false
-        var round = 0
-        while (!converged && round < 20) {
-          val next = propagate(labels).persist()
-          val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-            .filter(col("cluster") =!= col("old")).count()
-          labels.unpersist()
-          labels = next
-          converged = changed == 0
-          round += 1
-        }
-        labels.select(col("doc_id"), col("cluster"))
+        minLabelClusters(edges)
     },
 
     GraftQuery(

@@ -159,6 +159,38 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
     assert(labels2 === labels1, "replay must not create new loads")
   }
 
+  test("stream-load chunking streams sorted runs: multi-table labels are the grouped-partition sequence") {
+    // the bounded-memory run-streaming rewrite must emit EXACTLY the
+    // label sequence the old whole-partition groupBy produced — labels
+    // are the idempotency contract, so a change would break replay skip
+    // across an upgrade
+    val loads = tmpDir("sl-multi")
+    val batch = ChangeArchiveJob.build(
+      Seq("src-a" -> {
+        import spark.implicits._
+        Seq(envelope(1), envelope(2, table = "t_users"), envelope(3),
+          envelope(4, table = "t_users"), envelope(5), envelope(6, table = "t_users"))
+          .toDF("value")
+      }),
+      spark, cfg.copy(tables = Seq("t_orders", "t_users")))
+    new StreamLoadBatchWriter("runm", new FileLoadTransport(loads), chunkSize = 2)
+      .write(batch, 4L)
+    def labels(t: String): Seq[String] =
+      Files.list(Paths.get(loads, t)).toArray.map(_.toString.split('/').last).toSeq.sorted
+    // 3 rows per table, chunkSize 2 → chunks 0 and 1 per table
+    assert(labels("demo_t_orders") ===
+      Seq("graft_runm_4_demo_t_orders_0.json", "graft_runm_4_demo_t_orders_1.json"))
+    assert(labels("demo_t_users") ===
+      Seq("graft_runm_4_demo_t_users_0.json", "graft_runm_4_demo_t_users_1.json"))
+    // chunk rows are json-sorted within each table: ids 1,3 then 5
+    val chunk0 = new String(Files.readAllBytes(
+      Paths.get(loads, "demo_t_orders", "graft_runm_4_demo_t_orders_0.json")), "UTF-8")
+    val chunk1 = new String(Files.readAllBytes(
+      Paths.get(loads, "demo_t_orders", "graft_runm_4_demo_t_orders_1.json")), "UTF-8")
+    assert(chunk0.split("\\{\"id\"").length - 1 === 2)
+    assert(chunk1.split("\\{\"id\"").length - 1 === 1)
+  }
+
   test("stream-load failure propagates so the streaming query retries the batch") {
     val batch = ChangeArchiveJob.build(
       Seq("src-a" -> {
@@ -178,11 +210,13 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
   }
 
   test("jdbc delivery is at-least-once: replay duplicates (the reference's ADB contract)") {
+    // default routing = the reference's layout: each dbTbName is its own
+    // archive table (AdbSink.java:106-111)
     val db = tmpDir("derby") + "/adb"
     val url = s"jdbc:derby:$db;create=true"
     val conn = java.sql.DriverManager.getConnection(url)
     conn.createStatement().execute(
-      """CREATE TABLE archive (
+      """CREATE TABLE demo_t_orders (
         |  id VARCHAR(64), fb_no VARCHAR(16),
         |  record_del_time VARCHAR(32), data_json VARCHAR(4000))""".stripMargin)
     conn.close()
@@ -194,19 +228,19 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
       }),
       spark, cfg)
 
-    val writer = new JdbcBatchWriter(url, "archive", new java.util.Properties, insertBatchSize = 2)
+    val writer = new JdbcBatchWriter(url, new java.util.Properties, insertBatchSize = 2)
     writer.write(batch, 0L)
     def countRows(): Int = {
       val c = java.sql.DriverManager.getConnection(url)
       try {
-        val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM archive")
+        val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM demo_t_orders")
         rs.next(); rs.getInt(1)
       } finally c.close()
     }
     assert(countRows() === 3)
     val c2 = java.sql.DriverManager.getConnection(url)
     val rs = c2.createStatement().executeQuery(
-      "SELECT fb_no, record_del_time FROM archive WHERE id = '1'")
+      "SELECT fb_no, record_del_time FROM demo_t_orders WHERE id = '1'")
     rs.next()
     assert(rs.getString(1) === "FBA")
     assert(rs.getString(2).matches("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}"""))
@@ -215,6 +249,57 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
     // replayed batch: plain INSERT, no upsert → duplicates, by contract
     writer.write(batch, 0L)
     assert(countRows() === 6, "at-least-once: replay re-inserts")
+  }
+
+  test("jdbc routing: multi-table batch lands each dbTbName in its own table, one txn") {
+    val db = tmpDir("derby3") + "/adb"
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    for (t <- Seq("demo_t_orders", "demo_t_users"))
+      conn.createStatement().execute(
+        s"""CREATE TABLE $t (
+           |  id VARCHAR(64), fb_no VARCHAR(16),
+           |  record_del_time VARCHAR(32), data_json VARCHAR(4000))""".stripMargin)
+    conn.close()
+
+    val batch = ChangeArchiveJob.build(
+      Seq("src-a" -> {
+        import spark.implicits._
+        Seq(envelope(1), envelope(2, table = "t_users"), envelope(3),
+          envelope(4, table = "t_users")).toDF("value")
+      }),
+      spark, cfg.copy(tables = Seq("t_orders", "t_users")))
+
+    new JdbcBatchWriter(url, new java.util.Properties).write(batch, 0L)
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      def ids(t: String): Seq[String] = {
+        val rs = c.createStatement().executeQuery(s"SELECT id FROM $t ORDER BY id")
+        Iterator.continually(rs).takeWhile(_.next()).map(_.getString(1)).toList
+      }
+      assert(ids("demo_t_orders") === Seq("1", "3"))
+      assert(ids("demo_t_users") === Seq("2", "4"))
+    } finally c.close()
+  }
+
+  test("jdbc routing rejects a dbTbName that is not a plain identifier") {
+    val e = intercept[IllegalArgumentException](
+      JdbcRouting.checkIdent("x; DROP TABLE t--"))
+    assert(e.getMessage.contains("illegal archive table name"))
+  }
+
+  test("duplicate-claim detection is portable across JDBC drivers (SQLState 23xxx)") {
+    // Derby/MySQL subclass SQLIntegrityConstraintViolationException...
+    assert(JdbcRouting.isDuplicateClaim(
+      new java.sql.SQLIntegrityConstraintViolationException("dup", "23505")))
+    // ...PostgreSQL raises plain SQLException / BatchUpdateException with
+    // SQLState 23505 — must also be treated as "already claimed"
+    assert(JdbcRouting.isDuplicateClaim(new java.sql.SQLException("dup", "23505")))
+    assert(JdbcRouting.isDuplicateClaim(
+      new java.sql.BatchUpdateException("dup", "23000", 0, Array.empty[Int], null)))
+    // ...but a connection failure (08xxx) or syntax error (42xxx) is NOT
+    assert(!JdbcRouting.isDuplicateClaim(new java.sql.SQLException("down", "08001")))
+    assert(!JdbcRouting.isDuplicateClaim(new java.sql.SQLException("boom", null: String)))
   }
 
   test("idempotent jdbc delivery is exactly-once: ledger-claimed replay skips") {
@@ -238,8 +323,10 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
       }),
       spark, cfg)
 
+    // fixed-table override: everything routes into one archive table
     val writer = new IdempotentJdbcBatchWriter(
-      url, "archive", "batch_ledger", new java.util.Properties, insertBatchSize = 2)
+      url, "batch_ledger", new java.util.Properties,
+      tableFor = _ => "archive", insertBatchSize = 2)
     def countRows(): Int = {
       val c = java.sql.DriverManager.getConnection(url)
       try {

@@ -52,4 +52,33 @@ class DedupSpec extends AnyFunSuite {
     val deduped = byName("dd01_exact_dedup").build(spark, sf0001).count()
     assert(deduped === distinctTexts)
   }
+
+  test("min-label propagation labels a long chain correctly when the cap suffices") {
+    import spark.implicits._
+    // a 30-vertex path graph: diameter 29, worst case for label hops —
+    // one-hop-per-round propagation still converges in ~15 rounds
+    // because the min label travels from BOTH endpoints of every edge
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.minLabelClusters(chain, maxRounds = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 30)
+    assert(labels.values.toSet === Set(0L), "one component, min-id label 0")
+    // two disjoint chains keep distinct labels
+    val two = ((0L until 5L).map(i => (i, i + 1)) ++
+      (100L until 105L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val twoLabels = Dedup.minLabelClusters(two, maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(twoLabels.filter(_._1 < 100).values.toSet === Set(0L))
+    assert(twoLabels.filter(_._1 >= 100).values.toSet === Set(100L))
+  }
+
+  test("min-label propagation FAILS LOUDLY when the round cap is hit un-converged") {
+    import spark.implicits._
+    // diameter 29 cannot converge in 3 rounds — must throw, never emit
+    // labels that disagree with the oracle's transitive closure
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException](
+      Dedup.minLabelClusters(chain, maxRounds = 3))
+    assert(e.getMessage.contains("did not converge"))
+  }
 }
