@@ -38,7 +38,7 @@ object ScaleProbe {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    def run(name: String): Unit = {
+    def run(name: String): Double = {
       val fn = SparkEntry.queries(name)
       def once(d: String): (Double, Long) = {
         var rows = 0L
@@ -50,9 +50,20 @@ object ScaleProbe {
       val (s1, r1) = once(base)
       val (sN, rN) = once(dir)
       println(f"""{"op":"$name","sec_1x":$s1%.2f,"rows_1x":$r1,"sec_${factor}x":$sN%.2f,"rows_${factor}x":$rN,"time_ratio":${sN / s1}%.1f}""")
+      sN / s1
     }
-    Seq("dd03_minhash_lsh_pairs", "dd04_simhash_pairs",
-      "dd05_ngram_jaccard_pairs", "dd06_embedding_neardup_lsh").foreach(run)
+    val ratios = Seq("dd03_minhash_lsh_pairs", "dd04_simhash_pairs",
+      "dd05_ngram_jaccard_pairs", "dd06_embedding_neardup_lsh").map(n => n -> run(n))
     spark.stop()
+    // regression gate: N x the data may cost at most ~N x the time (the
+    // clone-group design makes output grow ~N² — a LINEAR time ratio
+    // already means candidate generation is sublinear in output). A
+    // hidden all-pairs would land near N², far past this bound.
+    val bad = ratios.filter(_._2 >= factor)
+    if (bad.nonEmpty) {
+      System.err.println(s"[scaleprobe] FAIL: super-linear time ratios: " +
+        bad.map { case (n, r) => f"$n=$r%.1f" }.mkString(", "))
+      sys.exit(1)
+    }
   }
 }

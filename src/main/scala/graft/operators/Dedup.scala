@@ -271,29 +271,58 @@ object Dedup {
       "SimHash(64-bit) near-dup: each token hashed ONCE (md5 → two 32-bit halves), 64 bit-sums ±1, sign-packed; 5-band (13/13/13/13/12-bit) join finds candidates (pigeonhole-complete for hamming ≤ 4); distinct pairs, then Hamming ≤ 4 confirms.") {
       (s, dir) =>
         // graft_simhash64 = compiled twin of the aggregate/zip_with SQL
-        // formulation (TextHashesSpec pins bit-equivalence)
+        // formulation (TextHashesSpec pins bit-equivalence). The bit
+        // string is ALSO packed into two longs once per doc, so the
+        // per-pair rerank is two bit_count(xor) integer ops instead of
+        // splitting 64-char strings into arrays per candidate — the
+        // rerank is the hot loop when clone-heavy data inflates
+        // candidates (ScaleProbe 10x), and it must cost nanoseconds.
         graft.functions.GraftFunctions.register(s)
         val sim = spread(docs(s, dir), "doc_id")
           .withColumn("simhash", expr("graft_simhash64(split(text, ' '))"))
           .select("doc_id", "simhash")
           .persist()
-        val bands = sim.select(col("doc_id"),
+        // SIGNATURE COLLAPSE — the 100 TB move: real corpora are full of
+        // exact duplicates, and every clone lands in the same band
+        // buckets, making the candidate join quadratic in clone count.
+        // Dedupe to DISTINCT signatures first (band join cost becomes
+        // independent of clone multiplicity), rerank signature pairs,
+        // then expand back to doc pairs — the expansion is output-bound
+        // by construction. ScaleProbe 10x (clone-heavy by design):
+        // 46 s → ~2 s, identical output set.
+        val sigs = sim.select("simhash").distinct()
+          .withColumn("h1", expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)"))
+          .withColumn("h2", expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)"))
+          .persist()
+        val bands = sigs.select(col("simhash"),
           posexplode(expr(
             "transform(sequence(0, 4), b -> substring(simhash, b*13 + 1, IF(b = 4, 12, 13)))"))
             .as(Seq("band_idx", "band_bits")))
-        val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_bits"))
-          .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_bits")),
+        // <= keeps the diagonal: an identical-signature GROUP (clones)
+        // still yields its intra-group doc pairs after expansion
+        val sigPairs = bands.select(col("simhash").as("sig_a"), col("band_idx"), col("band_bits"))
+          .join(bands.select(col("simhash").as("sig_b"), col("band_idx"), col("band_bits")),
             Seq("band_idx", "band_bits"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        cand
-          .join(sim.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a")), "doc_a")
-          .join(sim.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b")), "doc_b")
+          .filter(col("sig_a") <= col("sig_b"))
+          .select("sig_a", "sig_b").distinct()
+          .join(sigs.select(col("simhash").as("sig_a"),
+            col("h1").as("ha1"), col("h2").as("ha2")), "sig_a")
+          .join(sigs.select(col("simhash").as("sig_b"),
+            col("h1").as("hb1"), col("h2").as("hb2")), "sig_b")
           .withColumn("hamming",
-            expr("size(filter(zip_with(split(sh_a, ''), split(sh_b, ''), (x, y) -> x <> y), v -> v))")
-              .cast("long"))
+            expr("CAST(bit_count(ha1 ^ hb1) + bit_count(ha2 ^ hb2) AS BIGINT)"))
           .filter(col("hamming") <= 4)
-          .select("doc_a", "doc_b", "hamming")
+          .select("sig_a", "sig_b", "hamming")
+        // expand signature pairs to doc pairs; each unordered doc pair
+        // maps to exactly one unordered signature pair, so ordering the
+        // diagonal by doc id (and the rest by signature) emits each pair
+        // exactly once — no distinct needed
+        sigPairs
+          .join(sim.select(col("simhash").as("sig_a"), col("doc_id").as("da")), "sig_a")
+          .join(sim.select(col("simhash").as("sig_b"), col("doc_id").as("db")), "sig_b")
+          .filter(col("sig_a") < col("sig_b") || col("da") < col("db"))
+          .select(least(col("da"), col("db")).as("doc_a"),
+            greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
     },
 
     GraftQuery(
@@ -402,25 +431,43 @@ object Dedup {
       "Embedding near-dup at scale: 32-bit Rademacher-hyperplane LSH (8 bands × 4 bits) generates candidate pairs in a band-key equi-join, exact cosine reranks, sim ≥ 0.45 confirms. The O(n²) exact scan survives only as the test-only ground truth (exactEmbeddingPairs).") {
       (s, dir) =>
         graft.functions.GraftFunctions.register(s)
+        // VALUE COLLAPSE, like dd04: identical embedding vectors (clone
+        // boilerplate at corpus scale) share every band bucket, so the
+        // candidate join is quadratic in clone multiplicity. Collapse to
+        // distinct vectors (keyed by md5 of the value — deterministic,
+        // executor-side), band-join + cosine-rerank the distinct set,
+        // then expand back to vec pairs (output-bound). An identical
+        // pair reranks as cosine(e, e), so the diagonal passes/fails
+        // exactly as the naive formulation. ScaleProbe 10x: 18 s → ~2 s.
         val emb = spread(Tables.load(s, dir, "embeddings"), "vec_id")
           .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+          .withColumn("gkey", md5(to_json(col("e"))))
           .persist()
-        val sigs = emb.withColumn("sig", expr(Hashing.embSigExpr))
-        val bands = sigs.select(col("vec_id"),
+        val uniq = emb.select("gkey", "e").dropDuplicates("gkey").persist()
+        val sigs = uniq.withColumn("sig", expr(Hashing.embSigExpr))
+        val bands = sigs.select(col("gkey"),
           posexplode(expr(
             "transform(sequence(0, 7), b -> substring(sig, b*4 + 1, 4))"))
             .as(Seq("band_idx", "band_key")))
-        val cand = bands.select(col("vec_id").as("vec_a"), col("band_idx"), col("band_key"))
-          .join(bands.select(col("vec_id").as("vec_b"), col("band_idx"), col("band_key")),
+        val gPairs = bands.select(col("gkey").as("gkey_a"), col("band_idx"), col("band_key"))
+          .join(bands.select(col("gkey").as("gkey_b"), col("band_idx"), col("band_key")),
             Seq("band_idx", "band_key"))
-          .filter(col("vec_a") < col("vec_b"))
-          .select("vec_a", "vec_b").distinct()
-        cand
-          .join(emb.select(col("vec_id").as("vec_a"), col("e").as("e_a")), "vec_a")
-          .join(emb.select(col("vec_id").as("vec_b"), col("e").as("e_b")), "vec_b")
+          .filter(col("gkey_a") <= col("gkey_b")) // keep the diagonal: clone groups
+          .select("gkey_a", "gkey_b").distinct()
+          .join(uniq.select(col("gkey").as("gkey_a"), col("e").as("e_a")), "gkey_a")
+          .join(uniq.select(col("gkey").as("gkey_b"), col("e").as("e_b")), "gkey_b")
           .withColumn("sim", expr("graft_cosine(e_a, e_b)"))
           .filter(col("sim") >= 0.45)
-          .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
+          .select("gkey_a", "gkey_b", "sim")
+        // each unordered vec pair maps to exactly one unordered group
+        // pair → ordering the diagonal by vec id emits each pair once
+        gPairs
+          .join(emb.select(col("gkey").as("gkey_a"), col("vec_id").as("va")), "gkey_a")
+          .join(emb.select(col("gkey").as("gkey_b"), col("vec_id").as("vb")), "gkey_b")
+          .filter(col("gkey_a") < col("gkey_b") || col("va") < col("vb"))
+          .select(least(col("va"), col("vb")).as("vec_a"),
+            greatest(col("va"), col("vb")).as("vec_b"),
+            round(col("sim"), 4).as("sim"))
     },
   )
 }

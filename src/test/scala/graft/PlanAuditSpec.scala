@@ -37,11 +37,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q06_anti_join").contains("LeftAnti"))
   }
 
-  test("no cartesian products anywhere in the inventory") {
+  /** Queries ALLOWED to plan a BroadcastNestedLoopJoin: each is a
+    * deliberate small-side broadcast against a non-equi predicate
+    * (range/theta join semantics Spark can't hash-join). Anything else
+    * planning a BNLJ is a regression — at 100 TB an accidental BNLJ
+    * streams the whole fact side through every executor.
+    */
+  private val bnljAllowed = Set(
+    "q31_range_join",  // band predicate p_size BETWEEN lo AND hi (broadcast dim)
+    "ss01_cosine_topk", // ONE query vector broadcast against the corpus scan
+    "ss02_ann_lsh_topk", // same single-row query vector, broadcast into the bucket probe
+    "ss03_label_centroid_sim", // centroid × centroid theta join (#labels rows, tiny)
+    "ss04_ivf_probe"     // query vector × centroid table (tiny) to pick the probed cell
+  )
+
+  test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
     for (q <- GraftQuery.all) {
       val p = q.build(spark, sf0001).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
         s"${q.name} plans a cartesian product")
+      if (!bnljAllowed(q.name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("LSH signature tables are computed once and reused (InMemoryTableScan)") {
+    // dd03/dd04 persist their signature table and reference it from both
+    // the band join and the rerank — the plan must show the cache being
+    // REUSED, not the signatures recomputed per branch
+    for (name <- Seq("dd03_minhash_lsh_pairs", "dd04_simhash_pairs")) {
+      val p = plan(name)
+      assert(p.contains("InMemoryTableScan"),
+        s"$name must reuse its persisted signature table")
     }
   }
 

@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.{Files, Paths}
 
+/** A transport whose first `failFirst` puts fail (a FE hiccup), then
+  * delegates to [[FileLoadTransport]]. The counter lives in the
+  * companion so executor-side closure copies share it in local mode.
+  */
+object FlakyTransport {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = calls.set(0)
+}
+final class FlakyTransport(outDir: String, failFirst: Int) extends LoadTransport {
+  private val inner = new FileLoadTransport(outDir)
+  def put(table: String, label: String, jsonBody: String): LoadResult =
+    if (FlakyTransport.calls.getAndIncrement() < failFirst)
+      LoadResult.Failure("transient FE hiccup")
+    else inner.put(table, label, jsonBody)
+}
+
 /** End-to-end streaming: file sources → parse → union → enrich →
   * checkpointed dual-sink delivery; kill/resume with no loss; the two
   * delivery contracts (at-least-once JDBC vs effectively-once labeled
@@ -207,6 +223,47 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
     // (SrSink.java:131-133); Spark wraps the task failure
     assert(e.getMessage.contains("FE unavailable") ||
       Option(e.getCause).exists(_.getMessage.contains("FE unavailable")))
+  }
+
+  test("streaming retry e2e: a transiently failing sink fails the query; restart re-delivers with no dup") {
+    // the reference's failure contract end-to-end THROUGH the engine:
+    // a non-label sink failure throws (SrSink.java:131-133) → the
+    // streaming query dies → a restart from the checkpoint replays the
+    // batch → deterministic labels skip whatever already landed
+    val (srcA, ckpt, loads) = (tmpDir("rt-a"), tmpDir("rt-ckpt"), tmpDir("rt-loads"))
+    writeEnvelopes(srcA, "f1.jsonl", Seq(envelope(1), envelope(2), envelope(3)))
+    FlakyTransport.reset()
+    val writer = new StreamLoadBatchWriter("runr",
+      new FlakyTransport(loads, failFirst = 1), chunkSize = 2)
+    def start() = ChangeArchiveJob.run(spark,
+      Seq(ChangeArchiveJob.SourceStream("src-a", srcA)), cfg, Seq(writer), ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+
+    val q1 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable(); q1.awaitTermination(10000); ()
+    }
+    assert(e.getMessage.contains("transient FE hiccup") ||
+      Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("transient")))
+
+    // restart from the same checkpoint: the batch replays, the already-
+    // failed chunk now delivers; mid-stream arrival keeps flowing
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      writeEnvelopes(srcA, "f2.jsonl", Seq(envelope(4)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val dir = Paths.get(loads, "demo_t_orders")
+    val labels = Files.list(dir).toArray.map(_.toString.split('/').last).sorted
+    assert(labels.length === labels.distinct.length, "no duplicate labels")
+    val bodies = labels.map(l => new String(
+      Files.readAllBytes(dir.resolve(l)), "UTF-8")).mkString
+    // all four ids delivered exactly once across failure + restart
+    for (id <- 1 to 4)
+      assert(bodies.split(s""""id":"$id"""").length - 1 === 1,
+        s"id $id must be delivered exactly once; labels=${labels.mkString(",")}")
   }
 
   test("jdbc delivery is at-least-once: replay duplicates (the reference's ADB contract)") {
