@@ -1,0 +1,134 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.Trigger
+
+/** The job entry point — the reference's `StartJob.main` re-expressed
+  * (`/root/reference/save-del-his-job/src/main/java/com/jly/flink/job/StartJob.java:36-107`):
+  * load + validate the task YAML, build one stream per source instance,
+  * union, and deliver to the ADB (JDBC) sink plus the flag-gated
+  * Stream Load sink — each configured from its own sink YAML, exactly
+  * the reference's `application-{db}.yaml` / `sink-adb.yaml` /
+  * `sink-sr.yaml` split.
+  *
+  * Arguments (flag style, mirroring the reference's ParameterTool):
+  *  - `--task <task.yaml>`          task config (required)
+  *  - `--source <instance>=<dir>`   envelope dir per instance
+  *    (repeatable; REQUIRED here: this environment has no MySQL to
+  *    attach Debezium to, so streams arrive as Debezium-JSON files
+  *    with identical envelopes — SURVEY.md §3.1)
+  *  - `--checkpoint <dir>`          checkpoint location (required;
+  *    the reference's `enableCheckpointing(60_000)`)
+  *  - `--out <dir>`                 parquet archive sink (optional)
+  *  - `--sink-adb <sink.yaml>`      JDBC sink config (optional)
+  *  - `--adb-url <jdbc url>`        overrides the URL derived from the
+  *    adb sink yaml (`jdbc:mysql://host:port/dbName`) — lets tests and
+  *    non-MySQL archives point anywhere JDBC reaches
+  *  - `--sink-sr <sink.yaml>`       Stream Load sink config; presence
+  *    is the opt-in, like the reference's `sink_to_sr` flag
+  *  - `--once`                      drain-and-stop (AvailableNow);
+  *    default is a ProcessingTime trigger at the adb sink's
+  *    `flushIntervalMs` (the reference's flush cadence, 5 s default)
+  *
+  * At least one sink must be configured.
+  */
+object ArchiveMain {
+
+  final case class Args(
+      task: String,
+      sources: Seq[ChangeArchiveJob.SourceStream],
+      checkpoint: String,
+      out: Option[String],
+      sinkAdb: Option[String],
+      adbUrl: Option[String],
+      sinkSr: Option[String],
+      once: Boolean)
+
+  def parseArgs(argv: Array[String]): Args = {
+    var task, checkpoint: Option[String] = None
+    var out, sinkAdb, adbUrl, sinkSr: Option[String] = None
+    var sources = Vector.empty[ChangeArchiveJob.SourceStream]
+    var once = false
+    var i = 0
+    def next(flag: String): String = {
+      i += 1
+      require(i < argv.length, s"$flag needs a value")
+      argv(i)
+    }
+    while (i < argv.length) {
+      argv(i) match {
+        case "--task" => task = Some(next("--task"))
+        case "--checkpoint" => checkpoint = Some(next("--checkpoint"))
+        case "--out" => out = Some(next("--out"))
+        case "--sink-adb" => sinkAdb = Some(next("--sink-adb"))
+        case "--adb-url" => adbUrl = Some(next("--adb-url"))
+        case "--sink-sr" => sinkSr = Some(next("--sink-sr"))
+        case "--once" => once = true
+        case "--source" =>
+          val v = next("--source")
+          val eq = v.indexOf('=')
+          require(eq > 0, s"--source expects <instanceName>=<dir>, got: $v")
+          sources :+= ChangeArchiveJob.SourceStream(v.take(eq), v.drop(eq + 1))
+        case other => throw new IllegalArgumentException(s"unknown argument: $other")
+      }
+      i += 1
+    }
+    val a = Args(
+      task.getOrElse(throw new IllegalArgumentException("--task is required")),
+      sources,
+      checkpoint.getOrElse(throw new IllegalArgumentException("--checkpoint is required")),
+      out, sinkAdb, adbUrl, sinkSr, once)
+    require(a.sources.nonEmpty, "at least one --source <instanceName>=<dir> is required")
+    require(a.out.nonEmpty || a.sinkAdb.nonEmpty || a.sinkSr.nonEmpty,
+      "configure at least one sink (--out / --sink-adb / --sink-sr)")
+    a
+  }
+
+  /** Build the writer stack from the parsed arguments — the sink
+    * assembly of `StartJob.java:95-104`, with the parquet archive as
+    * this environment's always-available stand-in store.
+    */
+  def writers(a: Args): Seq[BatchWriter] = {
+    val parquet = a.out.map(new ParquetBatchWriter(_))
+    val jdbc = a.sinkAdb.map { path =>
+      val c = ConfigLoader.loadSink(path)
+      val url = a.adbUrl.getOrElse(s"jdbc:mysql://${c.host}:${c.port}/${c.dbName}")
+      val props = new java.util.Properties
+      props.setProperty("user", c.username)
+      props.setProperty("password", c.password)
+      new JdbcBatchWriter(url, props, insertBatchSize = c.batchSize)
+    }
+    val sr = a.sinkSr.map { path =>
+      val c = ConfigLoader.loadSink(path)
+      // one deterministic run id per launch: a restart re-labels from
+      // the checkpointed batch id, so labels stay replay-stable within
+      // the run lineage (fixes the reference's nanoTime labels,
+      // SrSink.java:115)
+      new StreamLoadBatchWriter(
+        runId = s"${c.dbName}",
+        transport = new HttpLoadTransport(c.host, c.port, c.dbName, c.username, c.password),
+        chunkSize = c.batchSize)
+    }
+    Seq(parquet, jdbc, sr).flatten
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val cfg = TaskConfigChecker.check(ConfigLoader.loadTask(a.task))
+    val trigger =
+      if (a.once) Trigger.AvailableNow()
+      else {
+        val interval = a.sinkAdb.map(p => ConfigLoader.loadSink(p).flushIntervalMs)
+          .getOrElse(5000L)
+        Trigger.ProcessingTime(interval)
+      }
+    val spark = SparkSession.builder()
+      .appName("graft-change-archive")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val query = ChangeArchiveJob.run(spark, a.sources, cfg, writers(a), a.checkpoint, trigger)
+    query.awaitTermination()
+  }
+}

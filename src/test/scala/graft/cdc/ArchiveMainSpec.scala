@@ -1,0 +1,120 @@
+package graft.cdc
+
+import com.sun.net.httpserver.HttpServer
+import graft.TestSpark._
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+
+/** The config-to-delivery wiring of the job entry point: YAML in, full
+  * pipeline out — the same contract as launching the reference's
+  * `StartJob` with `application.yaml`/`sink-sr.yaml`.
+  */
+class ArchiveMainSpec extends AnyFunSuite {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def write(path: String, content: String): String = {
+    Files.write(Paths.get(path), content.getBytes("UTF-8")); path
+  }
+
+  private def taskYaml(dir: String): String = write(s"$dir/task.yaml",
+    """dbAlias: demo
+      |tables:
+      |  - t_orders
+      |sources:
+      |  - instanceName: src-a
+      |    serverId: "1-99"
+      |    host: localhost
+      |    port: 3306
+      |    username: u
+      |    password: p
+      |    fbNo: FBA
+      |    dbName: demo
+      |""".stripMargin)
+
+  private def envelope(id: Long): String =
+    s"""{"op":"d","ts_ms":${1700000000000L + id},"source":{"db":"demo","table":"t_orders"},"before":{"id":$id,"k":1},"after":null}"""
+
+  test("parseArgs: validation failures are loud") {
+    intercept[IllegalArgumentException](ArchiveMain.parseArgs(Array("--task")))
+    intercept[IllegalArgumentException](ArchiveMain.parseArgs(
+      Array("--task", "t.yaml", "--checkpoint", "c"))) // no sources
+    intercept[IllegalArgumentException](ArchiveMain.parseArgs(
+      Array("--task", "t.yaml", "--checkpoint", "c", "--source", "a=b"))) // no sink
+    intercept[IllegalArgumentException](ArchiveMain.parseArgs(
+      Array("--task", "t.yaml", "--checkpoint", "c", "--source", "nodir",
+        "--out", "o"))) // malformed source
+    intercept[IllegalArgumentException](ArchiveMain.parseArgs(Array("--bogus")))
+  }
+
+  test("parseArgs: full flag set round-trips") {
+    val a = ArchiveMain.parseArgs(Array(
+      "--task", "t.yaml", "--checkpoint", "ck", "--source", "src-a=/d/a",
+      "--source", "src-b=/d/b", "--out", "/o", "--sink-adb", "adb.yaml",
+      "--adb-url", "jdbc:derby:x", "--sink-sr", "sr.yaml", "--once"))
+    assert(a.sources === Seq(
+      ChangeArchiveJob.SourceStream("src-a", "/d/a"),
+      ChangeArchiveJob.SourceStream("src-b", "/d/b")))
+    assert(a.once && a.out.contains("/o") && a.adbUrl.contains("jdbc:derby:x"))
+  }
+
+  test("e2e: YAML config + file source -> parquet archive via main()") {
+    assert(spark.sparkContext.isLocal) // init the shared session before main()'s getOrCreate
+    val (dir, src, ckpt, out) =
+      (tmpDir("am-cfg"), tmpDir("am-src"), tmpDir("am-ckpt"), tmpDir("am-out"))
+    write(s"$src/f1.jsonl", (1 to 3).map(envelope(_)).mkString("\n"))
+    ArchiveMain.main(Array(
+      "--task", taskYaml(dir),
+      "--source", s"src-a=$src",
+      "--checkpoint", ckpt,
+      "--out", out,
+      "--once"))
+    val archived = spark.read.parquet(out)
+    assert(archived.count() === 3)
+    assert(archived.select("dbTbName").distinct().collect().head.getString(0)
+      === "demo_t_orders")
+  }
+
+  test("e2e: sink-sr YAML drives the HTTP Stream Load sink (flag-gated like sink_to_sr)") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val labels = mutable.Buffer[String]()
+    server.createContext("/", ex => {
+      labels.synchronized(labels += ex.getRequestHeaders.getFirst("label"))
+      ex.getRequestBody.readAllBytes()
+      val body = """{"Status": "Success"}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      assert(spark.sparkContext.isLocal) // init the shared session before main()'s getOrCreate
+      val (dir, src, ckpt) = (tmpDir("sr-cfg"), tmpDir("sr-src"), tmpDir("sr-ckpt"))
+      write(s"$src/f1.jsonl", (1 to 5).map(envelope(_)).mkString("\n"))
+      write(s"$dir/sink-sr.yaml",
+        s"""host: 127.0.0.1
+           |port: ${server.getAddress.getPort}
+           |username: u
+           |password: secret
+           |dbName: demo
+           |batchSize: 2
+           |""".stripMargin)
+      ArchiveMain.main(Array(
+        "--task", taskYaml(dir),
+        "--source", s"src-a=$src",
+        "--checkpoint", ckpt,
+        "--sink-sr", s"$dir/sink-sr.yaml",
+        "--once"))
+      val got = labels.synchronized(labels.sorted.toSeq)
+      // 5 rows, chunkSize 2 -> 3 labeled loads, run id = dbName
+      assert(got === Seq(
+        "graft_demo_0_demo_t_orders_0",
+        "graft_demo_0_demo_t_orders_1",
+        "graft_demo_0_demo_t_orders_2"))
+    } finally server.stop(0)
+  }
+}
