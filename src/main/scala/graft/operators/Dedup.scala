@@ -68,12 +68,64 @@ object Dedup {
     s"{a: $a, b: $b, c: $c}"
   }.mkString("[", ", ", "]")
 
-  /** DuckDB twin of [[shingleExpr]] (parity established by dd05 r1). */
-  private val shingleDuck =
+  /** DuckDB twin of [[shingleExpr]] (parity established by dd05 r1);
+    * shared with TextAnalysis (tx07 ranks the same trigram universe).
+    */
+  private[operators] val shingleDuck =
     """CASE WHEN LEN(w) >= 3 THEN
       |  LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |ELSE [] END""".stripMargin
+
+  /** The dd05 near-dup edge list (word-trigram Jaccard ≥ 0.8 over the
+    * df-capped inverted index) as a reusable builder — dd07 clusters
+    * it, dd08 turns the clusters into the keep-list.
+    */
+  private def jaccardEdges(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = spread(docs(s, dir), "doc_id")
+      .withColumn("gs", expr("graft_shingles(text)"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("g")
+    val er = sh.join(rare, "g").persist()
+    val n = er.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    er.select(col("doc_id").as("doc_a"), col("g"))
+      .join(er.select(col("doc_id").as("doc_b"), col("g")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(n.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")) >= 0.8)
+      .select("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin of [[jaccardEdges]] + transitive closure: the CTE body
+    * shared by the dd07 and dd08 oracles (callers prepend
+    * `WITH RECURSIVE` and append their final SELECT over `reach`).
+    */
+  private lazy val clusterCtes: String =
+    s"""d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, $shingleDuck AS gs FROM d),
+       |e AS (SELECT doc_id, UNNEST(gs) AS g FROM sh),
+       |rare AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= $DfCap),
+       |er AS (SELECT e.doc_id, e.g FROM e JOIN rare USING (g)),
+       |n AS (SELECT doc_id, COUNT(*) AS n FROM er GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |      FROM er a JOIN er b ON a.g = b.g AND a.doc_id < b.doc_id
+       |      GROUP BY a.doc_id, b.doc_id),
+       |edges AS (SELECT doc_a, doc_b FROM p
+       |          JOIN n na ON na.doc_id = p.doc_a
+       |          JOIN n nb ON nb.doc_id = p.doc_b
+       |          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8),
+       |verts AS (SELECT doc_a AS doc_id FROM edges UNION SELECT doc_b FROM edges),
+       |bi AS (SELECT doc_a AS a, doc_b AS b FROM edges
+       |       UNION SELECT doc_b, doc_a FROM edges),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM verts
+       |  UNION
+       |  SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.doc_id)""".stripMargin
 
   /** Connected components over an undirected edge list (`doc_a`,
     * `doc_b`) via Pregel-style min-label propagation: each round every
@@ -367,47 +419,33 @@ object Dedup {
 
     GraftQuery(
       "dd07_dedup_clusters",
-      Some(s"""WITH RECURSIVE d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
-              |sh AS (SELECT doc_id, $shingleDuck AS gs FROM d),
-              |e AS (SELECT doc_id, UNNEST(gs) AS g FROM sh),
-              |rare AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= $DfCap),
-              |er AS (SELECT e.doc_id, e.g FROM e JOIN rare USING (g)),
-              |n AS (SELECT doc_id, COUNT(*) AS n FROM er GROUP BY doc_id),
-              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-              |      FROM er a JOIN er b ON a.g = b.g AND a.doc_id < b.doc_id
-              |      GROUP BY a.doc_id, b.doc_id),
-              |edges AS (SELECT doc_a, doc_b FROM p
-              |          JOIN n na ON na.doc_id = p.doc_a
-              |          JOIN n nb ON nb.doc_id = p.doc_b
-              |          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8),
-              |verts AS (SELECT doc_a AS doc_id FROM edges UNION SELECT doc_b FROM edges),
-              |bi AS (SELECT doc_a AS a, doc_b AS b FROM edges
-              |       UNION SELECT doc_b, doc_a FROM edges),
-              |reach(doc_id, r) AS (
-              |  SELECT doc_id, doc_id FROM verts
-              |  UNION
-              |  SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.doc_id)
+      Some(s"""WITH RECURSIVE $clusterCtes
               |SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id""".stripMargin),
       "Near-dup CLUSTERS: connected components over the dd05 jaccard-pair edges via Pregel-style min-label propagation (iterate: label = min(label, neighbors' labels) until fixpoint) — the grouping step that turns pairwise near-dups into keep-one-per-cluster sets. Oracle is a recursive CTE over the same edges.") {
       (s, dir) =>
-        graft.functions.GraftFunctions.register(s)
-        val sh = spread(docs(s, dir), "doc_id")
-          .withColumn("gs", expr("graft_shingles(text)"))
-          .select(col("doc_id"), explode(col("gs")).as("g"))
-        val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= DfCap).select("g")
-        val er = sh.join(rare, "g").persist()
-        val n = er.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val edges = er.select(col("doc_id").as("doc_a"), col("g"))
-          .join(er.select(col("doc_id").as("doc_b"), col("g")), "g")
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-          .join(n.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-          .join(n.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-          .filter(col("shared").cast("double") /
-            (col("n_a") + col("n_b") - col("shared")) >= 0.8)
-          .select("doc_a", "doc_b").persist()
-        minLabelClusters(edges)
+        minLabelClusters(jaccardEdges(s, dir).persist())
+    },
+
+    GraftQuery(
+      "dd08_dedup_keepers",
+      Some(s"""WITH RECURSIVE $clusterCtes,
+              |clusters AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id),
+              |sizes AS (SELECT cluster, COUNT(*) AS sz FROM clusters GROUP BY cluster)
+              |SELECT dd.doc_id, CAST(COALESCE(s2.sz - 1, 0) AS BIGINT) AS n_dropped
+              |FROM documents dd
+              |LEFT JOIN clusters c ON c.doc_id = dd.doc_id
+              |LEFT JOIN sizes s2 ON s2.cluster = c.cluster
+              |WHERE c.doc_id IS NULL OR c.doc_id = c.cluster""".stripMargin),
+      "The dedup DELIVERABLE: one keeper per near-dup cluster (its min doc id) plus every unclustered doc, with n_dropped = how many near-dups the keeper absorbed — the keep-list a training-data pipeline feeds downstream after dd05/dd07.") {
+      (s, dir) =>
+        val clusters = minLabelClusters(jaccardEdges(s, dir).persist())
+        val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
+        docs(s, dir).select("doc_id")
+          .join(clusters, Seq("doc_id"), "left")
+          .join(sizes, Seq("cluster"), "left")
+          .filter(col("cluster").isNull || col("doc_id") === col("cluster"))
+          .select(col("doc_id"),
+            coalesce(col("sz") - 1, lit(0)).cast("long").as("n_dropped"))
     },
 
     GraftQuery(

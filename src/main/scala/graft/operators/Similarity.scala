@@ -149,5 +149,51 @@ object Similarity {
           .withColumn("sim", round(cosine("c_a", "c_b"), 4))
           .select(col("label_a"), col("label_b"), col("sim"))
     },
+
+    GraftQuery(
+      "ss05_knn_join",
+      Some(s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |pl AS (SELECT ${Hashing.planesDuck} AS planes),
+              |sigs AS (SELECT vec_id, e, ${Hashing.embSigDuck} AS sig
+              |         FROM emb, pl),
+              |bands AS (SELECT vec_id, bb.b AS band_idx,
+              |                 substring(sig, bb.b*4 + 1, 4) AS band_key
+              |          FROM sigs, (SELECT UNNEST(RANGE(0, 8)) AS b) bb),
+              |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |         FROM bands a JOIN bands b
+              |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              |          AND a.vec_id <> b.vec_id),
+              |scored AS (SELECT vec_a, vec_b,
+              |                  ROUND(LIST_COSINE_SIMILARITY(ea.e, eb.e), 4) AS sim
+              |           FROM cand JOIN emb ea ON ea.vec_id = cand.vec_a
+              |                     JOIN emb eb ON eb.vec_id = cand.vec_b)
+              |SELECT vec_a, vec_b, sim, rn FROM (
+              |  SELECT vec_a, vec_b, sim,
+              |         ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) AS rn
+              |  FROM scored) t
+              |WHERE rn <= 3""".stripMargin),
+      "k-NN JOIN (k=3 for EVERY vector, not one query): LSH band buckets generate directed candidates, exact cosine reranks, a per-vector ROW_NUMBER keeps the top 3 — the all-corpus neighbor table batch pipelines build once and reuse. Ranking on the 4-dp-rounded sim (tiebreak vec_b) keeps the order cross-engine-stable.") {
+      (s, dir) =>
+        val all = emb(s, dir).withColumn("sig", expr(Hashing.embSigExpr))
+          .select("vec_id", "e", "sig").persist()
+        val banded = all.select(col("vec_id"),
+          posexplode(expr(
+            "transform(sequence(0, 7), b -> substring(sig, b*4 + 1, 4))"))
+            .as(Seq("band_idx", "band_key")))
+        val cand = banded.select(col("vec_id").as("vec_a"), col("band_idx"), col("band_key"))
+          .join(banded.select(col("vec_id").as("vec_b"), col("band_idx"), col("band_key")),
+            Seq("band_idx", "band_key"))
+          .filter(col("vec_a") =!= col("vec_b"))
+          .select("vec_a", "vec_b").distinct()
+        val scored = cand
+          .join(all.select(col("vec_id").as("vec_a"), col("e").as("e_a")), "vec_a")
+          .join(all.select(col("vec_id").as("vec_b"), col("e").as("e_b")), "vec_b")
+          .withColumn("sim", round(cosine("e_a", "e_b"), 4))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_a").orderBy(col("sim").desc, col("vec_b"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("vec_a", "vec_b", "sim", "rn")
+    },
   )
 }

@@ -157,5 +157,29 @@ object TextAnalysis {
           .withColumn("fp", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
           .select(col("doc_id"), col("fp"), substring(col("fp"), 1, 8).as("fp_prefix"))
     },
+
+    GraftQuery(
+      "tx07_top_ngrams",
+      Some(s"""WITH d AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM documents),
+              |sh AS (SELECT doc_id, lang, ${Dedup.shingleDuck} AS gs FROM d),
+              |e AS (SELECT lang, UNNEST(gs) AS g FROM sh),
+              |f AS (SELECT lang, g, COUNT(*) AS df FROM e GROUP BY lang, g)
+              |SELECT lang, g, df, rn FROM (
+              |  SELECT lang, g, df,
+              |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, g) AS rn
+              |  FROM f) t
+              |WHERE rn <= 5""".stripMargin),
+      "Per-language top-5 word trigrams by document frequency (one count per containing doc — graft_shingles dedups within a doc): the boilerplate-detection signal corpus pipelines compute before template stripping. Deterministic (df DESC, gram) tiebreak.") {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        val freq = Tables.load(s, dir, "documents")
+          .select(col("lang"), explode(expr("graft_shingles(text)")).as("g"))
+          .groupBy("lang", "g").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("df").desc, col("g"))
+        freq.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("lang", "g", "df", "rn")
+    },
   )
 }
