@@ -88,5 +88,27 @@ object StreamingWindows {
         Tables.load(s, dir, "events")
           .select("user_id", "event_type").distinct()
     },
+
+    GraftQuery(
+      "st05_stream_stream_join",
+      Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+             |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+             |FROM events v JOIN events p
+             |  ON v.user_id = p.user_id
+             | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+             |WHERE v.event_type = 'view' AND p.event_type = 'purchase'""".stripMargin),
+      "Stream-stream interval join (attribution): each purchase joins the same user's views from the preceding hour — equi-join on user_id with an event-time range bound, the shape Structured Streaming state-cleans under watermarks (the streaming run with watermarks is in StreamingEquivalenceSpec). gap in microseconds keeps both engines on exact integers.") {
+      (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        v.join(p, Seq("user_id"))
+          .filter(col("p_ts") >= col("v_ts") &&
+            col("p_ts") < col("v_ts") + expr("INTERVAL 1 HOUR"))
+          .select(col("user_id"), col("view_id"), col("purchase_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    },
   )
 }

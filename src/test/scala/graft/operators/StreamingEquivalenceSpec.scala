@@ -110,6 +110,30 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
       s"cross-batch duplicate must be suppressed: $rows")
   }
 
+  test("stream-stream interval join (watermarked) == batch twin") {
+    // two watermarked streams off the same staged source; the interval
+    // condition (p.ts in [v.ts, v.ts + 1h)) is what lets the state
+    // store evict views older than the watermark + bound
+    val v = streamEvents.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val p = streamEvents.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") < col("v_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    val streamed = runToMemory(joined, "st05_stream", "append")
+    val batch = StreamingWindows.all.find(_.name == "st05_stream_stream_join").get
+      .build(spark, sf0001)
+    assert(sortedRows(streamed) === sortedRows(batch))
+    assert(batch.count() > 0, "fixture must exercise the join")
+  }
+
   test("streaming dedup (dropDuplicatesWithinWatermark) == batch distinct") {
     val streamed = runToMemory(
       streamEvents
