@@ -24,6 +24,11 @@ import org.apache.spark.sql.streaming.Trigger
   *  - `--adb-url <jdbc url>`        overrides the URL derived from the
   *    adb sink yaml (`jdbc:mysql://host:port/dbName`) — lets tests and
   *    non-MySQL archives point anywhere JDBC reaches
+  *  - `--adb-ledger <table>`        upgrade the JDBC sink from the
+  *    reference's at-least-once contract to exactly-once via the
+  *    batch-ledger claim (see [[IdempotentJdbcBatchWriter]]); the
+  *    table needs `(batch_id BIGINT, partition_id INT, PRIMARY KEY
+  *    (batch_id, partition_id))`
   *  - `--sink-sr <sink.yaml>`       Stream Load sink config; presence
   *    is the opt-in, like the reference's `sink_to_sr` flag
   *  - `--once`                      drain-and-stop (AvailableNow);
@@ -41,12 +46,13 @@ object ArchiveMain {
       out: Option[String],
       sinkAdb: Option[String],
       adbUrl: Option[String],
+      adbLedger: Option[String],
       sinkSr: Option[String],
       once: Boolean)
 
   def parseArgs(argv: Array[String]): Args = {
     var task, checkpoint: Option[String] = None
-    var out, sinkAdb, adbUrl, sinkSr: Option[String] = None
+    var out, sinkAdb, adbUrl, adbLedger, sinkSr: Option[String] = None
     var sources = Vector.empty[ChangeArchiveJob.SourceStream]
     var once = false
     var i = 0
@@ -62,6 +68,7 @@ object ArchiveMain {
         case "--out" => out = Some(next("--out"))
         case "--sink-adb" => sinkAdb = Some(next("--sink-adb"))
         case "--adb-url" => adbUrl = Some(next("--adb-url"))
+        case "--adb-ledger" => adbLedger = Some(next("--adb-ledger"))
         case "--sink-sr" => sinkSr = Some(next("--sink-sr"))
         case "--once" => once = true
         case "--source" =>
@@ -77,7 +84,7 @@ object ArchiveMain {
       task.getOrElse(throw new IllegalArgumentException("--task is required")),
       sources,
       checkpoint.getOrElse(throw new IllegalArgumentException("--checkpoint is required")),
-      out, sinkAdb, adbUrl, sinkSr, once)
+      out, sinkAdb, adbUrl, adbLedger, sinkSr, once)
     require(a.sources.nonEmpty, "at least one --source <instanceName>=<dir> is required")
     require(a.out.nonEmpty || a.sinkAdb.nonEmpty || a.sinkSr.nonEmpty,
       "configure at least one sink (--out / --sink-adb / --sink-sr)")
@@ -96,7 +103,12 @@ object ArchiveMain {
       val props = new java.util.Properties
       props.setProperty("user", c.username)
       props.setProperty("password", c.password)
-      new JdbcBatchWriter(url, props, insertBatchSize = c.batchSize)
+      a.adbLedger match {
+        case Some(ledger) => // exactly-once upgrade past the reference
+          new IdempotentJdbcBatchWriter(url, ledger, props, insertBatchSize = c.batchSize)
+        case None => // the reference's at-least-once contract
+          new JdbcBatchWriter(url, props, insertBatchSize = c.batchSize)
+      }
     }
     val sr = a.sinkSr.map { path =>
       val c = ConfigLoader.loadSink(path)

@@ -67,6 +67,7 @@ final class HttpLoadTransport(
       .header("label", label)
       .header("strip_outer_array", "true")
       .header("ignore_json_size", "true")
+      .header("load_mem_limit", "5368709120") // 5 GB, SrStreamLoadClient.java:52
       .header("timeout", "1200")
       .header("jsonpaths", "[ \"$.id\", \"$.record_del_time\", \"$.fb_no\", \"$.data_json\"]")
       .build()

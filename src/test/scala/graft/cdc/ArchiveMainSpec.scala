@@ -79,6 +79,48 @@ class ArchiveMainSpec extends AnyFunSuite {
       === "demo_t_orders")
   }
 
+  test("e2e: sink-adb YAML + --adb-ledger drives exactly-once JDBC via main(); resume is a no-op") {
+    assert(spark.sparkContext.isLocal)
+    val (dir, src, ckpt) = (tmpDir("adb-cfg"), tmpDir("adb-src"), tmpDir("adb-ckpt"))
+    val db = tmpDir("adb-derby") + "/adb"
+    val url = s"jdbc:derby:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      """CREATE TABLE demo_t_orders (
+        |  id VARCHAR(64), fb_no VARCHAR(16),
+        |  record_del_time VARCHAR(32), data_json VARCHAR(4000))""".stripMargin)
+    conn.createStatement().execute(
+      """CREATE TABLE batch_ledger (
+        |  batch_id BIGINT NOT NULL, partition_id INT NOT NULL,
+        |  PRIMARY KEY (batch_id, partition_id))""".stripMargin)
+    conn.close()
+    write(s"$src/f1.jsonl", (1 to 3).map(envelope(_)).mkString("\n"))
+    write(s"$dir/sink-adb.yaml",
+      """host: ignored
+        |port: 3306
+        |username: ""
+        |password: ""
+        |dbName: demo
+        |batchSize: 2
+        |""".stripMargin)
+    def run(): Unit = ArchiveMain.main(Array(
+      "--task", taskYaml(dir),
+      "--source", s"src-a=$src",
+      "--checkpoint", ckpt,
+      "--sink-adb", s"$dir/sink-adb.yaml",
+      "--adb-url", url,
+      "--adb-ledger", "batch_ledger",
+      "--once"))
+    run()
+    run() // resume with nothing new: checkpoint + ledger → still 3 rows
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM demo_t_orders")
+      rs.next()
+      assert(rs.getInt(1) === 3)
+    } finally c.close()
+  }
+
   test("e2e: sink-sr YAML drives the HTTP Stream Load sink (flag-gated like sink_to_sr)") {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val labels = mutable.Buffer[String]()
