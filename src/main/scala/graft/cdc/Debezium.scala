@@ -37,6 +37,15 @@ object Debezium {
 
   val reasons: Seq[String] = Seq(Malformed, NotDelete, NoTable, NoBefore, NoId, BadTs)
 
+  /** Largest ts_ms whose millis→micros conversion fits Spark's
+    * micros-backed TimestampType. The reference would happily build
+    * `new Timestamp(Long.MAX_VALUE)` (year ~292278994); Spark cannot
+    * represent it, and `timestamp_millis` THROWS on overflow — which in
+    * a streaming job means one garbage envelope kills the query. Values
+    * past this bound are counted as [[BadTs]] drops instead.
+    */
+  val MaxTsMs: Long = Long.MaxValue / 1000L
+
   private def op(value: Column) = get_json_object(value, "$.op")
   private def table(value: Column) = get_json_object(value, "$.source.table")
   private def before(value: Column) = get_json_object(value, "$.before")
@@ -60,7 +69,7 @@ object Debezium {
       .when(table(value).isNull || trim(table(value)) === "", NoTable)
       .when(before(value).isNull, NoBefore)
       .when(id(value).isNull, NoId)
-      .when(tsMs(value).isNull || tsMs(value) <= 0, BadTs)
+      .when(tsMs(value).isNull || tsMs(value) <= 0 || tsMs(value) > MaxTsMs, BadTs)
       .otherwise(Kept)
 
   /** Hot-path field extraction: ONE `json_tuple` parse of the envelope
@@ -88,7 +97,7 @@ object Debezium {
         .when(col("_table").isNull || trim(col("_table")) === "", NoTable)
         .when(col("_before").isNull, NoBefore)
         .when(col("_id").isNull, NoId)
-        .when(col("_ts").isNull || col("_ts") <= 0, BadTs)
+        .when(col("_ts").isNull || col("_ts") <= 0 || col("_ts") > MaxTsMs, BadTs)
         .otherwise(Kept)
     when(coalesce(col("_op"), col("_ts_raw"), col("_src"), col("_before")).isNotNull, fieldChain)
       .otherwise(when(get_json_object(col("value"), "$").isNull, Malformed).otherwise(NotDelete))

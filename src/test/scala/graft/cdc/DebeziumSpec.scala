@@ -29,6 +29,15 @@ class DebeziumSpec extends AnyFunSuite {
     ("""{"op":"d","ts_ms":0,"source":{"table":"t"},"before":{"id":1}}""", Debezium.BadTs),
     ("""{"op":"d","ts_ms":-5,"source":{"table":"t"},"before":{"id":1}}""", Debezium.BadTs),
     ("""{"op":"d","ts_ms":"oops","source":{"table":"t"},"before":{"id":1}}""", Debezium.BadTs),
+    // try_cast alignment (r3): the largest REPRESENTABLE epoch (micros
+    // fit a long) and a '+'-signed value are Kept by BOTH the spec form
+    // and the hot path; a castable-but-unrepresentable long (would
+    // overflow timestamp_millis and kill a streaming job) and a Long
+    // overflow are BadTs drops in both — the taxonomies never diverge
+    (s"""{"op":"d","ts_ms":${Debezium.MaxTsMs},"source":{"table":"t"},"before":{"id":1}}""", Debezium.Kept),
+    ("""{"op":"d","ts_ms":"+123","source":{"table":"t"},"before":{"id":1}}""", Debezium.Kept),
+    ("""{"op":"d","ts_ms":9223372036854775807,"source":{"table":"t"},"before":{"id":1}}""", Debezium.BadTs),
+    ("""{"op":"d","ts_ms":"12345678901234567890","source":{"table":"t"},"before":{"id":1}}""", Debezium.BadTs),
     ("""not json at all""", Debezium.Malformed),
     ("""{}""", Debezium.NotDelete),
   )
@@ -48,8 +57,8 @@ class DebeziumSpec extends AnyFunSuite {
 
   test("parseChanges keeps only valid deletes and extracts the reference's fields") {
     val out = Debezium.parseChanges(envDf(golden.map(_._1)), "inst-1").collect()
-    assert(out.length === 1)
-    val r = out.head
+    assert(out.length === golden.count(_._2 == Debezium.Kept))
+    val r = out.find(_.getAs[String]("id") == "1001").get
     assert(r.getAs[String]("instanceName") === "inst-1")
     assert(r.getAs[String]("tableName") === "t_loan_order")
     // numeric id stringified (StartJob.java:160)
@@ -76,8 +85,8 @@ class DebeziumSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val expected = golden.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     assert(counts === expected)
-    assert(counts(Debezium.Kept) === 1)
-    assert(counts(Debezium.BadTs) === 4)
+    assert(counts(Debezium.Kept) === 3)
+    assert(counts(Debezium.BadTs) === 6)
     assert(counts(Debezium.Malformed) === 1)
     assert(counts(Debezium.NotDelete) === 3)
   }
@@ -104,8 +113,8 @@ class DebeziumSpec extends AnyFunSuite {
       while (metrics.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
       val m = metrics.getOrElse(fail("observe metrics never arrived"))
       assert(m("total") === golden.size.toLong)
-      assert(m("kept") === 1L)
-      assert(m(Debezium.BadTs) === 4L)
+      assert(m("kept") === 3L)
+      assert(m(Debezium.BadTs) === 6L)
       assert(m(Debezium.Malformed) === 1L)
     } finally spark.listenerManager.unregister(listener)
   }
