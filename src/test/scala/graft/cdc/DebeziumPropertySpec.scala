@@ -28,7 +28,8 @@ class DebeziumPropertySpec extends AnyFunSuite {
     beforeNull <- Gen.oneOf(true, false, false, false)
     withId <- Gen.oneOf(true, true, true, false)
     idValue <- Gen.oneOf("1001", "\"ABC-9\"", "0", "\"\"")
-    tsMs <- Gen.option(Gen.oneOf(-1L, 0L, 1L, 1700000000000L, 9999999999999L))
+    tsMs <- Gen.option(Gen.oneOf(-1L, 0L, 1L, 1700000000000L, 9999999999999L,
+      Debezium.MaxTsMs, Debezium.MaxTsMs + 1, Long.MaxValue))
   } yield EnvSpec(op, table, blankTable, beforeNull, withId, idValue, tsMs)
 
   private def render(s: EnvSpec): String = {
@@ -51,7 +52,7 @@ class DebeziumPropertySpec extends AnyFunSuite {
     else if (s.blankTable || s.table.isEmpty) Debezium.NoTable
     else if (s.beforeNull) Debezium.NoBefore
     else if (!s.withId) Debezium.NoId
-    else if (s.tsMs.forall(_ <= 0)) Debezium.BadTs
+    else if (s.tsMs.forall(t => t <= 0 || t > Debezium.MaxTsMs)) Debezium.BadTs
     else Debezium.Kept
 
   test("classifier agrees with the independent model on 300 random envelopes") {
