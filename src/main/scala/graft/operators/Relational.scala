@@ -583,5 +583,21 @@ object Relational {
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
           .select(col("vec_id"), col("pos"), col("val"))
     },
+
+    GraftQuery(
+      "q38_unpivot",
+      Some("""SELECT p_partkey, 'p_retailprice' AS metric,
+             |       CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS value FROM part
+             |UNION ALL
+             |SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part""".stripMargin),
+      "Unpivot/melt (wide → long) via the native Dataset unpivot operator — the inverse of q26's pivot; oracle is the dialect-stable UNION ALL formulation.") {
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            col("p_retailprice").cast("decimal(12,2)").cast("double").as("p_retailprice"),
+            col("p_size").cast("double").as("p_size"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("p_retailprice"), col("p_size")), "metric", "value")
+    },
   )
 }

@@ -159,6 +159,29 @@ object TextAnalysis {
     },
 
     GraftQuery(
+      "tx08_token_chunks",
+      Some("""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w,
+             |                 LEN(STRING_SPLIT(text, ' ')) AS n FROM documents),
+             |s AS (SELECT doc_id, w, UNNEST(RANGE(0, GREATEST(n, 1), 40)) AS start FROM d)
+             |SELECT doc_id, CAST(start / 40 AS INT) AS chunk_idx,
+             |       ARRAY_TO_STRING(w[start + 1 : start + 50], ' ') AS chunk_text,
+             |       CAST(LEN(w[start + 1 : start + 50]) AS INT) AS n_tokens
+             |FROM s""".stripMargin),
+      "Token chunking for training/RAG pipelines: 50-token windows at stride 40 (10-token overlap), one row per (doc, chunk) — pure map-side explode, no shuffle, linear at 100 TB. start is always a stride multiple so chunk_idx = start/40 is exact in both engines.") {
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("n", size(col("w")))
+          .select(col("doc_id"), col("w"),
+            explode(expr("sequence(0, greatest(n - 1, 0), 40)")).as("start"))
+          .withColumn("chunk_tokens", expr("slice(w, start + 1, 50)"))
+          .select(col("doc_id"),
+            (col("start") / 40).cast("int").as("chunk_idx"),
+            concat_ws(" ", col("chunk_tokens")).as("chunk_text"),
+            size(col("chunk_tokens")).as("n_tokens"))
+    },
+
+    GraftQuery(
       "tx07_top_ngrams",
       Some(s"""WITH d AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM documents),
               |sh AS (SELECT doc_id, lang, ${Dedup.shingleDuck} AS gs FROM d),
