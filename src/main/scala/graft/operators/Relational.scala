@@ -585,6 +585,16 @@ object Relational {
     },
 
     GraftQuery(
+      "q39_sql_api",
+      Some(SqlApi.q39Sql),
+      "The SQL front-end surface: a TPC-H-Q5-shaped revenue rollup submitted as ONE ANSI SQL string that runs VERBATIM on spark.sql(...) and on the DuckDB oracle — join order, decimal money math, timestamp literals all dialect-shared; Catalyst still plans broadcasts/pushdown from the text.") {
+      (s, dir) =>
+        for (tb <- Seq("customer", "orders", "lineitem", "supplier", "nation", "region"))
+          t(s, dir, tb).createOrReplaceTempView(tb)
+        s.sql(SqlApi.q39Sql)
+    },
+
+    GraftQuery(
       "q38_unpivot",
       Some("""SELECT p_partkey, 'p_retailprice' AS metric,
              |       CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS value FROM part
@@ -600,4 +610,23 @@ object Relational {
             Array(col("p_retailprice"), col("p_size")), "metric", "value")
     },
   )
+}
+
+/** SQL text shared verbatim by `spark.sql` and the DuckDB oracle (q39):
+  * the subset of ANSI both engines parse identically — explicit casts,
+  * TIMESTAMP literals, comma joins with WHERE equi-predicates.
+  */
+object SqlApi {
+  val q39Sql: String =
+    """SELECT n_name,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
 }
