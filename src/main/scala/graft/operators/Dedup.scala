@@ -467,45 +467,83 @@ object Dedup {
               |          JOIN emb eb ON eb.vec_id = cand.vec_b
               |WHERE LIST_COSINE_SIMILARITY(ea.e, eb.e) >= 0.45""".stripMargin),
       "Embedding near-dup at scale: 32-bit Rademacher-hyperplane LSH (8 bands × 4 bits) generates candidate pairs in a band-key equi-join, exact cosine reranks, sim ≥ 0.45 confirms. The O(n²) exact scan survives only as the test-only ground truth (exactEmbeddingPairs).") {
+      (s, dir) => embeddingNearDupPairs(s, dir)
+    },
+
+    GraftQuery(
+      "dd09_semantic_clusters",
+      Some(s"""WITH RECURSIVE emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              |pl AS (SELECT ${Hashing.planesDuck} AS planes),
+              |sigs AS (SELECT vec_id, e, ${Hashing.embSigDuck} AS sig
+              |         FROM emb, pl),
+              |bands AS (SELECT vec_id, bb.b AS band_idx,
+              |                 substring(sig, bb.b*4 + 1, 4) AS band_key
+              |          FROM sigs, (SELECT UNNEST(RANGE(0, 8)) AS b) bb),
+              |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              |         FROM bands a JOIN bands b
+              |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              |          AND a.vec_id < b.vec_id),
+              |edges AS (SELECT vec_a, vec_b
+              |          FROM cand JOIN emb ea ON ea.vec_id = cand.vec_a
+              |                    JOIN emb eb ON eb.vec_id = cand.vec_b
+              |          WHERE LIST_COSINE_SIMILARITY(ea.e, eb.e) >= 0.45),
+              |verts AS (SELECT vec_a AS v FROM edges UNION SELECT vec_b FROM edges),
+              |bi AS (SELECT vec_a AS a, vec_b AS b FROM edges
+              |       UNION SELECT vec_b, vec_a FROM edges),
+              |reach(v, r) AS (
+              |  SELECT v, v FROM verts
+              |  UNION
+              |  SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.v)
+              |SELECT v AS vec_id, MIN(r) AS cluster FROM reach GROUP BY v""".stripMargin),
+      "SemDeDup-style SEMANTIC clusters: connected components over the dd06 embedding near-dup pairs — groups of vectors whose members are mutually reachable through cosine ≥ 0.45 edges, the keep-one-per-cluster unit for semantic dedup of training corpora.") {
       (s, dir) =>
-        graft.functions.GraftFunctions.register(s)
-        // VALUE COLLAPSE, like dd04: identical embedding vectors (clone
-        // boilerplate at corpus scale) share every band bucket, so the
-        // candidate join is quadratic in clone multiplicity. Collapse to
-        // distinct vectors (keyed by md5 of the value — deterministic,
-        // executor-side), band-join + cosine-rerank the distinct set,
-        // then expand back to vec pairs (output-bound). An identical
-        // pair reranks as cosine(e, e), so the diagonal passes/fails
-        // exactly as the naive formulation. ScaleProbe 10x: 18 s → ~2 s.
-        val emb = spread(Tables.load(s, dir, "embeddings"), "vec_id")
-          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
-          .withColumn("gkey", md5(to_json(col("e"))))
-          .persist()
-        val uniq = emb.select("gkey", "e").dropDuplicates("gkey").persist()
-        val sigs = uniq.withColumn("sig", expr(Hashing.embSigExpr))
-        val bands = sigs.select(col("gkey"),
-          posexplode(expr(
-            "transform(sequence(0, 7), b -> substring(sig, b*4 + 1, 4))"))
-            .as(Seq("band_idx", "band_key")))
-        val gPairs = bands.select(col("gkey").as("gkey_a"), col("band_idx"), col("band_key"))
-          .join(bands.select(col("gkey").as("gkey_b"), col("band_idx"), col("band_key")),
-            Seq("band_idx", "band_key"))
-          .filter(col("gkey_a") <= col("gkey_b")) // keep the diagonal: clone groups
-          .select("gkey_a", "gkey_b").distinct()
-          .join(uniq.select(col("gkey").as("gkey_a"), col("e").as("e_a")), "gkey_a")
-          .join(uniq.select(col("gkey").as("gkey_b"), col("e").as("e_b")), "gkey_b")
-          .withColumn("sim", expr("graft_cosine(e_a, e_b)"))
-          .filter(col("sim") >= 0.45)
-          .select("gkey_a", "gkey_b", "sim")
-        // each unordered vec pair maps to exactly one unordered group
-        // pair → ordering the diagonal by vec id emits each pair once
-        gPairs
-          .join(emb.select(col("gkey").as("gkey_a"), col("vec_id").as("va")), "gkey_a")
-          .join(emb.select(col("gkey").as("gkey_b"), col("vec_id").as("vb")), "gkey_b")
-          .filter(col("gkey_a") < col("gkey_b") || col("va") < col("vb"))
-          .select(least(col("va"), col("vb")).as("vec_a"),
-            greatest(col("va"), col("vb")).as("vec_b"),
-            round(col("sim"), 4).as("sim"))
+        minLabelClusters(embeddingNearDupPairs(s, dir)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).persist())
+          .select(col("doc_id").as("vec_id"), col("cluster"))
     },
   )
+
+  /** dd06's pipeline as a reusable builder (dd09 clusters its output).
+    *
+    * VALUE COLLAPSE, like dd04: identical embedding vectors (clone
+    * boilerplate at corpus scale) share every band bucket, so the
+    * candidate join is quadratic in clone multiplicity. Collapse to
+    * distinct vectors (keyed by md5 of the value — deterministic,
+    * executor-side), band-join + cosine-rerank the distinct set,
+    * then expand back to vec pairs (output-bound). An identical
+    * pair reranks as cosine(e, e), so the diagonal passes/fails
+    * exactly as the naive formulation. ScaleProbe 10x: 18 s → ~2 s.
+    */
+  private def embeddingNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = spread(Tables.load(s, dir, "embeddings"), "vec_id")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .withColumn("gkey", md5(to_json(col("e"))))
+      .persist()
+    val uniq = emb.select("gkey", "e").dropDuplicates("gkey").persist()
+    val sigs = uniq.withColumn("sig", expr(Hashing.embSigExpr))
+    val bands = sigs.select(col("gkey"),
+      posexplode(expr(
+        "transform(sequence(0, 7), b -> substring(sig, b*4 + 1, 4))"))
+        .as(Seq("band_idx", "band_key")))
+    val gPairs = bands.select(col("gkey").as("gkey_a"), col("band_idx"), col("band_key"))
+      .join(bands.select(col("gkey").as("gkey_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .filter(col("gkey_a") <= col("gkey_b")) // keep the diagonal: clone groups
+      .select("gkey_a", "gkey_b").distinct()
+      .join(uniq.select(col("gkey").as("gkey_a"), col("e").as("e_a")), "gkey_a")
+      .join(uniq.select(col("gkey").as("gkey_b"), col("e").as("e_b")), "gkey_b")
+      .withColumn("sim", expr("graft_cosine(e_a, e_b)"))
+      .filter(col("sim") >= 0.45)
+      .select("gkey_a", "gkey_b", "sim")
+    // each unordered vec pair maps to exactly one unordered group
+    // pair → ordering the diagonal by vec id emits each pair once
+    gPairs
+      .join(emb.select(col("gkey").as("gkey_a"), col("vec_id").as("va")), "gkey_a")
+      .join(emb.select(col("gkey").as("gkey_b"), col("vec_id").as("vb")), "gkey_b")
+      .filter(col("gkey_a") < col("gkey_b") || col("va") < col("vb"))
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"),
+        round(col("sim"), 4).as("sim"))
+  }
 }
