@@ -492,6 +492,24 @@ object Relational {
     },
 
     GraftQuery(
+      "q40_approx_percentile_sketch",
+      Some("""SELECT o_orderstatus,
+             |       QUANTILE_DISC(o_totalprice, 0.5) AS exact_p50,
+             |       TRUE AS sketch_within_5pct
+             |FROM orders GROUP BY o_orderstatus""".stripMargin),
+      "Mergeable quantile sketch surface (KLL-style approx_percentile, the map-side-combinable path a 1000-executor percentile takes): checked in-plan against the exact discrete median; the oracle carries the exact value. approx_percentile returns an actual data point, so QUANTILE_DISC is the exact twin.") {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("exact_p50"),
+            expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"))
+          .select(col("o_orderstatus"), col("exact_p50"),
+            (abs(col("approx_p50") - col("exact_p50")) /
+              col("exact_p50") < 0.05).as("sketch_within_5pct"))
+    },
+
+    GraftQuery(
       "q33_percentiles",
       Some("""SELECT o_orderstatus,
              |       QUANTILE_CONT(o_totalprice, 0.5) AS p50,
