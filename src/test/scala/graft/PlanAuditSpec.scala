@@ -73,6 +73,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("map-side text pipelines keep whole-stage-codegen spans") {
+    // codegen'd stages print with a "*(n)" prefix; higher-order-function
+    // lambdas legitimately fall outside, but each plan must keep at
+    // least one generated span (a fully interpreted plan = regression)
+    for (n <- Seq("tx02_quality_score", "tx03_lang_id", "tx08_token_chunks"))
+      assert(plan(n).contains("*("),
+        s"$n lost all whole-stage-codegen spans")
+  }
+
+  test("documents scans prune unused columns (tx03 reads no n_chars/source)") {
+    val p = plan("tx03_lang_id")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("n_chars"), "unused n_chars must not reach the scan")
+  }
+
   test("LSH pipelines use the compiled expressions") {
     assert(plan("dd03_minhash_lsh_pairs").contains("graft_minhash_sig"))
     assert(plan("dd03_minhash_lsh_pairs").contains("graft_shingles"))

@@ -34,6 +34,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"ANN recall@10 $recall too low; ann=${annIds.size}")
   }
 
+  test("k-NN join recovers exact nearest neighbors for a meaningful fraction (sf0.01)") {
+    // exact directed top-1 per vector via brute force (test-only O(n²))
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val a = emb.select(col("vec_id").as("va"), col("e").as("ea"))
+    val b = emb.select(col("vec_id").as("vb"), col("e").as("eb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("va").orderBy(col("s").desc, col("vb"))
+    val exactTop1 = a.join(b, col("va") =!= col("vb"))
+      .withColumn("s", round(expr(
+        """aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (sm, v) -> sm + v)
+          | / sqrt(aggregate(ea, 0D, (sm, x) -> sm + x * x)
+          |        * aggregate(eb, 0D, (sm, x) -> sm + x * x))""".stripMargin), 4))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("va", "vb").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val knn = byName("ss05_knn_join").build(spark, sf001)
+      .select("vec_a", "vec_b").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // 4-bit bands are coarse; require the LSH k-NN to (a) cover most
+    // vectors and (b) place the exact top-1 in its top-3 for a third+
+    val covered = exactTop1.keys.count(knn.contains)
+    assert(covered >= exactTop1.size / 2, s"knn covers only $covered/${exactTop1.size}")
+    val hit = exactTop1.count { case (v, nn) => knn.get(v).exists(_.contains(nn)) }
+    val recall = hit.toDouble / exactTop1.size
+    assert(recall >= 0.33, s"k-NN top-3 recall of exact top-1 = $recall")
+  }
+
   test("cosine of a vector with itself is 1 (sanity of the expression)") {
     val df = graft.Tables.load(spark, sf001, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
