@@ -510,6 +510,28 @@ object Relational {
     },
 
     GraftQuery(
+      "q41_null_safe_join",
+      Some("""WITH a AS (SELECT l_orderkey, l_linenumber, NULLIF(l_tax, 0) AS tx
+             |           FROM lineitem WHERE l_orderkey < 100),
+             |b AS (SELECT DISTINCT NULLIF(l_tax, 0) AS tx, COUNT(*) AS n_like
+             |      FROM lineitem GROUP BY 1)
+             |SELECT a.l_orderkey, a.l_linenumber,
+             |       COALESCE(a.tx, -1) AS tx_filled, b.n_like
+             |FROM a JOIN b ON a.tx IS NOT DISTINCT FROM b.tx""".stripMargin),
+      "NULL semantics end-to-end: NULLIF manufactures nulls, a null-safe equi-join (<=> / IS NOT DISTINCT FROM) matches the null group — still a HASH join, Catalyst coalesces the key — and COALESCE fills for output. SQL NULL joins silently dropping rows is the classic dialect trap; this pins the behavior.") {
+      (s, dir) =>
+        val a = t(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            nullif(col("l_tax"), lit(0)).as("tx"))
+        val b = t(s, dir, "lineitem")
+          .groupBy(nullif(col("l_tax"), lit(0)).as("tx2"))
+          .agg(count(lit(1)).as("n_like"))
+        a.join(b, col("tx") <=> col("tx2"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            coalesce(col("tx"), lit(-1)).as("tx_filled"), col("n_like"))
+    },
+
+    GraftQuery(
       "q33_percentiles",
       Some("""SELECT o_orderstatus,
              |       QUANTILE_CONT(o_totalprice, 0.5) AS p50,
