@@ -152,5 +152,27 @@ object CdcQueries {
       (s, dir) =>
         graft.cdc.Debezium.dropCounts(envelopes(s, dir))
     },
+
+    GraftQuery(
+      "cdc06_delete_rate_windows",
+      Some(s"""WITH env AS ($envelopesDuck)
+              |SELECT DATE_TRUNC('day', EPOCH_MS(CAST(value->>'$$.ts_ms' AS BIGINT))) AS day_start,
+              |       (value->>'$$.source.table') AS table_name,
+              |       COUNT(*) AS n_deletes
+              |FROM env
+              |WHERE (value->>'$$.op') = 'd'
+              |  AND TRIM(COALESCE(value->>'$$.source.table', '')) <> ''
+              |  AND (value->>'$$.before') IS NOT NULL
+              |  AND (value->>'$$.before.id') IS NOT NULL
+              |  AND COALESCE(CAST(value->>'$$.ts_ms' AS BIGINT), 0) > 0
+              |GROUP BY 1, 2""".stripMargin),
+      "Archive operational analytics: the parsed delete stream bucketed into per-table daily tumbling windows — the monitoring view an operator puts on the reference's pipeline (which only error-logs); window() over parseChanges output composes the parser with the streaming window operator.") {
+      (s, dir) =>
+        graft.cdc.Debezium.parseChanges(envelopes(s, dir), "inst-a")
+          .groupBy(window(col("recordDelTime"), "1 day"), col("tableName"))
+          .agg(count(lit(1)).as("n_deletes"))
+          .select(col("window.start").as("day_start"),
+            col("tableName").as("table_name"), col("n_deletes"))
+    },
   )
 }
