@@ -172,7 +172,7 @@ object Similarity {
               |         ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) AS rn
               |  FROM scored) t
               |WHERE rn <= 3""".stripMargin),
-      "k-NN JOIN (k=3 for EVERY vector, not one query): LSH band buckets generate directed candidates, exact cosine reranks, a per-vector ROW_NUMBER keeps the top 3 — the all-corpus neighbor table batch pipelines build once and reuse. Ranking on the 4-dp-rounded sim (tiebreak vec_b) keeps the order cross-engine-stable.") {
+      "k-NN JOIN (k=3 for EVERY vector, not one query): LSH band buckets generate directed candidates, exact cosine reranks, a per-vector ROW_NUMBER keeps the top 3 — the all-corpus neighbor table batch pipelines build once and reuse. Ranking on the 4-dp-rounded sim (tiebreak vec_b) keeps the order cross-engine-stable. PRECONDITION at scale: run after exact dedup (dd01) — duplicate vectors make any k-NN join's bucket candidates quadratic in clone count (and their top-k is just their clones).") {
       (s, dir) =>
         val all = emb(s, dir).withColumn("sig", expr(Hashing.embSigExpr))
           .select("vec_id", "e", "sig").persist()
