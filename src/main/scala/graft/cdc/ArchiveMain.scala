@@ -31,6 +31,8 @@ import org.apache.spark.sql.streaming.Trigger
   *    (batch_id, partition_id))`
   *  - `--sink-sr <sink.yaml>`       Stream Load sink config; presence
   *    is the opt-in, like the reference's `sink_to_sr` flag
+  *  - `--max-files-per-trigger <n>` backpressure: cap source files per
+  *    micro-batch so a backlog drains in bounded batches
   *  - `--once`                      drain-and-stop (AvailableNow);
   *    default is a ProcessingTime trigger at the adb sink's
   *    `flushIntervalMs` (the reference's flush cadence, 5 s default)
@@ -48,11 +50,13 @@ object ArchiveMain {
       adbUrl: Option[String],
       adbLedger: Option[String],
       sinkSr: Option[String],
+      maxFilesPerTrigger: Option[Int],
       once: Boolean)
 
   def parseArgs(argv: Array[String]): Args = {
     var task, checkpoint: Option[String] = None
     var out, sinkAdb, adbUrl, adbLedger, sinkSr: Option[String] = None
+    var maxFiles: Option[Int] = None
     var sources = Vector.empty[ChangeArchiveJob.SourceStream]
     var once = false
     var i = 0
@@ -69,6 +73,8 @@ object ArchiveMain {
         case "--sink-adb" => sinkAdb = Some(next("--sink-adb"))
         case "--adb-url" => adbUrl = Some(next("--adb-url"))
         case "--adb-ledger" => adbLedger = Some(next("--adb-ledger"))
+        case "--max-files-per-trigger" =>
+          maxFiles = Some(next("--max-files-per-trigger").toInt)
         case "--sink-sr" => sinkSr = Some(next("--sink-sr"))
         case "--once" => once = true
         case "--source" =>
@@ -84,7 +90,7 @@ object ArchiveMain {
       task.getOrElse(throw new IllegalArgumentException("--task is required")),
       sources,
       checkpoint.getOrElse(throw new IllegalArgumentException("--checkpoint is required")),
-      out, sinkAdb, adbUrl, adbLedger, sinkSr, once)
+      out, sinkAdb, adbUrl, adbLedger, sinkSr, maxFiles, once)
     require(a.sources.nonEmpty, "at least one --source <instanceName>=<dir> is required")
     require(a.out.nonEmpty || a.sinkAdb.nonEmpty || a.sinkSr.nonEmpty,
       "configure at least one sink (--out / --sink-adb / --sink-sr)")
@@ -140,7 +146,8 @@ object ArchiveMain {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val query = ChangeArchiveJob.run(spark, a.sources, cfg, writers(a), a.checkpoint, trigger)
+    val query = ChangeArchiveJob.run(spark, a.sources, cfg, writers(a), a.checkpoint,
+      trigger, a.maxFilesPerTrigger)
     query.awaitTermination()
   }
 }

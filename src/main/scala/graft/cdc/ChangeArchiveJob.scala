@@ -65,6 +65,11 @@ object ChangeArchiveJob {
     * @param trigger `AvailableNow` drains what exists then stops (used
     *   by tests/backfills); `ProcessingTime(flushIntervalMs)` matches
     *   the reference's flush cadence (`SinkConfig.java:21`).
+    * @param maxFilesPerTrigger backpressure bound: cap how many source
+    *   files enter one micro-batch, so a backlog (or a backfill) drains
+    *   in bounded-memory batches instead of one giant batch — the
+    *   streaming analogue of the reference's `batchSize` buffer cap
+    *   (`SinkConfig.java:20`). `AvailableNow` honors it too.
     */
   def run(
       spark: SparkSession,
@@ -72,13 +77,18 @@ object ChangeArchiveJob {
       cfg: TaskConfig,
       writers: Seq[BatchWriter],
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     TaskConfigChecker.check(cfg)
     // sink timestamps are rendered with date_format (session-timezone
     // dependent); pin UTC so delivered strings match TargetDataRow's
     // documented UTC rendering regardless of the caller's session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val streams = sources.map(s => s.instanceName -> spark.readStream.text(s.dir))
+    val streams = sources.map { s =>
+      val reader = spark.readStream
+      maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+      s.instanceName -> reader.text(s.dir)
+    }
     val archive = build(streams, spark, cfg)
     archive.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

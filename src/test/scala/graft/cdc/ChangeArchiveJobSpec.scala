@@ -225,6 +225,23 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("FE unavailable")))
   }
 
+  test("maxFilesPerTrigger bounds micro-batches: a 3-file backlog drains in >= 3 batches") {
+    val (srcA, ckpt, out) = (tmpDir("bp-a"), tmpDir("bp-ckpt"), tmpDir("bp-out"))
+    for (i <- 1 to 3)
+      writeEnvelopes(srcA, s"f$i.jsonl", Seq(envelope(i * 10L), envelope(i * 10L + 1)))
+    val q = ChangeArchiveJob.run(spark,
+      Seq(ChangeArchiveJob.SourceStream("src-a", srcA)),
+      cfg, Seq(new ParquetBatchWriter(out)), ckpt,
+      maxFilesPerTrigger = Some(1))
+    q.awaitTermination()
+    assert(spark.read.parquet(out).count() === 6, "no loss under bounded batches")
+    // each batch lands in its own batch_id=N dir — the backlog must have
+    // been split, not drained as one giant batch
+    val batchDirs = Files.list(Paths.get(out)).toArray
+      .map(_.toString.split('/').last).filter(_.startsWith("batch_id="))
+    assert(batchDirs.length >= 3, s"expected >=3 bounded batches, got: ${batchDirs.mkString(",")}")
+  }
+
   test("streaming retry e2e: a transiently failing sink fails the query; restart re-delivers with no dup") {
     // the reference's failure contract end-to-end THROUGH the engine:
     // a non-label sink failure throws (SrSink.java:131-133) → the
