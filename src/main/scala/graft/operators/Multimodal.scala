@@ -123,5 +123,30 @@ object Multimodal {
           .as[(Long, Array[Byte])]
         decodeMeta(payloads).toDF()
     },
+
+    GraftQuery(
+      "mm04_resize_plan",
+      Some("""SELECT doc_id,
+             |       64 + CAST(('0x' || SUBSTRING(MD5(text), 1, 4)) AS INT) % 1024 AS w,
+             |       64 + CAST(('0x' || SUBSTRING(MD5(text), 5, 4)) AS INT) % 1024 AS h,
+             |       CAST((64 + CAST(('0x' || SUBSTRING(MD5(text), 1, 4)) AS INT) % 1024) * 256
+             |            // GREATEST(64 + CAST(('0x' || SUBSTRING(MD5(text), 1, 4)) AS INT) % 1024,
+             |                        64 + CAST(('0x' || SUBSTRING(MD5(text), 5, 4)) AS INT) % 1024) AS INT) AS new_w,
+             |       CAST((64 + CAST(('0x' || SUBSTRING(MD5(text), 5, 4)) AS INT) % 1024) * 256
+             |            // GREATEST(64 + CAST(('0x' || SUBSTRING(MD5(text), 1, 4)) AS INT) % 1024,
+             |                        64 + CAST(('0x' || SUBSTRING(MD5(text), 5, 4)) AS INT) % 1024) AS INT) AS new_h
+             |FROM documents WHERE doc_id < 200""".stripMargin),
+      "Resize planning for media payloads: 'decoded' dimensions (md5-derived STUB, like the LSH seeds — which makes this the one multimodal op with a FULL value oracle) fit into a 256-box preserving aspect ratio with pure integer math. The byte-level resample would sit behind the codec stub; the dimension plan a pipeline schedules work with is real and cross-engine-checked.") {
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .withColumn("w", expr(
+            "64 + CAST(conv(substring(md5(encode(text, 'UTF-8')), 1, 4), 16, 10) AS INT) % 1024"))
+          .withColumn("h", expr(
+            "64 + CAST(conv(substring(md5(encode(text, 'UTF-8')), 5, 4), 16, 10) AS INT) % 1024"))
+          .select(col("doc_id"), col("w"), col("h"),
+            (col("w") * 256 / greatest(col("w"), col("h"))).cast("int").as("new_w"),
+            (col("h") * 256 / greatest(col("w"), col("h"))).cast("int").as("new_h"))
+    },
   )
 }
