@@ -21,6 +21,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // preflight, BEFORE the minutes-long timing loop: the output keys
+    // are id prefixes, so a collision must abort while it's still cheap
+    // (failing after the loop would lose every timing from the tail)
+    val ids = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    require(ids.distinct.size == ids.size,
+      "query id prefixes must stay unique — a collision would silently merge bench entries")
     // untimed warmup: JIT the scan/codegen/expression machinery once so
     // the alphabetically-first queries don't absorb JVM warmup
     try {
@@ -59,8 +65,6 @@ object Bench {
     // full descriptive name. 69 queries land ≈1.1 kB.
     def j3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def shortId(name: String) = name.takeWhile(_ != '_')
-    require(results.map(r => shortId(r._1)).distinct.size == results.size,
-      "query id prefixes must stay unique — a collision would silently merge bench entries")
     val qs = results.map { case (k, v) => jstr(shortId(k)) + ":" + j3(v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

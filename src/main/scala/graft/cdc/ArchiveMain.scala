@@ -94,7 +94,30 @@ object ArchiveMain {
     require(a.sources.nonEmpty, "at least one --source <instanceName>=<dir> is required")
     require(a.out.nonEmpty || a.sinkAdb.nonEmpty || a.sinkSr.nonEmpty,
       "configure at least one sink (--out / --sink-adb / --sink-sr)")
+    // an --adb-* flag without --sink-adb would be silently ignored — the
+    // operator would believe (exactly-once) JDBC delivery is configured
+    require(a.sinkAdb.nonEmpty || (a.adbUrl.isEmpty && a.adbLedger.isEmpty),
+      "--adb-url/--adb-ledger require --sink-adb")
     a
+  }
+
+  /** One id per checkpoint LINEAGE, persisted inside the checkpoint dir:
+    * resuming the same checkpoint reuses it (so deterministic labels
+    * keep skipping replayed loads), while a fresh/wiped checkpoint gets
+    * a new id (so restarted-from-scratch batch 0 does NOT collide with
+    * a previous lineage's labels on the FE — which would be silently
+    * swallowed as replays and lose the new data).
+    */
+  def lineageRunId(checkpointDir: String): String = {
+    val marker = java.nio.file.Paths.get(checkpointDir, "graft_run_id")
+    if (java.nio.file.Files.exists(marker))
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+    else {
+      val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, id.getBytes("UTF-8"))
+      id
+    }
   }
 
   /** Build the writer stack from the parsed arguments — the sink
@@ -118,12 +141,11 @@ object ArchiveMain {
     }
     val sr = a.sinkSr.map { path =>
       val c = ConfigLoader.loadSink(path)
-      // one deterministic run id per launch: a restart re-labels from
-      // the checkpointed batch id, so labels stay replay-stable within
-      // the run lineage (fixes the reference's nanoTime labels,
-      // SrSink.java:115)
+      // labels must be stable within a checkpoint lineage (replay skip)
+      // but unique ACROSS lineages (fresh checkpoint restarts batch ids
+      // at 0 — reusing old labels would skip-drop the new data)
       new StreamLoadBatchWriter(
-        runId = s"${c.dbName}",
+        runId = lineageRunId(a.checkpoint),
         transport = new HttpLoadTransport(c.host, c.port, c.dbName, c.username, c.password),
         chunkSize = c.batchSize)
     }
@@ -133,10 +155,21 @@ object ArchiveMain {
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv)
     val cfg = TaskConfigChecker.check(ConfigLoader.loadTask(a.task))
+    // every --source instance must exist in the task YAML: the
+    // enrichment join drops unmatched instances, so a typo'd name would
+    // run a "healthy" job that silently archives zero rows
+    val known = cfg.sources.map(_.instanceName).toSet
+    val unknown = a.sources.map(_.instanceName).filterNot(known)
+    require(unknown.isEmpty,
+      s"--source instance(s) not in task config: ${unknown.mkString(", ")} " +
+        s"(known: ${known.mkString(", ")})")
     val trigger =
       if (a.once) Trigger.AvailableNow()
       else {
-        val interval = a.sinkAdb.map(p => ConfigLoader.loadSink(p).flushIntervalMs)
+        // cadence comes from whichever sink config exists (an sr-only
+        // deployment's flushIntervalMs counts too), reference default 5 s
+        val interval = a.sinkAdb.orElse(a.sinkSr)
+          .map(p => ConfigLoader.loadSink(p).flushIntervalMs)
           .getOrElse(5000L)
         Trigger.ProcessingTime(interval)
       }

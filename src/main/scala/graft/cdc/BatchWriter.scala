@@ -245,7 +245,10 @@ final class StreamLoadBatchWriter(
         // per-table chunk order.
         val it = rows.map(r => (r.getString(0), r.getString(1))).buffered
         while (it.hasNext) {
-          val table = it.head._1
+          // same whitelist as the JDBC writers: the table name comes from
+          // CDC data and is spliced into labels, transport URLs and
+          // filesystem paths — reject anything that isn't an identifier
+          val table = JdbcRouting.checkIdent(it.head._1)
           var idx = 0
           while (it.hasNext && it.head._1 == table) {
             val chunk = new scala.collection.mutable.ArrayBuffer[String](cs)

@@ -82,7 +82,11 @@ object ChangeArchiveJob {
     TaskConfigChecker.check(cfg)
     // sink timestamps are rendered with date_format (session-timezone
     // dependent); pin UTC so delivered strings match TargetDataRow's
-    // documented UTC rendering regardless of the caller's session
+    // documented UTC rendering regardless of the caller's session.
+    // DELIBERATE session-level side effect: the streaming query reads
+    // this conf on every micro-batch, so it cannot be set-and-restored
+    // around start() — callers embedding this job in a non-UTC session
+    // should pass a dedicated spark.newSession()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val streams = sources.map { s =>
       val reader = spark.readStream

@@ -45,7 +45,11 @@ final class HttpLoadTransport(
     expectContinue: Boolean = true) extends LoadTransport {
 
   private val LabelExists = "Label Already Exists"
-  private val SuccessStatus = "\"Status\": \"Success\""
+  // whitespace-tolerant: the reference matches the exact pretty-printed
+  // substring '"Status": "Success"' (SrSink.java:33), which turns every
+  // compact-JSON success into a crash-looping retry
+  private val SuccessStatus =
+    java.util.regex.Pattern.compile("\"Status\"\\s*:\\s*\"Success\"")
 
   @transient private lazy val client: HttpClient =
     HttpClient.newBuilder()
@@ -89,7 +93,8 @@ final class HttpLoadTransport(
       }
       val body = resp.body()
       if (body.contains(LabelExists)) LoadResult.LabelAlreadyExists
-      else if (resp.statusCode() / 100 == 2 && body.contains(SuccessStatus)) LoadResult.Success
+      else if (resp.statusCode() / 100 == 2 && SuccessStatus.matcher(body).find())
+        LoadResult.Success
       else LoadResult.Failure(
         s"stream load HTTP ${resp.statusCode()}: ${body.take(500)}")
     } catch {

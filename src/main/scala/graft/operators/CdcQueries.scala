@@ -125,7 +125,8 @@ object CdcQueries {
               |  AND TRIM(COALESCE(value->>'$$.source.table', '')) <> ''
               |  AND (value->>'$$.before') IS NOT NULL
               |  AND (value->>'$$.before.id') IS NOT NULL
-              |  AND COALESCE(CAST(value->>'$$.ts_ms' AS BIGINT), 0) > 0""".stripMargin),
+              |  AND COALESCE(TRY_CAST(value->>'$$.ts_ms' AS BIGINT), 0)
+              |      BETWEEN 1 AND ${graft.cdc.Debezium.MaxTsMs}""".stripMargin),
       "The REAL Debezium envelope parser (graft.cdc.Debezium.parseChanges, StartJob.java:113-165 semantics) over synthesized envelopes: keep op='d' with table/before/id/ts present, stringify id, epoch-ms -> formatted delete time, pass the pre-image through as opaque JSON (decimal-as-string preserved verbatim).") {
       (s, dir) =>
         graft.cdc.Debezium.parseChanges(envelopes(s, dir), "inst-a")
@@ -144,7 +145,8 @@ object CdcQueries {
               |            WHEN TRIM(COALESCE(value->>'$$.source.table', '')) = '' THEN 'no_table'
               |            WHEN (value->>'$$.before') IS NULL THEN 'no_before'
               |            WHEN (value->>'$$.before.id') IS NULL THEN 'no_id'
-              |            WHEN COALESCE(CAST(value->>'$$.ts_ms' AS BIGINT), 0) <= 0 THEN 'bad_ts'
+              |            WHEN COALESCE(TRY_CAST(value->>'$$.ts_ms' AS BIGINT), 0)
+              |                 NOT BETWEEN 1 AND ${graft.cdc.Debezium.MaxTsMs} THEN 'bad_ts'
               |            ELSE 'kept' END AS reason,
               |       COUNT(*) AS n
               |FROM env GROUP BY 1""".stripMargin),
@@ -164,7 +166,8 @@ object CdcQueries {
               |  AND TRIM(COALESCE(value->>'$$.source.table', '')) <> ''
               |  AND (value->>'$$.before') IS NOT NULL
               |  AND (value->>'$$.before.id') IS NOT NULL
-              |  AND COALESCE(CAST(value->>'$$.ts_ms' AS BIGINT), 0) > 0
+              |  AND COALESCE(TRY_CAST(value->>'$$.ts_ms' AS BIGINT), 0)
+              |      BETWEEN 1 AND ${graft.cdc.Debezium.MaxTsMs}
               |GROUP BY 1, 2""".stripMargin),
       "Archive operational analytics: the parsed delete stream bucketed into per-table daily tumbling windows — the monitoring view an operator puts on the reference's pipeline (which only error-logs); window() over parseChanges output composes the parser with the streaming window operator.") {
       (s, dir) =>

@@ -166,18 +166,18 @@ object Dedup {
       val next = propagate(labels).localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
         .filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
+      // superseded checkpoint blocks are reclaimed by the ContextCleaner
+      // once `labels` is re-bound (localCheckpoint data isn't in the
+      // CacheManager, so Dataset.unpersist would be a no-op here)
       labels = next
       converged = changed == 0
       round += 1
     }
     bi.unpersist()
-    if (!converged) {
-      labels.unpersist()
+    if (!converged)
       throw new IllegalStateException(
         s"min-label propagation did not converge in $maxRounds rounds — " +
           "component diameter exceeds the cap; raise maxRounds")
-    }
     labels.select(col("doc_id"), col("cluster"))
   }
 

@@ -49,6 +49,34 @@ class ArchiveMainSpec extends AnyFunSuite {
       Array("--task", "t.yaml", "--checkpoint", "c", "--source", "nodir",
         "--out", "o"))) // malformed source
     intercept[IllegalArgumentException](ArchiveMain.parseArgs(Array("--bogus")))
+    // adb flags without --sink-adb would be silently ignored
+    intercept[IllegalArgumentException](ArchiveMain.parseArgs(
+      Array("--task", "t.yaml", "--checkpoint", "c", "--source", "a=b",
+        "--out", "o", "--adb-ledger", "ledger")))
+  }
+
+  test("main() rejects a --source instance the task YAML does not know") {
+    val (dir, src, ckpt) = (tmpDir("uk-cfg"), tmpDir("uk-src"), tmpDir("uk-ckpt"))
+    write(s"$src/f1.jsonl", envelope(1))
+    val e = intercept[IllegalArgumentException](ArchiveMain.main(Array(
+      "--task", taskYaml(dir),
+      "--source", s"srcA=$src", // typo for src-a: enrich would drop every row
+      "--checkpoint", ckpt,
+      "--out", tmpDir("uk-out"),
+      "--once")))
+    assert(e.getMessage.contains("srcA"))
+  }
+
+  test("lineageRunId: stable across resume, fresh after a checkpoint wipe") {
+    val ckpt = tmpDir("lin-ckpt")
+    val id1 = ArchiveMain.lineageRunId(ckpt)
+    assert(ArchiveMain.lineageRunId(ckpt) === id1, "resume must reuse the lineage id")
+    // wipe = new lineage: labels must NOT collide with the old lineage's
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala.toSeq
+      .reverse.foreach(java.nio.file.Files.delete)
+    val id2 = ArchiveMain.lineageRunId(ckpt)
+    assert(id2 !== id1, "a wiped checkpoint must get a fresh run id")
   }
 
   test("parseArgs: full flag set round-trips") {
@@ -152,11 +180,10 @@ class ArchiveMainSpec extends AnyFunSuite {
         "--sink-sr", s"$dir/sink-sr.yaml",
         "--once"))
       val got = labels.synchronized(labels.sorted.toSeq)
-      // 5 rows, chunkSize 2 -> 3 labeled loads, run id = dbName
-      assert(got === Seq(
-        "graft_demo_0_demo_t_orders_0",
-        "graft_demo_0_demo_t_orders_1",
-        "graft_demo_0_demo_t_orders_2"))
+      // 5 rows, chunkSize 2 -> 3 labeled loads, run id = checkpoint
+      // lineage id (stable on resume, fresh after a wipe)
+      val rid = ArchiveMain.lineageRunId(ckpt)
+      assert(got === (0 to 2).map(i => s"graft_${rid}_0_demo_t_orders_$i"))
     } finally server.stop(0)
   }
 }

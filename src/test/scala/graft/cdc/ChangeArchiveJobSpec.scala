@@ -207,6 +207,23 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
     assert(chunk1.split("\\{\"id\"").length - 1 === 1)
   }
 
+  test("stream-load rejects a dbTbName that is not a plain identifier (no path/URL splice)") {
+    // the table name is CDC data and reaches transport URLs and
+    // filesystem paths — a traversal-shaped name must throw, not load
+    val batch = ChangeArchiveJob.build(
+      Seq("src-a" -> {
+        import spark.implicits._
+        Seq(envelope(1, table = "x/../../../tmp/evil")).toDF("value")
+      }),
+      spark, cfg.copy(tables = Seq("x")))
+    val loads = tmpDir("sl-evil")
+    val e = intercept[org.apache.spark.SparkException](
+      new StreamLoadBatchWriter("rune", new FileLoadTransport(loads)).write(batch, 0L))
+    assert(e.getMessage.contains("illegal archive table name") ||
+      Option(e.getCause).exists(_.getMessage.contains("illegal archive table name")))
+    assert(!Files.exists(Paths.get("/tmp/evil.json")))
+  }
+
   test("stream-load failure propagates so the streaming query retries the batch") {
     val batch = ChangeArchiveJob.build(
       Seq("src-a" -> {

@@ -72,6 +72,16 @@ class HttpLoadTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("compact-JSON success (no space after colon) still maps to Success") {
+    // the reference's exact-substring match ('"Status": "Success"')
+    // would crash-loop on a compact-serializing FE/proxy
+    withServer { (server, port) =>
+      server.createContext("/", ex => { readBody(ex); respond(ex, 200,
+        """{"TxnId":1,"Label":"l","Status":"Success","Message":"OK"}""") })
+      assert(transport(port).put("t", "l", "[]") === LoadResult.Success)
+    }
+  }
+
   test("label already exists maps to LabelAlreadyExists (replay skip, SrSink.java:126-129)") {
     withServer { (server, port) =>
       server.createContext("/", ex => { readBody(ex); respond(ex, 200,
