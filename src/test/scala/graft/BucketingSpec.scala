@@ -48,4 +48,28 @@ class BucketingSpec extends AnyFunSuite {
       }
     } finally spark.conf.set(bcKey, prevBc)
   }
+
+  test("partition pruning: a day-partitioned layout scans one partition, not thirty") {
+    // at 100 TB the events table is laid out by day; a one-day query
+    // must read one directory — pruning happens at PLAN time from the
+    // declarative filter, no manual file selection
+    val dir = java.nio.file.Files.createTempDirectory("events-partitioned").toString
+    Tables.load(spark, sf0001, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val oneDay = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-15")
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"expected partition filters:\n$plan")
+    // the scan's file listing must collapse to the single matching day
+    val scannedFiles = oneDay.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(scannedFiles.nonEmpty)
+    assert(scannedFiles.forall(_.contains("day=2024-01-15")),
+      s"scan leaked past the partition: ${scannedFiles.take(3).mkString(",")}")
+    // and the values equal the unpartitioned filter
+    val expected = Tables.load(spark, sf0001, "events")
+      .filter(to_date(col("ts")) === "2024-01-15").count()
+    assert(oneDay.count() === expected)
+  }
 }
