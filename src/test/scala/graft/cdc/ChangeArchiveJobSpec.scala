@@ -242,6 +242,27 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("FE unavailable")))
   }
 
+  test("drop taxonomy is visible in streaming progress events (observe counters)") {
+    val (srcA, ckpt, out) = (tmpDir("ob-a"), tmpDir("ob-ckpt"), tmpDir("ob-out"))
+    writeEnvelopes(srcA, "f1.jsonl", Seq(
+      envelope(1), envelope(2),              // kept
+      envelope(3, op = "u"),                 // not_delete
+      envelope(4, table = "")))              // no_table
+    val q = ChangeArchiveJob.run(spark,
+      Seq(ChangeArchiveJob.SourceStream("src-a", srcA)),
+      cfg, Seq(new ParquetBatchWriter(out)), ckpt)
+    q.awaitTermination()
+    val observed = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("cdc_parse_src-a")))
+    assert(observed.nonEmpty, "progress events must carry the observe() metrics")
+    val m = observed.last
+    def v(name: String): Long = m.getLong(m.schema.fieldIndex(name))
+    assert(v("total") === 4L)
+    assert(v("kept") === 2L)
+    assert(v(Debezium.NotDelete) === 1L)
+    assert(v(Debezium.NoTable) === 1L)
+  }
+
   test("maxFilesPerTrigger bounds micro-batches: a 3-file backlog drains in >= 3 batches") {
     val (srcA, ckpt, out) = (tmpDir("bp-a"), tmpDir("bp-ckpt"), tmpDir("bp-out"))
     for (i <- 1 to 3)
