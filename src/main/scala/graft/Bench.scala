@@ -44,7 +44,7 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(60)
         }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
@@ -66,7 +66,17 @@ object Bench {
     def j3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def shortId(name: String) = name.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => jstr(shortId(k)) + ":" + j3(v) }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    // errors budget: short ids + 60-char messages, and cap the map at
+    // ~600 chars — a many-failure round must still leave the whole line
+    // inside the driver's 2000-char tail (which is when errors matter)
+    val errEntries = errors.toSeq.map { case (k, v) => jstr(shortId(k)) + ":" + jstr(v) }
+    val (kept, dropped) = {
+      var budget = 600
+      val keep = errEntries.takeWhile { e => budget -= e.length + 1; budget >= 0 }
+      (keep, errEntries.size - keep.size)
+    }
+    val errs = (kept ++ (if (dropped > 0) Seq(jstr("_truncated") + ":" + jstr(s"$dropped more")) else Seq()))
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

@@ -107,27 +107,48 @@ object ArchiveMain {
     * a new id (so restarted-from-scratch batch 0 does NOT collide with
     * a previous lineage's labels on the FE — which would be silently
     * swallowed as replays and lose the new data).
+    *
+    * Goes through the Hadoop filesystem of the checkpoint URI, NOT
+    * java.nio: checkpoints live on hdfs://'/s3a:// in production, and a
+    * driver-local marker would mint a fresh id after a driver failover —
+    * replayed chunks would then carry labels the FE has never seen,
+    * re-loading every already-delivered row.
     */
-  def lineageRunId(checkpointDir: String): String = {
-    val marker = java.nio.file.Paths.get(checkpointDir, "graft_run_id")
-    if (java.nio.file.Files.exists(marker))
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim
+  def lineageRunId(spark: SparkSession, checkpointDir: String): String = {
+    val marker = new org.apache.hadoop.fs.Path(checkpointDir, "graft_run_id")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readExisting(): String = {
+      val in = fs.open(marker)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+    if (fs.exists(marker)) readExisting()
     else {
       val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      java.nio.file.Files.createDirectories(marker.getParent)
-      java.nio.file.Files.write(marker, id.getBytes("UTF-8"))
-      id
+      fs.mkdirs(marker.getParent)
+      try {
+        val out = fs.create(marker, /* overwrite = */ false)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+        id
+      } catch { // lost a (rare) create race: the winner's id is the lineage id
+        case _: java.io.IOException if fs.exists(marker) => readExisting()
+      }
     }
   }
 
-  /** Build the writer stack from the parsed arguments — the sink
-    * assembly of `StartJob.java:95-104`, with the parquet archive as
-    * this environment's always-available stand-in store.
+  /** Build the writer stack from parsed arguments + pre-loaded sink
+    * configs — the sink assembly of `StartJob.java:95-104`, with the
+    * parquet archive as this environment's always-available stand-in
+    * store. Configs are loaded ONCE in `main` and shared with the
+    * trigger-cadence derivation (no double parse, no torn reads).
     */
-  def writers(a: Args): Seq[BatchWriter] = {
+  def writers(
+      a: Args,
+      adbCfg: Option[SinkConfig],
+      srCfg: Option[SinkConfig],
+      runId: => String): Seq[BatchWriter] = {
     val parquet = a.out.map(new ParquetBatchWriter(_))
-    val jdbc = a.sinkAdb.map { path =>
-      val c = ConfigLoader.loadSink(path)
+    val jdbc = adbCfg.map { c =>
       val url = a.adbUrl.getOrElse(s"jdbc:mysql://${c.host}:${c.port}/${c.dbName}")
       val props = new java.util.Properties
       props.setProperty("user", c.username)
@@ -139,13 +160,12 @@ object ArchiveMain {
           new JdbcBatchWriter(url, props, insertBatchSize = c.batchSize)
       }
     }
-    val sr = a.sinkSr.map { path =>
-      val c = ConfigLoader.loadSink(path)
+    val sr = srCfg.map { c =>
       // labels must be stable within a checkpoint lineage (replay skip)
       // but unique ACROSS lineages (fresh checkpoint restarts batch ids
       // at 0 — reusing old labels would skip-drop the new data)
       new StreamLoadBatchWriter(
-        runId = lineageRunId(a.checkpoint),
+        runId = runId,
         transport = new HttpLoadTransport(c.host, c.port, c.dbName, c.username, c.password),
         chunkSize = c.batchSize)
     }
@@ -163,14 +183,15 @@ object ArchiveMain {
     require(unknown.isEmpty,
       s"--source instance(s) not in task config: ${unknown.mkString(", ")} " +
         s"(known: ${known.mkString(", ")})")
+    val adbCfg = a.sinkAdb.map(ConfigLoader.loadSink(_))
+    val srCfg = a.sinkSr.map(ConfigLoader.loadSink(_))
     val trigger =
       if (a.once) Trigger.AvailableNow()
       else {
         // cadence comes from whichever sink config exists (an sr-only
         // deployment's flushIntervalMs counts too), reference default 5 s
-        val interval = a.sinkAdb.orElse(a.sinkSr)
-          .map(p => ConfigLoader.loadSink(p).flushIntervalMs)
-          .getOrElse(5000L)
+        val interval = adbCfg.orElse(srCfg)
+          .map(_.flushIntervalMs).getOrElse(5000L)
         Trigger.ProcessingTime(interval)
       }
     val spark = SparkSession.builder()
@@ -179,8 +200,9 @@ object ArchiveMain {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val query = ChangeArchiveJob.run(spark, a.sources, cfg, writers(a), a.checkpoint,
-      trigger, a.maxFilesPerTrigger)
+    val query = ChangeArchiveJob.run(spark, a.sources, cfg,
+      writers(a, adbCfg, srCfg, lineageRunId(spark, a.checkpoint)),
+      a.checkpoint, trigger, a.maxFilesPerTrigger)
     query.awaitTermination()
   }
 }

@@ -37,14 +37,20 @@ object Debezium {
 
   val reasons: Seq[String] = Seq(Malformed, NotDelete, NoTable, NoBefore, NoId, BadTs)
 
-  /** Largest ts_ms whose millis→micros conversion fits Spark's
-    * micros-backed TimestampType. The reference would happily build
-    * `new Timestamp(Long.MAX_VALUE)` (year ~292278994); Spark cannot
-    * represent it, and `timestamp_millis` THROWS on overflow — which in
-    * a streaming job means one garbage envelope kills the query. Values
-    * past this bound are counted as [[BadTs]] drops instead.
+  /** Largest ts_ms a Kept envelope may carry: 9999-12-31T23:59:59.999Z.
+    * Two hazards force a bound (the reference would happily build
+    * `new Timestamp(Long.MAX_VALUE)`, year ~292278994):
+    *  - Spark's TimestampType is micros-backed, so `timestamp_millis`
+    *    THROWS past Long.MaxValue/1000 — one garbage envelope kills the
+    *    streaming query;
+    *  - even a representable near-max timestamp overflows the first
+    *    downstream `window()`/interval addition (windowEnd = start +
+    *    1 day > Long.MaxValue µs → ANSI ArithmeticException), so the
+    *    raw representability bound just moves the crash one operator
+    *    later. Year-9999 caps with ~290 000 years of headroom; a CDC
+    *    producer epoch past it is garbage, counted as [[BadTs]].
     */
-  val MaxTsMs: Long = Long.MaxValue / 1000L
+  val MaxTsMs: Long = 253402300799999L
 
   private def op(value: Column) = get_json_object(value, "$.op")
   private def table(value: Column) = get_json_object(value, "$.source.table")

@@ -98,7 +98,11 @@ final class HttpLoadTransport(
       else LoadResult.Failure(
         s"stream load HTTP ${resp.statusCode()}: ${body.take(500)}")
     } catch {
-      case e: Exception =>
+      // NonFatal only: an InterruptedException here is Spark KILLING the
+      // task (query stop, speculation) — swallowing it as a retryable
+      // sink failure would clear the interrupt and mislabel the
+      // cancellation; NonFatal lets it (and fatal errors) propagate
+      case scala.util.control.NonFatal(e) =>
         LoadResult.Failure(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 }

@@ -77,9 +77,12 @@ object Dedup {
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |ELSE [] END""".stripMargin
 
-  /** The dd05 near-dup edge list (word-trigram Jaccard ≥ 0.8 over the
-    * df-capped inverted index) as a reusable builder — dd07 clusters
-    * it, dd08 turns the clusters into the keep-list.
+  /** THE near-dup edge pipeline (word-trigram Jaccard ≥ 0.8 over the
+    * df-capped inverted index): the single source of truth dd05 emits
+    * as pairs-with-score, and dd07/dd08 cluster. Emits
+    * `(doc_a, doc_b, jaccard)` so one copy of the threshold / cap /
+    * shingle logic serves all three (its SQL twin is [[clusterCtes]] /
+    * dd05's oracle).
     */
   private def jaccardEdges(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -96,9 +99,10 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
       .join(n.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(n.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .filter(col("shared").cast("double") /
-        (col("n_a") + col("n_b") - col("shared")) >= 0.8)
-      .select("doc_a", "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** DuckDB twin of [[jaccardEdges]] + transitive closure: the CTE body
@@ -394,27 +398,7 @@ object Dedup {
               |       JOIN n nb ON nb.doc_id = p.doc_b
               |WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8""".stripMargin),
       s"Exact word-trigram Jaccard ≥ 0.8 via inverted-index self-join, with a document-frequency cap (df ≤ $DfCap) on the index: frequent shingles are p²-join skew bombs at scale and carry no near-dup signal.") {
-      (s, dir) =>
-        graft.functions.GraftFunctions.register(s)
-        val sh = spread(docs(s, dir), "doc_id")
-          .withColumn("gs", expr("graft_shingles(text)"))
-          .select(col("doc_id"), explode(col("gs")).as("g"))
-        val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= DfCap).select("g")
-        val er = sh.join(rare, "g").persist()
-        val n = er.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val pairs = er.select(col("doc_id").as("doc_a"), col("g"))
-          .join(er.select(col("doc_id").as("doc_b"), col("g")), "g")
-          .filter(col("doc_a") < col("doc_b"))
-          .groupBy("doc_a", "doc_b")
-          .agg(count(lit(1)).as("shared"))
-        pairs
-          .join(n.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-          .join(n.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-          .withColumn("jaccard",
-            col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
-          .filter(col("jaccard") >= 0.8)
-          .select("doc_a", "doc_b", "jaccard")
+      (s, dir) => jaccardEdges(s, dir)
     },
 
     GraftQuery(
@@ -423,7 +407,7 @@ object Dedup {
               |SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id""".stripMargin),
       "Near-dup CLUSTERS: connected components over the dd05 jaccard-pair edges via Pregel-style min-label propagation (iterate: label = min(label, neighbors' labels) until fixpoint) — the grouping step that turns pairwise near-dups into keep-one-per-cluster sets. Oracle is a recursive CTE over the same edges.") {
       (s, dir) =>
-        minLabelClusters(jaccardEdges(s, dir).persist())
+        minLabelClusters(jaccardEdges(s, dir).select("doc_a", "doc_b").persist())
     },
 
     GraftQuery(
@@ -438,7 +422,8 @@ object Dedup {
               |WHERE c.doc_id IS NULL OR c.doc_id = c.cluster""".stripMargin),
       "The dedup DELIVERABLE: one keeper per near-dup cluster (its min doc id) plus every unclustered doc, with n_dropped = how many near-dups the keeper absorbed — the keep-list a training-data pipeline feeds downstream after dd05/dd07.") {
       (s, dir) =>
-        val clusters = minLabelClusters(jaccardEdges(s, dir).persist())
+        val clusters = minLabelClusters(
+          jaccardEdges(s, dir).select("doc_a", "doc_b").persist())
         val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
         docs(s, dir).select("doc_id")
           .join(clusters, Seq("doc_id"), "left")

@@ -69,13 +69,13 @@ class ArchiveMainSpec extends AnyFunSuite {
 
   test("lineageRunId: stable across resume, fresh after a checkpoint wipe") {
     val ckpt = tmpDir("lin-ckpt")
-    val id1 = ArchiveMain.lineageRunId(ckpt)
-    assert(ArchiveMain.lineageRunId(ckpt) === id1, "resume must reuse the lineage id")
+    val id1 = ArchiveMain.lineageRunId(spark, ckpt)
+    assert(ArchiveMain.lineageRunId(spark, ckpt) === id1, "resume must reuse the lineage id")
     // wipe = new lineage: labels must NOT collide with the old lineage's
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt)).iterator().asScala.toSeq
       .reverse.foreach(java.nio.file.Files.delete)
-    val id2 = ArchiveMain.lineageRunId(ckpt)
+    val id2 = ArchiveMain.lineageRunId(spark, ckpt)
     assert(id2 !== id1, "a wiped checkpoint must get a fresh run id")
   }
 
@@ -182,7 +182,7 @@ class ArchiveMainSpec extends AnyFunSuite {
       val got = labels.synchronized(labels.sorted.toSeq)
       // 5 rows, chunkSize 2 -> 3 labeled loads, run id = checkpoint
       // lineage id (stable on resume, fresh after a wipe)
-      val rid = ArchiveMain.lineageRunId(ckpt)
+      val rid = ArchiveMain.lineageRunId(spark, ckpt)
       assert(got === (0 to 2).map(i => s"graft_${rid}_0_demo_t_orders_$i"))
     } finally server.stop(0)
   }
