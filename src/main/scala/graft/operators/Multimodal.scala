@@ -24,16 +24,20 @@ object Multimodal {
 
   /** STUB decoder: a real implementation would hand `payload` to an
     * image/audio codec (not available in this container). This fake
-    * derives deterministic "dimensions" from the payload bytes so the
-    * partition-parallel plumbing is exercisable and test-assertable.
+    * derives deterministic "dimensions" from **md5 of the payload
+    * bytes** — the same seed-derivation trick as the LSH family — so
+    * the mapPartitions plumbing is not just exercisable but fully
+    * DuckDB-oracle-checkable (mm02/mm03 carry value oracles, not
+    * rows-only checks).
     */
   object FakeCodec {
     def decode(payload: Array[Byte]): (Int, Int, Int) = {
-      val h = java.util.Arrays.hashCode(payload)
-      val w = 64 + math.floorMod(h, 1024)
-      val ht = 64 + math.floorMod(h >> 10, 1024)
-      val frames = 1 + math.floorMod(h >> 20, 32)
-      (w, ht, frames)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).map("%02x".format(_)).mkString
+      val w = 64 + Integer.parseInt(hex.substring(0, 4), 16) % 1024
+      val h = 64 + Integer.parseInt(hex.substring(4, 8), 16) % 1024
+      val frames = 1 + Integer.parseInt(hex.substring(8, 12), 16) % 32
+      (w, h, frames)
     }
   }
 
@@ -71,10 +75,11 @@ object Multimodal {
         val (_, _, frames) = FakeCodec.decode(payload)
         (0 until frames by step).map { f =>
           // STUB: a real decoder hashes the frame's pixel buffer; this
-          // hashes payload + frame index, deterministically
+          // hashes payload ++ "#<idx>" — deterministic AND expressible
+          // as SHA256(text || '#' || idx) in the DuckDB oracle
           digest.reset()
           digest.update(payload)
-          digest.update(java.nio.ByteBuffer.allocate(4).putInt(f).array())
+          digest.update(s"#$f".getBytes("UTF-8"))
           FrameSample(id, f, digest.digest().map("%02x".format(_)).mkString.take(16))
         }
       }
@@ -85,8 +90,14 @@ object Multimodal {
 
     GraftQuery(
       "mm03_frame_sample",
-      None, // stub codec is JVM-only → rows-only check; plumbing asserted in MultimodalSpec
-      "Frame sampling over opaque media payloads: stub-decode frame count, keep every 4th frame, one row per sampled frame with a per-frame digest (mapPartitions+flatMap — the real thing minus the codec).") {
+      Some("""WITH d AS (SELECT doc_id, text,
+             |                 1 + CAST(('0x' || SUBSTRING(MD5(text), 9, 4)) AS INT) % 32 AS frames
+             |           FROM documents WHERE doc_id < 100),
+             |s AS (SELECT doc_id, text, UNNEST(RANGE(0, frames, 4)) AS f FROM d)
+             |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+             |       SUBSTRING(SHA256(text || '#' || CAST(f AS VARCHAR)), 1, 16) AS frame_sha
+             |FROM s""".stripMargin),
+      "Frame sampling over opaque media payloads: stub-decode frame count (md5-derived → full value oracle), keep every 4th frame, one row per sampled frame with a per-frame digest (mapPartitions+flatMap — the real thing minus the codec).") {
       (s, dir) =>
         implicit val spark: SparkSession = s
         import s.implicits._
@@ -113,8 +124,14 @@ object Multimodal {
 
     GraftQuery(
       "mm02_decode_stub_meta",
-      None, // stub codec is JVM-only → rows-only check; plumbing asserted in MultimodalSpec
-      "mapPartitions batch 'decode' of binary payloads through the stub codec → typed MediaMeta rows (schema, batching and partition parallelism are the real thing; only the codec is fake).") {
+      Some("""SELECT doc_id,
+             |       OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+             |       SHA256(text) AS sha_hex,
+             |       64 + CAST(('0x' || SUBSTRING(MD5(text), 1, 4)) AS INT) % 1024 AS width,
+             |       64 + CAST(('0x' || SUBSTRING(MD5(text), 5, 4)) AS INT) % 1024 AS height,
+             |       1 + CAST(('0x' || SUBSTRING(MD5(text), 9, 4)) AS INT) % 32 AS n_frames
+             |FROM documents""".stripMargin),
+      "mapPartitions batch 'decode' of binary payloads through the stub codec → typed MediaMeta rows (schema, batching and partition parallelism are the real thing; only the codec is fake — and its md5-derived outputs carry a FULL value oracle).") {
       (s, dir) =>
         implicit val spark: SparkSession = s
         import s.implicits._
