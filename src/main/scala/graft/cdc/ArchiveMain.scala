@@ -31,8 +31,9 @@ import org.apache.spark.sql.streaming.Trigger
   *    (batch_id, partition_id))`
   *  - `--sink-sr <sink.yaml>`       Stream Load sink config; presence
   *    is the opt-in, like the reference's `sink_to_sr` flag
-  *  - `--max-files-per-trigger <n>` backpressure: cap source files per
-  *    micro-batch so a backlog drains in bounded batches
+  *  - `--max-files-per-trigger <n>` backpressure: cap files PER SOURCE
+  *    per micro-batch (N sources admit ≤ N×n files) so a backlog
+  *    drains in bounded batches
   *  - `--once`                      drain-and-stop (AvailableNow);
   *    default is a ProcessingTime trigger at the adb sink's
   *    `flushIntervalMs` (the reference's flush cadence, 5 s default)
@@ -98,6 +99,8 @@ object ArchiveMain {
     // operator would believe (exactly-once) JDBC delivery is configured
     require(a.sinkAdb.nonEmpty || (a.adbUrl.isEmpty && a.adbLedger.isEmpty),
       "--adb-url/--adb-ledger require --sink-adb")
+    require(a.maxFilesPerTrigger.forall(_ > 0),
+      "--max-files-per-trigger must be positive")
     a
   }
 
@@ -117,21 +120,32 @@ object ArchiveMain {
   def lineageRunId(spark: SparkSession, checkpointDir: String): String = {
     val marker = new org.apache.hadoop.fs.Path(checkpointDir, "graft_run_id")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def readExisting(): String = {
+    def readExisting(): Option[String] = {
       val in = fs.open(marker)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
+      // a 0-byte/blank marker (crashed mid-write before this code used
+      // atomic rename) must NOT become lineage id "" — empty ids would
+      // collide across lineages and skip-drop real data
+      Option(s).filter(_.nonEmpty)
     }
-    if (fs.exists(marker)) readExisting()
-    else {
+    def tryRead(): Option[String] =
+      if (fs.exists(marker)) readExisting() else None
+    tryRead().getOrElse {
       val id = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       fs.mkdirs(marker.getParent)
-      try {
-        val out = fs.create(marker, /* overwrite = */ false)
-        try out.write(id.getBytes("UTF-8")) finally out.close()
-        id
-      } catch { // lost a (rare) create race: the winner's id is the lineage id
-        case _: java.io.IOException if fs.exists(marker) => readExisting()
+      // write-then-rename: the marker either exists fully-written or
+      // not at all (rename is atomic on HDFS/posix); a lost rename race
+      // means another driver won — adopt its id
+      val tmp = new org.apache.hadoop.fs.Path(
+        marker.getParent, s"graft_run_id.tmp.$id")
+      val out = fs.create(tmp, /* overwrite = */ true)
+      try out.write(id.getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, marker)) id
+      else {
+        fs.delete(tmp, false)
+        tryRead().getOrElse(throw new IllegalStateException(
+          s"cannot establish lineage id: rename lost but $marker unreadable"))
       }
     }
   }

@@ -65,10 +65,12 @@ object ChangeArchiveJob {
     * @param trigger `AvailableNow` drains what exists then stops (used
     *   by tests/backfills); `ProcessingTime(flushIntervalMs)` matches
     *   the reference's flush cadence (`SinkConfig.java:21`).
-    * @param maxFilesPerTrigger backpressure bound: cap how many source
-    *   files enter one micro-batch, so a backlog (or a backfill) drains
-    *   in bounded-memory batches instead of one giant batch — the
-    *   streaming analogue of the reference's `batchSize` buffer cap
+    * @param maxFilesPerTrigger backpressure bound, applied PER SOURCE
+    *   stream (Spark file-source semantics): with N sources a
+    *   micro-batch admits at most `N × maxFilesPerTrigger` files — size
+    *   the cap for the instance count. Keeps a backlog (or backfill)
+    *   draining in bounded-memory batches instead of one giant batch —
+    *   the streaming analogue of the reference's `batchSize` buffer cap
     *   (`SinkConfig.java:20`). `AvailableNow` honors it too.
     */
   def run(

@@ -92,8 +92,16 @@ final class HttpLoadTransport(
           HttpResponse.BodyHandlers.ofString(StandardCharsets.UTF_8))
       }
       val body = resp.body()
-      if (body.contains(LabelExists)) LoadResult.LabelAlreadyExists
-      else if (resp.statusCode() / 100 == 2 && SuccessStatus.matcher(body).find())
+      val ok = resp.statusCode() / 100 == 2
+      // label-exists is a replay SKIP only when the prior load actually
+      // went through: an existing label whose job ABORTED means the data
+      // never committed — skipping would lose it; failing retries the
+      // chunk (StarRocks allows re-PUT of an aborted label). The
+      // reference skips on the bare substring at any status
+      // (SrSink.java:126-129), which drops exactly that case.
+      if (ok && body.contains(LabelExists) && !body.contains("ABORTED"))
+        LoadResult.LabelAlreadyExists
+      else if (ok && SuccessStatus.matcher(body).find())
         LoadResult.Success
       else LoadResult.Failure(
         s"stream load HTTP ${resp.statusCode()}: ${body.take(500)}")

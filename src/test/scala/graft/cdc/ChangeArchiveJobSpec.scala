@@ -221,7 +221,9 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
       new StreamLoadBatchWriter("rune", new FileLoadTransport(loads)).write(batch, 0L))
     assert(e.getMessage.contains("illegal archive table name") ||
       Option(e.getCause).exists(_.getMessage.contains("illegal archive table name")))
-    assert(!Files.exists(Paths.get("/tmp/evil.json")))
+    // the traversal would have resolved to a /tmp/evil DIRECTORY holding
+    // a label-named json; neither may exist
+    assert(!Files.exists(Paths.get("/tmp/evil")))
   }
 
   test("stream-load failure propagates so the streaming query retries the batch") {

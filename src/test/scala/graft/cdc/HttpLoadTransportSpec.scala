@@ -90,6 +90,17 @@ class HttpLoadTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("label exists with ABORTED prior job maps to Failure, not skip (data never committed)") {
+    // the reference skips on the bare 'Label Already Exists' substring —
+    // but if the prior load ABORTED, skipping permanently loses the chunk
+    withServer { (server, port) =>
+      server.createContext("/", ex => { readBody(ex); respond(ex, 200,
+        """{"Status": "Label Already Exists", "ExistingJobStatus": "ABORTED"}""") })
+      val r = transport(port).put("t", "l", "[]")
+      assert(r.isInstanceOf[LoadResult.Failure], s"must retry an aborted label, got $r")
+    }
+  }
+
   test("non-Success body maps to Failure (throw upstream → streaming retry, SrSink.java:131-133)") {
     withServer { (server, port) =>
       server.createContext("/", ex => { readBody(ex); respond(ex, 200,
