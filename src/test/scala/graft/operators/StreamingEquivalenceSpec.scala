@@ -134,6 +134,32 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     assert(batch.count() > 0, "fixture must exercise the join")
   }
 
+  test("cdc06 monitoring view runs as a real stream: parser + window == batch twin") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    // stage Debezium envelopes (valid deletes) as a file stream
+    val src = JFiles.createTempDirectory("cdc06-src").toString
+    val envs = (1 to 40).map { i =>
+      val ts = 1700000000000L + i * 3600_000L // one per hour, ~2 days
+      s"""{"op":"d","ts_ms":$ts,"source":{"db":"demo","table":"t_${i % 2}"},"before":{"id":$i},"after":null}"""
+    }
+    JFiles.write(JPaths.get(src, "f1.jsonl"), envs.mkString("\n").getBytes("UTF-8"))
+    val parsedStream = graft.cdc.Debezium.parseChanges(
+      spark.readStream.text(src), "inst-a")
+      .groupBy(window(col("recordDelTime"), "1 day"), col("tableName"))
+      .agg(count(lit(1)).as("n_deletes"))
+      .select(col("window.start").as("day_start"),
+        col("tableName").as("table_name"), col("n_deletes"))
+    val streamed = runToMemory(parsedStream, "cdc06_stream", "complete")
+    val batch = graft.cdc.Debezium.parseChanges(
+      { import spark.implicits._; envs.toDF("value") }, "inst-a")
+      .groupBy(window(col("recordDelTime"), "1 day"), col("tableName"))
+      .agg(count(lit(1)).as("n_deletes"))
+      .select(col("window.start").as("day_start"),
+        col("tableName").as("table_name"), col("n_deletes"))
+    assert(sortedRows(streamed) === sortedRows(batch))
+    assert(batch.count() >= 4, "fixture must span multiple day/table windows")
+  }
+
   test("streaming dedup (dropDuplicatesWithinWatermark) == batch distinct") {
     val streamed = runToMemory(
       streamEvents
