@@ -33,8 +33,10 @@ object SparkEntry {
     GraftQuery.all.map(q => q.name -> q.build).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (hash-seeded / ANN operators) → driver records a rows-only check.
+    * the same parquet tables. As of round 3 EVERY query carries one
+    * (81/81): hash-seeded operators (LSH families, the multimodal stub
+    * codec) derive their randomness from md5, which both engines
+    * implement identically.
     */
   def oracleSql: Map[String, String] =
     GraftQuery.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
