@@ -67,11 +67,12 @@ object Bench {
     def shortId(name: String) = name.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => jstr(shortId(k)) + ":" + j3(v) }.mkString("{", ",", "}")
     // errors budget: short ids + 60-char messages, and cap the map at
-    // ~600 chars — a many-failure round must still leave the whole line
-    // inside the driver's 2000-char tail (which is when errors matter)
+    // ~450 chars — an all-failure round measured 1958 chars from the
+    // JSON line through sbt's trailing [error] block at a 600 budget,
+    // only 42 inside the driver's 2000-char tail; 450 keeps ~190 margin
     val errEntries = errors.toSeq.map { case (k, v) => jstr(shortId(k)) + ":" + jstr(v) }
     val (kept, dropped) = {
-      var budget = 600
+      var budget = 450
       val keep = errEntries.takeWhile { e => budget -= e.length + 1; budget >= 0 }
       (keep, errEntries.size - keep.size)
     }
