@@ -45,6 +45,13 @@ object ChangeArchiveJob {
   /** Assemble parse → union → enrich over already-created envelope
     * frames (streaming or batch — the plan is identical; tests reuse it
     * in batch mode for golden checks).
+    *
+    * `cfg.tables` is ENFORCED here, not just validated: the reference
+    * pushes the db.table allowlist into the CDC connector so unlisted
+    * tables never enter the pipeline (`StartJob.java:55-57,66-67`);
+    * our file-stream model filters right after parse, counting the
+    * drops under `not_listened` so a mis-scoped source directory is
+    * visible in the taxonomy instead of silently archived.
     */
   def build(
       streams: Seq[(String, DataFrame)],
@@ -52,7 +59,8 @@ object ChangeArchiveJob {
       cfg: TaskConfig): DataFrame = {
     val parsed = streams.map { case (instanceName, envelopes) =>
       Debezium.parseChanges(envelopes, instanceName,
-        observeName = Some(s"cdc_parse_$instanceName"))
+        observeName = Some(s"cdc_parse_$instanceName"),
+        allowedTables = Some(cfg.tables))
     }
     // bag-semantics union of N per-instance streams (StartJob.java:89-92)
     val unioned = parsed.reduce(_ unionByName _)

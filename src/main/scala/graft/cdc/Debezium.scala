@@ -28,6 +28,7 @@ object Debezium {
 
   /** Drop reasons, in the reference's branch order. */
   val Malformed = "malformed"     // unparseable JSON (defensive; the reference would throw)
+  val NotListened = "not_listened" // StartJob.java:55-57,66-67 (source-level db.table allowlist)
   val NotDelete = "not_delete"    // StartJob.java:123-125 (silent skip)
   val NoTable = "no_table"        // StartJob.java:129-132 (error log)
   val NoBefore = "no_before"      // StartJob.java:134-138 (error log)
@@ -35,7 +36,7 @@ object Debezium {
   val BadTs = "bad_ts"            // StartJob.java:147-151 (error log)
   val Kept = "kept"
 
-  val reasons: Seq[String] = Seq(Malformed, NotDelete, NoTable, NoBefore, NoId, BadTs)
+  val reasons: Seq[String] = Seq(Malformed, NotListened, NotDelete, NoTable, NoBefore, NoId, BadTs)
 
   /** Largest ts_ms a Kept envelope may carry: 9999-12-31T23:59:59.999Z.
     * Two hazards force a bound (the reference would happily build
@@ -62,21 +63,41 @@ object Debezium {
     // 19-digit in-range epoch or '+123' is Kept by both, not BadTs here)
     get_json_object(value, "$.ts_ms").try_cast("long")
 
+  /** "This table is not on the task's allowlist": non-blank and absent
+    * from the list. The reference pushes `db.table` strings into the
+    * CDC connector so unlisted tables never enter the pipeline
+    * (`StartJob.java:55-57` builds `tableList`, `:66-67` applies it);
+    * our file-stream model filters right after parse instead — checked
+    * BEFORE the envelope-shape branches, because in the reference an
+    * unlisted table's event (of any op) is never emitted at all. A
+    * blank/missing table can't be matched against the list and falls
+    * through to the shape taxonomy (`no_table` etc.).
+    */
+  private def notListened(tableCol: Column, allowed: Seq[String]): Column =
+    tableCol.isNotNull && trim(tableCol) =!= "" && !tableCol.isin(allowed: _*)
+
   /** Classification of one envelope: a drop reason, or [[Kept]].
     * Branches in the reference's order — a row with several defects is
     * counted under the FIRST failing check, like the reference's early
     * returns. This is the SPEC form (one full JSON parse per field);
     * the execution paths below extract every field in a single
     * `json_tuple` parse — DebeziumSpec pins both to the same taxonomy.
+    *
+    * @param allowedTables when set, a named table absent from the list
+    *   classifies as [[NotListened]] ahead of the shape branches.
     */
-  def classify(value: Column): Column =
-    when(get_json_object(value, "$").isNull, Malformed)
-      .when(op(value).isNull || op(value) =!= "d", NotDelete)
-      .when(table(value).isNull || trim(table(value)) === "", NoTable)
-      .when(before(value).isNull, NoBefore)
-      .when(id(value).isNull, NoId)
-      .when(tsMs(value).isNull || tsMs(value) <= 0 || tsMs(value) > MaxTsMs, BadTs)
-      .otherwise(Kept)
+  def classify(value: Column, allowedTables: Option[Seq[String]] = None): Column = {
+    val chain =
+      when(op(value).isNull || op(value) =!= "d", NotDelete)
+        .when(table(value).isNull || trim(table(value)) === "", NoTable)
+        .when(before(value).isNull, NoBefore)
+        .when(id(value).isNull, NoId)
+        .when(tsMs(value).isNull || tsMs(value) <= 0 || tsMs(value) > MaxTsMs, BadTs)
+        .otherwise(Kept)
+    val listed = allowedTables.fold(chain)(allowed =>
+      when(notListened(table(value), allowed), NotListened).otherwise(chain))
+    when(get_json_object(value, "$").isNull, Malformed).otherwise(listed)
+  }
 
   /** Hot-path field extraction: ONE `json_tuple` parse of the envelope
     * for the four top-level fields, plus two small parses of the
@@ -97,14 +118,16 @@ object Debezium {
     * whole-envelope re-parse behind the malformed check only runs for
     * rows where every top-level field came back null (rare).
     */
-  private def reasonFromExtracted: Column = {
-    val fieldChain =
+  private def reasonFromExtracted(allowedTables: Option[Seq[String]]): Column = {
+    val chain =
       when(col("_op").isNull || col("_op") =!= "d", NotDelete)
         .when(col("_table").isNull || trim(col("_table")) === "", NoTable)
         .when(col("_before").isNull, NoBefore)
         .when(col("_id").isNull, NoId)
         .when(col("_ts").isNull || col("_ts") <= 0 || col("_ts") > MaxTsMs, BadTs)
         .otherwise(Kept)
+    val fieldChain = allowedTables.fold(chain)(allowed =>
+      when(notListened(col("_table"), allowed), NotListened).otherwise(chain))
     when(coalesce(col("_op"), col("_ts_raw"), col("_src"), col("_before")).isNotNull, fieldChain)
       .otherwise(when(get_json_object(col("value"), "$").isNull, Malformed).otherwise(NotDelete))
   }
@@ -115,12 +138,17 @@ object Debezium {
     * @param observeName when set, attaches `observe(name, total,
     *   kept, + one counter per drop reason)` so batch listeners and
     *   streaming progress both expose the drop taxonomy.
+    * @param allowedTables the task's table allowlist
+    *   (`StartJob.java:55-57,66-67`); unlisted tables drop as
+    *   [[NotListened]], counted like every other reason.
     */
   def parseChanges(
       envelopes: DataFrame,
       instanceName: String,
-      observeName: Option[String] = None): DataFrame = {
-    val classified = extracted(envelopes).withColumn("_reason", reasonFromExtracted)
+      observeName: Option[String] = None,
+      allowedTables: Option[Seq[String]] = None): DataFrame = {
+    val classified = extracted(envelopes)
+      .withColumn("_reason", reasonFromExtracted(allowedTables))
     val observed = observeName.fold(classified) { name =>
       val counters =
         count(when(col("_reason") === Kept, 1)).as("kept") +:
@@ -140,9 +168,9 @@ object Debezium {
   /** Batch-only helper: per-reason drop counts for a set of envelopes
     * (the assertable twin of the reference's error-log taxonomy).
     */
-  def dropCounts(envelopes: DataFrame): DataFrame =
+  def dropCounts(envelopes: DataFrame, allowedTables: Option[Seq[String]] = None): DataFrame =
     extracted(envelopes)
-      .groupBy(reasonFromExtracted.as("reason"))
+      .groupBy(reasonFromExtracted(allowedTables).as("reason"))
       .agg(count(lit(1)).as("n"))
 
   /** Enrichment (SURVEY.md §2.1 O7, done properly): broadcast-join the

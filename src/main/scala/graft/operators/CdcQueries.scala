@@ -156,6 +156,27 @@ object CdcQueries {
     },
 
     GraftQuery(
+      "cdc07_table_allowlist",
+      Some(s"""WITH env AS ($envelopesDuck)
+              |SELECT CASE WHEN TRIM(COALESCE(value->>'$$.source.table', '')) <> ''
+              |                 AND (value->>'$$.source.table') NOT IN ('click', 'purchase', 'view')
+              |                 THEN 'not_listened'
+              |            WHEN (value->>'$$.op') IS DISTINCT FROM 'd' THEN 'not_delete'
+              |            WHEN TRIM(COALESCE(value->>'$$.source.table', '')) = '' THEN 'no_table'
+              |            WHEN (value->>'$$.before') IS NULL THEN 'no_before'
+              |            WHEN (value->>'$$.before.id') IS NULL THEN 'no_id'
+              |            WHEN COALESCE(TRY_CAST(value->>'$$.ts_ms' AS BIGINT), 0)
+              |                 NOT BETWEEN 1 AND ${graft.cdc.Debezium.MaxTsMs} THEN 'bad_ts'
+              |            ELSE 'kept' END AS reason,
+              |       COUNT(*) AS n
+              |FROM env GROUP BY 1""".stripMargin),
+      "The task's table ALLOWLIST enforced (StartJob.java:55-57,66-67: the reference pushes db.table filters into the CDC connector so unlisted tables never enter): a named table absent from the list drops as not_listened AHEAD of the envelope-shape branches, whatever its op — and the drop is counted, never silent. Blank-table envelopes can't match the list and keep their shape reason.") {
+      (s, dir) =>
+        graft.cdc.Debezium.dropCounts(envelopes(s, dir),
+          allowedTables = Some(Seq("click", "purchase", "view")))
+    },
+
+    GraftQuery(
       "cdc06_delete_rate_windows",
       Some(s"""WITH env AS ($envelopesDuck)
               |SELECT DATE_TRUNC('day', EPOCH_MS(CAST(value->>'$$.ts_ms' AS BIGINT))) AS day_start,

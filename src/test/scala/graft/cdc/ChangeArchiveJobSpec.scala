@@ -209,13 +209,16 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
 
   test("stream-load rejects a dbTbName that is not a plain identifier (no path/URL splice)") {
     // the table name is CDC data and reaches transport URLs and
-    // filesystem paths — a traversal-shaped name must throw, not load
+    // filesystem paths — a traversal-shaped name must throw, not load.
+    // The allowlist DELIBERATELY lists the evil name: config is
+    // operator-trusted input, and the identifier check must hold as
+    // defense-in-depth even when a hostile name is listed
     val batch = ChangeArchiveJob.build(
       Seq("src-a" -> {
         import spark.implicits._
         Seq(envelope(1, table = "x/../../../tmp/evil")).toDF("value")
       }),
-      spark, cfg.copy(tables = Seq("x")))
+      spark, cfg.copy(tables = Seq("x/../../../tmp/evil")))
     val loads = tmpDir("sl-evil")
     val e = intercept[org.apache.spark.SparkException](
       new StreamLoadBatchWriter("rune", new FileLoadTransport(loads)).write(batch, 0L))
@@ -263,6 +266,38 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
     assert(v("kept") === 2L)
     assert(v(Debezium.NotDelete) === 1L)
     assert(v(Debezium.NoTable) === 1L)
+  }
+
+  test("tables allowlist is enforced: an unlisted table's delete is dropped and counted") {
+    // the reference filters at the source (StartJob.java:55-57,66-67 —
+    // unlisted tables never enter the pipeline); our twin drops after
+    // parse with a counted not_listened reason. A mis-scoped source
+    // directory must NOT silently archive tables the operator never
+    // listed.
+    val (srcA, ckpt, out) = (tmpDir("al-a"), tmpDir("al-ckpt"), tmpDir("al-out"))
+    writeEnvelopes(srcA, "f1.jsonl", Seq(
+      envelope(1), envelope(2),                    // listed (t_orders): kept
+      envelope(3, table = "t_other"),              // unlisted delete: dropped
+      envelope(4, table = "t_other", op = "u")))   // unlisted non-delete: same drop
+    val q = ChangeArchiveJob.run(spark,
+      Seq(ChangeArchiveJob.SourceStream("src-a", srcA)),
+      cfg, Seq(new ParquetBatchWriter(out)), ckpt)
+    q.awaitTermination()
+
+    val delivered = spark.read.parquet(out)
+    assert(delivered.count() === 2, "only the listed table's deletes archive")
+    assert(delivered.select("tableName").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("t_orders"))
+
+    // the drop is COUNTED, not silent: not_listened carries both rows
+    // (in the reference the connector never emits an unlisted table's
+    // events, whatever their op — so the non-delete also lands here)
+    val m = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("cdc_parse_src-a"))).last
+    def v(name: String): Long = m.getLong(m.schema.fieldIndex(name))
+    assert(v("total") === 4L)
+    assert(v("kept") === 2L)
+    assert(v(Debezium.NotListened) === 2L)
   }
 
   test("maxFilesPerTrigger bounds micro-batches: a 3-file backlog drains in >= 3 batches") {

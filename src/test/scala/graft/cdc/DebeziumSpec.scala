@@ -119,6 +119,35 @@ class DebeziumSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("tables allowlist: unlisted tables drop as not_listened, spec and hot path agree") {
+    val allowed = Seq("t_loan_order")
+    val cases = Seq(
+      (validDelete, Debezium.Kept),
+      // unlisted named tables drop as not_listened whatever their op —
+      // the reference's connector never emits them (StartJob.java:66-67)
+      ("""{"op":"d","ts_ms":1,"source":{"table":"t_other"},"before":{"id":1}}""", Debezium.NotListened),
+      ("""{"op":"i","ts_ms":1,"source":{"table":"t_other"},"before":null,"after":{"id":1}}""", Debezium.NotListened),
+      // a blank/missing table can't match the list: shape taxonomy wins
+      ("""{"op":"d","ts_ms":1,"source":{"table":"  "},"before":{"id":1}}""", Debezium.NoTable),
+      ("""{"op":"d","ts_ms":1,"source":{"db":"x"},"before":{"id":1}}""", Debezium.NoTable),
+      ("""not json at all""", Debezium.Malformed))
+    // spec form
+    val spec = envDf(cases.map(_._1))
+      .select(Debezium.classify(col("value"), Some(allowed)).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(spec === cases.map(_._2))
+    // hot path (dropCounts groups over the same json_tuple extraction)
+    val counts = Debezium.dropCounts(envDf(cases.map(_._1)), Some(allowed))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === cases.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
+    // parseChanges keeps only the listed table's valid delete
+    val kept = Debezium.parseChanges(
+      envDf(cases.map(_._1)), "i", allowedTables = Some(allowed)).collect()
+    assert(kept.map(_.getAs[String]("tableName")).toSeq === Seq("t_loan_order"))
+    // and with no allowlist the same envelopes keep BOTH valid deletes
+    assert(Debezium.parseChanges(envDf(cases.map(_._1)), "i").count() === 2)
+  }
+
   test("enrich adds dbTbName/fbNo via the config join (O7)") {
     import spark.implicits._
     val parsed = Debezium.parseChanges(envDf(Seq(validDelete)), "src-a")
