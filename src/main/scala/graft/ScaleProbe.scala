@@ -54,7 +54,8 @@ object ScaleProbe {
     }
     val ratios = Seq("dd03_minhash_lsh_pairs", "dd04_simhash_pairs",
       "dd05_ngram_jaccard_pairs", "dd06_embedding_neardup_lsh",
-      "dd07_dedup_clusters", "dd09_semantic_clusters").map(n => n -> run(n))
+      "dd07_dedup_clusters", "dd09_semantic_clusters",
+      "ss05_knn_join").map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio

@@ -9,6 +9,15 @@ import scala.jdk.CollectionConverters._
   * `SinkConfig.java:13-22`, `ConfigLoader.java:16-27`,
   * `TaskConfigChecker.java:15-34`). Field names match the YAML keys.
   */
+/** @param serverId INERT in this engine, kept for YAML compatibility:
+  *   the reference hands it to `MySqlSource.builder().serverId(...)`
+  *   (`StartJob.java:69`) where it namespaces binlog client ids per
+  *   instance (allocation table in the reference's resources). Our
+  *   sources are file streams of identical envelopes (SURVEY.md §3.1,
+  *   zero-egress environment — no binlog client exists to claim an id),
+  *   so the field is parsed, validated as present, and never read. A
+  *   real MySQL-CDC source module would thread it straight through.
+  */
 final case class SourceConfig(
     instanceName: String,
     serverId: String,

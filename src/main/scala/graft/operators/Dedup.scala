@@ -91,7 +91,12 @@ object Dedup {
       .select(col("doc_id"), explode(col("gs")).as("g"))
     val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("g")
-    val er = sh.join(rare, "g").persist()
+    // localCheckpoint, not persist: the capped index feeds three
+    // subplans (both self-join sides + the size table), and a builder
+    // must not leave CacheManager entries behind for the embedding
+    // session to clean up — checkpoint blocks live outside the cache
+    // and are reclaimed by the ContextCleaner once unreferenced
+    val er = sh.join(rare, "g").localCheckpoint()
     val n = er.groupBy("doc_id").agg(count(lit(1)).as("n"))
     er.select(col("doc_id").as("doc_a"), col("g"))
       .join(er.select(col("doc_id").as("doc_b"), col("g")), "g")
@@ -150,9 +155,13 @@ object Dedup {
     * you to raise it), never something to paper over.
     */
   def minLabelClusters(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val bi = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(edges.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .persist()
+    // materialize the edge pipeline ONCE here instead of asking callers
+    // to persist: `bi` references `edges` twice and every propagation
+    // round reads it again — off the checkpoint those are trivial
+    // projections, and no CacheManager entry survives the call
+    val pinned = edges.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val bi = pinned.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pinned.select(col("doc_b").as("a"), col("doc_a").as("b")))
     def propagate(l: DataFrame): DataFrame = {
       val viaNeighbor = bi
         .join(l.withColumnRenamed("doc_id", "a"), "a")
@@ -177,7 +186,6 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
-    bi.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"min-label propagation did not converge in $maxRounds rounds — " +
@@ -265,9 +273,11 @@ object Dedup {
               |WHERE CAST(LEN(LIST_FILTER(RANGE(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5""".stripMargin),
       "MinHash(32) + LSH banding (8 bands × 4 rows): one md5 per shingle, 32 universal-hash permutations; candidates meet in a band-key equi-join, are deduped to distinct pairs, then scored once; est. Jaccard ≥ 0.5.") {
       (s, dir) =>
-        // persist: the signature table feeds both band-join branches and
-        // both score-joins; lambda-bearing subplans defeat exchange
-        // reuse, so an explicit materialization computes it exactly once.
+        // localCheckpoint: the signature table feeds both band-join
+        // branches and both score-joins; lambda-bearing subplans defeat
+        // exchange reuse, so an explicit materialization computes it
+        // exactly once — and unlike persist it leaves no CacheManager
+        // entry for the embedding session to release.
         // graft_shingles/graft_minhash_sig are the compiled twins of the
         // SQL-dialect formulations (specs pin bit-equivalence).
         graft.functions.GraftFunctions.register(s)
@@ -276,7 +286,7 @@ object Dedup {
           .filter(size(col("gs")) > 0)
           .withColumn("sig", expr("graft_minhash_sig(gs)"))
           .select("doc_id", "sig")
-          .persist()
+          .localCheckpoint()
         val bands = sigs.select(col("doc_id"),
           posexplode(expr(
             """transform(sequence(0, 7),
@@ -337,7 +347,7 @@ object Dedup {
         val sim = spread(docs(s, dir), "doc_id")
           .withColumn("simhash", expr("graft_simhash64(split(text, ' '))"))
           .select("doc_id", "simhash")
-          .persist()
+          .localCheckpoint()
         // SIGNATURE COLLAPSE — the 100 TB move: real corpora are full of
         // exact duplicates, and every clone lands in the same band
         // buckets, making the candidate join quadratic in clone count.
@@ -349,7 +359,7 @@ object Dedup {
         val sigs = sim.select("simhash").distinct()
           .withColumn("h1", expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)"))
           .withColumn("h2", expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)"))
-          .persist()
+          .localCheckpoint()
         val bands = sigs.select(col("simhash"),
           posexplode(expr(
             "transform(sequence(0, 4), b -> substring(simhash, b*13 + 1, IF(b = 4, 12, 13)))"))
@@ -407,7 +417,7 @@ object Dedup {
               |SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id""".stripMargin),
       "Near-dup CLUSTERS: connected components over the dd05 jaccard-pair edges via Pregel-style min-label propagation (iterate: label = min(label, neighbors' labels) until fixpoint) — the grouping step that turns pairwise near-dups into keep-one-per-cluster sets. Oracle is a recursive CTE over the same edges.") {
       (s, dir) =>
-        minLabelClusters(jaccardEdges(s, dir).select("doc_a", "doc_b").persist())
+        minLabelClusters(jaccardEdges(s, dir).select("doc_a", "doc_b"))
     },
 
     GraftQuery(
@@ -423,7 +433,7 @@ object Dedup {
       "The dedup DELIVERABLE: one keeper per near-dup cluster (its min doc id) plus every unclustered doc, with n_dropped = how many near-dups the keeper absorbed — the keep-list a training-data pipeline feeds downstream after dd05/dd07.") {
       (s, dir) =>
         val clusters = minLabelClusters(
-          jaccardEdges(s, dir).select("doc_a", "doc_b").persist())
+          jaccardEdges(s, dir).select("doc_a", "doc_b"))
         val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
         docs(s, dir).select("doc_id")
           .join(clusters, Seq("doc_id"), "left")
@@ -483,7 +493,7 @@ object Dedup {
       "SemDeDup-style SEMANTIC clusters: connected components over the dd06 embedding near-dup pairs — groups of vectors whose members are mutually reachable through cosine ≥ 0.45 edges, the keep-one-per-cluster unit for semantic dedup of training corpora.") {
       (s, dir) =>
         minLabelClusters(embeddingNearDupPairs(s, dir)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).persist())
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
           .select(col("doc_id").as("vec_id"), col("cluster"))
     },
   )
@@ -501,11 +511,15 @@ object Dedup {
     */
   private def embeddingNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // emb is map-only lineage off the column-pruned parquet scan —
+    // recomputing it per consumer beats materializing it (and at scale
+    // a scan re-read is the standard trade for map-only stages); uniq
+    // sits behind a shuffle with four consumers, so THAT is the one
+    // worth pinning — localCheckpoint keeps the CacheManager empty
     val emb = spread(Tables.load(s, dir, "embeddings"), "vec_id")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .withColumn("gkey", md5(to_json(col("e"))))
-      .persist()
-    val uniq = emb.select("gkey", "e").dropDuplicates("gkey").persist()
+    val uniq = emb.select("gkey", "e").dropDuplicates("gkey").localCheckpoint()
     val sigs = uniq.withColumn("sig", expr(Hashing.embSigExpr))
     val bands = sigs.select(col("gkey"),
       posexplode(expr(

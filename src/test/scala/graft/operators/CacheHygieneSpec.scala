@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.TestSpark._
+import org.apache.spark.sql.CacheProbe
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dedup/similarity builders materialize shared intermediates with
+  * `localCheckpoint` (blocks outside the CacheManager, reclaimed by the
+  * ContextCleaner) or scoped persist/unpersist pairs — never a persist
+  * that outlives the call. The bench/verify harness papers over leaks
+  * with `clearCache()`; a long-lived session embedding these builders
+  * would not, so the contract is: run to completion → cache empty.
+  */
+class CacheHygieneSpec extends AnyFunSuite {
+
+  private val builders = Seq(
+    "dd03_minhash_lsh_pairs", "dd04_simhash_pairs",
+    "dd05_ngram_jaccard_pairs", "dd06_embedding_neardup_lsh",
+    "dd07_dedup_clusters", "dd08_dedup_keepers", "dd09_semantic_clusters",
+    "ss05_knn_join")
+
+  for (name <- builders)
+    test(s"$name leaves the CacheManager empty after running to completion") {
+      spark.catalog.clearCache()
+      val q = graft.GraftQuery.all.find(_.name == name).get
+      q.build(spark, sf001).write.format("noop").mode("overwrite").save()
+      assert(CacheProbe.cacheIsEmpty(spark),
+        s"$name left cached plans behind — a leak for any embedding session")
+    }
+}
