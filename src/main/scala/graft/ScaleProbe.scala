@@ -27,13 +27,21 @@ object ScaleProbe {
 
     val dir = java.nio.file.Files.createTempDirectory(s"scale${factor}x").toString
     def replicate(table: String, idCol: String): Unit = {
-      val t = Tables.load(spark, base, table)
+      // RAW read, not Tables.load: events.ts is parquet TIMESTAMP(NANOS)
+      // and must replicate as its nano-long so the copy round-trips
+      // Tables.load's div-1000 conversion exactly like the original
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val t = spark.read.parquet(s"$base/$table.parquet")
       val copies = (0 until factor).map(i =>
         t.withColumn(idCol, col(idCol) + lit(i.toLong * 10_000_000L)))
       copies.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$dir/$table.parquet")
     }
     replicate("documents", "doc_id")
     replicate("embeddings", "vec_id")
+    // cdc04/cdc05 synthesize Debezium envelopes from events and run the
+    // REAL parser over them — the probe confirms the parse path (one
+    // json_tuple + two subtree parses per envelope, map-side) is linear
+    replicate("events", "event_id")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -55,7 +63,8 @@ object ScaleProbe {
     val ratios = Seq("dd03_minhash_lsh_pairs", "dd04_simhash_pairs",
       "dd05_ngram_jaccard_pairs", "dd06_embedding_neardup_lsh",
       "dd07_dedup_clusters", "dd09_semantic_clusters",
-      "ss05_knn_join").map(n => n -> run(n))
+      "ss05_knn_join",
+      "cdc04_envelope_parse", "cdc05_drop_taxonomy").map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio
