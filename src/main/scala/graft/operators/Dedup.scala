@@ -164,12 +164,17 @@ object Dedup {
       .unionByName(pinned.select(col("doc_b").as("a"), col("doc_a").as("b")))
     def propagate(l: DataFrame): DataFrame = {
       val viaNeighbor = bi
-        .join(l.withColumnRenamed("doc_id", "a"), "a")
+        .join(l.select(col("doc_id").as("a"), col("cluster")), "a")
         .groupBy(col("b").as("doc_id"))
         .agg(min(col("cluster")).as("n_cluster"))
+      // labels only ever decrease, so "changed" ≡ a neighbor offered a
+      // smaller label — carried INSIDE the checkpointed row, making the
+      // convergence probe a trivial limit-1 scan of the checkpoint
+      // instead of a join+aggregate against the previous round
       l.join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"),
+          (coalesce(col("n_cluster"), col("cluster")) < col("cluster")).as("changed"))
     }
     var labels = bi.select(col("a").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id")).localCheckpoint()
@@ -177,13 +182,11 @@ object Dedup {
     var round = 0
     while (!converged && round < maxRounds) {
       val next = propagate(labels).localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-        .filter(col("cluster") =!= col("old")).count()
       // superseded checkpoint blocks are reclaimed by the ContextCleaner
       // once `labels` is re-bound (localCheckpoint data isn't in the
       // CacheManager, so Dataset.unpersist would be a no-op here)
       labels = next
-      converged = changed == 0
+      converged = next.where(col("changed")).isEmpty
       round += 1
     }
     if (!converged)
