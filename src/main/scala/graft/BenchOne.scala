@@ -3,7 +3,7 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev profiling main: bench-identical timing (noop write, best of N)
   * for a named subset of the inventory — iterate on one query without
-  * paying the full 82-query loop. `runMain graft.BenchOne q1 q2 ...`
+  * paying the full 82-query loop. `runMain graft.BenchOne q01 dd05`
   * (short id prefixes or full names); env `SPARK_GRAFT_SF_DIR`,
   * `SPARK_GRAFT_CPUS`, `SPARK_GRAFT_RUNS` (default 2) as in [[Bench]].
   */
@@ -20,9 +20,14 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try { SparkEntry.entry(spark).write.format("noop").mode("overwrite").save(); spark.catalog.clearCache() }
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       args.isEmpty || args.exists(a => n == a || n.startsWith(a + "_") || n.takeWhile(_ != '_') == a)
+    }
+    if (wanted.isEmpty) {
+      System.err.println(s"[benchone] no queries match: ${args.mkString(" ")}")
+      spark.stop()
+      sys.exit(2)
     }
     wanted.foreach { case (name, fn) =>
       val times = (1 to runs).map { _ =>

@@ -48,19 +48,28 @@ object ChangeArchiveJob {
     *
     * `cfg.tables` is ENFORCED here, not just validated: the reference
     * pushes the db.table allowlist into the CDC connector so unlisted
-    * tables never enter the pipeline (`StartJob.java:55-57,66-67`);
-    * our file-stream model filters right after parse, counting the
-    * drops under `not_listened` so a mis-scoped source directory is
-    * visible in the taxonomy instead of silently archived.
+    * tables never enter the pipeline (`StartJob.java:55-57,66-67` —
+    * per source, each listed table prefixed with that source's
+    * `dbName`); our file-stream model filters right after parse with
+    * the same PER-INSTANCE qualified list, counting the drops under
+    * `not_listened` so a mis-scoped source directory (including a
+    * same-named table from another database) is visible in the
+    * taxonomy instead of silently archived. An instance absent from
+    * `cfg.sources` gets an empty list — everything it carries drops
+    * counted (enrich would discard it unmatched anyway; this way the
+    * drop is observable).
     */
   def build(
       streams: Seq[(String, DataFrame)],
       spark: SparkSession,
       cfg: TaskConfig): DataFrame = {
     val parsed = streams.map { case (instanceName, envelopes) =>
+      val qualified = cfg.sources.find(_.instanceName == instanceName)
+        .map(src => cfg.tables.map(t => s"${src.dbName}.$t"))
+        .getOrElse(Seq.empty)
       Debezium.parseChanges(envelopes, instanceName,
         observeName = Some(s"cdc_parse_$instanceName"),
-        allowedTables = Some(cfg.tables))
+        allowedTables = Some(qualified))
     }
     // bag-semantics union of N per-instance streams (StartJob.java:89-92)
     val unioned = parsed.reduce(_ unionByName _)

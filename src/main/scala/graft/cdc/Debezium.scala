@@ -54,6 +54,7 @@ object Debezium {
   val MaxTsMs: Long = 253402300799999L
 
   private def op(value: Column) = get_json_object(value, "$.op")
+  private def db(value: Column) = get_json_object(value, "$.source.db")
   private def table(value: Column) = get_json_object(value, "$.source.table")
   private def before(value: Column) = get_json_object(value, "$.before")
   private def id(value: Column) = get_json_object(value, "$.before.id")
@@ -63,18 +64,23 @@ object Debezium {
     // 19-digit in-range epoch or '+123' is Kept by both, not BadTs here)
     get_json_object(value, "$.ts_ms").try_cast("long")
 
-  /** "This table is not on the task's allowlist": non-blank and absent
-    * from the list. The reference pushes `db.table` strings into the
-    * CDC connector so unlisted tables never enter the pipeline
-    * (`StartJob.java:55-57` builds `tableList`, `:66-67` applies it);
-    * our file-stream model filters right after parse instead — checked
+  /** "This table is not on the task's allowlist": the envelope's
+    * QUALIFIED `db.table` name is absent from the list. The reference
+    * pushes `db.table` strings into the CDC connector so unlisted
+    * tables never enter the pipeline (`StartJob.java:55-57` builds
+    * `tableList` as `dbName + "." + table`, `:66-67` applies it); our
+    * file-stream model filters right after parse instead — checked
     * BEFORE the envelope-shape branches, because in the reference an
-    * unlisted table's event (of any op) is never emitted at all. A
-    * blank/missing table can't be matched against the list and falls
-    * through to the shape taxonomy (`no_table` etc.).
+    * unlisted table's event (of any op) is never emitted at all.
+    * Matching is db-SCOPED like the reference's: a listed table name
+    * under the wrong (or missing) database is `not_listened` — a null
+    * db renders as `".table"`, which can never match a `db.table`
+    * entry. A blank/missing TABLE can't be matched against the list at
+    * all and falls through to the shape taxonomy (`no_table` etc.).
     */
-  private def notListened(tableCol: Column, allowed: Seq[String]): Column =
-    tableCol.isNotNull && trim(tableCol) =!= "" && !tableCol.isin(allowed: _*)
+  private def notListened(dbCol: Column, tableCol: Column, allowed: Seq[String]): Column =
+    tableCol.isNotNull && trim(tableCol) =!= "" &&
+      !concat(coalesce(dbCol, lit("")), lit("."), tableCol).isin(allowed: _*)
 
   /** Classification of one envelope: a drop reason, or [[Kept]].
     * Branches in the reference's order — a row with several defects is
@@ -83,8 +89,9 @@ object Debezium {
     * the execution paths below extract every field in a single
     * `json_tuple` parse — DebeziumSpec pins both to the same taxonomy.
     *
-    * @param allowedTables when set, a named table absent from the list
-    *   classifies as [[NotListened]] ahead of the shape branches.
+    * @param allowedTables qualified `db.table` allowlist; when set, a
+    *   named table absent from the list classifies as [[NotListened]]
+    *   ahead of the shape branches.
     */
   def classify(value: Column, allowedTables: Option[Seq[String]] = None): Column = {
     val chain =
@@ -95,7 +102,7 @@ object Debezium {
         .when(tsMs(value).isNull || tsMs(value) <= 0 || tsMs(value) > MaxTsMs, BadTs)
         .otherwise(Kept)
     val listed = allowedTables.fold(chain)(allowed =>
-      when(notListened(table(value), allowed), NotListened).otherwise(chain))
+      when(notListened(db(value), table(value), allowed), NotListened).otherwise(chain))
     when(get_json_object(value, "$").isNull, Malformed).otherwise(listed)
   }
 
@@ -110,6 +117,7 @@ object Debezium {
       .select(col("value"),
         json_tuple(col("value"), "op", "ts_ms", "source", "before")
           .as(Seq("_op", "_ts_raw", "_src", "_before")))
+      .withColumn("_db", get_json_object(col("_src"), "$.db"))
       .withColumn("_table", get_json_object(col("_src"), "$.table"))
       .withColumn("_id", get_json_object(col("_before"), "$.id"))
       .withColumn("_ts", expr("try_cast(_ts_raw AS BIGINT)"))
@@ -127,7 +135,7 @@ object Debezium {
         .when(col("_ts").isNull || col("_ts") <= 0 || col("_ts") > MaxTsMs, BadTs)
         .otherwise(Kept)
     val fieldChain = allowedTables.fold(chain)(allowed =>
-      when(notListened(col("_table"), allowed), NotListened).otherwise(chain))
+      when(notListened(col("_db"), col("_table"), allowed), NotListened).otherwise(chain))
     when(coalesce(col("_op"), col("_ts_raw"), col("_src"), col("_before")).isNotNull, fieldChain)
       .otherwise(when(get_json_object(col("value"), "$").isNull, Malformed).otherwise(NotDelete))
   }
@@ -138,8 +146,9 @@ object Debezium {
     * @param observeName when set, attaches `observe(name, total,
     *   kept, + one counter per drop reason)` so batch listeners and
     *   streaming progress both expose the drop taxonomy.
-    * @param allowedTables the task's table allowlist
-    *   (`StartJob.java:55-57,66-67`); unlisted tables drop as
+    * @param allowedTables the task's QUALIFIED `db.table` allowlist
+    *   (`StartJob.java:55-57,66-67` — the reference prefixes each
+    *   listed table with the source's dbName); unlisted tables drop as
     *   [[NotListened]], counted like every other reason.
     */
   def parseChanges(

@@ -159,7 +159,8 @@ object CdcQueries {
       "cdc07_table_allowlist",
       Some(s"""WITH env AS ($envelopesDuck)
               |SELECT CASE WHEN TRIM(COALESCE(value->>'$$.source.table', '')) <> ''
-              |                 AND (value->>'$$.source.table') NOT IN ('click', 'purchase', 'view')
+              |                 AND (COALESCE(value->>'$$.source.db', '') || '.' || (value->>'$$.source.table'))
+              |                     NOT IN ('graft.click', 'graft.purchase', 'graft.view')
               |                 THEN 'not_listened'
               |            WHEN (value->>'$$.op') IS DISTINCT FROM 'd' THEN 'not_delete'
               |            WHEN TRIM(COALESCE(value->>'$$.source.table', '')) = '' THEN 'no_table'
@@ -170,10 +171,10 @@ object CdcQueries {
               |            ELSE 'kept' END AS reason,
               |       COUNT(*) AS n
               |FROM env GROUP BY 1""".stripMargin),
-      "The task's table ALLOWLIST enforced (StartJob.java:55-57,66-67: the reference pushes db.table filters into the CDC connector so unlisted tables never enter): a named table absent from the list drops as not_listened AHEAD of the envelope-shape branches, whatever its op — and the drop is counted, never silent. Blank-table envelopes can't match the list and keep their shape reason.") {
+      "The task's table ALLOWLIST enforced (StartJob.java:55-57,66-67: the reference pushes db.table filters into the CDC connector so unlisted tables never enter): a named table whose QUALIFIED db.table is absent from the list drops as not_listened AHEAD of the envelope-shape branches, whatever its op — and the drop is counted, never silent. Matching is db-scoped like the reference's tableList; blank-table envelopes can't match the list and keep their shape reason.") {
       (s, dir) =>
         graft.cdc.Debezium.dropCounts(envelopes(s, dir),
-          allowedTables = Some(Seq("click", "purchase", "view")))
+          allowedTables = Some(Seq("graft.click", "graft.purchase", "graft.view")))
     },
 
     GraftQuery(

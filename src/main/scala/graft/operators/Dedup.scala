@@ -91,12 +91,10 @@ object Dedup {
       .select(col("doc_id"), explode(col("gs")).as("g"))
     val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("g")
-    // localCheckpoint, not persist: the capped index feeds three
-    // subplans (both self-join sides + the size table), and a builder
-    // must not leave CacheManager entries behind for the embedding
-    // session to clean up — checkpoint blocks live outside the cache
-    // and are reclaimed by the ContextCleaner once unreferenced
-    val er = sh.join(rare, "g").localCheckpoint()
+    // the capped index feeds three subplans (both self-join sides + the
+    // size table) — materialized per the session's strategy (default
+    // localCheckpoint: no CacheManager residue; see [[Materialize]])
+    val er = Materialize(sh.join(rare, "g"))
     val n = er.groupBy("doc_id").agg(count(lit(1)).as("n"))
     er.select(col("doc_id").as("doc_a"), col("g"))
       .join(er.select(col("doc_id").as("doc_b"), col("g")), "g")
@@ -157,9 +155,9 @@ object Dedup {
   def minLabelClusters(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     // materialize the edge pipeline ONCE here instead of asking callers
     // to persist: `bi` references `edges` twice and every propagation
-    // round reads it again — off the checkpoint those are trivial
-    // projections, and no CacheManager entry survives the call
-    val pinned = edges.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    // round reads it again — off the materialized table those are
+    // trivial projections ([[Materialize]] picks the strategy)
+    val pinned = Materialize(edges.select(col("doc_a"), col("doc_b")))
     val bi = pinned.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pinned.select(col("doc_b").as("a"), col("doc_a").as("b")))
     def propagate(l: DataFrame): DataFrame = {
@@ -276,20 +274,18 @@ object Dedup {
               |WHERE CAST(LEN(LIST_FILTER(RANGE(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5""".stripMargin),
       "MinHash(32) + LSH banding (8 bands × 4 rows): one md5 per shingle, 32 universal-hash permutations; candidates meet in a band-key equi-join, are deduped to distinct pairs, then scored once; est. Jaccard ≥ 0.5.") {
       (s, dir) =>
-        // localCheckpoint: the signature table feeds both band-join
-        // branches and both score-joins; lambda-bearing subplans defeat
-        // exchange reuse, so an explicit materialization computes it
-        // exactly once — and unlike persist it leaves no CacheManager
-        // entry for the embedding session to release.
+        // the signature table feeds both band-join branches and both
+        // score-joins; lambda-bearing subplans defeat exchange reuse,
+        // so an explicit materialization computes it exactly once
+        // ([[Materialize]]; default leaves no CacheManager entry).
         // graft_shingles/graft_minhash_sig are the compiled twins of the
         // SQL-dialect formulations (specs pin bit-equivalence).
         graft.functions.GraftFunctions.register(s)
-        val sigs = spread(docs(s, dir), "doc_id")
+        val sigs = Materialize(spread(docs(s, dir), "doc_id")
           .withColumn("gs", expr("graft_shingles(text)"))
           .filter(size(col("gs")) > 0)
           .withColumn("sig", expr("graft_minhash_sig(gs)"))
-          .select("doc_id", "sig")
-          .localCheckpoint()
+          .select("doc_id", "sig"))
         val bands = sigs.select(col("doc_id"),
           posexplode(expr(
             """transform(sequence(0, 7),
@@ -347,10 +343,9 @@ object Dedup {
         // rerank is the hot loop when clone-heavy data inflates
         // candidates (ScaleProbe 10x), and it must cost nanoseconds.
         graft.functions.GraftFunctions.register(s)
-        val sim = spread(docs(s, dir), "doc_id")
+        val sim = Materialize(spread(docs(s, dir), "doc_id")
           .withColumn("simhash", expr("graft_simhash64(split(text, ' '))"))
-          .select("doc_id", "simhash")
-          .localCheckpoint()
+          .select("doc_id", "simhash"))
         // SIGNATURE COLLAPSE — the 100 TB move: real corpora are full of
         // exact duplicates, and every clone lands in the same band
         // buckets, making the candidate join quadratic in clone count.
@@ -359,10 +354,9 @@ object Dedup {
         // then expand back to doc pairs — the expansion is output-bound
         // by construction. ScaleProbe 10x (clone-heavy by design):
         // 46 s → ~2 s, identical output set.
-        val sigs = sim.select("simhash").distinct()
+        val sigs = Materialize(sim.select("simhash").distinct()
           .withColumn("h1", expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)"))
-          .withColumn("h2", expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)"))
-          .localCheckpoint()
+          .withColumn("h2", expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)")))
         val bands = sigs.select(col("simhash"),
           posexplode(expr(
             "transform(sequence(0, 4), b -> substring(simhash, b*13 + 1, IF(b = 4, 12, 13)))"))
@@ -518,11 +512,11 @@ object Dedup {
     // recomputing it per consumer beats materializing it (and at scale
     // a scan re-read is the standard trade for map-only stages); uniq
     // sits behind a shuffle with four consumers, so THAT is the one
-    // worth pinning — localCheckpoint keeps the CacheManager empty
+    // worth pinning ([[Materialize]])
     val emb = spread(Tables.load(s, dir, "embeddings"), "vec_id")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .withColumn("gkey", md5(to_json(col("e"))))
-    val uniq = emb.select("gkey", "e").dropDuplicates("gkey").localCheckpoint()
+    val uniq = Materialize(emb.select("gkey", "e").dropDuplicates("gkey"))
     val sigs = uniq.withColumn("sig", expr(Hashing.embSigExpr))
     val bands = sigs.select(col("gkey"),
       posexplode(expr(

@@ -187,15 +187,15 @@ object Similarity {
         // every group by its MIN vec_id — all downstream joins,
         // distincts and windows run on LONG group ids, never 32-char
         // digest strings (string shuffle keys tripled the 1x runtime).
-        // localCheckpoint (not persist) materializes the shared scan
-        // while keeping the CacheManager empty for embedding sessions;
-        // superseded blocks are reclaimed by the ContextCleaner.
+        // Shared intermediates are pinned per the session's
+        // [[Materialize]] strategy (default localCheckpoint: no
+        // CacheManager residue, ContextCleaner reclaims).
         val wg = org.apache.spark.sql.expressions.Window
           .partitionBy(md5(to_json(col("e"))))
-        val ev = emb(s, dir)
+        val ev = Materialize(emb(s, dir)
           .withColumn("gid", min(col("vec_id")).over(wg))
           .withColumn("gsz", count(lit(1)).over(wg))
-          .select("vec_id", "gid", "gsz", "e").localCheckpoint()
+          .select("vec_id", "gid", "gsz", "e"))
         val uniq = ev.filter(col("vec_id") === col("gid"))
           .withColumn("sig", expr(Hashing.embSigExpr))
           .select("gid", "gsz", "e", "sig")
@@ -205,19 +205,19 @@ object Similarity {
             .as(Seq("band_idx", "band_key")))
         // undirected group candidates, diagonal kept: a clone group's
         // members are each other's nearest neighbors
-        val gPairs = bands.select(col("gid").as("gid_a"), col("band_idx"), col("band_key"))
-          .join(bands.select(col("gid").as("gid_b"), col("band_idx"), col("band_key")),
-            Seq("band_idx", "band_key"))
-          .filter(col("gid_a") <= col("gid_b"))
-          .select("gid_a", "gid_b").distinct()
-          .join(uniq.select(col("gid").as("gid_a"), col("e").as("e_a"), col("gsz").as("sz_a")), "gid_a")
-          .join(uniq.select(col("gid").as("gid_b"), col("e").as("e_b"), col("gsz").as("sz_b")), "gid_b")
-          .withColumn("sim", round(cosine("e_a", "e_b"), 4))
-          .select("gid_a", "gid_b", "sz_a", "sz_b", "sim")
-          // materialize: the directed view below references this twice,
-          // and without it the band join + cosine rerank execute twice
-          // (exchange reuse dedupes shuffles, not the join/rerank above)
-          .localCheckpoint()
+        // materialized: the directed view below references this twice,
+        // and without it the band join + cosine rerank execute twice
+        // (exchange reuse dedupes shuffles, not the join/rerank above)
+        val gPairs = Materialize(
+          bands.select(col("gid").as("gid_a"), col("band_idx"), col("band_key"))
+            .join(bands.select(col("gid").as("gid_b"), col("band_idx"), col("band_key")),
+              Seq("band_idx", "band_key"))
+            .filter(col("gid_a") <= col("gid_b"))
+            .select("gid_a", "gid_b").distinct()
+            .join(uniq.select(col("gid").as("gid_a"), col("e").as("e_a"), col("gsz").as("sz_a")), "gid_a")
+            .join(uniq.select(col("gid").as("gid_b"), col("e").as("e_b"), col("gsz").as("sz_b")), "gid_b")
+            .withColumn("sim", round(cosine("e_a", "e_b"), 4))
+            .select("gid_a", "gid_b", "sz_a", "sz_b", "sim"))
         // directed view (gq = the query-side group, gn = neighbor group),
         // with each member's neighbor count inside gn: |gn|, or |gq|-1 on
         // the diagonal (self excluded)

@@ -14,6 +14,16 @@ class PlanAuditSpec extends AnyFunSuite {
     GraftQuery.all.find(_.name == name).get
       .build(spark, sf001).queryExecution.executedPlan.toString
 
+  /** Build with materialization disabled so the FULL plan is visible —
+    * a checkpoint hides everything upstream of it from the audit (and
+    * eagerly executes it, which a plan test should not do).
+    */
+  private def planFull(name: String): String = {
+    spark.conf.set(operators.Materialize.ConfKey, "none")
+    try plan(name)
+    finally spark.conf.unset(operators.Materialize.ConfKey)
+  }
+
   test("q01: filter and column pruning reach the parquet scan") {
     val p = plan("q01_scan_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
@@ -52,14 +62,20 @@ class PlanAuditSpec extends AnyFunSuite {
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
-    for (q <- GraftQuery.all) {
-      val p = q.build(spark, sf0001).queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"),
-        s"${q.name} plans a cartesian product")
-      if (!bnljAllowed(q.name))
-        assert(!p.contains("BroadcastNestedLoopJoin"),
-          s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
-    }
+    // full-plan mode: the sweep must see candidate-generation joins
+    // that sit upstream of a builder's materialization point (and must
+    // not eagerly execute eight pipelines just to stringify plans)
+    spark.conf.set(operators.Materialize.ConfKey, "none")
+    try {
+      for (q <- GraftQuery.all) {
+        val p = q.build(spark, sf0001).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"),
+          s"${q.name} plans a cartesian product")
+        if (!bnljAllowed(q.name))
+          assert(!p.contains("BroadcastNestedLoopJoin"),
+            s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
+      }
+    } finally spark.conf.unset(operators.Materialize.ConfKey)
   }
 
   test("LSH signature tables are computed once and reused (checkpointed scan)") {
@@ -95,21 +111,11 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("LSH pipelines use the compiled expressions") {
-    // dd03/dd04 signature tables are localCheckpoint-materialized, so
-    // their sig exprs no longer appear in the FINAL plan (the
-    // computed-once test above covers that); assert the registered
-    // functions still resolve to the native Catalyst expressions — not
-    // UDFs — exactly as the builders invoke them, and that dd06's
-    // post-checkpoint rerank keeps the compiled cosine in the plan
-    graft.functions.GraftFunctions.register(spark)
-    val probe = spark.range(1)
-      .selectExpr("graft_shingles('a b c d e') AS gs")
-      .selectExpr("graft_minhash_sig(gs) AS sig",
-        "graft_simhash64(array('a','b')) AS sh")
-      .queryExecution.analyzed.toString
-    for (f <- Seq("graft_shingles", "graft_minhash_sig", "graft_simhash64"))
-      assert(probe.contains(f), s"$f must resolve to its compiled expression")
-    assert(!probe.contains("UDF"), "compiled expressions, not UDFs")
-    assert(plan("dd06_embedding_neardup_lsh").contains("graft_cosine"))
+    // full-plan mode sees past the materialization point, so the
+    // builders' own invocations are asserted (not merely registration)
+    assert(planFull("dd03_minhash_lsh_pairs").contains("graft_minhash_sig"))
+    assert(planFull("dd03_minhash_lsh_pairs").contains("graft_shingles"))
+    assert(planFull("dd04_simhash_pairs").contains("graft_simhash64"))
+    assert(planFull("dd06_embedding_neardup_lsh").contains("graft_cosine"))
   }
 }

@@ -119,16 +119,20 @@ class DebeziumSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
-  test("tables allowlist: unlisted tables drop as not_listened, spec and hot path agree") {
-    val allowed = Seq("t_loan_order")
+  test("tables allowlist: unlisted db.table drops as not_listened, spec and hot path agree") {
+    val allowed = Seq("cbs.t_loan_order")
     val cases = Seq(
       (validDelete, Debezium.Kept),
       // unlisted named tables drop as not_listened whatever their op —
       // the reference's connector never emits them (StartJob.java:66-67)
-      ("""{"op":"d","ts_ms":1,"source":{"table":"t_other"},"before":{"id":1}}""", Debezium.NotListened),
-      ("""{"op":"i","ts_ms":1,"source":{"table":"t_other"},"before":null,"after":{"id":1}}""", Debezium.NotListened),
+      ("""{"op":"d","ts_ms":1,"source":{"db":"cbs","table":"t_other"},"before":{"id":1}}""", Debezium.NotListened),
+      ("""{"op":"i","ts_ms":1,"source":{"db":"cbs","table":"t_other"},"before":null,"after":{"id":1}}""", Debezium.NotListened),
+      // db-SCOPED like the reference's tableList: a listed table name
+      // under the wrong database — or with no db at all — is unlisted
+      ("""{"op":"d","ts_ms":1,"source":{"db":"otherdb","table":"t_loan_order"},"before":{"id":1}}""", Debezium.NotListened),
+      ("""{"op":"d","ts_ms":1,"source":{"table":"t_loan_order"},"before":{"id":1}}""", Debezium.NotListened),
       // a blank/missing table can't match the list: shape taxonomy wins
-      ("""{"op":"d","ts_ms":1,"source":{"table":"  "},"before":{"id":1}}""", Debezium.NoTable),
+      ("""{"op":"d","ts_ms":1,"source":{"db":"cbs","table":"  "},"before":{"id":1}}""", Debezium.NoTable),
       ("""{"op":"d","ts_ms":1,"source":{"db":"x"},"before":{"id":1}}""", Debezium.NoTable),
       ("""not json at all""", Debezium.Malformed))
     // spec form
@@ -144,8 +148,9 @@ class DebeziumSpec extends AnyFunSuite {
     val kept = Debezium.parseChanges(
       envDf(cases.map(_._1)), "i", allowedTables = Some(allowed)).collect()
     assert(kept.map(_.getAs[String]("tableName")).toSeq === Seq("t_loan_order"))
-    // and with no allowlist the same envelopes keep BOTH valid deletes
-    assert(Debezium.parseChanges(envDf(cases.map(_._1)), "i").count() === 2)
+    // and with no allowlist the same envelopes keep all FOUR valid
+    // deletes (t_other, wrong-db and no-db included)
+    assert(Debezium.parseChanges(envDf(cases.map(_._1)), "i").count() === 4)
   }
 
   test("enrich adds dbTbName/fbNo via the config join (O7)") {
