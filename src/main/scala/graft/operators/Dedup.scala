@@ -155,9 +155,13 @@ object Dedup {
   def minLabelClusters(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     // materialize the edge pipeline ONCE here instead of asking callers
     // to persist: `bi` references `edges` twice and every propagation
-    // round reads it again — off the materialized table those are
-    // trivial projections ([[Materialize]] picks the strategy)
-    val pinned = Materialize(edges.select(col("doc_a"), col("doc_b")))
+    // round reads it again — off the checkpoint those are trivial
+    // projections. Unconditionally localCheckpoint, NOT Materialize:
+    // this is loop machinery like the per-hop label checkpoints (in
+    // `none` mode every round would re-derive the whole edge pipeline,
+    // making rounds quadratic; resilience is already bounded by the
+    // per-hop checkpoints, so no mode offers more here)
+    val pinned = edges.select(col("doc_a"), col("doc_b")).localCheckpoint()
     val bi = pinned.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pinned.select(col("doc_b").as("a"), col("doc_a").as("b")))
     def propagate(l: DataFrame): DataFrame = {

@@ -22,10 +22,11 @@ import org.apache.spark.sql.DataFrame
   *    (a checkpoint hides everything upstream of it), and correct when
   *    a caller materializes the builder's output itself anyway.
   *
-  * The per-hop checkpoint inside the min-label propagation loop is NOT
-  * governed by this switch — truncating lineage each hop is what keeps
-  * the iterated plan from growing without bound (a correctness/stack
-  * concern, not a caching preference).
+  * The min-label propagation loop's checkpoints (its edge pin and the
+  * per-hop labels) are NOT governed by this switch — truncating
+  * lineage there is what keeps the iterated plan from growing without
+  * bound and rounds from re-deriving the edge pipeline (a
+  * correctness/cost invariant of the loop, not a caching preference).
   */
 object Materialize {
   val ConfKey = "spark.graft.materialize"
@@ -34,6 +35,9 @@ object Materialize {
     df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint") match {
       case "none" => df
       case "persist" => df.persist()
-      case _ => df.localCheckpoint()
+      case "localCheckpoint" => df.localCheckpoint()
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey='$other' — expected one of localCheckpoint|persist|none " +
+          "(a typo silently falling back would change the fault-tolerance contract)")
     }
 }

@@ -63,8 +63,10 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
     // full-plan mode: the sweep must see candidate-generation joins
-    // that sit upstream of a builder's materialization point (and must
-    // not eagerly execute eight pipelines just to stringify plans)
+    // that sit upstream of a builder's materialization point. (The
+    // cluster builders dd07–dd09 still execute their propagation loop
+    // during build — the loop's per-hop checkpoints are inherent, not
+    // a materialization mode.)
     spark.conf.set(operators.Materialize.ConfKey, "none")
     try {
       for (q <- GraftQuery.all) {
