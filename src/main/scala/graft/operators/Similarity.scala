@@ -183,20 +183,30 @@ object Similarity {
               |WHERE rn <= 3""".stripMargin),
       "k-NN JOIN (k=3 for EVERY vector, not one query): LSH band buckets generate candidates, exact cosine reranks, a per-vector ROW_NUMBER keeps the top 3 — the all-corpus neighbor table batch pipelines build once and reuse. Ranking on the 4-dp-rounded sim (tiebreak vec_b) keeps the order cross-engine-stable. CLONE-SAFE like dd04/dd06: identical vectors collapse to one group before the band join (candidates + rerank cost independent of clone multiplicity), groups that cannot reach any member's top-3 are pruned, and only then do groups expand back to vec pairs — a clone-heavy corpus (ScaleProbe 10x) costs ~linear, not quadratic.") {
       (s, dir) =>
-        // VALUE COLLAPSE: group vectors by md5 of the value, then key
-        // every group by its MIN vec_id — all downstream joins,
-        // distincts and windows run on LONG group ids, never 32-char
-        // digest strings (string shuffle keys tripled the 1x runtime).
-        // Shared intermediates are pinned per the session's
-        // [[Materialize]] strategy (default localCheckpoint: no
-        // CacheManager residue, ContextCleaner reclaims).
-        val wg = org.apache.spark.sql.expressions.Window
-          .partitionBy(md5(to_json(col("e"))))
-        val ev = Materialize(emb(s, dir)
-          .withColumn("gid", min(col("vec_id")).over(wg))
-          .withColumn("gsz", count(lit(1)).over(wg))
-          .select("vec_id", "gid", "gsz", "e"))
-        val uniq = ev.filter(col("vec_id") === col("gid"))
+        // VALUE COLLAPSE, dd06-style: aggregate vectors by md5 of the
+        // value (`groupBy`, NOT a window — partial aggregation collapses
+        // clone vectors map-side, so the one wide shuffle carries a row
+        // per DISTINCT vector, and a clone-heavy corpus collapses before
+        // the exchange, not after). Each group is keyed by its MIN
+        // vec_id, so all downstream joins, distincts and windows run on
+        // LONG group ids, never 32-char digest strings. The vec→group
+        // map (`ev`) is a narrow join of the map-only scan against the
+        // pinned groups — vectors never ride a shuffle outside the
+        // collapse itself. Shared intermediates are pinned per the
+        // session's [[Materialize]] strategy.
+        val e0 = emb(s, dir).withColumn("gkey", md5(to_json(col("e"))))
+        // `first("e")` is deterministic here: gkey is a digest of e, so
+        // every row in a group carries the identical vector
+        val groups = Materialize(e0.groupBy("gkey")
+          .agg(min(col("vec_id")).as("gid"), count(lit(1)).as("gsz"),
+            first(col("e")).as("e")))
+        // map-only scan + join with the pinned groups; recomputed per
+        // consumer (two expansion joins) — cheaper than a third pin,
+        // the same trade dd06 makes for its `emb`
+        val ev = e0.select(col("vec_id"), col("gkey"))
+          .join(groups.select("gkey", "gid"), "gkey")
+          .select("vec_id", "gid")
+        val uniq = groups
           .withColumn("sig", expr(Hashing.embSigExpr))
           .select("gid", "gsz", "e", "sig")
         val bands = uniq.select(col("gid"),
