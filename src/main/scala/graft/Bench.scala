@@ -21,6 +21,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional materialize-mode override (localCheckpoint|persist|none),
+    // for measuring the [[graft.operators.Materialize]] trade at bench
+    // scale; unset = the builders' documented default. Validation is
+    // Materialize's own (first builder call throws on a typo).
+    sys.env.get("SPARK_GRAFT_MATERIALIZE")
+      .foreach(spark.conf.set(graft.operators.Materialize.ConfKey, _))
     // preflight, BEFORE the minutes-long timing loop: the output keys
     // are id prefixes, so a collision must abort while it's still cheap
     // (failing after the loop would lose every timing from the tail)

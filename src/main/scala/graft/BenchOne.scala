@@ -19,6 +19,8 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_MATERIALIZE")
+      .foreach(spark.conf.set(graft.operators.Materialize.ConfKey, _))
     try { SparkEntry.entry(spark).write.format("noop").mode("overwrite").save(); spark.catalog.clearCache() }
     catch { case scala.util.control.NonFatal(_) => () }
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
