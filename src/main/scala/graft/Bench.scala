@@ -23,21 +23,34 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional materialize-mode override (localCheckpoint|persist|none),
     // for measuring the [[graft.operators.Materialize]] trade at bench
-    // scale; unset = the builders' documented default. Validation is
-    // Materialize's own (first builder call throws on a typo).
-    sys.env.get("SPARK_GRAFT_MATERIALIZE")
-      .foreach(spark.conf.set(graft.operators.Materialize.ConfKey, _))
+    // scale; unset = the builders' documented default. Validated
+    // EAGERLY — the first use is inside the swallowed warmup try.
+    sys.env.get("SPARK_GRAFT_MATERIALIZE").foreach { m =>
+      graft.operators.Materialize.validate(m)
+      spark.conf.set(graft.operators.Materialize.ConfKey, m)
+    }
     // preflight, BEFORE the minutes-long timing loop: the output keys
     // are id prefixes, so a collision must abort while it's still cheap
     // (failing after the loop would lose every timing from the tail)
     val ids = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
     require(ids.distinct.size == ids.size,
       "query id prefixes must stay unique — a collision would silently merge bench entries")
+    // between-runs hygiene: clearCache drops Dataset caches, but
+    // localCheckpoint blocks live OUTSIDE the CacheManager and are
+    // otherwise freed only when a GC cycle feeds the ContextCleaner —
+    // in an 82-query sequence they pile up and the alphabetic tail
+    // (st/tx) pays the heap pressure (r5: st01 2.69 s in sequence vs
+    // 0.50 s isolated). Deterministic unpersist makes each timing
+    // independent of what ran before it.
+    def cold(): Unit = {
+      spark.catalog.clearCache()
+      graft.operators.Materialize.releasePinned(spark)
+    }
     // untimed warmup: JIT the scan/codegen/expression machinery once so
     // the alphabetically-first queries don't absorb JVM warmup
     try {
       SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-      spark.catalog.clearCache()
+      cold()
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // best-of-two per query: a single pass is exposed to machine-load
@@ -53,7 +66,7 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(60)
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        cold()
         dt
       }
       // an errored query's elapsed time is its fast-failure time, not a

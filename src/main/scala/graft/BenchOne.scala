@@ -19,9 +19,20 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    sys.env.get("SPARK_GRAFT_MATERIALIZE")
-      .foreach(spark.conf.set(graft.operators.Materialize.ConfKey, _))
-    try { SparkEntry.entry(spark).write.format("noop").mode("overwrite").save(); spark.catalog.clearCache() }
+    // validated EAGERLY: the first use is inside the swallowed warmup
+    // try, where a typo would silently skip the warmup
+    sys.env.get("SPARK_GRAFT_MATERIALIZE").foreach { m =>
+      graft.operators.Materialize.validate(m)
+      spark.conf.set(graft.operators.Materialize.ConfKey, m)
+    }
+    // bench-identical hygiene: clearCache + deterministic unpersist of
+    // localCheckpoint pins (outside the CacheManager), so timings don't
+    // depend on what ran before — see [[Bench]]
+    def cold(): Unit = {
+      spark.catalog.clearCache()
+      graft.operators.Materialize.releasePinned(spark)
+    }
+    try { SparkEntry.entry(spark).write.format("noop").mode("overwrite").save(); cold() }
     catch { case scala.util.control.NonFatal(_) => () }
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       args.isEmpty || args.exists(a => n == a || n.startsWith(a + "_") || n.takeWhile(_ != '_') == a)
@@ -36,7 +47,7 @@ object BenchOne {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
+        cold()
         dt
       }
       println(f"[benchone] $name best=${times.min}%.3f all=${times.map(t => f"$t%.2f").mkString(",")}")

@@ -100,19 +100,21 @@ object ChangeArchiveJob {
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     TaskConfigChecker.check(cfg)
     // sink timestamps are rendered with date_format (session-timezone
-    // dependent); pin UTC so delivered strings match TargetDataRow's
-    // documented UTC rendering regardless of the caller's session.
-    // DELIBERATE session-level side effect: the streaming query reads
-    // this conf on every micro-batch, so it cannot be set-and-restored
-    // around start() — callers embedding this job in a non-UTC session
-    // should pass a dedicated spark.newSession()
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // dependent); the streaming query re-reads the conf every
+    // micro-batch, so UTC must stay pinned for the query's lifetime.
+    // A DEDICATED session (shared SparkContext, isolated conf) pins it
+    // without mutating the caller's session — an embedder's non-UTC
+    // timezone survives starting this job. Note the returned query is
+    // registered on the private session's StreamingQueryManager: manage
+    // it through the returned handle, not `callerSession.streams`.
+    val session = spark.newSession()
+    session.conf.set("spark.sql.session.timeZone", "UTC")
     val streams = sources.map { s =>
-      val reader = spark.readStream
+      val reader = session.readStream
       maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
       s.instanceName -> reader.text(s.dir)
     }
-    val archive = build(streams, spark, cfg)
+    val archive = build(streams, session, cfg)
     archive.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // one materialization serves every writer (dual-sink delivery,

@@ -30,14 +30,39 @@ import org.apache.spark.sql.DataFrame
   */
 object Materialize {
   val ConfKey = "spark.graft.materialize"
+  val Modes: Set[String] = Set("localCheckpoint", "persist", "none")
 
-  def apply(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint") match {
+  /** Throws on an unknown mode — callers that read the mode from the
+    * environment validate EAGERLY with this (a typo surfacing only
+    * inside a swallowed warmup `try` would silently run unwarmed).
+    */
+  def validate(mode: String): Unit =
+    if (!Modes(mode)) throw new IllegalArgumentException(
+      s"$ConfKey='$mode' — expected one of ${Modes.mkString("|")} " +
+        "(a typo silently falling back would change the fault-tolerance contract)")
+
+  def apply(df: DataFrame): DataFrame = {
+    val mode = df.sparkSession.conf.getOption(ConfKey).getOrElse("localCheckpoint")
+    validate(mode)
+    mode match {
       case "none" => df
       case "persist" => df.persist()
       case "localCheckpoint" => df.localCheckpoint()
-      case other => throw new IllegalArgumentException(
-        s"$ConfKey='$other' — expected one of localCheckpoint|persist|none " +
-          "(a typo silently falling back would change the fault-tolerance contract)")
     }
+  }
+
+  /** Deterministically drop every RDD still pinned in the session's
+    * block manager — `localCheckpoint` blocks included, which
+    * `spark.catalog.clearCache()` can NOT reach (they live outside the
+    * CacheManager and are otherwise reclaimed only when a GC cycle
+    * feeds the async ContextCleaner). Harness hygiene between
+    * independent queries: without it a long query sequence accumulates
+    * dozens of checkpoint pins and the tail runs under heap pressure —
+    * the r5 bench measured st01 at 2.69 s in sequence vs 0.50 s
+    * isolated from exactly this residue. Callers must be done with
+    * every pinned frame: a localCheckpoint has no lineage to recompute
+    * from, so touching one after this call fails.
+    */
+  def releasePinned(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
 }

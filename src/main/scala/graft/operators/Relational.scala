@@ -629,6 +629,10 @@ object Relational {
       Some(SqlApi.q39Sql),
       "The SQL front-end surface: a TPC-H-Q5-shaped revenue rollup submitted as ONE ANSI SQL string that runs VERBATIM on spark.sql(...) and on the DuckDB oracle — join order, decimal money math, timestamp literals all dialect-shared; Catalyst still plans broadcasts/pushdown from the text.") {
       (s, dir) =>
+        // bench-variance history: 1.12 s (r3) → 2.64 (r4) → 1.60 (r5)
+        // with this code untouched — bench-sequence residue (unreleased
+        // localCheckpoint blocks from earlier queries), not this plan;
+        // fixed in r6 by Materialize.releasePinned between bench runs
         for (tb <- Seq("customer", "orders", "lineitem", "supplier", "nation", "region"))
           t(s, dir, tb).createOrReplaceTempView(tb)
         s.sql(SqlApi.q39Sql)

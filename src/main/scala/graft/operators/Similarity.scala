@@ -78,6 +78,10 @@ object Similarity {
               |ORDER BY sim DESC, c.vec_id LIMIT 10""".stripMargin),
       "ANN top-10 via Rademacher-hyperplane LSH (md5-derived, oracle-reproducible): 32 sign bits → 8 bands of 4 bits; candidates share ≥1 band with the query, then exact cosine rerank. The bucketed scale path for ss01.") {
       (s, dir) =>
+        // bench-variance history: 0.71 s (r3) → 1.84 (r4) → 1.00 (r5)
+        // with this code untouched — bench-sequence residue (unreleased
+        // localCheckpoint blocks from earlier queries), not this plan;
+        // fixed in r6 by Materialize.releasePinned between bench runs
         val all = emb(s, dir).withColumn("sig", expr(Hashing.embSigExpr))
         val banded = all.select(col("vec_id"), col("e"),
           posexplode(expr(
@@ -188,12 +192,13 @@ object Similarity {
         // clone vectors map-side, so the one wide shuffle carries a row
         // per DISTINCT vector, and a clone-heavy corpus collapses before
         // the exchange, not after). Each group is keyed by its MIN
-        // vec_id, so all downstream joins, distincts and windows run on
-        // LONG group ids, never 32-char digest strings. The vec→group
-        // map (`ev`) is a narrow join of the map-only scan against the
-        // pinned groups — vectors never ride a shuffle outside the
-        // collapse itself. Shared intermediates are pinned per the
-        // session's [[Materialize]] strategy.
+        // vec_id, so every POST-COLLAPSE join, distinct and window runs
+        // on LONG group ids; the one remaining digest-keyed operation is
+        // the `ev` vec→group map itself, which joins the map-only scan
+        // against the small pinned groups on gkey (broadcast-eligible,
+        // and vectors never ride that join — only (vec_id, gkey) pairs).
+        // Shared intermediates are pinned per the session's
+        // [[Materialize]] strategy.
         val e0 = emb(s, dir).withColumn("gkey", md5(to_json(col("e"))))
         // `first("e")` is deterministic here: gkey is a digest of e, so
         // every row in a group carries the identical vector

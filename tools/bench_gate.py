@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Bench regression gate: diff two bench JSONs per query, fail loudly.
+
+Usage:
+    python3 tools/bench_gate.py OLD.json NEW.json [--waivers BENCH_WAIVERS.md]
+
+Accepts either the driver's per-round format (``BENCH_rN.json`` with a
+``parsed`` object) or the raw one-line JSON that ``graft.Bench`` prints
+(optionally captured to a file).
+
+Rule: a query is a REGRESSION when its new time exceeds 1 s AND is more
+than 1.5x its old time. Regressions fail the gate (exit 1) unless the
+query id is waived in the waivers file (markdown bullets ``- id: reason``).
+Sub-second queries and the total are reported but never fail the gate —
+best-of-two on a shared box prices small queries inside noise.
+
+Round recipe: after a local ``sbt "runMain graft.Bench" | tee /tmp/bench.json``,
+run ``python3 tools/bench_gate.py BENCH_r{N-1}.json /tmp/bench.json`` BEFORE
+committing perf-relevant work. r4 (q39 2.6x, ss02 1.8x) and r5 (st01 9.9x)
+both shipped drifts that this would have caught at commit time.
+"""
+import json
+import re
+import sys
+
+THRESH_RATIO = 1.5
+THRESH_SECS = 1.0
+
+
+def load_queries(path):
+    """Return (queries: dict, total: float) from a driver or raw bench file."""
+    with open(path) as f:
+        text = f.read()
+    # the file may be a driver round file, a raw JSON object, or stdout
+    # containing one JSON line among logs — try whole-file JSON first
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        d = None
+        for line in reversed(text.splitlines()):
+            line = line.strip()
+            if line.startswith("{") and '"queries"' in line:
+                d = json.loads(line)
+                break
+        if d is None:
+            raise SystemExit(f"[bench_gate] no bench JSON found in {path}")
+    if "parsed" in d:
+        d = d["parsed"]
+    if "queries" not in d:
+        raise SystemExit(f"[bench_gate] {path}: no 'queries' key")
+    return d["queries"], d.get("value")
+
+
+def load_waivers(path):
+    """Waived ids from markdown bullets '- id: reason'. Missing file = none."""
+    waived = {}
+    try:
+        with open(path) as f:
+            for line in f:
+                m = re.match(r"^\s*[-*]\s+([A-Za-z0-9_]+)\s*:\s*(.+)$", line)
+                if m:
+                    waived[m.group(1)] = m.group(2).strip()
+    except FileNotFoundError:
+        pass
+    return waived
+
+
+def main(argv):
+    if len(argv) < 3:
+        print(__doc__)
+        return 2
+    old_path, new_path = argv[1], argv[2]
+    waiver_path = "BENCH_WAIVERS.md"
+    if "--waivers" in argv:
+        waiver_path = argv[argv.index("--waivers") + 1]
+    old_q, old_total = load_queries(old_path)
+    new_q, new_total = load_queries(new_path)
+    waivers = load_waivers(waiver_path)
+
+    regressions, waived_hits, notes = [], [], []
+    for qid in sorted(new_q):
+        nv = new_q[qid]
+        ov = old_q.get(qid)
+        if ov is None:
+            notes.append(f"  new query {qid}: {nv:.2f}s (no old baseline)")
+            continue
+        if ov <= 0 or nv <= 0:
+            notes.append(f"  {qid}: errored run old={ov} new={nv}")
+            continue
+        ratio = nv / ov
+        if nv > THRESH_SECS and ratio > THRESH_RATIO:
+            line = f"  {qid}: {ov:.2f}s -> {nv:.2f}s ({ratio:.1f}x)"
+            if qid in waivers:
+                waived_hits.append(line + f"  [waived: {waivers[qid]}]")
+            else:
+                regressions.append(line)
+    for qid in sorted(set(old_q) - set(new_q)):
+        notes.append(f"  dropped query {qid} (was {old_q[qid]:.2f}s)")
+
+    if old_total and new_total:
+        print(f"[bench_gate] total: {old_total:.1f}s -> {new_total:.1f}s "
+              f"({new_total / old_total:.2f}x) over {len(new_q)} queries")
+    if notes:
+        print("[bench_gate] notes:")
+        print("\n".join(notes))
+    if waived_hits:
+        print("[bench_gate] waived regressions:")
+        print("\n".join(waived_hits))
+    if regressions:
+        print(f"[bench_gate] FAIL — unwaived regressions (> {THRESH_SECS}s "
+              f"and > {THRESH_RATIO}x):")
+        print("\n".join(regressions))
+        print(f"[bench_gate] waive knowingly-priced trades in {waiver_path} "
+              "('- id: reason'), or fix before committing")
+        return 1
+    print("[bench_gate] PASS — no unwaived regressions")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))
