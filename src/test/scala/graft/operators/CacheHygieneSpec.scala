@@ -27,4 +27,22 @@ class CacheHygieneSpec extends AnyFunSuite {
       assert(CacheProbe.cacheIsEmpty(spark),
         s"$name left cached plans behind — a leak for any embedding session")
     }
+
+  test("releasePinned frees the localCheckpoint blocks clearCache cannot reach") {
+    spark.catalog.clearCache()
+    Materialize.releasePinned(spark) // start from a clean block manager
+    val q = graft.GraftQuery.all.find(_.name == "ss05_knn_join").get
+    q.build(spark, sf001).write.format("noop").mode("overwrite").save()
+    // the builder's pins are RDD-level persisted (localCheckpoint), so
+    // they survive clearCache — exactly the residue that skewed the
+    // r4/r5 bench tails
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected localCheckpoint pins to survive clearCache — if this " +
+        "starts failing, the builders stopped pinning and releasePinned " +
+        "may be dead code")
+    Materialize.releasePinned(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releasePinned must leave zero RDDs in the block manager")
+  }
 }
