@@ -51,7 +51,12 @@ object ScaleProbe {
       def once(d: String): (Double, Long) = {
         var rows = 0L
         val sec = time { rows = fn(spark, d).count() }
+        // clearCache alone leaves localCheckpoint pins behind; released
+        // deterministically so the 1x timing never pays residue from the
+        // previous operator's Nx run (which would inflate time_ratio's
+        // denominator — or the Nx numerator — arbitrarily)
         spark.catalog.clearCache()
+        graft.operators.Materialize.releasePinned(spark)
         (sec, rows)
       }
       once(base) // warmup at 1x

@@ -21,7 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // builders may persist() intermediates
+      // builders may persist() intermediates (clearCache) and pin
+      // localCheckpoint blocks the CacheManager can't see (releasePinned)
+      // — free both so late queries don't run under accumulated residue
+      spark.catalog.clearCache()
+      graft.operators.Materialize.releasePinned(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
