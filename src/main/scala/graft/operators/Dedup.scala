@@ -491,59 +491,113 @@ object Dedup {
               |  UNION
               |  SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.v)
               |SELECT v AS vec_id, MIN(r) AS cluster FROM reach GROUP BY v""".stripMargin),
-      "SemDeDup-style SEMANTIC clusters: connected components over the dd06 embedding near-dup pairs — groups of vectors whose members are mutually reachable through cosine ≥ 0.45 edges, the keep-one-per-cluster unit for semantic dedup of training corpora.") {
-      (s, dir) =>
-        minLabelClusters(embeddingNearDupPairs(s, dir)
-          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
-          .select(col("doc_id").as("vec_id"), col("cluster"))
+      "SemDeDup-style SEMANTIC clusters: connected components over the dd06 embedding near-dup pairs — groups of vectors whose members are mutually reachable through cosine ≥ 0.45 edges, the keep-one-per-cluster unit for semantic dedup of training corpora. The propagation loop runs on the clone-collapsed GROUP graph (self-edge per clone group, distinct cross-group edges), so its edge table is clone-independent; vectors re-enter only in the final map-side expansion.") {
+      (s, dir) => semanticClusters(s, dir)
     },
   )
 
-  /** dd06's pipeline as a reusable builder (dd09 clusters its output).
+  /** The dd06/dd09 shared core, pre-expansion.
     *
     * VALUE COLLAPSE, like dd04: identical embedding vectors (clone
     * boilerplate at corpus scale) share every band bucket, so the
     * candidate join is quadratic in clone multiplicity. Collapse to
     * distinct vectors (keyed by md5 of the value — deterministic,
-    * executor-side), band-join + cosine-rerank the distinct set,
-    * then expand back to vec pairs (output-bound). An identical
-    * pair reranks as cosine(e, e), so the diagonal passes/fails
-    * exactly as the naive formulation. ScaleProbe 10x: 18 s → ~2 s.
+    * executor-side; `groupBy` partial-aggregates clones map-side), then
+    * band-join + cosine-rerank the distinct set. An identical pair
+    * reranks as cosine(e, e), so the diagonal passes/fails exactly as
+    * the naive formulation. ScaleProbe 10x: 18 s → ~2 s.
+    *
+    * Post-collapse, everything is keyed by `gid` (the group's MIN
+    * vec_id, a LONG — bands, candidate join, rerank; the ss05 lesson:
+    * never shuffle on 32-char digest strings). The one digest-keyed
+    * join left is `ev`, the vec→group map — map-only scan against the
+    * small pinned groups, broadcast-eligible, recomputed per consumer
+    * (cheaper than a second pin; the same trade ss05 makes).
+    *
+    * @return `(ev, groups, gPairs)`: the per-vector map (`vec_id,
+    *   gid`), the pinned distinct-vector groups (`gkey, gid,
+    *   gsz = clone count, e`), and the confirmed group pairs
+    *   (`gid_a ≤ gid_b, gsz_a, gsz_b, sim ≥ 0.45`, diagonal included).
     */
-  private def embeddingNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  private def embeddingGroupPairs(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     // emb is map-only lineage off the column-pruned parquet scan —
     // recomputing it per consumer beats materializing it (and at scale
-    // a scan re-read is the standard trade for map-only stages); uniq
-    // sits behind a shuffle with four consumers, so THAT is the one
-    // worth pinning ([[Materialize]])
+    // a scan re-read is the standard trade for map-only stages); groups
+    // sits behind a shuffle with several consumers, so THAT is the one
+    // worth pinning ([[Materialize]]). `first("e")` is deterministic:
+    // gkey digests e, so every row in a group carries the same vector.
     val emb = spread(Tables.load(s, dir, "embeddings"), "vec_id")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
       .withColumn("gkey", md5(to_json(col("e"))))
-    val uniq = Materialize(emb.select("gkey", "e").dropDuplicates("gkey"))
-    val sigs = uniq.withColumn("sig", expr(Hashing.embSigExpr))
-    val bands = sigs.select(col("gkey"),
+    val groups = Materialize(emb.groupBy("gkey")
+      .agg(min(col("vec_id")).as("gid"), count(lit(1)).as("gsz"),
+        first(col("e")).as("e")))
+    val sigs = groups.withColumn("sig", expr(Hashing.embSigExpr))
+    val bands = sigs.select(col("gid"),
       posexplode(expr(
         "transform(sequence(0, 7), b -> substring(sig, b*4 + 1, 4))"))
         .as(Seq("band_idx", "band_key")))
-    val gPairs = bands.select(col("gkey").as("gkey_a"), col("band_idx"), col("band_key"))
-      .join(bands.select(col("gkey").as("gkey_b"), col("band_idx"), col("band_key")),
+    val gPairs = bands.select(col("gid").as("gid_a"), col("band_idx"), col("band_key"))
+      .join(bands.select(col("gid").as("gid_b"), col("band_idx"), col("band_key")),
         Seq("band_idx", "band_key"))
-      .filter(col("gkey_a") <= col("gkey_b")) // keep the diagonal: clone groups
-      .select("gkey_a", "gkey_b").distinct()
-      .join(uniq.select(col("gkey").as("gkey_a"), col("e").as("e_a")), "gkey_a")
-      .join(uniq.select(col("gkey").as("gkey_b"), col("e").as("e_b")), "gkey_b")
+      .filter(col("gid_a") <= col("gid_b")) // keep the diagonal: clone groups
+      .select("gid_a", "gid_b").distinct()
+      .join(groups.select(col("gid").as("gid_a"), col("e").as("e_a"), col("gsz").as("gsz_a")), "gid_a")
+      .join(groups.select(col("gid").as("gid_b"), col("e").as("e_b"), col("gsz").as("gsz_b")), "gid_b")
       .withColumn("sim", expr("graft_cosine(e_a, e_b)"))
       .filter(col("sim") >= 0.45)
-      .select("gkey_a", "gkey_b", "sim")
-    // each unordered vec pair maps to exactly one unordered group
-    // pair → ordering the diagonal by vec id emits each pair once
+      .select("gid_a", "gid_b", "gsz_a", "gsz_b", "sim")
+    val ev = emb.select(col("vec_id"), col("gkey"))
+      .join(groups.select("gkey", "gid"), "gkey")
+      .select("vec_id", "gid")
+    (ev, groups, gPairs)
+  }
+
+  /** dd06's deliverable: confirmed group pairs expanded to vec pairs
+    * (output-bound — each unordered vec pair maps to exactly one
+    * unordered group pair, so ordering the diagonal by vec id emits
+    * each pair once).
+    */
+  private def embeddingNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val (ev, _, gPairs) = embeddingGroupPairs(s, dir)
     gPairs
-      .join(emb.select(col("gkey").as("gkey_a"), col("vec_id").as("va")), "gkey_a")
-      .join(emb.select(col("gkey").as("gkey_b"), col("vec_id").as("vb")), "gkey_b")
-      .filter(col("gkey_a") < col("gkey_b") || col("va") < col("vb"))
+      .join(ev.select(col("gid").as("gid_a"), col("vec_id").as("va")), "gid_a")
+      .join(ev.select(col("gid").as("gid_b"), col("vec_id").as("vb")), "gid_b")
+      .filter(col("gid_a") < col("gid_b") || col("va") < col("vb"))
       .select(least(col("va"), col("vb")).as("vec_a"),
         greatest(col("va"), col("vb")).as("vec_b"),
         round(col("sim"), 4).as("sim"))
+  }
+
+  /** dd09's deliverable: connected components over the GROUP graph,
+    * expanded to vectors only after the loop.
+    *
+    * Clustering the expanded vec-pair list (the old formulation) feeds
+    * the propagation loop an edge set quadratic in clone multiplicity —
+    * a clone group of m vectors is an m-clique, so at corpus scale the
+    * loop's pinned edge table grows ~m² per group. The group graph is
+    * clone-independent: cross-group edges are the distinct confirmed
+    * pairs, a clone group of ≥ 2 members enters as one self-edge (its
+    * diagonal pair survives the sim filter iff the naive formulation
+    * would have kept its intra-group pairs — cosine(e, e) is 1, or NaN
+    * for a zero vector, in BOTH), and every component label is already
+    * the oracle's MIN vec id because each group is keyed by its min.
+    * The final expansion is a map-side join of the label table against
+    * the vec→group map — no propagation ever sees per-vector rows.
+    */
+  private def semanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val (ev, _, gPairs) = embeddingGroupPairs(s, dir)
+    val cross = gPairs.filter(col("gid_a") =!= col("gid_b"))
+      .select(col("gid_a").as("doc_a"), col("gid_b").as("doc_b"))
+    // diagonal pairs that survived the sim filter, restricted to groups
+    // with actual clone multiplicity (a singleton's diagonal expands to
+    // zero vec pairs, so it is a vertex only if a cross edge names it)
+    val selfs = gPairs.filter(col("gid_a") === col("gid_b") && col("gsz_a") >= 2)
+      .select(col("gid_a").as("doc_a"), col("gid_b").as("doc_b"))
+    val labels = minLabelClusters(cross.unionByName(selfs))
+    ev.join(labels.select(col("doc_id").as("gid"), col("cluster")), "gid")
+      .select(col("vec_id"), col("cluster"))
   }
 }

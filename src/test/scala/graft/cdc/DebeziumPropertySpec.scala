@@ -72,10 +72,24 @@ class DebeziumPropertySpec extends AnyFunSuite {
       assert(actual === expected(s), s"envelope: ${render(s)}")
   }
 
+  /** Kept-by-construction envelopes: every field drawn from the valid
+    * side of its branch. Filtering `genSpec` for Kept is a coin flip —
+    * the joint probability of all five branches passing is well under
+    * 1%, so a 200-sample filter lands empty often enough to flake.
+    */
+  private val genKept: Gen[EnvSpec] = for {
+    table <- Gen.oneOf("t_orders", "t_loan", "x")
+    idValue <- Gen.oneOf("1001", "\"ABC-9\"", "0", "\"\"")
+    tsMs <- Gen.oneOf(1L, 1700000000000L, Debezium.MaxTsMs)
+  } yield EnvSpec(Some("d"), Some(table), blankTable = false,
+    beforeNull = false, withId = true, idValue, Some(tsMs))
+
   test("kept envelopes round-trip id and ts exactly") {
     import spark.implicits._
-    val kept = Gen.listOfN(200, genSpec).sample.get.filter(s => expected(s) == Debezium.Kept)
-    assert(kept.nonEmpty, "generator should produce some kept envelopes")
+    val kept = Gen.listOfN(200, genKept).sample.get
+    // the independent model must agree these are all Kept — a branch
+    // drift here means genKept and the model disagree, not luck
+    for (s <- kept) assert(expected(s) == Debezium.Kept, s"not kept: $s")
     val df = kept.map(render).toDF("value")
     val rows = Debezium.parseChanges(df, "pt").collect()
     assert(rows.length === kept.size)
