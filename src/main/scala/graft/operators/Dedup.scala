@@ -138,19 +138,20 @@ object Dedup {
     * `doc_b`) via Pregel-style min-label propagation: each round every
     * vertex takes the min of its own and its neighbors' labels; at
     * fixpoint every component carries its minimum vertex id. One
-    * shuffle per round, `localCheckpoint` per hop: each `propagate`
-    * references the label table twice, so the LOGICAL plan doubles per
-    * hop — `persist` alone flattens execution but not the plan, and
-    * ~15 chained hops overflow the stack just stringifying the tree
-    * (found by the 29-diameter chain spec). Checkpointing truncates
-    * lineage, keeping every round's plan one hop deep; the convergence
-    * probe is a scalar `count`, never a data collect.
+    * shuffle per hop, `localCheckpoint` every TWO hops: each
+    * `propagate` references the label table twice, so the LOGICAL plan
+    * doubles per hop — `persist` alone flattens execution but not the
+    * plan, and ~15 chained hops overflow the stack just stringifying
+    * the tree (found by the 29-diameter chain spec). Checkpointing
+    * truncates lineage, keeping every iteration's plan two hops deep;
+    * the convergence probe is a scalar `count`, never a data collect.
     *
-    * Rounds needed ≈ component diameter. If `maxRounds` is hit before
-    * fixpoint this THROWS rather than silently emitting labels that
-    * disagree with the oracle's transitive closure — a >20-hop
-    * near-dup chain is data telling you something (or a cap telling
-    * you to raise it), never something to paper over.
+    * Hops needed ≈ component diameter. If `maxRounds` (a hop count,
+    * overshot by at most one two-hop iteration) is hit before fixpoint
+    * this THROWS rather than silently emitting labels that disagree
+    * with the oracle's transitive closure — a >20-hop near-dup chain
+    * is data telling you something (or a cap telling you to raise
+    * it), never something to paper over.
     */
   def minLabelClusters(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     // materialize the edge pipeline ONCE here instead of asking callers
@@ -183,13 +184,21 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val next = propagate(labels).localCheckpoint()
+      // TWO hops per checkpoint: each checkpoint is an eager action and
+      // each convergence probe another — at small diameters that fixed
+      // cost dominates the loop, so halving the checkpoint count buys
+      // more than the deeper (still bounded: 2-hop) plan costs. The
+      // probe stays sound: labels only decrease, so a hop that changed
+      // NOTHING is a fixpoint no matter what the hop before it did —
+      // checking only the second hop's `changed` flags at worst runs
+      // one redundant hop, never stops early.
+      val next = propagate(propagate(labels)).localCheckpoint()
       // superseded checkpoint blocks are reclaimed by the ContextCleaner
       // once `labels` is re-bound (localCheckpoint data isn't in the
       // CacheManager, so Dataset.unpersist would be a no-op here)
       labels = next
       converged = next.where(col("changed")).isEmpty
-      round += 1
+      round += 2
     }
     if (!converged)
       throw new IllegalStateException(
