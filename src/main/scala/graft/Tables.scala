@@ -41,4 +41,18 @@ object Tables {
         .select(raw.columns.map(col): _*)
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Spread a (possibly single-file) scan across the session's shuffle
+    * parallelism with an EXPLICIT partition count — AQE would coalesce
+    * a size-based repartition of a small-but-CPU-heavy input back to
+    * one partition (it optimizes bytes, not lambda work). At 100 TB the
+    * scan arrives pre-split and the downstream shuffle re-keys anyway;
+    * on the single-file fixtures this is what keeps CPU-heavy stages
+    * (LSH signatures, per-envelope JSON parsing) on all cores.
+    */
+  def spread(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(32)
+    df.repartition(n, col(key))
+  }
 }

@@ -36,7 +36,10 @@ object CdcQueries {
     val op: Column = when(m === 3, lit("i")).otherwise(lit("d"))
     val tbl: Column = when(m === 4, lit("")).otherwise(col("event_type"))
     val ts: Column = when(m === 6, lit(0L)).otherwise(unix_millis(col("ts")))
-    Tables.load(s, dir, "events").select(concat(
+    // the synthesis + downstream parse are ~4 JSON operations per row:
+    // CPU-bound, and the single-file fixture scan would otherwise run
+    // them on ONE core (events.parquet is one input split at every SF)
+    Tables.spread(Tables.load(s, dir, "events"), "event_id").select(concat(
       lit("{\"op\":\""), op,
       lit("\",\"ts_ms\":"), ts,
       lit(",\"source\":{\"db\":\"graft\",\"table\":\""), tbl,

@@ -38,18 +38,10 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
-  /** Spread a (possibly single-file) scan across the session's shuffle
-    * parallelism with an EXPLICIT partition count — AQE would coalesce
-    * a size-based repartition of a small-but-CPU-heavy input back to
-    * one partition (it optimizes bytes, not lambda work). At 100 TB the
-    * scan arrives pre-split; on the single-file fixtures this is what
-    * keeps the LSH pipelines on all cores.
-    */
-  private def spread(df: DataFrame, key: String): DataFrame = {
-    val n = df.sparkSession.conf.getOption("spark.sql.shuffle.partitions")
-      .flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(32)
-    df.repartition(n, col(key))
-  }
+  // see [[graft.Tables.spread]] — fan a single-file scan out to all
+  // cores ahead of a CPU-heavy stage
+  private def spread(df: DataFrame, key: String): DataFrame =
+    Tables.spread(df, key)
 
   import Hashing.{P, perms}
 
