@@ -481,7 +481,11 @@ object Relational {
              |FROM orders GROUP BY o_orderstatus""".stripMargin),
       "HLL sketch surface: approx_count_distinct checked against the exact count in-plan; the emitted boolean asserts the 5% error envelope (HLL is deterministic for fixed data, so the check is hash-stable), the oracle carries the exact counts.") {
       (s, dir) =>
-        t(s, dir, "orders")
+        // HLL sketch build + distinct expansion are CPU-heavy and the
+        // single-row-group fixture scan is one split — fan out first
+        // (carrying only the two pruned columns through the shuffle)
+        graft.Tables.spread(
+          t(s, dir, "orders").select("o_orderstatus", "o_custkey"), "o_custkey")
           .groupBy(col("o_orderstatus"))
           .agg(
             countDistinct(col("o_custkey")).as("exact_cnt"),
