@@ -72,6 +72,33 @@ class DedupSpec extends AnyFunSuite {
     assert(twoLabels.filter(_._1 >= 100).values.toSet === Set(100L))
   }
 
+  test("min-label propagation matches a union-find model on random graphs") {
+    import spark.implicits._
+    // fixed-seed random graphs: every component label must equal the
+    // component's min vertex id per an independent union-find model —
+    // exercises odd/even diameters across the two-hop-per-checkpoint
+    // loop (an off-by-one in its convergence probe would show here)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nVerts = 40
+      val edges = (1 to 50).map { _ =>
+        (rnd.nextInt(nVerts).toLong, rnd.nextInt(nVerts).toLong)
+      }.filter { case (a, b) => a != b }
+      // union-find ground truth
+      val parent = Array.tabulate(nVerts)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for ((a, b) <- edges) parent(find(a.toInt)) = find(b.toInt)
+      val inEdges = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = inEdges.map { v =>
+        val root = find(v.toInt)
+        v -> inEdges.filter(u => find(u.toInt) == root).min
+      }.toMap
+      val got = Dedup.minLabelClusters(edges.toDF("doc_a", "doc_b"), maxRounds = 80)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want, s"trial $trial: labels disagree with union-find")
+    }
+  }
+
   test("min-label propagation FAILS LOUDLY when the round cap is hit un-converged") {
     import spark.implicits._
     // diameter 29 cannot converge in 3 rounds — must throw, never emit
