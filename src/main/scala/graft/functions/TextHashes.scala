@@ -100,15 +100,25 @@ final case class SimHash64(child: Expression)
 
 /** One-stop idempotent registration of the graft function family. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_minhash_sig",
-      { children: Seq[Expression] => MinHashSig(children.head) }, "built-in")
-    reg.createOrReplaceTempFunction("graft_shingles",
-      { children: Seq[Expression] => Shingles(children.head) }, "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash64",
-      { children: Seq[Expression] => SimHash64(children.head) }, "built-in")
-    reg.createOrReplaceTempFunction("graft_cosine",
-      { children: Seq[Expression] => CosineSim(children.head, children(1)) }, "built-in")
-  }
+  // sessions already registered — every builder calls register() so a
+  // bench/verify run would otherwise re-register 4 functions per query,
+  // and each replacement logs a WARN line into the stdout tail the
+  // driver parses for the bench JSON. Weak keys: sessions must stay
+  // collectable.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  def register(spark: SparkSession): Unit =
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
+      val reg = spark.sessionState.functionRegistry
+      reg.createOrReplaceTempFunction("graft_minhash_sig",
+        { children: Seq[Expression] => MinHashSig(children.head) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_shingles",
+        { children: Seq[Expression] => Shingles(children.head) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_simhash64",
+        { children: Seq[Expression] => SimHash64(children.head) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_cosine",
+        { children: Seq[Expression] => CosineSim(children.head, children(1)) }, "built-in")
+    }
 }
