@@ -354,41 +354,47 @@ object Dedup {
         // SIGNATURE COLLAPSE — the 100 TB move: real corpora are full of
         // exact duplicates, and every clone lands in the same band
         // buckets, making the candidate join quadratic in clone count.
-        // Dedupe to DISTINCT signatures first (band join cost becomes
+        // Group to DISTINCT signatures first (band join cost becomes
         // independent of clone multiplicity), rerank signature pairs,
         // then expand back to doc pairs — the expansion is output-bound
         // by construction. ScaleProbe 10x (clone-heavy by design):
-        // 46 s → ~2 s, identical output set.
-        val sigs = Materialize(sim.select("simhash").distinct()
+        // 46 s → ~2 s, identical output set. Each group is keyed by its
+        // MIN doc_id so every post-collapse join runs on LONGs, never
+        // the 64-char signature string (the dd06/ss05 lesson); the one
+        // string-keyed join left is the sig→group map `ev`.
+        val groups = Materialize(sim.groupBy("simhash")
+          .agg(min(col("doc_id")).as("gid"))
           .withColumn("h1", expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)"))
           .withColumn("h2", expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)")))
-        val bands = sigs.select(col("simhash"),
+        val bands = groups.select(col("gid"),
           posexplode(expr(
             "transform(sequence(0, 4), b -> substring(simhash, b*13 + 1, IF(b = 4, 12, 13)))"))
             .as(Seq("band_idx", "band_bits")))
         // <= keeps the diagonal: an identical-signature GROUP (clones)
         // still yields its intra-group doc pairs after expansion
-        val sigPairs = bands.select(col("simhash").as("sig_a"), col("band_idx"), col("band_bits"))
-          .join(bands.select(col("simhash").as("sig_b"), col("band_idx"), col("band_bits")),
+        val sigPairs = bands.select(col("gid").as("gid_a"), col("band_idx"), col("band_bits"))
+          .join(bands.select(col("gid").as("gid_b"), col("band_idx"), col("band_bits")),
             Seq("band_idx", "band_bits"))
-          .filter(col("sig_a") <= col("sig_b"))
-          .select("sig_a", "sig_b").distinct()
-          .join(sigs.select(col("simhash").as("sig_a"),
-            col("h1").as("ha1"), col("h2").as("ha2")), "sig_a")
-          .join(sigs.select(col("simhash").as("sig_b"),
-            col("h1").as("hb1"), col("h2").as("hb2")), "sig_b")
+          .filter(col("gid_a") <= col("gid_b"))
+          .select("gid_a", "gid_b").distinct()
+          .join(groups.select(col("gid").as("gid_a"),
+            col("h1").as("ha1"), col("h2").as("ha2")), "gid_a")
+          .join(groups.select(col("gid").as("gid_b"),
+            col("h1").as("hb1"), col("h2").as("hb2")), "gid_b")
           .withColumn("hamming",
             expr("CAST(bit_count(ha1 ^ hb1) + bit_count(ha2 ^ hb2) AS BIGINT)"))
           .filter(col("hamming") <= 4)
-          .select("sig_a", "sig_b", "hamming")
+          .select("gid_a", "gid_b", "hamming")
         // expand signature pairs to doc pairs; each unordered doc pair
         // maps to exactly one unordered signature pair, so ordering the
-        // diagonal by doc id (and the rest by signature) emits each pair
+        // diagonal by doc id (and the rest by group id) emits each pair
         // exactly once — no distinct needed
+        val ev = sim.join(groups.select("simhash", "gid"), "simhash")
+          .select("doc_id", "gid")
         sigPairs
-          .join(sim.select(col("simhash").as("sig_a"), col("doc_id").as("da")), "sig_a")
-          .join(sim.select(col("simhash").as("sig_b"), col("doc_id").as("db")), "sig_b")
-          .filter(col("sig_a") < col("sig_b") || col("da") < col("db"))
+          .join(ev.select(col("gid").as("gid_a"), col("doc_id").as("da")), "gid_a")
+          .join(ev.select(col("gid").as("gid_b"), col("doc_id").as("db")), "gid_b")
+          .filter(col("gid_a") < col("gid_b") || col("da") < col("db"))
           .select(least(col("da"), col("db")).as("doc_a"),
             greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
     },
