@@ -73,15 +73,27 @@ object Bench {
       // runtime — record -1 so it can't flatter the total
       name -> (if (errors.contains(name)) -1.0 else times.min)
     }
+    println(renderLine(results, errors.toSeq, sfDir))
+    spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
+  }
+
+  /** The ONE stdout line the driver parses (from the LAST 2000 chars of
+    * stdout, which also contain sbt's trailing "[success] Total time..."
+    * line) — so it must stay well under ~1.9 kB AND parse as strict
+    * JSON. Two size levers: 3-decimal values (ms precision is far below
+    * best-of-two noise) and each query keyed by its unique id prefix
+    * ("dd03", "q17", "cdc04" — the canonical ids in
+    * SURVEY/VERDICT/CORRECTNESS) instead of the full descriptive name;
+    * 82 queries land ≈1.2 kB. Public and pure so `BenchLineSpec` can
+    * pin both properties against a real JSON parser.
+    */
+  def renderLine(
+      results: Seq[(String, Double)],
+      errors: Seq[(String, String)],
+      sfDir: String): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    // The driver parses the LAST 2000 chars of stdout, which also
-    // contain sbt's trailing "[success] Total time..." line — so the
-    // JSON line must stay well under ~1.9 kB. Two levers: 3-decimal
-    // values (ms precision is far below best-of-two noise) and each
-    // query keyed by its unique id prefix ("dd03", "q17", "cdc04" —
-    // the canonical ids in SURVEY/VERDICT/CORRECTNESS) instead of the
-    // full descriptive name. 69 queries land ≈1.1 kB.
     def j3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def shortId(name: String) = name.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => jstr(shortId(k)) + ":" + j3(v) }.mkString("{", ",", "}")
@@ -89,7 +101,7 @@ object Bench {
     // ~450 chars — an all-failure round measured 1958 chars from the
     // JSON line through sbt's trailing [error] block at a 600 budget,
     // only 42 inside the driver's 2000-char tail; 450 keeps ~190 margin
-    val errEntries = errors.toSeq.map { case (k, v) => jstr(shortId(k)) + ":" + jstr(v) }
+    val errEntries = errors.map { case (k, v) => jstr(shortId(k)) + ":" + jstr(v) }
     val (kept, dropped) = {
       var budget = 450
       val keep = errEntries.takeWhile { e => budget -= e.length + 1; budget >= 0 }
@@ -98,8 +110,6 @@ object Bench {
     val errs = (kept ++ (if (dropped > 0) Seq(jstr("_truncated") + ":" + jstr(s"$dropped more")) else Seq()))
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    spark.stop()
-    if (errors.nonEmpty) sys.exit(1)
+    s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
   }
 }
