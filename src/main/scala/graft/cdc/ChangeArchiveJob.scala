@@ -108,6 +108,15 @@ object ChangeArchiveJob {
     // registered on the private session's StreamingQueryManager: manage
     // it through the returned handle, not `callerSession.streams`.
     val session = spark.newSession()
+    // newSession() initializes SQL conf from builder-time SparkConf
+    // only, so copy the caller's RUNTIME conf entries (spark.conf.set
+    // after startup — shuffle partitions, codegen flags, …) before
+    // pinning UTC; static/immutable entries reject the set and keep
+    // their builder-time values, which is the correct outcome
+    spark.conf.getAll.foreach { case (k, v) =>
+      try session.conf.set(k, v)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     session.conf.set("spark.sql.session.timeZone", "UTC")
     val streams = sources.map { s =>
       val reader = session.readStream

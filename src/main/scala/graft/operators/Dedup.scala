@@ -154,7 +154,8 @@ object Dedup {
     // `none` mode every round would re-derive the whole edge pipeline,
     // making rounds quadratic; resilience is already bounded by the
     // per-hop checkpoints, so no mode offers more here)
-    val pinned = edges.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val pinned = Materialize.trackedLocalCheckpoint(
+      edges.select(col("doc_a"), col("doc_b")))
     val bi = pinned.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pinned.select(col("doc_b").as("a"), col("doc_a").as("b")))
     def propagate(l: DataFrame): DataFrame = {
@@ -171,8 +172,9 @@ object Dedup {
           least(col("cluster"), coalesce(col("n_cluster"), col("cluster"))).as("cluster"),
           (coalesce(col("n_cluster"), col("cluster")) < col("cluster")).as("changed"))
     }
-    var labels = bi.select(col("a").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id")).localCheckpoint()
+    var labels = Materialize.trackedLocalCheckpoint(
+      bi.select(col("a").as("doc_id")).distinct()
+        .withColumn("cluster", col("doc_id")))
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -184,7 +186,7 @@ object Dedup {
       // NOTHING is a fixpoint no matter what the hop before it did —
       // checking only the second hop's `changed` flags at worst runs
       // one redundant hop, never stops early.
-      val next = propagate(propagate(labels)).localCheckpoint()
+      val next = Materialize.trackedLocalCheckpoint(propagate(propagate(labels)))
       // superseded checkpoint blocks are reclaimed by the ContextCleaner
       // once `labels` is re-bound (localCheckpoint data isn't in the
       // CacheManager, so Dataset.unpersist would be a no-op here)

@@ -32,6 +32,30 @@ object Materialize {
   val ConfKey = "spark.graft.materialize"
   val Modes: Set[String] = Set("localCheckpoint", "persist", "none")
 
+  // RDD ids of the localCheckpoint pins graft itself created, so
+  // releasePinned can scope its unpersist to them — a co-tenant's
+  // persisted RDD on the same SparkContext (e.g. ChangeArchiveJob's
+  // per-batch persist) must not be blocking-unpersisted mid-flight.
+  // Ids are attributed by diffing getPersistentRDDs around the
+  // checkpoint call; a co-tenant pinning concurrently DURING that
+  // narrow window could be misattributed, which is still strictly
+  // safer than the previous release-everything behavior.
+  private val graftPins = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** `df.localCheckpoint()` with the resulting block-manager pins
+    * recorded as graft-owned (see [[releasePinned]]). All graft code
+    * that checkpoints must pin through here — an untracked pin would
+    * survive the harness' between-queries release and re-create the
+    * r5 bench-residue drift.
+    */
+  def trackedLocalCheckpoint(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    (sc.getPersistentRDDs.keySet -- before).foreach(graftPins.add(_))
+    out
+  }
+
   /** Throws on an unknown mode — callers that read the mode from the
     * environment validate EAGERLY with this (a typo surfacing only
     * inside a swallowed warmup `try` would silently run unwarmed).
@@ -47,22 +71,29 @@ object Materialize {
     mode match {
       case "none" => df
       case "persist" => df.persist()
-      case "localCheckpoint" => df.localCheckpoint()
+      case "localCheckpoint" => trackedLocalCheckpoint(df)
     }
   }
 
-  /** Deterministically drop every RDD still pinned in the session's
-    * block manager — `localCheckpoint` blocks included, which
-    * `spark.catalog.clearCache()` can NOT reach (they live outside the
-    * CacheManager and are otherwise reclaimed only when a GC cycle
-    * feeds the async ContextCleaner). Harness hygiene between
+  /** Deterministically drop the `localCheckpoint` pins graft created —
+    * blocks `spark.catalog.clearCache()` can NOT reach (they live
+    * outside the CacheManager and are otherwise reclaimed only when a
+    * GC cycle feeds the async ContextCleaner). Harness hygiene between
     * independent queries: without it a long query sequence accumulates
     * dozens of checkpoint pins and the tail runs under heap pressure —
     * the r5 bench measured st01 at 2.69 s in sequence vs 0.50 s
-    * isolated from exactly this residue. Callers must be done with
-    * every pinned frame: a localCheckpoint has no lineage to recompute
-    * from, so touching one after this call fails.
+    * isolated from exactly this residue. Scoped to graft-tracked pins:
+    * a co-tenant's persisted RDDs on the shared SparkContext are left
+    * alone. Callers must be done with every graft-pinned frame: a
+    * localCheckpoint has no lineage to recompute from, so touching one
+    * after this call fails.
     */
-  def releasePinned(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+  def releasePinned(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val live = spark.sparkContext.getPersistentRDDs
+    graftPins.forEach { id =>
+      live.get(id).foreach(_.unpersist(blocking = true))
+    }
+    // tracked ids are now either unpersisted or already cleaner-collected
+    graftPins.clear()
+  }
 }

@@ -72,30 +72,48 @@ def main(argv):
     old_path, new_path = argv[1], argv[2]
     waiver_path = "BENCH_WAIVERS.md"
     if "--waivers" in argv:
-        waiver_path = argv[argv.index("--waivers") + 1]
+        i = argv.index("--waivers")
+        if i + 1 >= len(argv):
+            print(__doc__)
+            print("[bench_gate] --waivers requires a file argument")
+            return 2
+        waiver_path = argv[i + 1]
     old_q, old_total = load_queries(old_path)
     new_q, new_total = load_queries(new_path)
     waivers = load_waivers(waiver_path)
 
     regressions, waived_hits, notes = [], [], []
+
+    def gate(qid, line):
+        """Route a failing line to waived or regression."""
+        if qid in waivers:
+            waived_hits.append(line + f"  [waived: {waivers[qid]}]")
+        else:
+            regressions.append(line)
+
     for qid in sorted(new_q):
         nv = new_q[qid]
         ov = old_q.get(qid)
         if ov is None:
             notes.append(f"  new query {qid}: {nv:.2f}s (no old baseline)")
             continue
-        if ov <= 0 or nv <= 0:
-            notes.append(f"  {qid}: errored run old={ov} new={nv}")
+        if nv <= 0:
+            if ov > 0:
+                # a query that newly errors is the WORST regression —
+                # it must fail the gate, not hide in the notes
+                gate(qid, f"  {qid}: newly ERRORED (was {ov:.2f}s)")
+            else:
+                notes.append(f"  {qid}: still errored (old={ov} new={nv})")
+            continue
+        if ov <= 0:
+            notes.append(f"  {qid}: recovered from error -> {nv:.2f}s")
             continue
         ratio = nv / ov
         if nv > THRESH_SECS and ratio > THRESH_RATIO:
-            line = f"  {qid}: {ov:.2f}s -> {nv:.2f}s ({ratio:.1f}x)"
-            if qid in waivers:
-                waived_hits.append(line + f"  [waived: {waivers[qid]}]")
-            else:
-                regressions.append(line)
+            gate(qid, f"  {qid}: {ov:.2f}s -> {nv:.2f}s ({ratio:.1f}x)")
     for qid in sorted(set(old_q) - set(new_q)):
-        notes.append(f"  dropped query {qid} (was {old_q[qid]:.2f}s)")
+        # a silently dropped query would shrink the inventory unnoticed
+        gate(qid, f"  {qid}: DROPPED from inventory (was {old_q[qid]:.2f}s)")
 
     if old_total and new_total:
         print(f"[bench_gate] total: {old_total:.1f}s -> {new_total:.1f}s "
