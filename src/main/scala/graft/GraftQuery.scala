@@ -31,6 +31,7 @@ object GraftQuery {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
+      operators.Sampling.all ++
       operators.Multimodal.all ++
       operators.StreamingWindows.all ++
       operators.Udx.all ++

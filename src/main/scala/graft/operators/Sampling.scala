@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling and sequence-packing operators over the `documents` table —
+  * the reproducibility-critical surface of a training-data pipeline
+  * (harness-mandated extension family, SURVEY.md §2.3).
+  *
+  * Every operator derives its randomness from **md5 of the row key**,
+  * never from an RNG: a hash-bucket decision is (a) reproducible across
+  * runs, engines, and cluster layouts — re-running the pipeline on
+  * re-partitioned input selects the SAME rows, which `rand()`-based
+  * sampling does not guarantee; (b) pure map-side work — a Bernoulli
+  * sample of 100 TB is a filter that never shuffles; and (c) consistent
+  * across tables — sampling `documents` and a sibling table by the same
+  * key keeps them joinable. This is the standard deterministic-sampling
+  * design for large corpus work (cf. Spark's own `sample` caveats: its
+  * per-partition RNG reshuffles selections whenever partitioning
+  * changes).
+  *
+  * Scale notes per operator are on each entry; none of these plans
+  * carries a shuffle except where the semantics force one (per-stratum
+  * ranking, global counts), and those shuffle the KEY + counters, not
+  * document payloads.
+  */
+object Sampling {
+
+  /** `pmod(first-32-bits-of-md5(key), 100)` — the shared deterministic
+    * bucket in [0,100). Spark side of the oracle's
+    * `CAST(('0x' || substring(md5(k),1,8)) AS BIGINT) % 100`
+    * (conv parses the same 8 hex chars; both are non-negative so
+    * `%` and `pmod` agree).
+    */
+  private def bucket100(key: String): String =
+    s"CAST(conv(substring(md5(CAST($key AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+
+  private val duckBucket100 =
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "sp01_hash_sample",
+      Some(s"""SELECT doc_id, lang, source
+              |FROM documents
+              |WHERE $duckBucket100 < 10""".stripMargin),
+      "Deterministic 10% Bernoulli sample by md5 bucket of doc_id: reproducible across runs/engines/partitionings, pure map-side filter (no shuffle, no RNG state) — the only sampling design that scales to 100 TB with an audit trail.") {
+      (s, dir) =>
+        docs(s, dir)
+          .filter(expr(s"${bucket100("doc_id")} < 10"))
+          .select("doc_id", "lang", "source")
+    },
+
+    GraftQuery(
+      "sp02_stratified_sample",
+      Some(s"""SELECT lang,
+              |       COUNT(*) AS n_total,
+              |       CAST(SUM(CASE WHEN $duckBucket100 <
+              |              CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+              |            THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+              |FROM documents GROUP BY lang""".stripMargin),
+      "Stratified deterministic sample: per-language rates (downsample the dominant stratum to 10%, keep 40% elsewhere) applied as a map-side hash-bucket filter; the only shuffle is the tiny per-stratum audit aggregation.") {
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("bucket", expr(bucket100("doc_id")))
+          .withColumn("rate", when(col("lang") === "en", 10).otherwise(40))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_total"),
+            sum(when(col("bucket") < col("rate"), 1).otherwise(0)).as("n_sampled"))
+    },
+
+    GraftQuery(
+      "sp03_per_stratum_sample",
+      Some("""SELECT doc_id, lang, rn FROM (
+             |  SELECT doc_id, lang,
+             |         ROW_NUMBER() OVER (PARTITION BY lang
+             |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents) t
+             |WHERE rn <= 20""".stripMargin),
+      "Exactly-k-per-stratum sample without replacement: rank by md5(doc_id) inside each stratum, keep the first 20 — a deterministic 'uniform without replacement' (hash order is independent of doc order). One shuffle on the stratum key; for a mega-stratum, pre-filter by hash bucket to ~4k survivors before ranking.") {
+      (s, dir) =>
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        docs(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select("doc_id", "lang", "rn")
+    },
+
+    GraftQuery(
+      "sp04_source_quota_sample",
+      Some(s"""WITH counts AS (
+              |  SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source),
+              |rates AS (
+              |  SELECT source, n_total,
+              |         LEAST(100, CAST(FLOOR(20.0 * 100 / n_total) AS BIGINT)) AS rate
+              |  FROM counts)
+              |SELECT d.source, r.n_total,
+              |       CAST(SUM(CASE WHEN $duckBucket100 < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+              |         AS n_sampled
+              |FROM documents d JOIN rates r ON d.source = r.source
+              |GROUP BY d.source, r.n_total""".stripMargin),
+      "Source-quota rebalancing (mixture construction): compute per-source counts, derive the hash-bucket rate that lands ~20 docs per source, sample deterministically. The counts/rates table is tiny and BROADCAST back — documents are filtered map-side, never shuffled; integer rate in [0,100] keeps the arithmetic engine-exact.") {
+      (s, dir) =>
+        val d = docs(s, dir)
+        val rates = d.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+          .withColumn("rate",
+            least(lit(100), floor(lit(20.0) * 100 / col("n_total")).cast("long")))
+        d.join(broadcast(rates), "source")
+          .withColumn("bucket", expr(bucket100("doc_id")))
+          .groupBy(col("source"), col("n_total"))
+          .agg(sum(when(col("bucket") < col("rate"), 1).otherwise(0)).as("n_sampled"))
+          .select("source", "n_total", "n_sampled")
+    },
+
+    GraftQuery(
+      "pk01_token_packing",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+             |  FROM documents),
+             |packed AS (
+             |  SELECT lang, doc_id, n_tokens,
+             |         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             |                       ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT)
+             |           AS bin
+             |  FROM toks)
+             |SELECT lang, bin,
+             |       COUNT(*) AS n_docs,
+             |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+             |FROM packed GROUP BY lang, bin""".stripMargin),
+      "Greedy token-budget packing (512-token bins) via running-total binning: one window pass assigns each doc the bin its cumulative start falls in — the standard one-pass streaming packer (a straddling doc overflows its bin by < one doc, never splits). One shuffle on the partition key; bins never cross partitions, so 100 TB packs partition-parallel.") {
+      (s, dir) =>
+        val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .withColumn("n_tokens", size(split(col("text"), " ")))
+          .withColumn("bin",
+            floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / 512.0).cast("long"))
+          .groupBy(col("lang"), col("bin"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("bin_tokens"))
+    })
+}

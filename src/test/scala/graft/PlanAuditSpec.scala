@@ -112,6 +112,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("n_chars"), "unused n_chars must not reach the scan")
   }
 
+  test("sampling family plans: map-side Bernoulli, broadcast quota rates") {
+    // sp01 is the 100 TB workhorse — it must stay a pure scan+filter
+    // (zero exchanges) inside whole-stage codegen, with unused columns
+    // pruned at the parquet scan
+    val p01 = plan("sp01_hash_sample")
+    assert(!p01.contains("Exchange"), "sp01 must not shuffle")
+    assert(p01.contains("*("), "sp01 must stay codegen'd")
+    assert(!p01.contains("n_chars"), "sp01 must prune unused columns")
+    // sp04's tiny per-source rate table must come back as a broadcast,
+    // never a shuffled join against the corpus
+    assert(plan("sp04_source_quota_sample").contains("BroadcastHashJoin"),
+      "sp04 rates must broadcast")
+  }
+
   test("LSH pipelines use the compiled expressions") {
     // full-plan mode sees past the materialization point, so the
     // builders' own invocations are asserted (not merely registration)

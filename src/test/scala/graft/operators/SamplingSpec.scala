@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.TestSpark._
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants of the sampling/packing family. DuckDB parity
+  * (check_parity / the driver's CORRECTNESS gate) pins exact values;
+  * these specs pin the properties that make the operators USEFUL — the
+  * determinism contracts a `rand()`-based formulation would break.
+  */
+class SamplingSpec extends AnyFunSuite {
+
+  private def byName(n: String) = graft.GraftQuery.all.find(_.name == n).get
+
+  test("sp01 hash sample is invariant under input partitioning (sf0.01)") {
+    val sample = byName("sp01_hash_sample").build(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // same filter over a deliberately re-partitioned scan: a
+    // partitioning-dependent sampler (Spark's rand()-seeded .sample)
+    // would select different rows here; the md5-bucket sampler must not
+    val repartitioned = Tables.load(spark, sf001, "documents")
+      .repartition(7, col("lang"))
+      .filter(expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 10"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sample == repartitioned,
+      "hash sample must select identical rows regardless of partitioning")
+    // 10% Bernoulli over 500 docs: allow a generous binomial band
+    val n = Tables.load(spark, sf001, "documents").count()
+    assert(sample.size > n * 0.05 && sample.size < n * 0.15,
+      s"sample size ${sample.size} of $n is outside the 10% +/- 5pt band")
+  }
+
+  test("sp03 takes exactly k per stratum, disjoint and deterministic (sf0.01)") {
+    val rows = byName("sp03_per_stratum_sample").build(spark, sf001).collect()
+    val perLang = rows.groupBy(_.getString(1))
+    perLang.foreach { case (lang, docs) =>
+      assert(docs.length == 20, s"$lang: expected exactly 20, got ${docs.length}")
+      assert(docs.map(_.getLong(0)).distinct.length == 20, s"$lang: duplicate doc_ids")
+    }
+    // rank order is by md5, so rn must enumerate 1..20 within each stratum
+    perLang.values.foreach { docs =>
+      assert(docs.map(_.getInt(2)).sorted.toSeq == (1 to 20), "rn must be 1..20")
+    }
+  }
+
+  test("pk01 running-total packing matches a sequential reference packer (sf0.01)") {
+    val out = byName("pk01_token_packing").build(spark, sf001)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // reference: walk each stratum in doc_id order, binning by the
+    // running total's start offset — the exact semantics the window
+    // formulation claims
+    val docs = Tables.load(spark, sf001, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .select("lang", "doc_id", "n_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+      var cum = 0L
+      ds.sortBy(_._2).toSeq.map { case (_, _, t) =>
+        val bin = cum / 512; cum += t; (lang, bin, t.toLong)
+      }
+    }.groupBy(t => (t._1, t._2))
+      .map { case (k, v) => (k, (v.size.toLong, v.map(_._3).sum)) }
+    assert(out == expected, "window packing disagrees with the sequential packer")
+    // and the packer's bound: a bin never exceeds budget + one doc
+    val maxDoc = docs.map(_._3).max
+    out.values.foreach { case (_, binTokens) =>
+      assert(binTokens < 512 + maxDoc, s"bin of $binTokens tokens breaks the overflow bound")
+    }
+  }
+
+  test("sp04 quota sampling lands near its per-source target (sf0.01)") {
+    val rows = byName("sp04_source_quota_sample").build(spark, sf001).collect()
+    assert(rows.length == 20, "one row per source")
+    rows.foreach { r =>
+      val (total, sampled) = (r.getLong(1), r.getLong(2))
+      assert(total == 25, s"${r.getString(0)}: fixture has 25 docs per source")
+      // rate floor(20*100/25)=80% over 25 docs: expect ~20, binomial sd ~2
+      assert(sampled >= 12 && sampled <= 25,
+        s"${r.getString(0)}: $sampled of $total far from the ~20 quota")
+    }
+  }
+}
