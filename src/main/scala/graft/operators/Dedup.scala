@@ -69,12 +69,23 @@ object Dedup {
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |ELSE [] END""".stripMargin
 
-  /** THE near-dup edge pipeline (word-trigram Jaccard ≥ 0.8 over the
-    * df-capped inverted index): the single source of truth dd05 emits
-    * as pairs-with-score, and dd07/dd08 cluster. Emits
-    * `(doc_a, doc_b, jaccard)` so one copy of the threshold / cap /
-    * shingle logic serves all three (its SQL twin is [[clusterCtes]] /
-    * dd05's oracle).
+  /** THE near-dup edge pipeline for dd05 (word-trigram Jaccard ≥ 0.8
+    * over the df-capped inverted index), emitting
+    * `(doc_a, doc_b, jaccard)`; its SQL twin is dd05's oracle /
+    * [[clusterCtes]].
+    *
+    * Deliberately NOT clone-collapsed (measured r7): dd05's OUTPUT is
+    * every qualifying doc pair, so a clone family of m contributes m²
+    * rows no matter how candidates are generated — collapse cannot
+    * change the asymptote, and the df cap already bounds the naive
+    * intra-family join at cap² rows per family (a family larger than
+    * [[DfCap]] pushes every shingle's df over the cap and drops out
+    * entirely), i.e. linear in corpus size with a ≤ cap² constant.
+    * The collapsed formulation was built and benchmarked: +1.5 s fixed
+    * (collapse shuffle + expansion machinery) at sf0.1 for identical
+    * output and no asymptotic gain. The clustering queries, whose
+    * ITERATIVE cost does depend on clone multiplicity, collapse
+    * instead — see [[clusterAssignments]].
     */
   private def jaccardEdges(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -98,6 +109,89 @@ object Dedup {
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Clone collapse for the text CLUSTERING pipelines (r7 — the
+    * dd06/dd09 embedding-side move applied to documents, per the
+    * recipe deferred in SCALE.md r6): identical texts collapse to one
+    * group keyed by `md5(text)` with `gid = MIN(doc_id)` and
+    * `cnt` = clone count. The groupBy's map-side partial agg collapses
+    * clones BEFORE the exchange, so the one wide shuffle carries each
+    * DISTINCT text once; shingling, the df computation, the
+    * inverted-index self-join and — the part that matters — every hop
+    * of the min-label propagation loop run on distinct texts keyed by
+    * long gids. Returns (groups pinned via [[Materialize]] — it feeds
+    * both the shingle explode and the member map, doc→gid member map).
+    */
+  private def textGroups(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = spread(docs(s, dir), "doc_id").withColumn("fp", md5(col("text")))
+    // `first(text)` is deterministic here: every text in an fp group is
+    // byte-identical by construction
+    val groups = Materialize(d
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("gid"), count(lit(1)).as("cnt"),
+        first(col("text")).as("text")))
+    // the one digest-keyed join left — a map-side scan against the
+    // pinned groups; everything downstream joins by long gid
+    val mg = d.select(col("doc_id"), col("fp"))
+      .join(groups.select("fp", "gid"), "fp")
+      .select("doc_id", "gid")
+    (groups, mg)
+  }
+
+  /** Group-level jaccard machinery over the collapsed groups: returns
+    * (inter-group edges with jaccard ≥ 0.8, per-group surviving-shingle
+    * counts `n`). `df = SUM(cnt)` is bit-identical to the naive per-doc
+    * document frequency (each clone counts once); jaccard over the
+    * surviving shingles of two distinct texts equals every member
+    * pair's naive score (clones have identical shingle sets).
+    */
+  private def groupJaccard(groups: DataFrame): (DataFrame, DataFrame) = {
+    val sh = groups.withColumn("gs", expr("graft_shingles(text)"))
+      .select(col("gid"), col("cnt"), explode(col("gs")).as("g"))
+    val rare = sh.groupBy("g").agg(sum(col("cnt")).as("df"))
+      .filter(col("df") <= DfCap).select("g")
+    val er = Materialize(sh.join(rare, "g").select("gid", "g"))
+    val n = er.groupBy("gid").agg(count(lit(1)).as("n"))
+    val inter = er.select(col("gid").as("ga"), col("g"))
+      .join(er.select(col("gid").as("gb"), col("g")), "g")
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("shared"))
+      .join(n.select(col("gid").as("ga"), col("n").as("n_a")), "ga")
+      .join(n.select(col("gid").as("gb"), col("n").as("n_b")), "gb")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= 0.8)
+      .select("ga", "gb", "jaccard")
+    (inter, n)
+  }
+
+  /** Doc-level near-dup cluster assignments via the collapsed GROUP
+    * graph (dd07/dd08): the propagation loop's per-hop shuffle volume
+    * is independent of clone multiplicity — the naive formulation
+    * carried every clone family's m² intra-edges through EVERY hop
+    * (loop cost × clone factor, the one place the df cap's ≤ cap²
+    * bound still multiplies). Clone families (≥ 2 members with ≥ 1
+    * shingle surviving the df cap — a fully-capped family has no index
+    * entries and never pairs, matching the naive plan) enter as
+    * self-edges so an isolated family still forms its cluster.
+    * Component labels are min gids = min doc ids, so members re-enter
+    * in one final map join, and dd05's doc-level edges produce the
+    * SAME components: an inter-group edge stands for all-pairs between
+    * the groups, a self-edge for the intra-family clique.
+    */
+  private def clusterAssignments(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (groups, mg) = textGroups(s, dir)
+    val (inter, n) = groupJaccard(groups)
+    val cloneGroups = groups.filter(col("cnt") >= 2)
+      .join(n, Seq("gid"), "left_semi").select("gid")
+    val gEdges = inter.select(col("ga").as("doc_a"), col("gb").as("doc_b"))
+      .unionByName(cloneGroups
+        .select(col("gid").as("doc_a"), col("gid").as("doc_b")))
+    val gClusters = minLabelClusters(gEdges)
+    mg.join(gClusters.select(col("doc_id").as("gid"), col("cluster")), "gid")
+      .select(col("doc_id"), col("cluster"))
   }
 
   /** DuckDB twin of [[jaccardEdges]] + transitive closure: the CTE body
@@ -425,9 +519,8 @@ object Dedup {
       "dd07_dedup_clusters",
       Some(s"""WITH RECURSIVE $clusterCtes
               |SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id""".stripMargin),
-      "Near-dup CLUSTERS: connected components over the dd05 jaccard-pair edges via Pregel-style min-label propagation (iterate: label = min(label, neighbors' labels) until fixpoint) — the grouping step that turns pairwise near-dups into keep-one-per-cluster sets. Oracle is a recursive CTE over the same edges.") {
-      (s, dir) =>
-        minLabelClusters(jaccardEdges(s, dir).select("doc_a", "doc_b"))
+      "Near-dup CLUSTERS: connected components over the dd05 jaccard edges via Pregel-style min-label propagation, run on the clone-collapsed GROUP graph (r7) — the loop's input is independent of duplicate multiplicity; members re-enter in one final map join. Oracle is a recursive CTE over the naive doc-level edges.") {
+      (s, dir) => clusterAssignments(s, dir)
     },
 
     GraftQuery(
@@ -442,8 +535,7 @@ object Dedup {
               |WHERE c.doc_id IS NULL OR c.doc_id = c.cluster""".stripMargin),
       "The dedup DELIVERABLE: one keeper per near-dup cluster (its min doc id) plus every unclustered doc, with n_dropped = how many near-dups the keeper absorbed — the keep-list a training-data pipeline feeds downstream after dd05/dd07.") {
       (s, dir) =>
-        val clusters = minLabelClusters(
-          jaccardEdges(s, dir).select("doc_a", "doc_b"))
+        val clusters = clusterAssignments(s, dir)
         val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("sz"))
         docs(s, dir).select("doc_id")
           .join(clusters, Seq("doc_id"), "left")
