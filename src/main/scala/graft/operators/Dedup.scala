@@ -92,23 +92,40 @@ object Dedup {
     val sh = spread(docs(s, dir), "doc_id")
       .withColumn("gs", expr("graft_shingles(text)"))
       .select(col("doc_id"), explode(col("gs")).as("g"))
-    val rare = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    val (pairs, _) = invertedIndexJaccard(sh, "doc_id", lit(1L))
+    pairs.select(col("ka").as("doc_a"), col("kb").as("doc_b"), col("jaccard"))
+  }
+
+  /** The inverted-index Jaccard machinery shared by the doc-level
+    * ([[jaccardEdges]]) and group-level ([[groupJaccard]]) pipelines:
+    * df-cap the shingles (`df = SUM(weight)` — 1 per doc row, clone
+    * count per collapsed group, so both compute the same document
+    * frequency), pin the capped index (it feeds three subplans: both
+    * self-join sides + the size table; default localCheckpoint leaves
+    * no CacheManager residue, see [[Materialize]]), equi-join on the
+    * shingle with `ka < kb`, score each distinct pair once. Returns
+    * (pairs `(ka, kb, jaccard ≥ 0.8)`, per-key surviving-shingle
+    * counts `(key, n)`). One copy of the threshold / cap / join shape
+    * keeps dd05 and dd07/dd08 on provably identical edge semantics.
+    */
+  private def invertedIndexJaccard(
+      sh: DataFrame, key: String, weight: org.apache.spark.sql.Column)
+      : (DataFrame, DataFrame) = {
+    val rare = sh.groupBy("g").agg(sum(weight).as("df"))
       .filter(col("df") <= DfCap).select("g")
-    // the capped index feeds three subplans (both self-join sides + the
-    // size table) — materialized per the session's strategy (default
-    // localCheckpoint: no CacheManager residue; see [[Materialize]])
-    val er = Materialize(sh.join(rare, "g"))
-    val n = er.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    er.select(col("doc_id").as("doc_a"), col("g"))
-      .join(er.select(col("doc_id").as("doc_b"), col("g")), "g")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-      .join(n.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(n.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+    val er = Materialize(sh.join(rare, "g").select(col(key), col("g")))
+    val n = er.groupBy(key).agg(count(lit(1)).as("n"))
+    val pairs = er.select(col(key).as("ka"), col("g"))
+      .join(er.select(col(key).as("kb"), col("g")), "g")
+      .filter(col("ka") < col("kb"))
+      .groupBy("ka", "kb").agg(count(lit(1)).as("shared"))
+      .join(n.select(col(key).as("ka"), col("n").as("n_a")), "ka")
+      .join(n.select(col(key).as("kb"), col("n").as("n_b")), "kb")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= 0.8)
-      .select("doc_a", "doc_b", "jaccard")
+      .select("ka", "kb", "jaccard")
+    (pairs, n)
   }
 
   /** Clone collapse for the text CLUSTERING pipelines (r7 — the
@@ -149,21 +166,8 @@ object Dedup {
   private def groupJaccard(groups: DataFrame): (DataFrame, DataFrame) = {
     val sh = groups.withColumn("gs", expr("graft_shingles(text)"))
       .select(col("gid"), col("cnt"), explode(col("gs")).as("g"))
-    val rare = sh.groupBy("g").agg(sum(col("cnt")).as("df"))
-      .filter(col("df") <= DfCap).select("g")
-    val er = Materialize(sh.join(rare, "g").select("gid", "g"))
-    val n = er.groupBy("gid").agg(count(lit(1)).as("n"))
-    val inter = er.select(col("gid").as("ga"), col("g"))
-      .join(er.select(col("gid").as("gb"), col("g")), "g")
-      .filter(col("ga") < col("gb"))
-      .groupBy("ga", "gb").agg(count(lit(1)).as("shared"))
-      .join(n.select(col("gid").as("ga"), col("n").as("n_a")), "ga")
-      .join(n.select(col("gid").as("gb"), col("n").as("n_b")), "gb")
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
-      .filter(col("jaccard") >= 0.8)
-      .select("ga", "gb", "jaccard")
-    (inter, n)
+    val (pairs, n) = invertedIndexJaccard(sh, "gid", col("cnt"))
+    (pairs.select(col("ka").as("ga"), col("kb").as("gb"), col("jaccard")), n)
   }
 
   /** Doc-level near-dup cluster assignments via the collapsed GROUP

@@ -40,7 +40,22 @@ object Materialize {
   // checkpoint call; a co-tenant pinning concurrently DURING that
   // narrow window could be misattributed, which is still strictly
   // safer than the previous release-everything behavior.
-  private val graftPins = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  // Keyed PER SparkContext (weak keys: a stopped context's entry is
+  // GC'd): RDD ids are a per-context counter, so an id tracked in one
+  // context must never be matched against an unrelated RDD that
+  // happens to get the same id in a successor context.
+  private val graftPins =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.util.Set[Integer]]()
+
+  private def pinsFor(sc: org.apache.spark.SparkContext): java.util.Set[Integer] =
+    graftPins.synchronized {
+      var s = graftPins.get(sc)
+      if (s == null) {
+        s = java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+        graftPins.put(sc, s)
+      }
+      s
+    }
 
   /** `df.localCheckpoint()` with the resulting block-manager pins
     * recorded as graft-owned (see [[releasePinned]]). All graft code
@@ -52,7 +67,8 @@ object Materialize {
     val sc = df.sparkSession.sparkContext
     val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    (sc.getPersistentRDDs.keySet -- before).foreach(graftPins.add(_))
+    val pins = pinsFor(sc)
+    (sc.getPersistentRDDs.keySet -- before).foreach(id => pins.add(id))
     out
   }
 
@@ -89,11 +105,15 @@ object Materialize {
     * after this call fails.
     */
   def releasePinned(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val live = spark.sparkContext.getPersistentRDDs
-    graftPins.forEach { id =>
-      live.get(id).foreach(_.unpersist(blocking = true))
+    val sc = spark.sparkContext
+    val live = sc.getPersistentRDDs
+    val pins = pinsFor(sc)
+    // remove exactly the ids iterated — not clear(): an id a concurrent
+    // trackedLocalCheckpoint adds mid-release must stay tracked for the
+    // next release, or its pin silently outlives the harness hygiene
+    pins.toArray(Array.empty[Integer]).foreach { id =>
+      live.get(id.intValue).foreach(_.unpersist(blocking = true))
+      pins.remove(id)
     }
-    // tracked ids are now either unpersisted or already cleaner-collected
-    graftPins.clear()
   }
 }

@@ -135,7 +135,7 @@ object Sampling {
              |       COUNT(*) AS n_docs,
              |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
              |FROM packed GROUP BY lang, bin""".stripMargin),
-      "Greedy token-budget packing (512-token bins) via running-total binning: one window pass assigns each doc the bin its cumulative start falls in — the standard one-pass streaming packer (a straddling doc overflows its bin by < one doc, never splits). One shuffle on the partition key; bins never cross partitions, so 100 TB packs partition-parallel.") {
+      "Greedy token-budget packing (512-token bins) via running-total binning: one window pass assigns each doc the bin its cumulative start falls in — the standard one-pass streaming packer (a straddling doc overflows its bin by < one doc, never splits). One shuffle on the stratum key; the unbounded running sum serializes each stratum onto one task, so a mega-stratum must first be sharded into bounded sub-strata (e.g. partition by (lang, doc_id DIV N) — bins never cross shard boundaries, so the result is still a valid packing).") {
       (s, dir) =>
         val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -95,7 +95,12 @@ def main(argv):
         nv = new_q[qid]
         ov = old_q.get(qid)
         if ov is None:
-            notes.append(f"  new query {qid}: {nv:.2f}s (no old baseline)")
+            if nv <= 0:
+                # a query that ships broken on arrival must not slip
+                # through as a baseline-less note
+                gate(qid, f"  {qid}: new query ERRORED on arrival")
+            else:
+                notes.append(f"  new query {qid}: {nv:.2f}s (no old baseline)")
             continue
         if nv <= 0:
             if ov > 0:
