@@ -121,6 +121,22 @@ object Sampling {
     },
 
     GraftQuery(
+      "sp05_train_val_test_split",
+      Some(s"""SELECT doc_id, lang,
+              |       CASE WHEN $duckBucket100 < 80 THEN 'train'
+              |            WHEN $duckBucket100 < 90 THEN 'val'
+              |            ELSE 'test' END AS split
+              |FROM documents""".stripMargin),
+      "Reproducible 80/10/10 train/val/test assignment by md5 bucket: every engine, run, and partitioning assigns each doc the same split (the property that prevents train/test leakage when the corpus is re-processed); pure map-side projection, no shuffle. Adding data never reassigns an existing doc — its bucket depends only on its key.") {
+      (s, dir) =>
+        val b = expr(bucket100("doc_id"))
+        docs(s, dir)
+          .withColumn("split",
+            when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+          .select("doc_id", "lang", "split")
+    },
+
+    GraftQuery(
       "pk01_token_packing",
       Some("""WITH toks AS (
              |  SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tokens

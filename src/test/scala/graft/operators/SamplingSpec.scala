@@ -71,6 +71,29 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("sp05 split partitions the corpus and never reassigns on growth (sf0.01)") {
+    val full = byName("sp05_train_val_test_split").build(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val n = full.size
+    assert(full.values.toSet == Set("train", "val", "test"))
+    val train = full.values.count(_ == "train").toDouble / n
+    assert(train > 0.7 && train < 0.9, s"train fraction $train far from 0.8")
+    // growth stability: the assignment of a doc depends only on its own
+    // key, so any subset of the corpus gets the identical restriction —
+    // recompute over a filtered half and compare
+    val half = Tables.load(spark, sf001, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .withColumn("split", expr(
+        """CASE WHEN CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 80 THEN 'train'
+          |     WHEN CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 90 THEN 'val'
+          |     ELSE 'test' END""".stripMargin))
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    half.foreach { case (id, s) =>
+      assert(full(id) == s, s"doc $id reassigned from ${full(id)} to $s on subset")
+    }
+  }
+
   test("sp04 quota sampling lands near its per-source target (sf0.01)") {
     val rows = byName("sp04_source_quota_sample").build(spark, sf001).collect()
     assert(rows.length == 20, "one row per source")
