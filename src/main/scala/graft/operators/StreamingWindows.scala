@@ -110,5 +110,21 @@ object StreamingWindows {
           .select(col("user_id"), col("view_id"), col("purchase_id"),
             (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
     },
+
+    GraftQuery(
+      "st06_sampled_window",
+      Some("""SELECT DATE_TRUNC('day', ts) AS window_start, event_type, COUNT(*) AS n
+             |FROM events
+             |WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+             |GROUP BY 1, 2""".stripMargin),
+      "Deterministic 20% sample composed with a tumbling daily window: the md5-bucket filter is stateless, so the SAME events are selected in batch and streaming, across restarts and repartitionings — the reproducibility a continuous pipeline cannot get from rand()/sample() (per-partition RNG seeds reshuffle selections on every re-plan). Map-side filter, then the one windowed-agg shuffle; the streaming run is in StreamingEquivalenceSpec.") {
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .filter(expr(
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 20"))
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    },
   )
 }

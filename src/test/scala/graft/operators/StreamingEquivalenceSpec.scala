@@ -54,6 +54,20 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("sampled window: streaming selects the SAME deterministic sample as batch") {
+    val streamed = runToMemory(
+      streamEvents
+        .filter(expr(
+          "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 20"))
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n")),
+      "st06_stream", "complete")
+    val batch = StreamingWindows.all.find(_.name == "st06_sampled_window").get
+      .build(spark, sf0001)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("session window: streaming result == batch twin") {
     val streamed = runToMemory(
       streamEvents
