@@ -137,6 +137,32 @@ object Sampling {
     },
 
     GraftQuery(
+      "sp06_quality_weighted_sample",
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, lang,
+              |         LEN(STRING_SPLIT(text, ' ')) BETWEEN 20 AND 120
+              |         AND CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x IN ('the','a','of','and'))) AS DOUBLE)
+              |               / LEN(STRING_SPLIT(text, ' ')) < 0.3 AS good
+              |  FROM documents)
+              |SELECT doc_id, lang,
+              |       CASE WHEN good THEN 'quality' ELSE 'tail' END AS stratum
+              |FROM q
+              |WHERE $duckBucket100 < CASE WHEN good THEN 100 ELSE 10 END""".stripMargin),
+      "Quality-weighted downsampling (tx02's gate composed with the deterministic sampler): quality docs are kept outright, the rest enter a reproducible 10% exploration tail — the standard shape for a training-data filter that must not silently discard the distribution's tail. Still pure map-side (the quality predicate and the hash bucket are both per-row), still RNG-free.") {
+      (s, dir) =>
+        val toks = split(col("text"), " ")
+        val stopRatio =
+          expr(s"CAST(size(filter(split(text, ' '), x -> x IN ('the','a','of','and'))) AS DOUBLE)") /
+            size(toks)
+        docs(s, dir)
+          .withColumn("good", size(toks).between(20, 120) && stopRatio < 0.3)
+          .filter(expr(bucket100("doc_id")) <
+            when(col("good"), 100).otherwise(10))
+          .select(col("doc_id"), col("lang"),
+            when(col("good"), "quality").otherwise("tail").as("stratum"))
+    },
+
+    GraftQuery(
       "pk01_token_packing",
       Some("""WITH toks AS (
              |  SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tokens

@@ -94,6 +94,29 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("sp06 keeps every quality doc and only samples the tail (sf0.01)") {
+    val out = byName("sp06_quality_weighted_sample").build(spark, sf001).collect()
+    val byStratum = out.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    // recompute the quality gate independently
+    val good = Tables.load(spark, sf001, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")).between(20, 120) &&
+        expr("CAST(size(filter(toks, x -> x IN ('the','a','of','and'))) AS DOUBLE)")
+          / size(col("toks")) < 0.3)
+      .count()
+    val total = Tables.load(spark, sf001, "documents").count()
+    assert(byStratum("quality").toLong == good,
+      s"every quality doc must be kept: ${byStratum("quality")} vs $good")
+    // the tail population is tiny at sf0.01 (~43 docs), so a 10%
+    // Bernoulli draw is deep in binomial-noise territory — assert only
+    // that the tail is a strict, small subset (the exact selection is
+    // value-pinned by the DuckDB oracle, not this spec)
+    val tailN = byStratum.getOrElse("tail", 0)
+    assert(tailN < (total - good) * 0.3,
+      s"tail kept $tailN of ${total - good} — sampling is not downsampling")
+    assert(out.length.toLong == good + tailN, "strata must partition the output")
+  }
+
   test("sp04 quota sampling lands near its per-source target (sf0.01)") {
     val rows = byName("sp04_source_quota_sample").build(spark, sf001).collect()
     assert(rows.length == 20, "one row per source")
