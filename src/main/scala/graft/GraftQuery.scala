@@ -32,6 +32,7 @@ object GraftQuery {
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
       operators.Sampling.all ++
+      operators.Decontam.all ++
       operators.Multimodal.all ++
       operators.StreamingWindows.all ++
       operators.Udx.all ++

@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the train/test-leakage check every
+  * training-data pipeline runs before shipping a corpus (harness
+  * extension family, SURVEY.md §2.3): find training documents that
+  * share enough rare n-grams with the held-out split to contaminate an
+  * evaluation, then purge them.
+  *
+  * Composes three existing pieces end-to-end, on identical semantics:
+  * the deterministic md5-bucket split ([[Sampling]] — sp05's 80/10/10
+  * assignment defines "train" and "test" here, so the split being
+  * decontaminated is the split the sampler actually emits), the
+  * compiled `graft_shingles` word-trigram expression, and [[Dedup]]'s
+  * document-frequency cap.
+  *
+  * Scale design (100 TB stance):
+  *  - candidates meet in a shingle equi-join, never doc × doc: join
+  *    volume is Σ_g train_df(g) · test_df(g), and the df cap (≤
+  *    [[Dedup.DfCap]] docs corpus-wide) bounds every term — a frequent
+  *    trigram ("in the the") is a skew bomb with no contamination
+  *    signal, exactly the dd05 argument;
+  *  - the held-out side is the SMALL side by construction (a benchmark
+  *    is a few thousand docs against a 100 TB corpus), so its shingle
+  *    index is `broadcast()` — the train corpus is filtered map-side
+  *    and never shuffles on the shingle key;
+  *  - the shared capped index is pinned once ([[Materialize]]) — it
+  *    feeds the train and test branches;
+  *  - the purge (dc02) is a broadcast LEFT ANTI join on the tiny
+  *    contaminated-id set: the corpus streams through untouched.
+  */
+object Decontam {
+
+  /** Min shared rare trigrams for a (train, test) pair to be flagged.
+    * At sf0.01 this yields 21 contaminated pairs (max overlap 81 — the
+    * corpus's clone families straddle the split); random cross-split
+    * pairs share ~0.4 rare trigrams, so 3 is far above chance.
+    */
+  private val Overlap = 3
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Df-capped shingle postings tagged with the sp05 split bucket:
+    * `(doc_id, b, g)`, pinned (feeds both join sides).
+    */
+  private def rareShingles(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val d = docs(s, dir).withColumn("b", expr(Sampling.bucket100("doc_id")))
+    val e = Tables.spread(d, "doc_id")
+      .select(col("doc_id"), col("b"), explode(expr("graft_shingles(text)")).as("g"))
+    val rare = e.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= Dedup.DfCap).select("g")
+    Materialize(e.join(rare, "g").select("doc_id", "b", "g"))
+  }
+
+  /** Flagged `(train_doc, test_doc, n_shared)` pairs — the dc01 body,
+    * reused by dc02's purge.
+    */
+  private def overlapPairs(s: SparkSession, dir: String): DataFrame = {
+    val er = rareShingles(s, dir)
+    val tr = er.filter(col("b") < 80).select(col("doc_id").as("train_doc"), col("g"))
+    val te = er.filter(col("b") >= 90).select(col("doc_id").as("test_doc"), col("g"))
+    tr.join(broadcast(te), "g")
+      .groupBy("train_doc", "test_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= Overlap)
+  }
+
+  /** Shared DuckDB CTE prefix: split buckets → shingles → df cap →
+    * flagged pairs. `graft_shingles` dedups within a doc, so COUNT(*)
+    * per pair = |intersection of rare trigram sets|.
+    */
+  private val pairsDuck =
+    s"""WITH d AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w,
+       |                  ${Sampling.duckBucket100Of("doc_id")} AS b
+       |           FROM documents),
+       |sh AS (SELECT doc_id, lang, b, ${Dedup.shingleDuck} AS gs FROM d),
+       |e AS (SELECT doc_id, b, UNNEST(gs) AS g FROM sh),
+       |rare AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= ${Dedup.DfCap}),
+       |er AS (SELECT e.doc_id, e.b, e.g FROM e JOIN rare USING (g)),
+       |pairs AS (
+       |  SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+       |         COUNT(*) AS n_shared
+       |  FROM (SELECT doc_id, g FROM er WHERE b < 80) tr
+       |  JOIN (SELECT doc_id, g FROM er WHERE b >= 90) te USING (g)
+       |  GROUP BY tr.doc_id, te.doc_id
+       |  HAVING COUNT(*) >= $Overlap)""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "dc01_benchmark_overlap",
+      Some(s"""$pairsDuck
+              |SELECT train_doc, test_doc, n_shared FROM pairs""".stripMargin),
+      s"Benchmark contamination detection: (train, test) doc pairs sharing >= $Overlap rare word-trigrams across the sp05 deterministic split. Candidates meet in a df-capped shingle equi-join with the small held-out side broadcast — the train corpus never shuffles; join volume is bounded by the df cap per shingle (the dd05 skew argument applied cross-split).") {
+      (s, dir) => overlapPairs(s, dir)
+    },
+
+    GraftQuery(
+      "dc02_decontaminated_train",
+      Some(s"""$pairsDuck,
+              |contaminated AS (SELECT DISTINCT train_doc FROM pairs)
+              |SELECT lang, COUNT(*) AS n_kept
+              |FROM d
+              |WHERE b < 80
+              |  AND doc_id NOT IN (SELECT train_doc FROM contaminated)
+              |GROUP BY lang""".stripMargin),
+      "Decontaminated train split: broadcast LEFT ANTI join of the train docs against the flagged contaminated ids (tiny by construction), per-language survivor counts. At 100 TB the corpus streams through the anti join map-side — only the audit aggregation shuffles, and it carries (lang, counter) rows.") {
+      (s, dir) =>
+        val contaminated = overlapPairs(s, dir)
+          .select(col("train_doc").as("doc_id")).distinct()
+        docs(s, dir)
+          .withColumn("b", expr(Sampling.bucket100("doc_id")))
+          .filter(col("b") < 80)
+          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"))
+    })
+}

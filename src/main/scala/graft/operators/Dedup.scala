@@ -48,7 +48,7 @@ object Dedup {
   /** Max document frequency a shingle may have and still enter the
     * dd05 inverted index.
     */
-  private val DfCap = 50
+  private[operators] val DfCap = 50
 
   // ---- oracle (DuckDB dialect) expression fragments ----
   // the Spark side runs the compiled graft_* expressions

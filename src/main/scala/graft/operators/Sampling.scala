@@ -34,11 +34,14 @@ object Sampling {
     * (conv parses the same 8 hex chars; both are non-negative so
     * `%` and `pmod` agree).
     */
-  private def bucket100(key: String): String =
+  private[operators] def bucket100(key: String): String =
     s"CAST(conv(substring(md5(CAST($key AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
 
-  private val duckBucket100 =
-    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+  /** DuckDB twin of [[bucket100]], parameterized by key column. */
+  private[operators] def duckBucket100Of(key: String): String =
+    s"CAST(('0x' || substring(md5(CAST($key AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+  private val duckBucket100 = duckBucket100Of("doc_id")
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
@@ -160,6 +163,28 @@ object Sampling {
             when(col("good"), 100).otherwise(10))
           .select(col("doc_id"), col("lang"),
             when(col("good"), "quality").otherwise("tail").as("stratum"))
+    },
+
+    GraftQuery(
+      "sp07_consistent_join_sample",
+      Some(s"""SELECT label, COUNT(*) AS n_joined
+              |FROM (SELECT doc_id, lang FROM documents
+              |      WHERE $duckBucket100 < 10) d
+              |JOIN (SELECT vec_id, label FROM embeddings
+              |      WHERE ${duckBucket100Of("vec_id")} < 10) e
+              |  ON d.doc_id = e.vec_id
+              |GROUP BY label""".stripMargin),
+      "Cross-table consistent sampling — the property that makes hash sampling composable: documents and embeddings are sampled INDEPENDENTLY by the same md5 bucket of their shared key, and because the decision is a pure function of the key, the two 10% samples select the SAME ids — sample-then-join equals join-then-sample. Both filters are map-side; the join runs on 1% of the original pair volume. rand()-based sampling cannot do this (independent coins on each table keep only ~1% of matches, a silently biased join).") {
+      (s, dir) =>
+        val d = docs(s, dir)
+          .filter(expr(s"${bucket100("doc_id")} < 10"))
+          .select("doc_id", "lang")
+        val e = Tables.load(s, dir, "embeddings")
+          .filter(expr(s"${bucket100("vec_id")} < 10"))
+          .select("vec_id", "label")
+        d.join(e, col("doc_id") === col("vec_id"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_joined"))
     },
 
     GraftQuery(

@@ -274,5 +274,56 @@ object Similarity {
           .filter(col("rn") <= 3)
           .select("vec_a", "vec_b", "sim", "rn")
     },
+
+    GraftQuery(
+      "ss06_kmeans_iter",
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |seeds AS (SELECT e AS se,
+             |                 CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
+             |                   AS cluster
+             |          FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+             |sims AS (SELECT emb.vec_id, emb.e, seeds.cluster,
+             |                ROUND(LIST_COSINE_SIMILARITY(emb.e, seeds.se), 4) AS sim
+             |         FROM emb, seeds),
+             |assign AS (SELECT vec_id, cluster, e FROM (
+             |    SELECT vec_id, cluster, e,
+             |           ROW_NUMBER() OVER (PARTITION BY vec_id
+             |             ORDER BY sim DESC, cluster) AS rn
+             |    FROM sims) t WHERE rn = 1),
+             |upd AS (SELECT cluster, CAST(GENERATE_SUBSCRIPTS(e, 1) - 1 AS INT) AS pos,
+             |               UNNEST(e) AS v
+             |        FROM assign)
+             |SELECT cluster, pos,
+             |       COUNT(*) AS n_members,
+             |       ROUND(SUM(v) / COUNT(*), 4) AS c
+             |FROM upd GROUP BY cluster, pos""".stripMargin),
+      "One Lloyd iteration of k-means (k=8) with deterministic hash-seeded init — the building block of the IVF coarse quantizer (ss04) trained at corpus scale: seeds are the 8 vectors with the smallest md5(vec_id) (TakeOrderedAndProject top-k, no RNG, no global sort), assignment is a broadcast k x corpus scan reduced map-side by max_by partial aggregation (no k x n shuffle — the per-vector argmax combines within each scan partition), and the centroid update is the ss03 posexplode/mean pattern. Iterating = re-feeding the output as seeds; every step is one broadcast + two map-side-combining shuffles at any scale. Sim rounded to 4 dp BEFORE the argmax so both engines rank identical keys; cluster-id tiebreak; mean rounded 4 dp (absorbs cross-partition double-sum reorder).") {
+      (s, dir) =>
+        val e = emb(s, dir)
+        // deterministic seed pick: top-8 by md5 — plans as
+        // TakeOrderedAndProject; the 8-row window is driver-trivial
+        val hashed = e.select(col("vec_id"), col("e"),
+          md5(col("vec_id").cast("string")).as("h"))
+        val w8 = org.apache.spark.sql.expressions.Window
+          .orderBy(col("h"), col("vec_id"))
+        val seeds = hashed.orderBy(col("h"), col("vec_id")).limit(8)
+          .withColumn("cluster", (row_number().over(w8) - 1).cast("int"))
+          .select(col("cluster"), col("e").as("se"))
+        // assignment: argmax over the broadcast seeds via max_by — a
+        // map-side partial aggregation, NOT a per-vector window (which
+        // would shuffle k rows per vector on vec_id)
+        val assign = e.crossJoin(broadcast(seeds))
+          .withColumn("sim", round(cosine("e", "se"), 4))
+          .groupBy(col("vec_id"))
+          .agg(
+            max_by(col("cluster"), struct(col("sim"), (-col("cluster")).as("nc"))).as("cluster"),
+            first(col("e")).as("e"))
+        // centroid update: per-(cluster, dim) mean, ss03 pattern
+        assign.select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            round(sum(col("v")) / count(lit(1)), 4).as("c"))
+    },
   )
 }

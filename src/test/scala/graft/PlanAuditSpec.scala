@@ -47,6 +47,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan("q06_anti_join").contains("LeftAnti"))
   }
 
+  test("dc01/dc02: held-out side broadcasts; the purge is a broadcast anti join") {
+    // the benchmark side is small by construction (a few thousand docs
+    // vs the corpus) — its shingle index must broadcast, or the whole
+    // train corpus shuffles on the shingle key at 100 TB
+    assert(planFull("dc01_benchmark_overlap").contains("BroadcastHashJoin"))
+    val purge = planFull("dc02_decontaminated_train")
+    assert(purge.contains("BroadcastHashJoin") && purge.contains("LeftAnti"),
+      "dc02 must anti-join against the broadcast contaminated-id set")
+  }
+
   /** Queries ALLOWED to plan a BroadcastNestedLoopJoin: each is a
     * deliberate small-side broadcast against a non-equi predicate
     * (range/theta join semantics Spark can't hash-join). Anything else
@@ -58,7 +68,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ss01_cosine_topk", // ONE query vector broadcast against the corpus scan
     "ss02_ann_lsh_topk", // same single-row query vector, broadcast into the bucket probe
     "ss03_label_centroid_sim", // centroid × centroid theta join (#labels rows, tiny)
-    "ss04_ivf_probe"     // query vector × centroid table (tiny) to pick the probed cell
+    "ss04_ivf_probe",    // query vector × centroid table (tiny) to pick the probed cell
+    "ss06_kmeans_iter"   // corpus × 8 broadcast seed vectors (the Lloyd assignment scan)
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {

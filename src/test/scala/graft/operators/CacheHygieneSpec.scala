@@ -17,7 +17,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "dd03_minhash_lsh_pairs", "dd04_simhash_pairs",
     "dd05_ngram_jaccard_pairs", "dd06_embedding_neardup_lsh",
     "dd07_dedup_clusters", "dd08_dedup_keepers", "dd09_semantic_clusters",
-    "ss05_knn_join")
+    "ss05_knn_join", "dc01_benchmark_overlap", "dc02_decontaminated_train")
 
   for (name <- builders)
     test(s"$name leaves the CacheManager empty after running to completion") {

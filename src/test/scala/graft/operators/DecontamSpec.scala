@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.TestSpark._
+import graft.Tables
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic ground truth for the decontamination family: dc01's
+  * df-capped broadcast shingle join must find EXACTLY the pairs a
+  * naive per-document set-intersection finds, and dc02's purge must be
+  * consistent with dc01's flags. DuckDB parity pins the values; this
+  * pins the semantics against an independent driver-side formulation.
+  */
+class DecontamSpec extends AnyFunSuite {
+
+  private def byName(n: String) = graft.GraftQuery.all.find(_.name == n).get
+
+  /** sp05's bucket, recomputed independently: first 8 hex chars of
+    * md5(doc_id as string) parsed base-16, mod 100.
+    */
+  private def bucket(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
+  }
+
+  /** Distinct word trigrams, mirroring graft_shingles. */
+  private def shingles(text: String): Set[String] = {
+    val w = text.split(" ", -1)
+    if (w.length < 3) Set.empty
+    else w.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  test("dc01 equals the naive cross-split rare-trigram intersection (sf0.001)") {
+    val corpus = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingles(r.getString(1))).toMap
+    // corpus-wide document frequency, then the same df <= 50 cap
+    val df = corpus.values.toSeq.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val rare = corpus.map { case (id, gs) => id -> gs.filter(df(_) <= 50) }
+    val train = rare.keys.filter(bucket(_) < 80).toSeq
+    val test = rare.keys.filter(bucket(_) >= 90).toSeq
+    val expected = (for {
+      tr <- train; te <- test
+      n = (rare(tr) & rare(te)).size
+      if n >= 3
+    } yield (tr, te, n.toLong)).toSet
+    val got = byName("dc01_benchmark_overlap").build(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"dc01 diverged from ground truth: extra=${got -- expected} missing=${expected -- got}")
+  }
+
+  test("dc02 keeps exactly train minus dc01-flagged docs (sf0.001)") {
+    val flagged = byName("dc01_benchmark_overlap").build(spark, sf0001)
+      .select("train_doc").collect().map(_.getLong(0)).toSet
+    val trainByLang = Tables.load(spark, sf0001, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) => bucket(id) < 80 }
+    val expected = trainByLang
+      .filterNot { case (id, _) => flagged(id) }
+      .groupBy(_._2).map { case (lang, xs) => lang -> xs.length.toLong }
+    val got = byName("dc02_decontaminated_train").build(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"dc02 purge inconsistent with dc01 flags: got=$got expected=$expected")
+  }
+}
