@@ -57,9 +57,18 @@ object ScaleProbe {
         // denominator — or the Nx numerator — arbitrarily)
         spark.catalog.clearCache()
         graft.operators.Materialize.releasePinned(spark)
+        // squash this run's garbage (incl. dropped broadcast refs, which
+        // the async ContextCleaner only reclaims after a GC) OUTSIDE the
+        // next timing — dc01's 10x broadcast otherwise taxes whatever
+        // op is measured after it (cdc04 read 4.9 s vs 1.3 s isolated)
+        System.gc()
         (sec, rows)
       }
-      once(base) // warmup at 1x
+      // warm BOTH scales: a first run at a given scale pays JIT,
+      // codegen-compile and heap-growth costs 2-3x the steady state
+      // (measured: cdc04 10x first run 17.6 s vs 5.3 s warmed) — a
+      // cold 10x against a warmed 1x reads as a fake super-linearity
+      once(base); once(dir)
       val (s1, r1) = once(base)
       val (sN, rN) = once(dir)
       println(f"""{"op":"$name","sec_1x":$s1%.2f,"rows_1x":$r1,"sec_${factor}x":$sN%.2f,"rows_${factor}x":$rN,"time_ratio":${sN / s1}%.1f}""")
@@ -69,7 +78,8 @@ object ScaleProbe {
       "dd05_ngram_jaccard_pairs", "dd06_embedding_neardup_lsh",
       "dd07_dedup_clusters", "dd09_semantic_clusters",
       "ss05_knn_join",
-      "cdc04_envelope_parse", "cdc05_drop_taxonomy").map(n => n -> run(n))
+      "cdc04_envelope_parse", "cdc05_drop_taxonomy",
+      "dc01_benchmark_overlap").map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio
