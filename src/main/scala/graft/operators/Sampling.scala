@@ -188,6 +188,37 @@ object Sampling {
     },
 
     GraftQuery(
+      "sp08_temperature_mixture",
+      Some(s"""WITH counts AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang),
+              |w AS (SELECT lang, n_total, POWER(n_total, 0.5) AS wgt FROM counts),
+              |rates AS (SELECT lang, n_total,
+              |                 LEAST(100, CAST(FLOOR(100.0 * 200.0 * (wgt / SUM(wgt) OVER ()) / n_total)
+              |                   AS BIGINT)) AS rate
+              |          FROM w)
+              |SELECT d.lang, r.n_total, r.rate,
+              |       CAST(SUM(CASE WHEN $duckBucket100 < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+              |         AS n_sampled
+              |FROM documents d JOIN rates r USING (lang)
+              |GROUP BY d.lang, r.n_total, r.rate""".stripMargin),
+      "Temperature-smoothed mixture sampling (alpha = 0.5, budget 200): per-language weights n^alpha flatten the source distribution — the standard multilingual-corpus rebalance (raw proportions starve tail languages; uniform ignores size). At sf0.01 the dominant language samples at 28% while tail languages get ~50%. The whole-frame window sum runs over one row per LANGUAGE (a handful at any corpus size); the derived rate table broadcasts back and the corpus is filtered map-side by the deterministic hash bucket — no corpus shuffle, rates reproducible to the row.") {
+      (s, dir) =>
+        val d = docs(s, dir)
+        // one row per language — the unpartitioned window is bounded by
+        // the language count, not the corpus
+        val wTot = Window.partitionBy()
+        val rates = d.groupBy("lang").agg(count(lit(1)).as("n_total"))
+          .withColumn("wgt", pow(col("n_total"), 0.5))
+          .withColumn("rate",
+            least(lit(100), floor(lit(100.0) * lit(200.0) *
+              (col("wgt") / sum(col("wgt")).over(wTot)) / col("n_total")).cast("long")))
+        d.join(broadcast(rates), "lang")
+          .withColumn("bucket", expr(bucket100("doc_id")))
+          .groupBy("lang", "n_total", "rate")
+          .agg(sum(when(col("bucket") < col("rate"), 1).otherwise(0)).as("n_sampled"))
+          .select("lang", "n_total", "rate", "n_sampled")
+    },
+
+    GraftQuery(
       "pk01_token_packing",
       Some("""WITH toks AS (
              |  SELECT doc_id, lang, LEN(STRING_SPLIT(text, ' ')) AS n_tokens

@@ -325,5 +325,34 @@ object Similarity {
             count(lit(1)).as("n_members"),
             round(sum(col("v")) / count(lit(1)), 4).as("c"))
     },
+
+    GraftQuery(
+      "ss07_scalar_quantization",
+      Some("""WITH e AS (SELECT vec_id, label, CAST(GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS INT) AS pos,
+             |                  CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings),
+             |stats AS (SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM e GROUP BY pos),
+             |qz AS (SELECT e.label,
+             |              ABS(e.v - (s.lo + ROUND((e.v - s.lo) / (s.hi - s.lo) * 255) / 255.0
+             |                                  * (s.hi - s.lo))) AS err
+             |       FROM e JOIN stats s USING (pos))
+             |SELECT label,
+             |       ROUND(AVG(err), 6) AS mean_abs_err,
+             |       ROUND(MAX(err), 6) AS max_abs_err
+             |FROM qz GROUP BY label""".stripMargin),
+      "Int8 scalar quantization of the embedding column (4x storage / memory-bandwidth cut — what a 100 TB vector corpus actually ships to an ANN index), with per-label reconstruction-error audit. Pass 1 computes global per-dimension min/max (64 rows, map-side-combining agg); the stats broadcast back and quantize + reconstruct + error are pure map-side arithmetic — two scans, zero corpus shuffles beyond the tiny audit agg. Positive-domain ROUND agrees across engines; AVG rounded 6 dp absorbs cross-partition sum reorder.") {
+      (s, dir) =>
+        val ex = emb(s, dir)
+          .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+        val stats = ex.groupBy("pos")
+          .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        val q = round((col("v") - col("lo")) / (col("hi") - col("lo")) * 255, 0)
+        ex.join(broadcast(stats), "pos")
+          .withColumn("err",
+            abs(col("v") - (col("lo") + q / 255.0 * (col("hi") - col("lo")))))
+          .groupBy("label")
+          .agg(
+            round(avg(col("err")), 6).as("mean_abs_err"),
+            round(max(col("err")), 6).as("max_abs_err"))
+    },
   )
 }
