@@ -181,6 +181,29 @@ object CdcQueries {
     },
 
     GraftQuery(
+      "cdc08_snapshot_compaction",
+      Some("""SELECT user_id,
+             |       event_id AS last_event_id,
+             |       STRFTIME(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+             |       event_type AS last_type,
+             |       value AS last_value
+             |FROM events
+             |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+             |        AND event_type <> 'error'""".stripMargin),
+      "Change-log compaction: the operator that turns the reference's append-only delete archive into a queryable LATEST-ROW snapshot (MERGE/upsert semantics: last change per key wins, keys whose final change is a delete — here event_type='error' — vanish). Implemented as ONE aggregation with max_by over a unique (ts, event_id) ordering key (struct-ordered max_by plans SortAggregate — the buffer isn't hash-mutable — but partial_max_by still combines map-side): the single shuffle carries ONE candidate row per key per map task, where the equivalent row_number() window must shuffle EVERY change of every key and then sort — at 100 TB with many changes per key that shuffle-volume difference dominates; the oracle states the same semantics as the window formulation.") {
+      (s, dir) =>
+        val ord = struct(col("ts"), col("event_id"))
+        Tables.load(s, dir, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            max_by(col("event_id"), ord).as("last_event_id"),
+            date_format(max_by(col("ts"), ord), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+            max_by(col("event_type"), ord).as("last_type"),
+            max_by(col("value"), ord).as("last_value"))
+          .filter(col("last_type") =!= "error")
+    },
+
+    GraftQuery(
       "cdc06_delete_rate_windows",
       Some(s"""WITH env AS ($envelopesDuck)
               |SELECT DATE_TRUNC('day', EPOCH_MS(CAST(value->>'$$.ts_ms' AS BIGINT))) AS day_start,

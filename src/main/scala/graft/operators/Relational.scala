@@ -657,6 +657,30 @@ object Relational {
           .unpivot(Array(col("p_partkey")),
             Array(col("p_retailprice"), col("p_size")), "metric", "value")
     },
+
+    GraftQuery(
+      "q42_partition_pruned_agg",
+      Some("""SELECT event_type, CAST(ts AS DATE) AS event_date,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM events
+             |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-05'
+             |GROUP BY 1, 2""".stripMargin),
+      "Hive-style partitioned SINK + partition-PRUNED source — the layout decision that matters most at 100 TB: events are written out partitioned by day (repartition(event_date) first, so each partition directory gets ONE file instead of one per task — the small-files problem at cluster scale), then the date-range read back prunes 27 of 30 partition directories BEFORE any I/O (PartitionFilters in the scan, plan-asserted in PlanAuditSpec); the oracle computes the same aggregate straight from the unpartitioned table.") {
+      (s, dir) =>
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q42_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+        t(s, dir, "events")
+          .withColumn("event_date", to_date(col("ts")))
+          .repartition(col("event_date"))
+          .write.mode("overwrite").partitionBy("event_date").parquet(out)
+        s.read.parquet(out)
+          .filter(col("event_date").between(lit("2024-01-03"), lit("2024-01-05")))
+          .groupBy(col("event_type"), col("event_date"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+    },
   )
 }
 

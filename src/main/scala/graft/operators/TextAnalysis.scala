@@ -240,5 +240,38 @@ object TextAnalysis {
             max(col("c")).as("top_count"))
           .withColumn("top_frac", col("top_count").cast("double") / col("n_bigrams"))
     },
+
+    GraftQuery(
+      "tx10_pii_scrub",
+      Some("""WITH dirty AS (
+             |  SELECT doc_id,
+             |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |              || '@mail.example.com or call 555-'
+             |              || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS d
+             |  FROM documents)
+             |SELECT doc_id,
+             |       CAST(LEN(REGEXP_EXTRACT_ALL(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |       CAST(LEN(REGEXP_EXTRACT_ALL(d, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+             |       MD5(REGEXP_REPLACE(REGEXP_REPLACE(d,
+             |             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |             '\b555-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+             |FROM dirty""".stripMargin),
+      "PII scrubbing — the redaction pass every training-data pipeline runs before release: regex-detect emails and phone-shaped tokens, count them (audit trail), and rewrite the text with typed placeholders. The fixture corpus is synthetic word-salad with no real PII, so deterministic PII is INJECTED per doc (like cdc04's envelope synthesis) and the scrub is verified by md5 of the redacted text. Pure map-side codegen'd regexps (Java regex and DuckDB RE2 agree on this character-class subset — no lookaround, no backrefs); zero shuffles, linear at 100 TB.") {
+      (s, dir) =>
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\b555-[0-9]{4}\\b"
+        val dirty = concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        Tables.load(s, dir, "documents")
+          .withColumn("d", dirty)
+          .select(
+            col("doc_id"),
+            regexp_count(col("d"), lit(email)).cast("long").as("n_emails"),
+            regexp_count(col("d"), lit(phone)).cast("long").as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("d"), email, "<EMAIL>"), phone, "<PHONE>"))
+              .as("redacted_md5"))
+    },
   )
 }

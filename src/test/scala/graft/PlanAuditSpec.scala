@@ -137,6 +137,27 @@ class PlanAuditSpec extends AnyFunSuite {
       "sp04 rates must broadcast")
   }
 
+  test("q42: date-range read prunes partition directories at plan time") {
+    // q42's build writes the partitioned copy as a side effect; the
+    // returned plan is the read-back. The date predicate must land in
+    // PartitionFilters (directory pruning, no I/O on 27 of 30 days) —
+    // if it degrades to a post-scan Filter or a data filter, the 100 TB
+    // read costs 10x
+    val p = plan("q42_partition_pruned_agg")
+    assert(p.contains("PartitionFilters: ["), "scan must expose partition filters")
+    assert(!p.contains("PartitionFilters: []"), "partition filters must be non-empty")
+    assert(p.contains("event_date"), "pruning must be on the partition column")
+  }
+
+  test("cdc08: snapshot compaction combines map-side, no window over raw changes") {
+    val p = plan("cdc08_snapshot_compaction")
+    assert(p.contains("partial_max_by"),
+      "compaction must combine map-side — the shuffle carries one candidate per key per task")
+    assert(!p.contains("Window"), "must not plan a row_number window (shuffles every change)")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "exactly one key shuffle")
+  }
+
   test("LSH pipelines use the compiled expressions") {
     // full-plan mode sees past the materialization point, so the
     // builders' own invocations are asserted (not merely registration)
