@@ -33,10 +33,10 @@ object SparkEntry {
     GraftQuery.all.map(q => q.name -> q.build).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. As of round 3 EVERY query carries one
-    * (81/81): hash-seeded operators (LSH families, the multimodal stub
-    * codec) derive their randomness from md5, which both engines
-    * implement identically.
+    * the same parquet tables. Since round 3 EVERY query carries one
+    * (zero rows-only checks): hash-seeded operators (LSH families, the
+    * multimodal stub codec) derive their randomness from md5, which
+    * both engines implement identically.
     */
   def oracleSql: Map[String, String] =
     GraftQuery.all.flatMap(q => q.oracle.map(q.name -> _)).toMap

@@ -103,4 +103,45 @@ object Compaction {
   /** The consumer-facing view: the snapshot without tombstones. */
   def readSnapshot(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir).filter(col("op") =!= "d").drop(BucketCol)
+
+  /** Tombstone GC — the maintenance pass the hot merge deliberately
+    * skips: drop delete tombstones with ts < `cutoff`. `cutoff` must be
+    * at most (now − the source's max lateness): a tombstone younger
+    * than the lateness bound still guards against a straggler update
+    * resurrecting its key; one older than it can no longer be outraced
+    * and is dead weight in every merge read.
+    *
+    * Only buckets holding an expired tombstone are rewritten (same
+    * dynamic-overwrite pattern as the merge). A bucket whose rows ALL
+    * expire produces no output partition for dynamic overwrite to
+    * replace, so its directory is removed explicitly.
+    */
+  def gcTombstones(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cutoff: java.sql.Timestamp): Unit = {
+    val snap = spark.read.parquet(dir)
+    val expired = col("op") === "d" && col("ts") < lit(cutoff)
+    val touched = snap.filter(expired).select(BucketCol).distinct()
+      .collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val survivors = snap
+      .filter(col(BucketCol).isin(touched.toSeq: _*)).filter(!expired)
+      .persist() // two actions below: the bucket census and the write
+    try {
+      val surviving = survivors.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+      survivors
+        .repartition(col(BucketCol))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BucketCol)
+        .parquet(dir)
+      for (b <- touched if !surviving.contains(b)) {
+        val gone = new java.io.File(dir, s"$BucketCol=$b")
+        gone.listFiles() match {
+          case null  => ()
+          case files => files.foreach(_.delete()); gone.delete(); ()
+        }
+      }
+    } finally { survivors.unpersist(); () }
+  }
 }

@@ -126,5 +126,22 @@ object StreamingWindows {
           .agg(count(lit(1)).as("n"))
           .select(col("window.start").as("window_start"), col("event_type"), col("n"))
     },
+
+    GraftQuery(
+      "st07_stream_static_enrich",
+      Some("""SELECT n.n_name AS nation, e.event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+             |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+             |GROUP BY 1, 2""".stripMargin),
+      "Stream-static join: the unbounded event stream enriched against a small static dimension — the third streaming join type after stream-stream (st05) and the cdc enrichment (cdc03). The dim side is explicitly broadcast: in streaming this is the ONLY join shape that adds no state store at all (the static side re-broadcasts per micro-batch; no watermark needed) — at 100 TB/day of events the enrichment stays map-side. The streaming run is in StreamingEquivalenceSpec.") {
+      (s, dir) =>
+        val dim = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))
+        Tables.load(s, dir, "events")
+          .join(broadcast(dim), pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+          .groupBy(col("nation"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+    },
   )
 }

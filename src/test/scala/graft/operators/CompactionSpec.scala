@@ -96,6 +96,31 @@ class CompactionSpec extends AnyFunSuite {
     assert(sortedRows(spark.read.parquet(dir)) == before)
   }
 
+  test("tombstone GC drops only expired tombstones, and empty buckets vanish") {
+    val dir = tmp("graft_snap_gc")
+    import spark.implicits._
+    val t = (s: Long) => new java.sql.Timestamp(s * 1000)
+    // keys chosen so no two rows share a bucket (murmur3 seed-42 of
+    // 1/2/3 -> buckets 13/8/3): key 1's bucket holds ONLY the expired
+    // tombstone, so GC must remove the whole directory
+    val rows = Seq(
+      (1L, t(10), 1L, "d", "error", 0.0),  // expired tombstone
+      (2L, t(900), 2L, "d", "error", 0.0), // fresh tombstone — retained
+      (3L, t(500), 3L, "u", "click", 1.0)) // live row — untouched
+      .toDF("user_id", "ts", "seq", "op", "event_type", "value")
+    Compaction.mergeBatch(rows, dir, "user_id")
+    Compaction.gcTombstones(spark, dir, cutoff = t(100))
+
+    val left = spark.read.parquet(dir)
+    assert(left.count() == 2, "expired tombstone must be gone, other rows kept")
+    assert(left.filter(col("op") === "d").count() == 1, "fresh tombstone retained")
+    // key 1's bucket held only the expired tombstone -> directory removed
+    val bucket1 = math.floorMod(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(1L, 42), 16)
+    assert(!new java.io.File(dir, s"bucket=$bucket1").exists(),
+      "a bucket left empty by GC must not keep stale files")
+  }
+
   test("merge rewrites ONLY the buckets the batch touches") {
     val dir = tmp("graft_snap_prune")
     Compaction.mergeBatch(changes, dir, "user_id")

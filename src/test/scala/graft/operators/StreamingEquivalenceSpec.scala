@@ -124,6 +124,21 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
       s"cross-batch duplicate must be suppressed: $rows")
   }
 
+  test("stream-static enrichment join == batch twin (no state store)") {
+    val dim = graft.Tables.load(spark, sf0001, "nation")
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    val streamed = runToMemory(
+      streamEvents
+        .join(broadcast(dim), pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+        .groupBy(col("nation"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value")),
+      "st07_stream", "complete")
+    val batch = StreamingWindows.all.find(_.name == "st07_stream_static_enrich").get
+      .build(spark, sf0001)
+    assert(sortedRows(streamed) === sortedRows(batch))
+  }
+
   test("stream-stream interval join (watermarked) == batch twin") {
     // two watermarked streams off the same staged source; the interval
     // condition (p.ts in [v.ts, v.ts + 1h)) is what lets the state
