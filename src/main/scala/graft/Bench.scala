@@ -124,13 +124,15 @@ object Bench {
     def j3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def shortId(name: String) = name.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => jstr(shortId(k)) + ":" + j3(v) }.mkString("{", ",", "}")
-    // errors budget: short ids + 60-char messages, and cap the map at
-    // ~450 chars — an all-failure round measured 1958 chars from the
-    // JSON line through sbt's trailing [error] block at a 600 budget,
-    // only 42 inside the driver's 2000-char tail; 450 keeps ~190 margin
+    // errors budget: short ids + 60-char messages. The whole line must
+    // clear the driver's 2000-char tail (which also holds sbt's trailing
+    // [error]/[success] block), and the queries map grows with the
+    // inventory (~12 chars/query: 101 queries ≈ 1.25 kB), so the error
+    // map gets what's left: ~380 chars kept an all-failure line at
+    // ~1.87 kB at the 101-query inventory (BenchLineSpec pins < 1.9 kB)
     val errEntries = errors.map { case (k, v) => jstr(shortId(k)) + ":" + jstr(v) }
     val (kept, dropped) = {
-      var budget = 450
+      var budget = 380
       val keep = errEntries.takeWhile { e => budget -= e.length + 1; budget >= 0 }
       (keep, errEntries.size - keep.size)
     }
