@@ -67,6 +67,42 @@ class CompactionSpec extends AnyFunSuite {
       sortedRows(expectedSnapshot))
   }
 
+  test("restart resumes from the checkpoint: old batches are not re-merged") {
+    val srcDir = tmp("graft_chg_resume_src")
+    val snapDir = tmp("graft_snap_resume")
+    val ckpt = tmp("graft_snap_resume_ckpt")
+    val mergedRows = new java.util.concurrent.atomic.AtomicLong()
+
+    def drain(): Unit = {
+      val q = spark.readStream.schema(changes.schema).parquet(srcDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          mergedRows.addAndGet(batch.count())
+          Compaction.mergeBatch(batch, snapDir, "user_id")
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      ()
+    }
+
+    val first = changes.filter(col("seq") % 3 === 0)
+    first.coalesce(1).write.mode("append").parquet(srcDir)
+    drain() // run 1: drains batch 0, then the job "dies"
+    val afterFirst = mergedRows.get()
+    assert(afterFirst == first.count())
+
+    changes.filter(col("seq") % 3 =!= 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    drain() // run 2: same checkpoint — must pick up ONLY the new file
+    assert(mergedRows.get() == changes.count(),
+      s"restart re-merged old data: saw ${mergedRows.get()} rows, corpus has ${changes.count()}")
+    assert(sortedRows(Compaction.readSnapshot(spark, snapDir)) ==
+      sortedRows(expectedSnapshot))
+  }
+
   test("a late update cannot resurrect a deleted key (tombstone retained)") {
     val dir = tmp("graft_snap_tomb")
     val mk = (rows: Seq[(Long, java.sql.Timestamp, Long, String, String, Double)]) => {
