@@ -31,6 +31,7 @@ object GraftQuery {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
+      operators.Sketches.all ++
       operators.Sampling.all ++
       operators.Decontam.all ++
       operators.Multimodal.all ++

@@ -120,5 +120,20 @@ object GraftFunctions {
         { children: Seq[Expression] => SimHash64(children.head) }, "built-in")
       reg.createOrReplaceTempFunction("graft_cosine",
         { children: Seq[Expression] => CosineSim(children.head, children(1)) }, "built-in")
+      // Spark ships bloom_filter_agg / might_contain as INTERNAL
+      // functions (catalyst's InjectRuntimeFilter plants them when it
+      // builds runtime row-filters; they are absent from the public
+      // registry). Re-exposing the same expressions lets a query spell
+      // the runtime-filter pattern explicitly — build a bloom over the
+      // selective side's join key hashes, probe it at the fact scan —
+      // with codegen'd catalyst expressions, not a reimplementation.
+      reg.createOrReplaceTempFunction("graft_bloom_agg",
+        { children: Seq[Expression] =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            children.head, children(1), children(2)).toAggregateExpression() }, "built-in")
+      reg.createOrReplaceTempFunction("graft_might_contain",
+        { children: Seq[Expression] =>
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+            children.head, children(1)) }, "built-in")
     }
 }

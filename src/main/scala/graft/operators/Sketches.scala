@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mergeable-sketch surfaces — the approximate structures a 100 TB
+  * engine leans on when exact answers would shuffle the world
+  * (harness extension family, SURVEY.md §2.3; sibling of q32/q40's
+  * HLL++/KLL surfaces):
+  *
+  *  - sk01 runtime bloom filter: build a bloom over the selective
+  *    dimension's join-key hashes, probe it at the fact scan BEFORE
+  *    the join — catalyst's own InjectRuntimeFilter shape
+  *    (`BloomFilterAggregate`/`BloomFilterMightContain`), spelled
+  *    explicitly so the pre-join row kill is part of the query
+  *    contract instead of an optimizer maybe. `SketchesSpec` also
+  *    proves the automatic rule fires when enabled.
+  *  - sk02 approx_top_k: DataSketches frequent-items heavy hitters.
+  *  - sk03 count-min: point-frequency estimates consulted from a
+  *    collected sketch — the "build distributed, consult anywhere"
+  *    contract, checked in-plan against exact counts.
+  *  - sk04 HLL roll-up: per-nation DataSketches HLL partials unioned
+  *    to region with `hll_union_agg` — re-aggregation WITHOUT the raw
+  *    data, the pattern that turns a 100 TB distinct-count rollup
+  *    into a KB-sized merge.
+  *
+  * Oracle strategy: sketch internals aren't cross-engine-stable, so
+  * every query emits EXACT values (or values the sketch computes
+  * exactly at this cardinality) plus an in-plan accuracy assertion
+  * folded to a constant-true column — the q32 pattern. Sketches are
+  * deterministic for fixed data and seed, so the emitted booleans are
+  * hash-stable.
+  */
+object Sketches {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Selective-side predicate shared by the spark text and the oracle. */
+  private val HighValue = "o_totalprice > 400000"
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "sk01_bloom_semi_join",
+      Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+              |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+              |FROM lineitem
+              |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE $HighValue)
+              |GROUP BY l_returnflag""".stripMargin),
+      "Runtime bloom-filter semi join: a bloom sketch over the high-value orders' xxhash64(o_orderkey) rides a scalar subquery into the lineitem scan as a might_contain FILTER — at 100 TB the fact side drops non-qualifying rows at the scan, BEFORE shuffling toward the join (a bloom false positive costs one extra joined row; the exact semi join then removes it, so results are exact and the oracle is the plain semi join). 1 M-bit / ~120 KB sketch covers the ~30 k keys at sf0.1 with <1% FP; the broadcast of the sketch is one executor-wide KB-scale send versus the key set's full shuffle.") {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        for (tb <- Seq("orders", "lineitem"))
+          t(s, dir, tb).createOrReplaceTempView(tb)
+        s.sql(
+          s"""SELECT l_returnflag, COUNT(*) AS n,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE graft_might_contain(
+             |        (SELECT graft_bloom_agg(xxhash64(o_orderkey), 50000L, 1000000L)
+             |         FROM orders WHERE $HighValue),
+             |        xxhash64(l_orderkey))
+             |  AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE $HighValue)
+             |GROUP BY l_returnflag""".stripMargin)
+    },
+
+    GraftQuery(
+      "sk02_heavy_hitters_topk",
+      Some("""SELECT event_type, COUNT(*) AS n
+             |FROM events GROUP BY event_type
+             |ORDER BY n DESC, event_type LIMIT 3""".stripMargin),
+      "Heavy hitters via approx_top_k (DataSketches frequent-items): one mergeable sketch per partition, combined map-side — the 100 TB replacement for a full groupBy+sort when only the head matters. maxItemsTracked (100) exceeds the key cardinality, so the sketch is in its exact regime and the oracle is the exact top-3 (tie-free at both verify and bench scale — rank-3/rank-4 boundary checked: 2006 vs 1982 at sf0.01, 19941 vs 19863 at sf0.1).") {
+      (s, dir) =>
+        t(s, dir, "events")
+          .agg(expr("approx_top_k(event_type, 3, 100)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("event_type"), col("e.count").as("n"))
+    },
+
+    GraftQuery(
+      "sk03_cms_frequency",
+      Some("""SELECT o_orderpriority, COUNT(*) AS n, TRUE AS cms_within_eps
+             |FROM orders GROUP BY o_orderpriority""".stripMargin),
+      "Count-min point-frequency: the sketch is built in ONE distributed pass (mergeable per-partition partials), collected at KB scale, and consulted as a plan literal — the build-once/consult-anywhere contract a 100 TB pipeline uses to price keys without re-scanning. The in-plan boolean asserts the CMS guarantee (estimate >= exact, overshoot <= eps*N) against the exact distributed counts; with 5 keys against a ~2.7 k-cell row the estimate is collision-free, so the boolean is deterministically TRUE and the oracle carries the exact counts.") {
+      (s, dir) =>
+        val orders = t(s, dir, "orders")
+        // KB-scale driver materialization BY DESIGN (a sketch exists to
+        // leave the cluster); the scan happens exactly once, distributed
+        val bytes = orders
+          .agg(expr("count_min_sketch(o_orderpriority, 0.001d, 0.99d, 42)").as("s"))
+          .head().getAs[Array[Byte]]("s")
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bytes))
+        val exact = orders.groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        // consult the sketch for each key (metadata-cardinality: the
+        // grouped key set, 5 rows) and fold the guarantee to a literal map
+        val keys = exact.select("o_orderpriority").collect().map(_.getString(0))
+        val est = typedLit(keys.map(k => k -> cms.estimateCount(k)).toMap)
+        val total = cms.totalCount()
+        exact.select(
+          col("o_orderpriority"), col("n"),
+          (element_at(est, col("o_orderpriority")) >= col("n") &&
+            element_at(est, col("o_orderpriority")) <= col("n") + lit(math.ceil(0.001 * total).toLong))
+            .as("cms_within_eps"))
+    },
+
+    GraftQuery(
+      "sk04_hll_rollup",
+      Some("""SELECT r_name, COUNT(DISTINCT c_custkey) AS exact_cnt,
+             |       TRUE AS sketch_within_5pct
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name""".stripMargin),
+      "Sketch roll-up: per-nation DataSketches HLL partials (hll_sketch_agg) are unioned to region with hll_union_agg and estimated — distinct-count re-aggregation from KB-sized partials with NO second pass over the raw data, the layered-rollup pattern (store per-shard sketches, merge on demand) that makes 100 TB distinct dashboards incremental. In-plan check against the exact distinct per region (q32 pattern); at verify scale the sketch is coupon-exact, at bench scale within the 5% envelope.") {
+      (s, dir) =>
+        val byNation = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_nationkey", "n_regionkey")
+          .agg(
+            expr("hll_sketch_agg(c_custkey)").as("sk"),
+            countDistinct(col("c_custkey")).as("exact_n"))
+        byNation
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(
+            expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+            sum(col("exact_n")).as("exact_cnt"))
+          .select(
+            col("r_name"), col("exact_cnt"),
+            (abs(col("est") - col("exact_cnt")) / col("exact_cnt") < 0.05)
+              .as("sketch_within_5pct"))
+    })
+}

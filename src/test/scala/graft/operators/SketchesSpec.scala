@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.TestSpark._
+import graft.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch-family pins: the explicit bloom probe is IN the sk01 plan and
+  * changes nothing about the result; Spark's automatic InjectRuntimeFilter
+  * plants the same expressions when enabled (proving the explicit spelling
+  * is the optimizer's own shape); top-k/CMS/HLL accuracy booleans hold.
+  */
+class SketchesSpec extends AnyFunSuite {
+
+  private def run(name: String) =
+    graft.GraftQuery.all.find(_.name == name).get.build(spark, sf001)
+
+  test("sk01: bloom probe is a pre-join scan filter and result equals the plain semi join") {
+    val df = run("sk01_bloom_semi_join")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val exact = Tables.load(spark, sf001, "lineitem")
+      .join(Tables.load(spark, sf001, "orders").filter(col("o_totalprice") > 400000)
+        .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.sameElements(exact))
+  }
+
+  test("Spark's own InjectRuntimeFilter plants the same bloom shape when enabled") {
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "50MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // keep the join a shuffle join: the rule only bothers planting a
+      // runtime filter when the application side actually shuffles
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val lineitem = Tables.load(spark, sf001, "lineitem")
+      val dim = Tables.load(spark, sf001, "orders")
+        .filter(col("o_totalprice") > 400000).select("o_orderkey")
+      val joined = lineitem.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") || optimized.contains("might_contain"),
+        s"InjectRuntimeFilter did not fire:\n$optimized")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("sk02: approx_top_k equals the exact top-3 at fixture cardinality") {
+    val got = run("sk02_heavy_hitters_topk")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(-_._2)
+    val exact = Tables.load(spark, sf001, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("event_type")).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(exact))
+  }
+
+  test("sk03: every CMS estimate satisfies the guarantee booleans") {
+    val rows = run("sk03_cms_frequency").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getBoolean(2)), "cms_within_eps violated")
+  }
+
+  test("sk04: HLL rollup matches exact distinct at coupon-exact cardinality") {
+    val rows = run("sk04_hll_rollup").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getBoolean(2)), "sketch_within_5pct violated")
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.load(spark, sf001, "customer").count())
+  }
+}
