@@ -143,5 +143,30 @@ object StreamingWindows {
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
     },
+
+    GraftQuery(
+      "st08_outer_interval_join",
+      Some("""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+             |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+             |FROM events v LEFT JOIN events p
+             |  ON v.user_id = p.user_id AND p.event_type = 'purchase'
+             | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+             |WHERE v.event_type = 'view'""".stripMargin),
+      "Stream-stream LEFT OUTER interval join (unattributed views KEPT with null purchase): the stateful semantics st05's inner join doesn't have — in streaming, an unmatched view can only be emitted once the watermark proves no in-window purchase can still arrive, so null rows are watermark-gated; the batch twin is the ground truth the stream converges to (the watermark-closure equivalence is pinned in StreamingEquivalenceSpec). Same state-eviction bound as st05: the interval condition lets the store drop views older than watermark + 1h.") {
+      (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+        v.join(p,
+            col("user_id") === col("p_user_id") &&
+              col("p_ts") >= col("v_ts") &&
+              col("p_ts") < col("v_ts") + expr("INTERVAL 1 HOUR"),
+            "left")
+          .select(col("user_id"), col("view_id"), col("purchase_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    },
   )
 }

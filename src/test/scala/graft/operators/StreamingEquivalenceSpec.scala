@@ -163,6 +163,49 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     assert(batch.count() > 0, "fixture must exercise the join")
   }
 
+  test("stream-stream LEFT OUTER interval join == batch twin on the watermark-closed region") {
+    val v = streamEvents.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val p = streamEvents.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") < col("v_ts") + expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("user_id"), col("view_id"), col("v_ts"),
+        col("purchase_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    val streamed = runToMemory(joined, "st08_stream", "append")
+    val batch = StreamingWindows.all.find(_.name == "st08_outer_interval_join").get
+      .build(spark, sf0001)
+    // Outer-ness is watermark-gated: a null row for view v is emitted
+    // only once the watermark proves no in-window purchase can still
+    // arrive (v_ts + 1h <= final watermark = max event time - 1h).
+    // Matched rows emit unconditionally, so compare (a) the full
+    // matched sets, and (b) null rows on the provably-closed region.
+    val maxTs = graft.Tables.load(spark, sf0001, "events")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val closedUs = maxTs - 2L * 3600L * 1000000L
+    def matched(df: DataFrame) = df.filter(col("purchase_id").isNotNull)
+      .select("user_id", "view_id", "purchase_id", "gap_us")
+    assert(sortedRows(matched(streamed)) === sortedRows(matched(batch)))
+    val streamedNulls = streamed
+      .filter(col("purchase_id").isNull && unix_micros(col("v_ts")) <= closedUs)
+      .select("view_id")
+    // batch twin doesn't carry v_ts; recover the closed region by key
+    val closedViews = graft.Tables.load(spark, sf0001, "events")
+      .filter(col("event_type") === "view" && unix_micros(col("ts")) <= closedUs)
+      .select(col("event_id").as("view_id"))
+    val batchNulls = batch.filter(col("purchase_id").isNull)
+      .join(closedViews, "view_id").select("view_id")
+    assert(sortedRows(streamedNulls) === sortedRows(batchNulls))
+    assert(batchNulls.count() > 0, "fixture must exercise the outer (null) path")
+  }
+
   test("cdc06 monitoring view runs as a real stream: parser + window == batch twin") {
     import java.nio.file.{Files => JFiles, Paths => JPaths}
     // stage Debezium envelopes (valid deletes) as a file stream
