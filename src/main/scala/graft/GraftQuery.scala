@@ -32,6 +32,7 @@ object GraftQuery {
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
       operators.Sketches.all ++
+      operators.Graph.all ++
       operators.Sampling.all ++
       operators.Decontam.all ++
       operators.Multimodal.all ++

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over a relational-derived graph — the
+  * family beyond dd07's connected components (harness extension,
+  * SURVEY.md §2.3): PageRank power iterations and triangle counting
+  * on the nation-level trade graph (customer nation → supplier nation,
+  * sparsified to above-median-support edges so degrees vary — the raw
+  * pair graph is complete and every rank would be uniform).
+  *
+  * Scale design (100 TB stance):
+  *  - the edge list is built ONCE from the fact tables (the only scan
+  *    of the big data) and pinned ([[Materialize]]); iterations touch
+  *    only (node, rank) and (src, dst) tables;
+  *  - each PageRank iteration is ONE shuffle (the contribution
+  *    groupBy); the rank table is vertex-sized — broadcast to the edge
+  *    join, never shuffling the edge list again;
+  *  - a FIXED iteration count (3) keeps the plan static and the
+  *    lineage bounded — the long-running variant would checkpoint
+  *    every few hops exactly like [[Dedup.minLabelClusters]];
+  *  - triangle counting joins the canonical (a<b) undirected edge
+  *    list to itself twice on vertex keys; at web scale the standard
+  *    super-node mitigation is the dd05 df-cap argument applied to
+  *    degree (cap or shard hub vertices before the wedge join).
+  *
+  * Oracle strategy: all rank math is INTEGER (ranks in 1e-9 units,
+  * truncating division) — sums and divisions of non-negative longs are
+  * order-independent and bit-identical across engines, so even an
+  * iterative fixpoint computation hash-matches, with no FP tolerance
+  * games. The DuckDB twin unrolls the same three iterations as CTEs.
+  */
+object Graph {
+
+  /** Shared DuckDB CTE prefix: support-weighted nation pairs →
+    * above-median sparsification → directed edge list + out-degrees.
+    */
+  private val edgesDuck =
+    """support AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |  GROUP BY 1, 2),
+      |med AS (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY w) AS m FROM support),
+      |edges AS (SELECT src, dst FROM support, med WHERE w > m),
+      |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)""".stripMargin
+
+  /** Directed sparsified edge list `(src, dst)`, pinned — one pass
+    * over the fact tables feeds every iteration and both queries.
+    */
+  private[graft] def edges(s: SparkSession, dir: String): DataFrame = {
+    val t = (n: String) => Tables.load(s, dir, n)
+    val support = t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t("supplier")), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val med = support.agg(
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY w)").as("m"))
+    Materialize(support.crossJoin(broadcast(med))
+      .filter(col("w") > col("m")).select("src", "dst"))
+  }
+
+  /** Ranks in integer 1e-9 units: total mass 10^9 over 25 nations.
+    * rank' = (1-d)/N + d * Σ rank/deg, with d = 0.85 and truncating
+    * integer division at both division sites — bit-stable everywhere.
+    */
+  private val InitUnits = 40000000L  // 1e9 / 25
+  private val BaseUnits = 6000000L   // 0.15 * 1e9 / 25
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "gr01_pagerank",
+      Some(s"""WITH $edgesDuck,
+              |r0 AS (SELECT n_nationkey AS node, $InitUnits AS r FROM nation),
+              |r1 AS (SELECT n.node,
+              |              $BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS r
+              |       FROM r0 n
+              |       LEFT JOIN edges e ON e.dst = n.node
+              |       LEFT JOIN r0 r ON r.node = e.src
+              |       LEFT JOIN outdeg o ON o.src = e.src
+              |       GROUP BY n.node),
+              |r2 AS (SELECT n.node,
+              |              $BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS r
+              |       FROM r1 n
+              |       LEFT JOIN edges e ON e.dst = n.node
+              |       LEFT JOIN r1 r ON r.node = e.src
+              |       LEFT JOIN outdeg o ON o.src = e.src
+              |       GROUP BY n.node),
+              |r3 AS (SELECT n.node,
+              |              $BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS r
+              |       FROM r2 n
+              |       LEFT JOIN edges e ON e.dst = n.node
+              |       LEFT JOIN r2 r ON r.node = e.src
+              |       LEFT JOIN outdeg o ON o.src = e.src
+              |       GROUP BY n.node)
+              |SELECT na.n_name AS nation, r3.r AS rank_units
+              |FROM r3 JOIN nation na ON na.n_nationkey = r3.node""".stripMargin),
+      "Three PageRank power iterations (d=0.85) over the sparsified nation trade graph, in integer 1e-9 rank units with truncating division — iterative graph math that hash-matches an independent engine exactly, no FP tolerance. One shuffle per iteration (the contribution groupBy); the vertex-sized rank table broadcasts to the pinned edge list each hop, so the fact tables are scanned exactly once at any scale.") {
+      (s, dir) =>
+        val e = edges(s, dir)
+        val outdeg = broadcast(e.groupBy("src").agg(count(lit(1)).as("deg")))
+        val nodes = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("node"), col("n_name"))
+        var ranks = nodes.select(col("node"), lit(InitUnits).as("r"))
+        for (_ <- 1 to 3) {
+          val contribs = e
+            .join(outdeg, "src")
+            .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            .select(col("dst").as("node"), expr("r div deg").as("c"))
+          ranks = nodes.select("node")
+            .join(contribs.groupBy("node").agg(sum(col("c")).as("s")), Seq("node"), "left")
+            .select(col("node"),
+              (lit(BaseUnits) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        }
+        ranks.join(broadcast(nodes), "node")
+          .select(col("n_name").as("nation"), col("r").as("rank_units"))
+    },
+
+    GraftQuery(
+      "gr02_triangle_count",
+      Some(s"""WITH $edgesDuck,
+              |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              |        FROM edges),
+              |tri AS (SELECT COUNT(*) AS n_triangles
+              |        FROM und e1
+              |        JOIN und e2 ON e2.a = e1.b
+              |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+              |SELECT (SELECT COUNT(*) FROM und) AS n_edges,
+              |       (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin),
+      "Triangle count on the undirected sparsified trade graph via the canonical wedge join (a<b<c: each triangle counted once): the edge list joins itself on the shared vertex, then closes against the third edge — all equi-joins, no cartesian anywhere. At web scale the hub-vertex blowup is handled exactly like dd05's frequent-shingle cap: cap or shard super-nodes before the wedge join.") {
+      (s, dir) =>
+        val e = edges(s, dir)
+        val und = e.select(
+            least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val tri = und.as("e1")
+          .join(und.as("e2"), col("e2.a") === col("e1.b"))
+          .join(und.as("e3"),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+        und.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(tri)
+          .select(col("n_edges"), col("n_triangles"))
+    })
+}

@@ -69,7 +69,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "ss02_ann_lsh_topk", // same single-row query vector, broadcast into the bucket probe
     "ss03_label_centroid_sim", // centroid × centroid theta join (#labels rows, tiny)
     "ss04_ivf_probe",    // query vector × centroid table (tiny) to pick the probed cell
-    "ss06_kmeans_iter"   // corpus × 8 broadcast seed vectors (the Lloyd assignment scan)
+    "ss06_kmeans_iter",  // corpus × 8 broadcast seed vectors (the Lloyd assignment scan)
+    "gr01_pagerank",     // 1-row median aggregate broadcast into the edge
+    "gr02_triangle_count" // sparsification filter (support table is nation²-bounded)
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
