@@ -33,6 +33,7 @@ object GraftQuery {
       operators.TextAnalysis.all ++
       operators.Sketches.all ++
       operators.Graph.all ++
+      operators.Profile.all ++
       operators.Sampling.all ++
       operators.Decontam.all ++
       operators.Multimodal.all ++

@@ -53,5 +53,66 @@ object Temporal {
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
     },
+
+    GraftQuery(
+      "q45_scd2_intervals",
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |changes AS (
+             |  SELECT user_id, event_type, ts AS valid_from, event_id
+             |  FROM ordered WHERE prev IS NULL OR event_type <> prev)
+             |SELECT user_id, event_type, valid_from,
+             |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+             |       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL) AS is_current
+             |FROM changes""".stripMargin),
+      "SCD Type 2 dimension build from a change stream: per-user event_type transitions become validity intervals [valid_from, valid_to) with an is_current flag — the batch twin of what a CDC consumer materializes from O1's envelopes. Change detection (lag) and interval closing (lead) share the user_id hash partitioning, so the whole build is ONE shuffle; event_id tiebreaks make every interval deterministic.") {
+      (s, dir) =>
+        val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val changes = Tables.load(s, dir, "events")
+          .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+          .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("valid_from"), col("event_id"))
+        val wLead = Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+        changes
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wLead))
+          .select(col("user_id"), col("event_type"), col("valid_from"),
+            col("valid_to"), col("valid_to").isNull.as("is_current"))
+    },
+
+    GraftQuery(
+      "q46_gap_fill",
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n,
+             |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |  FROM events WHERE value > 300 GROUP BY 1, 2),
+             |bounds AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+             |series AS (SELECT event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+             |           FROM bounds)
+             |SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n,
+             |       last_value(d.total IGNORE NULLS) OVER (
+             |         PARTITION BY s.event_type ORDER BY s.day
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total
+             |FROM series s LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day""".stripMargin),
+      "Time-series resample + gap fill: sparse daily aggregates (value > 300 keeps real gaps at every SF) are densified to the full per-type day range via sequence+explode, missing counts zero-filled, missing totals forward-filled with last-non-null over the day order. The raw scan aggregates FIRST (one shuffle); the series/join/window all run on bucket-sized data (#types x #days), so densification cost is independent of fact-table size.") {
+      (s, dir) =>
+        val daily = Tables.load(s, dir, "events")
+          .filter(col("value") > 300)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+        val series = daily.groupBy("event_type")
+          .agg(min("day").as("lo"), max("day").as("hi"))
+          .select(col("event_type"),
+            explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+        val wFill = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        series.join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("total"), ignoreNulls = true).over(wFill).as("filled_total"))
+    },
   )
 }

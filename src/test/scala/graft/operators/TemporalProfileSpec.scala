@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.TestSpark._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract pins for the SCD2 / gap-fill / profiling queries — the
+  * properties parity alone can't state: intervals chain correctly and
+  * the gap-fill fixture actually has gaps (the oracle would also pass
+  * on degenerate dense data).
+  */
+class TemporalProfileSpec extends AnyFunSuite {
+
+  private def run(name: String) =
+    graft.GraftQuery.all.find(_.name == name).get.build(spark, sf001)
+
+  test("q45: intervals chain per user; exactly one open (is_current) interval each") {
+    val rows = run("q45_scd2_intervals").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4)))
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, iv) =>
+      assert(iv.count(_._4) == 1, s"user $u: expected exactly one open interval")
+      val sorted = iv.sortBy(_._2.getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.contains(b._2), s"user $u: valid_to must chain to next valid_from")
+        case _ =>
+      }
+      assert(sorted.last._3.isEmpty, s"user $u: last interval must be open")
+    }
+  }
+
+  test("q46: fixture has real gaps (zero-filled days) and fill carries values forward") {
+    val rows = run("q46_gap_fill").collect()
+      .map(r => (r.getString(0), r.getLong(2), Option(r.get(3))))
+    assert(rows.exists(_._2 == 0L), "no gap days — the sparsity predicate is vacuous")
+    // forward fill: every gap day after a type's first observation has a value
+    val filledGaps = rows.filter(r => r._2 == 0L && r._3.nonEmpty)
+    assert(filledGaps.nonEmpty, "no gap day carries a forward-filled total")
+  }
+
+  test("pr01/pr02: profile totals are consistent with each other") {
+    val prof = run("pr01_column_profile").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val histTotal = run("pr02_length_histogram").collect().map(_.getLong(2)).sum
+    assert(prof.values.toSet.size == 1, "all columns must report the same row count")
+    assert(histTotal == prof("n_chars"), "histogram must preserve the row count")
+  }
+}
