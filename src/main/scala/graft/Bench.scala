@@ -127,12 +127,12 @@ object Bench {
     // errors budget: short ids + 60-char messages. The whole line must
     // clear the driver's 2000-char tail (which also holds sbt's trailing
     // [error]/[success] block), and the queries map grows with the
-    // inventory (~12 chars/query: 114 queries ≈ 1.4 kB), so the error
-    // map gets what's left: ~220 chars keeps an all-failure line at
-    // ~1.89 kB at the 114-query inventory (BenchLineSpec pins < 1.9 kB)
+    // inventory (~12 chars/query: 115 queries ≈ 1.4 kB), so the error
+    // map gets what's left: ~210 chars keeps an all-failure line at
+    // ~1.89 kB at the 115-query inventory (BenchLineSpec pins < 1.9 kB)
     val errEntries = errors.map { case (k, v) => jstr(shortId(k)) + ":" + jstr(v) }
     val (kept, dropped) = {
-      var budget = 220
+      var budget = 210
       val keep = errEntries.takeWhile { e => budget -= e.length + 1; budget >= 0 }
       (keep, errEntries.size - keep.size)
     }

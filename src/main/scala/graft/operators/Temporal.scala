@@ -114,5 +114,40 @@ object Temporal {
             coalesce(col("n"), lit(0L)).as("n"),
             last(col("total"), ignoreNulls = true).over(wFill).as("filled_total"))
     },
+
+    GraftQuery(
+      "q47_conversion_funnel",
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS first_view FROM events
+             |           WHERE event_type = 'view' GROUP BY 1),
+             |p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+             |      FROM events e JOIN v USING (user_id)
+             |      WHERE e.event_type = 'purchase' AND e.ts > v.first_view GROUP BY 1)
+             |SELECT CAST(date_trunc('day', v.first_view) AS DATE) AS cohort_day,
+             |       COUNT(*) AS n_users,
+             |       COUNT(CASE WHEN p.first_purchase <= v.first_view + INTERVAL 24 HOUR THEN 1 END) AS n_converted,
+             |       CAST(COUNT(CASE WHEN p.first_purchase <= v.first_view + INTERVAL 24 HOUR THEN 1 END) AS DOUBLE) / COUNT(*) AS conversion_rate
+             |FROM v LEFT JOIN p USING (user_id)
+             |GROUP BY 1""".stripMargin),
+      "Conversion funnel: per first-view cohort day, how many users purchased within 24 h of their first view. ONE shuffle over the fact data: a whole-partition user_id window computes first_view, the purchase-after-view aggregation inherits that partitioning (grouping keys are a superset), and only the user-sized cohort rollup shuffles again — the oracle's self-join formulation is fused away. The rate is a single IEEE division of two exact counts, so it hash-matches cross-engine.") {
+      (s, dir) =>
+        val w = Window.partitionBy("user_id")
+        val perUser = Tables.load(s, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("first_view",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .filter(col("first_view").isNotNull)
+          .groupBy(col("user_id"), col("first_view"))
+          .agg(min(when(col("event_type") === "purchase"
+            && col("ts") > col("first_view"), col("ts"))).as("first_purchase"))
+        val converted = col("first_purchase") <=
+          col("first_view") + expr("INTERVAL 24 HOURS")
+        perUser
+          .groupBy(to_date(col("first_view")).as("cohort_day"))
+          .agg(count(lit(1)).as("n_users"),
+            count(when(converted, lit(1))).as("n_converted"))
+          .withColumn("conversion_rate",
+            col("n_converted").cast("double") / col("n_users"))
+    },
   )
 }

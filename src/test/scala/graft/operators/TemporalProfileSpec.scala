@@ -39,6 +39,20 @@ class TemporalProfileSpec extends AnyFunSuite {
     assert(filledGaps.nonEmpty, "no gap day carries a forward-filled total")
   }
 
+  test("q47: funnel reuses one user_id partitioning — no redundant exchanges") {
+    val plan = run("q47_conversion_funnel")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    // ONE user_id shuffle over the fact data (the window), which the
+    // per-user aggregation inherits, + the user-sized cohort rollup.
+    // A second user_id exchange means the fused plan regressed to the
+    // oracle's self-join shape (events scanned and shuffled twice).
+    assert(exchanges.count(_ == "user_id") == 1,
+      s"expected exactly one user_id shuffle: $exchanges\n$plan")
+    assert(exchanges.size <= 2, s"unexpected exchanges: $exchanges")
+  }
+
   test("pr01/pr02: profile totals are consistent with each other") {
     val prof = run("pr01_column_profile").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
