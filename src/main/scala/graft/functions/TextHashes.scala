@@ -109,17 +109,42 @@ object GraftFunctions {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
+  /** Arity guard: a wrong-arity SQL call must surface as an analysis
+    * error naming the expected signature, not an
+    * IndexOutOfBoundsException from `children(i)` deep in the builder.
+    */
+  private def arity(name: String, signature: String, n: Int)(
+      children: Seq[Expression]): Seq[Expression] = {
+    if (children.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> s"$n — expected $signature",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    children
+  }
+
   def register(spark: SparkSession): Unit =
     if (registered.put(spark, java.lang.Boolean.TRUE) == null) {
       val reg = spark.sessionState.functionRegistry
       reg.createOrReplaceTempFunction("graft_minhash_sig",
-        { children: Seq[Expression] => MinHashSig(children.head) }, "built-in")
+        { children: Seq[Expression] =>
+          MinHashSig(arity("graft_minhash_sig", "graft_minhash_sig(shingles)", 1)(children).head) },
+        "built-in")
       reg.createOrReplaceTempFunction("graft_shingles",
-        { children: Seq[Expression] => Shingles(children.head) }, "built-in")
+        { children: Seq[Expression] =>
+          Shingles(arity("graft_shingles", "graft_shingles(text)", 1)(children).head) },
+        "built-in")
       reg.createOrReplaceTempFunction("graft_simhash64",
-        { children: Seq[Expression] => SimHash64(children.head) }, "built-in")
+        { children: Seq[Expression] =>
+          SimHash64(arity("graft_simhash64", "graft_simhash64(text)", 1)(children).head) },
+        "built-in")
       reg.createOrReplaceTempFunction("graft_cosine",
-        { children: Seq[Expression] => CosineSim(children.head, children(1)) }, "built-in")
+        { children: Seq[Expression] =>
+          val c = arity("graft_cosine", "graft_cosine(a, b)", 2)(children)
+          CosineSim(c.head, c(1)) }, "built-in")
       // Spark ships bloom_filter_agg / might_contain as INTERNAL
       // functions (catalyst's InjectRuntimeFilter plants them when it
       // builds runtime row-filters; they are absent from the public
@@ -129,11 +154,15 @@ object GraftFunctions {
       // with codegen'd catalyst expressions, not a reimplementation.
       reg.createOrReplaceTempFunction("graft_bloom_agg",
         { children: Seq[Expression] =>
+          val c = arity("graft_bloom_agg",
+            "graft_bloom_agg(keyHash, estimatedItems, numBits)", 3)(children)
           new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
-            children.head, children(1), children(2)).toAggregateExpression() }, "built-in")
+            c.head, c(1), c(2)).toAggregateExpression() }, "built-in")
       reg.createOrReplaceTempFunction("graft_might_contain",
         { children: Seq[Expression] =>
+          val c = arity("graft_might_contain",
+            "graft_might_contain(bloom, keyHash)", 2)(children)
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-            children.head, children(1)) }, "built-in")
+            c.head, c(1)) }, "built-in")
     }
 }

@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   * truncating division) — sums and divisions of non-negative longs are
   * order-independent and bit-identical across engines, so even an
   * iterative fixpoint computation hash-matches, with no FP tolerance
-  * games. The DuckDB twin unrolls the same three iterations as CTEs.
+  * games. The DuckDB twin unrolls the same three iterations as CTEs;
+  * each CTE casts its rank back to BIGINT because DuckDB widens
+  * SUM(BIGINT) to HUGEINT, which the driver's fetch renders as float64
+  * and hash-mismatches Spark's int64 even when every value is equal
+  * (the r7 gr01 hash FAIL — values were verified identical).
   */
 object Graph {
 
@@ -75,6 +79,16 @@ object Graph {
   private val InitUnits = 40000000L  // 1e9 / 25
   private val BaseUnits = 6000000L   // 0.15 * 1e9 / 25
 
+  /** Wedge-join super-node guard (gr02): vertices with undirected
+    * degree above this are excluded from triangle candidate generation
+    * (dd05's df-cap argument applied to degree — a degree-d hub
+    * contributes d² wedges), counted loudly in `n_capped_vertices`.
+    * Conf-overridable so the spec can pin the capped semantics on the
+    * small fixture graph.
+    */
+  private[graft] val DegCapKey = "spark.graft.graph.degCap"
+  private[graft] val DefaultDegCap = 1000
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -82,21 +96,21 @@ object Graph {
       Some(s"""WITH $edgesDuck,
               |r0 AS (SELECT n_nationkey AS node, $InitUnits AS r FROM nation),
               |r1 AS (SELECT n.node,
-              |              $BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS r
+              |              CAST($BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS BIGINT) AS r
               |       FROM r0 n
               |       LEFT JOIN edges e ON e.dst = n.node
               |       LEFT JOIN r0 r ON r.node = e.src
               |       LEFT JOIN outdeg o ON o.src = e.src
               |       GROUP BY n.node),
               |r2 AS (SELECT n.node,
-              |              $BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS r
+              |              CAST($BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS BIGINT) AS r
               |       FROM r1 n
               |       LEFT JOIN edges e ON e.dst = n.node
               |       LEFT JOIN r1 r ON r.node = e.src
               |       LEFT JOIN outdeg o ON o.src = e.src
               |       GROUP BY n.node),
               |r3 AS (SELECT n.node,
-              |              $BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS r
+              |              CAST($BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS BIGINT) AS r
               |       FROM r2 n
               |       LEFT JOIN edges e ON e.dst = n.node
               |       LEFT JOIN r2 r ON r.node = e.src
@@ -130,26 +144,45 @@ object Graph {
       Some(s"""WITH $edgesDuck,
               |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
               |        FROM edges),
+              |deg AS (SELECT v, COUNT(*) AS deg FROM (
+              |          SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) u
+              |        GROUP BY v),
+              |hubs AS (SELECT v FROM deg WHERE deg > $DefaultDegCap),
+              |kept AS (SELECT a, b FROM und
+              |         WHERE a NOT IN (SELECT v FROM hubs)
+              |           AND b NOT IN (SELECT v FROM hubs)),
               |tri AS (SELECT COUNT(*) AS n_triangles
-              |        FROM und e1
-              |        JOIN und e2 ON e2.a = e1.b
-              |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+              |        FROM kept e1
+              |        JOIN kept e2 ON e2.a = e1.b
+              |        JOIN kept e3 ON e3.a = e1.a AND e3.b = e2.b)
               |SELECT (SELECT COUNT(*) FROM und) AS n_edges,
-              |       (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin),
-      "Triangle count on the undirected sparsified trade graph via the canonical wedge join (a<b<c: each triangle counted once): the edge list joins itself on the shared vertex, then closes against the third edge — all equi-joins, no cartesian anywhere. At web scale the hub-vertex blowup is handled exactly like dd05's frequent-shingle cap: cap or shard super-nodes before the wedge join.") {
+              |       (SELECT n_triangles FROM tri) AS n_triangles,
+              |       (SELECT COUNT(*) FROM hubs) AS n_capped_vertices""".stripMargin),
+      s"Triangle count on the undirected sparsified trade graph via the canonical wedge join (a<b<c: each triangle counted once): the edge list joins itself on the shared vertex, then closes against the third edge — all equi-joins, no cartesian anywhere. The hub-vertex blowup (a degree-d super-node contributes d² wedges — THE failure mode of triangle counting on power-law graphs) is guarded exactly like dd05's frequent-shingle df cap: vertices with degree > $DefaultDegCap (conf `$DegCapKey`) are excluded from the wedge join via broadcast anti-joins BEFORE candidate generation, and the drop is loud — n_capped_vertices is a first-class output column, not a silent truncation. The 25-node nation graph never reaches the default cap, so the count is exact here; the spec pins the capped semantics with a tiny cap override.") {
       (s, dir) =>
+        val degCap = s.conf.get(DegCapKey, DefaultDegCap.toString).toInt
         val e = edges(s, dir)
         val und = e.select(
             least(col("src"), col("dst")).as("a"),
             greatest(col("src"), col("dst")).as("b"))
           .distinct()
-        val tri = und.as("e1")
-          .join(und.as("e2"), col("e2.a") === col("e1.b"))
-          .join(und.as("e3"),
+        // degree per vertex (vertex-scale, tiny vs the edge list);
+        // hubs = super-nodes the wedge join must never meet
+        val deg = und.select(col("a").as("v"))
+          .unionByName(und.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val hubs = deg.filter(col("deg") > degCap).select("v")
+        val kept = und
+          .join(broadcast(hubs.select(col("v").as("a"))), Seq("a"), "left_anti")
+          .join(broadcast(hubs.select(col("v").as("b"))), Seq("b"), "left_anti")
+        val tri = kept.as("e1")
+          .join(kept.as("e2"), col("e2.a") === col("e1.b"))
+          .join(kept.as("e3"),
             col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
           .agg(count(lit(1)).as("n_triangles"))
         und.agg(count(lit(1)).as("n_edges"))
           .crossJoin(tri)
-          .select(col("n_edges"), col("n_triangles"))
+          .crossJoin(hubs.agg(count(lit(1)).as("n_capped_vertices")))
+          .select(col("n_edges"), col("n_triangles"), col("n_capped_vertices"))
     })
 }

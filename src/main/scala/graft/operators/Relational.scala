@@ -712,8 +712,12 @@ object Relational {
              |FROM events GROUP BY event_type""".stripMargin),
       "JSON-lines source with an EXPLICIT schema: events round-trip through newline-delimited JSON and are read back with a DDL schema instead of inference — at 100 TB schema inference is a full extra pass over the corpus before the real scan even starts, so production JSON reads always carry their schema. Single-line JSON splits by newline (parallel scan); the reader prunes to the projected fields. Doubles round-trip exactly (shortest-round-trip serialization), so the oracle aggregates the original table.") {
       (s, dir) =>
+        // keyed by applicationId so concurrent runs over the same
+        // dataset (bench + verify) can't race overwrite-vs-read; the
+        // per-app dir is reused within a session and dies with tmpdir
         val out = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_q44_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+          s"graft_q44_${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}")
+          .getAbsolutePath
         Tables.load(s, dir, "events")
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
           .write.mode("overwrite").json(out)

@@ -278,52 +278,64 @@ object Similarity {
     GraftQuery(
       "ss06_kmeans_iter",
       Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             |seeds AS (SELECT e AS se,
+             |q AS (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
+             |seeds AS (SELECT qe AS qs,
              |                 CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT)
              |                   AS cluster
-             |          FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-             |sims AS (SELECT emb.vec_id, emb.e, seeds.cluster,
-             |                ROUND(LIST_COSINE_SIMILARITY(emb.e, seeds.se), 4) AS sim
-             |         FROM emb, seeds),
-             |assign AS (SELECT vec_id, cluster, e FROM (
-             |    SELECT vec_id, cluster, e,
+             |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+             |dots AS (SELECT qv.vec_id, sv.cluster, SUM(qv.v * sv.v) AS dot
+             |         FROM (SELECT vec_id, GENERATE_SUBSCRIPTS(qe, 1) AS pos, UNNEST(qe) AS v FROM q) qv
+             |         JOIN (SELECT cluster, GENERATE_SUBSCRIPTS(qs, 1) AS pos, UNNEST(qs) AS v FROM seeds) sv
+             |           USING (pos)
+             |         GROUP BY qv.vec_id, sv.cluster),
+             |assign AS (SELECT vec_id, cluster FROM (
+             |    SELECT vec_id, cluster,
              |           ROW_NUMBER() OVER (PARTITION BY vec_id
-             |             ORDER BY sim DESC, cluster) AS rn
-             |    FROM sims) t WHERE rn = 1),
-             |upd AS (SELECT cluster, CAST(GENERATE_SUBSCRIPTS(e, 1) - 1 AS INT) AS pos,
-             |               UNNEST(e) AS v
-             |        FROM assign)
+             |             ORDER BY dot DESC, cluster) AS rn
+             |    FROM dots) t WHERE rn = 1),
+             |upd AS (SELECT a.cluster, CAST(GENERATE_SUBSCRIPTS(q.qe, 1) - 1 AS INT) AS pos,
+             |               UNNEST(q.qe) AS v
+             |        FROM assign a JOIN q USING (vec_id))
              |SELECT cluster, pos,
              |       COUNT(*) AS n_members,
-             |       ROUND(SUM(v) / COUNT(*), 4) AS c
+             |       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1000000, 4) AS c
              |FROM upd GROUP BY cluster, pos""".stripMargin),
-      "One Lloyd iteration of k-means (k=8) with deterministic hash-seeded init — the building block of the IVF coarse quantizer (ss04) trained at corpus scale: seeds are the 8 vectors with the smallest md5(vec_id) (TakeOrderedAndProject top-k, no RNG, no global sort), assignment is a broadcast k x corpus scan reduced map-side by max_by partial aggregation (no k x n shuffle — the per-vector argmax combines within each scan partition), and the centroid update is the ss03 posexplode/mean pattern. Iterating = re-feeding the output as seeds; every step is one broadcast + two map-side-combining shuffles at any scale. Sim rounded to 4 dp BEFORE the argmax so both engines rank identical keys; cluster-id tiebreak; mean rounded 4 dp (absorbs cross-partition double-sum reorder).") {
+      "One Lloyd iteration of k-means (k=8) with deterministic hash-seeded init — the building block of the IVF coarse quantizer (ss04) trained at corpus scale. Embeddings are floor-quantized to integer 1e-6 units (ss07's machinery — the form an int-quantized ANN corpus actually ships) and assignment is maximum inner product by INTEGER dot product: long sums are order-independent, so both engines rank bit-identical keys — no FP-boundary argmax flips (the r7 hash FAIL: round-to-4dp-before-argmax still diverged when last-ulp cosine differences straddled a rounding boundary). Seeds are the 8 vectors with the smallest md5(vec_id) (TakeOrderedAndProject, no RNG); assignment is a broadcast k x corpus scan reduced map-side by max_by partial aggregation; the centroid update sums exact integer units and scales back in two identical FP ops. Every step is one broadcast + two map-side-combining shuffles at any scale.") {
       (s, dir) =>
         val e = emb(s, dir)
+        // quantize to integer 1e-6 units: floor is exact on the
+        // identical input doubles, so every later comparison is
+        // integer math shared bit-for-bit with the oracle
+        val q = e.select(col("vec_id"),
+          transform(col("e"), x => floor(x * lit(1000000))).as("qe"))
         // deterministic seed pick: top-8 by md5 — plans as
         // TakeOrderedAndProject; the 8-row window is driver-trivial
-        val hashed = e.select(col("vec_id"), col("e"),
+        val hashed = q.select(col("vec_id"), col("qe"),
           md5(col("vec_id").cast("string")).as("h"))
         val w8 = org.apache.spark.sql.expressions.Window
           .orderBy(col("h"), col("vec_id"))
         val seeds = hashed.orderBy(col("h"), col("vec_id")).limit(8)
           .withColumn("cluster", (row_number().over(w8) - 1).cast("int"))
-          .select(col("cluster"), col("e").as("se"))
-        // assignment: argmax over the broadcast seeds via max_by — a
-        // map-side partial aggregation, NOT a per-vector window (which
-        // would shuffle k rows per vector on vec_id)
-        val assign = e.crossJoin(broadcast(seeds))
-          .withColumn("sim", round(cosine("e", "se"), 4))
+          .select(col("cluster"), col("qe").as("qs"))
+        // assignment: integer-dot argmax over the broadcast seeds via
+        // max_by — a map-side partial aggregation, NOT a per-vector
+        // window (which would shuffle k rows per vector on vec_id)
+        val assign = q.crossJoin(broadcast(seeds))
+          .withColumn("dot",
+            aggregate(zip_with(col("qe"), col("qs"), (x, y) => x * y),
+              lit(0L), (acc, x) => acc + x))
           .groupBy(col("vec_id"))
           .agg(
-            max_by(col("cluster"), struct(col("sim"), (-col("cluster")).as("nc"))).as("cluster"),
-            first(col("e")).as("e"))
-        // centroid update: per-(cluster, dim) mean, ss03 pattern
-        assign.select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
+            max_by(col("cluster"), struct(col("dot"), (-col("cluster")).as("nc"))).as("cluster"),
+            first(col("qe")).as("qe"))
+        // centroid update: per-(cluster, dim) mean over exact integer
+        // sums, scaled back to the embedding domain — sum and count
+        // are exact, the two divisions are the same FP ops both sides
+        assign.select(col("cluster"), posexplode(col("qe")).as(Seq("pos", "v")))
           .groupBy(col("cluster"), col("pos"))
           .agg(
             count(lit(1)).as("n_members"),
-            round(sum(col("v")) / count(lit(1)), 4).as("c"))
+            round(sum(col("v")).cast("double") / count(lit(1)) / lit(1000000), 4).as("c"))
     },
 
     GraftQuery(

@@ -52,17 +52,21 @@ object Sketches {
       "Runtime bloom-filter semi join: a bloom sketch over the high-value orders' xxhash64(o_orderkey) rides a scalar subquery into the lineitem scan as a might_contain FILTER — at 100 TB the fact side drops non-qualifying rows at the scan, BEFORE shuffling toward the join (a bloom false positive costs one extra joined row; the exact semi join then removes it, so results are exact and the oracle is the plain semi join). 1 M-bit / ~120 KB sketch covers the ~30 k keys at sf0.1 with <1% FP; the broadcast of the sketch is one executor-wide KB-scale send versus the key set's full shuffle.") {
       (s, dir) =>
         graft.functions.GraftFunctions.register(s)
+        // sk01-prefixed view names: registering plain "orders"/
+        // "lineitem" would silently clobber any same-named temp views
+        // in the shared session (the builder must stay side-effect-free
+        // on names a caller could plausibly own)
         for (tb <- Seq("orders", "lineitem"))
-          t(s, dir, tb).createOrReplaceTempView(tb)
+          t(s, dir, tb).createOrReplaceTempView(s"sk01_$tb")
         s.sql(
           s"""SELECT l_returnflag, COUNT(*) AS n,
              |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
-             |FROM lineitem
+             |FROM sk01_lineitem
              |WHERE graft_might_contain(
              |        (SELECT graft_bloom_agg(xxhash64(o_orderkey), 50000L, 1000000L)
-             |         FROM orders WHERE $HighValue),
+             |         FROM sk01_orders WHERE $HighValue),
              |        xxhash64(l_orderkey))
-             |  AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE $HighValue)
+             |  AND l_orderkey IN (SELECT o_orderkey FROM sk01_orders WHERE $HighValue)
              |GROUP BY l_returnflag""".stripMargin)
     },
 

@@ -168,5 +168,42 @@ object StreamingWindows {
           .select(col("user_id"), col("view_id"), col("purchase_id"),
             (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
     },
+
+    GraftQuery(
+      "st09_session_funnel",
+      Some("""WITH f AS (SELECT user_id, ts, event_type FROM events
+             |           WHERE event_type IN ('view', 'purchase')),
+             |o AS (SELECT user_id, ts, event_type,
+             |        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                  >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+             |      FROM f),
+             |s AS (SELECT user_id, ts, event_type,
+             |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |      FROM o)
+             |SELECT user_id, MIN(ts) AS session_start,
+             |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             |       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+             |       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+             |       COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN ts END) >
+             |                MIN(CASE WHEN event_type = 'view' THEN ts END), FALSE) AS converted
+             |FROM s GROUP BY user_id, sid""".stripMargin),
+      "Sessionized conversion funnel — the stateful-analytics family (q45/q47) run as a STREAMING operator: per (user, 30-min session), view/purchase counts and whether a purchase followed the first view inside the session. The funnel predicate is spelled in order-insensitive aggregates only (EXISTS purchase after first view ⇔ MAX(purchase ts) > MIN(view ts)), and session-window merging is itself associative — so micro-batch boundaries and arrival order provably cannot change the answer, which is exactly what makes the streaming run equal the batch twin bit-for-bit (StreamingEquivalenceSpec). One stateful shuffle at any scale: the stateless type filter prunes map-side, then the session_window agg; no per-user event buffering, no window-function sort over raw events (the oracle's gaps-and-islands rewrite is the shape we avoid).") {
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .filter(col("event_type").isin("view", "purchase"))
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(
+            count(when(col("event_type") === "view", 1)).as("n_views"),
+            count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+            coalesce(
+              max(when(col("event_type") === "purchase", col("ts"))) >
+                min(when(col("event_type") === "view", col("ts"))),
+              lit(false)).as("converted"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_views"), col("n_purchases"), col("converted"))
+    },
   )
 }

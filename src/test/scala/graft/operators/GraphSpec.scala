@@ -49,17 +49,50 @@ class GraphSpec extends AnyFunSuite {
     assert(got.values.toSet.size > 1, "ranks uniform — graph not sparsified")
   }
 
-  test("gr02: equals brute-force triangle enumeration over the collected edges") {
+  /** Exact model of gr02's capped semantics: degrees over the
+    * undirected edge set, hubs = degree > cap dropped from the wedge
+    * join, triangles enumerated over the surviving edges.
+    */
+  private def cappedModel(cap: Int): (Long, Long, Long) = {
     val und = edgeList.map { case (s, d) => (math.min(s, d), math.max(s, d)) }.toSet
-    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val deg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, vs) => v -> vs.size }
+    val hubs = deg.filter(_._2 > cap).keySet
+    val kept = und.filter(e => !hubs(e._1) && !hubs(e._2))
+    val nodes = kept.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
     val triangles = (for {
       i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
       a = nodes(i); b = nodes(j); c = nodes(k)
-      if und((a, b)) && und((b, c)) && und((a, c))
+      if kept((a, b)) && kept((b, c)) && kept((a, c))
     } yield 1).size
+    (und.size.toLong, triangles.toLong, hubs.size.toLong)
+  }
+
+  test("gr02: equals brute-force triangle enumeration over the collected edges") {
+    val (nEdges, triangles, nCapped) = cappedModel(Graph.DefaultDegCap)
+    assert(nCapped == 0L, "default cap must not bind on the 25-node fixture graph")
     val row = run("gr02_triangle_count").collect().head
-    assert(row.getLong(0) == und.size.toLong, "edge count mismatch")
-    assert(row.getLong(1) == triangles.toLong, "triangle count mismatch")
+    assert(row.getLong(0) == nEdges, "edge count mismatch")
+    assert(row.getLong(1) == triangles, "triangle count mismatch")
+    assert(row.getLong(2) == 0L, "capped-vertex count must be 0 at fixture scale")
     assert(triangles > 0, "fixture graph has no triangles — pin is vacuous")
+  }
+
+  test("gr02: the super-node degree cap drops hub wedges and counts them loudly") {
+    // pick a cap that actually BINDS on the fixture graph so the
+    // guard's semantics (not just its existence) are pinned
+    val und = edgeList.map { case (s, d) => (math.min(s, d), math.max(s, d)) }.toSet
+    val maxDeg = und.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.size).max
+    val cap = maxDeg - 1
+    val (nEdges, triangles, nCapped) = cappedModel(cap)
+    assert(nCapped > 0, s"cap $cap binds nowhere — test vacuous")
+    spark.conf.set(Graph.DegCapKey, cap.toString)
+    try {
+      val row = run("gr02_triangle_count").collect().head
+      assert(row.getLong(0) == nEdges, "n_edges must stay the PRE-cap inventory")
+      assert(row.getLong(1) == triangles, "capped triangle count mismatch")
+      assert(row.getLong(2) == nCapped, "capped-vertex accounting mismatch")
+    } finally spark.conf.unset(Graph.DegCapKey)
   }
 }

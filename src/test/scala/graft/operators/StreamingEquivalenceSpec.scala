@@ -139,6 +139,34 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("sessionized funnel: streaming result == batch twin") {
+    // the funnel predicate is order-insensitive aggregates only
+    // (MAX(purchase ts) > MIN(view ts)) and session merging is
+    // associative, so the stream MUST converge to the batch answer
+    // regardless of micro-batch boundaries
+    val streamed = runToMemory(
+      streamEvents
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(
+          count(when(col("event_type") === "view", 1)).as("n_views"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+          coalesce(
+            max(when(col("event_type") === "purchase", col("ts"))) >
+              min(when(col("event_type") === "view", col("ts"))),
+            lit(false)).as("converted"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_views"), col("n_purchases"), col("converted")),
+      "st09_stream", "complete")
+    val batch = StreamingWindows.all.find(_.name == "st09_session_funnel").get
+      .build(spark, sf0001)
+    assert(sortedRows(streamed) === sortedRows(batch))
+    assert(streamed.filter(col("converted")).count() > 0,
+      "no converted sessions at fixture scale — funnel pin is vacuous")
+  }
+
   test("stream-stream interval join (watermarked) == batch twin") {
     // two watermarked streams off the same staged source; the interval
     // condition (p.ts in [v.ts, v.ts + 1h)) is what lets the state
