@@ -89,6 +89,15 @@ object Graph {
   private[graft] val DegCapKey = "spark.graft.graph.degCap"
   private[graft] val DefaultDegCap = 1000
 
+  /** gr03's core order is DATA-ADAPTIVE: k = max raw degree `div` 2
+    * (integer division, bit-identical cross-engine). A fixed k cannot
+    * bind at every fixture scale (sf0.001 degrees top out at 16 where
+    * sf0.01's floor is 10 — any constant either empties the small graph
+    * or never peels the big one); half-the-max peels a real shell at
+    * both, so the operator is exercised everywhere it runs.
+    */
+  private[graft] def kcoreK(maxDeg: Long): Long = maxDeg / 2
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -184,5 +193,72 @@ object Graph {
           .crossJoin(tri)
           .crossJoin(hubs.agg(count(lit(1)).as("n_capped_vertices")))
           .select(col("n_edges"), col("n_triangles"), col("n_capped_vertices"))
+    },
+
+    GraftQuery(
+      "gr03_kcore",
+      Some {
+        // MATERIALIZED pins each peel round once: DuckDB inlines a CTE
+        // per reference, and this chain references each round's output
+        // three times — unmaterialized it re-expands the 4-table
+        // support join exponentially (measured: 180 s → 0.4 s)
+        val peel = (i: Int, prev: String) =>
+          s"""d$i AS (SELECT v, COUNT(*) AS d FROM (
+             |          SELECT a AS v FROM $prev UNION ALL SELECT b AS v FROM $prev) u
+             |        GROUP BY v),
+             |kp$i AS MATERIALIZED (SELECT v FROM d$i, kd WHERE d >= k),
+             |e$i AS MATERIALIZED (SELECT a, b FROM $prev
+             |        WHERE a IN (SELECT v FROM kp$i) AND b IN (SELECT v FROM kp$i))""".stripMargin
+        s"""WITH support AS MATERIALIZED (
+           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+           |  FROM lineitem l
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  WHERE c.c_nationkey <> s.s_nationkey
+           |  GROUP BY 1, 2),
+           |med AS (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY w) AS m FROM support),
+           |edges AS (SELECT src, dst FROM support, med WHERE w > m),
+           |und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+           |        FROM edges),
+           |d0 AS (SELECT v, COUNT(*) AS d FROM (
+           |         SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) u
+           |       GROUP BY v),
+           |kd AS MATERIALIZED (SELECT MAX(d) // 2 AS k FROM d0),
+           |${peel(1, "und")},
+           |${peel(2, "e1")},
+           |${peel(3, "e2")},
+           |dr AS (SELECT v, COUNT(*) AS d FROM (
+           |         SELECT a AS v FROM e3 UNION ALL SELECT b AS v FROM e3) u
+           |       GROUP BY v)
+           |SELECT na.n_name AS nation, CAST(dr.d AS BIGINT) AS core_deg
+           |FROM dr JOIN nation na ON na.n_nationkey = dr.v""".stripMargin
+      },
+      "k-core decomposition (k = half the max raw degree, three peel rounds unrolled — the gr01 bounded-iteration discipline): repeatedly drop vertices with degree < k and the edges they carry, the standard graph-densification filter a pipeline runs before expensive per-edge analytics (each peel can only shrink the graph, so three rounds bound the plan while converging on real power-law graphs' shells). k is data-adaptive (max degree div 2, integer — a constant either empties a sparse fixture or never peels a dense one) and rides a 1-row broadcast into the threshold filter. Per round: one vertex-sized degree aggregation, then the surviving-vertex set — always vertex-scale, tiny vs the edges — broadcasts into two semi joins, so the edge list is filtered map-side and NEVER reshuffled; all math is integer counts, bit-identical across engines. Output = surviving vertices with their residual in-core degree.") {
+      (s, dir) =>
+        val e = edges(s, dir)
+        var cur = Materialize(e.select(
+            least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct())
+        def degrees(df: DataFrame) = df.select(col("a").as("v"))
+          .unionByName(df.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("d"))
+        // adaptive threshold from the RAW graph, fixed across rounds:
+        // a 1-row frame broadcast into every peel's filter
+        val kf = broadcast(degrees(cur).agg(expr("max(d) div 2").as("k")))
+        for (_ <- 1 to 3) {
+          val keep = degrees(cur).crossJoin(kf)
+            .filter(col("d") >= col("k")).select("v")
+          // each round is consumed twice (next degree agg + next
+          // filter) — pinned so peels never recompute the whole chain
+          cur = Materialize(cur
+            .join(broadcast(keep.select(col("v").as("a"))), Seq("a"), "left_semi")
+            .join(broadcast(keep.select(col("v").as("b"))), Seq("b"), "left_semi"))
+        }
+        val dr = degrees(cur).withColumnRenamed("d", "core_deg")
+        dr.join(broadcast(Tables.load(s, dir, "nation")
+            .select(col("n_nationkey").as("v"), col("n_name"))), "v")
+          .select(col("n_name").as("nation"), col("core_deg"))
     })
 }

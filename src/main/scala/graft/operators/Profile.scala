@@ -70,5 +70,40 @@ object Profile {
           .select((col("bucket") * 50).as("bin_lo"),
             (col("bucket") * 50 + 50).as("bin_hi"), col("n"), col("n_langs"))
     },
+
+    GraftQuery(
+      "pr03_approx_profile",
+      Some("""SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+             |       COUNT(DISTINCT o_custkey) AS exact_ndv, TRUE AS approx_within_10pct
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderpriority', COUNT(*), COUNT(DISTINCT o_orderpriority), TRUE FROM orders
+             |UNION ALL
+             |SELECT 'o_orderdate', COUNT(*), COUNT(DISTINCT o_orderdate), TRUE FROM orders""".stripMargin),
+      "Sketch-based column profiling — the shape a 100 TB profiler actually runs: per-column HLL++ (approx_count_distinct) is one mergeable sketch buffer per column in one scan, where pr01's exact multi-distinct pays an Expand that multiplies every row k-fold before its shuffle. Approx values are engine-specific, so the sk03 oracle pattern applies: this query carries the exact NDVs ALONGSIDE the sketches (the oracle needs them anyway) and folds the accuracy guarantee (|approx - exact| <= 10% of exact, vs the default 5% rsd) into a boolean the oracle states as TRUE — computed from data on the Spark side, constant only if the sketch actually lands inside its bound; the production variant drops the exact half and keeps the sketch scan.") {
+      (s, dir) =>
+        val within = (approxC: org.apache.spark.sql.Column, exactC: org.apache.spark.sql.Column) =>
+          abs(approxC.cast("double") - exactC.cast("double")) <= exactC.cast("double") * 0.10
+        Tables.load(s, dir, "orders")
+          .agg(
+            count(lit(1)).as("nr"),
+            countDistinct(col("o_custkey")).as("ck_nd"),
+            approx_count_distinct(col("o_custkey")).as("ck_ad"),
+            countDistinct(col("o_orderpriority")).as("op_nd"),
+            approx_count_distinct(col("o_orderpriority")).as("op_ad"),
+            countDistinct(col("o_orderdate")).as("od_nd"),
+            approx_count_distinct(col("o_orderdate")).as("od_ad"))
+          .select(
+            col("nr"), col("ck_nd"), col("op_nd"), col("od_nd"),
+            within(col("ck_ad"), col("ck_nd")).as("ck_ok"),
+            within(col("op_ad"), col("op_nd")).as("op_ok"),
+            within(col("od_ad"), col("od_nd")).as("od_ok"))
+          .selectExpr(
+            """stack(3,
+              |  'o_custkey',       nr, ck_nd, ck_ok,
+              |  'o_orderpriority', nr, op_nd, op_ok,
+              |  'o_orderdate',     nr, od_nd, od_ok)
+              |AS (col, n_rows, exact_ndv, approx_within_10pct)""".stripMargin)
+    },
   )
 }

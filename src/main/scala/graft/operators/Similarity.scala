@@ -366,5 +366,56 @@ object Similarity {
             round(avg(col("err")), 6).as("mean_abs_err"),
             round(max(col("err")), 6).as("max_abs_err"))
     },
+
+    GraftQuery(
+      "ss08_product_quantization",
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |q AS (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
+             |seeds AS (SELECT qe AS qs,
+             |                 CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
+             |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+             |subs AS (SELECT vec_id, s.sub, qe[s.sub * 8 + 1 : s.sub * 8 + 8] AS qv
+             |         FROM q, (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
+             |cds AS (SELECT code, s.sub, qs[s.sub * 8 + 1 : s.sub * 8 + 8] AS qc
+             |        FROM seeds, (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
+             |dist AS (SELECT v.vec_id, v.sub, c.code,
+             |                LIST_SUM(LIST_TRANSFORM(RANGE(1, 9), i -> (v.qv[i] - c.qc[i]) * (v.qv[i] - c.qc[i]))) AS d
+             |         FROM subs v JOIN cds c USING (sub)),
+             |assign AS (SELECT vec_id, sub, code, d FROM (
+             |    SELECT vec_id, sub, code, d,
+             |           ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM dist) t
+             |    WHERE rn = 1)
+             |SELECT CAST(sub AS INT) AS sub, code, COUNT(*) AS n_members,
+             |       CAST(SUM(d) AS BIGINT) AS sse_units
+             |FROM assign GROUP BY sub, code""".stripMargin),
+      "Product quantization (8 subspaces x 4 codes over the 64-dim embeddings) — the OTHER half of an IVF-PQ index (ss04 is the coarse quantizer, this is the fine one): each vector's 8-dim subvectors are assigned to their nearest codeword, compressing 64 floats to 8 codes. Codebooks are the md5-smallest vectors' subvectors (deterministic, no RNG); assignment is argmin of INTEGER squared L2 over floor-quantized units (the ss06 trick applied to distance: difference-square-sum of longs is order-independent and bit-identical cross-engine, so an argmin over it cannot flip at an FP boundary). The 32-row codebook broadcasts; assignment is a map-side min_by partial agg per (vec, subspace); the cell-population/SSE audit output is the codebook-quality summary a PQ trainer inspects. One broadcast + two map-side-combining shuffles at any corpus scale.") {
+      (s, dir) =>
+        val e = emb(s, dir)
+        val q = e.select(col("vec_id"),
+          transform(col("e"), x => floor(x * lit(1000000))).as("qe"))
+        val w4 = org.apache.spark.sql.expressions.Window
+          .orderBy(col("h"), col("vec_id"))
+        val seeds = q.select(col("vec_id"), col("qe"),
+            md5(col("vec_id").cast("string")).as("h"))
+          .orderBy(col("h"), col("vec_id")).limit(4)
+          .withColumn("code", (row_number().over(w4) - 1).cast("int"))
+          .select(col("code"), col("qe").as("qs"))
+        // explode both sides to (sub, 8-dim slice); the codebook side
+        // is 32 rows — broadcast into the per-(vec, sub) argmin
+        val subSlices = (src: String, out: String) => expr(
+          s"transform(sequence(0, 7), s -> struct(s AS sub, slice($src, s * 8 + 1, 8) AS $out))")
+        val subs = q.select(col("vec_id"), explode(subSlices("qe", "qv")).as("x"))
+          .select(col("vec_id"), col("x.sub").as("sub"), col("x.qv").as("qv"))
+        val cds = seeds.select(col("code"), explode(subSlices("qs", "qc")).as("x"))
+          .select(col("code"), col("x.sub").as("sub"), col("x.qc").as("qc"))
+        subs.join(broadcast(cds), Seq("sub"))
+          .withColumn("d",
+            aggregate(zip_with(col("qv"), col("qc"), (a, b) => (a - b) * (a - b)),
+              lit(0L), (acc, x) => acc + x))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min_by(struct(col("code"), col("d")), struct(col("d"), col("code"))).as("m"))
+          .groupBy(col("sub"), col("m.code").as("code"))
+          .agg(count(lit(1)).as("n_members"), sum(col("m.d")).as("sse_units"))
+    },
   )
 }

@@ -25,6 +25,13 @@ object TextAnalysis {
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** tx11's hot/cold split point: bigrams with corpus count above this
+    * broadcast as the frequent head (skew-proof), the tail equi-joins.
+    * Chosen so BOTH sides are non-empty at verify scale (sf0.01 max
+    * bigram count 48) — the split must be exercised, not decorative.
+    */
+  private val LmHeadDf = 40L
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -272,6 +279,38 @@ object TextAnalysis {
             regexp_count(col("d"), lit(phone)).cast("long").as("n_phones"),
             md5(regexp_replace(regexp_replace(col("d"), email, "<EMAIL>"), phone, "<PHONE>"))
               .as("redacted_md5"))
+    },
+
+    GraftQuery(
+      "tx11_bigram_lm_score",
+      Some("""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+             |occ AS (SELECT doc_id,
+             |               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i + 1])) AS g
+             |        FROM d),
+             |cnt AS (SELECT g, COUNT(*) AS c FROM occ GROUP BY g)
+             |SELECT occ.doc_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |       CAST(SUM(cnt.c) AS DOUBLE) / COUNT(*) AS lm_score
+             |FROM occ JOIN cnt USING (g)
+             |GROUP BY occ.doc_id""".stripMargin),
+      s"Corpus-bigram language-model scoring — the KenLM/CCNet-style quality signal a training pipeline computes over its OWN corpus: pass 1 counts every bigram across the corpus (one map-side-combining shuffle), pass 2 scores each document by the mean corpus frequency of its bigrams. A document of common constructions scores high; gibberish scores ~1. The count-lookup join splits hot from cold: bigrams with count > $LmHeadDf (the 'of the' head — tiny distinct set, massive match volume, THE skew bomb of frequency joins at 100 TB) broadcast map-side, and only the long cold tail shuffles — every occurrence matches exactly one side, so the union is semantically the plain equi-join the oracle states. Sum and count are exact integers; the score is one shared IEEE division — hash-exact cross-engine with no rounding.") {
+      (s, dir) =>
+        val toks = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val occ = toks.select(col("doc_id"), explode(expr(
+          "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), (a, b) -> concat(a, ' ', b))"))
+          .as("g"))
+        val cnt = Materialize(occ.groupBy("g").agg(count(lit(1)).as("c")))
+        // hot/cold split: the frequent head broadcasts (no shuffle of
+        // its massive occurrence volume), the rare tail equi-joins
+        val head = cnt.filter(col("c") > LmHeadDf)
+        val tail = cnt.filter(col("c") <= LmHeadDf)
+        occ.join(broadcast(head), Seq("g"))
+          .unionByName(occ.join(tail, Seq("g")))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            (sum(col("c")).cast("double") / count(lit(1))).as("lm_score"))
     },
   )
 }

@@ -71,7 +71,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ss04_ivf_probe",    // query vector × centroid table (tiny) to pick the probed cell
     "ss06_kmeans_iter",  // corpus × 8 broadcast seed vectors (the Lloyd assignment scan)
     "gr01_pagerank",     // 1-row median aggregate broadcast into the edge
-    "gr02_triangle_count" // sparsification filter (support table is nation²-bounded)
+    "gr02_triangle_count", // sparsification filter (support table is nation²-bounded)
+    "gr03_kcore"         // same 1-row median broadcast + 1-row adaptive-k threshold
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {

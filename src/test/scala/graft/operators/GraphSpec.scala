@@ -78,6 +78,30 @@ class GraphSpec extends AnyFunSuite {
     assert(triangles > 0, "fixture graph has no triangles — pin is vacuous")
   }
 
+  test("gr03: equals the exact 3-round k-core peel over the collected edges") {
+    var e = edgeList.map { case (s, d) => (math.min(s, d), math.max(s, d)) }.toSet
+    val rawDeg = e.toSeq.flatMap(t => Seq(t._1, t._2))
+      .groupBy(identity).map { case (v, vs) => v -> vs.size }
+    val k = Graph.kcoreK(rawDeg.values.max.toLong)
+    for (_ <- 1 to 3) {
+      val deg = e.toSeq.flatMap(t => Seq(t._1, t._2))
+        .groupBy(identity).map { case (v, vs) => v -> vs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      e = e.filter(t => keep(t._1) && keep(t._2))
+    }
+    assert(e.size < edgeList.size, "adaptive k peeled nothing — pin is vacuous")
+    val deg = e.toSeq.flatMap(t => Seq(t._1, t._2))
+      .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+    val nations = Tables.load(spark, sf001, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val expected = deg.map { case (v, d) => nations(v) -> d }
+    val got = run("gr03_kcore").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(expected.nonEmpty, "k-core empty at fixture scale — pin is vacuous")
+  }
+
   test("gr02: the super-node degree cap drops hub wedges and counts them loudly") {
     // pick a cap that actually BINDS on the fixture graph so the
     // guard's semantics (not just its existence) are pinned
