@@ -260,5 +260,43 @@ object Graph {
         dr.join(broadcast(Tables.load(s, dir, "nation")
             .select(col("n_nationkey").as("v"), col("n_name"))), "v")
           .select(col("n_name").as("nation"), col("core_deg"))
+    },
+
+    GraftQuery(
+      "gr04_reachability",
+      Some(reachSql("")),
+      "Depth-bounded BFS reachability from a seed vertex via WITH RECURSIVE — the one iterative shape expressed through the SQL FRONT-END instead of a driver loop: Spark 4's recursive CTE plans as UnionLoopExec, materializing each frontier and feeding it back until the depth guard empties it (gr01/gr03 unroll their loops in Scala; this exercises the engine's own fixpoint operator). Spark restricts recursive CTEs to UNION ALL, so each hop enumerates paths, not vertices — sound here because the depth cap (3) bounds path length and the outer MIN(hop) GROUP BY collapses paths to the BFS answer; at 100 TB path enumeration is the known blowup of UNION ALL recursion, and the scale-correct variant dedups the frontier per hop exactly as dd07's min-label propagation does in DataFrame space. Per hop: one equi-join of the (tiny, vertex-bounded) frontier against the pinned edge list — frontier broadcasts, edges never reshuffle; all values are integer hop counts, bit-identical across engines.") {
+      (s, dir) =>
+        // gr04-prefixed view names: never clobber caller-owned temp
+        // views in the shared session (the sk01 rule); SQL text is
+        // otherwise identical to the oracle's
+        for (tb <- Seq("lineitem", "orders", "customer", "supplier"))
+          Tables.load(s, dir, tb).createOrReplaceTempView(s"gr04_$tb")
+        s.sql(reachSql("gr04_"))
     })
+
+  /** The shared gr04 SQL — Spark and DuckDB run the SAME text (view
+    * prefix aside): recursive BFS over the sparsified trade graph,
+    * anchor = nation 0, depth ≤ 3, outer MIN-dedup to min-hop.
+    */
+  private def reachSql(p: String) =
+    s"""WITH RECURSIVE
+       |support AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+       |  FROM ${p}lineitem l
+       |  JOIN ${p}orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN ${p}customer c ON o.o_custkey = c.c_custkey
+       |  JOIN ${p}supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey
+       |  GROUP BY 1, 2),
+       |med AS (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY w) AS m FROM support),
+       |edges AS (SELECT src, dst FROM support, med WHERE w > m),
+       |reach(node, hop) AS (
+       |  SELECT CAST(0 AS INT) AS node, CAST(0 AS INT) AS hop
+       |  UNION ALL
+       |  SELECT CAST(e.dst AS INT), CAST(r.hop + 1 AS INT)
+       |  FROM reach r JOIN edges e ON e.src = r.node
+       |  WHERE r.hop < 3)
+       |SELECT node, CAST(MIN(hop) AS INT) AS min_hops
+       |FROM reach GROUP BY node""".stripMargin
 }

@@ -728,6 +728,28 @@ object Relational {
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
     },
+
+    GraftQuery(
+      "q48_lateral_topk",
+      Some("""SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal
+             |FROM nation n, LATERAL (
+             |  SELECT c_custkey, c_acctbal FROM customer c
+             |  WHERE c.c_nationkey = n.n_nationkey
+             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin),
+      "LATERAL correlated subquery (per-nation top-2 customers spelled as a dependent subquery with its own ORDER BY + LIMIT — the SQL-front-end shape analysts actually write): Catalyst DECORRELATES it (DecorrelateInnerQuery) into the q08 window/top-k plan instead of executing the subquery once per outer row — per-row re-execution is the 100 TB anti-pattern LATERAL support exists to avoid; the only fact-side work is one partitioned top-k, no N+1 scans. Raw column values pass through (no arithmetic), so cross-engine equality is exact.") {
+      (s, dir) =>
+        // q48-prefixed view names: same reason as sk01 — never clobber
+        // caller-owned temp views in the shared session (so the SQL
+        // text differs from the oracle's only in view names)
+        for (tb <- Seq("nation", "customer"))
+          Tables.load(s, dir, tb).createOrReplaceTempView(s"q48_$tb")
+        s.sql(
+          """SELECT n.n_name AS nation, t.c_custkey, t.c_acctbal
+            |FROM q48_nation n, LATERAL (
+            |  SELECT c_custkey, c_acctbal FROM q48_customer c
+            |  WHERE c.c_nationkey = n.n_nationkey
+            |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+    },
   )
 }
 

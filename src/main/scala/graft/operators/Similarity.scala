@@ -39,6 +39,41 @@ object Similarity {
     */
   private def cosine(a: String, b: String) = expr(s"graft_cosine($a, $b)")
 
+  /** Embeddings floor-quantized to integer 1e-6 units (`vec_id`, `qe`):
+    * the shared front door of the integer-exact family (ss06/ss08/ss09)
+    * — floor is exact on identical input doubles, so everything
+    * downstream is long math both engines compute bit-identically.
+    */
+  private def qemb(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      transform(col("e"), x => floor(x * lit(1000000))).as("qe"))
+
+  /** The `k` quantized vectors with the smallest md5(vec_id), coded
+    * 0..k-1 — the deterministic no-RNG seed pick (TakeOrderedAndProject;
+    * the k-row window is driver-trivial). Columns: (`code`, `qs`).
+    */
+  private def mdSeeds(q: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("h"), col("vec_id"))
+    q.select(col("vec_id"), col("qe"), md5(col("vec_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .select(col("code"), col("qe").as("qs"))
+  }
+
+  /** Integer squared L2 between two equal-length long arrays — the
+    * order-independent distance every integer-exact ranking uses.
+    */
+  private def il2(a: String, b: String) =
+    aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Explode a 64-long array column into 8 subspace slices
+    * (`sub`, `out`) — ss08/ss09's PQ decomposition.
+    */
+  private def subSlices(src: String, out: String) = expr(
+    s"transform(sequence(0, 7), s -> struct(s AS sub, slice($src, s * 8 + 1, 8) AS $out))")
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -302,21 +337,8 @@ object Similarity {
              |FROM upd GROUP BY cluster, pos""".stripMargin),
       "One Lloyd iteration of k-means (k=8) with deterministic hash-seeded init — the building block of the IVF coarse quantizer (ss04) trained at corpus scale. Embeddings are floor-quantized to integer 1e-6 units (ss07's machinery — the form an int-quantized ANN corpus actually ships) and assignment is maximum inner product by INTEGER dot product: long sums are order-independent, so both engines rank bit-identical keys — no FP-boundary argmax flips (the r7 hash FAIL: round-to-4dp-before-argmax still diverged when last-ulp cosine differences straddled a rounding boundary). Seeds are the 8 vectors with the smallest md5(vec_id) (TakeOrderedAndProject, no RNG); assignment is a broadcast k x corpus scan reduced map-side by max_by partial aggregation; the centroid update sums exact integer units and scales back in two identical FP ops. Every step is one broadcast + two map-side-combining shuffles at any scale.") {
       (s, dir) =>
-        val e = emb(s, dir)
-        // quantize to integer 1e-6 units: floor is exact on the
-        // identical input doubles, so every later comparison is
-        // integer math shared bit-for-bit with the oracle
-        val q = e.select(col("vec_id"),
-          transform(col("e"), x => floor(x * lit(1000000))).as("qe"))
-        // deterministic seed pick: top-8 by md5 — plans as
-        // TakeOrderedAndProject; the 8-row window is driver-trivial
-        val hashed = q.select(col("vec_id"), col("qe"),
-          md5(col("vec_id").cast("string")).as("h"))
-        val w8 = org.apache.spark.sql.expressions.Window
-          .orderBy(col("h"), col("vec_id"))
-        val seeds = hashed.orderBy(col("h"), col("vec_id")).limit(8)
-          .withColumn("cluster", (row_number().over(w8) - 1).cast("int"))
-          .select(col("cluster"), col("qe").as("qs"))
+        val q = qemb(s, dir)
+        val seeds = mdSeeds(q, 8).withColumnRenamed("code", "cluster")
         // assignment: integer-dot argmax over the broadcast seeds via
         // max_by — a map-side partial aggregation, NOT a per-vector
         // window (which would shuffle k rows per vector on vec_id)
@@ -390,32 +412,113 @@ object Similarity {
              |FROM assign GROUP BY sub, code""".stripMargin),
       "Product quantization (8 subspaces x 4 codes over the 64-dim embeddings) — the OTHER half of an IVF-PQ index (ss04 is the coarse quantizer, this is the fine one): each vector's 8-dim subvectors are assigned to their nearest codeword, compressing 64 floats to 8 codes. Codebooks are the md5-smallest vectors' subvectors (deterministic, no RNG); assignment is argmin of INTEGER squared L2 over floor-quantized units (the ss06 trick applied to distance: difference-square-sum of longs is order-independent and bit-identical cross-engine, so an argmin over it cannot flip at an FP boundary). The 32-row codebook broadcasts; assignment is a map-side min_by partial agg per (vec, subspace); the cell-population/SSE audit output is the codebook-quality summary a PQ trainer inspects. One broadcast + two map-side-combining shuffles at any corpus scale.") {
       (s, dir) =>
-        val e = emb(s, dir)
-        val q = e.select(col("vec_id"),
-          transform(col("e"), x => floor(x * lit(1000000))).as("qe"))
-        val w4 = org.apache.spark.sql.expressions.Window
-          .orderBy(col("h"), col("vec_id"))
-        val seeds = q.select(col("vec_id"), col("qe"),
-            md5(col("vec_id").cast("string")).as("h"))
-          .orderBy(col("h"), col("vec_id")).limit(4)
-          .withColumn("code", (row_number().over(w4) - 1).cast("int"))
-          .select(col("code"), col("qe").as("qs"))
+        val q = qemb(s, dir)
+        val seeds = mdSeeds(q, 4)
         // explode both sides to (sub, 8-dim slice); the codebook side
         // is 32 rows — broadcast into the per-(vec, sub) argmin
-        val subSlices = (src: String, out: String) => expr(
-          s"transform(sequence(0, 7), s -> struct(s AS sub, slice($src, s * 8 + 1, 8) AS $out))")
         val subs = q.select(col("vec_id"), explode(subSlices("qe", "qv")).as("x"))
           .select(col("vec_id"), col("x.sub").as("sub"), col("x.qv").as("qv"))
         val cds = seeds.select(col("code"), explode(subSlices("qs", "qc")).as("x"))
           .select(col("code"), col("x.sub").as("sub"), col("x.qc").as("qc"))
         subs.join(broadcast(cds), Seq("sub"))
-          .withColumn("d",
-            aggregate(zip_with(col("qv"), col("qc"), (a, b) => (a - b) * (a - b)),
-              lit(0L), (acc, x) => acc + x))
+          .withColumn("d", il2("qv", "qc"))
           .groupBy(col("vec_id"), col("sub"))
           .agg(min_by(struct(col("code"), col("d")), struct(col("d"), col("code"))).as("m"))
           .groupBy(col("sub"), col("m.code").as("code"))
           .agg(count(lit(1)).as("n_members"), sum(col("m.d")).as("sse_units"))
+    },
+
+    GraftQuery(
+      "ss09_ivf_pq_probe",
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
+             |seeds AS MATERIALIZED (SELECT qe AS qs,
+             |                 CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
+             |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+             |qvec AS MATERIALIZED (SELECT qe FROM q WHERE vec_id = 0),
+             |cellpick AS (SELECT code AS cell FROM (
+             |    SELECT s.code,
+             |           LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (s.qs[i] - v.qe[i]) * (s.qs[i] - v.qe[i]))) AS d
+             |    FROM seeds s, qvec v) t ORDER BY d, code LIMIT 1),
+             |assign AS MATERIALIZED (SELECT vec_id, code AS cell FROM (
+             |    SELECT q.vec_id, s.code,
+             |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (q.qe[i] - s.qs[i]) * (q.qe[i] - s.qs[i]))), s.code) AS rn
+             |    FROM q, seeds s) t WHERE rn = 1),
+             |members AS MATERIALIZED (SELECT a.vec_id FROM assign a, cellpick c
+             |          WHERE a.cell = c.cell AND a.vec_id <> 0),
+             |subs AS MATERIALIZED (SELECT q.vec_id, s.sub, q.qe[s.sub * 8 + 1 : s.sub * 8 + 8] AS qv
+             |        FROM q JOIN members USING (vec_id), (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
+             |cds AS MATERIALIZED (SELECT code, s.sub, qs[s.sub * 8 + 1 : s.sub * 8 + 8] AS qc
+             |       FROM seeds, (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
+             |pq AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+             |    SELECT v.vec_id, v.sub, c.code,
+             |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+             |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 9), i -> (v.qv[i] - c.qc[i]) * (v.qv[i] - c.qc[i]))), c.code) AS rn
+             |    FROM subs v JOIN cds c USING (sub)) t WHERE rn = 1),
+             |qsubs AS MATERIALIZED (SELECT s.sub, v.qe[s.sub * 8 + 1 : s.sub * 8 + 8] AS qsv
+             |        FROM qvec v, (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
+             |adc AS (SELECT p.vec_id,
+             |               SUM(LIST_SUM(LIST_TRANSFORM(RANGE(1, 9), i -> (c.qc[i] - qs.qsv[i]) * (c.qc[i] - qs.qsv[i])))) AS pq_d
+             |        FROM pq p JOIN cds c ON c.sub = p.sub AND c.code = p.code
+             |                  JOIN qsubs qs ON qs.sub = p.sub
+             |        GROUP BY p.vec_id),
+             |cand AS MATERIALIZED (SELECT vec_id FROM adc ORDER BY pq_d, vec_id LIMIT 20),
+             |rer AS (SELECT q.vec_id,
+             |               LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (q.qe[i] - v.qe[i]) * (q.qe[i] - v.qe[i]))) AS exact_d
+             |        FROM q JOIN cand USING (vec_id), qvec v)
+             |SELECT vec_id, CAST(exact_d AS BIGINT) AS exact_d_units, CAST(rn AS INT) AS rn
+             |FROM (SELECT vec_id, exact_d, ROW_NUMBER() OVER (ORDER BY exact_d, vec_id) AS rn FROM rer) t
+             |WHERE rn <= 10""".stripMargin),
+      "The COMPOSED IVF-PQ ANN probe — ss04's coarse route + ss08's fine codebook run as one query, the full shape a production vector index executes: (1) the query routes to its nearest cell (integer L2 against the 4 broadcast cell vectors); (2) only that cell's members are scanned; (3) each member is scored by ASYMMETRIC DISTANCE — its 8 PQ codes look up a 32-entry (query-subvector x codeword) distance table, the classic ADC trick that replaces a 64-dim distance with 8 integer adds, and the table rides one KB-scale broadcast; (4) the ADC top-20 rerank EXACTLY (full integer L2) to emit top-10. Every ranking is integer-exact (floor-quantized units), so coarse routing, PQ assignment, ADC ordering and the final rerank are all bit-identical cross-engine — an end-to-end ANN pipeline that hash-matches an independent engine. At 100 TB: one cell scanned, not the corpus; member scoring is map-side lookups; only the 20-row rerank touches full vectors.") {
+      (s, dir) =>
+        val q = qemb(s, dir)
+        val seeds = mdSeeds(q, 4)
+        val qvec = q.filter(col("vec_id") === 0).select(col("qe").as("qq"))
+        // coarse route: 4 x 1 rows, driver-trivial, broadcast onward
+        val cell = broadcast(seeds.crossJoin(broadcast(qvec))
+          .withColumn("d", il2("qs", "qq"))
+          .orderBy(col("d"), col("code")).limit(1)
+          .select(col("code").as("cell")))
+        // cell membership: argmin over the 4 broadcast cell vectors,
+        // map-side min_by — then keep ONLY the probed cell
+        val members = q.crossJoin(broadcast(seeds))
+          .withColumn("d", il2("qe", "qs"))
+          .groupBy("vec_id")
+          .agg(min_by(col("code"), struct(col("d"), col("code"))).as("cell"),
+            first(col("qe")).as("qe"))
+          .join(cell, "cell")
+          .filter(col("vec_id") =!= 0)
+          .select("vec_id", "qe")
+        // PQ-encode members (ss08's assignment restricted to the cell)
+        val subs = members.select(col("vec_id"), explode(subSlices("qe", "qv")).as("x"))
+          .select(col("vec_id"), col("x.sub").as("sub"), col("x.qv").as("qv"))
+        val cds = seeds.select(col("code"), explode(subSlices("qs", "qc")).as("x"))
+          .select(col("code"), col("x.sub").as("sub"), col("x.qc").as("qc"))
+        val pq = subs.join(broadcast(cds), Seq("sub"))
+          .withColumn("d", il2("qv", "qc"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+        // the ADC lookup table: (sub, code) -> distance to the query's
+        // subvector — 32 rows, broadcast; scoring = 8 lookups + a sum
+        val qsubs = qvec.select(explode(subSlices("qq", "qsv")).as("x"))
+          .select(col("x.sub").as("sub"), col("x.qsv").as("qsv"))
+        val lut = broadcast(cds.join(qsubs, Seq("sub"))
+          .withColumn("pd", il2("qc", "qsv"))
+          .select("sub", "code", "pd"))
+        val cand = pq.join(lut, Seq("sub", "code"))
+          .groupBy("vec_id").agg(sum(col("pd")).as("pq_d"))
+          .orderBy(col("pq_d"), col("vec_id")).limit(20)
+          .select("vec_id")
+        // exact rerank of the 20 survivors only
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("exact_d_units"), col("vec_id"))
+        members.join(broadcast(cand), "vec_id")
+          .crossJoin(broadcast(qvec))
+          .withColumn("exact_d_units", il2("qe", "qq"))
+          .select(col("vec_id"), col("exact_d_units"))
+          .withColumn("rn", row_number().over(w).cast("int"))
+          .filter(col("rn") <= 10)
     },
   )
 }

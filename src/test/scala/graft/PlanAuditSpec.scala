@@ -72,7 +72,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "ss06_kmeans_iter",  // corpus × 8 broadcast seed vectors (the Lloyd assignment scan)
     "gr01_pagerank",     // 1-row median aggregate broadcast into the edge
     "gr02_triangle_count", // sparsification filter (support table is nation²-bounded)
-    "gr03_kcore"         // same 1-row median broadcast + 1-row adaptive-k threshold
+    "gr03_kcore",        // same 1-row median broadcast + 1-row adaptive-k threshold
+    "ss09_ivf_pq_probe", // 1-row query vector + 4-row cell table broadcasts (IVF route)
+    "gr04_reachability"  // same 1-row median broadcast inside the SQL edges CTE
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
