@@ -105,5 +105,46 @@ object Profile {
               |  'o_orderdate',     nr, od_nd, od_ok)
               |AS (col, n_rows, exact_ndv, approx_within_10pct)""".stripMargin)
     },
+
+    GraftQuery(
+      "pr04_key_skew",
+      Some {
+        def block(tbl: String, c: String) =
+          s"""SELECT '$tbl.$c' AS col_name,
+             |       CAST(SUM(c) AS BIGINT) AS n_rows,
+             |       CAST(COUNT(*) AS BIGINT) AS n_keys,
+             |       CAST(MAX(c) AS BIGINT) AS max_cnt,
+             |       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS p50_cnt,
+             |       CAST(PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT) AS p99_cnt,
+             |       (SELECT CAST(SUM(c) AS BIGINT) FROM (
+             |          SELECT c FROM (SELECT $c AS k, COUNT(*) AS c FROM $tbl GROUP BY 1) t2
+             |          ORDER BY c DESC, k LIMIT 10) t3) AS top10_cnt
+             |FROM (SELECT $c AS k, COUNT(*) AS c FROM $tbl GROUP BY 1) t""".stripMargin
+        Seq(block("lineitem", "l_partkey"), block("lineitem", "l_suppkey"),
+          block("orders", "o_custkey"), block("events", "user_id"))
+          .mkString("", "\nUNION ALL\n", "")
+      },
+      "Join-key skew audit — the profiling pass that decides WHICH mitigation a 100 TB join needs before it runs (salting as in q29, AQE skew split, or a hub cap as in gr02/dd05): per candidate key column, the key-count distribution's shape — total rows, distinct keys, max/median/p99 per-key count, and the mass held by the top-10 keys (deterministic ties: count desc, key asc). Per column it is exactly one map-side-combining count shuffle; every later statistic runs over the key-count table (distinct-key-scale, not row-scale), with the top-10 mass a TakeOrdered over that same table and the two 1-row frames meeting in a broadcast. All outputs are exact integer counts — hash-identical cross-engine by construction.") {
+      (s, dir) =>
+        def block(tbl: String, c: String) = {
+          val counts = Materialize(Tables.load(s, dir, tbl)
+            .groupBy(col(c).as("k")).agg(count(lit(1)).as("c")))
+          val stats = counts.agg(
+            sum(col("c")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max(col("c")).as("max_cnt"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)").cast("long").as("p50_cnt"),
+            expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)").cast("long").as("p99_cnt"))
+          val top10 = counts.orderBy(col("c").desc, col("k")).limit(10)
+            .agg(sum(col("c")).as("top10_cnt"))
+          stats.crossJoin(broadcast(top10))
+            .select(lit(s"$tbl.$c").as("col_name"), col("n_rows"), col("n_keys"),
+              col("max_cnt"), col("p50_cnt"), col("p99_cnt"), col("top10_cnt"))
+        }
+        block("lineitem", "l_partkey")
+          .unionByName(block("lineitem", "l_suppkey"))
+          .unionByName(block("orders", "o_custkey"))
+          .unionByName(block("events", "user_id"))
+    },
   )
 }

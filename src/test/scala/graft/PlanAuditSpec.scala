@@ -74,7 +74,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "gr02_triangle_count", // sparsification filter (support table is nation²-bounded)
     "gr03_kcore",        // same 1-row median broadcast + 1-row adaptive-k threshold
     "ss09_ivf_pq_probe", // 1-row query vector + 4-row cell table broadcasts (IVF route)
-    "gr04_reachability"  // same 1-row median broadcast inside the SQL edges CTE
+    "gr04_reachability", // same 1-row median broadcast inside the SQL edges CTE
+    "pr04_key_skew"      // two 1-row stat frames meet in a broadcast per column
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
