@@ -129,7 +129,11 @@ object Bench {
       sfDir: String): String = {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
-    def j3(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // errored queries carry the sentinel -1: render it as bare "-1", not
+    // "-1.000" — at 125+ queries those 5 chars/query are the difference
+    // between an all-failure line fitting the driver tail or not
+    def j3(v: Double) = if (v < 0) "-1"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def shortId(name: String) = name.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => jstr(shortId(k)) + ":" + j3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -143,8 +147,16 @@ object Bench {
     val fixedLen =
       s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":{},"sf":"$sfDir"}""".length
     val errEntries = errors.map { case (k, v) => jstr(shortId(k)) + ":" + jstr(v) }
+    // fail LOUDLY when the fixed parts alone approach the driver's
+    // 2000-char tail: a max(60, ...) floor here would silently re-create
+    // the overflow this budget exists to prevent once the inventory
+    // grows past ~145 queries — inventory growth must surface at build
+    // time (this require + its spec), not as a driver parse miss
+    require(fixedLen < 1760,
+      s"bench line fixed parts are $fixedLen chars — the queries map has outgrown " +
+        "the 1850-char budget; shrink j3 precision or shorten query ids")
     val (kept, dropped) = {
-      var budget = math.max(60, 1850 - fixedLen - 30)  // 30 = "_truncated" marker reserve
+      var budget = 1850 - fixedLen - 30  // 30 = "_truncated" marker reserve
       val keep = errEntries.takeWhile { e => budget -= e.length + 1; budget >= 0 }
       (keep, errEntries.size - keep.size)
     }

@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query-name filter (dev iteration
+    // only — the driver always runs the full inventory)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +19,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -27,7 +33,11 @@ object Verify {
       spark.catalog.clearCache()
       graft.operators.Materialize.releasePinned(spark)
     }
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
+    val json = only match {
+      case Some(names) => oracleJsonOf(SparkEntry.oracleSql.filter(kv => names(kv._1)))
+      case None        => oracleJson
+    }
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 
@@ -48,6 +58,8 @@ object Verify {
   } + "\""
 
   /** The oracle_sql.json payload the driver's DuckDB gate reads. */
-  def oracleJson: String = SparkEntry.oracleSql
+  def oracleJson: String = oracleJsonOf(SparkEntry.oracleSql)
+
+  def oracleJsonOf(m: Map[String, String]): String = m
     .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
 }

@@ -118,9 +118,12 @@ object GraftFunctions {
     if (children.length != n)
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        // expectedNum must stay purely numeric — prose here renders as
+        // "requires 1 — expected ... parameters"; the signature rides in
+        // functionName instead, which the template quotes verbatim
         messageParameters = Map(
-          "functionName" -> s"`$name`",
-          "expectedNum" -> s"$n — expected $signature",
+          "functionName" -> s"`$signature`",
+          "expectedNum" -> n.toString,
           "actualNum" -> children.length.toString,
           "docroot" -> "https://spark.apache.org/docs/latest"))
     children

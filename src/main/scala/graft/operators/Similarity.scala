@@ -333,9 +333,9 @@ object Similarity {
              |        FROM assign a JOIN q USING (vec_id))
              |SELECT cluster, pos,
              |       COUNT(*) AS n_members,
-             |       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1000000, 4) AS c
+             |       CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c_units
              |FROM upd GROUP BY cluster, pos""".stripMargin),
-      "One Lloyd iteration of k-means (k=8) with deterministic hash-seeded init — the building block of the IVF coarse quantizer (ss04) trained at corpus scale. Embeddings are floor-quantized to integer 1e-6 units (ss07's machinery — the form an int-quantized ANN corpus actually ships) and assignment is maximum inner product by INTEGER dot product: long sums are order-independent, so both engines rank bit-identical keys — no FP-boundary argmax flips (the r7 hash FAIL: round-to-4dp-before-argmax still diverged when last-ulp cosine differences straddled a rounding boundary). Seeds are the 8 vectors with the smallest md5(vec_id) (TakeOrderedAndProject, no RNG); assignment is a broadcast k x corpus scan reduced map-side by max_by partial aggregation; the centroid update sums exact integer units and scales back in two identical FP ops. Every step is one broadcast + two map-side-combining shuffles at any scale.") {
+      "One Lloyd iteration of k-means (k=8) with deterministic hash-seeded init — the building block of the IVF coarse quantizer (ss04) trained at corpus scale. Embeddings are floor-quantized to integer 1e-6 units (ss07's machinery — the form an int-quantized ANN corpus actually ships) and assignment is maximum inner product by INTEGER dot product: long sums are order-independent, so both engines rank bit-identical keys — no FP-boundary argmax flips (the r7 hash FAIL: round-to-4dp-before-argmax still diverged when last-ulp cosine differences straddled a rounding boundary). Seeds are the 8 vectors with the smallest md5(vec_id) (TakeOrderedAndProject, no RNG); assignment is a broadcast k x corpus scan reduced map-side by max_by partial aggregation; the centroid update emits the floored per-dimension mean in integer 1e-6 units (BIGINT c_units) — sum and count are exact longs, the single double division of exactly-representable integers is IEEE-deterministic, and FLOOR of it is bit-identical cross-engine. The r8 hash FAIL was SIGNED ZERO: a tiny negative mean rounded to zero as DuckDB ROUND's -0.0 but Spark's BigDecimal-round +0.0 — equal values, different bits; integer output has no signed zero, closing the class. Every step is one broadcast + two map-side-combining shuffles at any scale.") {
       (s, dir) =>
         val q = qemb(s, dir)
         val seeds = mdSeeds(q, 8).withColumnRenamed("code", "cluster")
@@ -350,14 +350,15 @@ object Similarity {
           .agg(
             max_by(col("cluster"), struct(col("dot"), (-col("cluster")).as("nc"))).as("cluster"),
             first(col("qe")).as("qe"))
-        // centroid update: per-(cluster, dim) mean over exact integer
-        // sums, scaled back to the embedding domain — sum and count
-        // are exact, the two divisions are the same FP ops both sides
+        // centroid update: per-(cluster, dim) floored mean in integer
+        // units — sum/count are exact longs, the one double division
+        // is of exactly-representable integers (IEEE-deterministic),
+        // and integer output carries no signed zero (the r8 hash red)
         assign.select(col("cluster"), posexplode(col("qe")).as(Seq("pos", "v")))
           .groupBy(col("cluster"), col("pos"))
           .agg(
             count(lit(1)).as("n_members"),
-            round(sum(col("v")).cast("double") / count(lit(1)) / lit(1000000), 4).as("c"))
+            floor(sum(col("v")).cast("double") / count(lit(1))).as("c_units"))
     },
 
     GraftQuery(

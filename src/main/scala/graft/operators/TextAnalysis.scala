@@ -287,12 +287,14 @@ object TextAnalysis {
              |occ AS (SELECT doc_id,
              |               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i + 1])) AS g
              |        FROM d),
-             |cnt AS (SELECT g, COUNT(*) AS c FROM occ GROUP BY g)
-             |SELECT occ.doc_id,
-             |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             |       CAST(SUM(cnt.c) AS DOUBLE) / COUNT(*) AS lm_score
-             |FROM occ JOIN cnt USING (g)
-             |GROUP BY occ.doc_id""".stripMargin),
+             |cnt AS (SELECT g, COUNT(*) AS c FROM occ GROUP BY g),
+             |sc AS (SELECT occ.doc_id,
+             |              CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |              CAST(SUM(cnt.c) AS DOUBLE) / COUNT(*) AS lm_score
+             |       FROM occ JOIN cnt USING (g)
+             |       GROUP BY occ.doc_id)
+             |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, sc.lm_score
+             |FROM d LEFT JOIN sc USING (doc_id)""".stripMargin),
       s"Corpus-bigram language-model scoring — the KenLM/CCNet-style quality signal a training pipeline computes over its OWN corpus: pass 1 counts every bigram across the corpus (one map-side-combining shuffle), pass 2 scores each document by the mean corpus frequency of its bigrams. A document of common constructions scores high; gibberish scores ~1. The count-lookup join splits hot from cold: bigrams with count > $LmHeadDf (the 'of the' head — tiny distinct set, massive match volume, THE skew bomb of frequency joins at 100 TB) broadcast map-side, and only the long cold tail shuffles — every occurrence matches exactly one side, so the union is semantically the plain equi-join the oracle states. Sum and count are exact integers; the score is one shared IEEE division — hash-exact cross-engine with no rounding.") {
       (s, dir) =>
         val toks = Tables.load(s, dir, "documents")
@@ -305,12 +307,18 @@ object TextAnalysis {
         // its massive occurrence volume), the rare tail equi-joins
         val head = cnt.filter(col("c") > LmHeadDf)
         val tail = cnt.filter(col("c") <= LmHeadDf)
-        occ.join(broadcast(head), Seq("g"))
+        val sc = occ.join(broadcast(head), Seq("g"))
           .unionByName(occ.join(tail, Seq("g")))
           .groupBy("doc_id")
           .agg(
             count(lit(1)).as("n_bigrams"),
             (sum(col("c")).cast("double") / count(lit(1))).as("lm_score"))
+        // sub-2-token docs have no bigrams — flow them through with
+        // n_bigrams 0 and a NULL score instead of vanishing silently
+        toks.select("doc_id").join(sc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            col("lm_score"))
     },
 
     GraftQuery(
@@ -336,13 +344,13 @@ object TextAnalysis {
              |       CASE WHEN n_tokens < 20 THEN 'too_short'
              |            WHEN n_tokens > 90 THEN 'too_long'
              |            WHEN stop_ratio < 0.01 THEN 'low_stopword'
-             |            WHEN r.top_frac > 0.10 THEN 'repetitive'
+             |            WHEN COALESCE(r.top_frac, 0.0) > 0.10 THEN 'repetitive'
              |            WHEN guess <> lang THEN 'lang_mismatch'
              |            ELSE 'kept' END AS reason,
              |       CASE WHEN n_tokens BETWEEN 20 AND 90 AND stop_ratio >= 0.01
-             |             AND r.top_frac <= 0.10 AND guess = lang
+             |             AND COALESCE(r.top_frac, 0.0) <= 0.10 AND guess = lang
              |            THEN 1 ELSE 0 END AS keep
-             |FROM g JOIN rep r USING (doc_id)""".stripMargin),
+             |FROM g LEFT JOIN rep r USING (doc_id)""".stripMargin),
       "The COMPOSED quality-filter chain (C4/Gopher-style) — the single gating pass a training pipeline actually ships, not the individual signals: length bounds, minimum stopword density (too FEW stopwords = not natural language — the C4 rule), within-doc repetition (tx09's top-bigram fraction), and language agreement (tx03's guess vs the declared tag), folded into one verdict per document with a FIRST-FAILING-RULE reason — the cdc05 drop-taxonomy discipline applied to document filtering: every drop is attributed, nothing vanishes silently. All signals are per-doc map math except the repetition score's two doc-keyed map-side-combining aggregations; the signals join on doc_id (co-partitioned by the same key), so the chain is one linear pass — embarrassingly parallel at 100 TB, and the reason column is exactly what you GROUP BY to audit a corpus-scale filter run. Ratio comparisons are single IEEE divisions of identical integers on both engines — bit-identical, no rounding games.") {
       (s, dir) =>
         val en = inList(profiles("en"))
@@ -369,7 +377,11 @@ object TextAnalysis {
               .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
               .when(col("fr_hits") >= col("es_hits"), "fr")
               .otherwise("es"))
-          .join(rep, "doc_id")
+          // LEFT join + coalesce: a sub-2-token doc has no bigrams and
+          // no rep row — it must flow through (attributed 'too_short'),
+          // not vanish from the verdict (the chain's own contract)
+          .join(rep, Seq("doc_id"), "left")
+          .withColumn("top_frac", coalesce(col("top_frac"), lit(0.0)))
           .select(
             col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
             when(col("n_tokens") < 20, "too_short")

@@ -42,6 +42,16 @@ class BenchLineSpec extends AnyFunSuite {
       assert(tree.get("errors").has("_truncated"))
   }
 
+  test("inventory growth past the fixed-parts budget fails loudly") {
+    // ~200 queries would push the fixed parts past 1760 chars; that must
+    // surface as a build-time failure, not a silent driver parse miss
+    val huge = (1 to 200).map(i => f"zz$i%03d_q" -> 1.234)
+    val e = intercept[IllegalArgumentException] {
+      Bench.renderLine(huge, Seq.empty, "/d")
+    }
+    assert(e.getMessage.contains("outgrown"))
+  }
+
   test("errored queries report -1, never a flattering elapsed time") {
     val line = Bench.renderLine(
       Seq("q01_x" -> -1.0, "q02_y" -> 2.5), Seq("q01_x" -> "err"), "/d")
