@@ -91,7 +91,7 @@ object ScaleProbe {
     val ratios = Seq("dd03_minhash_lsh_pairs", "dd04_simhash_pairs",
       "dd05_ngram_jaccard_pairs", "dd06_embedding_neardup_lsh",
       "dd07_dedup_clusters", "dd09_semantic_clusters",
-      "ss05_knn_join",
+      "ss05_knn_join", "ss10_kmeans_train",
       "cdc04_envelope_parse", "cdc05_drop_taxonomy",
       "dc01_benchmark_overlap").map(n => n -> run(n))
     spark.stop()

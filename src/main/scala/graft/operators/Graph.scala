@@ -273,6 +273,34 @@ object Graph {
         for (tb <- Seq("lineitem", "orders", "customer", "supplier"))
           Tables.load(s, dir, tb).createOrReplaceTempView(s"gr04_$tb")
         s.sql(reachSql("gr04_"))
+    },
+
+    GraftQuery(
+      "gr05_frontier_bfs",
+      // the BFS answer is path-independent, so the oracle is gr04's
+      // recursive CTE verbatim — one ground truth, two engines AND two
+      // algorithms (path enumeration vs frontier dedup) must agree
+      Some(reachSql("")),
+      "Depth-bounded BFS reachability — gr04's answer computed the way it must be at 100 TB: per-hop FRONTIER DEDUP instead of UNION ALL path enumeration. gr04's recursive CTE enumerates every path to a vertex (depth-3 on a dense graph is already explosive — the documented blowup of UNION-ALL recursion); here each hop expands the frontier through the pinned edge list once, dropDuplicates collapses it to distinct vertices, and a broadcast anti-join against the visited set removes everything already reached — so hop h's frontier holds exactly the vertices first reached at depth h (its min_hops label needs no outer MIN), and per-hop cost is bounded by VERTICES x mean degree regardless of path multiplicity (the dd07 min-label discipline applied to BFS). Frontier and visited are vertex-scale and broadcast; the edge list is scanned once and never reshuffled; hop labels are integers — bit-identical cross-engine. GraphSpec pins gr04 == gr05 row-for-row, closing the loop between the engine-fixpoint exercise and the scale-safe form.") {
+      (s, dir) =>
+        val e = Materialize(edges(s, dir)
+          .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst")))
+        val seed = s.range(1)
+          .select(lit(0).cast("int").as("node"), lit(0).cast("int").as("hop"))
+        var visited = seed
+        var frontier = seed.select("node")
+        for (h <- 1 to 3) {
+          // expand + dedup + drop-already-seen: the three vertex-scale
+          // ops that keep BFS linear in reachable vertices, not paths
+          val next = Materialize(e
+            .join(broadcast(frontier.withColumnRenamed("node", "src")), "src")
+            .select(col("dst").as("node")).distinct()
+            .join(broadcast(visited.select("node")), Seq("node"), "left_anti")
+            .withColumn("hop", lit(h).cast("int")))
+          visited = visited.unionByName(next)
+          frontier = next.select("node")
+        }
+        visited.select(col("node"), col("hop").as("min_hops"))
     })
 
   /** The shared gr04 SQL — Spark and DuckDB run the SAME text (view

@@ -74,6 +74,104 @@ object Similarity {
   private def subSlices(src: String, out: String) = expr(
     s"transform(sequence(0, 7), s -> struct(s AS sub, slice($src, s * 8 + 1, 8) AS $out))")
 
+  /** The ss09 IVF-PQ probe as a shared DuckDB CTE chain ending at
+    * `rer` (vec_id, exact_d = full integer L2 of the ADC top-20) —
+    * ss09 selects its top-10 from it; ss11 reuses the SAME text so the
+    * recall audit measures exactly the pipeline ss09 ships, not a
+    * paraphrase that could drift.
+    */
+  private val ivfPqCtes: String =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
+      |seeds AS MATERIALIZED (SELECT qe AS qs,
+      |                 CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
+      |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+      |qvec AS MATERIALIZED (SELECT qe FROM q WHERE vec_id = 0),
+      |cellpick AS (SELECT code AS cell FROM (
+      |    SELECT s.code,
+      |           LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (s.qs[i] - v.qe[i]) * (s.qs[i] - v.qe[i]))) AS d
+      |    FROM seeds s, qvec v) t ORDER BY d, code LIMIT 1),
+      |assign AS MATERIALIZED (SELECT vec_id, code AS cell FROM (
+      |    SELECT q.vec_id, s.code,
+      |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (q.qe[i] - s.qs[i]) * (q.qe[i] - s.qs[i]))), s.code) AS rn
+      |    FROM q, seeds s) t WHERE rn = 1),
+      |members AS MATERIALIZED (SELECT a.vec_id FROM assign a, cellpick c
+      |          WHERE a.cell = c.cell AND a.vec_id <> 0),
+      |subs AS MATERIALIZED (SELECT q.vec_id, s.sub, q.qe[s.sub * 8 + 1 : s.sub * 8 + 8] AS qv
+      |        FROM q JOIN members USING (vec_id), (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
+      |cds AS MATERIALIZED (SELECT code, s.sub, qs[s.sub * 8 + 1 : s.sub * 8 + 8] AS qc
+      |       FROM seeds, (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
+      |pq AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+      |    SELECT v.vec_id, v.sub, c.code,
+      |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+      |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 9), i -> (v.qv[i] - c.qc[i]) * (v.qv[i] - c.qc[i]))), c.code) AS rn
+      |    FROM subs v JOIN cds c USING (sub)) t WHERE rn = 1),
+      |qsubs AS MATERIALIZED (SELECT s.sub, v.qe[s.sub * 8 + 1 : s.sub * 8 + 8] AS qsv
+      |        FROM qvec v, (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
+      |adc AS (SELECT p.vec_id,
+      |               SUM(LIST_SUM(LIST_TRANSFORM(RANGE(1, 9), i -> (c.qc[i] - qs.qsv[i]) * (c.qc[i] - qs.qsv[i])))) AS pq_d
+      |        FROM pq p JOIN cds c ON c.sub = p.sub AND c.code = p.code
+      |                  JOIN qsubs qs ON qs.sub = p.sub
+      |        GROUP BY p.vec_id),
+      |cand AS MATERIALIZED (SELECT vec_id FROM adc ORDER BY pq_d, vec_id LIMIT 20),
+      |rer AS (SELECT q.vec_id,
+      |               LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (q.qe[i] - v.qe[i]) * (q.qe[i] - v.qe[i]))) AS exact_d
+      |        FROM q JOIN cand USING (vec_id), qvec v)""".stripMargin
+
+  /** The ss09 probe as a reusable builder (vec_id, exact_d_units, rn
+    * 1..10) — ss11 joins the exact answer against this same plan.
+    */
+  private def ivfPqProbe(s: SparkSession, dir: String): DataFrame = {
+    val q = qemb(s, dir)
+    val seeds = mdSeeds(q, 4)
+    val qvec = q.filter(col("vec_id") === 0).select(col("qe").as("qq"))
+    // coarse route: 4 x 1 rows, driver-trivial, broadcast onward
+    val cell = broadcast(seeds.crossJoin(broadcast(qvec))
+      .withColumn("d", il2("qs", "qq"))
+      .orderBy(col("d"), col("code")).limit(1)
+      .select(col("code").as("cell")))
+    // cell membership: argmin over the 4 broadcast cell vectors,
+    // map-side min_by — then keep ONLY the probed cell
+    val members = q.crossJoin(broadcast(seeds))
+      .withColumn("d", il2("qe", "qs"))
+      .groupBy("vec_id")
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("cell"),
+        first(col("qe")).as("qe"))
+      .join(cell, "cell")
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id", "qe")
+    // PQ-encode members (ss08's assignment restricted to the cell)
+    val subs = members.select(col("vec_id"), explode(subSlices("qe", "qv")).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.qv").as("qv"))
+    val cds = seeds.select(col("code"), explode(subSlices("qs", "qc")).as("x"))
+      .select(col("code"), col("x.sub").as("sub"), col("x.qc").as("qc"))
+    val pq = subs.join(broadcast(cds), Seq("sub"))
+      .withColumn("d", il2("qv", "qc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+    // the ADC lookup table: (sub, code) -> distance to the query's
+    // subvector — 32 rows, broadcast; scoring = 8 lookups + a sum
+    val qsubs = qvec.select(explode(subSlices("qq", "qsv")).as("x"))
+      .select(col("x.sub").as("sub"), col("x.qsv").as("qsv"))
+    val lut = broadcast(cds.join(qsubs, Seq("sub"))
+      .withColumn("pd", il2("qc", "qsv"))
+      .select("sub", "code", "pd"))
+    val cand = pq.join(lut, Seq("sub", "code"))
+      .groupBy("vec_id").agg(sum(col("pd")).as("pq_d"))
+      .orderBy(col("pq_d"), col("vec_id")).limit(20)
+      .select("vec_id")
+    // exact rerank of the 20 survivors only
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("exact_d_units"), col("vec_id"))
+    members.join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(qvec))
+      .withColumn("exact_d_units", il2("qe", "qq"))
+      .select(col("vec_id"), col("exact_d_units"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 10)
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -430,96 +528,118 @@ object Similarity {
     },
 
     GraftQuery(
-      "ss09_ivf_pq_probe",
+      "ss10_kmeans_train",
       Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
              |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
-             |seeds AS MATERIALIZED (SELECT qe AS qs,
-             |                 CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
-             |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
-             |qvec AS MATERIALIZED (SELECT qe FROM q WHERE vec_id = 0),
-             |cellpick AS (SELECT code AS cell FROM (
-             |    SELECT s.code,
-             |           LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (s.qs[i] - v.qe[i]) * (s.qs[i] - v.qe[i]))) AS d
-             |    FROM seeds s, qvec v) t ORDER BY d, code LIMIT 1),
-             |assign AS MATERIALIZED (SELECT vec_id, code AS cell FROM (
-             |    SELECT q.vec_id, s.code,
-             |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-             |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (q.qe[i] - s.qs[i]) * (q.qe[i] - s.qs[i]))), s.code) AS rn
-             |    FROM q, seeds s) t WHERE rn = 1),
-             |members AS MATERIALIZED (SELECT a.vec_id FROM assign a, cellpick c
-             |          WHERE a.cell = c.cell AND a.vec_id <> 0),
-             |subs AS MATERIALIZED (SELECT q.vec_id, s.sub, q.qe[s.sub * 8 + 1 : s.sub * 8 + 8] AS qv
-             |        FROM q JOIN members USING (vec_id), (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
-             |cds AS MATERIALIZED (SELECT code, s.sub, qs[s.sub * 8 + 1 : s.sub * 8 + 8] AS qc
-             |       FROM seeds, (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
-             |pq AS MATERIALIZED (SELECT vec_id, sub, code FROM (
-             |    SELECT v.vec_id, v.sub, c.code,
-             |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
-             |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 9), i -> (v.qv[i] - c.qc[i]) * (v.qv[i] - c.qc[i]))), c.code) AS rn
-             |    FROM subs v JOIN cds c USING (sub)) t WHERE rn = 1),
-             |qsubs AS MATERIALIZED (SELECT s.sub, v.qe[s.sub * 8 + 1 : s.sub * 8 + 8] AS qsv
-             |        FROM qvec v, (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
-             |adc AS (SELECT p.vec_id,
-             |               SUM(LIST_SUM(LIST_TRANSFORM(RANGE(1, 9), i -> (c.qc[i] - qs.qsv[i]) * (c.qc[i] - qs.qsv[i])))) AS pq_d
-             |        FROM pq p JOIN cds c ON c.sub = p.sub AND c.code = p.code
-             |                  JOIN qsubs qs ON qs.sub = p.sub
-             |        GROUP BY p.vec_id),
-             |cand AS MATERIALIZED (SELECT vec_id FROM adc ORDER BY pq_d, vec_id LIMIT 20),
-             |rer AS (SELECT q.vec_id,
-             |               LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (q.qe[i] - v.qe[i]) * (q.qe[i] - v.qe[i]))) AS exact_d
-             |        FROM q JOIN cand USING (vec_id), qvec v)
-             |SELECT vec_id, CAST(exact_d AS BIGINT) AS exact_d_units, CAST(rn AS INT) AS rn
-             |FROM (SELECT vec_id, exact_d, ROW_NUMBER() OVER (ORDER BY exact_d, vec_id) AS rn FROM rer) t
-             |WHERE rn <= 10""".stripMargin),
-      "The COMPOSED IVF-PQ ANN probe — ss04's coarse route + ss08's fine codebook run as one query, the full shape a production vector index executes: (1) the query routes to its nearest cell (integer L2 against the 4 broadcast cell vectors); (2) only that cell's members are scanned; (3) each member is scored by ASYMMETRIC DISTANCE — its 8 PQ codes look up a 32-entry (query-subvector x codeword) distance table, the classic ADC trick that replaces a 64-dim distance with 8 integer adds, and the table rides one KB-scale broadcast; (4) the ADC top-20 rerank EXACTLY (full integer L2) to emit top-10. Every ranking is integer-exact (floor-quantized units), so coarse routing, PQ assignment, ADC ordering and the final rerank are all bit-identical cross-engine — an end-to-end ANN pipeline that hash-matches an independent engine. At 100 TB: one cell scanned, not the corpus; member scoring is map-side lookups; only the 20-row rerank touches full vectors.") {
+             |qv AS MATERIALIZED (SELECT vec_id, CAST(GENERATE_SUBSCRIPTS(qe, 1) - 1 AS INT) AS pos, UNNEST(qe) AS v FROM q),
+             |seeds AS (SELECT qe AS qs,
+             |                 CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cluster
+             |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+             |c0 AS MATERIALIZED (SELECT cluster, CAST(GENERATE_SUBSCRIPTS(qs, 1) - 1 AS INT) AS pos, UNNEST(qs) AS cu FROM seeds),
+             |d1 AS (SELECT qv.vec_id, c.cluster, SUM(qv.v * c.cu) AS dot
+             |       FROM qv JOIN c0 c USING (pos) GROUP BY qv.vec_id, c.cluster),
+             |a1 AS MATERIALIZED (SELECT vec_id, cluster FROM (
+             |    SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
+             |    FROM d1) t WHERE rn = 1),
+             |c1 AS MATERIALIZED (SELECT a.cluster, qv.pos, COUNT(*) AS n,
+             |               CAST(FLOOR(CAST(SUM(qv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
+             |        FROM a1 a JOIN qv USING (vec_id) GROUP BY a.cluster, qv.pos),
+             |d2 AS (SELECT qv.vec_id, c.cluster, SUM(qv.v * c.cu) AS dot
+             |       FROM qv JOIN c1 c USING (pos) GROUP BY qv.vec_id, c.cluster),
+             |a2 AS MATERIALIZED (SELECT vec_id, cluster FROM (
+             |    SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
+             |    FROM d2) t WHERE rn = 1),
+             |c2 AS MATERIALIZED (SELECT a.cluster, qv.pos, COUNT(*) AS n,
+             |               CAST(FLOOR(CAST(SUM(qv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
+             |        FROM a2 a JOIN qv USING (vec_id) GROUP BY a.cluster, qv.pos),
+             |d3 AS (SELECT qv.vec_id, c.cluster, SUM(qv.v * c.cu) AS dot
+             |       FROM qv JOIN c2 c USING (pos) GROUP BY qv.vec_id, c.cluster),
+             |a3 AS MATERIALIZED (SELECT vec_id, cluster FROM (
+             |    SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
+             |    FROM d3) t WHERE rn = 1),
+             |c3 AS MATERIALIZED (SELECT a.cluster, qv.pos, COUNT(*) AS n,
+             |               CAST(FLOOR(CAST(SUM(qv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
+             |        FROM a3 a JOIN qv USING (vec_id) GROUP BY a.cluster, qv.pos)
+             |SELECT c3.cluster, c3.pos, c3.n AS n_members, c3.cu AS c_units,
+             |       ABS(c3.cu - c2.cu) AS shift_units
+             |FROM c3 JOIN c2 ON c3.cluster = c2.cluster AND c3.pos = c2.pos""".stripMargin),
+      "THREE chained Lloyd iterations (k=8) — ss06's exact integer building block wrapped in the dd07 loop discipline (fixed round cap, per-round pinned lineage), producing the TRAINED coarse codebook of the IVF index family: ss10 trains the cells, ss08 compresses members, ss09 serves probes — train/compress/serve, one coherent story. Each round re-assigns every vector by integer dot argmax against the prior round's centroids (k-row broadcast, map-side max_by) and re-estimates centroids as floored integer-unit means (exact long sums; the one double division is of exactly-representable integers, IEEE-deterministic — the ss06 discipline, no signed zero). Convergence is LOUD, not assumed: shift_units = |round-3 − round-2| per (cluster, dim) is a first-class output column — zero means that coordinate converged; the fixed cap bounds the plan exactly like gr01's unrolled power iterations. Per round at any scale: one k-row broadcast + two map-side-combining shuffles; the corpus is never reshuffled. Chained assignment is the pipeline that actually trains an IVF quantizer at 100 TB (sample → iterate → freeze codebook).") {
       (s, dir) =>
         val q = qemb(s, dir)
-        val seeds = mdSeeds(q, 4)
+        // centroid rounds as (cluster, pos, cu) — re-assembled to k
+        // broadcastable vectors per round; each round's result is
+        // pinned (Materialize) so the loop's lineage stays bounded
+        def asVecs(c: DataFrame) = c.groupBy("cluster")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cu")))),
+            x => x("cu")).as("cs"))
+        def step(cent: DataFrame): DataFrame = {
+          val assign = q.crossJoin(broadcast(asVecs(cent)))
+            .withColumn("dot",
+              aggregate(zip_with(col("qe"), col("cs"), (x, y) => x * y),
+                lit(0L), (acc, x) => acc + x))
+            .groupBy(col("vec_id"))
+            .agg(
+              max_by(col("cluster"), struct(col("dot"), (-col("cluster")).as("nc"))).as("cluster"),
+              first(col("qe")).as("qe"))
+          Materialize(assign
+            .select(col("cluster"), posexplode(col("qe")).as(Seq("pos", "v")))
+            .groupBy(col("cluster"), col("pos"))
+            .agg(count(lit(1)).as("n"),
+              floor(sum(col("v")).cast("double") / count(lit(1))).as("cu")))
+        }
+        val c0 = mdSeeds(q, 8).withColumnRenamed("code", "cluster")
+          .select(col("cluster"), posexplode(col("qs")).as(Seq("pos", "cu")))
+        val c1 = step(c0)
+        val c2 = step(c1)
+        val c3 = step(c2)
+        c3.join(c2.select(col("cluster"), col("pos"), col("cu").as("prev_cu")),
+            Seq("cluster", "pos"))
+          .select(col("cluster"), col("pos"), col("n").as("n_members"),
+            col("cu").as("c_units"), abs(col("cu") - col("prev_cu")).as("shift_units"))
+    },
+
+    GraftQuery(
+      "ss09_ivf_pq_probe",
+      Some(ivfPqCtes + "\n" +
+        """SELECT vec_id, CAST(exact_d AS BIGINT) AS exact_d_units, CAST(rn AS INT) AS rn
+          |FROM (SELECT vec_id, exact_d, ROW_NUMBER() OVER (ORDER BY exact_d, vec_id) AS rn FROM rer) t
+          |WHERE rn <= 10""".stripMargin),
+      "The COMPOSED IVF-PQ ANN probe — ss04's coarse route + ss08's fine codebook run as one query, the full shape a production vector index executes: (1) the query routes to its nearest cell (integer L2 against the 4 broadcast cell vectors); (2) only that cell's members are scanned; (3) each member is scored by ASYMMETRIC DISTANCE — its 8 PQ codes look up a 32-entry (query-subvector x codeword) distance table, the classic ADC trick that replaces a 64-dim distance with 8 integer adds, and the table rides one KB-scale broadcast; (4) the ADC top-20 rerank EXACTLY (full integer L2) to emit top-10. Every ranking is integer-exact (floor-quantized units), so coarse routing, PQ assignment, ADC ordering and the final rerank are all bit-identical cross-engine — an end-to-end ANN pipeline that hash-matches an independent engine. At 100 TB: one cell scanned, not the corpus; member scoring is map-side lookups; only the 20-row rerank touches full vectors.") {
+      (s, dir) => ivfPqProbe(s, dir)
+    },
+
+    GraftQuery(
+      "ss11_ann_recall",
+      Some(ivfPqCtes + ",\n" +
+        """ann AS (SELECT vec_id FROM (
+          |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY exact_d, vec_id) AS rn FROM rer) t
+          |    WHERE rn <= 10),
+          |exact AS (SELECT vec_id, d, ROW_NUMBER() OVER (ORDER BY d, vec_id) AS rnk FROM (
+          |    SELECT q.vec_id,
+          |           LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (q.qe[i] - v.qe[i]) * (q.qe[i] - v.qe[i]))) AS d
+          |    FROM q, qvec v WHERE q.vec_id <> 0) t ORDER BY d, vec_id LIMIT 10)
+          |SELECT CAST(e.rnk AS INT) AS rnk, e.vec_id, CAST(e.d AS BIGINT) AS exact_d_units,
+          |       CAST(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS hit
+          |FROM exact e LEFT JOIN ann a USING (vec_id)""".stripMargin),
+      "Recall@10 of the IVF-PQ probe — the retrieval-QUALITY audit the ANN family was missing: ss09 is hash-exact (it computes what it claims) but nothing measured WHAT IT MISSES. Here the ground truth is the exact integer-L2 top-10 over the whole corpus (brute-force, the ss01 discipline in integer units), left-joined against ss09's answer — rendered as the SAME shared oracle text, so the audit measures the shipped pipeline, not a paraphrase. Output is per-rank attribution: (rnk, vec_id, exact_d_units, hit) — SUM(hit)/10 is the recall; a miss at rank r tells you exactly which true neighbor the single-cell probe lost (it lived in an unprobed cell, the IVF trade). This is pr03's discipline (assert the approximation's error against the exact answer IN-PLAN) applied to retrieval: at 100 TB you run it on a sampled query set to pick nprobe; the exact side is one linear scan per audited query, the ann side is the production path. Everything is integer math + a NULL-flag — bit-identical cross-engine.") {
+      (s, dir) =>
+        val q = qemb(s, dir)
         val qvec = q.filter(col("vec_id") === 0).select(col("qe").as("qq"))
-        // coarse route: 4 x 1 rows, driver-trivial, broadcast onward
-        val cell = broadcast(seeds.crossJoin(broadcast(qvec))
-          .withColumn("d", il2("qs", "qq"))
-          .orderBy(col("d"), col("code")).limit(1)
-          .select(col("code").as("cell")))
-        // cell membership: argmin over the 4 broadcast cell vectors,
-        // map-side min_by — then keep ONLY the probed cell
-        val members = q.crossJoin(broadcast(seeds))
-          .withColumn("d", il2("qe", "qs"))
-          .groupBy("vec_id")
-          .agg(min_by(col("code"), struct(col("d"), col("code"))).as("cell"),
-            first(col("qe")).as("qe"))
-          .join(cell, "cell")
-          .filter(col("vec_id") =!= 0)
-          .select("vec_id", "qe")
-        // PQ-encode members (ss08's assignment restricted to the cell)
-        val subs = members.select(col("vec_id"), explode(subSlices("qe", "qv")).as("x"))
-          .select(col("vec_id"), col("x.sub").as("sub"), col("x.qv").as("qv"))
-        val cds = seeds.select(col("code"), explode(subSlices("qs", "qc")).as("x"))
-          .select(col("code"), col("x.sub").as("sub"), col("x.qc").as("qc"))
-        val pq = subs.join(broadcast(cds), Seq("sub"))
-          .withColumn("d", il2("qv", "qc"))
-          .groupBy(col("vec_id"), col("sub"))
-          .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
-        // the ADC lookup table: (sub, code) -> distance to the query's
-        // subvector — 32 rows, broadcast; scoring = 8 lookups + a sum
-        val qsubs = qvec.select(explode(subSlices("qq", "qsv")).as("x"))
-          .select(col("x.sub").as("sub"), col("x.qsv").as("qsv"))
-        val lut = broadcast(cds.join(qsubs, Seq("sub"))
-          .withColumn("pd", il2("qc", "qsv"))
-          .select("sub", "code", "pd"))
-        val cand = pq.join(lut, Seq("sub", "code"))
-          .groupBy("vec_id").agg(sum(col("pd")).as("pq_d"))
-          .orderBy(col("pq_d"), col("vec_id")).limit(20)
-          .select("vec_id")
-        // exact rerank of the 20 survivors only
+        // ground truth: brute-force integer-L2 top-10 (broadcast query,
+        // linear scan, TakeOrderedAndProject — no shuffle)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("exact_d_units"), col("vec_id"))
-        members.join(broadcast(cand), "vec_id")
+        val exact = q.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(qvec))
           .withColumn("exact_d_units", il2("qe", "qq"))
           .select(col("vec_id"), col("exact_d_units"))
-          .withColumn("rn", row_number().over(w).cast("int"))
-          .filter(col("rn") <= 10)
+          .orderBy(col("exact_d_units"), col("vec_id")).limit(10)
+          .withColumn("rnk", row_number().over(w).cast("int"))
+        // the production path's answer, flagged 1 — missing rank = miss
+        val ann = ivfPqProbe(s, dir).select(col("vec_id"), lit(1).as("h"))
+        exact.join(broadcast(ann), Seq("vec_id"), "left")
+          .select(col("rnk"), col("vec_id"), col("exact_d_units"),
+            coalesce(col("h"), lit(0)).cast("int").as("hit"))
     },
   )
 }

@@ -75,6 +75,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "gr03_kcore",        // same 1-row median broadcast + 1-row adaptive-k threshold
     "ss09_ivf_pq_probe", // 1-row query vector + 4-row cell table broadcasts (IVF route)
     "gr04_reachability", // same 1-row median broadcast inside the SQL edges CTE
+    "gr05_frontier_bfs", // same 1-row median broadcast (shared edges() front door)
+    "ss10_kmeans_train", // corpus × 8 broadcast centroid vectors, once per round (ss06's scan ×3)
+    "ss11_ann_recall",   // ss09's probe + a 1-row query-vector broadcast for the exact side
     "pr04_key_skew"      // two 1-row stat frames meet in a broadcast per column
   )
 
@@ -95,6 +98,23 @@ class PlanAuditSpec extends AnyFunSuite {
             s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
       }
     } finally spark.conf.unset(operators.Materialize.ConfKey)
+  }
+
+  test("q48: LATERAL decorrelates — one window top-k, no per-row re-execution") {
+    // the query doc claims Catalyst rewrites the correlated ORDER BY /
+    // LIMIT subquery into the q08 window plan; pin it so a Spark
+    // upgrade (or analyzer change) falling back to per-outer-row
+    // re-execution fails here, not at 100 TB
+    val p = plan("q48_lateral_topk")
+    assert(!p.contains("CartesianProduct"), "q48 must not plan a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "q48 fell back to BNLJ — the LATERAL is no longer decorrelated")
+    assert(p.contains("Window"), "decorrelation must plan a window top-k")
+    // exactly ONE pass over customer: per-row re-execution would plan
+    // a second scan of the fact side
+    val customerScans = "Scan parquet [^\\n]*customer".r.findAllIn(p).size
+    assert(customerScans == 1, s"customer scanned $customerScans times — N+1 re-execution")
+    assert(p.contains("BroadcastHashJoin"), "the 25-row nation side must broadcast")
   }
 
   test("LSH signature tables are computed once and reused (checkpointed scan)") {

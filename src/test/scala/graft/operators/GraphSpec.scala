@@ -102,6 +102,21 @@ class GraphSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "k-core empty at fixture scale — pin is vacuous")
   }
 
+  test("gr05 frontier-dedup BFS == gr04 recursive-CTE reachability, row for row") {
+    // two algorithms (path enumeration + MIN vs per-hop frontier dedup)
+    // over the same graph must land the identical (node, min_hops) set
+    val viaCte = run("gr04_reachability").collect()
+      .map(r => lv(r, 0) -> lv(r, 1)).toMap
+    val viaBfs = run("gr05_frontier_bfs").collect()
+      .map(r => lv(r, 0) -> lv(r, 1)).toMap
+    assert(viaBfs == viaCte,
+      s"BFS diverged from CTE: extra=${viaBfs.toSet -- viaCte.toSet} missing=${viaCte.toSet -- viaBfs.toSet}")
+    // the dense trade graph reaches every node within 2 hops at fixture
+    // scale; >= 2 proves the loop genuinely chains hops (non-vacuous)
+    assert(viaBfs.size > 1 && viaBfs.values.max >= 2L,
+      "fixture BFS never chains past hop 1 — pin is vacuous")
+  }
+
   test("gr02: the super-node degree cap drops hub wedges and counts them loudly") {
     // pick a cap that actually BINDS on the fixture graph so the
     // guard's semantics (not just its existence) are pinned

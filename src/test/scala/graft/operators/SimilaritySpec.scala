@@ -61,6 +61,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.33, s"k-NN top-3 recall of exact top-1 = $recall")
   }
 
+  test("ss10: equals an exact in-test 3-round integer Lloyd trainer (sf0.001)") {
+    // independent driver-side model: same floor-quantized units, same
+    // md5 seeding, same integer-dot argmax and floored-mean update —
+    // equality is bit-for-bit, no tolerance
+    val q = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qe"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = q.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(8)
+    var cent: Map[Int, Array[Long]] =
+      seeds.zipWithIndex.map { case (id, i) => i -> q(id) }.toMap
+    var members: Map[Int, Seq[Long]] = Map.empty
+    var prev: Map[Int, Array[Long]] = cent
+    for (_ <- 1 to 3) {
+      val assign = q.toSeq.map { case (id, v) =>
+        id -> cent.toSeq.map { case (c, cv) =>
+          (c, v.indices.map(i => v(i) * cv(i)).sum)
+        }.maxBy { case (c, dot) => (dot, -c) }._1
+      }
+      members = assign.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1) }
+      prev = cent
+      cent = members.map { case (c, ids) =>
+        c -> Array.tabulate(q(ids.head).length)(p =>
+          math.floor(ids.map(q(_)(p)).sum.toDouble / ids.size).toLong)
+      }
+    }
+    val expected = (for { (c, v) <- cent.toSeq; p <- v.indices }
+      yield (c, p) -> ((members(c).size.toLong, v(p), math.abs(v(p) - prev(c)(p))))).toMap
+    val got = byName("ss10_kmeans_train").build(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._3 != 0L), "training moved nothing — pin is vacuous")
+    assert(got.values.exists(_._3 == 0L) || got.nonEmpty)
+  }
+
+  test("ss11: per-rank recall audit is consistent with ss09's own answer (sf0.001)") {
+    // hit=1 rows must be exactly (exact top-10) ∩ (ss09's top-10), and
+    // the frame must carry all 10 ground-truth ranks regardless of how
+    // many the probe missed — the left-join contract
+    val ann = byName("ss09_ivf_pq_probe").build(spark, sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val rows = byName("ss11_ann_recall").build(spark, sf0001).collect()
+    assert(rows.length == 10, s"recall frame must hold all 10 ranks, got ${rows.length}")
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (1 to 10), "ranks must be 1..10")
+    for (r <- rows)
+      assert((r.getInt(3) == 1) == ann.contains(r.getLong(1)),
+        s"hit flag disagrees with ss09 membership for vec ${r.getLong(1)}")
+    // single-cell probe at fixture scale: non-vacuous both ways is not
+    // guaranteed for misses, but at least one true neighbor must be found
+    assert(rows.map(_.getInt(3)).sum >= 1, "recall@10 = 0 — probe found nothing")
+  }
+
   test("cosine of a vector with itself is 1 (sanity of the expression)") {
     val df = graft.Tables.load(spark, sf001, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
