@@ -39,25 +39,29 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Shared DuckDB CTE prefix: support-weighted nation pairs →
-    * above-median sparsification → directed edge list + out-degrees.
+    * above-quantile sparsification → directed edge list + out-degrees.
+    * Quantile 0.5 (median) is the family default; gr06 prunes at 0.9
+    * because LPA needs community structure to survive (see its doc).
     */
-  private val edgesDuck =
-    """support AS (
-      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
-      |  FROM lineitem l
-      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-      |  JOIN customer c ON o.o_custkey = c.c_custkey
-      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-      |  WHERE c.c_nationkey <> s.s_nationkey
-      |  GROUP BY 1, 2),
-      |med AS (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY w) AS m FROM support),
-      |edges AS (SELECT src, dst FROM support, med WHERE w > m),
-      |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)""".stripMargin
+  private def edgesDuckQ(q: String) =
+    s"""support AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey
+       |  GROUP BY 1, 2),
+       |med AS (SELECT PERCENTILE_DISC($q) WITHIN GROUP (ORDER BY w) AS m FROM support),
+       |edges AS (SELECT src, dst FROM support, med WHERE w > m),
+       |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)""".stripMargin
+
+  private val edgesDuck = edgesDuckQ("0.5")
 
   /** Directed sparsified edge list `(src, dst)`, pinned — one pass
     * over the fact tables feeds every iteration and both queries.
     */
-  private[graft] def edges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def edges(s: SparkSession, dir: String, q: Double = 0.5): DataFrame = {
     val t = (n: String) => Tables.load(s, dir, n)
     val support = t("lineitem")
       .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
@@ -67,7 +71,7 @@ object Graph {
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("w"))
     val med = support.agg(
-      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY w)").as("m"))
+      expr(s"percentile_disc($q) WITHIN GROUP (ORDER BY w)").as("m"))
     Materialize(support.crossJoin(broadcast(med))
       .filter(col("w") > col("m")).select("src", "dst"))
   }
@@ -301,6 +305,61 @@ object Graph {
           frontier = next.select("node")
         }
         visited.select(col("node"), col("hop").as("min_hops"))
+    },
+
+    GraftQuery(
+      "gr06_label_propagation",
+      Some {
+        // one synchronized LPA round: count neighbor labels, pick
+        // (max count, tie -> min label), isolated nodes keep their own
+        val round = (i: Int, prev: String) =>
+          s"""p$i AS (SELECT node, lab FROM (
+             |    SELECT u.a AS node, l.lab,
+             |           ROW_NUMBER() OVER (PARTITION BY u.a ORDER BY COUNT(*) DESC, l.lab) AS rn
+             |    FROM und u JOIN $prev l ON l.node = u.b
+             |    GROUP BY u.a, l.lab) t WHERE rn = 1),
+             |l$i AS MATERIALIZED (SELECT n.node, COALESCE(p.lab, n.node) AS lab
+             |      FROM l0 n LEFT JOIN p$i p ON p.node = n.node)""".stripMargin
+        s"""WITH ${edgesDuckQ("0.9")},
+           |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+           |       UNION SELECT dst, src FROM edges),
+           |l0 AS (SELECT n_nationkey AS node, n_nationkey AS lab FROM nation),
+           |${round(1, "l0")},
+           |${round(2, "l1")},
+           |${round(3, "l2")}
+           |SELECT na.n_name AS nation, l3.lab AS community,
+           |       CAST(COUNT(*) OVER (PARTITION BY l3.lab) AS BIGINT) AS community_size
+           |FROM l3 JOIN nation na ON na.n_nationkey = l3.node""".stripMargin
+      },
+      "Community detection by synchronized label propagation (3 rounds, the gr01 bounded-iteration discipline) — THE community algorithm that survives 100 TB because it has no global state at all: every node starts as its own community and each round adopts the most frequent label among its undirected neighbors (tie -> smallest label, so the round is a pure deterministic function of the previous labeling — no RNG, no ordering dependence, bit-identical cross-engine integer math). The graph is sparsified at the 90th support percentile, NOT the family's median: LPA needs community structure to survive, and the probed median graph (298 directed edges over 25 nations at sf0.01) collapses to ONE label in two rounds — a vacuous answer — where the p90 graph holds 5 communities at sf0.01 and >=2 at every fixture scale; the threshold is the operator's resolution knob, exactly like nprobe in ss09. Per round: the vertex-sized label table broadcasts into the pinned undirected edge list (edges are scanned once and NEVER reshuffled), one map-side-combining count shuffle at (node, label) grain, and a max_by argmax — per-round cost is edges + vertices regardless of community shape, the same per-hop bill as gr05's frontier. Isolated vertices flow through with their own label (left join + coalesce — the tx12 nothing-vanishes contract). Output attributes each nation to its community with the community size, the audit you GROUP BY to see whether the trade graph's cores agree with gr03's density shells.") {
+      (s, dir) =>
+        val e = edges(s, dir, 0.9)
+        val und = Materialize(e.select(col("src").as("a"), col("dst").as("b"))
+          .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+          .distinct())
+        val nodes = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("node"), col("n_name"))
+        var lab = nodes.select(col("node"), col("node").as("lab"))
+        for (_ <- 1 to 3) {
+          // neighbor-label frequencies: ONE shuffle at (node, label)
+          // grain; the label table itself rides a broadcast
+          val cnt = und
+            .join(broadcast(lab.select(col("node").as("b"), col("lab"))), "b")
+            .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
+          // argmax: max count, tie -> min label (maximize (c, -lab))
+          val pick = cnt.groupBy(col("a").as("node"))
+            .agg(max_by(col("lab"), struct(col("c"), (-col("lab")).as("nl"))).as("plab"))
+          // NOT pinned per round (contrast gr03): each labeling is
+          // referenced exactly once downstream and is vertex-sized, so
+          // the three rounds nest as one DAG over the pinned edge list
+          // — an eager per-round checkpoint job costs more than it saves
+          lab = nodes.select("node").join(pick, Seq("node"), "left")
+            .select(col("node"), coalesce(col("plab"), col("node")).as("lab"))
+        }
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("lab")
+        lab.join(broadcast(nodes), "node")
+          .select(col("n_name").as("nation"), col("lab").as("community"),
+            count(lit(1)).over(w).as("community_size"))
     })
 
   /** The shared gr04 SQL — Spark and DuckDB run the SAME text (view

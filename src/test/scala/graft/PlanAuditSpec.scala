@@ -78,6 +78,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "gr05_frontier_bfs", // same 1-row median broadcast (shared edges() front door)
     "ss10_kmeans_train", // corpus × 8 broadcast centroid vectors, once per round (ss06's scan ×3)
     "ss11_ann_recall",   // ss09's probe + a 1-row query-vector broadcast for the exact side
+    "gr06_label_propagation", // same 1-row median broadcast (shared edges() front door)
     "pr04_key_skew"      // two 1-row stat frames meet in a broadcast per column
   )
 

@@ -117,6 +117,34 @@ class GraphSpec extends AnyFunSuite {
       "fixture BFS never chains past hop 1 — pin is vacuous")
   }
 
+  test("gr06: equals the exact synchronized LPA over the collected edges") {
+    // independent driver-side model: same undirected edges, same
+    // (max count, tie -> min label) update, same 3 synchronized rounds
+    val nations = Tables.load(spark, sf001, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    // gr06 prunes at p90, not the family's median (see its query doc)
+    val p90Edges = Graph.edges(spark, sf001, 0.9).collect()
+      .map(r => (lv(r, 0), lv(r, 1))).toSeq
+    val und = (p90Edges ++ p90Edges.map(_.swap)).toSet
+    val nbrs = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).toSeq }
+    var lab: Map[Long, Long] = nations.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 3)
+      lab = nations.keys.map { n =>
+        val counts = nbrs.getOrElse(n, Seq.empty).map(lab)
+          .groupBy(identity).map { case (l, ls) => l -> ls.size }
+        n -> (if (counts.isEmpty) n
+              else counts.toSeq.maxBy { case (l, c) => (c.toLong, -l) }._1)
+      }.toMap
+    val sizes = lab.values.groupBy(identity).map { case (l, ls) => l -> ls.size.toLong }
+    val expected = lab.map { case (n, l) => nations(n) -> ((l, sizes(l))) }
+    val got = run("gr06_label_propagation").collect()
+      .map(r => r.getString(0) -> ((lv(r, 1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.values.map(_._1).toSet.size > 1, "LPA collapsed to one community — pin is vacuous")
+    assert(got.values.exists(_._2 > 1), "no community ever grew — propagation never happened")
+  }
+
   test("gr02: the super-node degree cap drops hub wedges and counts them loudly") {
     // pick a cap that actually BINDS on the fixture graph so the
     // guard's semantics (not just its existence) are pinned
