@@ -116,8 +116,8 @@ object Bench {
   /** The ONE stdout line the driver parses (from the LAST 2000 chars of
     * stdout, which also contain sbt's trailing "[success] Total time..."
     * line) — so it must stay well under ~1.9 kB AND parse as strict
-    * JSON. Two size levers: 3-decimal values (ms precision is far below
-    * best-of-two noise) and each query keyed by its unique id prefix
+    * JSON. Two size levers: 2-decimal values (10 ms precision is far
+    * below best-of-two noise) and each query keyed by its unique id prefix
     * ("dd03", "q17", "cdc04" — the canonical ids in
     * SURVEY/VERDICT/CORRECTNESS) instead of the full descriptive name;
     * 82 queries land ≈1.2 kB. Public and pure so `BenchLineSpec` can
@@ -130,10 +130,13 @@ object Bench {
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\n\\r\\t]", " ") + "\""
     // errored queries carry the sentinel -1: render it as bare "-1", not
-    // "-1.000" — at 125+ queries those 5 chars/query are the difference
-    // between an all-failure line fitting the driver tail or not
+    // "-1.00" — at 125+ queries those chars/query are the difference
+    // between an all-failure line fitting the driver tail or not.
+    // 2-decimal precision (10 ms) is still ~10x below best-of-two noise
+    // and buys a char per query — at 129 queries the 3-decimal render
+    // crossed the spec's 1700-char budget.
     def j3(v: Double) = if (v < 0) "-1"
-      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     def shortId(name: String) = name.takeWhile(_ != '_')
     val qs = results.map { case (k, v) => jstr(shortId(k)) + ":" + j3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

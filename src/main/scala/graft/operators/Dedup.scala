@@ -69,6 +69,30 @@ object Dedup {
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
       |ELSE [] END""".stripMargin
 
+  /** DuckDB twin of [[minhashSigs]] + [[bandCandidates]]: tokenize →
+    * shingle → MinHash(32) signatures → 8×4 band keys → distinct
+    * candidate pairs. ONE copy of the candidate-generator SQL, shared
+    * by the dd03 oracle and the dd10 recall audit (the audit must
+    * measure the shipped generator, not a paraphrase).
+    */
+  private lazy val minhashCandDuck: String =
+    s"""d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, $shingleDuck AS gs FROM d),
+       |hp AS (SELECT doc_id, LIST_TRANSFORM(gs, s -> {
+       |         h1: CAST(('0x' || substring(md5(s), 1, 7)) AS BIGINT),
+       |         h2: CAST(('0x' || substring(md5(s), 8, 7)) AS BIGINT)}) AS hs
+       |       FROM sh WHERE LEN(gs) > 0),
+       |sigs AS (SELECT doc_id, LIST_TRANSFORM($permsDuck,
+       |           t -> LIST_MIN(LIST_TRANSFORM(hs, h -> (t.a * h.h1 + t.b * h.h2 + t.c) % $P))) AS sig
+       |         FROM hp),
+       |bands AS (SELECT doc_id, bb.b AS band_idx,
+       |                 ARRAY_TO_STRING(sig[bb.b*4+1 : bb.b*4+4], ',') AS band_key
+       |          FROM sigs, (SELECT UNNEST(RANGE(0, 8)) AS b) bb),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |          AND a.doc_id < b.doc_id)""".stripMargin
+
   /** THE near-dup edge pipeline for dd05 (word-trigram Jaccard ≥ 0.8
     * over the df-capped inverted index), emitting
     * `(doc_a, doc_b, jaccard)`; its SQL twin is dd05's oracle /
@@ -94,6 +118,41 @@ object Dedup {
       .select(col("doc_id"), explode(col("gs")).as("g"))
     val (pairs, _) = invertedIndexJaccard(sh, "doc_id", lit(1L))
     pairs.select(col("ka").as("doc_a"), col("kb").as("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash(32) signature table `(doc_id, sig)` for dd03/dd10. Pinned:
+    * it feeds both band-join branches and both score joins, and
+    * lambda-bearing subplans defeat exchange reuse, so an explicit
+    * materialization computes it exactly once ([[Materialize]]; default
+    * leaves no CacheManager entry). graft_shingles/graft_minhash_sig
+    * are the compiled twins of the SQL-dialect formulations (specs pin
+    * bit-equivalence).
+    */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Materialize(spread(docs(s, dir), "doc_id")
+      .withColumn("gs", expr("graft_shingles(text)"))
+      .filter(size(col("gs")) > 0)
+      .withColumn("sig", expr("graft_minhash_sig(gs)"))
+      .select("doc_id", "sig"))
+  }
+
+  /** LSH band candidates (8 bands × 4 rows) over [[minhashSigs]]:
+    * distinct `(doc_a < doc_b)` pairs that meet in ≥ 1 band-key bucket
+    * — dd03's candidate generator, reused verbatim by the dd10 recall
+    * audit. SQL twin: [[minhashCandDuck]].
+    */
+  private def bandCandidates(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("doc_id"),
+      posexplode(expr(
+        """transform(sequence(0, 7),
+          |  b -> concat_ws(',', transform(slice(sig, b*4+1, 4), x -> CAST(x AS STRING))))""".stripMargin))
+        .as(Seq("band_idx", "band_key")))
+    bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
+        Seq("band_idx", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
   }
 
   /** The inverted-index Jaccard machinery shared by the doc-level
@@ -202,16 +261,24 @@ object Dedup {
     * shared by the dd07 and dd08 oracles (callers prepend
     * `WITH RECURSIVE` and append their final SELECT over `reach`).
     */
-  private lazy val clusterCtes: String =
-    s"""d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
-       |sh AS (SELECT doc_id, $shingleDuck AS gs FROM d),
-       |e AS (SELECT doc_id, UNNEST(gs) AS g FROM sh),
+  /** DuckDB twin of [[invertedIndexJaccard]]'s df-capped inverted-index
+    * pair scoring (`e`..`p`, referencing `sh`): ONE copy of the
+    * cap/join shape shared by the dd05 oracle, the dd07/dd08
+    * [[clusterCtes]], and the dd10 recall audit's truth side.
+    */
+  private lazy val pairScoreDuck: String =
+    s"""e AS (SELECT doc_id, UNNEST(gs) AS g FROM sh),
        |rare AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= $DfCap),
        |er AS (SELECT e.doc_id, e.g FROM e JOIN rare USING (g)),
        |n AS (SELECT doc_id, COUNT(*) AS n FROM er GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
        |      FROM er a JOIN er b ON a.g = b.g AND a.doc_id < b.doc_id
-       |      GROUP BY a.doc_id, b.doc_id),
+       |      GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  private lazy val clusterCtes: String =
+    s"""d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, $shingleDuck AS gs FROM d),
+       |$pairScoreDuck,
        |edges AS (SELECT doc_a, doc_b FROM p
        |          JOIN n na ON na.doc_id = p.doc_a
        |          JOIN n nb ON nb.doc_id = p.doc_b
@@ -356,52 +423,16 @@ object Dedup {
 
     GraftQuery(
       "dd03_minhash_lsh_pairs",
-      Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
-              |sh AS (SELECT doc_id, $shingleDuck AS gs FROM d),
-              |hp AS (SELECT doc_id, LIST_TRANSFORM(gs, s -> {
-              |         h1: CAST(('0x' || substring(md5(s), 1, 7)) AS BIGINT),
-              |         h2: CAST(('0x' || substring(md5(s), 8, 7)) AS BIGINT)}) AS hs
-              |       FROM sh WHERE LEN(gs) > 0),
-              |sigs AS (SELECT doc_id, LIST_TRANSFORM($permsDuck,
-              |           t -> LIST_MIN(LIST_TRANSFORM(hs, h -> (t.a * h.h1 + t.b * h.h2 + t.c) % $P))) AS sig
-              |         FROM hp),
-              |bands AS (SELECT doc_id, bb.b AS band_idx,
-              |                 ARRAY_TO_STRING(sig[bb.b*4+1 : bb.b*4+4], ',') AS band_key
-              |          FROM sigs, (SELECT UNNEST(RANGE(0, 8)) AS b) bb),
-              |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              |         FROM bands a JOIN bands b
-              |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-              |          AND a.doc_id < b.doc_id)
+      Some(s"""WITH $minhashCandDuck
               |SELECT doc_a, doc_b,
               |       CAST(LEN(LIST_FILTER(RANGE(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est_jaccard
               |FROM cand JOIN sigs sa ON sa.doc_id = cand.doc_a
               |          JOIN sigs sb ON sb.doc_id = cand.doc_b
               |WHERE CAST(LEN(LIST_FILTER(RANGE(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5""".stripMargin),
-      "MinHash(32) + LSH banding (8 bands × 4 rows): one md5 per shingle, 32 universal-hash permutations; candidates meet in a band-key equi-join, are deduped to distinct pairs, then scored once; est. Jaccard ≥ 0.5.") {
+      "MinHash(32) + LSH banding (8 bands × 4 rows): one md5 per shingle, 32 universal-hash permutations; candidates meet in a band-key equi-join ([[bandCandidates]]), are deduped to distinct pairs, then scored once; est. Jaccard ≥ 0.5.") {
       (s, dir) =>
-        // the signature table feeds both band-join branches and both
-        // score-joins; lambda-bearing subplans defeat exchange reuse,
-        // so an explicit materialization computes it exactly once
-        // ([[Materialize]]; default leaves no CacheManager entry).
-        // graft_shingles/graft_minhash_sig are the compiled twins of the
-        // SQL-dialect formulations (specs pin bit-equivalence).
-        graft.functions.GraftFunctions.register(s)
-        val sigs = Materialize(spread(docs(s, dir), "doc_id")
-          .withColumn("gs", expr("graft_shingles(text)"))
-          .filter(size(col("gs")) > 0)
-          .withColumn("sig", expr("graft_minhash_sig(gs)"))
-          .select("doc_id", "sig"))
-        val bands = sigs.select(col("doc_id"),
-          posexplode(expr(
-            """transform(sequence(0, 7),
-              |  b -> concat_ws(',', transform(slice(sig, b*4+1, 4), x -> CAST(x AS STRING))))""".stripMargin))
-            .as(Seq("band_idx", "band_key")))
-        val cand = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
-          .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
-            Seq("band_idx", "band_key"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        cand
+        val sigs = minhashSigs(s, dir)
+        bandCandidates(sigs)
           .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
           .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
           .withColumn("est_jaccard",
@@ -503,13 +534,7 @@ object Dedup {
       "dd05_ngram_jaccard_pairs",
       Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
               |sh AS (SELECT doc_id, $shingleDuck AS gs FROM d),
-              |e AS (SELECT doc_id, UNNEST(gs) AS g FROM sh),
-              |rare AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= $DfCap),
-              |er AS (SELECT e.doc_id, e.g FROM e JOIN rare USING (g)),
-              |n AS (SELECT doc_id, COUNT(*) AS n FROM er GROUP BY doc_id),
-              |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-              |      FROM er a JOIN er b ON a.g = b.g AND a.doc_id < b.doc_id
-              |      GROUP BY a.doc_id, b.doc_id)
+              |$pairScoreDuck
               |SELECT doc_a, doc_b,
               |       CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
               |FROM p JOIN n na ON na.doc_id = p.doc_a
@@ -598,6 +623,34 @@ object Dedup {
               |SELECT v AS vec_id, MIN(r) AS cluster FROM reach GROUP BY v""".stripMargin),
       "SemDeDup-style SEMANTIC clusters: connected components over the dd06 embedding near-dup pairs — groups of vectors whose members are mutually reachable through cosine ≥ 0.45 edges, the keep-one-per-cluster unit for semantic dedup of training corpora. The propagation loop runs on the clone-collapsed GROUP graph (self-edge per clone group, distinct cross-group edges), so its edge table is clone-independent; vectors re-enter only in the final map-side expansion.") {
       (s, dir) => semanticClusters(s, dir)
+    },
+
+    GraftQuery(
+      "dd10_lsh_recall",
+      Some(s"""WITH $minhashCandDuck,
+              |$pairScoreDuck,
+              |truth AS (SELECT doc_a, doc_b,
+              |                 CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+              |          FROM p JOIN n na ON na.doc_id = p.doc_a
+              |                 JOIN n nb ON nb.doc_id = p.doc_b
+              |          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8)
+              |SELECT CAST(FLOOR(t.jaccard * 10) AS INT) AS jband,
+              |       COUNT(*) AS n_true,
+              |       CAST(SUM(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_caught,
+              |       CAST(CAST(SUM(CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS DOUBLE)
+              |         / COUNT(*) AS recall
+              |FROM truth t LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+              |GROUP BY 1""".stripMargin),
+      "LSH recall audit — the retrieval-QUALITY gate for the dedup family (ss11's discipline applied to near-dup candidate generation): ground truth is dd05's exact df-capped trigram-Jaccard pairs at >= 0.8, left-joined against dd03's SHIPPED band-candidate generator ([[bandCandidates]] / the same [[minhashCandDuck]] SQL — the audit measures the production pipeline, not a paraphrase), bucketed by Jaccard decile. Banding theory says a j=0.8 pair meets in >= 1 of 8 4-row bands w.p. 1-(1-j^4)^8 ~ 0.985, rising toward 1 as j -> 1 — the per-decile (n_true, n_caught, recall) row is the empirical check, and a sagging low decile is the signal to re-tune (bands, rows). At 100 TB the exact truth side is priced on a SAMPLED corpus slice (it is quadratic-guarded but still the audit's dominant cost); the candidate side is the production path unchanged. Counts are exact integers; recall is one shared IEEE division — bit-identical cross-engine.") {
+      (s, dir) =>
+        val truth = jaccardEdges(s, dir)
+        val cand = bandCandidates(minhashSigs(s, dir)).withColumn("h", lit(1))
+        truth.join(cand, Seq("doc_a", "doc_b"), "left")
+          .groupBy(floor(col("jaccard") * 10).cast("int").as("jband"))
+          .agg(
+            count(lit(1)).as("n_true"),
+            sum(when(col("h").isNull, 0).otherwise(1)).as("n_caught"))
+          .withColumn("recall", col("n_caught").cast("double") / col("n_true"))
     },
   )
 

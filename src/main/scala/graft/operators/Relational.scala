@@ -36,6 +36,15 @@ object Relational {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** q49's Morton interleave of two 16-bit grid coordinates (`qx`,
+    * `qy`) into a 32-bit z-value — shared with the spec that pins it
+    * against a bit-twiddling Scala model.
+    */
+  private[operators] val ZvalExpr: String =
+    """aggregate(sequence(0, 15), 0L, (acc, i) ->
+      |  acc + shiftleft(shiftright(qx, i) & 1, 2*i)
+      |      + shiftleft(shiftright(qy, i) & 1, 2*i + 1))""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -749,6 +758,47 @@ object Relational {
             |  SELECT c_custkey, c_acctbal FROM q48_customer c
             |  WHERE c.c_nationkey = n.n_nationkey
             |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+    },
+
+    GraftQuery(
+      "q49_zorder_layout",
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+             |st AS (SELECT MIN(user_id) AS u0, MAX(user_id) AS u1,
+             |              MIN(tus) AS t0, MAX(tus) AS t1 FROM e),
+             |q AS (SELECT ((user_id - u0) * 65535) // (u1 - u0) AS qx,
+             |             ((tus - t0) * 65535) // (t1 - t0) AS qy
+             |      FROM e, st),
+             |z AS (SELECT qx, qy,
+             |             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(0, 16),
+             |               i -> (((qx >> i) & 1) << (2*i)) + (((qy >> i) & 1) << (2*i + 1)))) AS BIGINT) AS zval
+             |      FROM q)
+             |SELECT CAST(zval >> 24 AS INT) AS bucket,
+             |       COUNT(*) AS n_rows,
+             |       MIN(qx) AS min_x, MAX(qx) AS max_x,
+             |       MIN(qy) AS min_y, MAX(qy) AS max_y,
+             |       CAST(CASE WHEN MAX(qx) >= 16384 AND MIN(qx) <= 32767
+             |                  AND MAX(qy) >= 16384 AND MIN(qy) <= 32767
+             |                 THEN 1 ELSE 0 END AS INT) AS hit_box
+             |FROM z GROUP BY 1""".stripMargin),
+      "Z-order (Morton-curve) data layout + zone-map pruning audit — the multi-dimensional clustering move behind Delta/Iceberg OPTIMIZE ZORDER: quantize two scan dimensions (user, event time) to 16-bit grids against corpus min/max (a 1-row broadcast agg — no sort, no sampling pass), interleave the bits into a 32-bit Morton key (pure map-side integer math, codegen-friendly HOF), and audit the layout by its top-8-bit buckets — each bucket standing for the file a `repartitionByRange(zval).sortWithinPartitions(zval)` write would produce. The output is each bucket's zone map (per-dim min/max): z-ordering bounds BOTH dims per bucket, so a 2-D box predicate (here the centered quarter-range in each dim, `hit_box`) prunes buckets on both dims at once, where a 1-D sorted layout leaves the second dim's span at full width in every file and prunes nothing on it. At 100 TB the audit IS the layout decision: SUM(hit_box)/COUNT(*) is the fraction of files a box query must read, and the same one-pass stats feed the write job. All integer math (floor-div quantization, shift/mask interleave) — bit-identical cross-engine with zero FP anywhere.") {
+      (s, dir) =>
+        val e = Tables.load(s, dir, "events")
+          .select(col("user_id"), expr("unix_micros(ts)").as("tus"))
+        val st = e.agg(
+          min("user_id").as("u0"), max("user_id").as("u1"),
+          min("tus").as("t0"), max("tus").as("t1"))
+        e.crossJoin(broadcast(st))
+          .withColumn("qx", expr("((user_id - u0) * 65535) DIV (u1 - u0)"))
+          .withColumn("qy", expr("((tus - t0) * 65535) DIV (t1 - t0)"))
+          .withColumn("zval", expr(ZvalExpr))
+          .groupBy(expr("shiftright(zval, 24)").cast("int").as("bucket"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            min("qx").as("min_x"), max("qx").as("max_x"),
+            min("qy").as("min_y"), max("qy").as("max_y"))
+          .withColumn("hit_box",
+            (col("max_x") >= 16384 && col("min_x") <= 32767 &&
+             col("max_y") >= 16384 && col("min_y") <= 32767).cast("int"))
     },
   )
 }

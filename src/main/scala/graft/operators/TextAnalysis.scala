@@ -32,6 +32,18 @@ object TextAnalysis {
     */
   private val LmHeadDf = 40L
 
+  /** tx13's BM25 weight (k1=1.2, b=0.75), with avgdl folded in as the
+    * exact integers nd (doc count) and sl (total tokens): ONE string,
+    * parsed by both Spark's `expr` and DuckDB, so the single FP
+    * expression is evaluated with identical operand order on both
+    * engines (every literal carries `e0` — a bare `2.2` parses as
+    * DECIMAL in both dialects and would route through each engine's own
+    * decimal rules instead of IEEE doubles).
+    */
+  private val Bm25W =
+    "(CAST(tf AS DOUBLE) * 2.2e0) / (CAST(tf AS DOUBLE) + 1.2e0 * " +
+      "(0.25e0 + (0.75e0 * CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE)) / CAST(sl AS DOUBLE)))"
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -393,6 +405,44 @@ object TextAnalysis {
             when(col("n_tokens").between(20, 90) && col("stop_ratio") >= 0.01 &&
               col("top_frac") <= 0.10 && col("guess") === col("lang"), 1)
               .otherwise(0).as("keep"))
+    },
+
+    GraftQuery(
+      "tx13_bm25_topdocs",
+      Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+              |len AS (SELECT doc_id, CAST(LEN(w) AS BIGINT) AS dl FROM d),
+              |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(dl) AS BIGINT) AS sl FROM len),
+              |tfq AS (SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+              |        FROM (SELECT doc_id, UNNEST(w) AS t FROM d)
+              |        WHERE t IN ('join', 'merge', 'dup', 'the')
+              |        GROUP BY doc_id, t),
+              |sc AS (SELECT term, doc_id, tf, dl, $Bm25W AS w
+              |       FROM tfq JOIN len USING (doc_id), st)
+              |SELECT term, CAST(rn AS INT) AS rnk, doc_id, tf, dl, w
+              |FROM (SELECT term, doc_id, tf, dl, w,
+              |             ROW_NUMBER() OVER (PARTITION BY term ORDER BY w DESC, doc_id) AS rn
+              |      FROM sc) r
+              |WHERE rn <= 10""".stripMargin),
+      "BM25 per-term retrieval (k1=1.2, b=0.75) — the lexical ranking a data pipeline runs to pull topical slices out of a corpus (and the exact-match complement to the ss01/ss09 embedding retrieval): term frequency saturates (tf*(k1+1)/(tf+k1*...) — the 50th repetition of a word buys almost nothing) and long documents are penalized by dl/avgdl length normalization. The occurrence stream is filtered to the query vocabulary MAP-SIDE, before any exchange, so the one (doc,term) shuffle carries only matching occurrences — at 100 TB the shuffle volume is the posting list, not the corpus; avgdl comes in as two exact integers (nd, sl) from a 1-row broadcast agg, folded into the weight so the only FP is one fixed parenthesized double expression (shared text with the oracle — bit-identical cross-engine). The idf factor is deliberately absent: within a term partition it is a constant (rank-irrelevant), and ln() is libm-divergent across engines — leaving it out keeps the audit hash-exact without changing any ranking. Per-term top-10 is a window over the PRE-AGGREGATED (doc,term) rows (one row per matching doc, not per occurrence); with a handful of query terms the scale path is q08's two-phase top-k (map-side partial top-10 per term, merge), noted here because partitionBy(term) alone reduces to one reducer per term.") {
+      (s, dir) =>
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+        val len = d.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+        val st = len.agg(
+          count(lit(1)).as("nd"), sum("dl").as("sl"))
+        val tf = d.select(col("doc_id"), explode(col("w")).as("t"))
+          .filter(col("t").isin("join", "merge", "dup", "the"))
+          .groupBy("doc_id", "t")
+          .agg(count(lit(1)).as("tf"))
+          .withColumnRenamed("t", "term")
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("term")).orderBy(col("w").desc, col("doc_id"))
+        tf.join(len, "doc_id")
+          .crossJoin(broadcast(st))
+          .withColumn("w", expr(Bm25W))
+          .withColumn("rnk", row_number().over(win).cast("int"))
+          .filter(col("rnk") <= 10)
+          .select("term", "rnk", "doc_id", "tf", "dl", "w")
     },
   )
 }

@@ -108,4 +108,20 @@ class DedupSpec extends AnyFunSuite {
       Dedup.minLabelClusters(chain, maxRounds = 3))
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("dd10 recall audit: internally consistent and truth-complete vs dd05 (sf0.01)") {
+    val audit = byName("dd10_lsh_recall").build(spark, sf001).collect()
+    assert(audit.nonEmpty, "fixture should contain planted near-dups")
+    audit.foreach { r =>
+      val nTrue = r.getLong(r.fieldIndex("n_true"))
+      val nCaught = r.getLong(r.fieldIndex("n_caught"))
+      assert(nCaught <= nTrue, s"caught $nCaught > true $nTrue")
+      assert(r.getDouble(r.fieldIndex("recall")) === nCaught.toDouble / nTrue)
+    }
+    // every dd05 truth pair lands in exactly one decile row — the audit
+    // may never lose (or invent) ground truth
+    val total = audit.map(r => r.getLong(r.fieldIndex("n_true"))).sum
+    val dd05 = byName("dd05_ngram_jaccard_pairs").build(spark, sf001).count()
+    assert(total === dd05, s"audit covers $total truth pairs, dd05 has $dd05")
+  }
 }
