@@ -360,6 +360,67 @@ object Graph {
         lab.join(broadcast(nodes), "node")
           .select(col("n_name").as("nation"), col("lab").as("community"),
             count(lit(1)).over(w).as("community_size"))
+    },
+
+    GraftQuery(
+      "gr07_link_prediction",
+      Some(s"""WITH $edgesDuck,
+              |und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              |        FROM edges),
+              |degall AS (SELECT v, COUNT(*) AS deg FROM (
+              |          SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) u
+              |        GROUP BY v),
+              |hubs AS (SELECT v FROM degall WHERE deg > $DefaultDegCap),
+              |kept AS (SELECT a, b FROM und
+              |         WHERE a NOT IN (SELECT v FROM hubs)
+              |           AND b NOT IN (SELECT v FROM hubs)),
+              |bi AS (SELECT a AS v, b AS n FROM kept UNION ALL SELECT b, a FROM kept),
+              |deg AS (SELECT v, COUNT(*) AS deg FROM bi GROUP BY v),
+              |wedge AS (SELECT w1.n AS x, w2.n AS y, COUNT(*) AS n_common
+              |          FROM bi w1 JOIN bi w2 ON w1.v = w2.v AND w1.n < w2.n
+              |          GROUP BY 1, 2),
+              |pred AS (SELECT x, y, n_common FROM wedge w
+              |         LEFT JOIN und e ON e.a = w.x AND e.b = w.y
+              |         WHERE e.a IS NULL)
+              |SELECT p.x AS node_a, p.y AS node_b, p.n_common,
+              |       da.deg AS deg_a, db.deg AS deg_b,
+              |       CAST(p.n_common AS DOUBLE) / (da.deg + db.deg - p.n_common) AS score,
+              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM hubs) AS n_capped_vertices
+              |FROM pred p JOIN deg da ON da.v = p.x
+              |            JOIN deg db ON db.v = p.y""".stripMargin),
+      s"Common-neighbor link prediction (the Liben-Nowell/Kleinberg baseline) — the graph-side twin of the dd/ss candidate generators: for every NON-edge (x, y) sharing at least one neighbor, score = neighborhood Jaccard |N(x) ∩ N(y)| / |N(x) ∪ N(y)|, the recommend-next-edge primitive behind 'entities that trade with the same partners should trade'. The wedge self-join on the shared vertex is gr02's candidate machinery verbatim — same d² hub blowup, same guard: vertices above the degree cap (conf `$DegCapKey`) leave the join via broadcast anti-joins BEFORE candidate generation, and the drop stays loud as the n_capped_vertices column on every row. Existing edges leave via an anti join against the canonical edge list (a prediction that already exists is not a prediction); degrees are vertex-scale and equi-join back onto the pair rows. Counts and degrees are exact integers; |N(x) ∪ N(y)| = deg_x + deg_y − common by inclusion-exclusion, so the score is one shared IEEE division — bit-identical cross-engine.") {
+      (s, dir) =>
+        val degCap = s.conf.get(DegCapKey, DefaultDegCap.toString).toInt
+        val e = edges(s, dir)
+        val und = e.select(
+            least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct()
+        val degAll = und.select(col("a").as("v"))
+          .unionByName(und.select(col("b").as("v")))
+          .groupBy("v").agg(count(lit(1)).as("deg"))
+        val hubs = degAll.filter(col("deg") > degCap).select("v")
+        val kept = Materialize(und
+          .join(broadcast(hubs.select(col("v").as("a"))), Seq("a"), "left_anti")
+          .join(broadcast(hubs.select(col("v").as("b"))), Seq("b"), "left_anti"))
+        val bi = kept.select(col("a").as("v"), col("b").as("n"))
+          .unionByName(kept.select(col("b").as("v"), col("a").as("n")))
+        val deg = bi.groupBy("v").agg(count(lit(1)).as("deg"))
+        val wedge = bi.select(col("v"), col("n").as("x"))
+          .join(bi.select(col("v"), col("n").as("y")), "v")
+          .filter(col("x") < col("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("n_common"))
+        val pred = wedge.join(und,
+            wedge("x") === und("a") && wedge("y") === und("b"), "left_anti")
+        pred
+          .join(broadcast(deg.select(col("v").as("x"), col("deg").as("deg_a"))), "x")
+          .join(broadcast(deg.select(col("v").as("y"), col("deg").as("deg_b"))), "y")
+          .crossJoin(broadcast(hubs.agg(count(lit(1)).as("n_capped_vertices"))))
+          .select(col("x").as("node_a"), col("y").as("node_b"), col("n_common"),
+            col("deg_a"), col("deg_b"),
+            (col("n_common").cast("double") /
+              (col("deg_a") + col("deg_b") - col("n_common"))).as("score"),
+            col("n_capped_vertices"))
     })
 
   /** The shared gr04 SQL — Spark and DuckDB run the SAME text (view

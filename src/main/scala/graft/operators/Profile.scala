@@ -146,5 +146,51 @@ object Profile {
           .unionByName(block("orders", "o_custkey"))
           .unionByName(block("events", "user_id"))
     },
+
+    GraftQuery(
+      "pr05_referential_audit",
+      Some("""SELECT 'lineitem->orders' AS rel, COUNT(*) AS n_child,
+             |       CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
+             |       CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+             |       CAST(CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL AND p.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*) AS orphan_frac
+             |FROM lineitem l LEFT JOIN orders p ON l.l_orderkey = p.o_orderkey
+             |UNION ALL
+             |SELECT 'orders->customer', COUNT(*),
+             |       CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL AND p.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL AND p.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*)
+             |FROM orders o LEFT JOIN customer p ON o.o_custkey = p.c_custkey
+             |UNION ALL
+             |SELECT 'customer->nation', COUNT(*),
+             |       CAST(SUM(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(SUM(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(CAST(SUM(CASE WHEN c.c_nationkey IS NOT NULL AND p.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*)
+             |FROM customer c LEFT JOIN nation p ON c.c_nationkey = p.n_nationkey
+             |UNION ALL
+             |SELECT 'lineitem->supplier', COUNT(*),
+             |       CAST(SUM(CASE WHEN l.l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(SUM(CASE WHEN l.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(CAST(SUM(CASE WHEN l.l_suppkey IS NOT NULL AND p.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) / COUNT(*)
+             |FROM lineitem l LEFT JOIN supplier p ON l.l_suppkey = p.s_suppkey""".stripMargin),
+      "Referential-integrity audit across the star schema — the admission gate that runs BEFORE any of the q03-q07 joins is trusted at 100 TB: per FK relationship, child-row count, NULL-key count, and orphan count (non-null key with no parent), each with its fraction. A LEFT join to the parent's unique key is the exact probe (no fan-out, every child row classified once) and each relationship is the join you would ship anyway: dimension parents (nation, supplier, customer) broadcast; the one fact-to-fact probe (lineitem->orders) shuffles on the join key it would shuffle on in production, with the classification counts folded into the join's own map-side-combining aggregation — the audit costs one pass per relationship and nothing more. A non-zero n_orphan row is the signal to quarantine a crawl drop before it poisons every downstream join; fractions are single IEEE divisions of exact integer counts — bit-identical cross-engine.") {
+      (s, dir) =>
+        def probe(rel: String, child: String, ck: String,
+            parent: String, pk: String, bcast: Boolean) = {
+          val c = Tables.load(s, dir, child)
+          val p0 = Tables.load(s, dir, parent).select(col(pk))
+          val p = if (bcast) broadcast(p0) else p0
+          c.join(p, col(ck) === col(pk), "left")
+            .agg(
+              count(lit(1)).as("n_child"),
+              sum(when(col(ck).isNull, 1).otherwise(0)).as("n_null_key"),
+              sum(when(col(ck).isNotNull && col(pk).isNull, 1).otherwise(0)).as("n_orphan"))
+            .select(lit(rel).as("rel"), col("n_child"), col("n_null_key"), col("n_orphan"),
+              (col("n_orphan").cast("double") / col("n_child")).as("orphan_frac"))
+        }
+        probe("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", bcast = false)
+          .unionByName(probe("orders->customer", "orders", "o_custkey", "customer", "c_custkey", bcast = true))
+          .unionByName(probe("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey", bcast = true))
+          .unionByName(probe("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", bcast = true))
+    },
   )
 }

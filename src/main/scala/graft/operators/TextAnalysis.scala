@@ -444,5 +444,31 @@ object TextAnalysis {
           .filter(col("rnk") <= 10)
           .select("term", "rnk", "doc_id", "tf", "dl", "w")
     },
+
+    GraftQuery(
+      "tx14_keyword_topk",
+      Some("""WITH tk AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+             |SELECT doc_id, CAST(rn AS INT) AS rnk, term, tf, df
+             |FROM (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             |               ORDER BY tf.tf DESC, df.df, tf.term) AS rn
+             |      FROM tf JOIN df USING (term)) t
+             |WHERE rn <= 3""".stripMargin),
+      "Keyword extraction: each document's top-3 DISTINCTIVE terms — highest within-doc frequency, rarity-tiebroken (lower corpus document frequency first, then term) — the tf-idf ranking stated PURELY in integers: because rank only ever compares (tf, df, term) lexicographically, no idf weight is computed at all, which is both the bit-exactness move (zero FP anywhere — not even a shared division) and the honest one (any monotone idf yields this exact ordering when tf ties break by rarity). Two map-side-combining aggregations — (doc,term) then (term) — and the df table is vocabulary-sized, so it broadcasts back onto the doc-keyed rows; the per-doc top-3 window partitions on doc_id, the natural key at 100 TB (millions of partitions, no skew — contrast tx13's per-TERM ranking, which needs the two-phase pattern). This is the per-doc tagging pass a corpus pipeline runs to build topic indexes and routing keys.") {
+      (s, dir) =>
+        val tf = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df"), col("term"))
+        tf.join(broadcast(df), "term")
+          .withColumn("rnk", row_number().over(win).cast("int"))
+          .filter(col("rnk") <= 3)
+          .select("doc_id", "rnk", "term", "tf", "df")
+    },
   )
 }

@@ -162,4 +162,24 @@ class GraphSpec extends AnyFunSuite {
       assert(row.getLong(2) == nCapped, "capped-vertex accounting mismatch")
     } finally spark.conf.unset(Graph.DegCapKey)
   }
+
+  test("gr07: equals the exact common-neighbor Jaccard over the collected edges") {
+    val und = edgeList.map { case (s, d) => (math.min(s, d), math.max(s, d)) }.toSet
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    val deg = nbrs.map { case (v, ns) => v -> ns.size.toLong }
+    val verts = nbrs.keys.toSeq.sorted
+    val expected = (for {
+      x <- verts; y <- verts if x < y && !und.contains((x, y))
+      common = (nbrs(x) & nbrs(y)).size.toLong if common >= 1
+    } yield (x, y) -> ((common, deg(x), deg(y),
+      common.toDouble / (deg(x) + deg(y) - common)))).toMap
+    val got = run("gr07_link_prediction").collect()
+      .map(r => (lv(r, 0), lv(r, 1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == expected, s"got ${got.size} predictions, expected ${expected.size}")
+    assert(expected.nonEmpty, "no open wedges in the fixture — pin is vacuous")
+    // a prediction is a NON-edge by definition
+    got.keys.foreach(p => assert(!und.contains(p), s"$p is an existing edge"))
+  }
 }
