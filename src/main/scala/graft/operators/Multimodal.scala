@@ -165,5 +165,40 @@ object Multimodal {
             (col("w") * 256 / greatest(col("w"), col("h"))).cast("int").as("new_w"),
             (col("h") * 256 / greatest(col("w"), col("h"))).cast("int").as("new_h"))
     },
+
+    GraftQuery(
+      "mm05_batch_shape",
+      Some("""WITH d AS (SELECT doc_id,
+             |                 64 + CAST(('0x' || SUBSTRING(MD5(text), 1, 4)) AS INT) % 1024 AS w,
+             |                 64 + CAST(('0x' || SUBSTRING(MD5(text), 5, 4)) AS INT) % 1024 AS h
+             |           FROM documents),
+             |b AS (SELECT doc_id, w, h,
+             |             CAST(((w + 127) // 128) * 128 AS INT) AS bw,
+             |             CAST(((h + 127) // 128) * 128 AS INT) AS bh
+             |      FROM d)
+             |SELECT bw, bh, COUNT(*) AS n_items,
+             |       CAST(SUM(w * h) AS BIGINT) AS content_px,
+             |       CAST(SUM(bw * bh - w * h) AS BIGINT) AS padding_px,
+             |       CAST(CAST(SUM(bw * bh - w * h) AS BIGINT) AS DOUBLE)
+             |         / CAST(SUM(bw * bh) AS BIGINT) AS waste_frac
+             |FROM b GROUP BY bw, bh""".stripMargin),
+      "Decode-batch shape planning with padding-waste accounting — the multimodal twin of pk01's token packing: media items batch for (GPU) decode by PADDED bucket shape (dims rounded up to the 128-px grid — the aspect-bucketing move), and the audit prices what that padding costs per bucket: content pixels vs padding pixels, waste_frac = padding / padded total. This is the table a pipeline reads to choose its bucket grid — a coarse grid wastes compute on padding, a fine grid fragments batches (n_items per bucket collapses) — the same trade pk01 prices for token sequences. Dimensions come from the stub codec (md5-derived, like mm02/mm04 — full value oracle); everything else is real: pure map-side integer math (round-up via floor-div, per-item pixel products bounded well inside INT) and ONE grouping at bucket grain. At 100 TB this is a linear pass whose output is bucket-count-sized; the single IEEE division per bucket row is shared with the oracle — bit-identical cross-engine.") {
+      (s, dir) =>
+        Tables.load(s, dir, "documents")
+          .withColumn("w", expr(
+            "64 + CAST(conv(substring(md5(encode(text, 'UTF-8')), 1, 4), 16, 10) AS INT) % 1024"))
+          .withColumn("h", expr(
+            "64 + CAST(conv(substring(md5(encode(text, 'UTF-8')), 5, 4), 16, 10) AS INT) % 1024"))
+          .withColumn("bw", expr("CAST(((w + 127) div 128) * 128 AS INT)"))
+          .withColumn("bh", expr("CAST(((h + 127) div 128) * 128 AS INT)"))
+          .groupBy("bw", "bh")
+          .agg(
+            count(lit(1)).as("n_items"),
+            sum(col("w") * col("h")).as("content_px"),
+            sum(col("bw") * col("bh") - col("w") * col("h")).as("padding_px"))
+          .withColumn("waste_frac",
+            col("padding_px").cast("double") /
+              (col("padding_px") + col("content_px")))
+    },
   )
 }

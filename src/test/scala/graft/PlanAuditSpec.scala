@@ -79,7 +79,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "ss10_kmeans_train", // corpus × 8 broadcast centroid vectors, once per round (ss06's scan ×3)
     "ss11_ann_recall",   // ss09's probe + a 1-row query-vector broadcast for the exact side
     "gr06_label_propagation", // same 1-row median broadcast (shared edges() front door)
-    "pr04_key_skew"      // two 1-row stat frames meet in a broadcast per column
+    "pr04_key_skew",     // two 1-row stat frames meet in a broadcast per column
+    "q49_zorder_layout", // 1-row min/max stats broadcast into the quantizer
+    "tx13_bm25_topdocs", // 1-row (nd, sl) corpus stats broadcast into the weight
+    "gr07_link_prediction" // 1-row capped-vertex count + the shared median broadcast
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
@@ -183,6 +186,26 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "must not plan a row_number window (shuffles every change)")
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       "exactly one key shuffle")
+  }
+
+  test("q49: z-order audit is map-side math + one grouping (no sort, no SMJ)") {
+    val p = plan("q49_zorder_layout")
+    // the stats come in as a broadcast (1-row agg), the interleave is
+    // map-side, and the only wide exchange is the bucket aggregation —
+    // a sort-merge join or global sort here means the layout audit
+    // stopped being a linear pass
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "min/max stats must broadcast back")
+    assert(!p.contains("SortMergeJoin"), "no shuffled join in a linear audit")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tx14/pr05: vocabulary-df and dimension parents broadcast") {
+    assert(plan("tx14_keyword_topk").contains("BroadcastHashJoin"),
+      "the vocabulary-sized df table must broadcast onto doc-keyed rows")
+    val p = plan("pr05_referential_audit")
+    assert(p.contains("BroadcastHashJoin"),
+      "dimension parents (nation/supplier/customer) must broadcast")
   }
 
   test("LSH pipelines use the compiled expressions") {
