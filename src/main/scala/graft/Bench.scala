@@ -32,7 +32,7 @@ object Bench {
     // preflight, BEFORE the minutes-long timing loop: the output keys
     // are id prefixes, so a collision must abort while it's still cheap
     // (failing after the loop would lose every timing from the tail)
-    val ids = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    val ids = SparkEntry.queries.keys.toSeq.map(shortId)
     require(ids.distinct.size == ids.size,
       "query id prefixes must stay unique — a collision would silently merge bench entries")
     // between-runs hygiene: clearCache drops Dataset caches, but
@@ -113,15 +113,33 @@ object Bench {
     if (errors.nonEmpty) sys.exit(1)
   }
 
+  /** Rendered bench key: the query's id prefix with the zero padding in
+    * its numeric suffix dropped ("dd03" → "dd3", "cdc01" → "cdc1",
+    * "tx13" → "tx13"). Still a bijection from the padded canonical ids
+    * (no padded id ever collides with an unpadded one: "q05"→"q5" and
+    * "q50"→"q50" stay distinct), so VERDICT/CORRECTNESS cross-reference
+    * stays unambiguous while ~90 padded ids each save a byte —
+    * `tools/bench_gate.py` canonicalizes both sides the same way, so
+    * cross-round diffs keep firing across the format change.
+    */
+  def shortId(name: String): String = {
+    val p = name.takeWhile(_ != '_')
+    val digits = p.reverse.takeWhile(_.isDigit).reverse
+    val stripped = digits.dropWhile(_ == '0')
+    if (digits.isEmpty) p
+    else p.dropRight(digits.length) + (if (stripped.isEmpty) "0" else stripped)
+  }
+
   /** The ONE stdout line the driver parses (from the LAST 2000 chars of
-    * stdout, which also contain sbt's trailing "[success] Total time..."
-    * line) — so it must stay well under ~1.9 kB AND parse as strict
-    * JSON. Two size levers: 2-decimal values (10 ms precision is far
-    * below best-of-two noise) and each query keyed by its unique id prefix
-    * ("dd03", "q17", "cdc04" — the canonical ids in
-    * SURVEY/VERDICT/CORRECTNESS) instead of the full descriptive name;
-    * 82 queries land ≈1.2 kB. Public and pure so `BenchLineSpec` can
-    * pin both properties against a real JSON parser.
+    * stdout, which also contain sbt's trailing block — measured across
+    * r1-r8 driver tails: ~75 chars of "[success] Total time..." on
+    * success, ~160 chars of "[error] ..." when Bench exits 1 — so the
+    * hard cap is 2000-160 ≈ 1830 chars AND strict JSON). Size levers:
+    * 2-decimal values (10 ms precision is far below best-of-two noise)
+    * with trailing zeros stripped, each query keyed by [[shortId]]
+    * instead of the full descriptive name, and sf as a bare number.
+    * Public and pure so `BenchLineSpec` can pin both properties against
+    * a real JSON parser.
     */
   def renderLine(
       results: Seq[(String, Double)],
@@ -134,12 +152,24 @@ object Bench {
     // between an all-failure line fitting the driver tail or not.
     // 2-decimal precision (10 ms) is still ~10x below best-of-two noise
     // and buys a char per query — at 129 queries the 3-decimal render
-    // crossed the spec's 1700-char budget.
+    // crossed the old canary; trailing zeros are stripped ("0.70" →
+    // "0.7", "2.00" → "2") since they carry no information either.
     def j3(v: Double) = if (v < 0) "-1"
-      else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    def shortId(name: String) = name.takeWhile(_ != '_')
+      else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
     val qs = results.map { case (k, v) => jstr(shortId(k)) + ":" + j3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // "sf":0.1 (a bare number parsed from the dir basename) beats
+    // "sf":"/root/testdata/sf0.1" by 22 chars; anything that doesn't
+    // look like .../sfN.N falls back to the full quoted path
+    val sfJson = {
+      val base = sfDir.split('/').last
+      val n = base.drop(2)
+      if (base.startsWith("sf") && n.nonEmpty
+          && n.forall(c => c.isDigit || c == '.') && n.count(_ == '.') <= 1
+          && n.head.isDigit && n.last.isDigit) n
+      else jstr(sfDir)
+    }
     // errors budget: short ids + 60-char messages. The whole line must
     // clear the driver's 2000-char tail (which also holds sbt's trailing
     // [error]/[success] block), and the queries map grows with the
@@ -148,23 +178,23 @@ object Bench {
     // parts — rather than a constant that silently rots as queries are
     // added (the 115→120 growth pushed the old fixed 210 over the bar)
     val fixedLen =
-      s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":{},"sf":"$sfDir"}""".length
+      s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":{},"sf":$sfJson}""".length
     val errEntries = errors.map { case (k, v) => jstr(shortId(k)) + ":" + jstr(v) }
     // fail LOUDLY when the fixed parts alone approach the driver's
     // 2000-char tail: a max(60, ...) floor here would silently re-create
     // the overflow this budget exists to prevent once the inventory
-    // grows past ~145 queries — inventory growth must surface at build
+    // grows past ~155 queries — inventory growth must surface at build
     // time (this require + its spec), not as a driver parse miss
-    require(fixedLen < 1760,
+    require(fixedLen < 1740,
       s"bench line fixed parts are $fixedLen chars — the queries map has outgrown " +
-        "the 1850-char budget; shrink j3 precision or shorten query ids")
+        "the 1830-char budget; shrink j3 precision or shorten query ids")
     val (kept, dropped) = {
-      var budget = 1850 - fixedLen - 30  // 30 = "_truncated" marker reserve
+      var budget = 1830 - fixedLen - 30  // 30 = "_truncated" marker reserve
       val keep = errEntries.takeWhile { e => budget -= e.length + 1; budget >= 0 }
       (keep, errEntries.size - keep.size)
     }
     val errs = (kept ++ (if (dropped > 0) Seq(jstr("_truncated") + ":" + jstr(s"$dropped more")) else Seq()))
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfJson}"""
   }
 }

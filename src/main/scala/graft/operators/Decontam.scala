@@ -119,5 +119,38 @@ object Decontam {
           .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
           .groupBy("lang")
           .agg(count(lit(1)).as("n_kept"))
+    },
+
+    GraftQuery(
+      "dc03_eval_integrity",
+      Some(s"""$pairsDuck,
+              |agg AS (SELECT test_doc, COUNT(*) AS n_tainting_train,
+              |               MAX(n_shared) AS max_shared
+              |        FROM pairs GROUP BY test_doc)
+              |SELECT d.doc_id AS test_doc, d.lang,
+              |       COALESCE(a.n_tainting_train, 0) AS n_tainting_train,
+              |       COALESCE(a.max_shared, 0) AS max_shared,
+              |       CASE WHEN a.test_doc IS NOT NULL THEN 'tainted'
+              |            ELSE 'clean' END AS verdict
+              |FROM (SELECT * FROM d WHERE b >= 90) d
+              |LEFT JOIN agg a ON d.doc_id = a.test_doc""".stripMargin),
+      "Eval-integrity report — dc01/dc02 look at contamination from the TRAIN side (which training docs to purge); this is the missing view from the EVAL side: one row per held-out doc with how many train docs taint it and the worst overlap, 'clean' rows included with explicit zeros (an eval audit that only lists tainted items can't distinguish 'checked and clean' from 'never checked'). A benchmark whose items are heavily tainted measures memorization, not ability — this table is what decides whether to re-split or drop eval items before trusting a score. Reuses dc01's flagged pairs verbatim (same df-capped broadcast join, so the report audits the shipped detector); the pair aggregate is benchmark-sized and broadcast-LEFT-joins onto the test split — at 100 TB the train corpus never re-enters, and the output is eval-set-sized.") {
+      (s, dir) =>
+        val agg = overlapPairs(s, dir)
+          .groupBy("test_doc")
+          .agg(
+            count(lit(1)).as("n_tainting_train"),
+            max(col("n_shared")).as("max_shared"))
+        docs(s, dir)
+          .withColumn("b", expr(Sampling.bucket100("doc_id")))
+          .filter(col("b") >= 90)
+          .select(col("doc_id").as("test_doc"), col("lang"))
+          .join(broadcast(agg), Seq("test_doc"), "left")
+          .select(
+            col("test_doc"), col("lang"),
+            coalesce(col("n_tainting_train"), lit(0L)).as("n_tainting_train"),
+            coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+            when(col("n_tainting_train").isNotNull, lit("tainted"))
+              .otherwise(lit("clean")).as("verdict"))
     })
 }

@@ -800,6 +800,40 @@ object Relational {
             (col("max_x") >= 16384 && col("min_x") <= 32767 &&
              col("max_y") >= 16384 && col("min_y") <= 32767).cast("int"))
     },
+
+    GraftQuery(
+      "q50_pivot_report",
+      Some("""SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F_n",
+             |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+             |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 0.0) AS "F_rev",
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O_n",
+             |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+             |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 0.0) AS "O_rev",
+             |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P_n",
+             |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+             |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 0.0) AS "P_rev",
+             |  COUNT(*) AS total_n
+             |FROM orders GROUP BY 1""".stripMargin),
+      "PIVOT (wide reporting table): order count + revenue per year, one column pair per order status — the long->wide reshape q38's unpivot runs in reverse, closing the relational family's reshape coverage. Spark-first details that matter at 100 TB: the status values are passed EXPLICITLY to `.pivot(col, values)` — the two-arg form skips the collect-distinct job Spark otherwise runs against the fact table just to discover the column set — and Catalyst plans its two-phase PivotFirst shape: a partial-combined aggregate on (year, status) whose shuffle carries only group×pivot-cardinality partials (not fact rows), then a PivotFirst re-aggregate on (year) whose exchange moves year-cardinality rows. Both wide stages are post-combine tiny regardless of input size (plan-audited). Decimal accumulation, cast to double at the end; missing (year,status) cells surface as explicit 0 / 0.0, not null — a reporting table with holes forces every consumer to re-derive the same COALESCE.") {
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(12,2)")).as("rev"))
+          .select(
+            col("o_year"),
+            coalesce(col("F_n"), lit(0L)).as("F_n"),
+            coalesce(col("F_rev").cast("double"), lit(0.0)).as("F_rev"),
+            coalesce(col("O_n"), lit(0L)).as("O_n"),
+            coalesce(col("O_rev").cast("double"), lit(0.0)).as("O_rev"),
+            coalesce(col("P_n"), lit(0L)).as("P_n"),
+            coalesce(col("P_rev").cast("double"), lit(0.0)).as("P_rev"),
+            (coalesce(col("F_n"), lit(0L)) + coalesce(col("O_n"), lit(0L)) +
+              coalesce(col("P_n"), lit(0L))).as("total_n"))
+    },
   )
 }
 

@@ -136,5 +136,55 @@ object Sketches {
             col("r_name"), col("exact_cnt"),
             (abs(col("est") - col("exact_cnt")) / col("exact_cnt") < 0.05)
               .as("sketch_within_5pct"))
+    },
+
+    GraftQuery(
+      "sk05_hll_overlap",
+      Some("""WITH seg AS (
+             |  SELECT user_id,
+             |         CASE WHEN event_type = 'purchase' AND value > 180 THEN 'a'
+             |              WHEN event_type = 'error'
+             |                   AND EXTRACT(HOUR FROM ts) < 6 THEN 'b' END AS tag
+             |  FROM events
+             |  WHERE (event_type = 'purchase' AND value > 180)
+             |     OR (event_type = 'error' AND EXTRACT(HOUR FROM ts) < 6))
+             |SELECT
+             |  (SELECT COUNT(DISTINCT user_id) FROM seg WHERE tag = 'a') AS exact_a,
+             |  (SELECT COUNT(DISTINCT user_id) FROM seg WHERE tag = 'b') AS exact_b,
+             |  (SELECT COUNT(*) FROM (SELECT user_id FROM seg GROUP BY user_id
+             |                         HAVING COUNT(DISTINCT tag) = 2)) AS exact_both,
+             |  TRUE AS sketch_within_bound""".stripMargin),
+      "HLL set-INTERSECTION via inclusion-exclusion — sk04 rolls sketches UP (union re-aggregation); this is the other set algebra a sketch store is kept for: audience overlap |A∩B| = est(A) + est(B) - est(A∪B) from three KB-sized sketches, NO re-scan and no shuffle of the raw membership lists. Segments: users with a high-value purchase (A) vs users hitting pre-6am errors (B) — the conversion-vs-reliability overlap question. One pass tags segment rows, ONE (tag)-keyed aggregation builds both sketches + exact distincts, hll_union_agg over the 2-row frame gives est(A∪B); the exact intersection (one user_id-keyed agg counting tags) is the in-plan truth the inclusion-exclusion estimate is asserted against (coupon-exact at both fixture scales, so the bound is deterministically TRUE and the oracle carries exact values). At 100 TB the sketches come from the store at KB cost while the exact branch — here the audit — is the thing you no longer run.") {
+      (s, dir) =>
+        val seg = t(s, dir, "events")
+          .select(col("user_id"), col("value"), col("event_type"),
+            hour(col("ts")).as("hh"))
+          .withColumn("tag",
+            when(col("event_type") === "purchase" && col("value") > 180, "a")
+              .when(col("event_type") === "error" && col("hh") < 6, "b"))
+          .filter(col("tag").isNotNull)
+        val perTag = seg.groupBy("tag").agg(
+          expr("hll_sketch_agg(user_id)").as("sk"),
+          countDistinct(col("user_id")).as("exact_n"))
+        val ests = perTag.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"),
+          max(when(col("tag") === "a",
+            expr("hll_sketch_estimate(sk)"))).as("est_a"),
+          max(when(col("tag") === "b",
+            expr("hll_sketch_estimate(sk)"))).as("est_b"),
+          max(when(col("tag") === "a", col("exact_n"))).as("exact_a"),
+          max(when(col("tag") === "b", col("exact_n"))).as("exact_b"))
+        val both = seg.groupBy("user_id")
+          .agg(countDistinct(col("tag")).as("nt"))
+          .filter(col("nt") === 2)
+          .agg(count(lit(1)).as("exact_both"))
+        // two 1-row stat frames meet in a broadcast (pr04 pattern)
+        ests.crossJoin(broadcast(both))
+          .select(
+            col("exact_a"), col("exact_b"), col("exact_both"),
+            (abs(col("est_a") + col("est_b") - col("est_union")
+              - col("exact_both"))
+              <= greatest(lit(5.0), lit(0.05) * col("exact_both")))
+              .as("sketch_within_bound"))
     })
 }

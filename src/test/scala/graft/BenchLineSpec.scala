@@ -4,8 +4,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The driver parses Bench's single JSON line from the last 2000 chars
   * of stdout; an oversized or malformed line silently loses the round's
-  * bench numbers. Pin both properties on the real inventory and on
-  * hostile error payloads.
+  * bench numbers. Measured across the r1-r8 driver tails, the sbt block
+  * AFTER the line is ~75 chars on success and ~160 chars when Bench
+  * exits 1, so the hard line cap is 2000-160 ≈ 1830. Pin both size and
+  * parseability on the real inventory and on hostile error payloads.
   */
 class BenchLineSpec extends AnyFunSuite {
 
@@ -14,16 +16,29 @@ class BenchLineSpec extends AnyFunSuite {
   private def realResults: Seq[(String, Double)] =
     SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.234)
 
+  test("shortId strips zero padding and stays a bijection on the inventory") {
+    assert(Bench.shortId("dd03_minhash") === "dd3")
+    assert(Bench.shortId("cdc01_x") === "cdc1")
+    assert(Bench.shortId("tx13_bm25") === "tx13")
+    assert(Bench.shortId("q50_pivot") === "q50")
+    assert(Bench.shortId("entry") === "entry")
+    val ids = SparkEntry.queries.keys.toSeq.map(Bench.shortId)
+    assert(ids.distinct.size === ids.size,
+      "zero-strip must not collide two canonical ids")
+  }
+
   test("the full-inventory line parses as JSON and stays under budget") {
     val line = Bench.renderLine(realResults, Seq.empty, "/root/testdata/sf0.1")
     assert(line.length < 1700,
       s"bench line is ${line.length} chars — too close to the driver's 2000-char tail")
     val tree = mapper.readTree(line)
     assert(tree.get("metric").asText() === "total")
+    assert(tree.get("sf").isNumber, "sf must render as a bare number for sfN.N dirs")
+    assert(tree.get("sf").asDouble() === 0.1)
     assert(tree.get("queries").size() === SparkEntry.queries.size)
-    // every query id prefix survives as a key exactly once (uniqueness
-    // is separately preflighted in Bench.main)
-    val ids = realResults.map(_._1.takeWhile(_ != '_')).toSet
+    // every query id survives as a key exactly once (uniqueness is
+    // separately preflighted in Bench.main)
+    val ids = realResults.map(r => Bench.shortId(r._1)).toSet
     val it = tree.get("queries").fieldNames()
     val keys = Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSet
     assert(keys === ids)
@@ -34,7 +49,7 @@ class BenchLineSpec extends AnyFunSuite {
       _ -> ("boom \"quoted\" \\slash\n" + "x" * 60).take(60))
     val line = Bench.renderLine(realResults.map { case (k, _) => k -> -1.0 },
       errs, "/root/testdata/sf0.1")
-    assert(line.length < 1900, s"all-failure line is ${line.length} chars")
+    assert(line.length < 1840, s"all-failure line is ${line.length} chars")
     val tree = mapper.readTree(line)
     assert(tree.get("errors").size() > 0, "some errors must survive the budget")
     // truncation is declared, never silent
@@ -43,7 +58,7 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("inventory growth past the fixed-parts budget fails loudly") {
-    // ~200 queries would push the fixed parts past 1760 chars; that must
+    // ~200 queries push the fixed parts past 1740 chars; that must
     // surface as a build-time failure, not a silent driver parse miss
     val huge = (1 to 200).map(i => f"zz$i%03d_q" -> 1.234)
     val e = intercept[IllegalArgumentException] {
@@ -56,7 +71,18 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.renderLine(
       Seq("q01_x" -> -1.0, "q02_y" -> 2.5), Seq("q01_x" -> "err"), "/d")
     val tree = mapper.readTree(line)
-    assert(tree.get("queries").get("q01").asDouble() === -1.0)
+    assert(tree.get("queries").get("q1").asDouble() === -1.0)
     assert(tree.get("value").asDouble() === 2.5, "total must exclude errored runs")
+  }
+
+  test("value rendering: trailing zeros stripped, still valid JSON numbers") {
+    val line = Bench.renderLine(
+      Seq("a1_x" -> 0.701, "a2_y" -> 2.0, "a3_z" -> 0.005), Seq.empty, "/d")
+    val tree = mapper.readTree(line)
+    assert(tree.get("queries").get("a1").asDouble() === 0.7)
+    assert(tree.get("queries").get("a2").asDouble() === 2.0)
+    assert(tree.get("queries").get("a3").asDouble() === 0.01)
+    // non-sfN.N dir falls back to the quoted path
+    assert(tree.get("sf").asText() === "/d")
   }
 }

@@ -82,7 +82,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "pr04_key_skew",     // two 1-row stat frames meet in a broadcast per column
     "q49_zorder_layout", // 1-row min/max stats broadcast into the quantizer
     "tx13_bm25_topdocs", // 1-row (nd, sl) corpus stats broadcast into the weight
-    "gr07_link_prediction" // 1-row capped-vertex count + the shared median broadcast
+    "gr07_link_prediction", // 1-row capped-vertex count + the shared median broadcast
+    "sk05_hll_overlap"   // two 1-row stat frames meet in a broadcast (pr04 pattern)
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
@@ -206,6 +207,32 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("pr05_referential_audit")
     assert(p.contains("BroadcastHashJoin"),
       "dimension parents (nation/supplier/customer) must broadcast")
+  }
+
+  test("q50: explicit-values pivot plans the two-phase PivotFirst shape") {
+    // .pivot(col, values) resolves to Catalyst's PivotFirst plan: a
+    // partial-combined aggregate on (year, status) — its shuffle carries
+    // group×pivot-cardinality partials, not fact rows — then a PivotFirst
+    // re-aggregate on (year) moving year-cardinality rows. Pin exactly
+    // those two exchanges, both map-side combined; a third exchange or a
+    // lost partial phase means fact rows started crossing the wire. (The
+    // one-arg pivot form would ALSO run a collect-distinct job against
+    // the fact table before planning; explicit values skip it.)
+    val p = plan("q50_pivot_report")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      "pivot must plan exactly the two PivotFirst shuffles")
+    assert(p.contains("partial"), "pivot aggregation must combine map-side")
+    assert(p.contains("pivotfirst"), "second phase must be PivotFirst, not a join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+  }
+
+  test("dc03: pair aggregate broadcasts back onto the test split") {
+    // the tainting-pair aggregate is benchmark-sized; it must come back
+    // as a broadcast LEFT join onto the held-out docs — a shuffled join
+    // here re-keys the whole test split for a KB-sized right side
+    val p = planFull("dc03_eval_integrity")
+    assert(p.contains("BroadcastHashJoin"), "pair aggregate must broadcast")
+    assert(p.contains("LeftOuter"), "clean rows must survive (LEFT join)")
   }
 
   test("LSH pipelines use the compiled expressions") {

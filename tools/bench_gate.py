@@ -48,7 +48,17 @@ def load_queries(path):
         d = d["parsed"]
     if "queries" not in d:
         raise SystemExit(f"[bench_gate] {path}: no 'queries' key")
-    return d["queries"], d.get("value")
+    return {canon(k): v for k, v in d["queries"].items()}, d.get("value")
+
+
+def canon(qid):
+    """Canonical bench key: zero padding in the numeric suffix stripped
+    ("dd03" -> "dd3"). Bench.renderLine switched to the stripped form in
+    r9 to keep the one-line JSON under the driver's 2000-char stdout
+    tail as the inventory grew; canonicalizing BOTH sides here keeps
+    cross-round diffs (r8 "dd03" vs r9 "dd3") firing across the change."""
+    m = re.match(r"^([A-Za-z_]*?)0*(\d+)$", qid)
+    return m.group(1) + m.group(2) if m else qid
 
 
 def load_waivers(path):
@@ -59,7 +69,9 @@ def load_waivers(path):
             for line in f:
                 m = re.match(r"^\s*[-*]\s+([A-Za-z0-9_]+)\s*:\s*(.+)$", line)
                 if m:
-                    waived[m.group(1)] = m.group(2).strip()
+                    # waiver ids canonicalized like query ids, so a
+                    # "- dd09: ..." bullet still waives a "dd9" key
+                    waived[canon(m.group(1))] = m.group(2).strip()
     except FileNotFoundError:
         pass
     return waived
