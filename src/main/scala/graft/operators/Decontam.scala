@@ -60,7 +60,7 @@ object Decontam {
   /** Flagged `(train_doc, test_doc, n_shared)` pairs — the dc01 body,
     * reused by dc02's purge.
     */
-  private def overlapPairs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def overlapPairs(s: SparkSession, dir: String): DataFrame = {
     val er = rareShingles(s, dir)
     val tr = er.filter(col("b") < 80).select(col("doc_id").as("train_doc"), col("g"))
     val te = er.filter(col("b") >= 90).select(col("doc_id").as("test_doc"), col("g"))
@@ -74,7 +74,7 @@ object Decontam {
     * flagged pairs. `graft_shingles` dedups within a doc, so COUNT(*)
     * per pair = |intersection of rare trigram sets|.
     */
-  private val pairsDuck =
+  private[operators] val pairsDuck =
     s"""WITH d AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w,
        |                  ${Sampling.duckBucket100Of("doc_id")} AS b
        |           FROM documents),

@@ -243,7 +243,7 @@ object Dedup {
     * SAME components: an inter-group edge stands for all-pairs between
     * the groups, a self-edge for the intra-family clique.
     */
-  private def clusterAssignments(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def clusterAssignments(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val (groups, mg) = textGroups(s, dir)
     val (inter, n) = groupJaccard(groups)
@@ -275,7 +275,31 @@ object Dedup {
        |      FROM er a JOIN er b ON a.g = b.g AND a.doc_id < b.doc_id
        |      GROUP BY a.doc_id, b.doc_id)""".stripMargin
 
-  private lazy val clusterCtes: String =
+  /** The dedup DELIVERABLE as a reusable id set: one keeper doc per
+    * near-dup cluster (its min doc id) plus every unclustered doc —
+    * dd08's keep-list without the per-keeper drop accounting, exposed
+    * for downstream pipeline stages (pp01).
+    */
+  private[operators] def keeperIds(s: SparkSession, dir: String): DataFrame = {
+    val clusters = clusterAssignments(s, dir)
+    docs(s, dir).select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("doc_id") === col("cluster"))
+      .select("doc_id")
+  }
+
+  /** DuckDB twin of [[keeperIds]] (a standalone subquery — its WITH
+    * scope is self-contained so composers can nest it without CTE name
+    * collisions).
+    */
+  private[operators] lazy val keeperIdsDuck: String =
+    s"""(WITH RECURSIVE $clusterCtes,
+       |clusters AS (SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id)
+       |SELECT dd.doc_id FROM documents dd
+       |LEFT JOIN clusters c ON c.doc_id = dd.doc_id
+       |WHERE c.doc_id IS NULL OR c.doc_id = c.cluster)""".stripMargin
+
+  private[operators] lazy val clusterCtes: String =
     s"""d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
        |sh AS (SELECT doc_id, $shingleDuck AS gs FROM d),
        |$pairScoreDuck,

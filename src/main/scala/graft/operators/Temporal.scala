@@ -149,5 +149,36 @@ object Temporal {
           .withColumn("conversion_rate",
             col("n_converted").cast("double") / col("n_users"))
     },
+
+    GraftQuery(
+      "q51_rolling_distinct",
+      Some("""WITH ad AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |days AS (SELECT DISTINCT day FROM ad)
+             |SELECT d.day, COUNT(DISTINCT a.user_id) AS active_7d
+             |FROM days d JOIN ad a ON a.day BETWEEN d.day - 6 AND d.day
+             |GROUP BY 1""".stripMargin),
+      "Rolling 7-day distinct users per day (the DAU/WAU retention shape) — computed EXACTLY without the oracle's range self-join, which expands the fact table 7x and re-deduplicates per window (and a COUNT(DISTINCT) over a RANGE frame can't combine map-side at all). Construction: a user is in the window ending day d iff their latest active day at-or-before d is within 6 days — so consecutive active days [a_i, a_{i+1}) yield DISJOINT contribution intervals [a_i, min(a_i+6, a_{i+1}-1)], and a plain per-day COUNT of exploded interval days equals the distinct-user count. One user-keyed set aggregation (map-side partial_collect_set — the shuffle carries per-task day sets, not events), map-side interval explode bounded by 7 rows per user-day, one day-keyed count, and a day-cardinality broadcast join restricting output to observed days. Every wide stage is user- or day-cardinality; at 100 TB the fact table crosses the wire once, pre-combined.") {
+      (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+        val perUser = ev
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .groupBy("user_id")
+          .agg(sort_array(collect_set(col("day"))).as("days"))
+        // consecutive-active-day contribution intervals, exploded: each
+        // (user, window-end day) appears exactly once by disjointness
+        val contrib = perUser.select(
+          explode(expr(
+            """flatten(transform(days, (d, i) ->
+              |  sequence(d, least(date_add(d, 6),
+              |    if(i + 1 < size(days),
+              |       date_add(element_at(days, i + 2), -1),
+              |       date_add(d, 6))))))""".stripMargin)).as("day"))
+        // report only days that actually occur (a pruned one-column
+        // re-scan at day cardinality, broadcast back)
+        val observed = ev.select(to_date(col("ts")).as("day")).distinct()
+        contrib.groupBy("day").agg(count(lit(1)).as("active_7d"))
+          .join(broadcast(observed), Seq("day"))
+          .select(col("day"), col("active_7d"))
+    },
   )
 }

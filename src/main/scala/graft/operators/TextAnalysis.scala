@@ -335,34 +335,7 @@ object TextAnalysis {
 
     GraftQuery(
       "tx12_filter_chain",
-      Some("""WITH d AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM documents),
-             |bi AS (SELECT doc_id, UNNEST(CASE WHEN LEN(w) >= 2 THEN
-             |         LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i+1])
-             |       ELSE [] END) AS bg FROM d),
-             |c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
-             |rep AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac FROM c GROUP BY doc_id),
-             |m AS (SELECT doc_id, lang, LEN(w) AS n_tokens,
-             |        CAST(LEN(LIST_FILTER(w, x -> x IN ('the','a','of','and'))) AS DOUBLE) / LEN(w) AS stop_ratio,
-             |        LEN(LIST_FILTER(w, x -> x IN ('the','a','of','and'))) AS en_hits,
-             |        LEN(LIST_FILTER(w, x -> x IN ('der','die','das','und'))) AS de_hits,
-             |        LEN(LIST_FILTER(w, x -> x IN ('le','la','les','et'))) AS fr_hits,
-             |        LEN(LIST_FILTER(w, x -> x IN ('el','los','las','y'))) AS es_hits
-             |      FROM d),
-             |g AS (SELECT m.*, CASE WHEN GREATEST(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
-             |            WHEN en_hits >= GREATEST(de_hits, fr_hits, es_hits) THEN 'en'
-             |            WHEN de_hits >= GREATEST(fr_hits, es_hits) THEN 'de'
-             |            WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END AS guess FROM m)
-             |SELECT g.doc_id, CAST(n_tokens AS INT) AS n_tokens,
-             |       CASE WHEN n_tokens < 20 THEN 'too_short'
-             |            WHEN n_tokens > 90 THEN 'too_long'
-             |            WHEN stop_ratio < 0.01 THEN 'low_stopword'
-             |            WHEN COALESCE(r.top_frac, 0.0) > 0.10 THEN 'repetitive'
-             |            WHEN guess <> lang THEN 'lang_mismatch'
-             |            ELSE 'kept' END AS reason,
-             |       CASE WHEN n_tokens BETWEEN 20 AND 90 AND stop_ratio >= 0.01
-             |             AND COALESCE(r.top_frac, 0.0) <= 0.10 AND guess = lang
-             |            THEN 1 ELSE 0 END AS keep
-             |FROM g LEFT JOIN rep r USING (doc_id)""".stripMargin),
+      Some(filterChainDuck),
       "The COMPOSED quality-filter chain (C4/Gopher-style) — the single gating pass a training pipeline actually ships, not the individual signals: length bounds, minimum stopword density (too FEW stopwords = not natural language — the C4 rule), within-doc repetition (tx09's top-bigram fraction), and language agreement (tx03's guess vs the declared tag), folded into one verdict per document with a FIRST-FAILING-RULE reason — the cdc05 drop-taxonomy discipline applied to document filtering: every drop is attributed, nothing vanishes silently. All signals are per-doc map math except the repetition score's two doc-keyed map-side-combining aggregations; the signals join on doc_id (co-partitioned by the same key), so the chain is one linear pass — embarrassingly parallel at 100 TB, and the reason column is exactly what you GROUP BY to audit a corpus-scale filter run. Ratio comparisons are single IEEE divisions of identical integers on both engines — bit-identical, no rounding games.") {
       (s, dir) =>
         val en = inList(profiles("en"))

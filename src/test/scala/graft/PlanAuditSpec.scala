@@ -226,6 +226,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
   }
 
+  test("q51: rolling distinct combines map-side; observed days broadcast") {
+    // the user-keyed set aggregation must plan a partial (the shuffle
+    // carries per-task day sets, not raw events), the day restriction
+    // must be a broadcast, and nothing may fall back to a sort-merge
+    // join — any of those regressions puts fact-table rows on the wire
+    val p = plan("q51_rolling_distinct")
+    assert(p.contains("partial_collect_set"),
+      "day sets must combine map-side before the user shuffle")
+    assert(p.contains("BroadcastHashJoin"), "observed-day filter must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"))
+  }
+
   test("dc03: pair aggregate broadcasts back onto the test split") {
     // the tainting-pair aggregate is benchmark-sized; it must come back
     // as a broadcast LEFT join onto the held-out docs — a shuffled join

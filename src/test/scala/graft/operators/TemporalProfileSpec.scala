@@ -53,6 +53,34 @@ class TemporalProfileSpec extends AnyFunSuite {
     assert(exchanges.size <= 2, s"unexpected exchanges: $exchanges")
   }
 
+  test("q51: disjoint-interval rolling distinct equals the brute-force window") {
+    // the query's whole trick is that a plain COUNT of exploded
+    // contribution intervals equals COUNT(DISTINCT user) per trailing
+    // 7-day window; replay that claim against a brute-force reference
+    // over the collected (day, user) pairs
+    val got = run("q51_rolling_distinct").collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    val ad = graft.Tables.load(spark, sf001, "events")
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = ad.map(_._1).distinct
+    val expect = days.map { d =>
+      d -> ad.filter { case (a, _) =>
+        !a.isAfter(d) && !a.isBefore(d.minusDays(6)) }.map(_._2).distinct.size.toLong
+    }.toMap
+    assert(got == expect, "rolling distinct diverged from brute force")
+    // the construction is only interesting if some user has a GAP
+    // (non-consecutive active days) — otherwise intervals never truncate
+    val hasGap = ad.groupBy(_._2).values.exists { ds =>
+      val s = ds.map(_._1).sorted
+      s.sliding(2).exists { w => w.length == 2 && w(0).plusDays(1).isBefore(w(1)) }
+    }
+    assert(hasGap, "fixture has no per-user gap — interval truncation untested")
+  }
+
   test("pr01/pr02: profile totals are consistent with each other") {
     val prof = run("pr01_column_profile").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
