@@ -34,11 +34,25 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     pinSessionConf(spark)
     if (name == "events") {
-      // ts read as nano-long, floor-converted to micros — the same
-      // truncation DuckDB applies, so oracle parity holds.
+      // Driver fixtures have shipped events.ts both ways: parquet
+      // TIMESTAMP(NANOS) (surfaces as nano-long under nanosAsLong) and
+      // native TIMESTAMP(MICROS). Adapt on schema: a long is
+      // floor-converted to micros — the same truncation DuckDB
+      // applies, so oracle parity holds — a timestamp passes through.
+      // Either way the surfaced type is TIMESTAMP (LTZ): the session TZ
+      // is pinned UTC, so an NTZ→LTZ cast is value-identical, and the
+      // downstream surface (unix_micros, java.sql.Timestamp getters)
+      // keeps the contract the nano-long era established.
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .select(raw.columns.map(col): _*)
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+            .select(raw.columns.map(col): _*)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+            .select(raw.columns.map(col): _*)
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -40,6 +40,52 @@ object TextAnalysis {
     * DECIMAL in both dialects and would route through each engine's own
     * decimal rules instead of IEEE doubles).
     */
+  /** tx12's DuckDB oracle: the same first-failing-rule chain, built
+    * from the tx09 repetition CTE and the tx03 hits/guess CASE. All
+    * thresholds use `e0` double literals (a bare `0.10` parses as
+    * DECIMAL in DuckDB and would compare under decimal rules, not
+    * IEEE doubles — the same trap Bm25W documents).
+    */
+  private val filterChainDuck: String = {
+    val hits = profiles.map { case (l, ws) =>
+      s"LEN(LIST_FILTER(w, x -> x IN ${inList(ws)})) AS ${l}_hits"
+    }.mkString(",\n       ")
+    s"""WITH d AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w FROM documents),
+       |bi AS (SELECT doc_id, UNNEST(CASE WHEN LEN(w) >= 2 THEN
+       |         LIST_TRANSFORM(RANGE(1, LEN(w)), i -> w[i] || ' ' || w[i+1])
+       |       ELSE [] END) AS bg
+       |       FROM d),
+       |c AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+       |rep AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac
+       |        FROM c GROUP BY doc_id),
+       |m AS (SELECT doc_id, lang,
+       |       CAST(LEN(w) AS INT) AS n_tokens,
+       |       CAST(LEN(LIST_FILTER(w, x -> x IN ${inList(profiles("en"))})) AS DOUBLE)
+       |         / LEN(w) AS stop_ratio,
+       |       $hits
+       |      FROM d),
+       |g AS (SELECT m.*,
+       |       CASE WHEN GREATEST(en_hits, de_hits, fr_hits, es_hits) = 0 THEN 'und'
+       |            WHEN en_hits >= GREATEST(de_hits, fr_hits, es_hits) THEN 'en'
+       |            WHEN de_hits >= GREATEST(fr_hits, es_hits) THEN 'de'
+       |            WHEN fr_hits >= es_hits THEN 'fr'
+       |            ELSE 'es' END AS guess
+       |      FROM m),
+       |j AS (SELECT g.*, COALESCE(rep.top_frac, 0.0e0) AS top_frac
+       |      FROM g LEFT JOIN rep USING (doc_id))
+       |SELECT doc_id, n_tokens,
+       |       CASE WHEN n_tokens < 20 THEN 'too_short'
+       |            WHEN n_tokens > 90 THEN 'too_long'
+       |            WHEN stop_ratio < 0.01e0 THEN 'low_stopword'
+       |            WHEN top_frac > 0.10e0 THEN 'repetitive'
+       |            WHEN guess <> lang THEN 'lang_mismatch'
+       |            ELSE 'kept' END AS reason,
+       |       CASE WHEN n_tokens BETWEEN 20 AND 90 AND stop_ratio >= 0.01e0
+       |            AND top_frac <= 0.10e0 AND guess = lang THEN 1 ELSE 0
+       |       END AS "keep"
+       |FROM j""".stripMargin
+  }
+
   private val Bm25W =
     "(CAST(tf AS DOUBLE) * 2.2e0) / (CAST(tf AS DOUBLE) + 1.2e0 * " +
       "(0.25e0 + (0.75e0 * CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE)) / CAST(sl AS DOUBLE)))"
