@@ -192,5 +192,40 @@ object Profile {
           .unionByName(probe("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey", bcast = true))
           .unionByName(probe("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", bcast = true))
     },
+
+    GraftQuery(
+      "pr06_completeness_audit",
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             |         COUNT(*) AS n_events,
+             |         COUNT(DISTINCT user_id) AS n_users,
+             |         COUNT(DISTINCT event_type) AS n_types
+             |  FROM events GROUP BY 1),
+             |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+             |cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+             |        FROM bounds)
+             |SELECT c.day,
+             |       COALESCE(d.n_events, 0) AS n_events,
+             |       COALESCE(d.n_users, 0) AS n_users,
+             |       COALESCE(d.n_types, 0) AS n_types,
+             |       CASE WHEN d.day IS NULL THEN 1 ELSE 0 END AS is_missing
+             |FROM cal c LEFT JOIN daily d USING (day)""".stripMargin),
+      "Ingest completeness / freshness audit — the arrival-monitoring pass a pipeline runs before trusting a day's data: per calendar day between the observed bounds, event volume, exact distinct users and event types, and an explicit is_missing flag for days with NO data at all (a day absent from a GROUP BY is invisible; an audit must surface it as a row, not an absence — q46's densification discipline applied to data quality). The fact table aggregates FIRST in one day-keyed map-side-combining shuffle (the two exact distincts share the day partitioning via Expand); bounds, calendar generation, and the flag join all run at day cardinality, so audit cost is one fact pass regardless of scale. All outputs are exact integers — nothing to diverge cross-engine.") {
+      (s, dir) =>
+        val daily = Tables.load(s, dir, "events")
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            countDistinct(col("event_type")).as("n_types"))
+        val cal = daily.agg(min("day").as("lo"), max("day").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+        cal.join(daily.withColumn("present", lit(1)), Seq("day"), "left")
+          .select(col("day"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            coalesce(col("n_users"), lit(0L)).as("n_users"),
+            coalesce(col("n_types"), lit(0L)).as("n_types"),
+            when(col("present").isNull, 1).otherwise(0).as("is_missing"))
+    },
   )
 }

@@ -180,5 +180,48 @@ object Temporal {
           .join(broadcast(observed), Seq("day"))
           .select(col("day"), col("active_7d"))
     },
+
+    GraftQuery(
+      "q52_sessionize",
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, event_id,
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |f AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN prev IS NULL
+             |              OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
+             |         ELSE 0 END AS new_s
+             |  FROM o),
+             |s AS (
+             |  SELECT user_id, ts,
+             |         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM f)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |       COUNT(*) AS n_events,
+             |       MIN(ts) AS session_start, MAX(ts) AS session_end,
+             |       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+             |FROM s GROUP BY user_id, session_id""".stripMargin),
+      "Gap-based sessionization (30-min inactivity boundary) — the canonical event-stream reshape clickstream/telemetry analytics is built on, and the batch twin of st09's session_window. ONE user_id sort-shuffle does everything: lag marks session starts, a running sum over the same window numbers them, and the per-(user, session) rollup inherits the partitioning (grouping keys are a superset of the partition key — no second fact exchange; the plan's only other work is map-side). The gap test and duration are exact integer microsecond arithmetic (epoch_us both engines), so the result is hash-identical cross-engine — no interval or float rounding anywhere.") {
+      (s, dir) =>
+        val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.load(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("ts"), 1).over(wOrd))
+          .withColumn("new_s",
+            when(col("prev").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_s")).over(wRun))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+              .as("duration_us"))
+    },
   )
 }

@@ -247,6 +247,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LeftOuter"), "clean rows must survive (LEFT join)")
   }
 
+  test("q52: sessionization is one user shuffle; rollup inherits the window partitioning") {
+    // the lag/running-sum window and the (user, session) rollup must
+    // share ONE hashpartitioning(user_id) exchange — the grouping keys
+    // are a superset of the partition key, so a second fact-sized
+    // exchange means Catalyst stopped recognizing the co-partitioning
+    val p = plan("q52_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "exactly one user_id shuffle for window + rollup")
+    assert(p.contains("Window"), "session numbering must be a window, not a join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("pr06: completeness audit aggregates fact-side first; calendar joins at day scale") {
+    // the day rollup must combine map-side (Expand for the two exact
+    // distincts notwithstanding) and the calendar LEFT join must be a
+    // broadcast at day cardinality — a sort-merge join here means the
+    // densification re-shuffled day-scale data as if it were fact-scale
+    val p = plan("pr06_completeness_audit")
+    assert(p.contains("partial"), "day aggregation must combine map-side")
+    assert(!p.contains("SortMergeJoin"), "calendar join must broadcast")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("LSH pipelines use the compiled expressions") {
     // full-plan mode sees past the materialization point, so the
     // builders' own invocations are asserted (not merely registration)
