@@ -676,6 +676,41 @@ object Dedup {
             sum(when(col("h").isNull, 0).otherwise(1)).as("n_caught"))
           .withColumn("recall", col("n_caught").cast("double") / col("n_true"))
     },
+
+    GraftQuery(
+      "dd11_chunk_dedup",
+      Some("""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w,
+             |                 LEN(STRING_SPLIT(text, ' ')) AS n FROM documents),
+             |s AS (SELECT doc_id, w, UNNEST(RANGE(0, GREATEST(n, 1), 40)) AS start FROM d),
+             |ch AS (SELECT DISTINCT doc_id,
+             |              MD5(ARRAY_TO_STRING(w[start + 1 : start + 50], ' ')) AS fp
+             |       FROM s),
+             |cnt AS (SELECT fp, COUNT(*) AS nd FROM ch GROUP BY fp)
+             |SELECT doc_id, COUNT(*) AS n_chunks,
+             |       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             |       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             |         AS shared_frac
+             |FROM ch JOIN cnt USING (fp)
+             |GROUP BY doc_id""".stripMargin),
+      "Chunk-granularity exact dedup audit — the boilerplate-span detector BETWEEN dd01 (whole-doc exact) and dd03/dd05 (whole-doc fuzzy): tx08's 50-token/stride-40 windows are fingerprinted (md5 — 16 bytes cross the wire, never chunk text) and a chunk is 'shared' when its fingerprint occurs in >= 2 distinct docs; the per-doc shared fraction is the repeated-template signal (headers, license blocks, navboxes) that whole-document passes structurally miss. Chunking and fingerprinting are map-side; the (doc, fp) distinct and the fp-count aggregation each combine map-side before their one keyed shuffle; the count-lookup join is fp-keyed at fingerprint cardinality. The scale note from tx11 applies: at 100 TB the frequent head ('every page has this footer') is THE skew bomb — split hot fingerprints to a broadcast join exactly as tx11's LmHeadDf does. Counts are exact integers; the fraction is one shared IEEE division — hash-identical cross-engine.") {
+      (s, dir) =>
+        val ch = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("n", size(col("w")))
+          .select(col("doc_id"), col("w"),
+            explode(expr("sequence(0, greatest(n - 1, 0), 40)")).as("start"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", expr("slice(w, start + 1, 50)"))).as("fp"))
+          .distinct()
+        val cnt = ch.groupBy("fp").agg(count(lit(1)).as("nd"))
+        ch.join(cnt, Seq("fp"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") >= 2, 1).otherwise(0)).cast("long").as("n_shared"))
+          .withColumn("shared_frac",
+            col("n_shared").cast("double") / col("n_chunks"))
+    },
   )
 
   /** The dd06/dd09 shared core, pre-expansion.

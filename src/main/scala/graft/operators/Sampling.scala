@@ -245,5 +245,19 @@ object Sampling {
           .agg(
             count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("bin_tokens"))
+    },
+
+    GraftQuery(
+      "sp09_global_exact_k",
+      Some("""SELECT doc_id, lang, source
+             |FROM documents
+             |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             |LIMIT 200""".stripMargin),
+      "Exactly-k GLOBAL uniform sample without replacement (k=200) — the distributed replacement for reservoir sampling: rank the corpus by md5(key) and keep the k smallest. Hash order is independent of data order, so this is a uniform draw, and unlike a reservoir it is deterministic, mergeable, and re-runnable (the same 200 docs on any cluster layout — sp01's reproducibility contract at exact-k cardinality). Spark plans orderBy+limit as TakeOrderedAndProject: each task keeps a local top-200 heap and only k-sized heaps cross the wire — no global sort, no single-reducer bottleneck, linear at 100 TB (plan-audited; sp03 is the per-stratum sibling).") {
+      (s, dir) =>
+        docs(s, dir)
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .limit(200)
+          .select("doc_id", "lang", "source")
     })
 }

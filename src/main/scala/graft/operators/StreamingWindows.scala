@@ -205,5 +205,28 @@ object StreamingWindows {
             col("session_window.end").as("session_end"),
             col("n_views"), col("n_purchases"), col("converted"))
     },
+
+    GraftQuery(
+      "st10_semi_interval_join",
+      Some("""SELECT p.user_id, p.event_id AS purchase_id, p.ts
+             |FROM events p
+             |WHERE p.event_type = 'purchase' AND EXISTS (
+             |  SELECT 1 FROM events v
+             |  WHERE v.event_type = 'view' AND v.user_id = p.user_id
+             |    AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR)""".stripMargin),
+      "Stream-stream LEFT SEMI interval join — attribution as a FILTER, not a fan-out: purchases that had at least one view from the same user in the preceding hour, each emitted exactly once however many views matched (st05's inner join multiplies a purchase by its matching views; when the downstream consumer only needs 'qualified' events, that multiplication is pure shuffle amplification — a hot user with 1000 views makes the semi join 1000x cheaper on the wire). In streaming, semi is also the cheapest stateful join: the left row needs only a matched bit, and the same interval bound lets the state store evict views older than watermark + 1h (real watermarked run in StreamingEquivalenceSpec). Batch twin plans a LeftSemi hash join on user_id; the oracle states it as EXISTS — the decorrelation Catalyst and DuckDB both perform.") {
+      (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+        p.join(v,
+            col("user_id") === col("v_user_id") &&
+              col("ts") >= col("v_ts") &&
+              col("ts") < col("v_ts") + expr("INTERVAL 1 HOUR"),
+            "leftsemi")
+          .select(col("user_id"), col("purchase_id"), col("ts"))
+    },
   )
 }

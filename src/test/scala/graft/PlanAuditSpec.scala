@@ -166,6 +166,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // never a shuffled join against the corpus
     assert(plan("sp04_source_quota_sample").contains("BroadcastHashJoin"),
       "sp04 rates must broadcast")
+    // sp09's global exact-k must be the per-task-heap merge, never a
+    // global sort (a Sort+Limit pair means one reducer sees the corpus)
+    val p09 = plan("sp09_global_exact_k")
+    assert(p09.contains("TakeOrderedAndProject"),
+      "sp09 must plan TakeOrderedAndProject")
+    assert(!p09.contains("Exchange hashpartitioning"), "sp09 must not hash-shuffle")
   }
 
   test("q42: date-range read prunes partition directories at plan time") {

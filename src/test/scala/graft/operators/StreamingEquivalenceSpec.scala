@@ -234,6 +234,34 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     assert(batchNulls.count() > 0, "fixture must exercise the outer (null) path")
   }
 
+  test("stream-stream LEFT SEMI interval join == batch twin") {
+    // semi join: each purchase emits at most once (a matched bit, not a
+    // per-view fan-out); with AvailableNow every matched purchase's
+    // match is eventually seen, so streamed == batch exactly
+    val v = streamEvents.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val p = streamEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val joined = p.join(v,
+        col("user_id") === col("v_user_id") &&
+          col("ts") >= col("v_ts") &&
+          col("ts") < col("v_ts") + expr("INTERVAL 1 HOUR"),
+        "leftSemi")
+      .select(col("user_id"), col("purchase_id"), col("ts"))
+    val streamed = runToMemory(joined, "st10_stream", "append")
+    val batch = StreamingWindows.all.find(_.name == "st10_semi_interval_join").get
+      .build(spark, sf0001)
+    assert(sortedRows(streamed) === sortedRows(batch))
+    assert(batch.count() > 0, "fixture must exercise the semi join")
+    // the filter semantics must actually bite: some purchases have no
+    // qualifying view, else the semi join is a no-op pass-through
+    val allP = graft.Tables.load(spark, sf0001, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(batch.count() < allP, "fixture must reject some purchases")
+  }
+
   test("cdc06 monitoring view runs as a real stream: parser + window == batch twin") {
     import java.nio.file.{Files => JFiles, Paths => JPaths}
     // stage Debezium envelopes (valid deletes) as a file stream
