@@ -53,6 +53,32 @@ class DedupSpec extends AnyFunSuite {
     assert(deduped === distinctTexts)
   }
 
+  test("dd11 chunk dedup matches a driver-side reference and finds real shared spans (sf0.01)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    // reference: same 50-token/stride-40 windows, distinct fps per doc
+    val perDoc = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val starts = 0 to math.max(w.length - 1, 0) by 40
+      id -> starts.map(s => md5hex(w.slice(s, s + 50).mkString(" "))).toSet
+    }.toMap
+    val fpDocs = perDoc.toSeq.flatMap { case (id, fps) => fps.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expect = perDoc.map { case (id, fps) =>
+      id -> (fps.size.toLong, fps.count(fpDocs(_) >= 2).toLong)
+    }
+    val got = byName("dd11_chunk_dedup").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect, "chunk dedup diverged from the sequential reference")
+    assert(expect.values.exists(_._2 > 0),
+      "fixture has no cross-doc shared chunk — the audit is vacuous")
+    assert(expect.values.exists(v => v._2 == 0L),
+      "every doc shares a chunk — the audit cannot discriminate")
+  }
+
   test("min-label propagation labels a long chain correctly when the cap suffices") {
     import spark.implicits._
     // a 30-vertex path graph: diameter 29, worst case for label hops —

@@ -46,6 +46,25 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("sp09 global exact-k: deterministic, partitioning-invariant, hash-minimal (sf0.01)") {
+    val got = byName("sp09_global_exact_k").build(spark, sf001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 200, "must return exactly k distinct docs")
+    // the selected set must be the k smallest md5 ranks — recompute the
+    // reference selection driver-side from the full corpus
+    val ranked = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .sortBy(identity).take(200).map(_._2).toSet
+    assert(got == ranked, "selection must be exactly the 200 smallest md5 ranks")
+    // invariance: the same 200 docs from a re-partitioned scan
+    val reparted = Tables.load(spark, sf001, "documents")
+      .repartition(7, col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == reparted, "exact-k selection must not depend on partitioning")
+  }
+
   test("pk01 running-total packing matches a sequential reference packer (sf0.01)") {
     val out = byName("pk01_token_packing").build(spark, sf001)
       .collect().map(r => ((r.getString(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap

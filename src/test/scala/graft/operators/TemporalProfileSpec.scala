@@ -30,6 +30,56 @@ class TemporalProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("q52: sessions are gap-consistent and match a sequential reference sessionizer") {
+    // replay the sessionizer per user on the collected event stream:
+    // same 30-min rule, same (ts, event_id) order — session count,
+    // sizes, and bounds must agree row-for-row
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val events = graft.Tables.load(spark, sf001, "events")
+      .select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2)))
+    val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer[List[Long]]()
+      var cur = List.empty[Long]
+      var prev = Long.MinValue
+      for ((_, ts, _) <- sorted) {
+        if (cur.nonEmpty && ts - prev > 1800000000L) { sessions += cur; cur = Nil }
+        cur = ts :: cur
+        prev = ts
+      }
+      if (cur.nonEmpty) sessions += cur
+      sessions.zipWithIndex.map { case (tss, i) =>
+        (u, i + 1L) -> (tss.size.toLong, tss.min, tss.max)
+      }
+    }.toMap
+    val got = run("q52_sessionize").collect().map { r =>
+      (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), us(r.getTimestamp(3)), us(r.getTimestamp(4)))
+    }.toMap
+    assert(got.size == expected.size, "session count mismatch")
+    expected.foreach { case (k, v) => assert(got(k) == v, s"session $k diverged") }
+    assert(expected.exists(_._2._1 > 1), "fixture must produce a multi-event session")
+    assert(expected.keys.groupBy(_._1).values.exists(_.size > 1),
+      "fixture must produce a user with >1 session, or the gap rule is vacuous")
+  }
+
+  test("pr06: flags are consistent and the day range is complete") {
+    val rows = run("pr06_completeness_audit").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    // contiguous calendar: every day between bounds appears exactly once
+    val days = rows.map(_._1).sorted
+    assert(days.distinct.size == days.size)
+    assert(days.zip(days.drop(1)).forall { case (a, b) => a.plusDays(1) == b },
+      "calendar must be gap-free")
+    // flag agrees with the counts in both directions
+    rows.foreach { case (d, n, u, t, miss) =>
+      assert((miss == 1) == (n == 0L), s"$d: is_missing must equal n_events==0")
+      if (n > 0) assert(u > 0 && t > 0, s"$d: present day must have users and types")
+    }
+  }
+
   test("q46: fixture has real gaps (zero-filled days) and fill carries values forward") {
     val rows = run("q46_gap_fill").collect()
       .map(r => (r.getString(0), r.getLong(2), Option(r.get(3))))
