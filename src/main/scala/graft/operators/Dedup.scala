@@ -711,7 +711,94 @@ object Dedup {
           .withColumn("shared_frac",
             col("n_shared").cast("double") / col("n_chunks"))
     },
+
+    GraftQuery(
+      "dd12_incremental_dedup",
+      Some(s"""WITH dall AS (SELECT doc_id, text,
+              |               ${Sampling.duckBucket100Of("doc_id")} AS bkt FROM documents),
+              |inc AS (SELECT doc_id, text FROM dall WHERE bkt < 10),
+              |corp AS (SELECT doc_id, text FROM dall WHERE bkt >= 10),
+              |ex AS (SELECT i.doc_id, MIN(c.doc_id) AS m
+              |       FROM inc i JOIN corp c ON md5(i.text) = md5(c.text) GROUP BY 1),
+              |dcx AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM corp),
+              |shcx AS (SELECT doc_id, $shingleDuck AS gs FROM dcx),
+              |ecx AS (SELECT doc_id, UNNEST(gs) AS g FROM shcx),
+              |rare AS (SELECT g FROM ecx GROUP BY g HAVING COUNT(*) <= $DfCap),
+              |ec AS (SELECT e.doc_id, e.g FROM ecx e JOIN rare USING (g)),
+              |dix AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM inc),
+              |shix AS (SELECT doc_id, $shingleDuck AS gs FROM dix),
+              |eix AS (SELECT doc_id, UNNEST(gs) AS g FROM shix),
+              |ei AS (SELECT e.doc_id, e.g FROM eix e JOIN rare USING (g)),
+              |nc AS (SELECT doc_id, COUNT(*) AS n FROM ec GROUP BY 1),
+              |ni AS (SELECT doc_id, COUNT(*) AS n FROM ei GROUP BY 1),
+              |p AS (SELECT i.doc_id AS di, c.doc_id AS dc, COUNT(*) AS shared
+              |      FROM ei i JOIN ec c ON i.g = c.g GROUP BY 1, 2),
+              |near AS (SELECT p.di AS doc_id, MIN(p.dc) AS m
+              |         FROM p JOIN ni ON ni.doc_id = p.di
+              |                JOIN nc ON nc.doc_id = p.dc
+              |         WHERE CAST(shared AS DOUBLE) / (ni.n + nc.n - shared) >= 0.8
+              |         GROUP BY 1)
+              |SELECT i.doc_id,
+              |       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+              |            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+              |            ELSE 'new' END AS verdict,
+              |       CAST(COALESCE(ex.m, nr.m) AS BIGINT) AS match_id
+              |FROM inc i
+              |LEFT JOIN ex ON ex.doc_id = i.doc_id
+              |LEFT JOIN near nr ON nr.doc_id = i.doc_id""".stripMargin),
+      "Incremental ingestion dedup — the form every dd-family pass takes in PRODUCTION: a new crawl drop (10% md5 split) is admitted against the EXISTING corpus, not against itself. Per incoming doc, one verdict with audit provenance: exact_dup (byte-identical text already in the corpus — md5 fingerprint equi-join, 16 bytes per doc cross the wire), near_dup (word-trigram Jaccard >= 0.8 against a corpus doc over the df-capped inverted index — dd05's threshold / cap / join shape applied CROSS-SPLIT, similarity measured in the corpus index's rare-shingle vocabulary), or new; match_id = the smallest matching corpus doc (deterministic), null for new. The at-scale asymmetry is the whole point: the corpus fingerprint store and inverted index are the PERSISTED artifacts (built once, incrementally maintained — Compaction's snapshot discipline), and each drop probes them at drop-size cost: the incoming side of every join is drop-sized, the df cap bounds each incoming shingle's fan-out at 50 corpus postings, and nothing ever re-pairs corpus-vs-corpus (the m² the batch passes pay). Priority exact > near is a CASE after two LEFT probes; every count is an exact integer, the Jaccard division is the dd05 IEEE division — hash-identical cross-engine.") {
+      (s, dir) =>
+        incrementalVerdicts(s, spread(docs(s, dir), "doc_id"))
+    },
   )
+
+  /** dd12's core over any `(doc_id, text)` frame — split by md5 bucket
+    * into a 10% incoming drop + 90% corpus, then verdict each incoming
+    * doc (exact_dup / near_dup / new + min-matching-corpus-doc audit
+    * id). Factored so the spec can drive the exact_dup branch on a
+    * synthetic frame: the generated fixtures contain no byte-identical
+    * clone family at verify scale (checked — 0 families at sf0.01), so
+    * only a constructed input can prove the exact path end-to-end.
+    */
+  private[operators] def incrementalVerdicts(
+      s: SparkSession, d0: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val dall = d0.withColumn("bkt", expr(Sampling.bucket100("doc_id")))
+    val inc = dall.filter(col("bkt") < 10).select("doc_id", "text")
+    val corp = dall.filter(col("bkt") >= 10).select("doc_id", "text")
+    val exact = inc.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(corp.select(md5(col("text")).as("fp"), col("doc_id").as("cid")), "fp")
+      .groupBy("doc_id").agg(min(col("cid")).as("exact_match"))
+    // corpus-side df cap (the persisted index's vocabulary); both
+    // splits' shingle streams are filtered by it
+    val shC = corp.withColumn("gs", expr("graft_shingles(text)"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val rare = shC.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("g")
+    val ec = Materialize(shC.join(rare, "g"))
+    val ei = Materialize(inc.withColumn("gs", expr("graft_shingles(text)"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(rare, "g"))
+    val nc = ec.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ni = ei.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val near = ei.select(col("doc_id").as("di"), col("g"))
+      .join(ec.select(col("doc_id").as("dc"), col("g")), "g")
+      .groupBy("di", "dc").agg(count(lit(1)).as("shared"))
+      .join(ni.select(col("doc_id").as("di"), col("n").as("n_i")), "di")
+      .join(nc.select(col("doc_id").as("dc"), col("n").as("n_c")), "dc")
+      .filter(col("shared").cast("double") /
+        (col("n_i") + col("n_c") - col("shared")) >= 0.8)
+      .groupBy(col("di").as("doc_id")).agg(min(col("dc")).as("near_match"))
+    inc.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_match"), col("near_match"))
+          .cast("bigint").as("match_id"))
+  }
 
   /** The dd06/dd09 shared core, pre-expansion.
     *

@@ -421,6 +421,70 @@ object Graph {
             (col("n_common").cast("double") /
               (col("deg_a") + col("deg_b") - col("n_common"))).as("score"),
             col("n_capped_vertices"))
+    },
+
+    GraftQuery(
+      "gr08_connected_components",
+      // ground truth is the transitive closure itself: component(v) =
+      // MIN over everything reachable from v (undirected), via a
+      // dedup-recursive CTE seeded at every node — algorithm-free, so
+      // the pointer-jumping loop is checked against the DEFINITION
+      Some(s"""WITH RECURSIVE ${edgesDuckQ("0.9")},
+              |und AS (SELECT src AS a, dst AS b FROM edges
+              |        UNION SELECT dst, src FROM edges),
+              |reach(root, node) AS (
+              |  SELECT n_nationkey, n_nationkey FROM nation
+              |  UNION
+              |  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node),
+              |lab AS (SELECT root AS node, MIN(node) AS component FROM reach GROUP BY root)
+              |SELECT CAST(node AS INT) AS node, CAST(component AS INT) AS component,
+              |       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
+              |FROM lab""".stripMargin),
+      "Connected components by min-label propagation WITH POINTER JUMPING — the dd07 primitive upgraded to the algorithm web-scale CC actually needs. Plain min-propagation (dd07's loop) takes component-DIAMETER rounds: on a 100 TB web or near-dup graph whose giant component has diameter in the hundreds, that is hundreds of shuffles. Here every round does two things: (1) one neighbor-min hop — edge-grain map-side-combining MIN, the vertex-sized label table rides a broadcast, the pinned edge list is NEVER reshuffled; then (2) a pointer jump, component <- component(component), a vertex-scale self-join that halves the remaining pointer depth — so convergence is O(log n) rounds on ANY diameter (the Shiloach-Vishkin/path-doubling discipline used by every MapReduce-CC paper since Kiveris et al.). Labels only decrease, so the fixpoint probe is a checkpointed changed-flag scan (dd07's trick), and hitting the round cap THROWS loudly rather than emitting labels that disagree with the closure. Run at the p90 sparsification so the fixture graph genuinely fragments (>= 2 components at every scale — GraphSpec pins it against a driver-side union-find). Output: every vertex with its component id (= component min, deterministic) and exact component size. CC is the backbone op under dd07/dd08's dedup clustering — at corpus scale THIS is the loop that groups near-dup documents.") {
+      (s, dir) =>
+        val e = edges(s, dir, 0.9)
+        val und = Materialize.trackedLocalCheckpoint(
+          e.select(col("src").cast("int").as("a"), col("dst").cast("int").as("b"))
+            .unionByName(
+              e.select(col("dst").cast("int").as("a"), col("src").cast("int").as("b")))
+            .distinct())
+        val nodes = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("int").as("node"))
+        var lab = Materialize.trackedLocalCheckpoint(
+          nodes.withColumn("component", col("node")))
+        var converged = false
+        var round = 0
+        val maxRounds = 12 // log2-ish cap: 2^12 pointer depth, loud on overrun
+        while (!converged && round < maxRounds) {
+          // (1) neighbor-min hop: ONE edge-grain shuffle with map-side
+          // partial MIN; labels broadcast (vertex-scale)
+          val nbr = und
+            .join(broadcast(lab.select(col("node").as("b"), col("component").as("nc"))), "b")
+            .groupBy(col("a").as("node"))
+            .agg(min(col("nc")).as("nc"))
+          val hopped = lab.join(nbr, Seq("node"), "left")
+            .select(col("node"),
+              least(col("component"), coalesce(col("nc"), col("component"))).as("c1"),
+              (coalesce(col("nc"), col("component")) < col("component")).as("ch1"))
+          // (2) pointer jump: c2(v) = c1(c1(v)) — labels are node ids,
+          // so the lookup table is hopped itself, keyed by node
+          val ptr = hopped.select(col("node").as("c1"), col("c1").as("jc"))
+          val jumped = hopped.join(broadcast(ptr), Seq("c1"), "left")
+            .select(col("node"),
+              coalesce(col("jc"), col("c1")).as("component"),
+              (col("ch1") || coalesce(col("jc"), col("c1")) < col("c1")).as("changed"))
+          val next = Materialize.trackedLocalCheckpoint(jumped)
+          converged = next.where(col("changed")).isEmpty
+          lab = next.select(col("node"), col("component"))
+          round += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"pointer-jumping CC did not converge in $maxRounds rounds — " +
+              "pathological pointer depth; raise the cap")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        lab.select(col("node"), col("component"),
+          count(lit(1)).over(w).as("component_size"))
     })
 
   /** The shared gr04 SQL — Spark and DuckDB run the SAME text (view

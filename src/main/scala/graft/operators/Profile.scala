@@ -227,5 +227,41 @@ object Profile {
             coalesce(col("n_types"), lit(0L)).as("n_types"),
             when(col("present").isNull, 1).otherwise(0).as("is_missing"))
     },
+
+    GraftQuery(
+      "pr07_drift_audit",
+      Some("""WITH d AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+             |bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM d),
+             |mid AS (SELECT lo + CAST((hi - lo) // 2 AS INT) AS m FROM bounds),
+             |c AS (SELECT event_type,
+             |        COUNT(*) FILTER (WHERE day <= m) AS cnt_early,
+             |        COUNT(*) FILTER (WHERE day > m) AS cnt_late
+             |      FROM d CROSS JOIN mid GROUP BY 1),
+             |t AS (SELECT CAST(SUM(cnt_early) AS BIGINT) AS ta,
+             |             CAST(SUM(cnt_late) AS BIGINT) AS tb FROM c)
+             |SELECT event_type, cnt_early, cnt_late,
+             |       CAST(cnt_early AS DOUBLE) / ta AS prop_early,
+             |       CAST(cnt_late AS DOUBLE) / tb AS prop_late,
+             |       ABS(cnt_early * tb - cnt_late * ta) AS drift_units
+             |FROM c CROSS JOIN t""".stripMargin),
+      "Distribution-drift audit between the first and second half of the event timeline — the monitor a production pipeline runs to catch a collector going quiet, a bot flood, or a schema migration skewing the event mix (the PSI/KL dashboard shape). Deliberately NOT PSI itself: PSI needs ln(), and libm transcendentals diverge across engines/platforms in the last bits (the tx13 idf lesson) — so the per-category drift statistic is the EXACT integer cross-difference |cnt_early*total_late − cnt_late*total_early| (= total_early*total_late*|Δproportion| without any division), which any engine reproduces bit-for-bit; the two proportions each spend the family's one audited IEEE division. At 1e12-row windows the int64 product overflows — the documented promotion is decimal(38,0) at that scale, same math. Shape: ONE fact scan, one map-side-combining hash agg at category grain with conditional counts (no per-window re-scan), the split day derived by integer-division midpoint from a 1-row bounds aggregate that rides a broadcast; everything downstream of the first agg runs at category cardinality. Alert rule: sort by drift_units, investigate the head.") {
+      (s, dir) =>
+        val d = Tables.load(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type"))
+        val mid = d.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+          .select(expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))").as("m"))
+        val c = d.crossJoin(broadcast(mid))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("day") <= col("m"), 1L).otherwise(0L)).as("cnt_early"),
+            sum(when(col("day") > col("m"), 1L).otherwise(0L)).as("cnt_late"))
+        val t = c.agg(sum(col("cnt_early")).as("ta"), sum(col("cnt_late")).as("tb"))
+        c.crossJoin(broadcast(t))
+          .select(col("event_type"), col("cnt_early"), col("cnt_late"),
+            (col("cnt_early").cast("double") / col("ta")).as("prop_early"),
+            (col("cnt_late").cast("double") / col("tb")).as("prop_late"),
+            abs(col("cnt_early") * col("tb") - col("cnt_late") * col("ta"))
+              .as("drift_units"))
+    },
   )
 }

@@ -834,6 +834,102 @@ object Relational {
             (coalesce(col("F_n"), lit(0L)) + coalesce(col("O_n"), lit(0L)) +
               coalesce(col("P_n"), lit(0L))).as("total_n"))
     },
+
+    GraftQuery(
+      "q53_merge_upsert",
+      Some(s"""WITH b AS (SELECT o_orderkey, o_orderstatus,
+              |            CAST(o_totalprice AS DECIMAL(12,2)) AS p,
+              |            ${Sampling.duckBucket100Of("o_orderkey")} AS bkt
+              |          FROM orders),
+              |chg AS (
+              |  SELECT o_orderkey AS k, 'U' AS op, o_orderstatus AS st, p + 5.00 AS np
+              |  FROM b WHERE bkt < 10
+              |  UNION ALL
+              |  SELECT o_orderkey, 'D', NULL, NULL FROM b WHERE bkt >= 10 AND bkt < 15
+              |  UNION ALL
+              |  SELECT -o_orderkey, 'I', 'N', p FROM b WHERE bkt >= 15 AND bkt < 20),
+              |m AS (SELECT COALESCE(b.o_orderkey, c.k) AS o_orderkey,
+              |             CASE WHEN c.op = 'U' THEN c.st
+              |                  WHEN c.op = 'I' THEN c.st
+              |                  ELSE b.o_orderstatus END AS o_orderstatus,
+              |             CASE WHEN c.op = 'U' THEN c.np
+              |                  WHEN c.op = 'I' THEN c.np
+              |                  ELSE b.p END AS pr,
+              |             CASE WHEN c.op = 'U' THEN 'updated'
+              |                  WHEN c.op = 'I' THEN 'inserted'
+              |                  ELSE 'kept' END AS action,
+              |             c.op AS op
+              |      FROM b FULL OUTER JOIN chg c ON c.k = b.o_orderkey)
+              |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+              |       CAST(pr AS DOUBLE) AS o_totalprice, action
+              |FROM m WHERE op IS NULL OR op <> 'D'""".stripMargin),
+      "Batch MERGE / upsert (the SQL:2003 MERGE INTO statement as one relational plan): apply a change feed (update / delete / insert ops) to a keyed snapshot in a SINGLE full-outer join — matched+U rewrites the row, matched+D drops it, source-only I inserts, target-only rows pass through, and every surviving row carries its action for audit. This is the set-based form of incremental snapshot maintenance: where Compaction.scala's foreachBatch merge rewrites only touched buckets incrementally, MERGE is the one-shot batch statement a warehouse migration or backfill runs — both sides shuffle ONCE on the join key and every decision is a map-side CASE after the join; no per-row lookups, no driver loop, no second pass for deletes (they fall out of the same join's filter). The change feed is derived from the snapshot itself by md5 bucket (10% updates, 5% deletes, 5% fresh-key inserts) so the operator is self-contained and every op branch is exercised at every fixture scale; money math stays decimal end-to-end (exact, order-independent) and is cast to double only at the output edge.") {
+      (s, dir) =>
+        val b = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(12,2)").as("p"))
+          .withColumn("bkt", expr(Sampling.bucket100("o_orderkey")))
+        val chg = b.filter(col("bkt") < 10)
+          .select(col("o_orderkey").as("k"), lit("U").as("op"),
+            col("o_orderstatus").as("st"), (col("p") + lit(BigDecimal("5.00"))).as("np"))
+          .unionByName(b.filter(col("bkt") >= 10 && col("bkt") < 15)
+            .select(col("o_orderkey").as("k"), lit("D").as("op"),
+              lit(null).cast("string").as("st"),
+              lit(null).cast("decimal(13,2)").as("np")))
+          .unionByName(b.filter(col("bkt") >= 15 && col("bkt") < 20)
+            .select((-col("o_orderkey")).as("k"), lit("I").as("op"),
+              lit("N").as("st"), col("p").cast("decimal(13,2)").as("np")))
+        b.join(chg, col("k") === col("o_orderkey"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(
+            coalesce(col("o_orderkey"), col("k")).cast("bigint").as("o_orderkey"),
+            when(col("op").isin("U", "I"), col("st"))
+              .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+            when(col("op").isin("U", "I"), col("np"))
+              .otherwise(col("p")).cast("double").as("o_totalprice"),
+            when(col("op") === "U", "updated")
+              .when(col("op") === "I", "inserted")
+              .otherwise("kept").as("action"))
+    },
+
+    GraftQuery(
+      "q54_cooccurrence",
+      Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+             |tot AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+             |tc AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+             |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             |                 COUNT(*) AS n_co
+             |          FROM ut a JOIN ut b ON a.user_id = b.user_id
+             |                   AND a.event_type < b.event_type
+             |          GROUP BY 1, 2)
+             |SELECT p.type_a, p.type_b, p.n_co, ta.n AS n_a, tb.n AS n_b,
+             |       CAST(p.n_co AS DOUBLE) / t.n_users AS support,
+             |       CAST(p.n_co * t.n_users AS DOUBLE) / (ta.n * tb.n) AS lift
+             |FROM pairs p
+             |JOIN tc ta ON ta.event_type = p.type_a
+             |JOIN tc tb ON tb.event_type = p.type_b
+             |CROSS JOIN tot t""".stripMargin),
+      "Item co-occurrence / market-basket mining: for every pair of event types touched by the same user, exact co-occurrence count, per-item user counts, support and lift — the association-statistics pass that feeds recommenders, word2vec-style embedding pretraining (token co-occurrence is this exact query at corpus scale) and feature-cross discovery. Shape discipline: ONE distinct at (user, item) grain (the only fact-table shuffle — map-side partial since duplicates collapse per task), then the pair self-join runs WITHIN each user's item set — per-user cost is items² where items is bounded by the type vocabulary here and by dd05's df-cap argument in general (a user touching everything is the hub you cap or shard before this join, exactly pr04's audit decision). Item totals are vocabulary-sized and broadcast back; support and lift are each ONE IEEE division of exact int64 products (n_co*n_users and n_a*n_b are exact), so every value is bit-identical cross-engine with zero rounding games.") {
+      (s, dir) =>
+        val ut = t(s, dir, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val tot = ut.select(col("user_id")).distinct()
+          .agg(count(lit(1)).as("n_users"))
+        val tc = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+          .join(ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+          .filter(col("type_a") < col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_co"))
+        pairs
+          .join(broadcast(tc.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+          .join(broadcast(tc.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+          .crossJoin(broadcast(tot))
+          .select(col("type_a"), col("type_b"), col("n_co"), col("n_a"), col("n_b"),
+            (col("n_co").cast("double") / col("n_users")).as("support"),
+            ((col("n_co") * col("n_users")).cast("double") /
+              (col("n_a") * col("n_b"))).as("lift"))
+    },
   )
 }
 

@@ -83,7 +83,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "q49_zorder_layout", // 1-row min/max stats broadcast into the quantizer
     "tx13_bm25_topdocs", // 1-row (nd, sl) corpus stats broadcast into the weight
     "gr07_link_prediction", // 1-row capped-vertex count + the shared median broadcast
-    "sk05_hll_overlap"   // two 1-row stat frames meet in a broadcast (pr04 pattern)
+    "sk05_hll_overlap",  // two 1-row stat frames meet in a broadcast (pr04 pattern)
+    "q54_cooccurrence",  // 1-row distinct-user total broadcast into the pair stats
+    "gr08_connected_components", // shared edges() front door: 1-row median broadcast
+    "pr07_drift_audit"   // 1-row midpoint + 1-row totals broadcasts (pr04 pattern)
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
@@ -274,6 +277,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial"), "day aggregation must combine map-side")
     assert(!p.contains("SortMergeJoin"), "calendar join must broadcast")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q53: MERGE is one full-outer join, no extra fact exchange") {
+    // the whole MERGE must be ONE join of snapshot vs change feed: a
+    // full-outer SMJ (both sides hash on the key) plus map-side CASEs;
+    // more than the expected exchanges means an op branch re-scanned or
+    // re-shuffled the fact table
+    val p = plan("q53_merge_upsert")
+    assert(p.contains("FullOuter"), "MERGE must plan a full-outer join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+    // snapshot side + 3-branch change-feed union side = at most 4
+    // hash exchanges feed the single join (AQE may coalesce further)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 4,
+      "unexpected extra shuffles around the MERGE join")
+  }
+
+  test("q54: co-occurrence totals broadcast; one distinct at (user,item) grain") {
+    // item totals and the 1-row user count must ride broadcasts; the
+    // pair self-join happens within the user's item set — the only
+    // fact-scale exchanges are the (user,item) distinct's
+    val p = plan("q54_cooccurrence")
+    assert(p.contains("BroadcastHashJoin"), "item totals must broadcast")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "vocabulary-sized joins must not sort-merge")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "pair counts must combine map-side")
   }
 
   test("LSH pipelines use the compiled expressions") {

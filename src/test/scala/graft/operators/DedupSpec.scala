@@ -79,6 +79,76 @@ class DedupSpec extends AnyFunSuite {
       "every doc shares a chunk — the audit cannot discriminate")
   }
 
+  test("dd12 incremental dedup: exact verdicts match a driver-side model; near/new occur (sf0.01)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // driver twin of Sampling.bucket100: first 8 md5 hex chars of the
+    // stringified key, parsed base-16, mod 100
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16) % 100
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val (inc, corp) = docs.partition { case (id, _) => bucket(id) < 10 }
+    assert(inc.nonEmpty && corp.nonEmpty, "split degenerate at fixture scale")
+    val corpMinByFp = corp.groupBy { case (_, t) => md5hex(t) }
+      .view.mapValues(_.map(_._1).min).toMap
+    val expectedExact = inc.flatMap { case (id, t) =>
+      corpMinByFp.get(md5hex(t)).map(id -> _)
+    }.toMap
+    val rows = byName("dd12_incremental_dedup").build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // exactly one verdict per incoming doc
+    assert(rows.map(_._1).toSet == inc.map(_._1).toSet && rows.length == inc.size)
+    // the exact_dup set and its match ids ARE the byte-identity model
+    val gotExact = rows.collect { case (id, "exact_dup", m) => id -> m.get }.toMap
+    assert(gotExact == expectedExact,
+      s"exact verdicts diverged: got=${gotExact.size} expected=${expectedExact.size}")
+    // every match id points INTO the corpus split (provenance audit)
+    val corpIds = corp.map(_._1).toSet
+    rows.foreach { case (id, v, m) =>
+      if (v == "new") assert(m.isEmpty, s"doc $id: new with a match_id")
+      else assert(m.exists(corpIds), s"doc $id: $v match outside the corpus split")
+    }
+    // near_dup and new both occur on fixture data; exact_dup CANNOT
+    // (checked: zero byte-identical clone families at sf0.01) — the
+    // exact branch is driven by the synthetic-frame test below
+    val verdicts = rows.map(_._2).toSet
+    assert(Set("near_dup", "new").subsetOf(verdicts),
+      s"fixture exercises only $verdicts")
+    assert(expectedExact.isEmpty,
+      "fixture grew byte-identical cross-split clones — strengthen this pin to all-three")
+  }
+
+  test("dd12 exact branch: a byte-identical cross-split clone verdicts exact_dup") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16) % 100
+    // find real ids on each side of the split (no fixture data involved)
+    val incIds = (1L to 500L).filter(bucket(_) < 10)
+    val corpIds = (1L to 500L).filter(bucket(_) >= 10)
+    val clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val nearA = "one two three four five six seven eight nine ten eleven twelve"
+    val nearB = "one two three four five six seven eight nine ten eleven thirteen"
+    val fresh = "completely unrelated words that match nothing in the corpus side"
+    val rows = Seq(
+      (incIds(0), clone),  // exact: byte-identical twin in corpus
+      (incIds(1), nearA),  // near: trigram jaccard vs nearB > 0.8
+      (incIds(2), fresh),  // new: nothing matches
+      (corpIds(0), clone),
+      (corpIds(1), nearB))
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val got = Dedup.incrementalVerdicts(spark, df).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got(incIds(0)) == (("exact_dup", Some(corpIds(0)))))
+    assert(got(incIds(1)) == (("near_dup", Some(corpIds(1)))))
+    assert(got(incIds(2)) == (("new", None)))
+  }
+
   test("min-label propagation labels a long chain correctly when the cap suffices") {
     import spark.implicits._
     // a 30-vertex path graph: diameter 29, worst case for label hops —

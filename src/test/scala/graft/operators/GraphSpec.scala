@@ -182,4 +182,39 @@ class GraphSpec extends AnyFunSuite {
     // a prediction is a NON-edge by definition
     got.keys.foreach(p => assert(!und.contains(p), s"$p is an existing edge"))
   }
+
+  test("gr08: equals driver-side union-find over the p90 edges; graph fragments") {
+    // independent ground truth: textbook union-find (path compression)
+    // over the collected sparsified edge list + all nation vertices
+    val e09 = Graph.edges(spark, sf001, 0.9).collect()
+      .map(r => (lv(r, 0), lv(r, 1))).toSeq
+    val nationKeys = Tables.load(spark, sf001, "nation")
+      .select("n_nationkey").collect().map(r => lv(r, 0)).toSeq
+    val parent = scala.collection.mutable.Map(nationKeys.map(v => v -> v): _*)
+    def find(v: Long): Long = {
+      var r = v
+      while (parent(r) != r) r = parent(r)
+      var c = v
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    e09.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // normalize roots to the component MIN (union order above already
+    // keeps the min as root, but re-derive explicitly for independence)
+    val comp = nationKeys.groupBy(find).flatMap { case (_, vs) =>
+      val m = vs.min; vs.map(_ -> m)
+    }
+    val sizes = comp.groupBy(_._2).map { case (c, vs) => c -> vs.size.toLong }
+    val expected = comp.map { case (v, c) => v -> ((c, sizes(c))) }
+    val got = run("gr08_connected_components").collect()
+      .map(r => lv(r, 0) -> ((lv(r, 1), r.getLong(2)))).toMap
+    assert(got == expected,
+      s"CC diverged: extra=${got.toSet -- expected.toSet} missing=${expected.toSet -- got.toSet}")
+    // non-vacuity: the p90 graph genuinely fragments AND has structure
+    assert(sizes.size >= 2, "single component — fragmentation pin is vacuous")
+    assert(sizes.values.max >= 2L, "all singletons — propagation never ran")
+  }
 }

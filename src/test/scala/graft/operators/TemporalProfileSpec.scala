@@ -131,6 +131,32 @@ class TemporalProfileSpec extends AnyFunSuite {
     assert(hasGap, "fixture has no per-user gap — interval truncation untested")
   }
 
+  test("pr07: equals a driver-side replay; both windows populated") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    // collect (day, type) with Spark's own date semantics (UTC session)
+    // so the model only re-does the arithmetic, not the timezone
+    val rows = graft.Tables.load(spark, sf001, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getString(1)))
+    val (lo, hi) = (rows.map(_._1).min(Ordering.by[java.time.LocalDate, Long](
+      _.toEpochDay)), rows.map(_._1).max(Ordering.by[java.time.LocalDate, Long](_.toEpochDay)))
+    val mid = lo.plusDays((hi.toEpochDay - lo.toEpochDay) / 2)
+    val byType = rows.groupBy(_._2).view.mapValues { rs =>
+      (rs.count(!_._1.isAfter(mid)).toLong, rs.count(_._1.isAfter(mid)).toLong)
+    }.toMap
+    val (ta, tb) = (byType.values.map(_._1).sum, byType.values.map(_._2).sum)
+    val expect = byType.map { case (t, (a, b)) =>
+      t -> ((a, b, math.abs(a * tb - b * ta)))
+    }
+    val got = run("pr07_drift_audit").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    assert(got == expect, "drift audit diverged from the driver replay")
+    // non-vacuity: both windows hold events and the mix genuinely moves
+    assert(ta > 0 && tb > 0, "a window is empty — the midpoint split is degenerate")
+    assert(expect.values.exists(_._3 > 0L),
+      "zero drift everywhere — the fixture cannot exercise the alert path")
+  }
+
   test("pr01/pr02: profile totals are consistent with each other") {
     val prof = run("pr01_column_profile").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
