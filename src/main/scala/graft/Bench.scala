@@ -170,31 +170,40 @@ object Bench {
           && n.head.isDigit && n.last.isDigit) n
       else jstr(sfDir)
     }
-    // errors budget: short ids + 60-char messages. The whole line must
-    // clear the driver's 2000-char tail (which also holds sbt's trailing
-    // [error]/[success] block), and the queries map grows with the
-    // inventory (~12 chars/query), so the error map's budget is
-    // ADAPTIVE — whatever a 1850-char line has left after the fixed
-    // parts — rather than a constant that silently rots as queries are
-    // added (the 115→120 growth pushed the old fixed 210 over the bar)
-    val fixedLen =
-      s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":{},"sf":$sfJson}""".length
-    val errEntries = errors.map { case (k, v) => jstr(shortId(k)) + ":" + jstr(v) }
-    // fail LOUDLY when the fixed parts alone approach the driver's
-    // 2000-char tail: a max(60, ...) floor here would silently re-create
-    // the overflow this budget exists to prevent once the inventory
-    // grows past ~155 queries — inventory growth must surface at build
-    // time (this require + its spec), not as a driver parse miss
-    require(fixedLen < 1740,
-      s"bench line fixed parts are $fixedLen chars — the queries map has outgrown " +
-        "the 1830-char budget; shrink j3 precision or shorten query ids")
-    val (kept, dropped) = {
-      var budget = 1830 - fixedLen - 30  // 30 = "_truncated" marker reserve
-      val keep = errEntries.takeWhile { e => budget -= e.length + 1; budget >= 0 }
-      (keep, errEntries.size - keep.size)
+    // Tail budgets, from the measured r1-r8 driver tails: the driver
+    // reads the LAST 2000 chars of stdout; sbt's trailing block after
+    // the line is ~75 chars on a clean exit and ~160 chars when Bench
+    // exits 1. So the SUCCESS line (no errors → exit 0) may spend up to
+    // ~1900 chars, and the ERROR line (exit 1) ~1830. The two paths
+    // diverge in our favor: an errored run renders its failed queries
+    // as bare "-1" (2 chars vs ~4), shrinking the queries map exactly
+    // when the error map needs the room. r10 (151 queries): the empty
+    // "errors":{} object is dropped from the success line — 13 dead
+    // chars at exactly the moment the inventory crossed the old bar.
+    val bare =
+      s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"sf":$sfJson}"""
+    // fail LOUDLY when the fixed parts approach the success-path cap:
+    // inventory growth must surface at build time (this require + its
+    // spec), not as a silent driver parse miss
+    require(bare.length < 1860,
+      s"bench line fixed parts are ${bare.length} chars — the queries map has " +
+        "outgrown the 1900-char success-tail budget; shrink j3 precision or shorten query ids")
+    if (errors.isEmpty) bare
+    else {
+      // errors budget: short ids + 60-char messages, ADAPTIVE — whatever
+      // a 1830-char line has left after the fixed parts — rather than a
+      // constant that silently rots as queries are added (the 115→120
+      // growth pushed the old fixed 210 over the bar)
+      val fixedLen = bare.length + 13 // + ,"errors":{} re-inserted below
+      val errEntries = errors.map { case (k, v) => jstr(shortId(k)) + ":" + jstr(v) }
+      val (kept, dropped) = {
+        var budget = 1830 - fixedLen - 30 // 30 = "_truncated" marker reserve
+        val keep = errEntries.takeWhile { e => budget -= e.length + 1; budget >= 0 }
+        (keep, errEntries.size - keep.size)
+      }
+      val errs = (kept ++ (if (dropped > 0) Seq(jstr("_truncated") + ":" + jstr(s"$dropped more")) else Seq()))
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfJson}"""
     }
-    val errs = (kept ++ (if (dropped > 0) Seq(jstr("_truncated") + ":" + jstr(s"$dropped more")) else Seq()))
-      .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfJson}"""
   }
 }

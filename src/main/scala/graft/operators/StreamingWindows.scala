@@ -228,5 +228,29 @@ object StreamingWindows {
             "leftsemi")
           .select(col("user_id"), col("purchase_id"), col("ts"))
     },
+
+    GraftQuery(
+      "st11_stream_static_anti",
+      Some("""WITH cnt AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+             |thr AS (SELECT PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY c) AS t FROM cnt),
+             |block AS (SELECT user_id FROM cnt, thr WHERE c >= t)
+             |SELECT e.event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+             |FROM events e
+             |WHERE e.user_id NOT IN (SELECT user_id FROM block)
+             |GROUP BY 1""".stripMargin),
+      "Stream-static LEFT ANTI join — the ADMISSION filter that completes the streaming join family (inner st05/st07, left outer st08, semi st10): the event stream is filtered against a static suppression list (users at or above the 99th-percentile activity (>= so the list binds even when p99 equals the max, as at the smallest fixture) — the bot/abuse list a pipeline precomputes and pins) and only admitted events aggregate downstream. Like st07, the static side re-broadcasts per micro-batch and the anti join adds NO state store and needs no watermark — stateless row-at-a-time suppression, which is exactly why blocklists are the production shape for spam/bot/PII suppression at 100 TB/day: admission cost is map-side regardless of stream volume. The blocklist derivation (count → exact integer percentile threshold → ids) runs ONCE batch-side at user cardinality; the p99 threshold is an exact integer compare, deterministic at every fixture scale. Streaming run in StreamingEquivalenceSpec; the batch twin plans a BroadcastHashJoin LeftAnti (plan-audited).") {
+      (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+        val cnt = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+        val thr = cnt.agg(
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)").as("t"))
+        val block = cnt.crossJoin(broadcast(thr))
+          .filter(col("c") >= col("t")).select("user_id")
+        ev.join(broadcast(block), Seq("user_id"), "left_anti")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+    },
   )
 }

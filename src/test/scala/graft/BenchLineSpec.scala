@@ -29,8 +29,12 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("the full-inventory line parses as JSON and stays under budget") {
     val line = Bench.renderLine(realResults, Seq.empty, "/root/testdata/sf0.1")
-    assert(line.length < 1700,
+    // success tail: 2000-char driver window minus ~75 chars of sbt
+    // [success] suffix → cap ~1900; r10's 151 queries render ~1740
+    assert(line.length < 1800,
       s"bench line is ${line.length} chars — too close to the driver's 2000-char tail")
+    assert(!line.contains("\"errors\""),
+      "a clean run must not spend chars on an empty errors object")
     val tree = mapper.readTree(line)
     assert(tree.get("metric").asText() === "total")
     assert(tree.get("sf").isNumber, "sf must render as a bare number for sfN.N dirs")
@@ -58,7 +62,7 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("inventory growth past the fixed-parts budget fails loudly") {
-    // ~200 queries push the fixed parts past 1740 chars; that must
+    // ~200 queries push the fixed parts past the 1860 require; that must
     // surface as a build-time failure, not a silent driver parse miss
     val huge = (1 to 200).map(i => f"zz$i%03d_q" -> 1.234)
     val e = intercept[IllegalArgumentException] {

@@ -86,7 +86,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sk05_hll_overlap",  // two 1-row stat frames meet in a broadcast (pr04 pattern)
     "q54_cooccurrence",  // 1-row distinct-user total broadcast into the pair stats
     "gr08_connected_components", // shared edges() front door: 1-row median broadcast
-    "pr07_drift_audit"   // 1-row midpoint + 1-row totals broadcasts (pr04 pattern)
+    "pr07_drift_audit",  // 1-row midpoint + 1-row totals broadcasts (pr04 pattern)
+    "st11_stream_static_anti" // 1-row p99 threshold broadcast into the blocklist
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
@@ -277,6 +278,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial"), "day aggregation must combine map-side")
     assert(!p.contains("SortMergeJoin"), "calendar join must broadcast")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q55: bucketed join reads co-located buckets — no exchange under the SMJ") {
+    // both sides are bucketed x8 on the join key: the sort-merge join
+    // must consume the bucketed layout directly. The ONLY exchange in
+    // the whole plan is the status-grain aggregate's; a second one
+    // means the bucket metadata stopped lining up with the join key
+    val p = plan("q55_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "bucketed join must stay an SMJ (merge hint)")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "bucketed sides must not re-shuffle — only the aggregate exchanges")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      "scan must report the bucketed read path")
+  }
+
+  test("st11: admission anti join broadcasts the blocklist (no state, no shuffle)") {
+    // the anti join must be a BroadcastHashJoin LeftAnti — a shuffled
+    // anti join would re-partition the whole stream per micro-batch
+    val p = plan("st11_stream_static_anti")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "blocklist suppression must be a broadcast left-anti join")
   }
 
   test("q53: MERGE is one full-outer join, no extra fact exchange") {

@@ -139,6 +139,30 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("stream-static ANTI join (admission filter) == batch twin; blocklist binds") {
+    // the suppression list is the PRECOMPUTED static artifact: derived
+    // once batch-side, then anti-joined against the live stream
+    val ev = graft.Tables.load(spark, sf0001, "events")
+    val cnt = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val thr = cnt.agg(expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)").as("t"))
+    val block = cnt.crossJoin(broadcast(thr))
+      .filter(col("c") >= col("t")).select("user_id")
+    assert(block.count() > 0, "p99 blocklist empty — the anti join is vacuous")
+    val streamed = runToMemory(
+      streamEvents
+        .join(broadcast(block), Seq("user_id"), "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value")),
+      "st11_stream", "complete")
+    val batch = StreamingWindows.all.find(_.name == "st11_stream_static_anti").get
+      .build(spark, sf0001)
+    assert(sortedRows(streamed) === sortedRows(batch))
+    // suppression genuinely removed rows (not the trivial no-op filter)
+    val admitted = batch.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(admitted < ev.count(), "blocklist suppressed nothing")
+  }
+
   test("sessionized funnel: streaming result == batch twin") {
     // the funnel predicate is order-insensitive aggregates only
     // (MAX(purchase ts) > MIN(view ts)) and session merging is
