@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -20,9 +20,16 @@ import org.apache.spark.sql.types._
   * same order, so results are bit-identical (CosineSimSpec pins this) —
   * just without materializing a products array per row pair, which is
   * what makes the interpreted form the rerank bottleneck.
+  *
+  * Implements `doGenCode` (r10): this expression sits inside the
+  * rerank/assignment projections of ss01/ss05/dd06/dd09 — as a
+  * CodegenFallback every row paid a boxed interpreted call INSIDE an
+  * otherwise codegen'd stage; the generated loop is the same arithmetic
+  * in the same order (bit-identical — the spec compares against the
+  * interpreted path too), emitted directly into the whole-stage span.
   */
 final case class CosineSim(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -51,6 +58,35 @@ final case class CosineSim(left: Expression, right: Expression)
     }
     dot / math.sqrt(na * nb)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      // same multiplies, same left-fold order as nullSafeEval — the
+      // codegen and interpreted paths must stay bit-identical
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $xi = $a.getDouble($i);
+         |    final double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / java.lang.Math.sqrt($na * $nb);
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =

@@ -223,5 +223,46 @@ object Temporal {
             (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
               .as("duration_us"))
     },
+
+    GraftQuery(
+      "q56_scd2_lookup",
+      Some("""WITH ordered AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |changes AS (
+             |  SELECT user_id, event_type, ts AS valid_from, event_id
+             |  FROM ordered WHERE prev IS NULL OR event_type <> prev),
+             |iv AS (
+             |  SELECT user_id, event_type AS state, valid_from,
+             |         lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to
+             |  FROM changes),
+             |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+             |SELECT p.event_id, p.user_id, p.ts, iv.state, iv.valid_from
+             |FROM p JOIN iv ON iv.user_id = p.user_id
+             | AND iv.valid_from <= p.ts
+             | AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)""".stripMargin),
+      "AS-OF dimension lookup against the SCD2 table — the OTHER half of the q45 story: building versioned intervals is only useful if facts can be joined to the version that was current AT FACT TIME (the point-in-time-correct enrichment every warehouse fact load runs; joining to is_current instead silently rewrites history). Each purchase matches EXACTLY ONE interval — the intervals partition the user's timeline and the purchase is itself an event on it (spec-pinned, along with genuinely-historical matches so the pin isn't satisfied by current-version lookups alone). Shape at 100 TB: an equi-join on user_id carrying the interval containment as a join-level range filter — both sides shuffle once on the production key, the per-user interval list is change-cardinality (tiny vs facts), and the interval build's window shares the same user_id partitioning as the join so Catalyst reuses the exchange. Raw values pass through (no arithmetic at all) — cross-engine equality is exact.") {
+      (s, dir) =>
+        val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val ev = Tables.load(s, dir, "events")
+        val changes = ev
+          .withColumn("prev", lag(col("event_type"), 1).over(wOrd))
+          .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+          .select(col("user_id"), col("event_type").as("state"),
+            col("ts").as("valid_from"), col("event_id"))
+        val wLead = Window.partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+        val iv = changes
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(wLead))
+          .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id").as("p_user_id"), col("ts"))
+        p.join(iv,
+            col("p_user_id") === col("user_id") &&
+              col("valid_from") <= col("ts") &&
+              (col("valid_to").isNull || col("ts") < col("valid_to")))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("state"), col("valid_from"))
+    },
   )
 }

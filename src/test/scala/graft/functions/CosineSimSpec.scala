@@ -27,6 +27,31 @@ class CosineSimSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Boolean]("same")), "cosine results diverged bitwise")
   }
 
+  test("codegen and interpreted paths agree bit-for-bit (r10 doGenCode)") {
+    GraftFunctions.register(spark)
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+    val pairs = emb.select(col("vec_id").as("va"), col("e").as("e_a"))
+      .crossJoin(emb.select(col("vec_id").as("vb"), col("e").as("e_b")))
+      .filter(col("va") < col("vb")).limit(2000)
+      .select(col("va"), col("vb"), expr("graft_cosine(e_a, e_b)").as("sim"))
+    def collected() = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2))).toMap
+    val gen = collected()
+    val interp = {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try collected()
+      finally {
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    assert(gen.nonEmpty && gen == interp,
+      "doGenCode diverged bitwise from nullSafeEval")
+  }
+
   test("length mismatch yields null (zip_with padding parity)") {
     GraftFunctions.register(spark)
     import spark.implicits._

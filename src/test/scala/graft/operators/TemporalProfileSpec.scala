@@ -131,6 +131,28 @@ class TemporalProfileSpec extends AnyFunSuite {
     assert(hasGap, "fixture has no per-user gap — interval truncation untested")
   }
 
+  test("q56: every purchase matches exactly one interval; history is exercised") {
+    import org.apache.spark.sql.functions.col
+    val got = run("q56_scd2_lookup")
+    val nPurchases = graft.Tables.load(spark, sf001, "events")
+      .filter(col("event_type") === "purchase").count()
+    // the intervals partition the timeline: exactly-one match per fact
+    assert(got.count() == nPurchases,
+      "as-of lookup must match each purchase to exactly one interval")
+    assert(got.select("event_id").distinct().count() == nPurchases,
+      "a purchase matched two intervals — containment predicate broken")
+    // non-vacuity: some match is HISTORICAL (a later change closed the
+    // interval after the purchase) — i.e. the join genuinely needed
+    // versions, not just the current row per user
+    val iv45 = run("q45_scd2_intervals")
+    val historical = got.as("g").join(iv45.as("i"),
+      col("g.user_id") === col("i.user_id") &&
+        col("g.valid_from") === col("i.valid_from") &&
+        !col("i.is_current"))
+    assert(historical.count() > 0,
+      "every match hit the current version — the as-of pin is vacuous")
+  }
+
   test("pr07: equals a driver-side replay; both windows populated") {
     import org.apache.spark.sql.functions.{col, to_date}
     // collect (day, type) with Spark's own date semantics (UTC session)
