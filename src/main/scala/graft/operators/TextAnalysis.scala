@@ -32,6 +32,7 @@ object TextAnalysis {
     */
   private val LmHeadDf = 40L
 
+
   /** tx13's BM25 weight (k1=1.2, b=0.75), with avgdl folded in as the
     * exact integers nd (doc count) and sl (total tokens): ONE string,
     * parsed by both Spark's `expr` and DuckDB, so the single FP
@@ -488,6 +489,60 @@ object TextAnalysis {
           .withColumn("rnk", row_number().over(win).cast("int"))
           .filter(col("rnk") <= 3)
           .select("doc_id", "rnk", "term", "tf", "df")
+    },
+
+    GraftQuery(
+      "tx15_novelty_score",
+      Some(s"""WITH dall AS (SELECT doc_id, text,
+              |               ${Sampling.duckBucket100Of("doc_id")} AS bkt FROM documents),
+              |di AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM dall WHERE bkt < 10),
+              |shi AS (SELECT doc_id, ${Dedup.shingleDuck} AS gs FROM di),
+              |dc AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM dall WHERE bkt >= 10),
+              |shc AS (SELECT doc_id, ${Dedup.shingleDuck} AS gs FROM dc),
+              |vocab AS (SELECT g FROM (SELECT UNNEST(gs) AS g FROM shc) GROUP BY g),
+              |ei AS (SELECT doc_id, UNNEST(gs) AS g FROM shi),
+              |kn AS (SELECT ei.doc_id, COUNT(*) AS n_known
+              |       FROM ei JOIN vocab USING (g) GROUP BY 1),
+              |tot AS (SELECT doc_id, LEN(gs) AS n_shingles FROM shi)
+              |SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+              |       COALESCE(k.n_known, 0) AS n_known,
+              |       CASE WHEN t.n_shingles > 0
+              |            THEN CAST(t.n_shingles - COALESCE(k.n_known, 0) AS DOUBLE)
+              |                 / t.n_shingles END AS novelty
+              |FROM tot t LEFT JOIN kn k ON k.doc_id = t.doc_id""".stripMargin),
+      "Corpus-novelty scoring — the freshness signal data-mixing and curriculum schedulers run on every new drop: per incoming document (dd12's 10% md5 split), the fraction of its word trigrams NEVER seen in the existing corpus. High novelty = genuinely new content worth oversampling; near-zero = yet another copy of what the corpus already holds (the soft-scored complement of dd12's hard verdicts — dedup says drop, novelty says how much to weigh what survives). The membership probe is tx11's skew discipline applied to a vocabulary join: corpus trigrams above the hot-df line broadcast (the boilerplate head every doc hits — the match volume that would otherwise hash-skew a 100 TB join), only the rare tail equi-joins, and the union is semantically the plain join the oracle states; the line itself is data-adaptive (max-df div 2, gr03's discipline) so both sides are genuinely exercised at every fixture scale — at 100 TB you'd pin it from pr04's skew audit instead. Per-doc totals are map-side (size of the distinct shingle set); zero-shingle docs flow through with NULL novelty (the tx12 nothing-vanishes contract); counts exact, novelty one IEEE division.") {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        val dall = Tables.spread(Tables.load(s, dir, "documents"), "doc_id")
+          .withColumn("bkt", expr(Sampling.bucket100("doc_id")))
+        val inc = dall.filter(col("bkt") < 10)
+          .withColumn("gs", expr("graft_shingles(text)"))
+        val totals = inc.select(col("doc_id"), size(col("gs")).cast("long").as("n_shingles"))
+        val ei = inc.select(col("doc_id"), explode(col("gs")).as("g"))
+        val vocab = Materialize(dall.filter(col("bkt") >= 10)
+          .withColumn("gs", expr("graft_shingles(text)"))
+          .select(explode(col("gs")).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("df")))
+        // hot/cold membership with a DATA-ADAPTIVE head line (gr03's
+        // discipline): trigram doc-frequency tops out at 7 at sf0.01 —
+        // any fixed constant leaves one side empty somewhere, so the
+        // line is max-df div 2, which by construction keeps the head
+        // non-empty (the argmax shingle) and the tail populated at
+        // every fixture scale. df = corpus doc-frequency; the split is
+        // plan-side only — the oracle states the plain membership join
+        val thr = vocab.agg(expr("CAST(MAX(df) DIV 2 AS BIGINT)").as("thr"))
+        val vt = vocab.crossJoin(broadcast(thr))
+        val head = vt.filter(col("df") > col("thr")).select("g")
+        val tail = vt.filter(col("df") <= col("thr")).select("g")
+        val known = ei.join(broadcast(head), Seq("g"))
+          .unionByName(ei.join(tail, Seq("g")))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_known"))
+        totals.join(known, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_known"), lit(0L)).as("n_known"),
+            when(col("n_shingles") > 0,
+              (col("n_shingles") - coalesce(col("n_known"), lit(0L))).cast("double")
+                / col("n_shingles")).as("novelty"))
     },
   )
 }
