@@ -252,5 +252,32 @@ object StreamingWindows {
           .agg(count(lit(1)).as("n"),
             sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
     },
+
+    GraftQuery(
+      "st12_full_outer_interval_join",
+      Some("""SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+             |       v.event_id AS view_id, p.event_id AS purchase_id,
+             |       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+             |FROM (SELECT * FROM events WHERE event_type = 'view') v
+             |FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON v.user_id = p.user_id
+             | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR""".stripMargin),
+      "Stream-stream FULL OUTER interval join — the last cell of the streaming join matrix (inner st05, left outer st08, left semi st10, stream-static anti st11): unattributed views AND orphaned purchases both survive with nulls, the shape an attribution pipeline needs when BOTH unmatched sides are signals (views that never converted + purchases with no preceding view = the two failure modes of a funnel). In streaming, null emission on each side is gated by ITS OWN watermark proof — a view's null waits until no in-window purchase can arrive, a purchase's null until no in-window view can — so the batch twin is the ground truth the stream converges to on the watermark-closed regions (both pinned in StreamingEquivalenceSpec, along with full matched-set equality). Same state-eviction bound as st05/st08: the interval condition lets each side's store drop rows older than watermark + 1h. Gap in exact integer microseconds.") {
+      (s, dir) =>
+        val ev = Tables.load(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+        v.join(p,
+            col("user_id") === col("p_user_id") &&
+              col("p_ts") >= col("v_ts") &&
+              col("p_ts") < col("v_ts") + expr("INTERVAL 1 HOUR"),
+            "full_outer")
+          .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+            col("view_id"), col("purchase_id"),
+            (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    },
   )
 }

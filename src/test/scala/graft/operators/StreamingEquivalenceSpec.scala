@@ -258,6 +258,54 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     assert(batchNulls.count() > 0, "fixture must exercise the outer (null) path")
   }
 
+  test("stream-stream FULL OUTER interval join == batch twin on both closed regions") {
+    val v = streamEvents.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val p = streamEvents.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = v.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") < col("v_ts") + expr("INTERVAL 1 HOUR"),
+        "fullOuter")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("view_id"), col("v_ts"), col("purchase_id"), col("p_ts"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+    val streamed = runToMemory(joined, "st12_stream", "append")
+    val batch = StreamingWindows.all.find(_.name == "st12_full_outer_interval_join").get
+      .build(spark, sf0001)
+    // matched rows emit unconditionally on both engines
+    def matched(df: DataFrame) = df
+      .filter(col("view_id").isNotNull && col("purchase_id").isNotNull)
+      .select("user_id", "view_id", "purchase_id", "gap_us")
+    assert(sortedRows(matched(streamed)) === sortedRows(matched(batch)))
+    // each side's nulls compare on ITS watermark-closed region
+    val maxTs = graft.Tables.load(spark, sf0001, "events")
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val closedUs = maxTs - 2L * 3600L * 1000000L
+    def closedIds(tpe: String) = graft.Tables.load(spark, sf0001, "events")
+      .filter(col("event_type") === tpe && unix_micros(col("ts")) <= closedUs)
+      .select(col("event_id").as("id"))
+    val svn = streamed
+      .filter(col("purchase_id").isNull && unix_micros(col("v_ts")) <= closedUs)
+      .select(col("view_id").as("id"))
+    val bvn = batch.filter(col("purchase_id").isNull)
+      .select(col("view_id").as("id")).join(closedIds("view"), "id")
+    assert(sortedRows(svn) === sortedRows(bvn), "view-side nulls diverged")
+    val spn = streamed
+      .filter(col("view_id").isNull && unix_micros(col("p_ts")) <= closedUs)
+      .select(col("purchase_id").as("id"))
+    val bpn = batch.filter(col("view_id").isNull)
+      .select(col("purchase_id").as("id")).join(closedIds("purchase"), "id")
+    assert(sortedRows(spn) === sortedRows(bpn), "purchase-side nulls diverged")
+    // both outer paths must be genuinely exercised
+    assert(bvn.count() > 0 && bpn.count() > 0,
+      "fixture must exercise BOTH null sides of the full outer join")
+  }
+
   test("stream-stream LEFT SEMI interval join == batch twin") {
     // semi join: each purchase emits at most once (a matched bit, not a
     // per-view fan-out); with AvailableNow every matched purchase's
