@@ -259,5 +259,38 @@ object Sampling {
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
           .limit(200)
           .select("doc_id", "lang", "source")
+    },
+
+    GraftQuery(
+      "sp10_poisson_bootstrap",
+      Some("""WITH r AS (SELECT UNNEST(RANGE(0, 5)) AS rep),
+             |w AS (SELECT d.doc_id, d.n_chars, r.rep,
+             |        CASE WHEN b < 3679 THEN 0 WHEN b < 7358 THEN 1
+             |             WHEN b < 9197 THEN 2 WHEN b < 9810 THEN 3
+             |             WHEN b < 9963 THEN 4 ELSE 5 END AS wt
+             |      FROM (SELECT doc_id, n_chars FROM documents) d, r,
+             |      LATERAL (SELECT CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(r.rep AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS b) x)
+             |SELECT rep, CAST(SUM(wt) AS BIGINT) AS n_resampled,
+             |       CAST(SUM(wt * n_chars) AS BIGINT) AS sum_chars,
+             |       CAST(SUM(wt * n_chars) AS DOUBLE) / SUM(wt) AS mean_chars
+             |FROM w GROUP BY rep""".stripMargin),
+      "Deterministic Poisson bootstrap — THE bootstrap that scales (per replicate, each row enters with an independent Poisson(1) weight, so resampling needs no global coordination — the large-scale 'bag of little bootstraps' alternative every distributed stats stack uses): five replicates of the corpus character-length statistic in ONE scan, their spread the uncertainty estimate a data-quality dashboard puts error bars on. The repo's no-RNG discipline holds: the Poisson draw is the md5 hash of (key, replicate) quantized to 1/10000 and pushed through the FIXED integer quantile thresholds of Poisson(1) (3679/7358/9197/9810/9963 — e^-1 etc. as literals, so no libm at runtime and both engines agree bit-for-bit); reproducible across runs, engines, and partitionings like every sp op. Shape: the replicate explode is map-side (x5 rows), weights are map math, then one map-side-combining agg at replicate grain; weighted sums are exact integers, the mean one IEEE division per output row.") {
+      (s, dir) =>
+        val bootstrapBucket =
+          "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '#', CAST(rep AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10000"
+        docs(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            explode(expr("sequence(0, 4)")).as("rep"))
+          .withColumn("b", expr(bootstrapBucket))
+          .withColumn("wt",
+            when(col("b") < 3679, 0).when(col("b") < 7358, 1)
+              .when(col("b") < 9197, 2).when(col("b") < 9810, 3)
+              .when(col("b") < 9963, 4).otherwise(5))
+          .groupBy(col("rep").cast("long").as("rep"))
+          .agg(
+            sum(col("wt")).cast("long").as("n_resampled"),
+            sum(col("wt") * col("n_chars")).cast("long").as("sum_chars"),
+            (sum(col("wt") * col("n_chars")).cast("double") / sum(col("wt")))
+              .as("mean_chars"))
     })
 }

@@ -136,6 +136,35 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.length.toLong == good + tailN, "strata must partition the output")
   }
 
+  test("sp10 Poisson bootstrap matches a driver-side replay; replicates vary (sf0.01)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def wt(id: Long, rep: Long): Long = {
+      val b = java.lang.Long.parseLong(md5hex(s"$id#$rep").substring(0, 8), 16) % 10000
+      if (b < 3679) 0 else if (b < 7358) 1 else if (b < 9197) 2
+      else if (b < 9810) 3 else if (b < 9963) 4 else 5
+    }
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (0L to 4L).map { rep =>
+      val ws = docs.map { case (id, nc) => (wt(id, rep), nc) }
+      rep -> ((ws.map(_._1).sum, ws.map { case (w, nc) => w * nc }.sum))
+    }.toMap
+    val got = byName("sp10_poisson_bootstrap").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, "bootstrap weights diverged from the md5 model")
+    // Poisson(1) sums concentrate near n: each replicate within ±20%
+    val n = docs.length.toLong
+    expect.values.foreach { case (total, _) =>
+      assert(total > n * 8 / 10 && total < n * 12 / 10,
+        s"replicate mass $total far from n=$n — thresholds wrong")
+    }
+    // replicates must genuinely differ (independent per-rep hashes)
+    assert(expect.values.toSet.size > 1, "all replicates identical — rep not hashed in")
+  }
+
   test("sp04 quota sampling lands near its per-source target (sf0.01)") {
     val rows = byName("sp04_source_quota_sample").build(spark, sf001).collect()
     assert(rows.length == 20, "one row per source")
