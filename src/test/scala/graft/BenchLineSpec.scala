@@ -30,8 +30,10 @@ class BenchLineSpec extends AnyFunSuite {
   test("the full-inventory line parses as JSON and stays under budget") {
     val line = Bench.renderLine(realResults, Seq.empty, "/root/testdata/sf0.1")
     // success tail: 2000-char driver window minus ~75 chars of sbt
-    // [success] suffix → cap ~1900; r10's 151 queries render ~1740
-    assert(line.length < 1800,
+    // [success] suffix → cap ~1900; renderLine's own require fires at
+    // 1860, so this assert only guards against the require drifting up
+    // (r10's 157 queries render ~1810)
+    assert(line.length < 1870,
       s"bench line is ${line.length} chars — too close to the driver's 2000-char tail")
     assert(!line.contains("\"errors\""),
       "a clean run must not spend chars on an empty errors object")
