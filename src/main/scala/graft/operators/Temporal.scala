@@ -242,7 +242,7 @@ object Temporal {
              |FROM p JOIN iv ON iv.user_id = p.user_id
              | AND iv.valid_from <= p.ts
              | AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)""".stripMargin),
-      "AS-OF dimension lookup against the SCD2 table — the OTHER half of the q45 story: building versioned intervals is only useful if facts can be joined to the version that was current AT FACT TIME (the point-in-time-correct enrichment every warehouse fact load runs; joining to is_current instead silently rewrites history). Each purchase matches EXACTLY ONE interval — the intervals partition the user's timeline and the purchase is itself an event on it (spec-pinned, along with genuinely-historical matches so the pin isn't satisfied by current-version lookups alone). Shape at 100 TB: an equi-join on user_id carrying the interval containment as a join-level range filter — both sides shuffle once on the production key, the per-user interval list is change-cardinality (tiny vs facts), and the interval build's window shares the same user_id partitioning as the join so Catalyst reuses the exchange. Raw values pass through (no arithmetic at all) — cross-engine equality is exact.") {
+      "AS-OF dimension lookup against the SCD2 table — the OTHER half of the q45 story: building versioned intervals is only useful if facts can be joined to the version that was current AT FACT TIME (the point-in-time-correct enrichment every warehouse fact load runs; joining to is_current instead silently rewrites history). Each purchase matches EXACTLY ONE interval — the intervals partition the user's timeline and the purchase is itself an event on it (spec-pinned, along with genuinely-historical matches so the pin isn't satisfied by current-version lookups alone). Shape at 100 TB: an equi-join on user_id carrying the interval containment as a join-level range filter — both sides shuffle once on the production key, the per-user interval list is change-cardinality (tiny vs facts), and the interval build's window shares the same user_id partitioning an SMJ would need, so the fact side is the only extra exchange. At fixture scale Catalyst does one better and broadcasts the purchase side — ONE hash exchange in the whole plan (plan-audited). Raw values pass through (no arithmetic at all) — cross-engine equality is exact.") {
       (s, dir) =>
         val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         val ev = Tables.load(s, dir, "events")

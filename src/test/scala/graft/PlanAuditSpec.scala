@@ -294,6 +294,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "scan must report the bucketed read path")
   }
 
+  test("q56: as-of dimension lookup needs exactly one hash exchange") {
+    // the interval build's window owns the only user_id exchange; the
+    // purchase probe must not add a second fact-scale shuffle (at
+    // fixture scale Catalyst broadcasts the purchase side)
+    val p = plan("q56_scd2_lookup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      "exactly one hash exchange: the interval window's")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("st11: admission anti join broadcasts the blocklist (no state, no shuffle)") {
     // the anti join must be a BroadcastHashJoin LeftAnti — a shuffled
     // anti join would re-partition the whole stream per micro-batch
