@@ -113,21 +113,33 @@ object Bench {
     if (errors.nonEmpty) sys.exit(1)
   }
 
+  /** Single-char family codes for bench keys (r10 — the size lever
+    * after the errors-object drop: ~108 chars ≈ 9 queries of headroom).
+    * Distinct letters, none colliding with an unmapped prefix ("q",
+    * "entry"); `tools/bench_gate.py` maps BOTH sides through the same
+    * table so cross-round diffs (r8 "dd03" vs r10 "d3") keep firing.
+    */
+  private val FamilyCode = Map(
+    "cdc" -> "c", "dd" -> "d", "dc" -> "e", "ss" -> "s", "st" -> "t",
+    "tx" -> "x", "sp" -> "p", "pr" -> "r", "sk" -> "k", "pk" -> "b",
+    "mm" -> "m", "gr" -> "g", "ud" -> "u")
+
   /** Rendered bench key: the query's id prefix with the zero padding in
-    * its numeric suffix dropped ("dd03" → "dd3", "cdc01" → "cdc1",
-    * "tx13" → "tx13"). Still a bijection from the padded canonical ids
-    * (no padded id ever collides with an unpadded one: "q05"→"q5" and
-    * "q50"→"q50" stay distinct), so VERDICT/CORRECTNESS cross-reference
-    * stays unambiguous while ~90 padded ids each save a byte —
-    * `tools/bench_gate.py` canonicalizes both sides the same way, so
-    * cross-round diffs keep firing across the format change.
+    * its numeric suffix dropped and the family prefix mapped to its
+    * single-char code ("dd03" → "d3", "cdc01" → "c1", "tx13" → "x13",
+    * "q50" → "q50"). Still a bijection from the padded canonical ids
+    * (codes are distinct and no padded id collides with an unpadded
+    * one: "q05"→"q5" and "q50"→"q50" stay distinct — BenchLineSpec
+    * pins the bijection on the real inventory), so VERDICT/CORRECTNESS
+    * cross-reference stays decodable via [[FamilyCode]].
     */
   def shortId(name: String): String = {
     val p = name.takeWhile(_ != '_')
     val digits = p.reverse.takeWhile(_.isDigit).reverse
     val stripped = digits.dropWhile(_ == '0')
     if (digits.isEmpty) p
-    else p.dropRight(digits.length) + (if (stripped.isEmpty) "0" else stripped)
+    else FamilyCode.getOrElse(p.dropRight(digits.length), p.dropRight(digits.length)) +
+      (if (stripped.isEmpty) "0" else stripped)
   }
 
   /** The ONE stdout line the driver parses (from the LAST 2000 chars of

@@ -16,15 +16,17 @@ class BenchLineSpec extends AnyFunSuite {
   private def realResults: Seq[(String, Double)] =
     SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1.234)
 
-  test("shortId strips zero padding and stays a bijection on the inventory") {
-    assert(Bench.shortId("dd03_minhash") === "dd3")
-    assert(Bench.shortId("cdc01_x") === "cdc1")
-    assert(Bench.shortId("tx13_bm25") === "tx13")
+  test("shortId strips zero padding + family codes; stays a bijection on the inventory") {
+    assert(Bench.shortId("dd03_minhash") === "d3")
+    assert(Bench.shortId("cdc01_x") === "c1")
+    assert(Bench.shortId("dc01_overlap") === "e1")
+    assert(Bench.shortId("tx13_bm25") === "x13")
     assert(Bench.shortId("q50_pivot") === "q50")
+    assert(Bench.shortId("q05_hypothetical") === "q5")
     assert(Bench.shortId("entry") === "entry")
     val ids = SparkEntry.queries.keys.toSeq.map(Bench.shortId)
     assert(ids.distinct.size === ids.size,
-      "zero-strip must not collide two canonical ids")
+      "zero-strip + family codes must not collide two canonical ids")
   }
 
   test("the full-inventory line parses as JSON and stays under budget") {

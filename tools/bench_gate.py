@@ -51,14 +51,24 @@ def load_queries(path):
     return {canon(k): v for k, v in d["queries"].items()}, d.get("value")
 
 
+# Bench.FamilyCode twin: single-char family codes (r10 size lever).
+FAMILY = {"cdc": "c", "dd": "d", "dc": "e", "ss": "s", "st": "t",
+          "tx": "x", "sp": "p", "pr": "r", "sk": "k", "pk": "b",
+          "mm": "m", "gr": "g", "ud": "u"}
+
+
 def canon(qid):
     """Canonical bench key: zero padding in the numeric suffix stripped
-    ("dd03" -> "dd3"). Bench.renderLine switched to the stripped form in
-    r9 to keep the one-line JSON under the driver's 2000-char stdout
-    tail as the inventory grew; canonicalizing BOTH sides here keeps
-    cross-round diffs (r8 "dd03" vs r9 "dd3") firing across the change."""
+    and the family prefix mapped to its single-char code ("dd03" ->
+    "d3"). Bench.renderLine stripped zeros in r9 and shortened family
+    prefixes in r10 to keep the one-line JSON under the driver's
+    2000-char stdout tail as the inventory grew; canonicalizing BOTH
+    sides here keeps cross-round diffs (r8 "dd03" vs r10 "d3") firing
+    across both format changes."""
     m = re.match(r"^([A-Za-z_]*?)0*(\d+)$", qid)
-    return m.group(1) + m.group(2) if m else qid
+    if not m:
+        return qid
+    return FAMILY.get(m.group(1), m.group(1)) + m.group(2)
 
 
 def load_waivers(path):
