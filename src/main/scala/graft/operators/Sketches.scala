@@ -186,5 +186,35 @@ object Sketches {
               - col("exact_both"))
               <= greatest(lit(5.0), lit(0.05) * col("exact_both")))
               .as("sketch_within_bound"))
+    },
+
+    GraftQuery(
+      "sk06_hll_window_rollup",
+      Some("""WITH ad AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+             |days AS (SELECT DISTINCT day FROM ad)
+             |SELECT d.day, COUNT(DISTINCT a.user_id) AS exact_7d,
+             |       TRUE AS sketch_within_5pct
+             |FROM days d JOIN ad a ON a.day BETWEEN d.day - 6 AND d.day
+             |GROUP BY 1""".stripMargin),
+      "Rolling 7-day distinct users from DAILY HLL PARTIALS — the TEMPORAL rollup completing the sketch-store set (sk04 rolls up space/hierarchy, sk05 intersects, this rolls up time): one pass builds a KB-sized sketch per day, and any trailing window is then a day-cardinality union-merge of 7 partials — no re-scan of raw events, and (unlike q51's exact disjoint-interval construction, whose fact pass is specific to the chosen window length) the SAME partial store answers 7-day, 28-day or 90-day windows on demand. That is the operating mode of every 100 TB retention dashboard: persist daily partials, merge at query time, and run the exact pass only as an occasional audit — which is precisely what this query's exact branch is (q51's range-join truth, asserted in-plan against the estimate per day, 5% envelope; coupon-exact at verify scale so the boolean is deterministic). The day-range merge join runs at day x 7 cardinality — microscopic at any data scale.") {
+      (s, dir) =>
+        val d = t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+        val daily = d.groupBy("day")
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val rolled = daily.select(col("day").as("d"))
+          .join(broadcast(daily),
+            col("day").between(date_sub(col("d"), 6), col("d")))
+          .groupBy(col("d").as("day"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        val ad = d.distinct()
+        val exact = ad.select(col("day").as("d")).distinct()
+          .join(ad, col("day").between(date_sub(col("d"), 6), col("d")))
+          .groupBy(col("d").as("day"))
+          .agg(countDistinct(col("user_id")).as("exact_7d"))
+        exact.join(broadcast(rolled), "day")
+          .select(col("day"), col("exact_7d"),
+            (abs(col("est") - col("exact_7d")) / col("exact_7d") < 0.05)
+              .as("sketch_within_5pct"))
     })
 }

@@ -88,7 +88,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "gr08_connected_components", // shared edges() front door: 1-row median broadcast
     "pr07_drift_audit",  // 1-row midpoint + 1-row totals broadcasts (pr04 pattern)
     "st11_stream_static_anti", // 1-row p99 threshold broadcast into the blocklist
-    "tx15_novelty_score" // 1-row adaptive head-line broadcast into the vocab split
+    "tx15_novelty_score", // 1-row adaptive head-line broadcast into the vocab split
+    "sk06_hll_window_rollup" // day-range merges: day-cardinality broadcasts (~30 rows)
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {

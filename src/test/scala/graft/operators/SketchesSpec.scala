@@ -80,4 +80,24 @@ class SketchesSpec extends AnyFunSuite {
     val total = rows.map(_.getLong(1)).sum
     assert(total == Tables.load(spark, sf001, "customer").count())
   }
+
+  test("sk06: daily-partial window merge equals q51's exact rolling distinct") {
+    val rows = run("sk06_hll_window_rollup").collect()
+    assert(rows.forall(_.getBoolean(2)), "sketch_within_5pct violated")
+    // the exact branch must BE q51's answer, day for day — one truth,
+    // two constructions (disjoint-interval trick vs day-range join)
+    val q51 = run("q51_rolling_distinct").collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val here = rows.map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(here == q51, "sk06's exact branch diverged from q51")
+    // windows genuinely accumulate: some day covers more users than any
+    // single day's count (otherwise the 7-day merge is vacuous)
+    val daily = Tables.load(spark, sf001, "events")
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("day"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .distinct().groupBy("day").count()
+      .collect().map(_.getLong(1)).max
+    assert(here.values.max > daily, "no window exceeds a single day — merge vacuous")
+  }
 }
