@@ -208,14 +208,25 @@ object Bench {
       // growth pushed the old fixed 210 over the bar)
       val fixedLen = bare.length + 13 // + ,"errors":{} re-inserted below
       val errEntries = errors.map { case (k, v) => jstr(shortId(k)) + ":" + jstr(v) }
-      val (kept, dropped) = {
-        var budget = 1830 - fixedLen - 30 // 30 = "_truncated" marker reserve
-        val keep = errEntries.takeWhile { e => budget -= e.length + 1; budget >= 0 }
-        (keep, errEntries.size - keep.size)
+      val budget0 = 1830 - fixedLen - 30 // 30 = "_truncated" marker reserve
+      // If the queries map alone has eaten the whole error-tail budget
+      // (bare in (1788, 1859]: under the success require above but past
+      // 1830-13-30), appending even the "_truncated" marker would push
+      // an ERRORED run past the 1830-char error-tail cap and the driver
+      // would lose the JSON exactly when diagnostics matter. The -1
+      // query sentinels and exit code 1 already signal failure, so the
+      // bare line is the correct degraded render — never an oversized one.
+      if (budget0 < 0) bare
+      else {
+        val (kept, dropped) = {
+          var budget = budget0
+          val keep = errEntries.takeWhile { e => budget -= e.length + 1; budget >= 0 }
+          (keep, errEntries.size - keep.size)
+        }
+        val errs = (kept ++ (if (dropped > 0) Seq(jstr("_truncated") + ":" + jstr(s"$dropped more")) else Seq()))
+          .mkString("{", ",", "}")
+        s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfJson}"""
       }
-      val errs = (kept ++ (if (dropped > 0) Seq(jstr("_truncated") + ":" + jstr(s"$dropped more")) else Seq()))
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfJson}"""
     }
   }
 }

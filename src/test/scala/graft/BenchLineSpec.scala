@@ -65,6 +65,35 @@ class BenchLineSpec extends AnyFunSuite {
       assert(tree.get("errors").has("_truncated"))
   }
 
+  test("error render degrades to the bare line when the budget is already spent") {
+    // Construct a results map whose bare render lands in (1788, 1859]:
+    // under renderLine's 1860 success require, but past the error path's
+    // 1830-13-30 budget. The old code appended ',"errors":{"_truncated"...}'
+    // anyway, pushing an ERRORED line past the 1830 error-tail cap —
+    // exactly when the driver needs the JSON. Now it must emit the bare
+    // line (no errors object): -1 sentinels + exit 1 still signal failure.
+    // the -1 sentinel render is what the guard sees on a failed run, so
+    // search with the values the failing call will actually carry: a mix
+    // of successes (4-char "1.23") and errored -1s
+    def resultsFor(n: Int): Seq[(String, Double)] =
+      (1 to n).map(i => f"zz$i%03d_q" -> (if (i <= 3) -1.0 else 1.234))
+    val hit = (80 to 260).iterator.map(resultsFor).find { rs =>
+      // past ~1860 bare chars renderLine's success require throws — that
+      // n is beyond the window being searched, not a hit
+      scala.util.Try(Bench.renderLine(rs, Seq.empty, "/d")).toOption
+        .exists(b => b.length > 1830 - 13 - 30 && b.length < 1860)
+    }
+    assert(hit.nonEmpty, "no inventory size lands in the degraded window — budgets changed?")
+    val rs = hit.get
+    val line = Bench.renderLine(rs,
+      rs.take(3).map { case (k, _) => k -> "boom" }, "/d")
+    assert(line.length <= 1830, s"errored line is ${line.length} chars — past the error-tail cap")
+    val tree = mapper.readTree(line)
+    assert(!line.contains("\"errors\""),
+      "a spent budget must drop the errors object entirely, not truncate past the cap")
+    assert(tree.get("queries").size() === rs.size)
+  }
+
   test("inventory growth past the fixed-parts budget fails loudly") {
     // ~200 queries push the fixed parts past the 1860 require; that must
     // surface as a build-time failure, not a silent driver parse miss
