@@ -429,17 +429,7 @@ object Graph {
       // MIN over everything reachable from v (undirected), via a
       // dedup-recursive CTE seeded at every node — algorithm-free, so
       // the pointer-jumping loop is checked against the DEFINITION
-      Some(s"""WITH RECURSIVE ${edgesDuckQ("0.9")},
-              |und AS (SELECT src AS a, dst AS b FROM edges
-              |        UNION SELECT dst, src FROM edges),
-              |reach(root, node) AS (
-              |  SELECT n_nationkey, n_nationkey FROM nation
-              |  UNION
-              |  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node),
-              |lab AS (SELECT root AS node, MIN(node) AS component FROM reach GROUP BY root)
-              |SELECT CAST(node AS INT) AS node, CAST(component AS INT) AS component,
-              |       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
-              |FROM lab""".stripMargin),
+      Some(ccOracle),
       "Connected components by min-label propagation WITH POINTER JUMPING — the dd07 primitive upgraded to the algorithm web-scale CC actually needs. Plain min-propagation (dd07's loop) takes component-DIAMETER rounds: on a 100 TB web or near-dup graph whose giant component has diameter in the hundreds, that is hundreds of shuffles. Here every round does two things: (1) one neighbor-min hop — edge-grain map-side-combining MIN, the vertex-sized label table rides a broadcast, the pinned edge list is NEVER reshuffled; then (2) a pointer jump, component <- component(component), a vertex-scale self-join that halves the remaining pointer depth — so convergence is O(log n) rounds on ANY diameter (the Shiloach-Vishkin/path-doubling discipline used by every MapReduce-CC paper since Kiveris et al.). Labels only decrease, so the fixpoint probe is a checkpointed changed-flag scan (dd07's trick), and hitting the round cap THROWS loudly rather than emitting labels that disagree with the closure. Run at the p90 sparsification so the fixture graph genuinely fragments (>= 2 components at every scale — GraphSpec pins it against a driver-side union-find). Output: every vertex with its component id (= component min, deterministic) and exact component size. CC is the backbone op under dd07/dd08's dedup clustering — at corpus scale THIS is the loop that groups near-dup documents.") {
       (s, dir) =>
         val e = edges(s, dir, 0.9)
@@ -485,7 +475,95 @@ object Graph {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
         lab.select(col("node"), col("component"),
           count(lit(1)).over(w).as("component_size"))
+    },
+
+    GraftQuery(
+      "gr09_cc_shuffled",
+      // same algorithm-free ground truth as gr08: two engines, two
+      // execution strategies (broadcast vs shuffled labels), one closure
+      Some(ccOracle),
+      "gr08's pointer-jumping connected components WITHOUT vertex-scale broadcasts — the form that survives the regime gr08's contract excludes: |V| in the billions, label table tens of GB, far past executor (let alone driver) memory. gr08 ships the label table to every executor twice per round; here NOTHING broadcasts. The undirected edge list is hash-partitioned ONCE on the neighbor key and checkpointed — LogicalRDD preserves the partitioning, so every round's neighbor-min hop is an equi-join where ONLY the vertex-scale label table moves (one shuffle of |V| rows vs gr08's |V|-to-every-executor), and the pointer jump component <- component(component) is a plain label-key self equi-join. All three per-round joins carry SHUFFLE_MERGE hints so neither the static planner nor AQE's runtime re-plan can sneak the small fixture's labels back onto a broadcast — the plan IS the 100 TB plan at every scale (PlanAuditSpec pins zero Broadcast operators in the round; GraphSpec pins gr08 == gr09 row-for-row). Same O(log n) convergence, same loud cap, same monotone-decrease fixpoint probe; the only trade is per-round sort cost on the shuffled sides, which is exactly the price a billion-vertex CC pays anywhere.") {
+      (s, dir) =>
+        val e = edges(s, dir, 0.9)
+        // partitioned on the hop-join key BEFORE the checkpoint: the
+        // LogicalRDD keeps hashpartitioning(b), so rounds never move it
+        val und = Materialize.trackedLocalCheckpoint(
+          e.select(col("src").cast("int").as("a"), col("dst").cast("int").as("b"))
+            .unionByName(
+              e.select(col("dst").cast("int").as("a"), col("src").cast("int").as("b")))
+            .distinct()
+            .repartition(col("b")))
+        val nodes = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("int").as("node"))
+        var lab = Materialize.trackedLocalCheckpoint(
+          nodes.withColumn("component", col("node")))
+        var converged = false
+        var round = 0
+        val maxRounds = 12 // same log2-ish cap + loud-overrun contract as gr08
+        while (!converged && round < maxRounds) {
+          val next = Materialize.trackedLocalCheckpoint(ccShuffledRound(und, lab))
+          converged = next.where(col("changed")).isEmpty
+          lab = next.select(col("node"), col("component"))
+          round += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"pointer-jumping CC did not converge in $maxRounds rounds — " +
+              "pathological pointer depth; raise the cap")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        lab.select(col("node"), col("component"),
+          count(lit(1)).over(w).as("component_size"))
     })
+
+  /** Shared gr08/gr09 ground truth: the transitive closure itself —
+    * component(v) = MIN over everything reachable from v (undirected),
+    * via a dedup-recursive CTE seeded at every node. Algorithm-free,
+    * so both propagation loops are checked against the DEFINITION.
+    */
+  private def ccOracle =
+    s"""WITH RECURSIVE ${edgesDuckQ("0.9")},
+       |und AS (SELECT src AS a, dst AS b FROM edges
+       |        UNION SELECT dst, src FROM edges),
+       |reach(root, node) AS (
+       |  SELECT n_nationkey, n_nationkey FROM nation
+       |  UNION
+       |  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node),
+       |lab AS (SELECT root AS node, MIN(node) AS component FROM reach GROUP BY root)
+       |SELECT CAST(node AS INT) AS node, CAST(component AS INT) AS component,
+       |       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
+       |FROM lab""".stripMargin
+
+  /** One gr09 round: neighbor-min hop + pointer jump with the label
+    * table EQUI-JOINED under SHUFFLE_MERGE hints — no broadcast of any
+    * label-derived table, by construction (hints bind both the static
+    * planner and AQE's runtime join re-selection). `und` must be
+    * `(a, b)` undirected edges partitioned on `b`; `lab` is
+    * `(node, component)`. Output `(node, component, changed)` with the
+    * same monotone-decrease semantics as gr08's inline round.
+    * Package-visible so PlanAuditSpec can audit the round's physical
+    * plan in isolation (inside gr09 each round hides behind the
+    * fixpoint checkpoint).
+    */
+  private[graft] def ccShuffledRound(und: DataFrame, lab: DataFrame): DataFrame = {
+    // (1) neighbor-min hop: labels shuffle to the edges' partitioning
+    // (vertex-scale rows move; the edge list does not), then one
+    // edge-grain map-side-combining MIN at vertex grain
+    val nbr = und
+      .join(lab.select(col("node").as("b"), col("component").as("nc")).hint("shuffle_merge"), "b")
+      .groupBy(col("a").as("node"))
+      .agg(min(col("nc")).as("nc"))
+    val hopped = lab.join(nbr.hint("shuffle_merge"), Seq("node"), "left")
+      .select(col("node"),
+        least(col("component"), coalesce(col("nc"), col("component"))).as("c1"),
+        (coalesce(col("nc"), col("component")) < col("component")).as("ch1"))
+    // (2) pointer jump: c2(v) = c1(c1(v)) — a vertex-scale self
+    // equi-join on the label key, no lookup table shipped anywhere
+    val ptr = hopped.select(col("node").as("c1"), col("c1").as("jc"))
+    hopped.join(ptr.hint("shuffle_merge"), Seq("c1"), "left")
+      .select(col("node"),
+        coalesce(col("jc"), col("c1")).as("component"),
+        (col("ch1") || coalesce(col("jc"), col("c1")) < col("c1")).as("changed"))
+  }
 
   /** The shared gr04 SQL — Spark and DuckDB run the SAME text (view
     * prefix aside): recursive BFS over the sparsified trade graph,

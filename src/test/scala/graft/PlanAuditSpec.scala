@@ -339,6 +339,34 @@ class PlanAuditSpec extends AnyFunSuite {
       "pair counts must combine map-side")
   }
 
+  test("gr09: the CC round never broadcasts the label table") {
+    // the gr09 contract: at billion-vertex scale the label table does
+    // not fit an executor, so NOTHING in the round may plan a broadcast
+    // — not the hop join, not the left merge-back, not the pointer
+    // jump. Audit one round in isolation (inside the query each round
+    // hides behind the fixpoint checkpoint) AFTER execution, so AQE's
+    // runtime re-plan is what's asserted, not just the static plan.
+    import org.apache.spark.sql.functions.col
+    val e = operators.Graph.edges(spark, sf001, 0.9)
+    val und = operators.Materialize.trackedLocalCheckpoint(
+      e.select(col("src").cast("int").as("a"), col("dst").cast("int").as("b"))
+        .unionByName(
+          e.select(col("dst").cast("int").as("a"), col("src").cast("int").as("b")))
+        .distinct()
+        .repartition(col("b")))
+    val lab = operators.Materialize.trackedLocalCheckpoint(
+      Tables.load(spark, sf001, "nation")
+        .select(col("n_nationkey").cast("int").as("node"))
+        .withColumn("component", col("node")))
+    val round = operators.Graph.ccShuffledRound(und, lab)
+    round.collect() // finalize the adaptive plan before reading it
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("Broadcast"),
+      "gr09's round must not broadcast anything — labels are equi-joined")
+    assert(p.contains("SortMergeJoin"),
+      "the shuffle_merge hints must hold through AQE")
+  }
+
   test("LSH pipelines use the compiled expressions") {
     // full-plan mode sees past the materialization point, so the
     // builders' own invocations are asserted (not merely registration)

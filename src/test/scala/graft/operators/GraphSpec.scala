@@ -217,4 +217,17 @@ class GraphSpec extends AnyFunSuite {
     assert(sizes.size >= 2, "single component — fragmentation pin is vacuous")
     assert(sizes.values.max >= 2L, "all singletons — propagation never ran")
   }
+
+  test("gr09: shuffled-label CC is row-identical to gr08") {
+    // same closure, two execution strategies: broadcast labels (gr08)
+    // vs hash-partitioned equi-joined labels (gr09). Any divergence is
+    // a bug in one of the two loops, not a data difference.
+    def rows(name: String) = run(name).collect()
+      .map(r => (lv(r, 0), lv(r, 1), r.getLong(2))).toSet
+    val g8 = rows("gr08_connected_components")
+    val g9 = rows("gr09_cc_shuffled")
+    assert(g9 == g8,
+      s"gr09 diverged from gr08: extra=${g9 -- g8} missing=${g8 -- g9}")
+    assert(g8.nonEmpty, "empty CC output — equivalence pin is vacuous")
+  }
 }
