@@ -58,6 +58,75 @@ object Multimodal {
     }
   }
 
+  /** Typed stats a REAL image decode emits per payload (mm06). */
+  final case class ImageStats(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      px_sum: Long,
+      px_min: Int,
+      px_max: Int)
+
+  /** REAL codec — no stub: 8-bit grayscale PNG encode/decode through
+    * JDK `javax.imageio` (present in this container; the external
+    * image/audio libraries the other mm ops would need are not).
+    * PNG grayscale is lossless, so a decode returns the exact pixel
+    * bytes an encode was given — which is what lets mm06 carry a full
+    * DuckDB value oracle over REAL container bytes: the fixture
+    * pixels are a closed-form function both engines can compute, but
+    * the Spark side only sees them through genuine PNG parsing
+    * (signature, IHDR, zlib-inflated IDAT scanlines).
+    */
+  object PngCodec {
+    def encodeGray(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      if (!javax.imageio.ImageIO.write(img, "png", bos))
+        throw new IllegalStateException("no PNG writer in this JDK")
+      bos.toByteArray
+    }
+
+    def decodeStats(payload: Array[Byte]): (Int, Int, Long, Int, Int) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null)
+        throw new IllegalArgumentException("payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var (sum, mn, mx) = (0L, 255, 0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, sum, mn, mx)
+    }
+  }
+
+  /** Partition-parallel REAL image decode: same batch contract as
+    * [[decodeMeta]] (binary payloads stay on executors, one codec call
+    * per row), but the codec is `javax.imageio`, not a stub.
+    */
+  def decodeImageStats(ds: Dataset[(Long, Array[Byte])]): Dataset[ImageStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, payload) =>
+      val (w, h, sum, mn, mx) = PngCodec.decodeStats(payload)
+      ImageStats(id, w, h, sum, mn, mx)
+    })
+  }
+
   /** One sampled "frame" of a media payload. */
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame_sha: String)
 
@@ -199,6 +268,42 @@ object Multimodal {
           .withColumn("waste_frac",
             col("padding_px").cast("double") /
               (col("padding_px") + col("content_px")))
+    },
+
+    GraftQuery(
+      "mm06_real_decode",
+      // chained UNNEST(RANGE(...)) per axis: DuckDB 1.0 can't lateral-
+      // parameterize the range TABLE function, but select-list unnest
+      // over a column-derived range is fine (the mm03 pattern, twice)
+      Some("""WITH d AS (SELECT doc_id,
+             |                 4 + CAST(('0x' || SUBSTRING(MD5(text), 1, 2)) AS INT) % 13 AS width,
+             |                 4 + CAST(('0x' || SUBSTRING(MD5(text), 3, 2)) AS INT) % 13 AS height
+             |           FROM documents WHERE doc_id < 60),
+             |xs AS (SELECT doc_id, width, height, UNNEST(RANGE(0, width)) AS x FROM d),
+             |px AS (SELECT doc_id, width, height, x, UNNEST(RANGE(0, height)) AS y FROM xs)
+             |SELECT doc_id, width, height,
+             |       CAST(SUM((doc_id * 17 + x * 31 + y * 7) % 256) AS BIGINT) AS px_sum,
+             |       CAST(MIN((doc_id * 17 + x * 31 + y * 7) % 256) AS INT) AS px_min,
+             |       CAST(MAX((doc_id * 17 + x * 31 + y * 7) % 256) AS INT) AS px_max
+             |FROM px GROUP BY 1, 2, 3""".stripMargin),
+      "The de-stubbed multimodal decode: REAL 8-bit grayscale PNG payloads decoded by the REAL JDK codec (javax.imageio) inside the mm02 mapPartitions batch contract — signature check, IHDR, zlib-inflated IDAT scanlines, the actual container format, not a hash posing as one. Fixture payloads are encoded per doc (dims md5-derived like mm02's, pixels a closed-form integer function of (doc_id, x, y)), so the DuckDB oracle can compute the exact per-image pixel sum/min/max the decode must recover — PNG grayscale is lossless, so any byte the codec mis-parses breaks the hash. The encode is fixture generation; the DECODE path (payload bytes -> width/height/pixel stats, partition-parallel, payloads never on the driver) is exactly the op a training pipeline fans over 100 TB of scraped images — per-row cost is decode-bound and embarrassingly parallel, the Spark side contributes one narrow map stage and a doc-grain output. The stub codec stays for the formats this container genuinely lacks (video/audio); MultimodalSpec pins golden bytes: a hand-seeded image round-trips to its exact stats and the payload carries the PNG magic.") {
+      (s, dir) =>
+        implicit val spark: SparkSession = s
+        import s.implicits._
+        val dims = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+          .withColumn("w", expr(
+            "4 + CAST(conv(substring(md5(encode(text, 'UTF-8')), 1, 2), 16, 10) AS INT) % 13"))
+          .withColumn("h", expr(
+            "4 + CAST(conv(substring(md5(encode(text, 'UTF-8')), 3, 2), 16, 10) AS INT) % 13"))
+          .select(col("doc_id"), col("w"), col("h"))
+          .as[(Long, Int, Int)]
+        // fixture encode: real PNG container bytes, partition-parallel
+        val pngs = dims.mapPartitions(_.map { case (id, w, h) =>
+          (id, PngCodec.encodeGray(w, h,
+            (x, y) => ((id * 17 + x * 31 + y * 7) % 256).toInt))
+        })
+        decodeImageStats(pngs).toDF()
     },
   )
 }

@@ -51,4 +51,55 @@ class MultimodalSpec extends AnyFunSuite {
     val viaStub = Multimodal.decodeMeta(payloads).collect().head.sha_hex
     assert(viaStub === sparkSide)
   }
+
+  test("PngCodec golden bytes: real PNG container, exact pixel round-trip") {
+    // hand-seeded 5x3 image with known pixels: the encode must emit a
+    // genuine PNG (magic + IHDR chunk), and the decode must recover the
+    // EXACT grayscale values — PNG 8-bit gray is lossless, so any
+    // codec-path corruption shows as a stats mismatch here
+    val pix = Array(
+      Array(0, 17, 255, 128, 3),
+      Array(250, 1, 99, 200, 42),
+      Array(7, 7, 7, 7, 7))
+    val bytes = Multimodal.PngCodec.encodeGray(5, 3, (x, y) => pix(y)(x))
+    assert(bytes.take(8).map(_ & 0xff).toSeq ===
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a),
+      "payload must carry the PNG signature")
+    assert(new String(bytes.slice(12, 16), "US-ASCII") === "IHDR",
+      "first chunk must be IHDR")
+    val (w, h, sum, mn, mx) = Multimodal.PngCodec.decodeStats(bytes)
+    val flat = pix.flatten
+    assert((w, h) === ((5, 3)))
+    assert(sum === flat.map(_.toLong).sum)
+    assert(mn === flat.min)
+    assert(mx === flat.max)
+    // a non-image payload fails LOUDLY, never a null-derived garbage row
+    intercept[IllegalArgumentException] {
+      Multimodal.PngCodec.decodeStats("not a png".getBytes("UTF-8"))
+    }
+  }
+
+  test("mm06 distributed decode equals driver-side decode of the same payloads") {
+    import spark.implicits._
+    // the query's own fixture recipe, replayed at tiny scale: encode on
+    // the driver, decode both ways, compare exactly
+    val dims = Seq((0L, 4, 6), (1L, 16, 4), (2L, 7, 7))
+    def pixel(id: Long)(x: Int, y: Int): Int = ((id * 17 + x * 31 + y * 7) % 256).toInt
+    val payloads = dims.map { case (id, w, h) =>
+      (id, Multimodal.PngCodec.encodeGray(w, h, pixel(id)))
+    }
+    val expected = payloads.map { case (id, b) =>
+      val (w, h, s, mn, mx) = Multimodal.PngCodec.decodeStats(b)
+      Multimodal.ImageStats(id, w, h, s, mn, mx)
+    }.sortBy(_.doc_id)
+    val got = Multimodal.decodeImageStats(payloads.toDS()).collect().sortBy(_.doc_id)
+    assert(got.toSeq === expected)
+    // and the closed form the DuckDB oracle uses matches the decode
+    expected.foreach { st =>
+      val vs = for (y <- 0 until st.height; x <- 0 until st.width)
+        yield pixel(st.doc_id)(x, y)
+      assert(st.px_sum === vs.map(_.toLong).sum, s"doc ${st.doc_id} sum")
+      assert(st.px_min === vs.min && st.px_max === vs.max)
+    }
+  }
 }
