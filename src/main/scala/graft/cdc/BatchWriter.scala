@@ -205,6 +205,87 @@ final class IdempotentJdbcBatchWriter(
   }
 }
 
+/** Row-keyed upsert JDBC delivery — exactly-once at ROW granularity
+  * via SQL-standard MERGE, the opt-in upgrade past both the
+  * reference's at-least-once INSERT (`AdbSink.java:111,128-130`: a
+  * retry after a partial flush re-inserts everything it already
+  * committed) and [[IdempotentJdbcBatchWriter]]'s partition-grain
+  * ledger: here every row carries its own deterministic key
+  * `(run_id, batch_id, seq)` and lands through
+  * `MERGE ... WHEN NOT MATCHED THEN INSERT`, so a replay of any
+  * subset — whole batch, one partition, or a half-committed retry
+  * against a backend without transactional batches — inserts each row
+  * at most once. This is the deterministic-label discipline the
+  * Stream Load sink (O9) already has, applied to the JDBC sink (O8).
+  *
+  * `seq` = `partition_id << 32 | row index` over rows sorted by FULL
+  * content within the partition — deterministic under the same
+  * replayed-partitioning assumption the ledger writer documents.
+  * Destination tables need the three key columns and
+  * `PRIMARY KEY (run_id, batch_id, seq)`.
+  *
+  * The MERGE text is SQL standard; only the one-row source relation is
+  * dialect (`SYSIBM.SYSDUMMY1` on Derby/DB2 — the embedded test
+  * backend — `DUAL` on Oracle/MySQL), so it's a constructor knob.
+  */
+final class UpsertJdbcBatchWriter(
+    url: String,
+    runId: String,
+    props: java.util.Properties,
+    tableFor: String => String = identity,
+    insertBatchSize: Int = 100,
+    dualTable: String = "SYSIBM.SYSDUMMY1") extends BatchWriter {
+  val name = "jdbc-upsert"
+
+  def write(batch: DataFrame, batchId: Long): Unit = {
+    val (u, rid, tf, p, bs, bid, dual) =
+      (url, runId, tableFor, props, insertBatchSize, batchId, dualTable)
+    JdbcRouting.routed(batch)
+      // full-content sort => row index within the partition is a pure
+      // function of the partition's row SET, stable across replays
+      .sortWithinPartitions("dbTbName", "id", "fbNo", "recordDelTime", "dataJson")
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var idx = 0L
+          val conn = java.sql.DriverManager.getConnection(u, p)
+          try {
+            conn.setAutoCommit(false)
+            val it = rows.buffered
+            while (it.hasNext) {
+              val table = JdbcRouting.checkIdent(tf(it.head.getString(0)))
+              val st = conn.prepareStatement(
+                s"""MERGE INTO $table t USING $dual
+                   |ON t.run_id = ? AND t.batch_id = ? AND t.seq = ?
+                   |WHEN NOT MATCHED THEN INSERT
+                   |  (run_id, batch_id, seq, id, fb_no, record_del_time, data_json)
+                   |  VALUES (?, ?, ?, ?, ?, ?, ?)""".stripMargin)
+              try {
+                var n = 0
+                while (it.hasNext && tf(it.head.getString(0)) == table) {
+                  val r = it.next()
+                  val seq = (pid.toLong << 32) | idx
+                  st.setString(1, rid); st.setLong(2, bid); st.setLong(3, seq)
+                  st.setString(4, rid); st.setLong(5, bid); st.setLong(6, seq)
+                  st.setString(7, r.getString(1))
+                  st.setString(8, r.getString(2))
+                  st.setString(9, r.getString(3))
+                  st.setString(10, r.getString(4))
+                  st.addBatch()
+                  idx += 1
+                  n += 1
+                  if (n % bs == 0) st.executeBatch()
+                }
+                st.executeBatch()
+              } finally st.close()
+            }
+            conn.commit()
+          } finally conn.close()
+        }
+      }
+  }
+}
+
 /** Stream-Load-shaped delivery — the reference's StarRocks sink
   * re-expressed (`SrSink.java:104-133`, `SrStreamLoadClient.java:43-101`):
   * per-table JSON chunks of ≤ `chunkSize` rows, each PUT with an

@@ -492,4 +492,60 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
     writer.write(batch, 8L)
     assert(countRows() === 6)
   }
+
+  test("upsert jdbc delivery is exactly-once at ROW grain: replay heals, never duplicates") {
+    val db = tmpDir("derby3") + "/adb"
+    val url = s"jdbc:derby:$db;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE archive (
+        |  run_id VARCHAR(40) NOT NULL, batch_id BIGINT NOT NULL, seq BIGINT NOT NULL,
+        |  id VARCHAR(64), fb_no VARCHAR(16),
+        |  record_del_time VARCHAR(32), data_json VARCHAR(4000),
+        |  PRIMARY KEY (run_id, batch_id, seq))""".stripMargin)
+    c0.close()
+
+    val batch = ChangeArchiveJob.build(
+      Seq("src-a" -> {
+        import spark.implicits._
+        Seq(envelope(1), envelope(2), envelope(3)).toDF("value")
+      }),
+      spark, cfg)
+    val writer = new UpsertJdbcBatchWriter(
+      url, "run1", new java.util.Properties,
+      tableFor = _ => "archive", insertBatchSize = 2)
+    def withConn[A](f: java.sql.Connection => A): A = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try f(c) finally c.close()
+    }
+    def countRows(): Int = withConn { c =>
+      val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM archive")
+      rs.next(); rs.getInt(1)
+    }
+    writer.write(batch, 7L)
+    assert(countRows() === 3)
+    // full replay: every row's (run_id, batch_id, seq) matches → no insert
+    writer.write(batch, 7L)
+    assert(countRows() === 3, "row-keyed replay must not duplicate")
+    // the case the partition-grain ledger CANNOT handle: partial prior
+    // delivery. Simulate it by deleting one row; the replay must
+    // restore exactly the missing row and leave the others alone
+    withConn(_.createStatement().executeUpdate(
+      "DELETE FROM archive WHERE seq = (SELECT MAX(seq) FROM archive)"))
+    assert(countRows() === 2)
+    writer.write(batch, 7L)
+    assert(countRows() === 3, "replay must heal a partial delivery, row-granular")
+    // distinct ids all present exactly once after the heal
+    val ids = withConn { c =>
+      val rs = c.createStatement().executeQuery("SELECT id FROM archive ORDER BY id")
+      Iterator.continually(rs).takeWhile(_.next()).map(_.getString(1)).toList
+    }
+    assert(ids === List("1", "2", "3"))
+    // a NEW batch id (and a new run) still writes
+    writer.write(batch, 8L)
+    assert(countRows() === 6)
+    new UpsertJdbcBatchWriter(url, "run2", new java.util.Properties,
+      tableFor = _ => "archive").write(batch, 7L)
+    assert(countRows() === 9, "a different run_id is a different delivery")
+  }
 }
