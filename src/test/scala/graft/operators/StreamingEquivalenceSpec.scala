@@ -371,4 +371,91 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
       .build(spark, sf0001)
     assert(sortedRows(streamed) === sortedRows(batch))
   }
+
+  // ---------------------------------------------------------------------
+  // State-store SIZE proofs: st05/st08/st10/st12 all CLAIM watermark+1h
+  // eviction keeps join state bounded; these tests assert it from the
+  // engine's own StreamingQueryProgress.stateOperators metrics. Events
+  // are staged as 6 time-ordered files and consumed 1 file/trigger, so
+  // the watermark advances across micro-batches and eviction must show
+  // up as numRowsRemoved — and the final state must hold a small
+  // fraction of the stream, not the whole history.
+  // ---------------------------------------------------------------------
+
+  /** events sorted by ts, written as 6 sequential single-file chunks
+    * (ascending mod-times → the file source replays them in time order).
+    */
+  private lazy val chunkedDir: String = {
+    val dir = Files.createTempDirectory("events-chunked").toString
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")
+    val base = graft.Tables.load(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("rn", row_number().over(w))
+    val n = base.count()
+    for (i <- 0L until 6L)
+      base.filter(col("rn") > i * n / 6 && col("rn") <= (i + 1) * n / 6)
+        .drop("rn").coalesce(1)
+        .write.mode("append").parquet(dir)
+    dir
+  }
+
+  private def chunkedEvents: DataFrame =
+    spark.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(chunkedDir)
+
+  for ((flavor, joinType) <- Seq(
+      "inner" -> "inner", "left outer" -> "leftOuter",
+      "full outer" -> "fullOuter", "left semi" -> "leftSemi"))
+    test(s"state stays bounded: stream-stream $flavor interval join evicts behind the watermark") {
+      val v = chunkedEvents.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          col("user_id").as("v_user_id"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val p = chunkedEvents.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = p.join(v,
+        col("p_user_id") === col("v_user_id") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") < col("v_ts") + expr("INTERVAL 1 HOUR"),
+        joinType)
+      val name = s"state_${joinType.toLowerCase}"
+      val q = joined.writeStream
+        .format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(progs.length >= 3,
+        s"expected multiple stateful micro-batches, got ${progs.length}")
+      // eviction proof that holds for every flavor: far more rows were
+      // ADDED to the store over the run than remain at the end. (The
+      // direct numRowsRemoved counter is asserted below only where the
+      // engine reports it — observed Spark 4.1 gap: the full-outer
+      // join's eviction happens on the outer-null-emit path and never
+      // ticks numRowsRemoved, while numRowsTotal drops identically.)
+      val added = progs.flatMap(_.stateOperators).map(_.numRowsUpdated).sum
+      val endTotal = progs.last.stateOperators.map(_.numRowsTotal).sum
+      assert(added - endTotal > added / 2,
+        s"$flavor: added $added state rows but $endTotal remain — eviction never ran")
+      if (joinType != "fullOuter") {
+        val removed = progs.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+        assert(removed > 0,
+          s"$flavor: watermark eviction never removed a state row — state grows without bound")
+      }
+      val inputRows = graft.Tables.load(spark, sf0001, "events")
+        .filter(col("event_type").isin("view", "purchase")).count()
+      val finalTotal = progs.last.stateOperators.map(_.numRowsTotal).sum
+      assert(finalTotal < inputRows / 2,
+        s"$flavor: final state holds $finalTotal of $inputRows joined-side rows — " +
+          "eviction is not keeping state at watermark-horizon size")
+      // boundedness THROUGHOUT, not just at the end: no batch may hold
+      // the whole history (the 30-day fixture vs the 1h+1h horizon)
+      val maxTotal = progs.map(_.stateOperators.map(_.numRowsTotal).sum).max
+      assert(maxTotal < inputRows,
+        s"$flavor: some batch held $maxTotal >= all $inputRows rows in state")
+    }
 }
