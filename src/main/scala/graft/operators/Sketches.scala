@@ -196,7 +196,7 @@ object Sketches {
              |       TRUE AS sketch_within_5pct
              |FROM days d JOIN ad a ON a.day BETWEEN d.day - 6 AND d.day
              |GROUP BY 1""".stripMargin),
-      "Rolling 7-day distinct users from DAILY HLL PARTIALS — the TEMPORAL rollup completing the sketch-store set (sk04 rolls up space/hierarchy, sk05 intersects, this rolls up time): one pass builds a KB-sized sketch per day, and any trailing window is then a day-cardinality union-merge of 7 partials — no re-scan of raw events, and (unlike q51's exact disjoint-interval construction, whose fact pass is specific to the chosen window length) the SAME partial store answers 7-day, 28-day or 90-day windows on demand. That is the operating mode of every 100 TB retention dashboard: persist daily partials, merge at query time, and run the exact pass only as an occasional audit — which is precisely what this query's exact branch is (q51's range-join truth, asserted in-plan against the estimate per day, 5% envelope; coupon-exact at verify scale so the boolean is deterministic). The day-range merge join runs at day x 7 cardinality — microscopic at any data scale.") {
+      "Rolling 7-day distinct users from DAILY HLL PARTIALS — the TEMPORAL rollup completing the sketch-store set (sk04 rolls up space/hierarchy, sk05 intersects, this rolls up time): one pass builds a KB-sized sketch per day, and any trailing window is then a day-cardinality union-merge of 7 partials — no re-scan of raw events, and (unlike q51's exact disjoint-interval construction, whose fact pass is specific to the chosen window length) the SAME partial store answers 7-day, 28-day or 90-day windows on demand. That is the operating mode of every 100 TB retention dashboard: persist daily partials, merge at query time, and run the exact pass only as an occasional audit — which is precisely what this query's exact branch is (q51's range-join truth, asserted in-plan against the estimate per day, 5% envelope; coupon-exact at verify scale so the boolean is deterministic). Oracle contract: exact_7d is the cross-engine value check; sketch_within_5pct is a SPARK IN-PLAN assertion mirrored as the literal TRUE in the DuckDB SQL (the sk01/pr03 pattern — DuckDB has no HLL twin, so Spark must COMPUTE true per day or the row hash goes red; SketchesSpec additionally pins the estimate day-for-day). The day-range merge join runs at day x 7 cardinality — microscopic at any data scale.") {
       (s, dir) =>
         val d = t(s, dir, "events")
           .select(to_date(col("ts")).as("day"), col("user_id"))
