@@ -102,6 +102,49 @@ object Graph {
     */
   private[graft] def kcoreK(maxDeg: Long): Long = maxDeg / 2
 
+  /** Shared gr03/gr10 ground truth: the peel chain computed straight
+    * from the definition. Two engines, two execution strategies
+    * (broadcast vs shuffled keep-set), one oracle — gr09's discipline
+    * applied to the k-core pair.
+    */
+  private[graft] def kcoreOracle: String = {
+    // MATERIALIZED pins each peel round once: DuckDB inlines a CTE
+    // per reference, and this chain references each round's output
+    // three times — unmaterialized it re-expands the 4-table
+    // support join exponentially (measured: 180 s → 0.4 s)
+    val peel = (i: Int, prev: String) =>
+      s"""d$i AS (SELECT v, COUNT(*) AS d FROM (
+         |          SELECT a AS v FROM $prev UNION ALL SELECT b AS v FROM $prev) u
+         |        GROUP BY v),
+         |kp$i AS MATERIALIZED (SELECT v FROM d$i, kd WHERE d >= k),
+         |e$i AS MATERIALIZED (SELECT a, b FROM $prev
+         |        WHERE a IN (SELECT v FROM kp$i) AND b IN (SELECT v FROM kp$i))""".stripMargin
+    s"""WITH support AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey
+       |  GROUP BY 1, 2),
+       |med AS (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY w) AS m FROM support),
+       |edges AS (SELECT src, dst FROM support, med WHERE w > m),
+       |und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       |        FROM edges),
+       |d0 AS (SELECT v, COUNT(*) AS d FROM (
+       |         SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) u
+       |       GROUP BY v),
+       |kd AS MATERIALIZED (SELECT MAX(d) // 2 AS k FROM d0),
+       |${peel(1, "und")},
+       |${peel(2, "e1")},
+       |${peel(3, "e2")},
+       |dr AS (SELECT v, COUNT(*) AS d FROM (
+       |         SELECT a AS v FROM e3 UNION ALL SELECT b AS v FROM e3) u
+       |       GROUP BY v)
+       |SELECT na.n_name AS nation, CAST(dr.d AS BIGINT) AS core_deg
+       |FROM dr JOIN nation na ON na.n_nationkey = dr.v""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -201,43 +244,7 @@ object Graph {
 
     GraftQuery(
       "gr03_kcore",
-      Some {
-        // MATERIALIZED pins each peel round once: DuckDB inlines a CTE
-        // per reference, and this chain references each round's output
-        // three times — unmaterialized it re-expands the 4-table
-        // support join exponentially (measured: 180 s → 0.4 s)
-        val peel = (i: Int, prev: String) =>
-          s"""d$i AS (SELECT v, COUNT(*) AS d FROM (
-             |          SELECT a AS v FROM $prev UNION ALL SELECT b AS v FROM $prev) u
-             |        GROUP BY v),
-             |kp$i AS MATERIALIZED (SELECT v FROM d$i, kd WHERE d >= k),
-             |e$i AS MATERIALIZED (SELECT a, b FROM $prev
-             |        WHERE a IN (SELECT v FROM kp$i) AND b IN (SELECT v FROM kp$i))""".stripMargin
-        s"""WITH support AS MATERIALIZED (
-           |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
-           |  FROM lineitem l
-           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-           |  JOIN customer c ON o.o_custkey = c.c_custkey
-           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-           |  WHERE c.c_nationkey <> s.s_nationkey
-           |  GROUP BY 1, 2),
-           |med AS (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY w) AS m FROM support),
-           |edges AS (SELECT src, dst FROM support, med WHERE w > m),
-           |und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
-           |        FROM edges),
-           |d0 AS (SELECT v, COUNT(*) AS d FROM (
-           |         SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) u
-           |       GROUP BY v),
-           |kd AS MATERIALIZED (SELECT MAX(d) // 2 AS k FROM d0),
-           |${peel(1, "und")},
-           |${peel(2, "e1")},
-           |${peel(3, "e2")},
-           |dr AS (SELECT v, COUNT(*) AS d FROM (
-           |         SELECT a AS v FROM e3 UNION ALL SELECT b AS v FROM e3) u
-           |       GROUP BY v)
-           |SELECT na.n_name AS nation, CAST(dr.d AS BIGINT) AS core_deg
-           |FROM dr JOIN nation na ON na.n_nationkey = dr.v""".stripMargin
-      },
+      Some(kcoreOracle),
       "k-core decomposition (k = half the max raw degree, three peel rounds unrolled — the gr01 bounded-iteration discipline): repeatedly drop vertices with degree < k and the edges they carry, the standard graph-densification filter a pipeline runs before expensive per-edge analytics (each peel can only shrink the graph, so three rounds bound the plan while converging on real power-law graphs' shells). k is data-adaptive (max degree div 2, integer — a constant either empties a sparse fixture or never peels a dense one) and rides a 1-row broadcast into the threshold filter. Per round: one vertex-sized degree aggregation, then the surviving-vertex set — always vertex-scale, tiny vs the edges — broadcasts into two semi joins, so the edge list is filtered map-side and NEVER reshuffled; all math is integer counts, bit-identical across engines. Output = surviving vertices with their residual in-core degree.") {
       (s, dir) =>
         val e = edges(s, dir)
@@ -513,7 +520,58 @@ object Graph {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
         lab.select(col("node"), col("component"),
           count(lit(1)).over(w).as("component_size"))
+    },
+
+    GraftQuery(
+      "gr10_kcore_shuffled",
+      // gr03's definition-level oracle verbatim: same peel, same k,
+      // same answer — only the execution strategy differs
+      Some(kcoreOracle),
+      "gr03's k-core peel WITHOUT vertex-scale keep-set broadcasts — gr09's move applied to the second graph operator that assumed |V| fits an executor. gr03 broadcasts the surviving-vertex set into two map-side semi joins each round (edges never reshuffled — the right plan while the keep-set is MBs); at billion-vertex scale that set is tens of GB and the broadcast is the scale-killer, so here every keep-set join is a SHUFFLE_MERGE left-semi: the vertex-scale keep-set shuffles on the key and the edge list pays one partition-by-endpoint pass per side per round. That trade is priced honestly: the peel becomes two edge shuffles per round (a-side then b-side) — at 100 TB you halve it by storing edges bucketed on one endpoint (q55's lever) so that side's semi is co-located, and the degree aggregation stays one map-side-combining vertex-grain shuffle either way. The adaptive k STILL rides a broadcast — it is ONE row (max degree div 2), scale-free by construction, and the audit distinguishes exactly that: PlanAuditSpec pins ZERO BroadcastHashJoin (no hashed-relation table of any vertex-scale set) while allowing the 1-row BNLJ threshold; GraphSpec pins gr03 == gr10 row-for-row, and both hash-match the same definition-level DuckDB peel. Deterministic integer math throughout.") {
+      (s, dir) =>
+        val e = edges(s, dir)
+        var cur = Materialize(e.select(
+            least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .distinct())
+        // the only broadcast in the plan: a 1-row threshold frame —
+        // scale-free regardless of |V| (contrast the keep-set below)
+        val kf = broadcast(undDegrees(cur).agg(expr("max(d) div 2").as("k")))
+        for (_ <- 1 to 3)
+          cur = Materialize(kcoreShuffledPeel(cur, kf))
+        val dr = undDegrees(cur).withColumnRenamed("d", "core_deg")
+        // dimension attribution also over shuffle: the audited plan
+        // carries no hashed-relation broadcast anywhere
+        dr.join(Tables.load(s, dir, "nation")
+            .select(col("n_nationkey").as("v"), col("n_name"))
+            .hint("shuffle_merge"), "v")
+          .select(col("n_name").as("nation"), col("core_deg"))
     })
+
+  /** Undirected degree table of an `(a, b)` edge list. */
+  private[graft] def undDegrees(df: DataFrame): DataFrame =
+    df.select(col("a").as("v"))
+      .unionByName(df.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+
+  /** One gr10 peel round: surviving-vertex set computed from the
+    * current degrees (pinned once — both semi joins consume it), then
+    * BOTH endpoint filters as SHUFFLE_MERGE left-semi joins: the
+    * vertex-scale keep-set is never built into a hashed relation, so
+    * the plan holds when |V| outgrows executor memory. `kf` is the
+    * 1-row adaptive-k frame. Package-visible so PlanAuditSpec audits
+    * the round's executed plan in isolation (inside gr10 each round
+    * hides behind the Materialize pin).
+    */
+  private[graft] def kcoreShuffledPeel(cur: DataFrame, kf: DataFrame): DataFrame = {
+    val keep = Materialize(undDegrees(cur).crossJoin(kf)
+      .filter(col("d") >= col("k")).select("v"))
+    cur
+      .join(keep.select(col("v").as("a")).hint("shuffle_merge"),
+        Seq("a"), "left_semi")
+      .join(keep.select(col("v").as("b")).hint("shuffle_merge"),
+        Seq("b"), "left_semi")
+  }
 
   /** Shared gr08/gr09 ground truth: the transitive closure itself —
     * component(v) = MIN over everything reachable from v (undirected),

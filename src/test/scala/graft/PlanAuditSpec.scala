@@ -367,6 +367,31 @@ class PlanAuditSpec extends AnyFunSuite {
       "the shuffle_merge hints must hold through AQE")
   }
 
+  test("gr10: the k-core peel never builds the keep-set into a hashed relation") {
+    // gr10's contract: the vertex-scale keep-set must not broadcast —
+    // both endpoint filters are shuffle_merge left-semi. The ONLY
+    // broadcast allowed is the 1-row adaptive-k frame (a BNLJ by
+    // construction — scale-free regardless of |V|). Audit one round in
+    // isolation AFTER execution so AQE's runtime re-plan is asserted.
+    import org.apache.spark.sql.functions.{broadcast, col, expr, greatest, least}
+    val e = operators.Graph.edges(spark, sf001)
+    val cur = operators.Materialize(e.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct())
+    val kf = broadcast(operators.Graph.undDegrees(cur)
+      .agg(expr("max(d) div 2").as("k")))
+    val round = operators.Graph.kcoreShuffledPeel(cur, kf)
+    round.collect() // finalize the adaptive plan before reading it
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastHashJoin"),
+      "gr10's keep-set must never become a hashed-relation broadcast")
+    assert(p.contains("SortMergeJoin") && p.contains("LeftSemi"),
+      "the endpoint filters must be shuffle_merge left-semi joins")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "only the 1-row adaptive-k frame may ride a broadcast")
+  }
+
   test("LSH pipelines use the compiled expressions") {
     // full-plan mode sees past the materialization point, so the
     // builders' own invocations are asserted (not merely registration)

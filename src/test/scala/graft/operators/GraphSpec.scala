@@ -230,4 +230,17 @@ class GraphSpec extends AnyFunSuite {
       s"gr09 diverged from gr08: extra=${g9 -- g8} missing=${g8 -- g9}")
     assert(g8.nonEmpty, "empty CC output — equivalence pin is vacuous")
   }
+
+  test("gr10: shuffled keep-set k-core is row-identical to gr03") {
+    // same peel, same adaptive k, two execution strategies: broadcast
+    // keep-set semi joins (gr03) vs shuffle_merge left-semi (gr10).
+    // Any divergence is a bug in one of the two peels.
+    def rows(name: String) = run(name).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val g3 = rows("gr03_kcore")
+    val g10 = rows("gr10_kcore_shuffled")
+    assert(g10 == g3,
+      s"gr10 diverged from gr03: extra=${g10 -- g3} missing=${g3 -- g10}")
+    assert(g3.nonEmpty, "empty k-core output — equivalence pin is vacuous")
+  }
 }
