@@ -33,6 +33,17 @@ final case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Always nullable: a length mismatch yields null even when both
+    * children are non-nullable (the zip_with padding contract). Without
+    * this, non-nullable inputs (array literals — ss03's centroid side)
+    * made `nullSafeCodeGen` take its non-nullable branch, which never
+    * declares `ev.isNull` — the generated `isNull_x = true;` then
+    * referenced an undeclared variable and the whole stage silently
+    * fell back to interpreted (r11 fix; regression-pinned in
+    * CosineSimSpec under CODEGEN_ONLY).
+    */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>

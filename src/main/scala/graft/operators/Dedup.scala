@@ -50,6 +50,16 @@ object Dedup {
     */
   private[operators] val DfCap = 50
 
+  /** dd13's gram width (tokens per positional fingerprint) and minimum
+    * reportable shared-span length. k=8 makes a chance 8-token collision
+    * over the fixture vocabulary astronomically unlikely (so every run
+    * is a real shared substring), and 20 tokens is the span worth
+    * cutting. Declared BEFORE `all` (object init order — a later val
+    * interpolates as 0 into the oracle SQL), inlined into both sides.
+    */
+  private[operators] val SpanK = 8
+  private[operators] val MinSpan = 20
+
   // ---- oracle (DuckDB dialect) expression fragments ----
   // the Spark side runs the compiled graft_* expressions
   // (graft.functions); their SQL-dialect twins live in the specs that
@@ -750,7 +760,56 @@ object Dedup {
       (s, dir) =>
         incrementalVerdicts(s, spread(docs(s, dir), "doc_id"))
     },
+
+    GraftQuery(
+      "dd13_duplicate_spans",
+      Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents),
+              |g AS (SELECT doc_id, i AS pos, HASH(ARRAY_TO_STRING(a[i : i + ${SpanK - 1}], ' ')) AS g
+              |      FROM d, UNNEST(RANGE(1, GREATEST(LEN(a) - ${SpanK - 2}, 1))) AS t(i)
+              |      WHERE LEN(a) >= $SpanK),
+              |rare AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) <= $DfCap),
+              |r AS (SELECT x.doc_id, x.pos, x.g FROM g x JOIN rare USING (g)),
+              |p AS (SELECT x.doc_id AS da, y.doc_id AS db, x.pos AS pa, x.pos - y.pos AS off
+              |      FROM r x JOIN r y ON x.g = y.g AND x.doc_id < y.doc_id),
+              |i AS (SELECT da, db, off, pa,
+              |             pa - ROW_NUMBER() OVER (PARTITION BY da, db, off ORDER BY pa) AS isle
+              |      FROM p),
+              |runs AS (SELECT da, db, COUNT(*) + ${SpanK - 1} AS span
+              |         FROM i GROUP BY da, db, off, isle)
+              |SELECT da AS doc_a, db AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_spans,
+              |       CAST(MAX(span) AS BIGINT) AS max_span,
+              |       CAST(SUM(span) AS BIGINT) AS dup_tokens
+              |FROM runs WHERE span >= $MinSpan GROUP BY 1, 2""".stripMargin),
+      s"Substring-level duplicate-SPAN detection — the token-exact span dedup of Lee et al.'s 'Deduplicating Training Data Makes Language Models Better' (the ExactSubstr pass), re-expressed for a shuffle engine: instead of a distributed suffix array, every token position emits an $SpanK-gram fingerprint (ONE xxhash64 — 8 bytes cross the wire, never gram text), positions sharing a fingerprint meet in a df-capped equi-join, and a maximal shared span is recovered as a RUN of consecutive matching positions at constant pair offset — the classic gaps-and-islands window (pos - row_number is constant within a run), so a run of m matched $SpanK-gram positions certifies a shared span of m+${SpanK - 1} tokens. Sits between dd11 (fixed 50-token chunks at stride 40 — misses spans straddling chunk edges and anything under a chunk) and dd03/dd05 (whole-doc fuzzy): this finds EVERY maximal cross-doc span >= $MinSpan tokens at token resolution, the signal you need to cut injected boilerplate out of the MIDDLE of otherwise-distinct pages. Per pair: span count, longest span, total duplicated tokens (offset-grain accounting: two runs at different offsets may overlap in text — the conservative upper bound; interval-merge is the downstream refinement). Scale: the positional index is token-count-sized (the honest price of token resolution — 100 TB of text is ~2e13 positions, so you SHARD this by corpus partition exactly like dd12's incremental probe), the df cap bounds every fingerprint's fan-out at $DfCap postings killing the hot-boilerplate skew bomb, the island window shuffles at matched-pair grain (tiny after the cap), and all outputs are exact integers — bit-identical cross-engine.") {
+      (s, dir) =>
+        val g = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("a"))
+          .withColumn("n", size(col("a")))
+          .filter(col("n") >= SpanK)
+          .select(col("doc_id"), col("a"),
+            explode(expr(s"sequence(1, n - ${SpanK - 1})")).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            xxhash64(concat_ws(" ", expr(s"slice(a, pos, $SpanK)"))).as("g"))
+        val rare = g.join(
+          g.groupBy("g").agg(count(lit(1)).as("f"))
+            .filter(col("f") <= DfCap).select("g"),
+          Seq("g"), "left_semi")
+        val p = rare.select(col("g"), col("doc_id").as("da"), col("pos").as("pa"))
+          .join(rare.select(col("g"), col("doc_id").as("db"), col("pos").as("pb")), "g")
+          .filter(col("da") < col("db"))
+          .select(col("da"), col("db"), col("pa"), (col("pa") - col("pb")).as("off"))
+        val w = Window.partitionBy("da", "db", "off").orderBy("pa")
+        p.withColumn("isle", col("pa") - row_number().over(w))
+          .groupBy("da", "db", "off", "isle")
+          .agg((count(lit(1)) + (SpanK - 1)).as("span"))
+          .filter(col("span") >= MinSpan)
+          .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
+          .agg(count(lit(1)).as("n_spans"),
+            max(col("span")).as("max_span"),
+            sum(col("span")).as("dup_tokens"))
+    },
   )
+
 
   /** dd12's core over any `(doc_id, text)` frame — split by md5 bucket
     * into a 10% incoming drop + 90% corpus, then verdict each incoming

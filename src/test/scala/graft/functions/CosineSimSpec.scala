@@ -52,6 +52,22 @@ class CosineSimSpec extends AnyFunSuite {
       "doGenCode diverged bitwise from nullSafeEval")
   }
 
+  test("codegen compiles with NON-nullable inputs (r11: nullable is always true)") {
+    // array literals are non-nullable; before the nullable override the
+    // generated code referenced an undeclared isNull variable and every
+    // stage containing graft_cosine over non-nullable arrays (ss03)
+    // silently fell back to interpreted. CODEGEN_ONLY turns that
+    // fallback into a hard failure so this can never regress silently.
+    GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val r = spark.range(1).select(
+        expr("graft_cosine(array(1.0D, 2.0D), array(2.0D, 4.0D))").as("s"))
+        .collect().head
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
+
   test("length mismatch yields null (zip_with padding parity)") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -79,6 +79,46 @@ class DedupSpec extends AnyFunSuite {
       "every doc shares a chunk — the audit cannot discriminate")
   }
 
+  test("dd13 duplicate spans match a sequential gaps-and-islands reference (sf0.01)") {
+    import graft.operators.Dedup.{DfCap, MinSpan, SpanK}
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    // reference: same positional k-grams, same df cap, runs found by
+    // scanning sorted positions per (pair, offset) — no window function
+    val grams: Seq[(Long, Int, String)] = docs.toSeq.flatMap { case (id, text) =>
+      val w = text.split(" ", -1)
+      if (w.length < SpanK) Seq.empty[(Long, Int, String)]
+      else w.sliding(SpanK).zipWithIndex.map { case (g, i) => (id, i + 1, g.mkString(" ")) }.toSeq
+    }
+    val freq = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val rare = grams.filter(g => freq(g._3) <= DfCap)
+    val runs = rare.groupBy(_._3).values.toSeq.flatMap { occ =>
+      for {
+        (da, pa, _) <- occ; (db, pb, _) <- occ
+        if da < db
+      } yield ((da, db, pa - pb), pa)
+    }.groupBy(_._1).toSeq.flatMap { case ((da, db, _), ps) =>
+      val sorted = ps.map(_._2).distinct.sorted
+      // split into maximal consecutive runs
+      sorted.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (h :: t), p) if h.head == p - 1 => (p :: h) :: t
+        case (acc, p) => List(p) :: acc
+      }.map(r => ((da, db), r.size + SpanK - 1))
+    }
+    val expect = runs.filter(_._2 >= MinSpan).groupBy(_._1).map { case (k, v) =>
+      k -> (v.size.toLong, v.map(_._2).max.toLong, v.map(_._2.toLong).sum)
+    }
+    val got = byName("dd13_duplicate_spans").build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expect, s"duplicate spans diverged from the sequential reference: " +
+      s"extra=${got.toSet -- expect.toSet} missing=${expect.toSet -- got.toSet}")
+    assert(expect.nonEmpty, "fixture has no shared span >= MinSpan — detector is vacuous")
+    assert(expect.size < docs.length * (docs.length - 1) / 2,
+      "every pair shares a span — detector cannot discriminate")
+    assert(expect.values.exists(_._2 >= 2 * MinSpan),
+      "no long span found — the injected boilerplate is not being recovered")
+  }
+
   test("dd12 incremental dedup: exact verdicts match a driver-side model; near/new occur (sf0.01)") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
