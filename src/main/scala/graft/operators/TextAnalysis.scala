@@ -32,6 +32,15 @@ object TextAnalysis {
     */
   private val LmHeadDf = 40L
 
+  /** tx16's detector patterns — deliberately in the dialect subset Java
+    * regex and RE2 share (classes, bounded repeats, \b; no lookaround).
+    * Interpolated into BOTH the Spark expressions and the oracle SQL.
+    * Declared before `all` (object init order — dd13's lesson).
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
 
   /** tx13's BM25 weight (k1=1.2, b=0.75), with avgdl folded in as the
     * exact integers nd (doc count) and sl (total tokens): ONE string,
@@ -544,5 +553,66 @@ object TextAnalysis {
               (col("n_shingles") - coalesce(col("n_known"), lit(0L))).cast("double")
                 / col("n_shingles")).as("novelty"))
     },
+
+    GraftQuery(
+      "tx16_pii_redaction",
+      Some(s"""WITH b AS (SELECT doc_id, text,
+              |         ${Sampling.duckBucket100Of("doc_id")} AS b1,
+              |         ${Sampling.duckBucket100Of("doc_id || 'p'")} AS b2,
+              |         ${Sampling.duckBucket100Of("doc_id || 'q'")} AS b3
+              |       FROM documents),
+              |aug AS (SELECT doc_id,
+              |         text
+              |         || CASE WHEN b1 < 10 THEN ' contact user' || doc_id || '@example.com or user'
+              |                                   || doc_id || '.alt@example.org'
+              |                 WHEN b1 < 30 THEN ' contact user' || doc_id || '@example.com'
+              |                 ELSE '' END
+              |         || CASE WHEN b2 < 30 THEN ' call +1-555-' || LPAD(CAST((b2 * 137 + 11) % 10000 AS VARCHAR), 4, '0')
+              |                 ELSE '' END
+              |         || CASE WHEN b3 < 30 THEN ' from 10.' || b3 || '.' || (b3 * 7) % 256 || '.' || (b3 * 13) % 256
+              |                 ELSE '' END AS t
+              |       FROM b),
+              |r AS (SELECT doc_id,
+              |        CAST(LEN(REGEXP_EXTRACT_ALL(t, '$EmailRe')) AS BIGINT) AS n_emails,
+              |        CAST(LEN(REGEXP_EXTRACT_ALL(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+              |        CAST(LEN(REGEXP_EXTRACT_ALL(t, '$IpRe')) AS BIGINT) AS n_ips,
+              |        REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(t,
+              |          '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+              |          '$IpRe', '<IP>', 'g') AS red
+              |      FROM aug)
+              |SELECT doc_id, n_emails, n_phones, n_ips,
+              |       CAST(LEN(red) AS BIGINT) AS redacted_len,
+              |       MD5(red) AS redacted_md5
+              |FROM r""".stripMargin),
+      "PII detection + redaction — the compliance gate a production pipeline runs before any text enters a training corpus (emails, phone numbers, IP addresses scrubbed to typed placeholders, with per-type counts kept as the audit trail). The fixture corpus is PII-free by construction, so the PII surface is INJECTED deterministically from row keys (md5-bucket arithmetic — q53's derived-change-feed discipline): both engines build the IDENTICAL augmented text (0-2 emails, 0-1 phones, 0-1 IPs per doc), then the operator under test — three regex detectors and a three-pass global redaction — runs over it, and the redacted output is pinned bit-for-bit by md5 cross-engine (Java regex and RE2 agree on this deliberately common dialect: character classes, bounded repeats, word boundaries — no lookaround, which RE2 lacks). Scale: the whole pass is ONE map-side projection — zero shuffles, zero joins; at 100 TB PII scrubbing is embarrassingly parallel and the only design question is regex cost per byte, which is why the detectors are anchored literal-prefix patterns rather than catastrophic-backtracking alternations. Counts exact; redacted_md5 proves the redaction itself (not just the counts) is deterministic — the property the spec completes by asserting re-detection on redacted text finds ZERO residual matches.") {
+      (s, dir) =>
+        val b = Tables.spread(Tables.load(s, dir, "documents"), "doc_id")
+          .withColumn("b1", expr(Sampling.bucket100("doc_id")))
+          .withColumn("b2", expr(Sampling.bucket100("doc_id || 'p'")))
+          .withColumn("b3", expr(Sampling.bucket100("doc_id || 'q'")))
+        val aug = b.select(col("doc_id"), concat(
+          col("text"),
+          when(col("b1") < 10, concat(lit(" contact user"), col("doc_id"),
+            lit("@example.com or user"), col("doc_id"), lit(".alt@example.org")))
+            .when(col("b1") < 30, concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("b2") < 30, concat(lit(" call +1-555-"),
+            lpad(((col("b2") * 137 + 11) % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("b3") < 30, concat(lit(" from 10."), col("b3"), lit("."),
+            (col("b3") * 7) % 256, lit("."), (col("b3") * 13) % 256))
+            .otherwise(lit(""))).as("t"))
+        val red = regexp_replace(regexp_replace(regexp_replace(col("t"),
+          lit(EmailRe), lit("<EMAIL>")), lit(PhoneRe), lit("<PHONE>")),
+          lit(IpRe), lit("<IP>"))
+        aug.select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+          size(regexp_extract_all(col("t"), lit(IpRe), lit(0))).cast("long").as("n_ips"),
+          length(red).cast("long").as("redacted_len"),
+          md5(red).as("redacted_md5"))
+    },
   )
+
 }
