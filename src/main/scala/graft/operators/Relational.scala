@@ -947,6 +947,35 @@ object Relational {
             sum(col("l_extendedprice").cast("decimal(12,2)"))
               .cast("double").as("revenue"))
     },
+
+    GraftQuery(
+      "q57_global_rank",
+      Some("""SELECT o_orderkey,
+             |       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+             |       CAST(RANK() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC) AS BIGINT)
+             |         AS global_rank
+             |FROM orders""".stripMargin),
+      "Global total-order RANK over a fact table — the operation a naive plan turns into THE canonical scale-killer: `RANK() OVER (ORDER BY price)` with no PARTITION BY plans an Exchange SinglePartition of the ENTIRE table through one task (the oracle literally does this; DuckDB can, a 1000-executor cluster cannot). This query computes the identical ranks with the two-phase distributed-rank decomposition: (1) rows map into ~64 monotone value buckets (integer floor arithmetic against a broadcast 1-row min/max frame — ties share a double so ties share a bucket, which is what makes per-bucket RANK compose into global RANK), (2) bucket counts aggregate map-side to a <=65-row table whose prefix-sum window is the ONLY single-partition exchange in the plan — 65 rows, scale-free by construction, the terasort move of sampling a range histogram — and (3) each row's global_rank = its bucket's offset + RANK within its bucket, a window partitioned ON the bucket key so the fact-scale sort is 64-way parallel (plan-audited: exactly one SinglePartition exchange, fact rows ride hashpartitioning). Money math through decimal(12,2) so bucket assignment and tie groups are exact cross-engine; output rank is an exact integer.") {
+      (s, dir) =>
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), dec(col("o_totalprice")).as("p"))
+        val stats = o.agg(min(col("p")).as("mn"), max(col("p")).as("mx"))
+        // desc buckets: 0 holds the max; monotone nonincreasing in p so
+        // higher prices never land in later buckets
+        val b = o.crossJoin(broadcast(stats))
+          .withColumn("bkt",
+            when(col("mx") === col("mn"), lit(0)).otherwise(
+              floor((col("mx") - col("p")) * 64 / (col("mx") - col("mn")))
+                .cast("int")))
+        val offs = b.groupBy("bkt").agg(count(lit(1)).as("c"))
+          .withColumn("off",
+            sum(col("c")).over(Window.orderBy("bkt")) - col("c"))
+        b.join(broadcast(offs.select(col("bkt"), col("off"))), "bkt")
+          .select(col("o_orderkey"), col("p").cast("double").as("price"),
+            (col("off") + rank().over(
+              Window.partitionBy("bkt").orderBy(col("p").desc)))
+              .cast("long").as("global_rank"))
+    },
   )
 }
 

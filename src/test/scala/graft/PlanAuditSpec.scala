@@ -367,6 +367,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "the shuffle_merge hints must hold through AQE")
   }
 
+  test("q57: no fact-scale rows ever cross a SinglePartition exchange") {
+    // the naive RANK() with no PARTITION BY funnels the whole fact
+    // table through ONE Exchange SinglePartition. q57's decomposition
+    // allows SinglePartition only under aggregate-reduced inputs (the
+    // 1-row min/max merges and the <=65-row bucket histogram): every
+    // such exchange must be fed DIRECTLY by a HashAggregate, and the
+    // fact-scale rank window must ride a hashpartitioning exchange.
+    val p = plan("q57_global_rank")
+    val single = "Exchange SinglePartition".r.findAllIn(p).size
+    val singleOverAgg =
+      "Exchange SinglePartition[^\\n]*\\n[^\\n]*HashAggregate".r.findAllIn(p).size
+    assert(single > 0 && single == singleOverAgg,
+      s"a SinglePartition exchange is fed by non-aggregated rows ($singleOverAgg/$single)")
+    assert("Window \\[rank".r.findAllIn(p).nonEmpty, "rank must be a Window")
+    assert(p.contains("Exchange hashpartitioning"),
+      "fact rows must be ranked under a bucket-partitioned window")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 65-row offsets table must broadcast back onto the fact rows")
+  }
+
   test("gr10: the k-core peel never builds the keep-set into a hashed relation") {
     // gr10's contract: the vertex-scale keep-set must not broadcast —
     // both endpoint filters are shuffle_merge left-semi. The ONLY
