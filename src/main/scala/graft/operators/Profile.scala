@@ -263,5 +263,57 @@ object Profile {
             abs(col("cnt_early") * col("tb") - col("cnt_late") * col("ta"))
               .as("drift_units"))
     },
+
+    GraftQuery(
+      "pr08_join_forecast",
+      Some {
+        def block(rel: String, ta: String, ka: String, tb: String, kb: String) =
+          s"""SELECT '$rel' AS relationship,
+             |  (SELECT COUNT(*) FROM $ta) AS left_rows,
+             |  (SELECT COUNT(*) FROM $tb) AS right_rows,
+             |  (SELECT COUNT(DISTINCT $ka) FROM $ta) AS left_keys,
+             |  (SELECT COUNT(DISTINCT $kb) FROM $tb) AS right_keys,
+             |  COUNT(*) AS matched_keys,
+             |  CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS est_rows,
+             |  CAST(COALESCE(MAX(ca * cb), 0) AS BIGINT) AS max_key_pairs
+             |FROM (SELECT $ka AS k, COUNT(*) AS ca FROM $ta GROUP BY 1) a
+             |JOIN (SELECT $kb AS k, COUNT(*) AS cb FROM $tb GROUP BY 1) b USING (k)""".stripMargin
+        Seq(
+          block("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+          block("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+          block("events_events_user", "events", "user_id", "events", "user_id"))
+          .mkString("\n", "\nUNION ALL\n", "")
+      },
+      "Pre-join cardinality + skew FORECAST — the planner audit you run BEFORE committing a 100 TB join, priced entirely from per-key count histograms WITHOUT executing the join itself: for each candidate relationship, est_rows = SUM over matched keys of cnt_left*cnt_right (EXACT inner-join output cardinality at key grain — the quantity a histogram CBO approximates with bounded buckets, computed exactly here because the histogram join runs at distinct-key grain, not fact-output grain) and max_key_pairs = the hottest key's output (the skew amplification that OOMs one reducer while est_rows looks fine — the events self-join row is the cautionary tale: a power-law user turns |events|^2-ish). Together with pr04 (one table's key distribution) this completes the join-planning pre-flight: left/right rows and key counts feed the broadcast decision, est_rows prices the shuffle output, max_key_pairs picks salting/AQE-skew before the join runs. Shape: one map-side-combining count per side at key grain, a key-grain equi-join of the two histograms, then a 1-row fold — the fact tables are SCANNED once each and never joined; spec proves est_rows equals the actually-executed join count for every relationship. Exact int64 arithmetic (at 1e12-row keys promote the products to decimal(38,0) — pr07's documented move).") {
+      (s, dir) =>
+        def hist(df: org.apache.spark.sql.DataFrame, k: String) =
+          df.groupBy(col(k).as("k")).agg(count(lit(1)).as("c"))
+        def block(rel: String, a: org.apache.spark.sql.DataFrame, ka: String,
+                  b: org.apache.spark.sql.DataFrame, kb: String) = {
+          val ha = hist(a, ka)
+          val hb = hist(b, kb)
+          val fold = ha.select(col("k"), col("c").as("ca"))
+            .join(hb.select(col("k"), col("c").as("cb")), "k")
+            .agg(count(lit(1)).as("matched_keys"),
+              coalesce(sum(col("ca") * col("cb")), lit(0L)).cast("long").as("est_rows"),
+              coalesce(max(col("ca") * col("cb")), lit(0L)).cast("long").as("max_key_pairs"))
+          val sides = ha.agg(sum(col("c")).as("left_rows"),
+              count(lit(1)).as("left_keys"))
+            .crossJoin(hb.agg(sum(col("c")).as("right_rows"),
+              count(lit(1)).as("right_keys")))
+          sides.crossJoin(broadcast(fold))
+            .select(lit(rel).as("relationship"), col("left_rows"),
+              col("right_rows"), col("left_keys"), col("right_keys"),
+              col("matched_keys"), col("est_rows"), col("max_key_pairs"))
+        }
+        val ev = Tables.load(s, dir, "events")
+        block("orders_lineitem",
+            Tables.load(s, dir, "orders"), "o_orderkey",
+            Tables.load(s, dir, "lineitem"), "l_orderkey")
+          .unionByName(block("customer_orders",
+            Tables.load(s, dir, "customer"), "c_custkey",
+            Tables.load(s, dir, "orders"), "o_custkey"))
+          .unionByName(block("events_events_user", ev, "user_id", ev, "user_id"))
+    },
   )
 }

@@ -179,6 +179,33 @@ class TemporalProfileSpec extends AnyFunSuite {
       "zero drift everywhere — the fixture cannot exercise the alert path")
   }
 
+  test("pr08: forecast est_rows equals the actually-executed join, per relationship") {
+    // the forecast's whole claim is exactness at key grain: run the
+    // three real joins it refuses to run and compare. The events
+    // self-join also proves max_key_pairs is a real skew signal
+    // (hottest key's output >> the mean key's).
+    import org.apache.spark.sql.functions.col
+    val got = run("pr08_join_forecast").collect()
+      .map(r => r.getString(0) -> (r.getLong(6), r.getLong(7), r.getLong(5))).toMap
+    def cnt(a: String, ka: String, b: String, kb: String): Long =
+      graft.Tables.load(spark, sf001, a).select(col(ka).as("k"))
+        .join(graft.Tables.load(spark, sf001, b).select(col(kb).as("k")), "k")
+        .count()
+    val actual = Map(
+      "orders_lineitem" -> cnt("orders", "o_orderkey", "lineitem", "l_orderkey"),
+      "customer_orders" -> cnt("customer", "c_custkey", "orders", "o_custkey"),
+      "events_events_user" -> cnt("events", "user_id", "events", "user_id"))
+    actual.foreach { case (rel, n) =>
+      assert(got(rel)._1 == n, s"$rel: est_rows ${got(rel)._1} != executed $n")
+    }
+    val (estSelf, hotSelf, keysSelf) = got("events_events_user")
+    assert(hotSelf > 0 && estSelf > 0 && keysSelf > 0, "self-join forecast is vacuous")
+    // skew signal is real: the hottest key's output exceeds the mean
+    // key's output (strictly, unless the distribution is flat)
+    assert(hotSelf >= estSelf / keysSelf,
+      s"max_key_pairs $hotSelf below the mean ${estSelf / keysSelf} — not a max")
+  }
+
   test("pr01/pr02: profile totals are consistent with each other") {
     val prof = run("pr01_column_profile").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
