@@ -127,6 +127,73 @@ object Multimodal {
     })
   }
 
+  /** Typed stats a REAL audio decode emits per payload (mm07). */
+  final case class AudioStats(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      amp_sum: Long,
+      amp_min: Int,
+      amp_max: Int)
+
+  /** REAL audio codec — no stub: 8-bit unsigned PCM mono WAV through
+    * JDK `javax.sound.sampled` (mm06's move applied to audio: the
+    * container genuinely lacks external audio libraries, but the WAV
+    * RIFF container + PCM is in the JDK). PCM is lossless, so a decode
+    * returns the exact sample bytes an encode was given — the property
+    * that lets mm07 carry a full DuckDB value oracle over REAL
+    * container bytes (RIFF header, fmt chunk, data chunk all parsed by
+    * the real AudioSystem, not a hash posing as a format).
+    */
+  object WavCodec {
+    private def fmt(rate: Int) = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      rate.toFloat, 8, 1, 1, rate.toFloat, false)
+
+    def encodePcm8(rate: Int, n: Int, sample: Int => Int): Array[Byte] = {
+      val pcm = Array.tabulate(n)(i => (sample(i) & 0xff).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt(rate), n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    def decodeStats(payload: Array[Byte]): (Int, Long, Long, Int, Int) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 8 && f.getChannels == 1,
+        s"mm07 expects 8-bit mono PCM, got $f")
+      val n = ais.getFrameLength
+      var (sum, mn, mx) = (0L, 255, 0)
+      val buf = new Array[Byte](4096)
+      var read = ais.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i < read) {
+          val v = buf(i) & 0xff
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        read = ais.read(buf)
+      }
+      (f.getSampleRate.toInt, n, sum, mn, mx)
+    }
+  }
+
+  /** Partition-parallel REAL audio decode: same batch contract as
+    * [[decodeImageStats]], codec is `javax.sound.sampled`.
+    */
+  def decodeAudioStats(ds: Dataset[(Long, Array[Byte])]): Dataset[AudioStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map { case (id, payload) =>
+      val (rate, n, sum, mn, mx) = WavCodec.decodeStats(payload)
+      AudioStats(id, rate, n, sum, mn, mx)
+    })
+  }
+
   /** One sampled "frame" of a media payload. */
   final case class FrameSample(doc_id: Long, frame_idx: Int, frame_sha: String)
 
@@ -304,6 +371,41 @@ object Multimodal {
             (x, y) => ((id * 17 + x * 31 + y * 7) % 256).toInt))
         })
         decodeImageStats(pngs).toDF()
+    },
+
+    GraftQuery(
+      "mm07_real_audio_decode",
+      Some("""WITH d AS (SELECT doc_id,
+             |                 CASE CAST(('0x' || SUBSTRING(MD5(text), 5, 1)) AS INT) % 4
+             |                   WHEN 0 THEN 8000 WHEN 1 THEN 11025
+             |                   WHEN 2 THEN 16000 ELSE 22050 END AS sample_rate,
+             |                 64 + CAST(('0x' || SUBSTRING(MD5(text), 6, 2)) AS INT) % 192 AS n
+             |           FROM documents WHERE doc_id < 60),
+             |sm AS (SELECT doc_id, sample_rate, n, UNNEST(RANGE(0, n)) AS i FROM d)
+             |SELECT doc_id, sample_rate, CAST(n AS BIGINT) AS n_samples,
+             |       CAST(SUM((doc_id * 13 + i * 29) % 256) AS BIGINT) AS amp_sum,
+             |       CAST(MIN((doc_id * 13 + i * 29) % 256) AS INT) AS amp_min,
+             |       CAST(MAX((doc_id * 13 + i * 29) % 256) AS INT) AS amp_max
+             |FROM sm GROUP BY 1, 2, 3""".stripMargin),
+      "mm06's de-stubbing applied to AUDIO: real 8-bit unsigned PCM mono WAV payloads decoded by the real JDK codec (javax.sound.sampled — RIFF header, fmt chunk, data chunk, the actual container) inside the same mapPartitions batch contract. Fixture payloads are encoded per doc (sample rate picked from {8000,11025,16000,22050} and length 64-255 both md5-derived; sample i is a closed-form integer function of (doc_id, i)), so the DuckDB oracle computes the exact per-clip sample sum/min/max the decode must recover — PCM is lossless, any mis-parsed byte breaks the hash. The decode path (payload bytes -> format + amplitude stats, partition-parallel, payloads never on the driver) is the feature-extraction front of every audio training pipeline; per-row cost is decode-bound and embarrassingly parallel. With mm06 this leaves only video genuinely stubbed (no JDK video codec exists); MultimodalSpec pins golden bytes: a hand-seeded clip round-trips to its exact stats and the payload carries the RIFF/WAVE magic.") {
+      (s, dir) =>
+        implicit val spark: SparkSession = s
+        import s.implicits._
+        val dims = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+          .withColumn("rate", expr(
+            """CASE CAST(conv(substring(md5(encode(text, 'UTF-8')), 5, 1), 16, 10) AS INT) % 4
+              |  WHEN 0 THEN 8000 WHEN 1 THEN 11025
+              |  WHEN 2 THEN 16000 ELSE 22050 END""".stripMargin))
+          .withColumn("n", expr(
+            "64 + CAST(conv(substring(md5(encode(text, 'UTF-8')), 6, 2), 16, 10) AS INT) % 192"))
+          .select(col("doc_id"), col("rate"), col("n"))
+          .as[(Long, Int, Int)]
+        val wavs = dims.mapPartitions(_.map { case (id, rate, n) =>
+          (id, WavCodec.encodePcm8(rate, n,
+            i => ((id * 13 + i * 29) % 256).toInt))
+        })
+        decodeAudioStats(wavs).toDF()
     },
   )
 }

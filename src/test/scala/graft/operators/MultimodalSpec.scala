@@ -79,6 +79,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WavCodec golden bytes: real RIFF/WAVE container, exact sample round-trip") {
+    // hand-seeded 7-sample clip: the encode must emit a genuine WAV
+    // (RIFF....WAVE magic), and the decode must recover the EXACT
+    // unsigned 8-bit samples — PCM is lossless, so any codec-path
+    // corruption shows as a stats mismatch here
+    val samples = Array(0, 255, 17, 128, 3, 250, 42)
+    val bytes = Multimodal.WavCodec.encodePcm8(16000, samples.length, samples(_))
+    assert(new String(bytes.take(4), "US-ASCII") === "RIFF", "RIFF magic")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") === "WAVE", "WAVE magic")
+    val (rate, n, sum, mn, mx) = Multimodal.WavCodec.decodeStats(bytes)
+    assert(rate === 16000)
+    assert(n === samples.length.toLong)
+    assert(sum === samples.map(_.toLong).sum)
+    assert(mn === samples.min)
+    assert(mx === samples.max)
+    // a non-audio payload fails LOUDLY, never a garbage row
+    intercept[Exception] {
+      Multimodal.WavCodec.decodeStats("not a wav".getBytes("UTF-8"))
+    }
+  }
+
+  test("mm07 distributed decode equals driver-side decode of the same payloads") {
+    import spark.implicits._
+    val clips = Seq((1L, 8000, 70), (2L, 22050, 255), (3L, 11025, 64))
+    val payloads = clips.map { case (id, rate, n) =>
+      (id, Multimodal.WavCodec.encodePcm8(rate, n, i => ((id * 13 + i * 29) % 256).toInt))
+    }
+    val got = Multimodal.decodeAudioStats(payloads.toDS()).collect()
+      .map(a => a.doc_id -> ((a.sample_rate, a.n_samples, a.amp_sum, a.amp_min, a.amp_max)))
+      .toMap
+    payloads.foreach { case (id, bytes) =>
+      val (rate, n, sum, mn, mx) = Multimodal.WavCodec.decodeStats(bytes)
+      assert(got(id) === ((rate, n, sum, mn, mx)), s"clip $id diverged")
+    }
+  }
+
   test("mm06 distributed decode equals driver-side decode of the same payloads") {
     import spark.implicits._
     // the query's own fixture recipe, replayed at tiny scale: encode on
