@@ -89,7 +89,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "pr07_drift_audit",  // 1-row midpoint + 1-row totals broadcasts (pr04 pattern)
     "st11_stream_static_anti", // 1-row p99 threshold broadcast into the blocklist
     "tx15_novelty_score", // 1-row adaptive head-line broadcast into the vocab split
-    "sk06_hll_window_rollup" // day-range merges: day-cardinality broadcasts (~30 rows)
+    "sk06_hll_window_rollup", // day-range merges: day-cardinality broadcasts (~30 rows)
+    "q57_global_rank",    // 1-row min/max stats broadcast into the bucketizer
+    "gr10_kcore_shuffled", // 1-row median + 1-row adaptive-k broadcasts (gr03's, keep-set NOT broadcast)
+    "pr08_join_forecast", // 1-row fold + 1-row side-totals frames meet in broadcasts (pr04 pattern)
+    "ss12_trained_ivf_recall" // ss09's probe (1-row query, k-row cells) x2 + ss10's Lloyd scans
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
