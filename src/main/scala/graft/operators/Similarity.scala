@@ -725,6 +725,55 @@ object Similarity {
             coalesce(col("hs"), lit(0)).cast("int").as("hit_seeded"),
             coalesce(col("ht"), lit(0)).cast("int").as("hit_trained"))
     },
+
+    GraftQuery(
+      "ss13_truncated_prefilter",
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
+             |qvec AS MATERIALIZED (SELECT qe AS qv FROM q WHERE vec_id = 0),
+             |corp AS (SELECT vec_id, qe FROM q WHERE vec_id <> 0),
+             |cand AS MATERIALIZED (SELECT vec_id, qe FROM (
+             |    SELECT c.vec_id, c.qe,
+             |           LIST_SUM(LIST_TRANSFORM(RANGE(1, 17), i -> (c.qe[i] - v.qv[i]) * (c.qe[i] - v.qv[i]))) AS d16
+             |    FROM corp c, qvec v) t ORDER BY d16, vec_id LIMIT 50),
+             |annd AS (SELECT c.vec_id,
+             |           LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (c.qe[i] - v.qv[i]) * (c.qe[i] - v.qv[i]))) AS d
+             |         FROM cand c, qvec v),
+             |ann AS (SELECT vec_id FROM (
+             |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY d, vec_id) AS rn FROM annd) t
+             |  WHERE rn <= 10),
+             |exd AS (SELECT c.vec_id,
+             |          LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (c.qe[i] - v.qv[i]) * (c.qe[i] - v.qv[i]))) AS d
+             |        FROM corp c, qvec v),
+             |exact AS (SELECT vec_id, d, ROW_NUMBER() OVER (ORDER BY d, vec_id) AS rnk FROM exd
+             |          ORDER BY d, vec_id LIMIT 10)
+             |SELECT CAST(e.rnk AS INT) AS rnk, e.vec_id, CAST(e.d AS BIGINT) AS exact_d_units,
+             |       CAST(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS hit
+             |FROM exact e LEFT JOIN ann a USING (vec_id)""".stripMargin),
+      "Truncated-dimension progressive retrieval (the Matryoshka-representation serving trick) — the THIRD lever of the ANN family, orthogonal to ss09's cell routing and ss08's code compression: stage 1 scores the corpus on only the FIRST 16 of 64 dimensions (one quarter of the arithmetic, and at 100 TB one quarter of the bytes READ when the prefix is stored as its own column — dimension truncation is a storage-layout lever exactly like q55's bucketing, which is the real at-scale win); the truncated top-50 then exact-reranks on full vectors to top-10. MRL-style embeddings are trained so prefixes rank usably — these fixtures aren't MRL-trained, making the recall audit (ss11's discipline: per-rank hit attribution against the brute-force exact top-10) the load-bearing output: it measures what the prefix ordering is actually worth on THIS corpus before a fleet commits to the truncated layout, the same gate ss12 applies to training. On isotropic fixtures prefix-L2 still correlates (same distribution, a quarter of the signal), so hits are non-trivial but sub-perfect — both engines compute the identical integer verdicts (floor-quantized units throughout). Top-50/top-10 picks plan as TakeOrderedAndProject (per-task heaps, no fact-scale sort — sp09's discipline).") {
+      (s, dir) =>
+        val q = qemb(s, dir)
+        val qv = q.filter(col("vec_id") === 0).select(col("qe").as("qv"))
+        val corp = q.filter(col("vec_id") =!= 0)
+        val cand = corp.crossJoin(broadcast(qv))
+          .withColumn("qe16", expr("slice(qe, 1, 16)"))
+          .withColumn("qv16", expr("slice(qv, 1, 16)"))
+          .withColumn("d16", il2("qe16", "qv16"))
+          .orderBy(col("d16"), col("vec_id")).limit(50)
+        val ann = cand.withColumn("d", il2("qe", "qv"))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .select(col("vec_id")).withColumn("h", lit(1))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("d"), col("vec_id"))
+        val exact = corp.crossJoin(broadcast(qv))
+          .withColumn("d", il2("qe", "qv"))
+          .select(col("vec_id"), col("d"))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .withColumn("rnk", row_number().over(w).cast("int"))
+        exact.join(broadcast(ann), Seq("vec_id"), "left")
+          .select(col("rnk"), col("vec_id"), col("d").cast("long").as("exact_d_units"),
+            coalesce(col("h"), lit(0)).cast("int").as("hit"))
+    },
   )
 
   /** Single-probe IVF serve against an arbitrary centroid table

@@ -182,4 +182,33 @@ class SimilaritySpec extends AnyFunSuite {
           |        * aggregate(e, 0D, (s, x) -> s + x * x))""".stripMargin))
     assert(df.collect().forall(r => math.abs(r.getAs[Double]("self") - 1.0) < 1e-12))
   }
+
+  test("ss13: truncated prefilter matches a driver-side two-stage model (sf0.001)") {
+    // independent model: quantize, score the 16-dim prefix, take the
+    // trunc top-50, exact-rerank to top-10, attribute hits against the
+    // exact top-10 — every row of the distributed answer must agree
+    val q = graft.Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("qe"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val qv = q(0L)
+    def l2(a: Array[Long], b: Array[Long], n: Int) =
+      (0 until n).map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val corp = q.toSeq.filter(_._1 != 0L)
+    val cand = corp.map { case (id, v) => (id, v, l2(v, qv, 16)) }
+      .sortBy { case (id, _, d) => (d, id) }.take(50)
+    val ann = cand.map { case (id, v, _) => (id, l2(v, qv, 64)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val exact = corp.map { case (id, v) => (id, l2(v, qv, 64)) }
+      .sortBy { case (id, d) => (d, id) }.take(10)
+    val expect = exact.zipWithIndex.map { case ((id, d), i) =>
+      (i + 1, id, d, if (ann(id)) 1 else 0)
+    }.toSet
+    val got = byName("ss13_truncated_prefilter").build(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expect,
+      s"ss13 diverged: extra=${got -- expect} missing=${expect -- got}")
+    val hits = expect.count(_._4 == 1)
+    assert(hits > 0, "prefix ordering recovered nothing — audit is vacuous")
+  }
 }
