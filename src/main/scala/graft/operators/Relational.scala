@@ -33,6 +33,12 @@ object Relational {
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
   private val DEC = "DECIMAL(12,2)"
 
+  /** q58's salt fan-out: hot keys scatter across this many reducer
+    * cells (hottest reducer shrinks by the same factor). Declared
+    * before `all` (object init order — dd13's lesson).
+    */
+  private val SaltFanout = 8
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
@@ -976,7 +982,40 @@ object Relational {
               Window.partitionBy("bkt").orderBy(col("p").desc)))
               .cast("long").as("global_rank"))
     },
+
+    GraftQuery(
+      "q58_salted_join",
+      Some("""SELECT e.user_id, c.c_mktsegment, COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+             |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+             |GROUP BY 1, 2""".stripMargin),
+      "The SALTED skew join pr04's audit prescribes, made executable — the mitigation for the join AQE cannot save (one key so hot its single post-shuffle partition still OOMs a reducer): a known heavy-hitter list (here the top-10 keys by count — at 100 TB it comes from pr04's audit or a frequent-items sketch, always list-sized) rides a broadcast into BOTH sides; hot fact rows scatter deterministically across 8 salt values (md5 of the row key — no RNG), hot dimension rows replicate x8 so every (key, salt) cell still finds its match, and the COLD path pays salt=0 with NO replication — the fix is surgical, not a blanket 8x dim blowup. The join then shuffles on (key, salt), bounding the hottest reducer at hottest_key/8, and the aggregate re-converges to key grain. The ORACLE IS THE PLAIN JOIN: salting must be a pure execution-strategy rewrite, so the equality check is the whole correctness contract (QueriesSpec also pins salted == unsalted row-for-row in-engine). The fixture's user distribution is flat — the operator's value here is the proven mechanics; max_key_pairs from pr08 is the number that decides when to turn it on. Money-ish math through decimal(12,2); plan-audited to shuffle on (k, salt).") {
+      (s, dir) =>
+        val f = t(s, dir, "events")
+          .select(col("user_id").as("k"), col("event_id"), col("value"))
+        val d = t(s, dir, "customer")
+          .select(col("c_custkey").as("k"), col("c_mktsegment"))
+        val hot = f.groupBy("k").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("k")).limit(10)
+          .select(col("k"), lit(true).as("is_hot"))
+        val fs = f.join(broadcast(hot), Seq("k"), "left")
+          .withColumn("salt", when(col("is_hot"),
+            expr(s"CAST(CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % $SaltFanout AS INT)"))
+            .otherwise(lit(0)))
+        val ds = d.join(broadcast(hot), Seq("k"), "left")
+          .withColumn("salt", explode(when(col("is_hot"),
+            sequence(lit(0), lit(SaltFanout - 1))).otherwise(array(lit(0)))))
+        // the hint pins the shuffled-hash strategy the salt exists FOR:
+        // at fixture scale Catalyst would broadcast the dim (where you
+        // wouldn't salt at all) and silently stop demonstrating the
+        // (k, salt) shuffle — q55's merge-hint discipline
+        fs.join(ds.hint("shuffle_hash"), Seq("k", "salt"))
+          .groupBy(col("k").as("user_id"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(dec(col("value"))).cast("double").as("total_value"))
+    },
   )
+
 }
 
 /** One-time bucketed layout for q55, memoized per (applicationId, dir).

@@ -392,6 +392,31 @@ class PlanAuditSpec extends AnyFunSuite {
       "the 65-row offsets table must broadcast back onto the fact rows")
   }
 
+  test("q58: salted join shuffles on (k, salt) and equals the plain join") {
+    // the salt must reach the join's partitioning (that IS the
+    // mitigation — the hottest key spreads over SaltFanout reducers),
+    // and salting must be a pure execution rewrite: row-identical to
+    // the unsalted join+aggregate it replaces
+    val p = plan("q58_salted_join")
+    assert("hashpartitioning\\(k#\\d+L?, salt#\\d+".r.findAllIn(p).nonEmpty,
+      "join must shuffle on (k, salt) — salt missing from the partitioning")
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val salted = GraftQuery.all.find(_.name == "q58_salted_join").get
+      .build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val plain = Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .join(Tables.load(spark, sf001, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")), "user_id")
+      .groupBy(col("user_id"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("tv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(salted == plain, "salted join diverged from the plain join")
+    assert(plain.nonEmpty, "empty join — equality pin is vacuous")
+  }
+
   test("gr10: the k-core peel never builds the keep-set into a hashed relation") {
     // gr10's contract: the vertex-scale keep-set must not broadcast —
     // both endpoint filters are shuffle_merge left-semi. The ONLY
