@@ -292,5 +292,43 @@ object Sampling {
             sum(col("wt") * col("n_chars")).cast("long").as("sum_chars"),
             (sum(col("wt") * col("n_chars")).cast("double") / sum(col("wt")))
               .as("mean_chars"))
+    },
+
+    GraftQuery(
+      "sp11_curriculum_phases",
+      Some("""WITH d AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS score_units FROM documents),
+             |r AS (SELECT doc_id, score_units,
+             |             ROW_NUMBER() OVER (ORDER BY score_units, doc_id) AS rn,
+             |             COUNT(*) OVER () AS n
+             |      FROM d)
+             |SELECT doc_id, CAST(score_units AS BIGINT) AS score_units,
+             |       CAST(((rn - 1) * 4) // n AS INT) AS phase,
+             |       MD5(CAST(doc_id AS VARCHAR)) AS epoch_key
+             |FROM r""".stripMargin),
+      "Curriculum phase assignment — the data-ORDERING pass a curriculum-learning schedule runs over the corpus (easy-to-hard: short docs first here; in production the score is tx11/tx12's quality signal): every doc gets its global difficulty quantile phase (4 equal bands by exact global position over (score, doc_id)) plus a deterministic md5 epoch_key for reproducible within-phase shuffling (the no-RNG discipline — re-running the schedule on the grown corpus moves no doc's key). The global position is computed with q57's two-phase decomposition, NOT the oracle's fact-scale ROW_NUMBER: monotone score buckets against a broadcast 1-row min/max frame, a bucket histogram whose prefix sum is the only single-partition work, per-bucket ROW_NUMBER + offset (exact because score ties are co-bucketed and (score, doc_id) is unique) — so the schedule that orders 100 TB never funnels it through one task. Phase boundaries are exact integer arithmetic ((pos-1)*4 div n); every output column hash-matches the naive oracle bit-for-bit.") {
+      (s, dir) =>
+        val d = docs(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("score_units"))
+        val stats = d.agg(min(col("score_units")).as("mn"),
+          max(col("score_units")).as("mx"))
+        val b = d.crossJoin(broadcast(stats))
+          .withColumn("bkt",
+            when(col("mx") === col("mn"), lit(0)).otherwise(
+              floor((col("score_units") - col("mn")) * 64 / (col("mx") - col("mn")))
+                .cast("int")))
+        val offs = b.groupBy("bkt").agg(count(lit(1)).as("c"))
+          .withColumn("off",
+            sum(col("c")).over(org.apache.spark.sql.expressions.Window
+              .orderBy("bkt")) - col("c"))
+        val n = d.agg(count(lit(1)).as("n"))
+        b.join(broadcast(offs.select(col("bkt"), col("off"))), "bkt")
+          .withColumn("rn", col("off") + row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("bkt")
+              .orderBy(col("score_units"), col("doc_id"))))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("score_units"),
+            expr("CAST((rn - 1) * 4 DIV n AS INT)").as("phase"),
+            md5(col("doc_id").cast("string")).as("epoch_key"))
     })
 }

@@ -176,4 +176,23 @@ class SamplingSpec extends AnyFunSuite {
         s"${r.getString(0)}: $sampled of $total far from the ~20 quota")
     }
   }
+
+  test("sp11 phases are balanced quartiles ordered by score (sf0.01)") {
+    val rows = byName("sp11_curriculum_phases").build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val n = rows.length
+    assert(n > 0)
+    // balanced: each phase holds floor(n/4) or ceil(n/4) docs
+    val sizes = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3), s"phases present: ${sizes.keySet}")
+    assert(sizes.values.forall(c => c == n / 4 || c == n / 4 + 1),
+      s"unbalanced phases: $sizes")
+    // ordered: every doc in phase p scores <= every doc in phase p+1
+    val maxByPhase = rows.groupBy(_._3).view.mapValues(_.map(_._2).max).toMap
+    val minByPhase = rows.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    (0 to 2).foreach { p =>
+      assert(maxByPhase(p) <= minByPhase(p + 1),
+        s"phase $p max ${maxByPhase(p)} exceeds phase ${p + 1} min ${minByPhase(p + 1)}")
+    }
+  }
 }
