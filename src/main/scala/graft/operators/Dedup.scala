@@ -253,7 +253,10 @@ object Dedup {
     * SAME components: an inter-group edge stands for all-pairs between
     * the groups, a self-edge for the intra-family clique.
     */
-  private[operators] def clusterAssignments(s: SparkSession, dir: String): DataFrame = {
+  /** dd07's collapsed group-edge list + the doc->group map — shared by
+    * the min-label loop (dd07/dd08) and the pointer-jumping twin (dd14).
+    */
+  private def groupEdges(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
     val (groups, mg) = textGroups(s, dir)
     val (inter, n) = groupJaccard(groups)
@@ -262,8 +265,50 @@ object Dedup {
     val gEdges = inter.select(col("ga").as("doc_a"), col("gb").as("doc_b"))
       .unionByName(cloneGroups
         .select(col("gid").as("doc_a"), col("gid").as("doc_b")))
+    (gEdges, mg)
+  }
+
+  private[operators] def clusterAssignments(s: SparkSession, dir: String): DataFrame = {
+    val (gEdges, mg) = groupEdges(s, dir)
     val gClusters = minLabelClusters(gEdges)
     mg.join(gClusters.select(col("doc_id").as("gid"), col("cluster")), "gid")
+      .select(col("doc_id"), col("cluster"))
+  }
+
+  /** dd14: the same cluster assignment computed by gr09's
+    * pointer-jumping round (O(log n) rounds on any chain length, no
+    * vertex-scale broadcasts) instead of [[minLabelClusters]]'s plain
+    * propagation (diameter rounds). Row-identical by construction —
+    * DedupSpec pins it against dd07.
+    */
+  private[operators] def ptrJumpAssignments(s: SparkSession, dir: String): DataFrame = {
+    val (gEdges, mg) = groupEdges(s, dir)
+    val pinned = Materialize.trackedLocalCheckpoint(
+      gEdges.select(col("doc_a"), col("doc_b")))
+    // partitioned on the hop-join key before the checkpoint (gr09's
+    // move): the LogicalRDD keeps hashpartitioning(b) across rounds
+    val und = Materialize.trackedLocalCheckpoint(
+      pinned.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(pinned.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .distinct()
+        .repartition(col("b")))
+    var lab = Materialize.trackedLocalCheckpoint(
+      und.select(col("a").as("node")).distinct()
+        .withColumn("component", col("node")))
+    var converged = false
+    var round = 0
+    val maxRounds = 12 // gr08/gr09's log2-ish cap + loud-overrun contract
+    while (!converged && round < maxRounds) {
+      val next = Materialize.trackedLocalCheckpoint(Graph.ccShuffledRound(und, lab))
+      converged = next.where(col("changed")).isEmpty
+      lab = next.select(col("node"), col("component"))
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"pointer-jumping clustering did not converge in $maxRounds rounds — " +
+          "pathological pointer depth; raise the cap")
+    mg.join(lab.select(col("node").as("gid"), col("component").as("cluster")), "gid")
       .select(col("doc_id"), col("cluster"))
   }
 
@@ -807,6 +852,16 @@ object Dedup {
           .agg(count(lit(1)).as("n_spans"),
             max(col("span")).as("max_span"),
             sum(col("span")).as("dup_tokens"))
+    },
+
+    GraftQuery(
+      "dd14_clusters_ptrjump",
+      // dd07's definition-level oracle verbatim: same closure over the
+      // same jaccard edges — only the propagation strategy differs
+      Some(s"""WITH RECURSIVE $clusterCtes
+              |SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id""".stripMargin),
+      "dd07's near-dup clusters computed by POINTER JUMPING instead of plain min-label propagation — the gr09 machinery applied to the graph it was built for (gr08's doc promised 'the loop that groups near-dup documents at corpus scale'; this wires it): component <- component(component) per round makes convergence O(log n) rounds on ANY clone-chain length, where dd07's per-hop propagation needs diameter rounds — and near-dup graphs at corpus scale DO grow long chains (A~B~C~... through drifting boilerplate), which turns diameter into the wall-clock axis. Runs on the same clone-collapsed group graph (the loop never sees per-duplicate rows), labels hash-partitioned and equi-joined under shuffle_merge hints — NOTHING vertex-scale broadcasts, so the plan holds when the group count outgrows executor memory. Same oracle as dd07 (the recursive-CTE transitive closure), DedupSpec pins dd14 == dd07 row-for-row: two loops, two round complexities, one fixpoint.") {
+      (s, dir) => ptrJumpAssignments(s, dir)
     },
   )
 

@@ -119,6 +119,19 @@ class DedupSpec extends AnyFunSuite {
       "no long span found — the injected boilerplate is not being recovered")
   }
 
+  test("dd14 pointer-jumping clusters are row-identical to dd07 (sf0.01)") {
+    // two loops (min-label propagation vs pointer jumping), two round
+    // complexities (diameter vs log n), one fixpoint — any divergence
+    // is a bug in one of them
+    def rows(name: String) = byName(name).build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d7 = rows("dd07_dedup_clusters")
+    val d14 = rows("dd14_clusters_ptrjump")
+    assert(d14 == d7,
+      s"dd14 diverged from dd07: extra=${d14 -- d7} missing=${d7 -- d14}")
+    assert(d7.nonEmpty, "no clusters — equivalence pin is vacuous")
+  }
+
   test("dd12 incremental dedup: exact verdicts match a driver-side model; near/new occur (sf0.01)") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
