@@ -94,7 +94,7 @@ object ScaleProbe {
       "ss05_knn_join", "ss10_kmeans_train",
       "cdc04_envelope_parse", "cdc05_drop_taxonomy",
       "dc01_benchmark_overlap", "dd12_incremental_dedup",
-      "dd13_duplicate_spans").map(n => n -> run(n))
+      "dd13_duplicate_spans", "dd14_clusters_ptrjump").map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio
