@@ -613,6 +613,43 @@ object TextAnalysis {
           length(red).cast("long").as("redacted_len"),
           md5(red).as("redacted_md5"))
     },
+
+    GraftQuery(
+      "tx17_vocab_coverage",
+      Some("""WITH tk AS (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT term, COUNT(*) AS f FROM tk GROUP BY 1),
+             |tot AS (SELECT SUM(f) AS total_tokens, COUNT(*) AS n_terms FROM tf),
+             |cuts AS (SELECT UNNEST([5, 10, 20]) AS cut_k),
+             |cov AS (SELECT c.cut_k, SUM(t.f) AS covered
+             |        FROM cuts c JOIN (
+             |          SELECT term, f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rnk FROM tf) t
+             |          ON t.rnk <= c.cut_k
+             |        GROUP BY 1)
+             |SELECT cv.cut_k, CAST(tot.n_terms AS BIGINT) AS n_terms,
+             |       CAST(cv.covered AS BIGINT) AS covered_tokens,
+             |       CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+             |       CAST(cv.covered AS DOUBLE) / tot.total_tokens AS coverage
+             |FROM cov cv, tot""".stripMargin),
+      "Vocabulary coverage curve — the tokenizer-design audit run before freezing a vocab: for each candidate vocabulary size k (the top-k terms by corpus frequency), the fraction of ALL corpus token occurrences those k terms cover; where the curve flattens is where bigger vocab stops paying and subword fallback takes over (the fixture's ~30-word vocabulary saturates fast — the CURVE SHAPE is the deliverable, and the spec pins monotonicity + the saturation point). Scale shape: ONE map-side-combining (term, count) shuffle over the corpus — the same pass tx13/tx14 run — then everything downstream is vocabulary-grain: the top-k pick per cut is a TakeOrderedAndProject (per-task heaps — at a 10M-term web vocabulary the rank never sees a single-partition sort of the corpus, and the three cuts share one frequency table), totals are a 1-row broadcast. Counts exact int64; coverage is one IEEE division per cut.") {
+      (s, dir) =>
+        // pinned: the frequency table feeds four consumers (three cuts
+        // + totals) — without the pin each re-pays the corpus shuffle
+        val tf = Materialize(Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("f")))
+        val tot = tf.agg(sum(col("f")).as("total_tokens"),
+          count(lit(1)).as("n_terms"))
+        val cuts = Seq(5, 10, 20)
+        val covered = cuts.map { k =>
+          tf.orderBy(col("f").desc, col("term")).limit(k)
+            .agg(lit(k).as("cut_k"), sum(col("f")).as("covered"))
+        }.reduce(_ unionByName _)
+        covered.crossJoin(broadcast(tot))
+          .select(col("cut_k"), col("n_terms"),
+            col("covered").cast("long").as("covered_tokens"),
+            col("total_tokens"),
+            (col("covered").cast("double") / col("total_tokens")).as("coverage"))
+    },
   )
 
 }

@@ -11,6 +11,28 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class TextNoveltySpec extends AnyFunSuite {
 
+  test("tx17 coverage curve is monotone, bounded, and matches a driver count (sf0.01)") {
+    val rows = graft.GraftQuery.all.find(_.name == "tx17_vocab_coverage").get
+      .build(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(5, 10, 20))
+    // monotone in k, bounded by 1, total constant across cuts
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 <= b._2 }, "not monotone")
+    assert(rows.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+    assert(rows.map(_._3).distinct.length == 1, "total_tokens must not vary by cut")
+    // driver-side replay: exact covered mass at each cut
+    val freq = graft.Tables.load(spark, sf001, "documents")
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, f) => (-f, t) }
+    rows.foreach { case (k, covered, total, _) =>
+      assert(covered == freq.take(k).map(_._2).sum, s"cut $k covered mass diverged")
+      assert(total == freq.map(_._2).sum)
+    }
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
