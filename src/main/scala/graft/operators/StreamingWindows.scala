@@ -279,5 +279,22 @@ object StreamingWindows {
             col("view_id"), col("purchase_id"),
             (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
     },
+
+    GraftQuery(
+      "st13_windowed_distinct",
+      Some("""SELECT DATE_TRUNC('day', ts) AS window_start,
+             |       DATE_TRUNC('day', ts) + INTERVAL 1 DAY AS window_end,
+             |       COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      "Per-window EXACT distinct users — the daily-active-users query, and in streaming form the canonical CHAINED-STATEFUL-OPERATOR pipeline (Spark 3.4+ multiple stateful operators): a streaming engine cannot hold a distinct set per window as one opaque aggregate and stay incremental, so the shape is two cascaded stateful aggs — (window, user) dedup first (state = one row per active user per window, the watermark evicting closed windows), then a window-grain count over THAT (state = one row per open window). StreamingEquivalenceSpec runs exactly this chain through readStream in APPEND mode (window_time() re-windowing between the stages, a sentinel row to close the watermark) and pins it equal to this batch twin, which Catalyst plans as the ordinary two-level distinct aggregate. At 100 TB the first stage is the whole cost — one (window, user)-grain map-side-combining shuffle — and it is exactly q51/sk06's trade: the EXACT pass a dashboard runs per day, with the HLL sketch store (sk04/sk06) as the approximate always-on companion. Counts exact int64 in both engines.") {
+      (s, dir) =>
+        Tables.load(s, dir, "events")
+          .groupBy(window(col("ts"), "1 day"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            count(lit(1)).as("n_events"))
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"),
+            col("n_users"), col("n_events"))
+    },
   )
 }

@@ -83,6 +83,43 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
     assert(sortedRows(streamed) === sortedRows(batch))
   }
 
+  test("windowed distinct: CHAINED stateful aggs (dedup -> count) == batch twin") {
+    // the Spark 3.4+ multiple-stateful-operator pipeline: (window, user)
+    // dedup agg feeding a window-grain count agg, run in APPEND mode
+    // (the only mode chained stateful supports). Append emits a window
+    // only once the watermark passes its end, so the source is staged
+    // WITH a far-future sentinel row that closes every real window; the
+    // sentinel's own window is dropped from the comparison.
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("events-chained").toString
+    val base = graft.Tables.load(spark, sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val sentinelTs = java.sql.Timestamp.valueOf("2199-01-01 00:00:00")
+    val sentinel = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(-1L, sentinelTs, -1L, "sentinel", 0.0)),
+      base.schema)
+    base.unionByName(sentinel).write.mode("overwrite").parquet(dir)
+    val streamed = runToMemory(
+      spark.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+        .parquet(dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(window(window_time(col("window")), "1 day"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+        .select(col("window.start").as("window_start"),
+          col("window.end").as("window_end"),
+          col("n_users"), col("n_events")),
+      "st13_stream", "append")
+      .filter(col("window_start") < java.sql.Timestamp.valueOf("2199-01-01 00:00:00"))
+    val batch = StreamingWindows.all.find(_.name == "st13_windowed_distinct").get
+      .build(spark, sf0001)
+    assert(sortedRows(streamed) === sortedRows(batch))
+    assert(streamed.count() > 0, "no closed windows emitted — sentinel failed")
+  }
+
   test("streaming dedup state suppresses duplicates ACROSS restarted batches") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("dedup-src").toString
