@@ -984,6 +984,37 @@ object Relational {
     },
 
     GraftQuery(
+      "q59_csv_source",
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY event_type
+             |UNION ALL
+             |SELECT '_corrupt', 1, CAST(NULL AS DOUBLE)""".stripMargin),
+      "CSV source with an EXPLICIT schema and a malformed-row taxonomy — the third source format (parquet everywhere, JSON-lines q44), and the one where bad rows are a FACT OF LIFE at 100 TB (hand-exported dumps, truncated uploads): events round-trip through headerless CSV, one deliberately malformed line is injected (deterministic fixture corruption), and the read runs PERMISSIVE with the schema stated up front (inference at scale is a full extra pass — q44's rule). The taxonomy is cdc05's discipline applied to a batch source: malformed rows do NOT abort the scan (FAILFAST's 100 TB failure mode: one bad byte kills a 6-hour job) and do NOT vanish (DROPMALFORMED's: silent undercount) — they surface as a counted '_corrupt' group (typed fields null -> the group-by marker), so the load is auditable: valid aggregates + exactly how much was quarantined. Doubles round-trip exactly (shortest-round-trip serialization), so the oracle aggregates the original table and states the injected corruption as a constant.") {
+      (s, dir) =>
+        // q44's race-free per-application temp discipline
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q59_${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}")
+          .getAbsolutePath
+        Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+          .write.mode("overwrite").option("header", "false").csv(out)
+        // deterministic fixture corruption: one malformed line (typed
+        // fields unparseable -> nulls under PERMISSIVE)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(out, "zz_malformed.csv"),
+          "xx,yy,zz,ww\n".getBytes("UTF-8"))
+        s.read
+          .schema("event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+          .option("header", "false").option("mode", "PERMISSIVE").csv(out)
+          .select(when(col("event_id").isNull, lit("_corrupt"))
+            .otherwise(col("event_type")).as("event_type"), col("value"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(dec(col("value"))).cast("double").as("total"))
+    },
+
+    GraftQuery(
       "q58_salted_join",
       Some("""SELECT e.user_id, c.c_mktsegment, COUNT(*) AS n_events,
              |       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
