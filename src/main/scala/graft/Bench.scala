@@ -108,6 +108,17 @@ object Bench {
     val results = sorted.map { case (name, _) =>
       name -> (if (errors.contains(name)) -1.0 else best(name))
     }
+    // full-precision side file for local trend analysis: the driver
+    // line (below) carries 1-decimal values to fit the 2000-char tail;
+    // 3-decimal detail lands here, never on stdout (an extra line after
+    // the JSON would displace it out of the driver's tail window)
+    try {
+      val full = results.map { case (k, v) => s""""${shortId(k)}":${"%.3f".format(v)}""" }
+        .mkString("{", ",", "}")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
+        s"""{"queries":$full,"sf_dir":"$sfDir"}""".getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort
     println(renderLine(results, errors.toSeq, sfDir))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
@@ -162,12 +173,15 @@ object Bench {
     // errored queries carry the sentinel -1: render it as bare "-1", not
     // "-1.00" — at 125+ queries those chars/query are the difference
     // between an all-failure line fitting the driver tail or not.
-    // 2-decimal precision (10 ms) is still ~10x below best-of-two noise
-    // and buys a char per query — at 129 queries the 3-decimal render
-    // crossed the old canary; trailing zeros are stripped ("0.70" →
-    // "0.7", "2.00" → "2") since they carry no information either.
+    // Precision history: 3 decimals crossed the canary at 129 queries,
+    // 2 decimals at 174 (r11) — now 1 decimal (100 ms), which is still
+    // ~2-3x below best-of-two noise on this box and the gate only acts
+    // on >1s >1.5x moves where 100 ms is <10%. Full 3-decimal values
+    // go to the side file `main` writes (target/bench_full.json) for
+    // local trend analysis; the driver line is the coarse view.
+    // Trailing zeros stripped ("0.70" → "0.7", "2.0" → "2").
     def j3(v: Double) = if (v < 0) "-1"
-      else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      else BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
     val qs = results.map { case (k, v) => jstr(shortId(k)) + ":" + j3(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -95,7 +95,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "pr08_join_forecast", // 1-row fold + 1-row side-totals frames meet in broadcasts (pr04 pattern)
     "ss12_trained_ivf_recall", // ss09's probe (1-row query, k-row cells) x2 + ss10's Lloyd scans
     "ss13_truncated_prefilter", // 1-row query vector broadcast into prefix scan + exact audit scan
-    "sp11_curriculum_phases" // 1-row min/max + 1-row corpus-count frames (q57's bucketizer)
+    "sp11_curriculum_phases", // 1-row min/max + 1-row corpus-count frames (q57's bucketizer)
+    "tx17_vocab_coverage" // 3 one-row cut aggregates x a 1-row totals frame
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
