@@ -96,7 +96,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ss12_trained_ivf_recall", // ss09's probe (1-row query, k-row cells) x2 + ss10's Lloyd scans
     "ss13_truncated_prefilter", // 1-row query vector broadcast into prefix scan + exact audit scan
     "sp11_curriculum_phases", // 1-row min/max + 1-row corpus-count frames (q57's bucketizer)
-    "tx17_vocab_coverage" // 3 one-row cut aggregates x a 1-row totals frame
+    "tx17_vocab_coverage", // 3 one-row cut aggregates x a 1-row totals frame
+    "gr11_sssp" // 1-row median broadcast in the weighted-edges front door
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {

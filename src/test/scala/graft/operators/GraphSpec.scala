@@ -231,6 +231,32 @@ class GraphSpec extends AnyFunSuite {
     assert(g8.nonEmpty, "empty CC output — equivalence pin is vacuous")
   }
 
+  test("gr11: equals a sequential 4-round Bellman-Ford over the collected weighted edges") {
+    import org.apache.spark.sql.functions.col
+    def lv(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue
+    val we = Graph.weightedEdges(spark, sf001).collect()
+      .map(r => (lv(r, 0), lv(r, 1), lv(r, 2)))
+    val seed = (we.map(_._1) ++ we.map(_._2)).min
+    var dist = Map(seed -> 0L)
+    for (_ <- 1 to 4) {
+      val relaxed = we.flatMap { case (s, d, c) => dist.get(s).map(ds => d -> (ds + c)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    val names = Tables.load(spark, sf001, "nation")
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val expect = dist.map { case (n, d) => names(n) -> d }
+    val got = run("gr11_sssp").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"SSSP diverged: extra=${got.toSet -- expect.toSet} " +
+      s"missing=${expect.toSet -- got.toSet}")
+    // non-vacuity: multi-hop paths exist AND a relaxation improved on a
+    // direct edge somewhere (otherwise this is just the adjacency list)
+    assert(dist.size > 1 + we.count(_._1 == seed), "no multi-hop vertex reached")
+    assert(dist.values.toSet.size > 2, "degenerate distance distribution")
+  }
+
   test("gr10: shuffled keep-set k-core is row-identical to gr03") {
     // same peel, same adaptive k, two execution strategies: broadcast
     // keep-set semi joins (gr03) vs shuffle_merge left-semi (gr10).
