@@ -264,5 +264,41 @@ object Temporal {
           .select(col("event_id"), col("user_id"), col("ts"),
             col("state"), col("valid_from"))
     },
+
+    GraftQuery(
+      "q60_retention_cohorts",
+      Some("""WITH wk AS (SELECT DISTINCT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS week
+             |            FROM events),
+             |first AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1),
+             |sizes AS (SELECT cohort_week, COUNT(*) AS n_cohort FROM first GROUP BY 1),
+             |act AS (SELECT f.cohort_week, (w.week - f.cohort_week) // 7 AS offset_weeks,
+             |               COUNT(*) AS n_active
+             |        FROM wk w JOIN first f USING (user_id) GROUP BY 1, 2)
+             |SELECT a.cohort_week, CAST(a.offset_weeks AS INT) AS offset_weeks,
+             |       a.n_active, s.n_cohort,
+             |       CAST(a.n_active AS DOUBLE) / s.n_cohort AS retention
+             |FROM act a JOIN sizes s USING (cohort_week)""".stripMargin),
+      "Retention cohort matrix — THE product-analytics table (users grouped by first-active week; for each later week, the fraction still active), the temporal family's missing classic next to q47's funnel and q52's sessions. Fused to ONE user-grain shuffle over the fact data: groupBy(user) collects each user's distinct active weeks AND their minimum (the cohort) in a single map-side-combining aggregate — the per-user week set is bounded by the calendar (~52/yr), the textbook safe collect_set — then the (cohort, offset) matrix and the cohort sizes are both week-grain aggregations over its explode (cost independent of fact size; the oracle's two-scan self-join is fused away exactly like q47's). Monday-aligned weeks in both engines, offsets by exact integer day arithmetic div 7, retention one IEEE division of exact counts; offset 0 rows are the built-in sanity diagonal (retention = 1.0 by construction — spec-pinned, a cheap full-pipeline invariant).") {
+      (s, dir) =>
+        val wk = Tables.load(s, dir, "events")
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("week"))
+        // pinned: BOTH downstream aggregates (matrix + cohort sizes)
+        // consume this — without the pin each re-pays the fact shuffle
+        val perUser = Materialize(wk.groupBy("user_id")
+          .agg(min(col("week")).as("cohort_week"),
+            collect_set(col("week")).as("weeks")))
+        val act = perUser
+          .select(col("cohort_week"), explode(col("weeks")).as("week"))
+          .groupBy(col("cohort_week"),
+            expr("CAST(datediff(week, cohort_week) DIV 7 AS INT)").as("offset_weeks"))
+          .agg(count(lit(1)).as("n_active"))
+        val sizes = perUser.groupBy("cohort_week")
+          .agg(count(lit(1)).as("n_cohort"))
+        act.join(broadcast(sizes), "cohort_week")
+          .select(col("cohort_week"), col("offset_weeks"),
+            col("n_active"), col("n_cohort"),
+            (col("n_active").cast("double") / col("n_cohort")).as("retention"))
+    },
   )
 }

@@ -179,6 +179,31 @@ class TemporalProfileSpec extends AnyFunSuite {
       "zero drift everywhere — the fixture cannot exercise the alert path")
   }
 
+  test("q60: cohort diagonal is exactly 1.0; retention bounded; one user exchange") {
+    val rows = run("q60_retention_cohorts").collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // offset 0: every cohort member was active in their first week BY
+    // DEFINITION — the full-pipeline sanity diagonal
+    val diag = rows.filter(_._2 == 0)
+    assert(diag.nonEmpty && diag.forall(r => r._3 == r._4 && r._5 == 1.0),
+      s"cohort diagonal broken: $diag")
+    assert(rows.forall(r => r._3 <= r._4 && r._5 > 0.0 && r._5 <= 1.0))
+    // genuinely multi-week: some cohort observed at offset >= 1
+    assert(rows.exists(_._2 >= 1), "no later-week activity — matrix is vacuous")
+    // fused shape: the per-user week-set aggregate is PINNED, so the
+    // final plan re-reads it for both consumers (matrix + sizes)
+    // without re-paying the fact shuffle — zero user_id exchanges and
+    // zero events scans downstream of the pin
+    val p = graft.GraftQuery.all.find(_.name == "q60_retention_cohorts").get
+      .build(spark, sf001).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).isEmpty,
+      "the fact-scale user shuffle must be paid once, behind the pin")
+    assert(!p.contains("events.parquet"),
+      "downstream of the pin the fact table must not be re-scanned")
+  }
+
   test("pr08: forecast est_rows equals the actually-executed join, per relationship") {
     // the forecast's whole claim is exactness at key grain: run the
     // three real joins it refuses to run and compare. The events
