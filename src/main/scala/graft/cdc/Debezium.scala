@@ -182,6 +182,20 @@ object Debezium {
       .groupBy(reasonFromExtracted(allowedTables).as("reason"))
       .agg(count(lit(1)).as("n"))
 
+  /** The dead-letter side of [[parseChanges]]: every REJECTED envelope
+    * with its classified reason, a 16-byte md5 replay id, and the raw
+    * claimed table — the quarantine store a production pipeline
+    * persists next to the counted taxonomy ([[dropCounts]]), so a
+    * parser fix can replay exactly what was dropped instead of
+    * re-tailing the binlog. Same classification chain, same order.
+    */
+  def deadLetters(envelopes: DataFrame, allowedTables: Option[Seq[String]] = None): DataFrame =
+    extracted(envelopes)
+      .withColumn("reason", reasonFromExtracted(allowedTables))
+      .filter(col("reason") =!= Kept)
+      .select(col("reason"), md5(col("value")).as("env_md5"),
+        coalesce(col("_table"), lit("")).as("tbl"))
+
   /** Enrichment (SURVEY.md §2.1 O7, done properly): broadcast-join the
     * parsed stream against the per-instance source config to add
     * `dbTbName` (= dbAlias + "_" + tableName, `AdbSink.java:88`) and

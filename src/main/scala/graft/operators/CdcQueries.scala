@@ -256,5 +256,25 @@ object CdcQueries {
           .withColumn("is_canonical",
             when(col("key_set") === "amount,id,k", 1).otherwise(0))
     },
+
+    GraftQuery(
+      "cdc10_dead_letter_queue",
+      Some(s"""WITH env AS ($envelopesDuck),
+              |cls AS (SELECT value,
+              |        CASE WHEN (value->>'$$.op') IS DISTINCT FROM 'd' THEN 'not_delete'
+              |             WHEN TRIM(COALESCE(value->>'$$.source.table', '')) = '' THEN 'no_table'
+              |             WHEN (value->>'$$.before') IS NULL THEN 'no_before'
+              |             WHEN (value->>'$$.before.id') IS NULL THEN 'no_id'
+              |             WHEN COALESCE(TRY_CAST(value->>'$$.ts_ms' AS BIGINT), 0)
+              |                  NOT BETWEEN 1 AND ${graft.cdc.Debezium.MaxTsMs} THEN 'bad_ts'
+              |             ELSE 'kept' END AS reason
+              |        FROM env)
+              |SELECT reason, MD5(value) AS env_md5,
+              |       COALESCE(value->>'$$.source.table', '') AS tbl
+              |FROM cls WHERE reason <> 'kept'""".stripMargin),
+      "The DEAD-LETTER QUEUE completing cdc05's taxonomy: cdc05 COUNTS each rejection reason; this materializes the rejected envelopes themselves — reason, a 16-byte md5 replay id, and the raw claimed table — the quarantine store a production CDC pipeline persists NEXT TO the counters, because the counters tell you something broke but only the quarantined rows let a parser fix REPLAY exactly what was dropped (the alternative is re-tailing the binlog from before the incident, which retention may no longer allow). Same classification chain as parseChanges, same branch order, factored from the same extracted-fields pass (one json_tuple per envelope, map-side); the md5 id crosses the wire, not the payload — the DLQ store itself is written payload-inclusive by the sink, but the AUDIT view here stays KB-scale at any stream volume. The kept/dead split provably partitions the stream (DebeziumSpec: kept + dead == total, disjoint).") {
+      (s, dir) =>
+        graft.cdc.Debezium.deadLetters(envelopes(s, dir))
+    },
   )
 }

@@ -91,6 +91,21 @@ class DebeziumSpec extends AnyFunSuite {
     assert(counts(Debezium.NotDelete) === 3)
   }
 
+  test("deadLetters partitions the stream with parseChanges: kept + dead == total, disjoint") {
+    val envs = golden.map(_._1)
+    val dead = Debezium.deadLetters(envDf(envs)).collect()
+    val kept = Debezium.parseChanges(envDf(envs), "t").count()
+    assert(dead.length + kept === envs.length.toLong,
+      "dead letters + kept rows must partition the input")
+    // each dead row carries the golden branch's reason and a stable id
+    val reasons = dead.map(_.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    val expected = golden.filter(_._2 != Debezium.Kept)
+      .groupBy(_._2).view.mapValues(_.size).toMap
+    assert(reasons === expected)
+    assert(dead.map(_.getString(1)).distinct.length === dead.length,
+      "md5 replay ids must be unique for distinct envelopes")
+  }
+
   test("observe exposes drop counters to a batch listener") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
