@@ -984,6 +984,33 @@ object Relational {
     },
 
     GraftQuery(
+      "q61_incremental_mv",
+      Some(s"""SELECT event_type, CAST(DATE_TRUNC('day', ts) AS DATE) AS day,
+              |       COUNT(*) AS n,
+              |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+              |FROM events GROUP BY 1, 2""".stripMargin),
+      "Incremental materialized-view maintenance — the refresh contract that decides whether a 100 TB aggregate dashboard costs a table scan per day or a drop-sized merge: the (type, day) view is maintained as MERGEABLE PARTIALS (count + decimal sum — both associative and commutative, the algebraic-aggregate condition for incremental MV), the 90% 'existing base' contributes its stored partials WITHOUT being rescanned at refresh time (modeled here by aggregating the two md5-bucket splits independently — in production the base partials are the persisted artifact, Compaction's snapshot discipline), the 10% 'new drop' aggregates at drop cost, and one union + re-aggregate at VIEW grain (types x days — KB at any fact scale) folds them. The ORACLE IS THE FULL-TABLE REBUILD: merged partials must equal a from-scratch aggregation bit-for-bit, which is exactly the refresh-correctness invariant an MV system certifies (decimal sums make the equality exact regardless of merge order — the reason the money math is decimal end-to-end everywhere in this repo). The same shape with HLL partials is sk04/sk06; this is the exact-arithmetic half of that store.") {
+      (s, dir) =>
+        val ev = Tables.spread(Tables.load(s, dir, "events"), "event_id")
+          .withColumn("bkt", expr(Sampling.bucket100("event_id")))
+          .select(col("bkt"), col("event_type"),
+            to_date(col("ts")).as("day"), col("value"))
+        def partials(df: DataFrame) = df
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("pn"),
+            sum(dec(col("value"))).as("pt"))
+        // base partials: the persisted artifact — at refresh time these
+        // rows are READ, the 90% of the fact table behind them is not
+        val base = partials(ev.filter(col("bkt") < 90))
+        // drop partials: the only fact-scale work a refresh pays
+        val drop = partials(ev.filter(col("bkt") >= 90))
+        base.unionByName(drop)
+          .groupBy(col("event_type"), col("day"))
+          .agg(sum(col("pn")).as("n"),
+            sum(col("pt")).cast("double").as("total"))
+    },
+
+    GraftQuery(
       "q59_csv_source",
       Some("""SELECT event_type, COUNT(*) AS n,
              |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total

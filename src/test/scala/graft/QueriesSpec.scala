@@ -37,4 +37,29 @@ class QueriesSpec extends AnyFunSuite {
     val names = GraftQuery.all.map(_.name)
     assert(names.distinct.size === names.size)
   }
+
+  test("q61: merged partials equal a from-scratch rebuild; both splits non-empty") {
+    // the MV refresh-correctness invariant, checked in-engine on top of
+    // the cross-engine oracle: incremental merge == full rescan, and
+    // the md5 split genuinely produces a base AND a drop (else the
+    // merge is vacuous)
+    import org.apache.spark.sql.functions._
+    val merged = GraftQuery.all.find(_.name == "q61_incremental_mv").get
+      .build(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val full = Tables.load(spark, sf0001, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(merged === full, "incremental merge diverged from the full rebuild")
+    val bkts = Tables.spread(Tables.load(spark, sf0001, "events"), "event_id")
+      .select(expr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 90")
+        .as("isBase")).groupBy("isBase").count().collect()
+    assert(bkts.length === 2, "md5 split must produce both a base and a drop")
+  }
 }
