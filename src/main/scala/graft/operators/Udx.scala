@@ -88,5 +88,28 @@ object Udx {
           }
           .toDF("doc_id", "token", "pos")
     },
+
+    GraftQuery(
+      "ud04_sql_udf",
+      Some("""SELECT CASE WHEN value < 50 THEN 'low'
+             |            WHEN value < 200 THEN 'mid'
+             |            ELSE 'high' END AS tier,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY 1""".stripMargin),
+      "SQL-defined scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN expr, Spark 3.5+) — the function surface that closes the UDF family's optimization story: ud01's Scala UDF is an opaque black box to Catalyst (no pushdown through it, no codegen of its body, a JVM call per row), while a SQL UDF is INLINED at analysis time — the plan below contains the CASE expression itself, fully folded into whole-stage codegen, indistinguishable from having written the expression inline (plan-audited: no UDF invocation node survives). That is the 100 TB decision rule this query documents by construction: express logic as SQL functions when the semantics allow (free optimization), drop to a native Expression when they don't but performance matters (CosineSim), and pay a Scala UDF only when genuinely imperative (ud01 — kept as the contrast case). The oracle states the inlined expression directly, which is exactly the point.") {
+      (s, dir) =>
+        Tables.load(s, dir, "events").createOrReplaceTempView("ud04_events")
+        s.sql(
+          """CREATE OR REPLACE TEMPORARY FUNCTION graft_tier(v DOUBLE)
+            |RETURNS STRING
+            |RETURN CASE WHEN v < 50 THEN 'low'
+            |            WHEN v < 200 THEN 'mid'
+            |            ELSE 'high' END""".stripMargin)
+        s.sql(
+          """SELECT graft_tier(value) AS tier, COUNT(*) AS n,
+            |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+            |FROM ud04_events GROUP BY 1""".stripMargin)
+    },
   )
 }

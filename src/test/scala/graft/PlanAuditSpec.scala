@@ -347,6 +347,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "pair counts must combine map-side")
   }
 
+  test("ud04: the SQL UDF inlines into the plan — no opaque UDF node survives") {
+    // the whole point of the SQL function surface: graft_tier must be
+    // replaced by its CASE body at analysis time, leaving codegen-able
+    // expressions (contrast ud01, whose ScalaUDF stays a black box)
+    val p = plan("ud04_sql_udf")
+    assert(p.contains("CASE WHEN"), "the UDF body must be inlined as a CASE")
+    assert(!p.contains("UDF("), "no opaque UDF invocation may survive inlining")
+  }
+
   test("gr09: the CC round never broadcasts the label table") {
     // the gr09 contract: at billion-vertex scale the label table does
     // not fit an executor, so NOTHING in the round may plan a broadcast
