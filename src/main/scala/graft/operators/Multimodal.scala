@@ -183,6 +183,47 @@ object Multimodal {
     }
   }
 
+  /** Typed stats of a REAL decode + 2x nearest-neighbor downscale
+    * (mm08): resized dims plus exact pixel stats of the RESIZED image.
+    */
+  final case class ResizeStats(
+      doc_id: Long,
+      rw: Int,
+      rh: Int,
+      px_sum: Long,
+      px_min: Int,
+      px_max: Int)
+
+  /** REAL resize over the REAL decode: parse the PNG (actual codec
+    * path), then 2x nearest-neighbor downscale by explicit source-pixel
+    * pick — dest (x, y) reads src (2x, 2y), the one resampling kernel
+    * with a closed integer form both engines can state exactly (bilinear
+    * would be FP-kernel-dependent and oracle-hostile; at scale NN is
+    * also the thumbnail-triage kernel you run BEFORE an expensive
+    * learned resizer). Min dimension 1 so degenerate images survive.
+    */
+  def resizeStats(payload: Array[Byte]): (Int, Int, Long, Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null)
+      throw new IllegalArgumentException("payload is not a decodable image")
+    val raster = img.getRaster
+    val rw = math.max(img.getWidth / 2, 1)
+    val rh = math.max(img.getHeight / 2, 1)
+    var (sum, mn, mx) = (0L, 255, 0)
+    var y = 0
+    while (y < rh) {
+      var x = 0
+      while (x < rw) {
+        val v = raster.getSample(math.min(2 * x, img.getWidth - 1),
+          math.min(2 * y, img.getHeight - 1), 0)
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        x += 1
+      }
+      y += 1
+    }
+    (rw, rh, sum, mn, mx)
+  }
+
   /** Partition-parallel REAL audio decode: same batch contract as
     * [[decodeImageStats]], codec is `javax.sound.sampled`.
     */
@@ -406,6 +447,41 @@ object Multimodal {
             i => ((id * 13 + i * 29) % 256).toInt))
         })
         decodeAudioStats(wavs).toDF()
+    },
+
+    GraftQuery(
+      "mm08_real_resize",
+      Some("""WITH d AS (SELECT doc_id,
+             |                 4 + CAST(('0x' || SUBSTRING(MD5(text), 1, 2)) AS INT) % 13 AS width,
+             |                 4 + CAST(('0x' || SUBSTRING(MD5(text), 3, 2)) AS INT) % 13 AS height
+             |           FROM documents WHERE doc_id < 60),
+             |r AS (SELECT doc_id, GREATEST(width // 2, 1) AS rw,
+             |             GREATEST(height // 2, 1) AS rh FROM d),
+             |xs AS (SELECT doc_id, rw, rh, UNNEST(RANGE(0, rw)) AS x FROM r),
+             |px AS (SELECT doc_id, rw, rh, x, UNNEST(RANGE(0, rh)) AS y FROM xs)
+             |SELECT doc_id, rw, rh,
+             |       CAST(SUM((doc_id * 17 + 2 * x * 31 + 2 * y * 7) % 256) AS BIGINT) AS px_sum,
+             |       CAST(MIN((doc_id * 17 + 2 * x * 31 + 2 * y * 7) % 256) AS INT) AS px_min,
+             |       CAST(MAX((doc_id * 17 + 2 * x * 31 + 2 * y * 7) % 256) AS INT) AS px_max
+             |FROM px GROUP BY 1, 2, 3""".stripMargin),
+      "REAL image RESIZE over the REAL decode — the mandate's resize op de-stubbed (mm04 PLANS aspect-fit resizes; this executes one): the same genuine PNG payloads as mm06 are parsed by the real codec and downscaled 2x by nearest-neighbor source-pixel pick — dest (x, y) reads src (2x, 2y), the one resampling kernel with an exact closed integer form (the oracle states the resized image pixel-for-pixel; a bilinear kernel would be FP-implementation-defined and unverifiable cross-engine — and NN IS the production thumbnail-triage kernel run before any expensive learned resizer). Decode + resize run fused per row inside the mapPartitions batch contract — one pass, no intermediate full-resolution materialization, which is the at-scale point: a 100 TB image corpus resized in the same map stage that decodes it, output doc-grain stats only. PNG losslessness makes every resized pixel exactly predictable, so sum/min/max over the RESIZED raster hash-match the oracle's closed form.") {
+      (s, dir) =>
+        implicit val spark: SparkSession = s
+        import s.implicits._
+        val dims = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+          .withColumn("w", expr(
+            "4 + CAST(conv(substring(md5(encode(text, 'UTF-8')), 1, 2), 16, 10) AS INT) % 13"))
+          .withColumn("h", expr(
+            "4 + CAST(conv(substring(md5(encode(text, 'UTF-8')), 3, 2), 16, 10) AS INT) % 13"))
+          .select(col("doc_id"), col("w"), col("h"))
+          .as[(Long, Int, Int)]
+        dims.mapPartitions(_.map { case (id, w, h) =>
+          val png = PngCodec.encodeGray(w, h,
+            (x, y) => ((id * 17 + x * 31 + y * 7) % 256).toInt)
+          val (rw, rh, sum, mn, mx) = resizeStats(png)
+          ResizeStats(id, rw, rh, sum, mn, mx)
+        }).toDF()
     },
   )
 }

@@ -115,6 +115,21 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("mm08 resize picks exactly the even-coordinate pixels (golden)") {
+    // 5x4 image with distinct pixels: the 2x NN downscale must read
+    // src (0,0),(2,0),(0,2),(2,2) — nothing else, no interpolation
+    val pix = Array(
+      Array(10, 99, 20, 99, 99),
+      Array(99, 99, 99, 99, 99),
+      Array(30, 99, 40, 99, 99),
+      Array(99, 99, 99, 99, 99))
+    val png = Multimodal.PngCodec.encodeGray(5, 4, (x, y) => pix(y)(x))
+    val (rw, rh, sum, mn, mx) = Multimodal.resizeStats(png)
+    assert((rw, rh) === ((2, 2)))
+    assert(sum === 10L + 20 + 30 + 40, "NN resize must not interpolate")
+    assert(mn === 10 && mx === 40)
+  }
+
   test("mm06 distributed decode equals driver-side decode of the same payloads") {
     import spark.implicits._
     // the query's own fixture recipe, replayed at tiny scale: encode on
