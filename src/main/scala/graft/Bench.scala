@@ -108,16 +108,24 @@ object Bench {
     val results = sorted.map { case (name, _) =>
       name -> (if (errors.contains(name)) -1.0 else best(name))
     }
-    // full-precision side file for local trend analysis: the driver
-    // line (below) carries 1-decimal values to fit the 2000-char tail;
-    // 3-decimal detail lands here, never on stdout (an extra line after
-    // the JSON would displace it out of the driver's tail window)
+    // full-precision PER-QUERY side artifact (r12): the driver line
+    // (below) carries only per-family subtotals, so this file is now
+    // the canonical per-query record — written in the EXACT shape the
+    // old driver line had ({"metric","value","unit","queries","sf"}),
+    // so tools/bench_gate.py consumes it unchanged. Two copies: the
+    // gitignored target/ one for local trend analysis, and
+    // BENCH_FULL_LATEST.json at the repo root so the DRIVER's own run
+    // leaves a committable per-query record for next round's gate
+    // (archive it as BENCH_FULL_r{N}.json at round start). Never on
+    // stdout — an extra line after the JSON would displace the driver
+    // line out of its 2000-char tail window.
     try {
-      val full = results.map { case (k, v) => s""""${shortId(k)}":${"%.3f".format(v)}""" }
-        .mkString("{", ",", "}")
+      val full = renderFull(results, errors.toSeq, sfDir)
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_full.json"),
-        s"""{"queries":$full,"sf_dir":"$sfDir"}""".getBytes("UTF-8"))
+        full.getBytes("UTF-8"))
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL_LATEST.json"),
+        full.getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(_) => () } // best-effort
     println(renderLine(results, errors.toSeq, sfDir))
     spark.stop()
@@ -153,83 +161,123 @@ object Bench {
       (if (stripped.isEmpty) "0" else stripped)
   }
 
+  /** Family key for the driver line's subtotals: the query id's prefix
+    * with its numeric suffix dropped ("dd03_x" → "dd", "q57_y" → "q",
+    * "entry" → "entry"). Digit-FREE by construction — `bench_gate.py`
+    * detects the compact subtotal format by exactly that property and
+    * redirects per-query diffs to the BENCH_FULL artifact.
+    */
+  def family(name: String): String = {
+    val p = name.takeWhile(_ != '_')
+    val digits = p.reverse.takeWhile(_.isDigit).reverse
+    if (digits.isEmpty) p else p.dropRight(digits.length)
+  }
+
+  /** JSON string literal, control chars flattened. */
+  private def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+    .replaceAll("[\\n\\r\\t]", " ") + "\""
+
+  /** Locale-independent JSON number at the given decimal scale (the
+    * `"%.3f"` path the r11 side file used emits `0,701` under comma-
+    * decimal default locales — ADVICE r11). Errored-query sentinel -1
+    * renders bare; trailing zeros stripped ("0.70" → "0.7").
+    */
+  private def jnum(v: Double, scale: Int) = if (v < 0) "-1"
+    else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+
+  /** "sf":0.1 (a bare number parsed from the dir basename) beats
+    * "sf":"/root/testdata/sf0.1" by 22 chars; anything that doesn't
+    * look like .../sfN.N falls back to the full quoted (escaped) path.
+    */
+  private def sfJson(sfDir: String): String = {
+    val base = sfDir.split('/').last
+    val n = base.drop(2)
+    if (base.startsWith("sf") && n.nonEmpty
+        && n.forall(c => c.isDigit || c == '.') && n.count(_ == '.') <= 1
+        && n.head.isDigit && n.last.isDigit) n
+    else jstr(sfDir)
+  }
+
+  /** The full-precision per-query record, written to the side artifact
+    * (never stdout): the EXACT shape the r1-r11 driver line had —
+    * {"metric","value","unit","queries","sf"} with [[shortId]] keys —
+    * so `tools/bench_gate.py` consumes it unchanged, at 3-decimal
+    * precision and with untruncated error messages. No length cap:
+    * this is a file, not a stdout tail.
+    */
+  def renderFull(
+      results: Seq[(String, Double)],
+      errors: Seq[(String, String)],
+      sfDir: String): String = {
+    val qs = results.map { case (k, v) => jstr(shortId(k)) + ":" + jnum(v, 3) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errJson = if (errors.isEmpty) ""
+      else errors.map { case (k, v) => jstr(shortId(k)) + ":" + jstr(v) }
+        .mkString(""","errors":{""", ",", "}")
+    s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec","queries":$qs$errJson,"sf":${sfJson(sfDir)}}"""
+  }
+
   /** The ONE stdout line the driver parses (from the LAST 2000 chars of
     * stdout, which also contain sbt's trailing block — measured across
     * r1-r8 driver tails: ~75 chars of "[success] Total time..." on
     * success, ~160 chars of "[error] ..." when Bench exits 1 — so the
-    * hard cap is 2000-160 ≈ 1830 chars AND strict JSON). Size levers:
-    * 2-decimal values (10 ms precision is far below best-of-two noise)
-    * with trailing zeros stripped, each query keyed by [[shortId]]
-    * instead of the full descriptive name, and sf as a bare number.
-    * Public and pure so `BenchLineSpec` can pin both properties against
-    * a real JSON parser.
+    * hard cap is 2000-160 ≈ 1830 chars AND strict JSON).
+    *
+    * r12 re-architecture (VERDICT r11 "Next round #2"): per-query keys
+    * outgrew the tail (1754/1860 chars at 180 queries, precision
+    * already degraded to 1 decimal). The line now carries per-FAMILY
+    * subtotals — `"queries":{"cdc":4.1,"dd":25.3,…}` plus `"nq"` (the
+    * inventory count, so a silently shrunk inventory still surfaces in
+    * the driver record) — and its length is bounded by the number of
+    * FAMILIES (≤ ~16), not queries: inventory growth costs ZERO line
+    * chars. Per-query detail moves entirely to [[renderFull]]'s side
+    * artifact at full 3-decimal precision. Same outer shape
+    * ({"metric","value","unit","queries",…,"sf"}) as every prior round
+    * so the driver's parse is undisturbed. Errors keep per-query grain
+    * here (short ids + 60-char messages, adaptive truncation) — they
+    * are the diagnostic the tail exists for, and rare.
+    * Public and pure so `BenchLineSpec` can pin size + parseability
+    * against a real JSON parser.
     */
   def renderLine(
       results: Seq[(String, Double)],
       errors: Seq[(String, String)],
       sfDir: String): String = {
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replaceAll("[\\n\\r\\t]", " ") + "\""
-    // errored queries carry the sentinel -1: render it as bare "-1", not
-    // "-1.00" — at 125+ queries those chars/query are the difference
-    // between an all-failure line fitting the driver tail or not.
-    // Precision history: 3 decimals crossed the canary at 129 queries,
-    // 2 decimals at 174 (r11) — now 1 decimal (100 ms), which is still
-    // ~2-3x below best-of-two noise on this box and the gate only acts
-    // on >1s >1.5x moves where 100 ms is <10%. Full 3-decimal values
-    // go to the side file `main` writes (target/bench_full.json) for
-    // local trend analysis; the driver line is the coarse view.
-    // Trailing zeros stripped ("0.70" → "0.7", "2.0" → "2").
-    def j3(v: Double) = if (v < 0) "-1"
-      else BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP)
-        .bigDecimal.stripTrailingZeros.toPlainString
-    val qs = results.map { case (k, v) => jstr(shortId(k)) + ":" + j3(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // "sf":0.1 (a bare number parsed from the dir basename) beats
-    // "sf":"/root/testdata/sf0.1" by 22 chars; anything that doesn't
-    // look like .../sfN.N falls back to the full quoted path
-    val sfJson = {
-      val base = sfDir.split('/').last
-      val n = base.drop(2)
-      if (base.startsWith("sf") && n.nonEmpty
-          && n.forall(c => c.isDigit || c == '.') && n.count(_ == '.') <= 1
-          && n.head.isDigit && n.last.isDigit) n
-      else jstr(sfDir)
+    // family subtotals in first-appearance order of the sorted results;
+    // errored queries (sentinel -1) are EXCLUDED from their family's
+    // subtotal (they carry no runtime) — the errors object + nq vs the
+    // per-family sums keep the omission visible
+    val famOrder = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results.foreach { case (k, v) =>
+      val f = family(k)
+      famOrder(f) = famOrder.getOrElse(f, 0.0) + math.max(v, 0.0)
     }
-    // Tail budgets, from the measured r1-r8 driver tails: the driver
-    // reads the LAST 2000 chars of stdout; sbt's trailing block after
-    // the line is ~75 chars on a clean exit and ~160 chars when Bench
-    // exits 1. So the SUCCESS line (no errors → exit 0) may spend up to
-    // ~1900 chars, and the ERROR line (exit 1) ~1830. The two paths
-    // diverge in our favor: an errored run renders its failed queries
-    // as bare "-1" (2 chars vs ~4), shrinking the queries map exactly
-    // when the error map needs the room. r10 (151 queries): the empty
-    // "errors":{} object is dropped from the success line — 13 dead
-    // chars at exactly the moment the inventory crossed the old bar.
+    val qs = famOrder.map { case (f, v) => jstr(f) + ":" + jnum(v, 2) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val bare =
-      s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"sf":$sfJson}"""
-    // fail LOUDLY when the fixed parts approach the success-path cap:
-    // inventory growth must surface at build time (this require + its
-    // spec), not as a silent driver parse miss
+      s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs,"nq":${results.size},"sf":${sfJson(sfDir)}}"""
+    // the canary stays as a build-time tripwire (a pathological id set
+    // could still blow the family map up), but with subtotal keys the
+    // line is O(families): ~300 chars at 180 queries, and adding a
+    // query to an existing family costs 0 chars
     require(bare.length < 1860,
-      s"bench line fixed parts are ${bare.length} chars — the queries map has " +
-        "outgrown the 1900-char success-tail budget; shrink j3 precision or shorten query ids")
+      s"bench line fixed parts are ${bare.length} chars — the family map has " +
+        "outgrown the 1900-char success-tail budget; too many distinct id prefixes?")
     if (errors.isEmpty) bare
     else {
       // errors budget: short ids + 60-char messages, ADAPTIVE — whatever
       // a 1830-char line has left after the fixed parts — rather than a
-      // constant that silently rots as queries are added (the 115→120
-      // growth pushed the old fixed 210 over the bar)
+      // constant that silently rots as queries are added
       val fixedLen = bare.length + 13 // + ,"errors":{} re-inserted below
       val errEntries = errors.map { case (k, v) => jstr(shortId(k)) + ":" + jstr(v) }
       val budget0 = 1830 - fixedLen - 30 // 30 = "_truncated" marker reserve
-      // If the queries map alone has eaten the whole error-tail budget
-      // (bare in (1788, 1859]: under the success require above but past
-      // 1830-13-30), appending even the "_truncated" marker would push
-      // an ERRORED run past the 1830-char error-tail cap and the driver
-      // would lose the JSON exactly when diagnostics matter. The -1
-      // query sentinels and exit code 1 already signal failure, so the
-      // bare line is the correct degraded render — never an oversized one.
+      // if the fixed parts have somehow eaten the whole error-tail
+      // budget, the bare line is the correct degraded render (the exit
+      // code and per-family sums still signal failure) — never an
+      // oversized one
       if (budget0 < 0) bare
       else {
         val (kept, dropped) = {
@@ -239,7 +287,7 @@ object Bench {
         }
         val errs = (kept ++ (if (dropped > 0) Seq(jstr("_truncated") + ":" + jstr(s"$dropped more")) else Seq()))
           .mkString("{", ",", "}")
-        s"""{"metric":"total","value":${j3(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":$sfJson}"""
+        s"""{"metric":"total","value":${jnum(total, 2)},"unit":"sec","queries":$qs,"nq":${results.size},"errors":$errs,"sf":${sfJson(sfDir)}}"""
       }
     }
   }

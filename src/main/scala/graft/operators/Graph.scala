@@ -149,31 +149,7 @@ object Graph {
 
     GraftQuery(
       "gr01_pagerank",
-      Some(s"""WITH $edgesDuck,
-              |r0 AS (SELECT n_nationkey AS node, $InitUnits AS r FROM nation),
-              |r1 AS (SELECT n.node,
-              |              CAST($BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS BIGINT) AS r
-              |       FROM r0 n
-              |       LEFT JOIN edges e ON e.dst = n.node
-              |       LEFT JOIN r0 r ON r.node = e.src
-              |       LEFT JOIN outdeg o ON o.src = e.src
-              |       GROUP BY n.node),
-              |r2 AS (SELECT n.node,
-              |              CAST($BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS BIGINT) AS r
-              |       FROM r1 n
-              |       LEFT JOIN edges e ON e.dst = n.node
-              |       LEFT JOIN r1 r ON r.node = e.src
-              |       LEFT JOIN outdeg o ON o.src = e.src
-              |       GROUP BY n.node),
-              |r3 AS (SELECT n.node,
-              |              CAST($BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS BIGINT) AS r
-              |       FROM r2 n
-              |       LEFT JOIN edges e ON e.dst = n.node
-              |       LEFT JOIN r2 r ON r.node = e.src
-              |       LEFT JOIN outdeg o ON o.src = e.src
-              |       GROUP BY n.node)
-              |SELECT na.n_name AS nation, r3.r AS rank_units
-              |FROM r3 JOIN nation na ON na.n_nationkey = r3.node""".stripMargin),
+      Some(pagerankOracle),
       "Three PageRank power iterations (d=0.85) over the sparsified nation trade graph, in integer 1e-9 rank units with truncating division — iterative graph math that hash-matches an independent engine exactly, no FP tolerance. One shuffle per iteration (the contribution groupBy); the vertex-sized rank table broadcasts to the pinned edge list each hop, so the fact tables are scanned exactly once at any scale.") {
       (s, dir) =>
         val e = edges(s, dir)
@@ -316,28 +292,7 @@ object Graph {
 
     GraftQuery(
       "gr06_label_propagation",
-      Some {
-        // one synchronized LPA round: count neighbor labels, pick
-        // (max count, tie -> min label), isolated nodes keep their own
-        val round = (i: Int, prev: String) =>
-          s"""p$i AS (SELECT node, lab FROM (
-             |    SELECT u.a AS node, l.lab,
-             |           ROW_NUMBER() OVER (PARTITION BY u.a ORDER BY COUNT(*) DESC, l.lab) AS rn
-             |    FROM und u JOIN $prev l ON l.node = u.b
-             |    GROUP BY u.a, l.lab) t WHERE rn = 1),
-             |l$i AS MATERIALIZED (SELECT n.node, COALESCE(p.lab, n.node) AS lab
-             |      FROM l0 n LEFT JOIN p$i p ON p.node = n.node)""".stripMargin
-        s"""WITH ${edgesDuckQ("0.9")},
-           |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
-           |       UNION SELECT dst, src FROM edges),
-           |l0 AS (SELECT n_nationkey AS node, n_nationkey AS lab FROM nation),
-           |${round(1, "l0")},
-           |${round(2, "l1")},
-           |${round(3, "l2")}
-           |SELECT na.n_name AS nation, l3.lab AS community,
-           |       CAST(COUNT(*) OVER (PARTITION BY l3.lab) AS BIGINT) AS community_size
-           |FROM l3 JOIN nation na ON na.n_nationkey = l3.node""".stripMargin
-      },
+      Some(lpaOracle),
       "Community detection by synchronized label propagation (3 rounds, the gr01 bounded-iteration discipline) — THE community algorithm that survives 100 TB because it has no global state at all: every node starts as its own community and each round adopts the most frequent label among its undirected neighbors (tie -> smallest label, so the round is a pure deterministic function of the previous labeling — no RNG, no ordering dependence, bit-identical cross-engine integer math). The graph is sparsified at the 90th support percentile, NOT the family's median: LPA needs community structure to survive, and the probed median graph (298 directed edges over 25 nations at sf0.01) collapses to ONE label in two rounds — a vacuous answer — where the p90 graph holds 5 communities at sf0.01 and >=2 at every fixture scale; the threshold is the operator's resolution knob, exactly like nprobe in ss09. Per round: the vertex-sized label table broadcasts into the pinned undirected edge list (edges are scanned once and NEVER reshuffled), one map-side-combining count shuffle at (node, label) grain, and a max_by argmax — per-round cost is edges + vertices regardless of community shape, the same per-hop bill as gr05's frontier. Isolated vertices flow through with their own label (left join + coalesce — the tx12 nothing-vanishes contract). Output attributes each nation to its community with the community size, the audit you GROUP BY to see whether the trade graph's cores agree with gr03's density shells.") {
       (s, dir) =>
         val e = edges(s, dir, 0.9)
@@ -586,6 +541,77 @@ object Graph {
         dist.join(broadcast(Tables.load(s, dir, "nation")
             .select(col("n_nationkey").as("node"), col("n_name"))), "node")
           .select(col("n_name").as("nation"), col("d").as("dist_units"))
+    },
+
+    GraftQuery(
+      "gr12_pagerank_shuffled",
+      // gr01's oracle verbatim: one ground truth, two execution
+      // strategies — broadcast vs hash-partitioned equi-joined ranks
+      Some(pagerankOracle),
+      "gr01's PageRank WITHOUT vertex-scale broadcasts — the last-but-one iterative loop that still shipped its |V|-sized state to every executor each hop (VERDICT r11 #3), closed with gr09's recipe. gr01 broadcasts the rank table into the edge join every iteration (the right plan while ranks are MBs; a scale-killer when |V| is billions and the rank table tens of GB). Here the out-degree column is folded into the edge list ONCE and the result hash-partitioned on src and checkpointed — LogicalRDD preserves the partitioning, so every iteration's contribution join is an equi-join where ONLY the vertex-scale rank table moves (one |V|-row shuffle per hop vs gr01's |V|-to-every-executor), the contribution sum is the same map-side-combining groupBy(dst), and the base-rank merge-back is a vertex-grain SHUFFLE_MERGE left join. Every join in the loop carries the shuffle_merge hint so neither the static planner nor AQE can sneak the small fixture's ranks onto a broadcast — the executed plan IS the 100 TB plan at every scale (PlanAuditSpec pins zero Broadcast operators end-to-end; GraphSpec pins gr01 == gr12 row-for-row). Same integer 1e-9 rank units, same truncating division, bit-identical to the oracle. The trade is per-hop sort cost on the rank shuffle — exactly the bill a billion-vertex PageRank pays in any shuffled implementation (Pregel-style message grouping).") {
+      (s, dir) =>
+        val e0 = edges(s, dir)
+        // out-degree folded into the edge table BEFORE the checkpoint:
+        // deg is a per-src constant, so carrying it as a column costs
+        // one int per edge and removes a per-round join; partitioned on
+        // src (the contribution join key) so rounds never move edges
+        val outdeg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+        val eDeg = Materialize.trackedLocalCheckpoint(
+          e0.join(outdeg.hint("shuffle_merge"), "src")
+            .select(col("src"), col("dst"), col("deg"))
+            .repartition(col("src")))
+        val nodes = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("node"), col("n_name"))
+        var ranks = nodes.select(col("node"), lit(InitUnits).as("r"))
+        for (_ <- 1 to 3) {
+          // ranks shuffle to the edges' src partitioning (|V| rows
+          // move, the edge list does not), then ONE map-side-combining
+          // contribution sum at dst grain
+          val contribs = eDeg
+            .join(ranks.withColumnRenamed("node", "src").hint("shuffle_merge"), "src")
+            .select(col("dst").as("node"), expr("r div deg").as("c"))
+          ranks = nodes.select("node")
+            .join(contribs.groupBy("node").agg(sum(col("c")).as("s")).hint("shuffle_merge"),
+              Seq("node"), "left")
+            .select(col("node"),
+              (lit(BaseUnits) + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        }
+        ranks.join(nodes.hint("shuffle_merge"), "node")
+          .select(col("n_name").as("nation"), col("r").as("rank_units"))
+    },
+
+    GraftQuery(
+      "gr13_lpa_shuffled",
+      // gr06's oracle verbatim — same three synchronized rounds, same
+      // p90 graph, same argmax; only the execution strategy differs
+      Some(lpaOracle),
+      "gr06's label propagation WITHOUT vertex-scale broadcasts — the LAST iterative loop with a per-round |V|-scale broadcast (VERDICT r11 #3), closing the family: every graph fixpoint in the inventory now has a form whose executed plan survives |V| past executor memory. gr06 ships the label table to every executor each round; here the undirected edge list is hash-partitioned ONCE on the neighbor endpoint and checkpointed, so each round's neighbor-label join is an equi-join where ONLY the vertex-scale label table moves, followed by the same ONE map-side-combining (node, label) count shuffle and max_by argmax (max count, tie -> min label — deterministic integer math, bit-identical to the oracle), and a vertex-grain SHUFFLE_MERGE left merge-back that keeps isolated vertices alive with their own label. All loop joins carry shuffle_merge hints binding both the static planner and AQE (PlanAuditSpec pins zero Broadcast operators in the executed plan; GraphSpec pins gr06 == gr13 row-for-row). Per-round bill: one |V|-row label shuffle + one (node,label)-grain count shuffle + sort cost — the Pregel message-grouping price, independent of community shape, at any |V|.") {
+      (s, dir) =>
+        val e = edges(s, dir, 0.9)
+        // partitioned on b (the neighbor-label join key) BEFORE the
+        // checkpoint: LogicalRDD keeps hashpartitioning(b), so rounds
+        // only ever move the label table
+        val und = Materialize.trackedLocalCheckpoint(
+          e.select(col("src").as("a"), col("dst").as("b"))
+            .unionByName(e.select(col("dst").as("a"), col("src").as("b")))
+            .distinct()
+            .repartition(col("b")))
+        val nodes = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("node"), col("n_name"))
+        var lab = nodes.select(col("node"), col("node").as("lab"))
+        for (_ <- 1 to 3) {
+          val cnt = und
+            .join(lab.select(col("node").as("b"), col("lab")).hint("shuffle_merge"), "b")
+            .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
+          val pick = cnt.groupBy(col("a").as("node"))
+            .agg(max_by(col("lab"), struct(col("c"), (-col("lab")).as("nl"))).as("plab"))
+          lab = nodes.select("node").join(pick.hint("shuffle_merge"), Seq("node"), "left")
+            .select(col("node"), coalesce(col("plab"), col("node")).as("lab"))
+        }
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("lab")
+        lab.join(nodes.hint("shuffle_merge"), "node")
+          .select(col("n_name").as("nation"), col("lab").as("community"),
+            count(lit(1)).over(w).as("community_size"))
     })
 
   /** Weighted sparsified edge list `(src, dst, cost)` for gr11:
@@ -632,6 +658,63 @@ object Graph {
         Seq("a"), "left_semi")
       .join(keep.select(col("v").as("b")).hint("shuffle_merge"),
         Seq("b"), "left_semi")
+  }
+
+  /** Shared gr01/gr12 ground truth: three unrolled PageRank power
+    * iterations in integer 1e-9 units — one oracle, two execution
+    * strategies (broadcast rank table vs hash-partitioned equi-joined
+    * ranks), the gr09 discipline applied to PageRank.
+    */
+  private def pagerankOracle =
+    s"""WITH $edgesDuck,
+       |r0 AS (SELECT n_nationkey AS node, $InitUnits AS r FROM nation),
+       |r1 AS (SELECT n.node,
+       |              CAST($BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS BIGINT) AS r
+       |       FROM r0 n
+       |       LEFT JOIN edges e ON e.dst = n.node
+       |       LEFT JOIN r0 r ON r.node = e.src
+       |       LEFT JOIN outdeg o ON o.src = e.src
+       |       GROUP BY n.node),
+       |r2 AS (SELECT n.node,
+       |              CAST($BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS BIGINT) AS r
+       |       FROM r1 n
+       |       LEFT JOIN edges e ON e.dst = n.node
+       |       LEFT JOIN r1 r ON r.node = e.src
+       |       LEFT JOIN outdeg o ON o.src = e.src
+       |       GROUP BY n.node),
+       |r3 AS (SELECT n.node,
+       |              CAST($BaseUnits + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS BIGINT) AS r
+       |       FROM r2 n
+       |       LEFT JOIN edges e ON e.dst = n.node
+       |       LEFT JOIN r2 r ON r.node = e.src
+       |       LEFT JOIN outdeg o ON o.src = e.src
+       |       GROUP BY n.node)
+       |SELECT na.n_name AS nation, r3.r AS rank_units
+       |FROM r3 JOIN nation na ON na.n_nationkey = r3.node""".stripMargin
+
+  /** Shared gr06/gr13 ground truth: three synchronized LPA rounds
+    * (count neighbor labels, pick max count with tie -> min label,
+    * isolated nodes keep their own) at the 0.9 sparsification.
+    */
+  private def lpaOracle = {
+    val round = (i: Int, prev: String) =>
+      s"""p$i AS (SELECT node, lab FROM (
+         |    SELECT u.a AS node, l.lab,
+         |           ROW_NUMBER() OVER (PARTITION BY u.a ORDER BY COUNT(*) DESC, l.lab) AS rn
+         |    FROM und u JOIN $prev l ON l.node = u.b
+         |    GROUP BY u.a, l.lab) t WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT n.node, COALESCE(p.lab, n.node) AS lab
+         |      FROM l0 n LEFT JOIN p$i p ON p.node = n.node)""".stripMargin
+    s"""WITH ${edgesDuckQ("0.9")},
+       |und AS MATERIALIZED (SELECT src AS a, dst AS b FROM edges
+       |       UNION SELECT dst, src FROM edges),
+       |l0 AS (SELECT n_nationkey AS node, n_nationkey AS lab FROM nation),
+       |${round(1, "l0")},
+       |${round(2, "l1")},
+       |${round(3, "l2")}
+       |SELECT na.n_name AS nation, l3.lab AS community,
+       |       CAST(COUNT(*) OVER (PARTITION BY l3.lab) AS BIGINT) AS community_size
+       |FROM l3 JOIN nation na ON na.n_nationkey = l3.node""".stripMargin
   }
 
   /** Shared gr08/gr09 ground truth: the transitive closure itself —

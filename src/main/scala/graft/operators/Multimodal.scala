@@ -167,6 +167,10 @@ object Multimodal {
       require(f.getSampleSizeInBits == 8 && f.getChannels == 1,
         s"mm07 expects 8-bit mono PCM, got $f")
       val n = ais.getFrameLength
+      // a zero-frame WAV would otherwise return amp_min=255 > amp_max=0
+      // from the fold seeds — loud failure, matching the non-audio
+      // contract the spec pins (ADVICE r11)
+      require(n > 0, "mm07 expects at least one PCM frame")
       var (sum, mn, mx) = (0L, 255, 0)
       val buf = new Array[Byte](4096)
       var read = ais.read(buf)
@@ -232,6 +236,119 @@ object Multimodal {
     ds.mapPartitions(_.map { case (id, payload) =>
       val (rate, n, sum, mn, mx) = WavCodec.decodeStats(payload)
       AudioStats(id, rate, n, sum, mn, mx)
+    })
+  }
+
+  /** REAL multi-frame codec — the video slot de-stubbed (VERDICT r11
+    * "Next round #4"): animated GIF through JDK `javax.imageio`, the
+    * one multi-frame container this JDK can both write and read
+    * (`ImageWriter.writeToSequence` / `ImageReader.getNumImages`).
+    * Frames are 8-bit indexed with an explicit 256-entry grayscale
+    * palette; GIF's LZW is lossless, so every decoded pixel is exactly
+    * the encoded value. Decode reads gray levels through the COLOR
+    * MODEL (`getRGB & 0xff`), not raw palette indices — a writer is
+    * free to permute the palette, the colors are the contract.
+    */
+  object GifCodec {
+    private val grayPalette: java.awt.image.IndexColorModel = {
+      val g = Array.tabulate(256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    }
+
+    /** Animated GIF of `nFrames` full frames; pixel (f, x, y) from the
+      * closed-form `pixel` function (fixture generation, mm06's role).
+      */
+    def encodeGrayFrames(w: Int, h: Int, nFrames: Int,
+        pixel: (Int, Int, Int) => Int): Array[Byte] = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+      if (!it.hasNext) throw new IllegalStateException("no GIF writer in this JDK")
+      val writer = it.next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        // the JDK GIF writer defaults to INTERLACED output, and the JDK
+        // reader mis-deinterlaces frames with height < 5 (measured: a
+        // full 2..16 dim sweep corrupts exactly heights 2-4; row 1
+        // comes back zeroed, rows shift). Sequential storage is
+        // bit-exact at every size — disable interlace explicitly.
+        val p = writer.getDefaultWriteParam
+        p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        for (f <- 0 until nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, pixel(f, x, y)); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), p)
+        }
+        writer.endWriteSequence()
+      } finally { ios.close(); writer.dispose() }
+      bos.toByteArray
+    }
+
+    /** Per-sampled-frame stats: opens the REAL container once, counts
+      * frames, decodes every `step`-th full frame, reads gray levels
+      * via the color model. Loud failure on a non-GIF payload.
+      */
+    def frameStats(payload: Array[Byte], step: Int): Seq[(Int, Int, Int, Long, Int, Int)] = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+      if (!it.hasNext) throw new IllegalStateException("no GIF reader in this JDK")
+      val reader = it.next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis, false)
+        val n = try reader.getNumImages(true)
+          catch { case e: Exception =>
+            throw new IllegalArgumentException("payload is not a decodable GIF", e) }
+        require(n > 0, "payload holds zero frames")
+        (0 until n by step).map { f =>
+          val img = reader.read(f)
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sum, mn, mx) = (0L, 255, 0)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = img.getRGB(x, y) & 0xff
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          (f, w, h, sum, mn, mx)
+        }
+      } finally { iis.close(); reader.dispose() }
+    }
+  }
+
+  /** Typed stats a REAL multi-frame decode emits per sampled frame. */
+  final case class VideoFrameStats(
+      doc_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      px_sum: Long,
+      px_min: Int,
+      px_max: Int)
+
+  /** Partition-parallel REAL multi-frame decode + every-`step`-th-frame
+    * sampling (mm03's contract with the stub swapped for the real
+    * codec): one container open per row, one-to-many output, payloads
+    * never on the driver.
+    */
+  def decodeVideoFrameStats(ds: Dataset[(Long, Array[Byte])], step: Int): Dataset[VideoFrameStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap { case (id, payload) =>
+      GifCodec.frameStats(payload, step).map { case (f, w, h, sum, mn, mx) =>
+        VideoFrameStats(id, f, w, h, sum, mn, mx)
+      }
     })
   }
 
@@ -482,6 +599,43 @@ object Multimodal {
           val (rw, rh, sum, mn, mx) = resizeStats(png)
           ResizeStats(id, rw, rh, sum, mn, mx)
         }).toDF()
+    },
+
+    GraftQuery(
+      "mm09_real_video_decode",
+      Some("""WITH d AS (SELECT doc_id,
+             |                 4 + CAST(('0x' || SUBSTRING(MD5(text), 9, 2)) AS INT) % 9 AS width,
+             |                 4 + CAST(('0x' || SUBSTRING(MD5(text), 11, 2)) AS INT) % 9 AS height,
+             |                 4 + CAST(('0x' || SUBSTRING(MD5(text), 13, 2)) AS INT) % 13 AS nf
+             |           FROM documents WHERE doc_id < 60),
+             |f AS (SELECT doc_id, width, height, UNNEST(RANGE(0, nf, 4)) AS fi FROM d),
+             |xs AS (SELECT doc_id, width, height, fi, UNNEST(RANGE(0, width)) AS x FROM f),
+             |px AS (SELECT doc_id, width, height, fi, x, UNNEST(RANGE(0, height)) AS y FROM xs)
+             |SELECT doc_id, CAST(fi AS INT) AS frame_idx, width, height,
+             |       CAST(SUM((doc_id * 11 + fi * 53 + x * 31 + y * 7) % 256) AS BIGINT) AS px_sum,
+             |       CAST(MIN((doc_id * 11 + fi * 53 + x * 31 + y * 7) % 256) AS INT) AS px_min,
+             |       CAST(MAX((doc_id * 11 + fi * 53 + x * 31 + y * 7) % 256) AS INT) AS px_max
+             |FROM px GROUP BY 1, 2, 3, 4""".stripMargin),
+      "The LAST stub de-stubbed — multi-frame (video-shaped) decode through a REAL JDK container codec: animated GIF (the one multi-frame format javax.imageio both writes and reads) parsed frame-by-frame inside mm03's every-4th-frame sampling contract. Fixture payloads are genuine animated GIFs (4-16 full frames per doc, dims and frame count md5-derived; frame f's pixel (x, y) a closed-form integer function of (doc_id, f, x, y), encoded through a 256-entry grayscale palette — GIF LZW is lossless, so the oracle can state every sampled frame's exact pixel sum/min/max). The decode path is the real thing end-to-end: container open, frame COUNT from the real index (ImageReader.getNumImages), every-4th-frame full decode, gray levels read through the color model (robust to writer palette permutation) — one container open per row, one-to-many frame output, partition-parallel, payloads never on the driver. That is precisely the frame-sampling front of a video training pipeline (decode keyframes, extract features, drop the container); per-row cost is decode-bound and embarrassingly parallel, and the Spark-side bill is one narrow flatMap stage with doc x sampled-frame grain output. With mm06 (image), mm07 (audio), mm08 (fused resize) and this, NO codec in the multimodal family is a stub any more; MultimodalSpec pins golden bytes (hand-seeded GIF round-trips exact stats, payload carries the GIF8 magic, frame count preserved, non-GIF payloads fail loudly).") {
+      (s, dir) =>
+        implicit val spark: SparkSession = s
+        import s.implicits._
+        val dims = Tables.load(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+          .withColumn("w", expr(
+            "4 + CAST(conv(substring(md5(encode(text, 'UTF-8')), 9, 2), 16, 10) AS INT) % 9"))
+          .withColumn("h", expr(
+            "4 + CAST(conv(substring(md5(encode(text, 'UTF-8')), 11, 2), 16, 10) AS INT) % 9"))
+          .withColumn("nf", expr(
+            "4 + CAST(conv(substring(md5(encode(text, 'UTF-8')), 13, 2), 16, 10) AS INT) % 13"))
+          .select(col("doc_id"), col("w"), col("h"), col("nf"))
+          .as[(Long, Int, Int, Int)]
+        // fixture encode: real animated-GIF container bytes, per row
+        val gifs = dims.mapPartitions(_.map { case (id, w, h, nf) =>
+          (id, GifCodec.encodeGrayFrames(w, h, nf,
+            (f, x, y) => ((id * 11 + f * 53 + x * 31 + y * 7) % 256).toInt))
+        })
+        decodeVideoFrameStats(gifs, step = 4).toDF()
     },
   )
 }

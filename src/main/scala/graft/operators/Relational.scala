@@ -1092,7 +1092,12 @@ private[graft] object BucketedLayout {
   private val built = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   def ensure(s: SparkSession, dir: String): (String, String) = {
-    val tag = s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+    // collision-resistant dir digest (ADVICE r11): with the memo, a
+    // String.hashCode collision between two dirs in one application
+    // would silently serve q55 tables built from the wrong dir
+    val dirMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val tag = s"${s.sparkContext.applicationId}_$dirMd5"
       .replaceAll("[^a-zA-Z0-9]", "_")
     built.computeIfAbsent(tag, _ => {
       val baseDir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_q55_$tag")

@@ -6,8 +6,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * of stdout; an oversized or malformed line silently loses the round's
   * bench numbers. Measured across the r1-r8 driver tails, the sbt block
   * AFTER the line is ~75 chars on success and ~160 chars when Bench
-  * exits 1, so the hard line cap is 2000-160 ≈ 1830. Pin both size and
-  * parseability on the real inventory and on hostile error payloads.
+  * exits 1, so the hard line cap is 2000-160 ≈ 1830.
+  *
+  * r12: the line carries per-FAMILY subtotals (size bounded by family
+  * count, not query count); full per-query precision moves to the
+  * [[Bench.renderFull]] side artifact. This spec pins: the compact
+  * line's size is independent of inventory growth (the VERDICT r11
+  * "≥60 more queries must fit" bound, proven here at +600), the full
+  * artifact preserves 3-decimal per-query precision in the exact shape
+  * bench_gate.py parses, and both stay locale-independent strict JSON.
   */
 class BenchLineSpec extends AnyFunSuite {
 
@@ -29,27 +36,80 @@ class BenchLineSpec extends AnyFunSuite {
       "zero-strip + family codes must not collide two canonical ids")
   }
 
-  test("the full-inventory line parses as JSON and stays under budget") {
+  test("family keys are digit-free (the gate's compact-format detector) and stable") {
+    assert(Bench.family("dd03_minhash") === "dd")
+    assert(Bench.family("cdc10_dlq") === "cdc")
+    assert(Bench.family("q57_rank") === "q")
+    assert(Bench.family("entry") === "entry")
+    SparkEntry.queries.keys.foreach { k =>
+      assert(!Bench.family(k).exists(_.isDigit),
+        s"family key for $k contains a digit — bench_gate's format detection breaks")
+    }
+  }
+
+  test("the full-inventory compact line parses, is small, and carries nq") {
     val line = Bench.renderLine(realResults, Seq.empty, "/root/testdata/sf0.1")
-    // success tail: 2000-char driver window minus ~75 chars of sbt
-    // [success] suffix → cap ~1900; renderLine's own require fires at
-    // 1860, so this assert only guards against the require drifting up
-    // (r10's 157 queries render ~1810)
-    assert(line.length < 1870,
-      s"bench line is ${line.length} chars — too close to the driver's 2000-char tail")
+    assert(line.length < 600,
+      s"compact line is ${line.length} chars — family subtotals should be O(families)")
     assert(!line.contains("\"errors\""),
       "a clean run must not spend chars on an empty errors object")
     val tree = mapper.readTree(line)
     assert(tree.get("metric").asText() === "total")
+    assert(tree.get("unit").asText() === "sec")
     assert(tree.get("sf").isNumber, "sf must render as a bare number for sfN.N dirs")
     assert(tree.get("sf").asDouble() === 0.1)
-    assert(tree.get("queries").size() === SparkEntry.queries.size)
-    // every query id survives as a key exactly once (uniqueness is
-    // separately preflighted in Bench.main)
-    val ids = realResults.map(r => Bench.shortId(r._1)).toSet
-    val it = tree.get("queries").fieldNames()
-    val keys = Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSet
-    assert(keys === ids)
+    assert(tree.get("nq").asInt() === SparkEntry.queries.size,
+      "nq must expose the true inventory count (a shrunk inventory must stay visible)")
+    val fams = SparkEntry.queries.keys.map(Bench.family).toSet
+    assert(tree.get("queries").size() === fams.size)
+    // subtotals reconcile with the total
+    val it = tree.get("queries").elements()
+    val sum = Iterator.continually(it).takeWhile(_.hasNext).map(_.next().asDouble()).sum
+    assert(math.abs(sum - tree.get("value").asDouble()) < 0.5)
+  }
+
+  test("inventory growth is free: +600 queries fit the tail with room to spare") {
+    // VERDICT r11 asked for proof that >= 60 more queries fit; the
+    // family-subtotal design makes growth WITHIN existing families cost
+    // zero chars, so prove a 10x harder bound: 600 added queries across
+    // the existing families plus three brand-new families
+    val grown = realResults ++
+      (1 to 600).map(i => f"dd${i + 20}%02d_future" -> 0.987) ++
+      Seq("zz01_new" -> 1.0, "yy01_new" -> 1.0, "xx01_new" -> 1.0)
+    val line = Bench.renderLine(grown, Seq.empty, "/root/testdata/sf0.1")
+    assert(line.length < 700,
+      s"line grew to ${line.length} chars under +603 queries — growth must be O(new families)")
+    val tree = mapper.readTree(line)
+    assert(tree.get("nq").asInt() === grown.size)
+  }
+
+  test("renderFull preserves 3-decimal per-query precision in the gate's shape") {
+    val full = Bench.renderFull(
+      Seq("a1_x" -> 0.701, "a2_y" -> 2.0, "q01_z" -> -1.0),
+      Seq("q01_z" -> "boom"), "/root/testdata/sf0.1")
+    val tree = mapper.readTree(full)
+    assert(tree.get("metric").asText() === "total")
+    assert(tree.get("queries").get("a1").asDouble() === 0.701,
+      "the side artifact is the full-precision record — no rounding to 1 decimal")
+    assert(tree.get("queries").get("a2").asDouble() === 2.0)
+    assert(tree.get("queries").get("q1").asDouble() === -1.0)
+    assert(tree.get("value").asDouble() === 2.701, "total must exclude errored runs")
+    assert(tree.get("errors").get("q1").asText() === "boom")
+    assert(tree.get("sf").asDouble() === 0.1)
+  }
+
+  test("renderFull and renderLine are locale-independent (ADVICE r11: comma-decimal JVMs)") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val full = Bench.renderFull(Seq("a1_x" -> 0.701), Seq.empty, "/weird dir/with\"quote")
+      val tree = mapper.readTree(full) // throws on 0,701 or unescaped quote
+      assert(tree.get("queries").get("a1").asDouble() === 0.701)
+      assert(tree.get("sf").asText() === "/weird dir/with\"quote",
+        "non-sfN.N dirs must round-trip through escaping")
+      val line = Bench.renderLine(Seq("a1_x" -> 0.701), Seq.empty, "/d")
+      assert(mapper.readTree(line).get("queries").get("a").asDouble() === 0.7)
+    } finally java.util.Locale.setDefault(prev)
   }
 
   test("an all-failure round still fits the tail and parses") {
@@ -63,65 +123,30 @@ class BenchLineSpec extends AnyFunSuite {
     // truncation is declared, never silent
     if (tree.get("errors").size() < errs.size)
       assert(tree.get("errors").has("_truncated"))
+    // every family subtotal is 0 on an all-failure round, and the
+    // sentinel never flatters a subtotal negative
+    val it = tree.get("queries").elements()
+    Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .foreach(n => assert(n.asDouble() === 0.0))
   }
 
-  test("error render degrades to the bare line when the budget is already spent") {
-    // Construct a results map whose bare render lands in (1788, 1859]:
-    // under renderLine's 1860 success require, but past the error path's
-    // 1830-13-30 budget. The old code appended ',"errors":{"_truncated"...}'
-    // anyway, pushing an ERRORED line past the 1830 error-tail cap —
-    // exactly when the driver needs the JSON. Now it must emit the bare
-    // line (no errors object): -1 sentinels + exit 1 still signal failure.
-    // the -1 sentinel render is what the guard sees on a failed run, so
-    // search with the values the failing call will actually carry: a mix
-    // of successes (4-char "1.23") and errored -1s
-    def resultsFor(n: Int): Seq[(String, Double)] =
-      (1 to n).map(i => f"zz$i%03d_q" -> (if (i <= 3) -1.0 else 1.234))
-    val hit = (80 to 260).iterator.map(resultsFor).find { rs =>
-      // past ~1860 bare chars renderLine's success require throws — that
-      // n is beyond the window being searched, not a hit
-      scala.util.Try(Bench.renderLine(rs, Seq.empty, "/d")).toOption
-        .exists(b => b.length > 1830 - 13 - 30 && b.length < 1860)
-    }
-    assert(hit.nonEmpty, "no inventory size lands in the degraded window — budgets changed?")
-    val rs = hit.get
-    val line = Bench.renderLine(rs,
-      rs.take(3).map { case (k, _) => k -> "boom" }, "/d")
-    assert(line.length <= 1830, s"errored line is ${line.length} chars — past the error-tail cap")
-    val tree = mapper.readTree(line)
-    assert(!line.contains("\"errors\""),
-      "a spent budget must drop the errors object entirely, not truncate past the cap")
-    assert(tree.get("queries").size() === rs.size)
-  }
-
-  test("inventory growth past the fixed-parts budget fails loudly") {
-    // ~200 queries push the fixed parts past the 1860 require; that must
-    // surface as a build-time failure, not a silent driver parse miss
-    val huge = (1 to 200).map(i => f"zz$i%03d_q" -> 1.234)
-    val e = intercept[IllegalArgumentException] {
-      Bench.renderLine(huge, Seq.empty, "/d")
-    }
-    assert(e.getMessage.contains("outgrown"))
-  }
-
-  test("errored queries report -1, never a flattering elapsed time") {
+  test("errored queries are excluded from their family subtotal and the total") {
     val line = Bench.renderLine(
       Seq("q01_x" -> -1.0, "q02_y" -> 2.5), Seq("q01_x" -> "err"), "/d")
     val tree = mapper.readTree(line)
-    assert(tree.get("queries").get("q1").asDouble() === -1.0)
+    assert(tree.get("queries").get("q").asDouble() === 2.5)
     assert(tree.get("value").asDouble() === 2.5, "total must exclude errored runs")
+    assert(tree.get("errors").get("q1").asText() === "err")
+    assert(tree.get("nq").asInt() === 2)
   }
 
-  test("value rendering: trailing zeros stripped, still valid JSON numbers") {
+  test("value rendering: family rollup, trailing zeros stripped, valid JSON numbers") {
     val line = Bench.renderLine(
-      Seq("a1_x" -> 0.701, "a2_y" -> 2.0, "a3_z" -> 0.04), Seq.empty, "/d")
+      Seq("a1_x" -> 0.701, "a2_y" -> 2.0, "b1_z" -> 0.04), Seq.empty, "/d")
     val tree = mapper.readTree(line)
-    // r11: driver-line precision is 1 decimal (100 ms — the 2-decimal
-    // render outgrew the tail at 174 queries; full precision lives in
-    // target/bench_full.json)
-    assert(tree.get("queries").get("a1").asDouble() === 0.7)
-    assert(tree.get("queries").get("a2").asDouble() === 2.0)
-    assert(tree.get("queries").get("a3").asDouble() === 0.0)
+    // a1+a2 roll up into family "a" at 2-decimal precision
+    assert(tree.get("queries").get("a").asDouble() === 2.7)
+    assert(tree.get("queries").get("b").asDouble() === 0.04)
     // non-sfN.N dir falls back to the quoted path
     assert(tree.get("sf").asText() === "/d")
   }

@@ -384,6 +384,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "the shuffle_merge hints must hold through AQE")
   }
 
+  test("gr12/gr13: the shuffled PageRank/LPA loops never broadcast vertex-scale state") {
+    // the gr09 contract extended to the last two iterative loops
+    // (VERDICT r11 #3): ranks/labels are equi-joined under
+    // shuffle_merge hints, so NOTHING in the executed plan past the
+    // edge checkpoint may be a broadcast — audited AFTER execution so
+    // AQE's runtime re-plan is what's asserted. (The edge build's
+    // legitimate dimension broadcasts hide behind the checkpoint; the
+    // loop is exactly what remains visible.)
+    for (name <- Seq("gr12_pagerank_shuffled", "gr13_lpa_shuffled")) {
+      val df = GraftQuery.all.find(_.name == name).get.build(spark, sf001)
+      df.collect() // finalize the adaptive plan before reading it
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Broadcast"),
+        s"$name must not broadcast anything — vertex state is equi-joined")
+      assert(p.contains("SortMergeJoin"),
+        s"$name: the shuffle_merge hints must hold through AQE")
+    }
+  }
+
   test("q57: no fact-scale rows ever cross a SinglePartition exchange") {
     // the naive RANK() with no PARTITION BY funnels the whole fact
     // table through ONE Exchange SinglePartition. q57's decomposition

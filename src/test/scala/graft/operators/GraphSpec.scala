@@ -269,4 +269,32 @@ class GraphSpec extends AnyFunSuite {
       s"gr10 diverged from gr03: extra=${g10 -- g3} missing=${g3 -- g10}")
     assert(g3.nonEmpty, "empty k-core output — equivalence pin is vacuous")
   }
+
+  test("gr12: shuffled-rank PageRank is row-identical to gr01") {
+    // same three power iterations, same integer units, two execution
+    // strategies: broadcast rank table (gr01) vs hash-partitioned
+    // equi-joined ranks (gr12). Any divergence is a loop bug.
+    def rows(name: String) = run(name).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val g1 = rows("gr01_pagerank")
+    val g12 = rows("gr12_pagerank_shuffled")
+    assert(g12 == g1,
+      s"gr12 diverged from gr01: extra=${g12 -- g1} missing=${g1 -- g12}")
+    assert(g1.nonEmpty, "empty PageRank output — equivalence pin is vacuous")
+    // non-vacuity: ranks genuinely vary (the sparsified graph is
+    // irregular; a uniform answer means the iterations never ran)
+    assert(g1.map(_._2).size > 1, "uniform ranks — power iteration vacuous")
+  }
+
+  test("gr13: shuffled-label LPA is row-identical to gr06") {
+    def rows(name: String) = run(name).collect()
+      .map(r => (r.getString(0), lv(r, 1), r.getLong(2))).toSet
+    val g6 = rows("gr06_label_propagation")
+    val g13 = rows("gr13_lpa_shuffled")
+    assert(g13 == g6,
+      s"gr13 diverged from gr06: extra=${g13 -- g6} missing=${g6 -- g13}")
+    assert(g6.nonEmpty, "empty LPA output — equivalence pin is vacuous")
+    // non-vacuity: the p90 graph holds >= 2 communities at every scale
+    assert(g6.map(_._2).size >= 2, "single community — propagation pin is vacuous")
+  }
 }

@@ -153,4 +153,51 @@ class MultimodalSpec extends AnyFunSuite {
       assert(st.px_min === vs.min && st.px_max === vs.max)
     }
   }
+
+  test("GifCodec golden bytes: real animated-GIF container, exact per-frame round-trip") {
+    // hand-seeded 3x2 animation with 5 distinct frames: the encode must
+    // emit a genuine GIF (GIF89a/87a magic), the real index must report
+    // all 5 frames, and every-2nd-frame sampling must recover EXACT
+    // gray values per frame — GIF LZW + full-palette gray is lossless
+    def pix(f: Int, x: Int, y: Int) = (f * 40 + y * 3 + x) % 256
+    val bytes = Multimodal.GifCodec.encodeGrayFrames(3, 2, 5, pix)
+    assert(new String(bytes.take(3), "US-ASCII") === "GIF", "GIF magic")
+    val got = Multimodal.GifCodec.frameStats(bytes, step = 2)
+    assert(got.map(_._1) === Seq(0, 2, 4), "every-2nd-frame sampling")
+    got.foreach { case (f, w, h, sum, mn, mx) =>
+      val vs = for (y <- 0 until 2; x <- 0 until 3) yield pix(f, x, y)
+      assert((w, h) === ((3, 2)), s"frame $f dims")
+      assert(sum === vs.map(_.toLong).sum, s"frame $f sum")
+      assert(mn === vs.min && mx === vs.max, s"frame $f min/max")
+    }
+    // a non-GIF payload fails LOUDLY, never a garbage frame row
+    intercept[Exception] {
+      Multimodal.GifCodec.frameStats("not a gif".getBytes("UTF-8"), 1)
+    }
+  }
+
+  test("mm09 distributed multi-frame decode equals driver-side decode of the same payloads") {
+    import spark.implicits._
+    // the query's own fixture recipe at tiny scale: encode on the
+    // driver, decode both ways (distributed flatMap vs direct), and
+    // check the closed form the DuckDB oracle uses
+    def pixel(id: Long)(f: Int, x: Int, y: Int): Int =
+      ((id * 11 + f * 53 + x * 31 + y * 7) % 256).toInt
+    val dims = Seq((0L, 4, 5, 9), (1L, 7, 4, 4), (2L, 5, 5, 16))
+    val payloads = dims.map { case (id, w, h, nf) =>
+      (id, Multimodal.GifCodec.encodeGrayFrames(w, h, nf, pixel(id)))
+    }
+    val got = Multimodal.decodeVideoFrameStats(payloads.toDS(), step = 4).collect()
+      .map(v => (v.doc_id, v.frame_idx) -> ((v.width, v.height, v.px_sum, v.px_min, v.px_max)))
+      .toMap
+    dims.foreach { case (id, w, h, nf) =>
+      val sampled = (0 until nf by 4)
+      assert(got.keys.count(_._1 == id) === sampled.size, s"doc $id frame count")
+      sampled.foreach { f =>
+        val vs = for (y <- 0 until h; x <- 0 until w) yield pixel(id)(f, x, y)
+        assert(got((id, f)) === ((w, h, vs.map(_.toLong).sum, vs.min, vs.max)),
+          s"doc $id frame $f diverged from the closed form")
+      }
+    }
+  }
 }

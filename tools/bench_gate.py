@@ -18,8 +18,17 @@ Round recipe: after a local ``sbt "runMain graft.Bench" | tee /tmp/bench.json``,
 run ``python3 tools/bench_gate.py BENCH_r{N-1}.json /tmp/bench.json`` BEFORE
 committing perf-relevant work. r4 (q39 2.6x, ss02 1.8x) and r5 (st01 9.9x)
 both shipped drifts that this would have caught at commit time.
+
+r12 format note: the driver line now carries per-FAMILY subtotals
+(inventory growth costs zero line chars); per-query timings land in
+``BENCH_FULL_LATEST.json`` (repo root, written by every Bench run —
+archive the driver's copy as ``BENCH_FULL_r{N}.json`` at next round
+start) and ``target/bench_full.json``. This gate auto-resolves a
+compact ``BENCH_r{N}.json`` to its ``BENCH_FULL_r{N}.json`` sibling,
+or tells you to pass the full artifact.
 """
 import json
+import os
 import re
 import sys
 
@@ -48,7 +57,25 @@ def load_queries(path):
         d = d["parsed"]
     if "queries" not in d:
         raise SystemExit(f"[bench_gate] {path}: no 'queries' key")
-    return {canon(k): v for k, v in d["queries"].items()}, d.get("value")
+    qs = d["queries"]
+    # r12: the driver line carries per-FAMILY subtotals whose keys are
+    # digit-free by construction (Bench.family); per-query timings live
+    # in the BENCH_FULL side artifact. Auto-resolve a numbered sibling
+    # (BENCH_r12.json -> BENCH_FULL_r12.json) so round-over-round
+    # invocations keep working; otherwise fail with guidance rather
+    # than silently comparing family rollups against query keys.
+    if qs and all(not any(ch.isdigit() for ch in k) for k in qs):
+        m = re.match(r"^(.*BENCH)_r(\d+)\.json$", path)
+        sib = f"{m.group(1)}_FULL_r{m.group(2)}.json" if m else None
+        if sib and os.path.exists(sib):
+            print(f"[bench_gate] {path} is the compact family-subtotal line; "
+                  f"using per-query sibling {sib}")
+            return load_queries(sib)
+        raise SystemExit(
+            f"[bench_gate] {path} carries family subtotals (r12 compact driver "
+            "line); per-query timings live in the BENCH_FULL artifact — pass "
+            "BENCH_FULL_r{N}.json (archived from BENCH_FULL_LATEST.json) instead")
+    return {canon(k): v for k, v in qs.items()}, d.get("value")
 
 
 # Bench.FamilyCode twin: single-char family codes (r10 size lever).
