@@ -34,22 +34,41 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val dir = java.nio.file.Files.createTempDirectory(s"scale${factor}x").toString
-    def replicate(table: String, idCol: String): Unit = {
+    def replicate(table: String, idCols: Seq[String]): Unit = {
       // RAW read, not Tables.load: events.ts is parquet TIMESTAMP(NANOS)
       // and must replicate as its nano-long so the copy round-trips
       // Tables.load's div-1000 conversion exactly like the original
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val t = spark.read.parquet(s"$base/$table.parquet")
-      val copies = (0 until factor).map(i =>
-        t.withColumn(idCol, col(idCol) + lit(i.toLong * 10_000_000L)))
+      val copies = (0 until factor).map { i =>
+        idCols.foldLeft(t)((d, c) => d.withColumn(c, col(c) + lit(i.toLong * 10_000_000L)))
+      }
       copies.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$dir/$table.parquet")
     }
-    replicate("documents", "doc_id")
-    replicate("embeddings", "vec_id")
+    replicate("documents", Seq("doc_id"))
+    replicate("embeddings", Seq("vec_id"))
     // cdc04/cdc05 synthesize Debezium envelopes from events and run the
     // REAL parser over them — the probe confirms the parse path (one
     // json_tuple + two subtree parses per envelope, map-side) is linear
-    replicate("events", "event_id")
+    replicate("events", Seq("event_id"))
+    // graph probes (r12): the trade graph's FACT side replicates with
+    // every join key shifted CONSISTENTLY per copy (orderkey on both
+    // lineitem and orders, custkey on both orders and customer, suppkey
+    // on both lineitem and supplier) so each copy joins within itself —
+    // nation keys stay fixed, so the 25-vertex graph keeps its shape
+    // with ~Nx the support weight. That is exactly the regime the probe
+    // must confirm for the shuffled loops: the edge-BUILD scan grows
+    // Nx, while the per-round label/keep-set shuffles are vertex-scale
+    // and must stay FLAT (a round whose cost tracked fact volume would
+    // be a broken plan). |V| growth itself is out of this fixture's
+    // reach — the loops' |V| story is the PlanAuditSpec zero-broadcast
+    // pins; this probe prices the constants.
+    replicate("lineitem", Seq("l_orderkey", "l_suppkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("customer", Seq("c_custkey"))
+    replicate("supplier", Seq("s_suppkey"))
+    spark.read.parquet(s"$base/nation.parquet")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -94,7 +113,9 @@ object ScaleProbe {
       "ss05_knn_join", "ss10_kmeans_train",
       "cdc04_envelope_parse", "cdc05_drop_taxonomy",
       "dc01_benchmark_overlap", "dd12_incremental_dedup",
-      "dd13_duplicate_spans", "dd14_clusters_ptrjump").map(n => n -> run(n))
+      "dd13_duplicate_spans", "dd14_clusters_ptrjump",
+      "gr09_cc_shuffled", "gr10_kcore_shuffled", "gr11_sssp",
+      "gr12_pagerank_shuffled", "gr13_lpa_shuffled").map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio

@@ -76,6 +76,28 @@ object ChangeArchiveJob {
     Debezium.enrich(unioned, sourcesDf(spark, cfg))
   }
 
+  /** [[build]]'s dual-delivery twin: the SAME per-instance qualified
+    * allowlists and parse pass, but every envelope survives to the
+    * micro-batch carrying its classified `reason` — the kept/dead
+    * split happens inside `foreachBatch` ([[DeadLetterSink]]), so one
+    * source read feeds both the archive and the quarantine.
+    * Enrichment is NOT applied here: the config join would drop dead
+    * letters from mis-configured instances — exactly the rows a
+    * quarantine exists for — so [[run]] enriches only the kept side,
+    * per batch.
+    */
+  def buildAnnotated(
+      streams: Seq[(String, DataFrame)],
+      cfg: TaskConfig): DataFrame =
+    streams.map { case (instanceName, envelopes) =>
+      val qualified = cfg.sources.find(_.instanceName == instanceName)
+        .map(src => cfg.tables.map(t => s"${src.dbName}.$t"))
+        .getOrElse(Seq.empty)
+      Debezium.parseAnnotated(envelopes, instanceName,
+        observeName = Some(s"cdc_parse_$instanceName"),
+        allowedTables = Some(qualified))
+    }.reduce(_ unionByName _)
+
   /** Start the streaming job: one file-stream per source, dual-sink
     * `foreachBatch` delivery, checkpointed.
     *
@@ -90,6 +112,17 @@ object ChangeArchiveJob {
     *   the streaming analogue of the reference's `batchSize` buffer cap
     *   (`SinkConfig.java:20`). `AvailableNow` honors it too.
     */
+  /** @param deadLetterDir when set, the job streams the ANNOTATED
+    *   parse ([[buildAnnotated]]) and each micro-batch splits kept vs
+    *   dead: kept rows are enriched and delivered to `writers` exactly
+    *   as before; rejected envelopes land in a parquet quarantine
+    *   under this directory via [[DeadLetterSink]] (reason, md5 replay
+    *   id, claimed table — cdc10's view, streamed). Replay-idempotent:
+    *   a re-delivered batchId overwrites its own deterministic
+    *   subdirectory, never duplicating (the md5 ids additionally let
+    *   downstream consumers dedupe across batches). Unset = the
+    *   original kept-only pipeline, byte-identical plan.
+    */
   def run(
       spark: SparkSession,
       sources: Seq[SourceStream],
@@ -97,7 +130,8 @@ object ChangeArchiveJob {
       writers: Seq[BatchWriter],
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      deadLetterDir: Option[String] = None): StreamingQuery = {
     TaskConfigChecker.check(cfg)
     // sink timestamps are rendered with date_format (session-timezone
     // dependent); the streaming query re-reads the conf every
@@ -123,19 +157,69 @@ object ChangeArchiveJob {
       maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
       s.instanceName -> reader.text(s.dir)
     }
-    val archive = build(streams, session, cfg)
-    archive.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // one materialization serves every writer (dual-sink delivery,
-        // StartJob.java:95-104) — without it each writer would re-read
-        // the sources and re-parse
-        val pinned = batch.persist()
-        try writers.foreach(_.write(pinned, batchId))
-        finally pinned.unpersist()
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .start()
+    deadLetterDir match {
+      case None =>
+        val archive = build(streams, session, cfg)
+        archive.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // one materialization serves every writer (dual-sink
+            // delivery, StartJob.java:95-104) — without it each writer
+            // would re-read the sources and re-parse
+            val pinned = batch.persist()
+            try writers.foreach(_.write(pinned, batchId))
+            finally pinned.unpersist()
+            ()
+          }
+          .option("checkpointLocation", checkpointDir)
+          .trigger(trigger)
+          .start()
+      case Some(dlqDir) =>
+        val annotated = buildAnnotated(streams, cfg)
+        val sources0 = sourcesDf(session, cfg)
+        annotated.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // ONE parse pass pinned once serves the archive writers AND
+            // the quarantine — the scale point of the annotated path
+            val pinned = batch.persist()
+            try {
+              val kept = Debezium.enrich(
+                pinned.filter(col("reason") === Debezium.Kept)
+                  .select("instanceName", "tableName", "id", "recordDelTime", "dataJson"),
+                sources0)
+              writers.foreach(_.write(kept, batchId))
+              DeadLetterSink.write(pinned, batchId, dlqDir)
+            } finally pinned.unpersist()
+            ()
+          }
+          .option("checkpointLocation", checkpointDir)
+          .trigger(trigger)
+          .start()
+    }
   }
+}
+
+/** Parquet quarantine for the streamed dead-letter split (cdc10's
+  * audit view, wired into the job's `foreachBatch`): per micro-batch,
+  * every rejected envelope's (reason, md5 replay id, claimed table)
+  * lands under `dir/batch_id=<id>/`. EXACTLY-ONCE on replay by
+  * construction: `foreachBatch` re-delivers a failed batch under the
+  * SAME batchId, and the write overwrites that batch's own
+  * deterministic subdirectory — re-delivery replaces identical content
+  * instead of appending a duplicate (the JDBC MERGE sink's contract,
+  * for files). The md5 replay id additionally gives downstream
+  * consumers a key to dedupe on across batch boundaries.
+  */
+object DeadLetterSink {
+  def write(annotated: DataFrame, batchId: Long, dir: String): Unit =
+    annotated.filter(col("reason") =!= Debezium.Kept)
+      .select(col("reason"), col("env_md5"),
+        coalesce(col("tableName"), lit("")).as("tbl"))
+      .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+
+  /** The quarantine as one DataFrame (all batches), for audits and the
+    * streamed==batch equivalence pin.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", dir).parquet(s"$dir/batch_id=*")
+      .select("reason", "env_md5", "tbl")
 }

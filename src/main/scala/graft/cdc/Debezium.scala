@@ -196,6 +196,40 @@ object Debezium {
       .select(col("reason"), md5(col("value")).as("env_md5"),
         coalesce(col("_table"), lit("")).as("tbl"))
 
+  /** [[parseChanges]] WITHOUT the kept-filter: every envelope flows
+    * through with its classified `reason`, the archive projection
+    * (null `recordDelTime` on rejected rows — `timestamp_millis` must
+    * never see a BadTs epoch), and the DLQ replay id. This is the dual
+    * kept/dead delivery shape [[ChangeArchiveJob]] streams when a
+    * dead-letter sink is configured: ONE classification pass feeds
+    * both the archive and the quarantine, instead of re-reading and
+    * re-parsing the sources per side. Same `observe` counters as
+    * [[parseChanges]] (attached pre-split, so streaming progress still
+    * carries the full drop taxonomy).
+    */
+  def parseAnnotated(
+      envelopes: DataFrame,
+      instanceName: String,
+      observeName: Option[String] = None,
+      allowedTables: Option[Seq[String]] = None): DataFrame = {
+    val classified = extracted(envelopes)
+      .withColumn("_reason", reasonFromExtracted(allowedTables))
+    val observed = observeName.fold(classified) { name =>
+      val counters =
+        count(when(col("_reason") === Kept, 1)).as("kept") +:
+          reasons.map(r => count(when(col("_reason") === r, 1)).as(r))
+      classified.observe(name, count(lit(1)).as("total"), counters: _*)
+    }
+    observed.select(
+      lit(instanceName).as("instanceName"),
+      col("_reason").as("reason"),
+      col("_table").as("tableName"),
+      col("_id").as("id"),
+      when(col("_reason") === Kept, timestamp_millis(col("_ts"))).as("recordDelTime"),
+      col("_before").as("dataJson"),
+      md5(col("value")).as("env_md5"))
+  }
+
   /** Enrichment (SURVEY.md §2.1 O7, done properly): broadcast-join the
     * parsed stream against the per-instance source config to add
     * `dbTbName` (= dbAlias + "_" + tableName, `AdbSink.java:88`) and

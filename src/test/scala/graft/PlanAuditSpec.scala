@@ -97,7 +97,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "ss13_truncated_prefilter", // 1-row query vector broadcast into prefix scan + exact audit scan
     "sp11_curriculum_phases", // 1-row min/max + 1-row corpus-count frames (q57's bucketizer)
     "tx17_vocab_coverage", // 3 one-row cut aggregates x a 1-row totals frame
-    "gr11_sssp" // 1-row median broadcast in the weighted-edges front door
+    "gr11_sssp", // 1-row median broadcast in the weighted-edges front door
+    "gr12_pagerank_shuffled", // shared edges() front door: 1-row median broadcast (pre-checkpoint; the LOOP is zero-broadcast, separately pinned)
+    "gr13_lpa_shuffled", // same shared edges() front door 1-row median broadcast (loop pinned zero-broadcast)
+    "q62_forecast_salted_join" // 1-row forecast-total frame broadcast into the fanout decision (the decision table itself is key-grain and equi-joined)
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
@@ -421,6 +424,35 @@ class PlanAuditSpec extends AnyFunSuite {
       "fact rows must be ranked under a bucket-partitioned window")
     assert(p.contains("BroadcastHashJoin"),
       "the 65-row offsets table must broadcast back onto the fact rows")
+  }
+
+  test("q62: the forecast genuinely drives fanout past 1, the salt reaches the partitioning") {
+    import org.apache.spark.sql.functions.{col, count, lit, min}
+    // (1) the decision closed-form: fanout(k) must equal
+    // ceil(pairs / fair-share-budget) clamped to [1,16], computed here
+    // independently from collected counts — and the fixture's
+    // event_type skew must push at least one key past fanout 1
+    // (otherwise the data-driven mitigation is never exercised)
+    val f = Tables.load(spark, sf001, "events")
+      .select(col("event_type").as("k"), col("event_id"), col("value"))
+    val dim = f.groupBy("k").agg(min(col("event_id")).as("first_event_id"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val got = operators.Relational.forecastSaltPlan(f, dim, parts)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = f.groupBy("k").agg(count(lit(1)).as("ca"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tp = counts.values.sum
+    val budget = math.max(tp / parts, 1L)
+    counts.foreach { case (k, ca) =>
+      val expect = math.min(16L, (ca + budget - 1) / budget)
+      assert(got(k) === expect, s"fanout($k) diverged from the pr08 closed form")
+    }
+    assert(got.values.max > 1L,
+      "no key crossed the fair-share budget — the salt decision is vacuous on this fixture")
+    // (2) the chosen salt must reach the join's shuffle partitioning
+    val p = plan("q62_forecast_salted_join")
+    assert("hashpartitioning\\(k#\\d+, salt#\\d+".r.findAllIn(p).nonEmpty,
+      "join must shuffle on (k, salt) — the forecast-driven salt missing from the partitioning")
   }
 
   test("q58: salted join shuffles on (k, salt) and equals the plain join") {

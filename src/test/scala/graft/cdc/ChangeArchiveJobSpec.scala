@@ -548,4 +548,61 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
       tableFor = _ => "archive").write(batch, 7L)
     assert(countRows() === 9, "a different run_id is a different delivery")
   }
+
+  test("streamed dead-letter queue == batch cdc10 view; replay-idempotent; kept side intact") {
+    val (srcA, srcB, ckpt, out, dlq) = (tmpDir("dlq-a"), tmpDir("dlq-b"),
+      tmpDir("dlq-ckpt"), tmpDir("dlq-out"), tmpDir("dlq-q"))
+    // every taxonomy branch the fixtures can hit: valid deletes, an
+    // update, a blank table, a missing pre-image id, a bad ts, and an
+    // unlisted table (db-scoped allowlist)
+    val envsA = Seq(
+      envelope(1),
+      envelope(2, op = "u"),
+      envelope(3, table = ""),
+      """{"op":"d","ts_ms":1700000000004,"source":{"db":"demo","table":"t_orders"},"before":{"amount":"4.50"},"after":null}""",
+      envelope(5, table = "t_other"))
+    val envsB = Seq(
+      envelope(10),
+      """{"op":"d","ts_ms":-5,"source":{"db":"demo","table":"t_orders"},"before":{"id":11,"amount":"x"},"after":null}""")
+    writeEnvelopes(srcA, "f1.jsonl", envsA)
+    writeEnvelopes(srcB, "f1.jsonl", envsB)
+    val q = ChangeArchiveJob.run(spark,
+      Seq(ChangeArchiveJob.SourceStream("src-a", srcA),
+        ChangeArchiveJob.SourceStream("src-b", srcB)),
+      cfg, Seq(new ParquetBatchWriter(out)), ckpt,
+      deadLetterDir = Some(dlq))
+    q.awaitTermination()
+
+    // kept side flows through the annotated path UNCHANGED: same
+    // enrichment, same rows the kept-only pipeline would deliver
+    val kept = spark.read.parquet(out)
+    assert(kept.select("id").collect().map(_.getString(0)).sorted === Array("1", "10"))
+    assert(kept.filter(col("id") === "10").collect().head
+      .getAs[String]("fbNo") === "FBB", "enrichment must survive the split")
+
+    // streamed quarantine == the batch cdc10 view over the same files
+    // with the same per-instance qualified allowlist, as a multiset
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    val expected = multiset(
+      Debezium.deadLetters(spark.read.text(srcA), Some(Seq("demo.t_orders")))
+        .unionByName(
+          Debezium.deadLetters(spark.read.text(srcB), Some(Seq("demo.t_orders")))))
+    val got = multiset(DeadLetterSink.read(spark, dlq))
+    assert(got === expected, "streamed DLQ must equal the batch dead-letter view")
+    assert(got.values.sum === 5, "all five rejected envelopes quarantined")
+    assert(got.keys.map(_._1).toSet ===
+      Set(Debezium.NotDelete, Debezium.NoTable, Debezium.NoId,
+        Debezium.BadTs, Debezium.NotListened),
+      "every taxonomy branch exercised")
+
+    // replay idempotence: re-delivering the SAME batchId (foreachBatch's
+    // failure-recovery contract) overwrites, never duplicates
+    val annotated = ChangeArchiveJob.buildAnnotated(
+      Seq("src-a" -> spark.read.text(srcA), "src-b" -> spark.read.text(srcB)), cfg)
+    DeadLetterSink.write(annotated, 0L, dlq)
+    assert(multiset(DeadLetterSink.read(spark, dlq)) === expected,
+      "a replayed batch must replace its own content exactly")
+  }
 }

@@ -273,4 +273,36 @@ class DedupSpec extends AnyFunSuite {
     val dd05 = byName("dd05_ngram_jaccard_pairs").build(spark, sf001).count()
     assert(total === dd05, s"audit covers $total truth pairs, dd05 has $dd05")
   }
+
+  test("dd15: bloom reaches the incoming scan, answer equals the bloom-free form, non-vacuous") {
+    import org.apache.spark.sql.functions.{col, concat_ws, explode, expr, greatest, md5, size, slice, split}
+    val df = byName("dd15_bloom_incremental").build(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom prefilter missing from the incoming side:\n${plan.take(2000)}")
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // bloom-free reference: the same chunk split computed directly
+    val ch = graft.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .select(col("doc_id"), col("w"),
+        explode(expr("sequence(0, greatest(n - 1, 0), 40)")).as("start"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", expr("slice(w, start + 1, 50)"))).as("fp"))
+      .distinct()
+      .withColumn("bkt", expr(graft.operators.Sampling.bucket100("doc_id")))
+    val inc = ch.filter(col("bkt") < 10).select("doc_id", "fp")
+    val corp = ch.filter(col("bkt") >= 10).select("fp").distinct()
+    val known = inc.join(corp, Seq("fp"), "left_semi")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val totals = inc.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === totals.map { case (d, n) => d -> ((n, known.getOrElse(d, 0L))) },
+      "bloom-prefiltered result diverged from the exact membership")
+    // non-vacuity: the fixture genuinely shares chunks across the split
+    // (a 0-known-everywhere pass would make the oracle equality empty)
+    assert(got.values.map(_._2).sum > 0L, "no cross-split chunk matches — dd15 is vacuous")
+  }
 }
