@@ -1102,6 +1102,66 @@ object Relational {
     },
 
     GraftQuery(
+      "q64_dynamic_partition_pruning",
+      Some("""WITH dim AS (SELECT DISTINCT CAST(ts AS DATE) AS event_date FROM events
+             |            WHERE DAY(CAST(ts AS DATE)) % 7 = 3)
+             |SELECT e.event_type, CAST(e.ts AS DATE) AS event_date,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM events e JOIN dim d ON CAST(e.ts AS DATE) = d.event_date
+             |GROUP BY 1, 2""".stripMargin),
+      "DYNAMIC partition pruning — q42's static date-range pruning upgraded to the form 100 TB star joins actually need: the partitions to read are not known until RUNTIME (they come from a filtered dimension, not a literal predicate), so Catalyst injects the dim's qualifying keys into the fact scan as a dynamicpruningexpression subquery — the fact side skips whole partition directories it would otherwise scan, shuffle, and join away. Here the day-partitioned events layout (q42's sink) joins a data-derived date dimension (distinct days with day-of-month % 7 = 3 — deterministic, cross-engine-identical arithmetic, not dow semantics that differ between engines); the dim broadcasts, and the scan's PartitionFilters carry the runtime subquery instead of reading all 30 days for a ~4-day answer (plan-asserted in PlanAuditSpec: dynamicpruning IN the scan, with the static path explicitly absent). This is THE optimization that makes dimension-filtered fact queries viable on partitioned data lakes — without it, a 'sales on promo days' query scans the whole fact table; the oracle computes the same join straight from the unpartitioned table.") {
+      (s, dir) =>
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q64_${java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)}")
+          .getAbsolutePath
+        t(s, dir, "events")
+          .withColumn("event_date", to_date(col("ts")))
+          .repartition(col("event_date"))
+          .write.mode("overwrite").partitionBy("event_date").parquet(out)
+        val fact = s.read.parquet(out)
+        // the dim is DATA-derived (distinct partition keys + a filter the
+        // optimizer cannot constant-fold), so pruning must happen at
+        // runtime via the injected subquery — the operator under test
+        val dim = fact.select(col("event_date")).distinct()
+          .filter(expr("day(event_date) % 7 = 3"))
+        fact.join(broadcast(dim), "event_date")
+          .groupBy(col("event_type"), col("event_date"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+          .select(col("event_type"), col("event_date"), col("n"), col("total"))
+    },
+
+    GraftQuery(
+      "q65_schema_evolution",
+      Some("""SELECT CASE WHEN event_id % 2 = 0 THEN '(pre-evolution)'
+             |            ELSE event_type END AS event_type,
+             |       COUNT(*) AS n,
+             |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM events GROUP BY 1""".stripMargin),
+      "Schema-EVOLUTION-tolerant source — the lake-read reality q44/q59 (fixed-schema sources) don't cover: a long-lived dataset's early files lack columns later files carry (a producer deploy added event_type mid-stream), and the engine must read BOTH generations as one table with the missing column null-padded, not crash or silently drop old files. Exercised for real: generation 1 is written WITHOUT the column, generation 2 WITH it, and the read uses parquet mergeSchema to reconcile footers at planning time (the per-file schema union Spark otherwise skips for speed — at 100 TB you pay one footer pass per file once, then scans stay columnar and pruned). Nulls from pre-evolution files are then first-class data: the aggregate folds them into an explicit '(pre-evolution)' bucket (the cdc09 drift-taxonomy discipline applied at read time — an evolved column's missing history must be VISIBLE in results, not conflated with real values). The oracle reconstructs the same two-generation semantics from the unpartitioned table. This, q42/q64 (partition layouts), q44 (JSON DDL), q59 (CSV PERMISSIVE) complete the source matrix: layout, format, malformed rows, and schema drift each have an explicit, tested contract.") {
+      (s, dir) =>
+        val out = new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_q65_${java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)}")
+          .getAbsolutePath
+        val ev = t(s, dir, "events")
+        // generation 1: the producer's ORIGINAL schema (no event_type)
+        ev.filter(col("event_id") % 2 === 0)
+          .select("event_id", "user_id", "value")
+          .write.mode("overwrite").parquet(s"$out/gen=1")
+        // generation 2: the evolved schema
+        ev.filter(col("event_id") % 2 =!= 0)
+          .select("event_id", "user_id", "value", "event_type")
+          .write.mode("overwrite").parquet(s"$out/gen=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy(coalesce(col("event_type"), lit("(pre-evolution)")).as("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("total"))
+    },
+
+    GraftQuery(
       "q63_sampled_agg",
       Some("""WITH s AS (SELECT l_returnflag, l_quantity, l_extendedprice FROM lineitem
              |  WHERE CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '-'

@@ -426,6 +426,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "the 65-row offsets table must broadcast back onto the fact rows")
   }
 
+  test("q64: the fact scan carries a RUNTIME dynamicpruning partition filter") {
+    // the operator under test is the injected subquery: the dim's
+    // qualifying dates must reach the fact scan's PartitionFilters as
+    // a dynamicpruningexpression (runtime pruning), and genuinely
+    // prune (the day%7=3 dim keeps ~4 of 30 days)
+    val df = GraftQuery.all.find(_.name == "q64_dynamic_partition_pruning").get
+      .build(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"fact scan lost the runtime partition-pruning subquery:\n${p.take(1500)}")
+    // non-vacuity: the pruned answer covers a strict subset of days
+    val days = df.select("event_date").distinct().count()
+    val all = Tables.load(spark, sf001, "events")
+      .select(org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("d")).distinct().count()
+    assert(days > 0 && days < all,
+      s"pruning vacuous: $days of $all days selected")
+  }
+
   test("q62: the forecast genuinely drives fanout past 1, the salt reaches the partitioning") {
     import org.apache.spark.sql.functions.{col, count, lit, min}
     // (1) the decision closed-form: fanout(k) must equal
