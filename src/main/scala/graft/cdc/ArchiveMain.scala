@@ -34,6 +34,12 @@ import org.apache.spark.sql.streaming.Trigger
   *  - `--max-files-per-trigger <n>` backpressure: cap files PER SOURCE
   *    per micro-batch (N sources admit ≤ N×n files) so a backlog
   *    drains in bounded batches
+  *  - `--dead-letter <dir>`         parquet dead-letter quarantine: each
+  *    micro-batch's rejected envelopes (reason, md5 replay id, claimed
+  *    table) land under `<dir>/batch_id=N` — replay-idempotent (see
+  *    [[DeadLetterSink]]); without the flag rejected envelopes are
+  *    counted (drop taxonomy) but not persisted, like the reference's
+  *    error logs
   *  - `--once`                      drain-and-stop (AvailableNow);
   *    default is a ProcessingTime trigger at the adb sink's
   *    `flushIntervalMs` (the reference's flush cadence, 5 s default)
@@ -52,11 +58,12 @@ object ArchiveMain {
       adbLedger: Option[String],
       sinkSr: Option[String],
       maxFilesPerTrigger: Option[Int],
-      once: Boolean)
+      once: Boolean,
+      deadLetterDir: Option[String] = None)
 
   def parseArgs(argv: Array[String]): Args = {
     var task, checkpoint: Option[String] = None
-    var out, sinkAdb, adbUrl, adbLedger, sinkSr: Option[String] = None
+    var out, sinkAdb, adbUrl, adbLedger, sinkSr, deadLetter: Option[String] = None
     var maxFiles: Option[Int] = None
     var sources = Vector.empty[ChangeArchiveJob.SourceStream]
     var once = false
@@ -77,6 +84,7 @@ object ArchiveMain {
         case "--max-files-per-trigger" =>
           maxFiles = Some(next("--max-files-per-trigger").toInt)
         case "--sink-sr" => sinkSr = Some(next("--sink-sr"))
+        case "--dead-letter" => deadLetter = Some(next("--dead-letter"))
         case "--once" => once = true
         case "--source" =>
           val v = next("--source")
@@ -91,7 +99,7 @@ object ArchiveMain {
       task.getOrElse(throw new IllegalArgumentException("--task is required")),
       sources,
       checkpoint.getOrElse(throw new IllegalArgumentException("--checkpoint is required")),
-      out, sinkAdb, adbUrl, adbLedger, sinkSr, maxFiles, once)
+      out, sinkAdb, adbUrl, adbLedger, sinkSr, maxFiles, once, deadLetter)
     require(a.sources.nonEmpty, "at least one --source <instanceName>=<dir> is required")
     require(a.out.nonEmpty || a.sinkAdb.nonEmpty || a.sinkSr.nonEmpty,
       "configure at least one sink (--out / --sink-adb / --sink-sr)")
@@ -216,7 +224,7 @@ object ArchiveMain {
     spark.sparkContext.setLogLevel("WARN")
     val query = ChangeArchiveJob.run(spark, a.sources, cfg,
       writers(a, adbCfg, srCfg, lineageRunId(spark, a.checkpoint)),
-      a.checkpoint, trigger, a.maxFilesPerTrigger)
+      a.checkpoint, trigger, a.maxFilesPerTrigger, a.deadLetterDir)
     query.awaitTermination()
   }
 }

@@ -90,6 +90,30 @@ class ArchiveMainSpec extends AnyFunSuite {
     assert(a.once && a.out.contains("/o") && a.adbUrl.contains("jdbc:derby:x"))
   }
 
+  test("e2e: --dead-letter quarantines rejected envelopes next to the archive via main()") {
+    assert(spark.sparkContext.isLocal)
+    val (dir, src, ckpt, out, dlq) = (tmpDir("am-dlq-cfg"), tmpDir("am-dlq-src"),
+      tmpDir("am-dlq-ckpt"), tmpDir("am-dlq-out"), tmpDir("am-dlq-q"))
+    // two keepers + an update (not_delete) + a missing-id defect
+    write(s"$src/f1.jsonl", Seq(
+      envelope(1), envelope(2),
+      """{"op":"u","ts_ms":1700000000003,"source":{"db":"demo","table":"t_orders"},"before":{"id":3,"k":1},"after":null}""",
+      """{"op":"d","ts_ms":1700000000004,"source":{"db":"demo","table":"t_orders"},"before":{"k":1},"after":null}"""
+    ).mkString("\n"))
+    ArchiveMain.main(Array(
+      "--task", taskYaml(dir),
+      "--source", s"src-a=$src",
+      "--checkpoint", ckpt,
+      "--out", out,
+      "--dead-letter", dlq,
+      "--once"))
+    assert(spark.read.parquet(out).count() === 2, "kept side must be unaffected")
+    val dead = DeadLetterSink.read(spark, dlq).collect()
+      .map(r => r.getString(0)).sorted
+    assert(dead === Array(Debezium.NoId, Debezium.NotDelete),
+      "both rejected envelopes must be quarantined with their reasons")
+  }
+
   test("e2e: YAML config + file source -> parquet archive via main()") {
     assert(spark.sparkContext.isLocal) // init the shared session before main()'s getOrCreate
     val (dir, src, ckpt, out) =
