@@ -522,7 +522,25 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
       val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM archive")
       rs.next(); rs.getInt(1)
     }
-    writer.write(batch, 7L)
+    // embedded Derby has a rare engine-level boot race when many
+    // executor threads open first connections while another suite's
+    // Derby activity is in flight (observed once in a full parallel
+    // `sbt test`: lock-manager NPE 'getCompatibilitySpace ... is
+    // null', Derby-internal, not our code). Upsert semantics make the
+    // write idempotent by contract, so ONE retry on that specific
+    // Derby-internal signature is sound and keeps the suite green;
+    // any other failure still propagates.
+    def writeRetryingDerbyBootRace(batchId: Long): Unit =
+      try writer.write(batch, batchId)
+      catch {
+        case e: Throwable if {
+          def msgs(t: Throwable): Seq[String] =
+            if (t == null) Seq.empty
+            else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+          msgs(e).exists(_.contains("getCompatibilitySpace"))
+        } => writer.write(batch, batchId)
+      }
+    writeRetryingDerbyBootRace(7L)
     assert(countRows() === 3)
     // full replay: every row's (run_id, batch_id, seq) matches → no insert
     writer.write(batch, 7L)
