@@ -115,7 +115,8 @@ object ScaleProbe {
       "dc01_benchmark_overlap", "dd12_incremental_dedup",
       "dd13_duplicate_spans", "dd14_clusters_ptrjump",
       "gr09_cc_shuffled", "gr10_kcore_shuffled", "gr11_sssp",
-      "gr12_pagerank_shuffled", "gr13_lpa_shuffled").map(n => n -> run(n))
+      "gr12_pagerank_shuffled", "gr13_lpa_shuffled",
+      "dd15_bloom_incremental", "q62_forecast_salted_join").map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio
