@@ -612,6 +612,58 @@ object Graph {
         lab.join(nodes.hint("shuffle_merge"), "node")
           .select(col("n_name").as("nation"), col("lab").as("community"),
             count(lit(1)).over(w).as("community_size"))
+    },
+
+    GraftQuery(
+      "gr14_scc_seed",
+      Some(s"""WITH RECURSIVE $edgesDuck,
+              |seed AS (SELECT MIN(src) AS s FROM edges
+              |         WHERE src IN (SELECT dst FROM edges)),
+              |fwd(node) AS (SELECT s FROM seed
+              |  UNION SELECT e.dst FROM fwd f JOIN edges e ON e.src = f.node),
+              |bwd(node) AS (SELECT s FROM seed
+              |  UNION SELECT e.src FROM bwd b JOIN edges e ON e.dst = b.node),
+              |scc AS (SELECT node FROM fwd WHERE node IN (SELECT node FROM bwd))
+              |SELECT na.n_name AS nation,
+              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM scc) AS scc_size
+              |FROM scc JOIN nation na ON na.n_nationkey = scc.node""".stripMargin),
+      "STRONGLY connected component extraction — the first operator in the family that takes edge DIRECTION seriously (gr05/gr08 treat reachability forward-only or undirected; SCC is the 'mutual reachability' equivalence that undirected CC silently overstates — two pages linking the same hub are weakly connected but NOT in a cycle): the FW-BW decomposition's core step, SCC(seed) = forward-closure(seed) ∩ backward-closure(seed), run from a data-adaptive cycle-ELIGIBLE seed (min vertex with both an out- and an in-edge — a min-of-sources seed lands on a source vertex and degenerates to a singleton at two of three fixture scales; the eligibility probe is two vertex-scale semi joins). Both closures run gr05's frontier-dedup loop TO CONVERGENCE (empty frontier) under gr08's loud round cap — per round one frontier-edge equi-join + distinct + visited anti-join, cost bounded by vertices x mean degree, never paths; the backward pass is the same loop on role-swapped endpoints, NOT a materialized reversed edge list. The intersection is one vertex-scale semi join. At |V| past executor memory every broadcast here swaps to the gr09/gr12 shuffled-state form (same recipe, pinned elsewhere); the full FW-BW algorithm recurses on the three residual sets with this exact primitive. Oracle: two dedup-recursive CTEs and their intersection — the DEFINITION; GraphSpec replays it sequentially and pins a genuinely multi-vertex SCC at every fixture scale.") {
+      (s, dir) =>
+        val e = edges(s, dir)
+        // cycle-eligible data-adaptive seed: min vertex with out AND in
+        val seed = broadcast(e.select("src")
+          .join(e.select(col("dst").as("src")).distinct(), Seq("src"), "left_semi")
+          .agg(min(col("src")).as("node")))
+        def closure(outKey: String, inKey: String): DataFrame = {
+          var visited = seed
+          var frontier = seed
+          var round = 0
+          val cap = 30 // |V|-bounded: a frontier can't survive past 25 hops
+          var done = false
+          while (!done && round < cap) {
+            val next = Materialize(e
+              .join(broadcast(frontier.withColumnRenamed("node", outKey)), outKey)
+              .select(col(inKey).as("node")).distinct()
+              .join(broadcast(visited), Seq("node"), "left_anti"))
+            done = next.isEmpty
+            if (!done) {
+              visited = Materialize(visited.unionByName(next))
+              frontier = next
+            }
+            round += 1
+          }
+          if (!done)
+            throw new IllegalStateException(
+              s"closure did not converge in $cap rounds — frontier outlived |V|?")
+          visited
+        }
+        val fwd = closure("src", "dst")
+        val bwd = closure("dst", "src")
+        val scc = Materialize(fwd.join(broadcast(bwd), Seq("node"), "left_semi"))
+        scc.join(broadcast(Tables.load(s, dir, "nation")
+            .select(col("n_nationkey").as("node"), col("n_name"))), "node")
+          .crossJoin(broadcast(scc.agg(count(lit(1)).as("scc_size"))))
+          .select(col("n_name").as("nation"), col("scc_size"))
     })
 
   /** Weighted sparsified edge list `(src, dst, cost)` for gr11:

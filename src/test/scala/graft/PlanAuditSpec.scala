@@ -100,7 +100,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "gr11_sssp", // 1-row median broadcast in the weighted-edges front door
     "gr12_pagerank_shuffled", // shared edges() front door: 1-row median broadcast (pre-checkpoint; the LOOP is zero-broadcast, separately pinned)
     "gr13_lpa_shuffled", // same shared edges() front door 1-row median broadcast (loop pinned zero-broadcast)
-    "q62_forecast_salted_join" // 1-row forecast-total frame broadcast into the fanout decision (the decision table itself is key-grain and equi-joined)
+    "q62_forecast_salted_join", // 1-row forecast-total frame broadcast into the fanout decision (the decision table itself is key-grain and equi-joined)
+    "gr14_scc_seed" // shared edges() front door 1-row median broadcast + the 1-row scc_size frame
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {

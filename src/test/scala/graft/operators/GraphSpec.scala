@@ -286,6 +286,38 @@ class GraphSpec extends AnyFunSuite {
     assert(g1.map(_._2).size > 1, "uniform ranks — power iteration vacuous")
   }
 
+  test("gr14: SCC(seed) equals a sequential forward/backward closure; genuinely multi-vertex") {
+    // the definition, replayed on the collected median edge list:
+    // SCC(seed) = everything forward-reachable AND backward-reachable
+    val out = edgeList.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val in = edgeList.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val eligible = edgeList.map(_._1).toSet intersect edgeList.map(_._2).toSet
+    val seed = eligible.min
+    def closure(adj: Map[Long, Set[Long]]): Set[Long] = {
+      var visited = Set(seed); var frontier = Set(seed)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- visited
+        visited ++= next; frontier = next
+      }
+      visited
+    }
+    val scc = closure(out) intersect closure(in)
+    val names = Tables.load(spark, sf001, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val got = run("gr14_scc_seed").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === scc.map(names), "SCC membership diverged from the definition")
+    assert(got.values.toSet === Set(scc.size.toLong), "scc_size must be the member count")
+    // non-vacuity: a singleton SCC would make the directed semantics
+    // indistinguishable from 'seed only' — the fixture must cycle
+    assert(scc.size > 1, "seed's SCC is a singleton — directed pin is vacuous")
+    // and STRICTLY smaller than the forward closure: otherwise this is
+    // just gr05's reachability wearing a new name
+    assert(scc.size < closure(out).size || closure(out).size < names.size,
+      "SCC == forward closure == everything — direction never mattered")
+  }
+
   test("gr13: shuffled-label LPA is row-identical to gr06") {
     def rows(name: String) = run(name).collect()
       .map(r => (r.getString(0), lv(r, 1), r.getLong(2))).toSet
