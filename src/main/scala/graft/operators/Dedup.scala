@@ -913,6 +913,43 @@ object Dedup {
              |FROM inc i LEFT JOIN k ON k.doc_id = i.doc_id
              |GROUP BY i.doc_id""".stripMargin)
     },
+
+    GraftQuery(
+      "dd16_fuzzy_linkage",
+      Some(s"""WITH d AS (SELECT doc_id,
+              |             ARRAY_TO_STRING((STRING_SPLIT(text, ' '))[1:4], ' ') AS name,
+              |             ${Sampling.duckBucket100Of("doc_id")} AS bkt FROM documents),
+              |reg AS (SELECT doc_id, name FROM d WHERE LENGTH(name) >= 8),
+              |dirty AS (SELECT doc_id,
+              |            2 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 2)) AS INT)
+              |                % (LENGTH(name) - 2) AS pos,
+              |            name
+              |          FROM d WHERE bkt < 10 AND LENGTH(name) >= 8),
+              |c AS (SELECT doc_id, substring(name, 1, pos - 1) || substring(name, pos + 1)
+              |        AS corrupted FROM dirty)
+              |SELECT c.doc_id AS dirty_id, r.doc_id AS match_id,
+              |       CAST(levenshtein(c.corrupted, r.name) AS INT) AS dist
+              |FROM c JOIN reg r
+              |  ON lower(substring(c.corrupted, 1, 1)) = lower(substring(r.name, 1, 1))
+              |WHERE levenshtein(c.corrupted, r.name) <= 1""".stripMargin),
+      "Fuzzy RECORD LINKAGE (entity resolution) — the approximate-STRING-matching axis the dedup family lacked (dd03-dd15 are all set/shingle/vector similarity; 'is this typo'd record the same entity as a registry row' is edit distance, a different animal): blocking + within-block Levenshtein, the Fellegi-Sunter blocking architecture every production ER system runs. Ground truth is INJECTED deterministically (tx16's discipline — the fixture has no typos, so the operator manufactures them verifiably): each incoming doc's 4-token entity name gets one character deleted at an md5-derived position, and linkage must recover the original registry row. The scale mechanics are the point: edit distance is O(len²) per PAIR and utterly unindexable by equi-join, so candidate generation is a BLOCKING equi-join (first-character block here; production composes several redundant blocking keys) that bounds the pairs — the dirty side is drop-sized, the registry side shuffles once on the block key, and Levenshtein runs only inside blocks (never all-pairs). Matches at distance <= 1 keep ALL candidates (the adjudication layer above ER sees ties — collapsing them here would hide false positives; DedupSpec pins 100% self-recovery AND that the near-miss extras exist). Both engines implement levenshtein identically on exact integers — full value oracle.") {
+      (s, dir) =>
+        val d = spread(docs(s, dir), "doc_id").select(col("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("name"))
+          .withColumn("bkt", expr(Sampling.bucket100("doc_id")))
+        val reg = d.filter(length(col("name")) >= 8).select("doc_id", "name")
+        val dirty = d.filter(col("bkt") < 10 && length(col("name")) >= 8)
+          .withColumn("pos", expr(
+            "2 + CAST(conv(substring(md5(CAST(doc_id AS STRING)), 9, 2), 16, 10) AS INT) % (length(name) - 2)"))
+          .select(col("doc_id").as("dirty_id"),
+            expr("concat(substring(name, 1, pos - 1), substring(name, pos + 1, length(name)))")
+              .as("corrupted"))
+        dirty.join(reg.withColumnRenamed("doc_id", "match_id"),
+            lower(expr("substring(corrupted, 1, 1)")) === lower(expr("substring(name, 1, 1)")))
+          .filter(expr("levenshtein(corrupted, name) <= 1"))
+          .select(col("dirty_id"), col("match_id"),
+            expr("CAST(levenshtein(corrupted, name) AS INT)").as("dist"))
+    },
   )
 
 

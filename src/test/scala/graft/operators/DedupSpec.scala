@@ -305,4 +305,27 @@ class DedupSpec extends AnyFunSuite {
     // (a 0-known-everywhere pass would make the oracle equality empty)
     assert(got.values.map(_._2).sum > 0L, "no cross-split chunk matches — dd15 is vacuous")
   }
+
+  test("dd16: every injected typo recovers its registry row; near-miss extras survive") {
+    val rows = byName("dd16_fuzzy_linkage").build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty, "no linkage candidates — blocking or injection broke")
+    // ground truth: every dirty record was manufactured from its own
+    // registry row by ONE deletion, so (dirty_id, dirty_id, 1) must be
+    // present for every distinct dirty_id — 100% recovery
+    val dirtyIds = rows.map(_._1).distinct
+    dirtyIds.foreach { id =>
+      assert(rows.contains((id, id, 1)),
+        s"dirty record $id failed to recover its own registry row at distance 1")
+    }
+    // distances honor the threshold and the self-match is never 0
+    // (the corruption genuinely changed the string)
+    assert(rows.forall(_._3 <= 1), "a candidate past the threshold leaked through")
+    assert(rows.filter(r => r._1 == r._2).forall(_._3 === 1),
+      "a self-match at distance 0 means the injection was a no-op")
+    // adjudication input preserved: ties/extras are kept, not collapsed
+    // (blocking + <=1 admits genuine near-misses on this corpus)
+    assert(rows.length >= dirtyIds.length,
+      "matches were collapsed — the adjudication layer needs all candidates")
+  }
 }
