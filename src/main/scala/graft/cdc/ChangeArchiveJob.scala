@@ -198,6 +198,51 @@ object ChangeArchiveJob {
   }
 }
 
+/** The streamed twin of cdc09's schema-drift monitor — the third
+  * streamed audit next to the archive and the dead-letter quarantine:
+  * a SEPARATE lightweight streaming query (its own checkpoint, like
+  * production monitoring side-cars — it must not couple the delivery
+  * path's latency to audit writes) that folds every micro-batch of raw
+  * envelopes into the (table, key-set) shape taxonomy and persists the
+  * per-batch partial under `dir/batch_id=N`. Per-batch taxonomies are
+  * EXACT mergeable partials ([[Debezium.shapeTaxonomy]]), so
+  * [[SchemaDriftMonitor.read]]'s re-aggregation reproduces the
+  * whole-stream taxonomy precisely (spec-pinned == the batch cdc09
+  * view); writes are replay-idempotent by per-batch overwrite
+  * ([[DeadLetterSink]]'s contract). Alerting at scale is a filter on
+  * `is_canonical = 0` over the cumulative view — KB-scale at any
+  * stream volume.
+  */
+object SchemaDriftMonitor {
+  def run(
+      spark: SparkSession,
+      sources: Seq[ChangeArchiveJob.SourceStream],
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      canonical: String = "amount,id,k"): StreamingQuery = {
+    val raw = sources.map(s => spark.readStream.text(s.dir)).reduce(_ unionByName _)
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Debezium.shapeTaxonomy(batch, canonical)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** The cumulative taxonomy: per-batch exact partials re-aggregated.
+    * `is_canonical` is a pure function of `key_set`, so `max` merges it
+    * losslessly.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", dir).parquet(s"$dir/batch_id=*")
+      .groupBy("table_name", "key_set")
+      .agg(sum(col("n")).as("n"), max(col("is_canonical")).as("is_canonical"))
+}
+
 /** Parquet quarantine for the streamed dead-letter split (cdc10's
   * audit view, wired into the job's `foreachBatch`): per micro-batch,
   * every rejected envelope's (reason, md5 replay id, claimed table)

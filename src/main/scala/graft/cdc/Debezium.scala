@@ -230,6 +230,30 @@ object Debezium {
       md5(col("value")).as("env_md5"))
   }
 
+  /** Per-(table, before-image key-set) SHAPE taxonomy of raw envelopes
+    * — cdc09's monitor body, shared verbatim by the batch view and the
+    * streamed [[SchemaDriftMonitor]]: map-side JSON key extraction
+    * (sorted to a canonical signature; the null tombstone branches
+    * explicitly — concat_ws would fold a NULL array to ''), then ONE
+    * map-side-combining count at (table, key-set) grain. Output rows
+    * are mergeable partials: summing `n` across any partition of the
+    * stream (e.g. per micro-batch) reproduces the whole-stream
+    * taxonomy exactly (q61's exact-partial discipline — what makes the
+    * streamed monitor's per-batch store a valid cumulative audit).
+    */
+  def shapeTaxonomy(envelopes: DataFrame, canonical: String = "amount,id,k"): DataFrame =
+    envelopes
+      .select(
+        get_json_object(col("value"), "$.source.table").as("table_name"),
+        when(get_json_object(col("value"), "$.before").isNull, lit("(null)"))
+          .otherwise(concat_ws(",", sort_array(
+            json_object_keys(get_json_object(col("value"), "$.before")))))
+          .as("key_set"))
+      .groupBy(col("table_name"), col("key_set"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("is_canonical",
+        when(col("key_set") === canonical, 1).otherwise(0))
+
   /** Enrichment (SURVEY.md §2.1 O7, done properly): broadcast-join the
     * parsed stream against the per-instance source config to add
     * `dbTbName` (= dbAlias + "_" + tableName, `AdbSink.java:88`) and

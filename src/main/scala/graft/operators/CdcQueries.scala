@@ -242,19 +242,10 @@ object CdcQueries {
               |FROM k GROUP BY 1, 2""".stripMargin),
       "Schema-drift monitor over the change stream — the cdc05 drop-taxonomy discipline applied to SHAPE instead of values: per (table, payload key-set), how many envelopes arrived with exactly that set of before-image fields, with the canonical set flagged. This is the audit that catches an upstream DDL or connector-config change (a column added, dropped, or renamed) BEFORE it lands as silent nulls in the sink — at production scale the first sign of drift is a new key_set row, and alerting is a filter on is_canonical = 0 with n above noise. Key extraction is map-side JSON work on the raw envelope (json_object_keys, sorted to a canonical signature — 16-byte-ish strings cross the wire, never payloads), then ONE map-side-combining count at (table, key-set) grain; output cardinality is tables x observed shapes, tiny at any stream volume. The synthesized fixture genuinely exercises three shapes per table: full rows, the missing-id defect branch, and null tombstones.") {
       (s, dir) =>
-        envelopes(s, dir)
-          .select(
-            get_json_object(col("value"), "$.source.table").as("table_name"),
-            // concat_ws folds a NULL array to '' — branch on the null
-            // tombstone explicitly so the shape taxonomy stays honest
-            when(get_json_object(col("value"), "$.before").isNull, lit("(null)"))
-              .otherwise(concat_ws(",", sort_array(
-                json_object_keys(get_json_object(col("value"), "$.before")))))
-              .as("key_set"))
-          .groupBy(col("table_name"), col("key_set"))
-          .agg(count(lit(1)).as("n"))
-          .withColumn("is_canonical",
-            when(col("key_set") === "amount,id,k", 1).otherwise(0))
+        // body factored to Debezium.shapeTaxonomy (r12), shared verbatim
+        // with the streamed SchemaDriftMonitor — same plan, one source
+        // of truth for the taxonomy expressions
+        graft.cdc.Debezium.shapeTaxonomy(envelopes(s, dir))
     },
 
     GraftQuery(

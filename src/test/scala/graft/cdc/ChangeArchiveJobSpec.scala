@@ -623,4 +623,39 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
     assert(multiset(DeadLetterSink.read(spark, dlq)) === expected,
       "a replayed batch must replace its own content exactly")
   }
+
+  test("streamed schema-drift monitor: cumulative partials == batch cdc09 taxonomy across resume") {
+    val (src, ckpt, out) = (tmpDir("drift-src"), tmpDir("drift-ckpt"), tmpDir("drift-out"))
+    def taxonomy(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getInt(3))))
+      .toMap
+    // phase 1: canonical rows + a null tombstone
+    writeEnvelopes(src, "f1.jsonl", Seq(
+      envelope(1), envelope(2),
+      """{"op":"d","ts_ms":1700000000003,"source":{"db":"demo","table":"t_orders"},"before":null,"after":null}"""))
+    SchemaDriftMonitor.run(spark,
+      Seq(ChangeArchiveJob.SourceStream("src-a", src)), out, ckpt).awaitTermination()
+    // phase 2 (resume from the checkpoint): a DRIFTED shape arrives —
+    // an upstream DDL added a column
+    writeEnvelopes(src, "f2.jsonl", Seq(
+      """{"op":"d","ts_ms":1700000000004,"source":{"db":"demo","table":"t_orders"},"before":{"id":4,"amount":"4.50","new_col":1},"after":null}"""))
+    SchemaDriftMonitor.run(spark,
+      Seq(ChangeArchiveJob.SourceStream("src-a", src)), out, ckpt).awaitTermination()
+    val got = taxonomy(SchemaDriftMonitor.read(spark, out))
+    // ground truth: the batch cdc09 taxonomy over ALL files at once —
+    // the mergeable-partial contract is exactly this equality
+    val batch = taxonomy(Debezium.shapeTaxonomy(spark.read.text(src))
+      .select("table_name", "key_set", "n", "is_canonical"))
+    assert(got === batch,
+      "re-aggregated per-batch partials diverged from the whole-stream taxonomy")
+    // the drifted shape is visible and NOT canonical — the alert fires
+    val drifted = got.filter { case ((_, ks), _) => ks.contains("new_col") }
+    assert(drifted.nonEmpty && drifted.values.forall(_._2 === 0),
+      "the drifted key-set must surface with is_canonical = 0")
+    // replay idempotence: re-folding batch 0's content overwrites
+    Debezium.shapeTaxonomy(spark.read.text(s"$src/f1.jsonl"))
+      .write.mode("overwrite").parquet(s"$out/batch_id=0")
+    assert(taxonomy(SchemaDriftMonitor.read(spark, out)) === batch,
+      "a replayed batch must replace its own partial exactly")
+  }
 }
