@@ -688,8 +688,7 @@ object Relational {
              |GROUP BY 1, 2""".stripMargin),
       "Hive-style partitioned SINK + partition-PRUNED source — the layout decision that matters most at 100 TB: events are written out partitioned by day (repartition(event_date) first, so each partition directory gets ONE file instead of one per task — the small-files problem at cluster scale), then the date-range read back prunes 27 of 30 partition directories BEFORE any I/O (PartitionFilters in the scan, plan-asserted in PlanAuditSpec); the oracle computes the same aggregate straight from the unpartitioned table.") {
       (s, dir) =>
-        val out = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_q42_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+        val out = TempLayout.dir("q42", dir)
         t(s, dir, "events")
           .withColumn("event_date", to_date(col("ts")))
           .repartition(col("event_date"))
@@ -1112,10 +1111,7 @@ object Relational {
              |GROUP BY 1, 2""".stripMargin),
       "DYNAMIC partition pruning — q42's static date-range pruning upgraded to the form 100 TB star joins actually need: the partitions to read are not known until RUNTIME (they come from a filtered dimension, not a literal predicate), so Catalyst injects the dim's qualifying keys into the fact scan as a dynamicpruningexpression subquery — the fact side skips whole partition directories it would otherwise scan, shuffle, and join away. Here the day-partitioned events layout (q42's sink) joins a data-derived date dimension (distinct days with day-of-month % 7 = 3 — deterministic, cross-engine-identical arithmetic, not dow semantics that differ between engines); the dim broadcasts, and the scan's PartitionFilters carry the runtime subquery instead of reading all 30 days for a ~4-day answer (plan-asserted in PlanAuditSpec: dynamicpruning IN the scan, with the static path explicitly absent). This is THE optimization that makes dimension-filtered fact queries viable on partitioned data lakes — without it, a 'sales on promo days' query scans the whole fact table; the oracle computes the same join straight from the unpartitioned table.") {
       (s, dir) =>
-        val out = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_q64_${java.security.MessageDigest.getInstance("MD5")
-            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)}")
-          .getAbsolutePath
+        val out = TempLayout.dir("q64", dir)
         t(s, dir, "events")
           .withColumn("event_date", to_date(col("ts")))
           .repartition(col("event_date"))
@@ -1142,10 +1138,7 @@ object Relational {
              |FROM events GROUP BY 1""".stripMargin),
       "Schema-EVOLUTION-tolerant source — the lake-read reality q44/q59 (fixed-schema sources) don't cover: a long-lived dataset's early files lack columns later files carry (a producer deploy added event_type mid-stream), and the engine must read BOTH generations as one table with the missing column null-padded, not crash or silently drop old files. Exercised for real: generation 1 is written WITHOUT the column, generation 2 WITH it, and the read uses parquet mergeSchema to reconcile footers at planning time (the per-file schema union Spark otherwise skips for speed — at 100 TB you pay one footer pass per file once, then scans stay columnar and pruned). Nulls from pre-evolution files are then first-class data: the aggregate folds them into an explicit '(pre-evolution)' bucket (the cdc09 drift-taxonomy discipline applied at read time — an evolved column's missing history must be VISIBLE in results, not conflated with real values). The oracle reconstructs the same two-generation semantics from the unpartitioned table. This, q42/q64 (partition layouts), q44 (JSON DDL), q59 (CSV PERMISSIVE) complete the source matrix: layout, format, malformed rows, and schema drift each have an explicit, tested contract.") {
       (s, dir) =>
-        val out = new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_q65_${java.security.MessageDigest.getInstance("MD5")
-            .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)}")
-          .getAbsolutePath
+        val out = TempLayout.dir("q65", dir)
         val ev = t(s, dir, "events")
         // generation 1: the producer's ORIGINAL schema (no event_type)
         ev.filter(col("event_id") % 2 === 0)
@@ -1204,6 +1197,35 @@ object Relational {
       .withColumn("budget", greatest(expr(s"tp div $parts"), lit(1L)))
       .select(col("k"),
         least(lit(16L), expr("(pairs + budget - 1) div budget")).as("fanout"))
+  }
+}
+
+
+/** Scratch layout directories under java.io.tmpdir for the queries
+  * that demonstrate a WRITE+READ layout (q42/q64/q65): md5-tagged per
+  * source dir (hashCode collisions would silently cross-wire two dirs'
+  * layouts — the q55 memo lesson, ADVICE r11) and deleted at JVM exit
+  * (q55's leak lesson, ADVICE r10) — repeat runs overwrite, exits
+  * clean up, and concurrent sessions on different source dirs never
+  * collide.
+  */
+private[graft] object TempLayout {
+  private val registered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def dir(prefix: String, sfDir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val f = new java.io.File(sys.props("java.io.tmpdir"), s"graft_${prefix}_$tag")
+    if (registered.add(f.getAbsolutePath)) {
+      sys.addShutdownHook {
+        def rm(x: java.io.File): Unit = {
+          Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+        }
+        rm(f)
+      }
+      ()
+    }
+    f.getAbsolutePath
   }
 }
 
