@@ -162,15 +162,18 @@ object Bench {
   }
 
   /** Family key for the driver line's subtotals: the query id's prefix
-    * with its numeric suffix dropped ("dd03_x" → "dd", "q57_y" → "q",
-    * "entry" → "entry"). Digit-FREE by construction — `bench_gate.py`
-    * detects the compact subtotal format by exactly that property and
-    * redirects per-query diffs to the BENCH_FULL artifact.
+    * up to its FIRST digit ("dd03_x" → "dd", "q57_y" → "q", "entry" →
+    * "entry"). Digit-FREE and non-empty by construction — `bench_gate
+    * .py` detects the compact subtotal format by exactly the digit-free
+    * property, so a future id with an interior digit ("v2x01_y") must
+    * not leak one through (a strip-trailing-digits spelling would:
+    * "v2x" keeps the 2 and the gate would misread the compact line as
+    * per-query). An id STARTING with a digit gets the explicit "misc"
+    * bucket rather than an empty key.
     */
   def family(name: String): String = {
-    val p = name.takeWhile(_ != '_')
-    val digits = p.reverse.takeWhile(_.isDigit).reverse
-    if (digits.isEmpty) p else p.dropRight(digits.length)
+    val f = name.takeWhile(c => c != '_' && !c.isDigit)
+    if (f.isEmpty) "misc" else f
   }
 
   /** JSON string literal, control chars flattened. */

@@ -104,7 +104,14 @@ object ScaleProbe {
       val r1 = samples.head._1._2
       val sN = samples.map(_._2._1).min
       val rN = samples.head._2._2
-      println(f"""{"op":"$name","sec_1x":$s1%.2f,"rows_1x":$r1,"sec_${factor}x":$sN%.2f,"rows_${factor}x":$rN,"time_ratio":${sN / s1}%.1f,"runs":$runs}""")
+      // Locale.ROOT: the f-interpolator formats with the DEFAULT locale
+      // and a comma-decimal JVM would emit invalid JSON here (the
+      // ADVICE r11 class of bug, fixed in Bench.jnum — same rule for
+      // every machine-parsed line)
+      println(String.format(java.util.Locale.ROOT,
+        """{"op":"%s","sec_1x":%.2f,"rows_1x":%d,"sec_%dx":%.2f,"rows_%dx":%d,"time_ratio":%.1f,"runs":%d}""",
+        name, Double.box(s1), Long.box(r1), Integer.valueOf(factor), Double.box(sN),
+        Integer.valueOf(factor), Long.box(rN), Double.box(sN / s1), Integer.valueOf(runs)))
       sN / s1
     }
     val ratios = Seq("dd03_minhash_lsh_pairs", "dd04_simhash_pairs",

@@ -59,17 +59,26 @@ object ChangeArchiveJob {
     * counted (enrich would discard it unmatched anyway; this way the
     * drop is observable).
     */
+  /** The task's QUALIFIED `db.table` allowlist for one instance
+    * (`StartJob.java:55-57` — each listed table prefixed with that
+    * source's dbName; an instance absent from `cfg.sources` gets the
+    * empty list, so everything it carries drops counted). ONE
+    * implementation shared by [[build]] and [[buildAnnotated]] — the
+    * two pipelines must never scope the allowlist differently.
+    */
+  private def qualifiedFor(cfg: TaskConfig, instanceName: String): Seq[String] =
+    cfg.sources.find(_.instanceName == instanceName)
+      .map(src => cfg.tables.map(t => s"${src.dbName}.$t"))
+      .getOrElse(Seq.empty)
+
   def build(
       streams: Seq[(String, DataFrame)],
       spark: SparkSession,
       cfg: TaskConfig): DataFrame = {
     val parsed = streams.map { case (instanceName, envelopes) =>
-      val qualified = cfg.sources.find(_.instanceName == instanceName)
-        .map(src => cfg.tables.map(t => s"${src.dbName}.$t"))
-        .getOrElse(Seq.empty)
       Debezium.parseChanges(envelopes, instanceName,
         observeName = Some(s"cdc_parse_$instanceName"),
-        allowedTables = Some(qualified))
+        allowedTables = Some(qualifiedFor(cfg, instanceName)))
     }
     // bag-semantics union of N per-instance streams (StartJob.java:89-92)
     val unioned = parsed.reduce(_ unionByName _)
@@ -90,12 +99,9 @@ object ChangeArchiveJob {
       streams: Seq[(String, DataFrame)],
       cfg: TaskConfig): DataFrame =
     streams.map { case (instanceName, envelopes) =>
-      val qualified = cfg.sources.find(_.instanceName == instanceName)
-        .map(src => cfg.tables.map(t => s"${src.dbName}.$t"))
-        .getOrElse(Seq.empty)
       Debezium.parseAnnotated(envelopes, instanceName,
         observeName = Some(s"cdc_parse_$instanceName"),
-        allowedTables = Some(qualified))
+        allowedTables = Some(qualifiedFor(cfg, instanceName)))
     }.reduce(_ unionByName _)
 
   /** Start the streaming job: one file-stream per source, dual-sink
@@ -157,44 +163,41 @@ object ChangeArchiveJob {
       maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
       s.instanceName -> reader.text(s.dir)
     }
-    deadLetterDir match {
-      case None =>
-        val archive = build(streams, session, cfg)
-        archive.writeStream
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            // one materialization serves every writer (dual-sink
-            // delivery, StartJob.java:95-104) — without it each writer
-            // would re-read the sources and re-parse
-            val pinned = batch.persist()
-            try writers.foreach(_.write(pinned, batchId))
-            finally pinned.unpersist()
-            ()
-          }
-          .option("checkpointLocation", checkpointDir)
-          .trigger(trigger)
-          .start()
-      case Some(dlqDir) =>
-        val annotated = buildAnnotated(streams, cfg)
-        val sources0 = sourcesDf(session, cfg)
-        annotated.writeStream
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            // ONE parse pass pinned once serves the archive writers AND
-            // the quarantine — the scale point of the annotated path
-            val pinned = batch.persist()
-            try {
+    // the two modes differ ONLY in the streamed frame and the per-batch
+    // body; the writeStream scaffolding (pin once / deliver / unpersist,
+    // checkpoint, trigger) is shared so a future option lands in both
+    val (streamed, deliver): (DataFrame, (DataFrame, Long) => Unit) =
+      deadLetterDir match {
+        case None =>
+          // one materialization serves every writer (dual-sink
+          // delivery, StartJob.java:95-104) — without it each writer
+          // would re-read the sources and re-parse
+          (build(streams, session, cfg),
+            (batch, batchId) => writers.foreach(_.write(batch, batchId)))
+        case Some(dlqDir) =>
+          // ONE parse pass pinned once serves the archive writers AND
+          // the quarantine — the scale point of the annotated path
+          val sources0 = sourcesDf(session, cfg)
+          (buildAnnotated(streams, cfg),
+            (batch, batchId) => {
               val kept = Debezium.enrich(
-                pinned.filter(col("reason") === Debezium.Kept)
+                batch.filter(col("reason") === Debezium.Kept)
                   .select("instanceName", "tableName", "id", "recordDelTime", "dataJson"),
                 sources0)
               writers.foreach(_.write(kept, batchId))
-              DeadLetterSink.write(pinned, batchId, dlqDir)
-            } finally pinned.unpersist()
-            ()
-          }
-          .option("checkpointLocation", checkpointDir)
-          .trigger(trigger)
-          .start()
-    }
+              DeadLetterSink.write(batch, batchId, dlqDir)
+            })
+      }
+    streamed.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pinned = batch.persist()
+        try deliver(pinned, batchId)
+        finally pinned.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
   }
 }
 

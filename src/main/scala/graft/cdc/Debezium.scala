@@ -151,20 +151,33 @@ object Debezium {
     *   listed table with the source's dbName); unlisted tables drop as
     *   [[NotListened]], counted like every other reason.
     */
-  def parseChanges(
+  /** The shared classification front of [[parseChanges]] and
+    * [[parseAnnotated]]: extracted fields + the `_reason` column +
+    * (optionally) the observed drop-taxonomy counters. ONE
+    * implementation so the kept-only and annotated pipelines can never
+    * classify differently — a new drop reason or counter lands in both
+    * by construction.
+    */
+  private def classifiedObserved(
       envelopes: DataFrame,
-      instanceName: String,
-      observeName: Option[String] = None,
-      allowedTables: Option[Seq[String]] = None): DataFrame = {
+      observeName: Option[String],
+      allowedTables: Option[Seq[String]]): DataFrame = {
     val classified = extracted(envelopes)
       .withColumn("_reason", reasonFromExtracted(allowedTables))
-    val observed = observeName.fold(classified) { name =>
+    observeName.fold(classified) { name =>
       val counters =
         count(when(col("_reason") === Kept, 1)).as("kept") +:
           reasons.map(r => count(when(col("_reason") === r, 1)).as(r))
       classified.observe(name, count(lit(1)).as("total"), counters: _*)
     }
-    observed
+  }
+
+  def parseChanges(
+      envelopes: DataFrame,
+      instanceName: String,
+      observeName: Option[String] = None,
+      allowedTables: Option[Seq[String]] = None): DataFrame = {
+    classifiedObserved(envelopes, observeName, allowedTables)
       .filter(col("_reason") === Kept)
       .select(
         lit(instanceName).as("instanceName"),
@@ -212,15 +225,7 @@ object Debezium {
       instanceName: String,
       observeName: Option[String] = None,
       allowedTables: Option[Seq[String]] = None): DataFrame = {
-    val classified = extracted(envelopes)
-      .withColumn("_reason", reasonFromExtracted(allowedTables))
-    val observed = observeName.fold(classified) { name =>
-      val counters =
-        count(when(col("_reason") === Kept, 1)).as("kept") +:
-          reasons.map(r => count(when(col("_reason") === r, 1)).as(r))
-      classified.observe(name, count(lit(1)).as("total"), counters: _*)
-    }
-    observed.select(
+    classifiedObserved(envelopes, observeName, allowedTables).select(
       lit(instanceName).as("instanceName"),
       col("_reason").as("reason"),
       col("_table").as("tableName"),

@@ -885,32 +885,39 @@ object Dedup {
       "Incremental CHUNK-level dedup with sk01's RUNTIME-FILTER move — the third asymmetry in the incremental family (dd12 made every join probe drop-sized; this makes the drop-side SHUFFLE dup-sized): an incoming crawl drop's 50-token/stride-40 chunk fingerprints (dd11's grain — the one where cross-drop repetition actually lives: shared boilerplate, license blocks, templates; whole-doc fingerprints almost never repeat across drops) are checked against the EXISTING corpus's chunk-fingerprint store. Before any chunk shuffles toward the confirm join, a bloom sketch over the corpus fingerprints (in production: maintained incrementally next to the store itself, KB-to-MB at any corpus size) rides a scalar subquery into the incoming scan as a might_contain FILTER — measured on this fixture the prefilter passes ~7% of incoming chunks (6/83 true matches at sf0.01 plus FP noise), so the exchange carries the duplicated sliver, not the drop. A bloom false positive costs one extra row through the exact fingerprint semi join, which removes it: the answer is EXACT and the oracle is the plain IN-subquery membership (sk01's contract — sketch for pruning, never for truth). Output per incoming doc: total chunks, corpus-known chunks (zero rows kept — the tx12 nothing-vanishes contract), and the known fraction (one IEEE division) — the per-doc contamination signal that decides quarantine-vs-admit at ingestion time. PlanAuditSpec pins the bloom reaches the incoming side as a filter ahead of the join.") {
       (s, dir) =>
         graft.functions.GraftFunctions.register(s)
-        // dd15-prefixed view name: never clobber caller-owned temp
+        // both splits are referenced TWICE downstream (corp: bloom build
+        // + confirm join; inc: candidates + per-doc totals) and Spark
+        // inlines non-materialized CTEs — pin each once so the chunking
+        // pass never re-runs (in production these ARE the persisted
+        // fingerprint store and the drop's staged chunks)
+        val chunks = spread(docs(s, dir), "doc_id")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("n", size(col("w")))
+          .select(col("doc_id"), col("w"),
+            explode(expr("sequence(0, greatest(n - 1, 0), 40)")).as("start"))
+          .select(col("doc_id"),
+            md5(concat_ws(" ", expr("slice(w, start + 1, 50)"))).as("fp"))
+          .distinct()
+          .withColumn("bkt", expr(Sampling.bucket100("doc_id")))
+        // dd15-prefixed view names: never clobber caller-owned temp
         // views in the shared session (the sk01 rule)
-        spread(docs(s, dir), "doc_id").createOrReplaceTempView("dd15_documents")
+        Materialize(chunks.filter(col("bkt") < 10).select("doc_id", "fp"))
+          .createOrReplaceTempView("dd15_inc")
+        Materialize(chunks.filter(col("bkt") >= 10).select("fp").distinct())
+          .createOrReplaceTempView("dd15_corp")
         s.sql(
-          s"""WITH d AS (SELECT doc_id, split(text, ' ') AS w,
-             |                 size(split(text, ' ')) AS n,
-             |                 ${Sampling.bucket100("doc_id")} AS bkt FROM dd15_documents),
-             |s AS (SELECT doc_id, bkt, w,
-             |             explode(sequence(0, greatest(n - 1, 0), 40)) AS start FROM d),
-             |ch AS (SELECT DISTINCT doc_id, bkt,
-             |              md5(concat_ws(' ', slice(w, start + 1, 50))) AS fp
-             |       FROM s),
-             |inc AS (SELECT doc_id, fp FROM ch WHERE bkt < 10),
-             |corp AS (SELECT DISTINCT fp FROM ch WHERE bkt >= 10),
-             |cand AS (SELECT doc_id, fp FROM inc
+          s"""WITH cand AS (SELECT doc_id, fp FROM dd15_inc
              |         WHERE graft_might_contain(
              |                 (SELECT graft_bloom_agg(xxhash64(fp), 200000L, 2000000L)
-             |                  FROM corp),
+             |                  FROM dd15_corp),
              |                 xxhash64(fp))),
              |k AS (SELECT c.doc_id, COUNT(*) AS nk
-             |      FROM cand c LEFT SEMI JOIN corp ON c.fp = corp.fp
+             |      FROM cand c LEFT SEMI JOIN dd15_corp ON c.fp = dd15_corp.fp
              |      GROUP BY c.doc_id)
              |SELECT i.doc_id, COUNT(*) AS n_chunks,
              |       COALESCE(MAX(k.nk), 0L) AS n_known,
              |       CAST(COALESCE(MAX(k.nk), 0L) AS DOUBLE) / COUNT(*) AS known_frac
-             |FROM inc i LEFT JOIN k ON k.doc_id = i.doc_id
+             |FROM dd15_inc i LEFT JOIN k ON k.doc_id = i.doc_id
              |GROUP BY i.doc_id""".stripMargin)
     },
 

@@ -41,9 +41,16 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.family("cdc10_dlq") === "cdc")
     assert(Bench.family("q57_rank") === "q")
     assert(Bench.family("entry") === "entry")
+    // digit-free must hold for HOSTILE future ids too, not just the
+    // current inventory — interior digits and all-digit prefixes are
+    // exactly what would silently defeat bench_gate's format detection
+    assert(Bench.family("v2x01_future") === "v")
+    assert(Bench.family("a1b2_x") === "a")
+    assert(Bench.family("123_x") === "misc")
     SparkEntry.queries.keys.foreach { k =>
-      assert(!Bench.family(k).exists(_.isDigit),
-        s"family key for $k contains a digit — bench_gate's format detection breaks")
+      val f = Bench.family(k)
+      assert(f.nonEmpty && !f.exists(_.isDigit),
+        s"family key for $k is '$f' — bench_gate's format detection breaks")
     }
   }
 

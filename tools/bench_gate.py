@@ -14,10 +14,12 @@ query id is waived in the waivers file (markdown bullets ``- id: reason``).
 Sub-second queries and the total are reported but never fail the gate —
 best-of-two on a shared box prices small queries inside noise.
 
-Round recipe: after a local ``sbt "runMain graft.Bench" | tee /tmp/bench.json``,
-run ``python3 tools/bench_gate.py BENCH_r{N-1}.json /tmp/bench.json`` BEFORE
-committing perf-relevant work. r4 (q39 2.6x, ss02 1.8x) and r5 (st01 9.9x)
-both shipped drifts that this would have caught at commit time.
+Round recipe (r12+): run ``sbt "runMain graft.Bench"`` (its stdout line is
+now the compact family-subtotal view), then gate the PER-QUERY artifact it
+writes: ``python3 tools/bench_gate.py BENCH_r{N-1}.json
+BENCH_FULL_LATEST.json`` BEFORE committing perf-relevant work. r4 (q39 2.6x,
+ss02 1.8x) and r5 (st01 9.9x) both shipped drifts this caught at commit
+time.
 
 r12 format note: the driver line now carries per-FAMILY subtotals
 (inventory growth costs zero line chars); per-query timings land in
@@ -74,7 +76,8 @@ def load_queries(path):
         raise SystemExit(
             f"[bench_gate] {path} carries family subtotals (r12 compact driver "
             "line); per-query timings live in the BENCH_FULL artifact — pass "
-            "BENCH_FULL_r{N}.json (archived from BENCH_FULL_LATEST.json) instead")
+            "BENCH_FULL_LATEST.json (written by the run you just made) or an "
+            "archived BENCH_FULL_r{N}.json instead")
     return {canon(k): v for k, v in qs.items()}, d.get("value")
 
 
