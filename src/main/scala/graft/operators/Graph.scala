@@ -505,26 +505,7 @@ object Graph {
 
     GraftQuery(
       "gr11_sssp",
-      Some(s"""WITH RECURSIVE support AS (
-              |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
-              |  FROM lineitem l
-              |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-              |  JOIN customer c ON o.o_custkey = c.c_custkey
-              |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-              |  WHERE c.c_nationkey <> s.s_nationkey
-              |  GROUP BY 1, 2),
-              |med AS (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY w) AS m FROM support),
-              |wedges AS (SELECT src, dst, 1000000 // w AS cost FROM support, med WHERE w > m),
-              |seed AS (SELECT LEAST((SELECT MIN(src) FROM wedges),
-              |                      (SELECT MIN(dst) FROM wedges)) AS n),
-              |walk(node, d, hops) AS (
-              |  SELECT n, CAST(0 AS BIGINT), 0 FROM seed
-              |  UNION ALL
-              |  SELECT e.dst, wk.d + e.cost, wk.hops + 1
-              |  FROM walk wk JOIN wedges e ON e.src = wk.node WHERE wk.hops < 4)
-              |SELECT na.n_name AS nation, MIN(walk.d) AS dist_units
-              |FROM walk JOIN nation na ON na.n_nationkey = walk.node
-              |GROUP BY 1""".stripMargin),
+      Some(ssspOracle),
       "Bounded single-source WEIGHTED shortest paths — the algorithm family the graph set lacked (gr04/gr05 are unweighted reachability): edge cost = 1e6 div trade-support (strong link = cheap hop, truncating integer division so every distance is an exact int64), four unrolled sparse Bellman-Ford relaxations from the data-adaptive seed (min endpoint, a 1-row broadcast). Each round extends the reached set by one hop — dist' = min(dist UNION dist-join-edges) — so round k holds the exact minimum over all walks of <= k edges, which is precisely what the oracle's recursive CTE enumerates (the CTE pays path-enumeration blowup the DataFrame loop avoids: the distributed form carries ONE row per reached vertex, the min-combine folding map-side). Bounded rounds are gr01's discipline — at 100 TB you either know the relevant radius (ETA/logistics queries rarely need > single-digit hops) or you run to convergence with gr08's loud-cap loop; the per-round bill is one edges-join + one vertex-grain min, the dist table rides a broadcast at |V| << executor memory and swaps to gr09's shuffled-label form past it (both forms demonstrated). Unreached vertices are absent, not null-padded — reachability IS information here.") {
       (s, dir) =>
         val we = weightedEdges(s, dir)
@@ -664,6 +645,56 @@ object Graph {
             .select(col("n_nationkey").as("node"), col("n_name"))), "node")
           .crossJoin(broadcast(scc.agg(count(lit(1)).as("scc_size"))))
           .select(col("n_name").as("nation"), col("scc_size"))
+    },
+
+    GraftQuery(
+      "gr15_bfs_shuffled",
+      // gr04/gr05's shared oracle verbatim: one BFS ground truth, now
+      // THREE execution strategies (engine fixpoint, broadcast
+      // frontier, shuffled frontier) must all agree
+      Some(reachSql("")),
+      "gr05's frontier-dedup BFS WITHOUT frontier broadcasts — gr09's recipe applied to the reachability family, closing the last loop shape that assumed its per-round state fits an executor. gr05 broadcasts the frontier and visited sets each hop, which is RIGHT while frontiers are small — but on a 100 TB web graph a mid-BFS frontier peaks at a large fraction of |V| (small-world graphs reach most vertices within a few hops), and that hop's broadcast is the OOM. Here the edge list is hash-partitioned ONCE on src and checkpointed; each hop's expansion is an equi-join where ONLY the frontier moves, the dedup is the same vertex-grain distinct, and the visited-set subtraction is a SHUFFLE_MERGE left-anti join — every per-hop operator survives frontier ~ |V| (PlanAuditSpec pins zero Broadcast in the hop; GraphSpec pins gr15 == gr05 == gr04 row-for-row against the recursive-CTE oracle). With gr09/gr10/gr12/gr13 this makes the claim exact: EVERY iterative loop in the inventory — CC, k-core, PageRank, LPA, BFS — has a form whose executed plan holds when its loop state outgrows executor memory; the per-hop trade is the standard sort-merge price on the frontier shuffle.") {
+      (s, dir) =>
+        val e = Materialize.trackedLocalCheckpoint(
+          edges(s, dir)
+            .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"))
+            .repartition(col("src")))
+        val seed = s.range(1)
+          .select(lit(0).cast("int").as("node"), lit(0).cast("int").as("hop"))
+        var visited = seed
+        var frontier = seed.select("node")
+        for (h <- 1 to 3) {
+          val next = Materialize.trackedLocalCheckpoint(
+            bfsShuffledHop(e, frontier, visited, h))
+          visited = visited.unionByName(next)
+          frontier = next.select("node")
+        }
+        visited.select(col("node"), col("hop").as("min_hops"))
+    },
+
+    GraftQuery(
+      "gr16_sssp_shuffled",
+      // gr11's oracle verbatim — same four relaxations, same integer
+      // costs; only the execution strategy differs
+      Some(ssspOracle),
+      "gr11's bounded Bellman-Ford WITHOUT dist-table broadcasts — the weighted companion of gr15, finishing the shuffled-twin matrix: gr11 ships the (node, dist) table to every executor each relaxation (right while the reached set is small; the scale-killer once relaxation has touched most of a billion-vertex graph). The weighted edge list is hash-partitioned ONCE on src and checkpointed; each relaxation is an equi-join where ONLY the dist table moves (one reached-set-sized shuffle), the min-combine stays the same map-side-partial vertex-grain aggregate, and the final nation attribution is a SHUFFLE_MERGE join — zero broadcasts anywhere in the executed plan (the 1-row seed comes from an aggregate over the checkpointed edges, SinglePartition-fed like q57's frames, not a hashed relation; PlanAuditSpec pins the whole query broadcast-free post-checkpoint). GraphSpec pins gr16 == gr11 row-for-row; the oracle is the recursive-CTE walk enumeration both have always matched. Same exact-int64 distances, same bounded-rounds discipline.") {
+      (s, dir) =>
+        val we = Materialize.trackedLocalCheckpoint(
+          weightedEdges(s, dir).repartition(col("src")))
+        val seed = we.agg(least(min(col("src")), min(col("dst"))).as("node"))
+          .select(col("node"), lit(0L).as("d"))
+        var dist = seed
+        for (_ <- 1 to 4) {
+          val relaxed = we
+            .join(dist.select(col("node").as("src"), col("d").as("ds")).hint("shuffle_merge"), "src")
+            .select(col("dst").as("node"), (col("ds") + col("cost")).as("d"))
+          dist = dist.unionByName(relaxed)
+            .groupBy("node").agg(min(col("d")).as("d"))
+        }
+        dist.join(Tables.load(s, dir, "nation")
+            .select(col("n_nationkey").as("node"), col("n_name"))
+            .hint("shuffle_merge"), "node")
+          .select(col("n_name").as("nation"), col("d").as("dist_units"))
     })
 
   /** Weighted sparsified edge list `(src, dst, cost)` for gr11:
@@ -768,6 +799,50 @@ object Graph {
        |       CAST(COUNT(*) OVER (PARTITION BY l3.lab) AS BIGINT) AS community_size
        |FROM l3 JOIN nation na ON na.n_nationkey = l3.node""".stripMargin
   }
+
+  /** Shared gr11/gr16 ground truth: the 4-relaxation weighted-walk
+    * minimum from the data-adaptive seed — one oracle, two execution
+    * strategies (broadcast vs shuffled dist table).
+    */
+  private def ssspOracle =
+    s"""WITH RECURSIVE support AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey
+       |  GROUP BY 1, 2),
+       |med AS (SELECT PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY w) AS m FROM support),
+       |wedges AS (SELECT src, dst, 1000000 // w AS cost FROM support, med WHERE w > m),
+       |seed AS (SELECT LEAST((SELECT MIN(src) FROM wedges),
+       |                      (SELECT MIN(dst) FROM wedges)) AS n),
+       |walk(node, d, hops) AS (
+       |  SELECT n, CAST(0 AS BIGINT), 0 FROM seed
+       |  UNION ALL
+       |  SELECT e.dst, wk.d + e.cost, wk.hops + 1
+       |  FROM walk wk JOIN wedges e ON e.src = wk.node WHERE wk.hops < 4)
+       |SELECT na.n_name AS nation, MIN(walk.d) AS dist_units
+       |FROM walk JOIN nation na ON na.n_nationkey = walk.node
+       |GROUP BY 1""".stripMargin
+
+  /** One gr15 BFS hop with the frontier and visited sets EQUI-JOINED
+    * under SHUFFLE_MERGE hints — no broadcast of any DATA-DERIVED
+    * frontier, by construction. (Hop 1's literal 1-row seed may still
+    * constant-fold into a trivial single-row broadcast — correct and
+    * scale-irrelevant: only data-derived frontiers, i.e. every hop
+    * past the first, can ever be large, and those plan SortMergeJoin —
+    * PlanAuditSpec audits exactly that case.) `e` must be `(src, dst)`
+    * edges partitioned on `src`. Package-visible so the audit sees one
+    * hop's executed plan in isolation (inside gr15 each hop hides
+    * behind the checkpoint).
+    */
+  private[graft] def bfsShuffledHop(
+      e: DataFrame, frontier: DataFrame, visited: DataFrame, h: Int): DataFrame =
+    e.join(frontier.withColumnRenamed("node", "src").hint("shuffle_merge"), "src")
+      .select(col("dst").as("node")).distinct()
+      .join(visited.select("node").hint("shuffle_merge"), Seq("node"), "left_anti")
+      .withColumn("hop", lit(h).cast("int"))
 
   /** Shared gr08/gr09 ground truth: the transitive closure itself —
     * component(v) = MIN over everything reachable from v (undirected),

@@ -396,7 +396,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // AQE's runtime re-plan is what's asserted. (The edge build's
     // legitimate dimension broadcasts hide behind the checkpoint; the
     // loop is exactly what remains visible.)
-    for (name <- Seq("gr12_pagerank_shuffled", "gr13_lpa_shuffled")) {
+    for (name <- Seq("gr12_pagerank_shuffled", "gr13_lpa_shuffled",
+        "gr16_sssp_shuffled")) {
       val df = GraftQuery.all.find(_.name == name).get.build(spark, sf001)
       df.collect() // finalize the adaptive plan before reading it
       val p = df.queryExecution.executedPlan.toString
@@ -405,6 +406,30 @@ class PlanAuditSpec extends AnyFunSuite {
       assert(p.contains("SortMergeJoin"),
         s"$name: the shuffle_merge hints must hold through AQE")
     }
+  }
+
+  test("gr15: the shuffled BFS hop never broadcasts the frontier or visited set") {
+    // gr09's isolation discipline: inside the query each hop hides
+    // behind its checkpoint, so audit one hop's executed plan directly
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = operators.Materialize.trackedLocalCheckpoint(
+      operators.Graph.edges(spark, sf001)
+        .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"))
+        .repartition(col("src")))
+    // the frontier under audit must be DATA-derived (a checkpointed
+    // frame), like every hop >= 2 — a literal 1-row seed constant-folds
+    // into a trivial single-row broadcast, which is both correct and
+    // irrelevant to the at-scale claim (only data-derived frontiers can
+    // ever be large)
+    val seed = operators.Materialize.trackedLocalCheckpoint(spark.range(1)
+      .select(lit(0).cast("int").as("node"), lit(0).cast("int").as("hop")))
+    val hop = operators.Graph.bfsShuffledHop(e, seed.select("node"), seed, 1)
+    hop.collect() // finalize the adaptive plan before reading it
+    val p = hop.queryExecution.executedPlan.toString
+    assert(!p.contains("Broadcast"),
+      "gr15's hop must not broadcast anything — frontier and visited are equi-joined")
+    assert(p.contains("SortMergeJoin"),
+      "the shuffle_merge hints must hold through AQE")
   }
 
   test("q57: no fact-scale rows ever cross a SinglePartition exchange") {

@@ -318,6 +318,27 @@ class GraphSpec extends AnyFunSuite {
       "SCC == forward closure == everything — direction never mattered")
   }
 
+  test("gr15: shuffled-frontier BFS is row-identical to gr05 (and so to gr04's CTE)") {
+    def rows(name: String) = run(name).collect()
+      .map(r => (lv(r, 0), lv(r, 1))).toSet
+    val g5 = rows("gr05_frontier_bfs")
+    val g15 = rows("gr15_bfs_shuffled")
+    assert(g15 == g5,
+      s"gr15 diverged from gr05: extra=${g15 -- g5} missing=${g5 -- g15}")
+    assert(g5.nonEmpty, "empty BFS output — equivalence pin is vacuous")
+    assert(g5.map(_._2).max >= 2L, "no multi-hop vertex — the loop never iterated")
+  }
+
+  test("gr16: shuffled-dist SSSP is row-identical to gr11") {
+    def rows(name: String) = run(name).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val g11 = rows("gr11_sssp")
+    val g16 = rows("gr16_sssp_shuffled")
+    assert(g16 == g11,
+      s"gr16 diverged from gr11: extra=${g16 -- g11} missing=${g11 -- g16}")
+    assert(g11.nonEmpty, "empty SSSP output — equivalence pin is vacuous")
+  }
+
   test("gr13: shuffled-label LPA is row-identical to gr06") {
     def rows(name: String) = run(name).collect()
       .map(r => (r.getString(0), lv(r, 1), r.getLong(2))).toSet
