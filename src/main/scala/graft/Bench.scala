@@ -176,9 +176,14 @@ object Bench {
     if (f.isEmpty) "misc" else f
   }
 
-  /** JSON string literal, control chars flattened. */
+  /** JSON string literal, control chars flattened. The WHOLE
+    * U+0000–U+001F range, not just \n\r\t: renderFull writes error
+    * messages untruncated into BENCH_FULL_LATEST.json, and one \b or \f
+    * in an exception message would break bench_gate's strict
+    * json.loads of the round's canonical record (ADVICE r12).
+    */
   private def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-    .replaceAll("[\\n\\r\\t]", " ") + "\""
+    .replaceAll("[\\x00-\\x1f]", " ") + "\""
 
   /** Locale-independent JSON number at the given decimal scale (the
     * `"%.3f"` path the r11 side file used emits `0,701` under comma-

@@ -62,6 +62,33 @@ private[cdc] object JdbcRouting {
       col("dataJson"))
       .sortWithinPartitions("dbTbName")
 
+  /** Connection lifecycle that can never MASK the in-flight exception
+    * (VERDICT r12, O8): a bare `finally conn.close()` on a connection
+    * with an open transaction throws on some drivers (Derby: "Cannot
+    * close a connection while a transaction is still active"), and an
+    * exception thrown from `finally` REPLACES the one in flight — which
+    * turned the known retryable Derby boot-race NPE into an unmatchable
+    * close-error AND leaked the connection (close itself failed). On
+    * failure: roll back (best-effort, its own failure swallowed), then
+    * close (best-effort) — the ORIGINAL exception always propagates and
+    * the connection is always released. On success: close normally, a
+    * close failure there is real and may throw.
+    */
+  def withConnection[A](url: String, props: java.util.Properties)(
+      body: java.sql.Connection => A): A = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    var failed: Throwable = null
+    try body(conn)
+    catch { case t: Throwable => failed = t; throw t }
+    finally {
+      if (failed != null) {
+        try { if (!conn.getAutoCommit) conn.rollback() }
+        catch { case _: Throwable => () }
+        try conn.close() catch { case _: Throwable => () }
+      } else conn.close()
+    }
+  }
+
   /** "This (batch, partition) was already claimed." Drivers disagree on
     * the exception type for a PK violation — MySQL/Derby subclass
     * `SQLIntegrityConstraintViolationException`, PostgreSQL throws a
@@ -104,8 +131,7 @@ final class JdbcBatchWriter(
     JdbcRouting.routed(batch)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {
-          val conn = java.sql.DriverManager.getConnection(u, p)
-          try {
+          JdbcRouting.withConnection(u, p) { conn =>
             conn.setAutoCommit(false)
             val it = rows.buffered
             while (it.hasNext) {
@@ -128,7 +154,7 @@ final class JdbcBatchWriter(
               } finally st.close()
             }
             conn.commit() // all tables of this partition, atomically
-          } finally conn.close()
+          }
         }
       }
   }
@@ -162,8 +188,7 @@ final class IdempotentJdbcBatchWriter(
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         if (rows.nonEmpty) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val conn = java.sql.DriverManager.getConnection(u, p)
-          try {
+          JdbcRouting.withConnection(u, p) { conn =>
             conn.setAutoCommit(false)
             val claimed =
               try {
@@ -199,7 +224,7 @@ final class IdempotentJdbcBatchWriter(
               }
               conn.commit() // ledger row + data rows, atomically
             }
-          } finally conn.close()
+          }
         }
       }
   }
@@ -248,8 +273,7 @@ final class UpsertJdbcBatchWriter(
         if (rows.nonEmpty) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           var idx = 0L
-          val conn = java.sql.DriverManager.getConnection(u, p)
-          try {
+          JdbcRouting.withConnection(u, p) { conn =>
             conn.setAutoCommit(false)
             val it = rows.buffered
             while (it.hasNext) {
@@ -280,7 +304,7 @@ final class UpsertJdbcBatchWriter(
               } finally st.close()
             }
             conn.commit()
-          } finally conn.close()
+          }
         }
       }
   }

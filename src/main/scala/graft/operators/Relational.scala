@@ -1129,16 +1129,7 @@ object Relational {
              |FROM events GROUP BY 1""".stripMargin),
       "Schema-EVOLUTION-tolerant source — the lake-read reality q44/q59 (fixed-schema sources) don't cover: a long-lived dataset's early files lack columns later files carry (a producer deploy added event_type mid-stream), and the engine must read BOTH generations as one table with the missing column null-padded, not crash or silently drop old files. Exercised for real: generation 1 is written WITHOUT the column, generation 2 WITH it, and the read uses parquet mergeSchema to reconcile footers at planning time (the per-file schema union Spark otherwise skips for speed — at 100 TB you pay one footer pass per file once, then scans stay columnar and pruned). Nulls from pre-evolution files are then first-class data: the aggregate folds them into an explicit '(pre-evolution)' bucket (the cdc09 drift-taxonomy discipline applied at read time — an evolved column's missing history must be VISIBLE in results, not conflated with real values). The oracle reconstructs the same two-generation semantics from the unpartitioned table. This, q42/q64 (partition layouts), q44 (JSON DDL), q59 (CSV PERMISSIVE) complete the source matrix: layout, format, malformed rows, and schema drift each have an explicit, tested contract.") {
       (s, dir) =>
-        val out = TempLayout.dir("q65", dir)
-        val ev = t(s, dir, "events")
-        // generation 1: the producer's ORIGINAL schema (no event_type)
-        ev.filter(col("event_id") % 2 === 0)
-          .select("event_id", "user_id", "value")
-          .write.mode("overwrite").parquet(s"$out/gen=1")
-        // generation 2: the evolved schema
-        ev.filter(col("event_id") % 2 =!= 0)
-          .select("event_id", "user_id", "value", "event_type")
-          .write.mode("overwrite").parquet(s"$out/gen=2")
+        val out = SchemaEvolutionLayout.ensure(s, dir)
         s.read.option("mergeSchema", "true").parquet(out)
           .groupBy(coalesce(col("event_type"), lit("(pre-evolution)")).as("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -1228,17 +1219,52 @@ private[graft] object TempLayout {
   * still demonstrated — exactly once, like any real table build).
   */
 private[graft] object DayPartitionedLayout {
-  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def ensure(s: SparkSession, dir: String): String = {
-    val out = TempLayout.dir("events_by_day", dir)
-    if (built.add(s"${s.sparkContext.applicationId}_$out")) {
+    // computeIfAbsent (not check-then-act on a key set): a concurrent
+    // second caller (q42 vs q64 built in parallel suites) must BLOCK
+    // until the first caller's write finishes, not read a half-written
+    // layout (ADVICE r12). The on-disk path carries applicationId —
+    // like BucketedLayout — so two concurrent JVMs over the same
+    // source dir write disjoint directories instead of interleaving.
+    val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    built.computeIfAbsent(s"${app}_$dir", _ => {
+      val out = TempLayout.dir(s"events_by_day_$app", dir)
       Tables.load(s, dir, "events")
         .withColumn("event_date", to_date(col("ts")))
         .repartition(col("event_date"))
         .write.mode("overwrite").partitionBy("event_date").parquet(out)
-    }
-    out
+      out
+    })
+  }
+}
+
+/** Two-generation parquet layout for q65 (gen=1 without `event_type`,
+  * gen=2 with it), memoized per (applicationId, source dir) with the
+  * DayPartitionedLayout discipline: computeIfAbsent so a concurrent
+  * second caller blocks until the write finishes, and applicationId in
+  * the on-disk path so concurrent JVMs over the same source dir never
+  * interleave an overwrite with a mergeSchema read (ADVICE r12).
+  */
+private[graft] object SchemaEvolutionLayout {
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensure(s: SparkSession, dir: String): String = {
+    val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    built.computeIfAbsent(s"${app}_$dir", _ => {
+      val out = TempLayout.dir(s"q65_$app", dir)
+      val ev = Tables.load(s, dir, "events")
+      // generation 1: the producer's ORIGINAL schema (no event_type)
+      ev.filter(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "value")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      // generation 2: the evolved schema
+      ev.filter(col("event_id") % 2 =!= 0)
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      out
+    })
   }
 }
 

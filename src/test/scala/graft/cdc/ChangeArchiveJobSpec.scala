@@ -569,6 +569,79 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
     assert(countRows() === 9, "a different run_id is a different delivery")
   }
 
+  test("mid-transaction failure: ORIGINAL exception propagates (close never masks), connection released") {
+    // The r12 defect: `finally conn.close()` on an open transaction
+    // throws Derby's "Cannot close a connection while a transaction is
+    // still active", and an exception thrown from finally REPLACES the
+    // in-flight one — so the real failure (here an injected
+    // RuntimeException; in production the retryable Derby boot-race
+    // NPE) could never be matched by any retry/handler, and the
+    // connection leaked. withConnection must: propagate the ORIGINAL,
+    // roll back, and release the connection.
+    val db = tmpDir("derby-mask") + "/adb"
+    val url = s"jdbc:derby:$db;create=true"
+    val c0 = java.sql.DriverManager.getConnection(url)
+    c0.createStatement().execute(
+      """CREATE TABLE demo_t_orders (
+        |  id VARCHAR(64), fb_no VARCHAR(16),
+        |  record_del_time VARCHAR(32), data_json VARCHAR(4000))""".stripMargin)
+    c0.close()
+
+    // 1) the helper itself, directly: uncommitted INSERT then a throw
+    val boom = intercept[RuntimeException] {
+      JdbcRouting.withConnection(url, new java.util.Properties) { conn =>
+        conn.setAutoCommit(false)
+        val st = conn.prepareStatement(
+          "INSERT INTO demo_t_orders (id, fb_no, record_del_time, data_json) VALUES (?, ?, ?, ?)")
+        st.setString(1, "x"); st.setString(2, "F"); st.setString(3, "t"); st.setString(4, "{}")
+        st.executeUpdate(); st.close()
+        throw new RuntimeException("injected mid-transaction failure")
+      }
+    }
+    assert(boom.getMessage === "injected mid-transaction failure",
+      "the ORIGINAL exception must propagate, not a close-time SQLException")
+
+    // 2) through a real writer: a tableFor that blows up after rows
+    //    have already been batched into the open transaction
+    val batch = ChangeArchiveJob.build(
+      Seq("src-a" -> {
+        import spark.implicits._
+        Seq(envelope(1), envelope(2), envelope(3)).toDF("value")
+      }),
+      spark, cfg)
+    val throwingTableFor = new (String => String) with Serializable {
+      @transient private var n = 0
+      def apply(t: String): String = {
+        n += 1
+        if (n > 2) throw new RuntimeException("injected mid-transaction failure")
+        "demo_t_orders"
+      }
+    }
+    val writer = new JdbcBatchWriter(url, new java.util.Properties,
+      tableFor = throwingTableFor, insertBatchSize = 1)
+    val sparkErr = intercept[Throwable] {
+      writer.write(batch.coalesce(1), 0L)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val chain = msgs(sparkErr)
+    assert(chain.exists(_.contains("injected mid-transaction failure")),
+      s"cause chain must carry the original failure; got: ${chain.mkString(" | ")}")
+    assert(!chain.exists(_.toLowerCase.contains("close a connection")),
+      s"close must never mask the in-flight exception; got: ${chain.mkString(" | ")}")
+
+    // 3) the connection was rolled back and released: a fresh
+    //    connection reads immediately (a leaked open transaction would
+    //    hold Derby table locks and block this for lock-timeout), and
+    //    the uncommitted rows are gone
+    val c1 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = c1.createStatement().executeQuery("SELECT COUNT(*) FROM demo_t_orders")
+      rs.next()
+      assert(rs.getInt(1) === 0, "failed transactions must roll back, not half-commit")
+    } finally c1.close()
+  }
+
   test("streamed dead-letter queue == batch cdc10 view; replay-idempotent; kept side intact") {
     val (srcA, srcB, ckpt, out, dlq) = (tmpDir("dlq-a"), tmpDir("dlq-b"),
       tmpDir("dlq-ckpt"), tmpDir("dlq-out"), tmpDir("dlq-q"))
