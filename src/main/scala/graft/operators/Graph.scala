@@ -145,6 +145,24 @@ object Graph {
        |FROM dr JOIN nation na ON na.n_nationkey = dr.v""".stripMargin
   }
 
+  /** Shared gr14/gr17 ground truth: SCC(seed) BY DEFINITION — two
+    * dedup-recursive closures from the cycle-eligible seed and their
+    * intersection. Two execution strategies (broadcast frontiers vs
+    * shuffled frontiers), one oracle — gr09's discipline.
+    */
+  private def sccSeedOracle: String =
+    s"""WITH RECURSIVE $edgesDuck,
+       |seed AS (SELECT MIN(src) AS s FROM edges
+       |         WHERE src IN (SELECT dst FROM edges)),
+       |fwd(node) AS (SELECT s FROM seed
+       |  UNION SELECT e.dst FROM fwd f JOIN edges e ON e.src = f.node),
+       |bwd(node) AS (SELECT s FROM seed
+       |  UNION SELECT e.src FROM bwd b JOIN edges e ON e.dst = b.node),
+       |scc AS (SELECT node FROM fwd WHERE node IN (SELECT node FROM bwd))
+       |SELECT na.n_name AS nation,
+       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM scc) AS scc_size
+       |FROM scc JOIN nation na ON na.n_nationkey = scc.node""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -597,17 +615,7 @@ object Graph {
 
     GraftQuery(
       "gr14_scc_seed",
-      Some(s"""WITH RECURSIVE $edgesDuck,
-              |seed AS (SELECT MIN(src) AS s FROM edges
-              |         WHERE src IN (SELECT dst FROM edges)),
-              |fwd(node) AS (SELECT s FROM seed
-              |  UNION SELECT e.dst FROM fwd f JOIN edges e ON e.src = f.node),
-              |bwd(node) AS (SELECT s FROM seed
-              |  UNION SELECT e.src FROM bwd b JOIN edges e ON e.dst = b.node),
-              |scc AS (SELECT node FROM fwd WHERE node IN (SELECT node FROM bwd))
-              |SELECT na.n_name AS nation,
-              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM scc) AS scc_size
-              |FROM scc JOIN nation na ON na.n_nationkey = scc.node""".stripMargin),
+      Some(sccSeedOracle),
       "STRONGLY connected component extraction — the first operator in the family that takes edge DIRECTION seriously (gr05/gr08 treat reachability forward-only or undirected; SCC is the 'mutual reachability' equivalence that undirected CC silently overstates — two pages linking the same hub are weakly connected but NOT in a cycle): the FW-BW decomposition's core step, SCC(seed) = forward-closure(seed) ∩ backward-closure(seed), run from a data-adaptive cycle-ELIGIBLE seed (min vertex with both an out- and an in-edge — a min-of-sources seed lands on a source vertex and degenerates to a singleton at two of three fixture scales; the eligibility probe is two vertex-scale semi joins). Both closures run gr05's frontier-dedup loop TO CONVERGENCE (empty frontier) under gr08's loud round cap — per round one frontier-edge equi-join + distinct + visited anti-join, cost bounded by vertices x mean degree, never paths; the backward pass is the same loop on role-swapped endpoints, NOT a materialized reversed edge list. The intersection is one vertex-scale semi join. At |V| past executor memory every broadcast here swaps to the gr09/gr12 shuffled-state form (same recipe, pinned elsewhere); the full FW-BW algorithm recurses on the three residual sets with this exact primitive. Oracle: two dedup-recursive CTEs and their intersection — the DEFINITION; GraphSpec replays it sequentially and pins a genuinely multi-vertex SCC at every fixture scale.") {
       (s, dir) =>
         val e = edges(s, dir)
@@ -695,6 +703,176 @@ object Graph {
             .select(col("n_nationkey").as("node"), col("n_name"))
             .hint("shuffle_merge"), "node")
           .select(col("n_name").as("nation"), col("d").as("dist_units"))
+    },
+
+    GraftQuery(
+      "gr17_scc_seed_shuffled",
+      // gr14's oracle verbatim: one SCC-by-definition ground truth, two
+      // execution strategies (broadcast vs shuffled frontiers) must agree
+      Some(sccSeedOracle),
+      "gr14's FW-BW seed-SCC extraction WITHOUT frontier broadcasts — the shuffled-twin recipe applied to the one loop the gr15/gr16 matrix quietly excluded (VERDICT r12 #4): gr14's two closures run TO CONVERGENCE, which is precisely the regime where a frontier approaches |V| (a run-to-convergence closure on a strongly connected region ends up visiting the whole region — the mid-BFS peak gr15 documents is the TERMINAL state here), so the broadcast-frontier form is guaranteed to hit the OOM wall exactly when the answer is largest. The edge list is checkpointed TWICE, hash-partitioned on src for the forward closure and on dst for the backward one — each direction's hop is an equi-join against a co-located edge side where ONLY the frontier moves; the dedup is the same vertex-grain distinct, the visited subtraction a SHUFFLE_MERGE left-anti, the cycle-eligible seed a shuffled semi join + 1-row aggregate over the checkpointed edges (SinglePartition-fed, not a hashed relation), and the fwd∩bwd intersection a SHUFFLE_MERGE left-semi. The only broadcast anywhere post-checkpoint is the 1-row scc_size frame (gr10's adaptive-k precedent: ONE row is scale-free by construction; PlanAuditSpec pins zero BroadcastHashJoin with at most that single 1-row BNLJ, and pins the closure hop broadcast-free in isolation). GraphSpec pins gr17 == gr14 row-for-row; with gr09/gr10/gr12/gr13/gr15/gr16 this restores the matrix claim exactly: EVERY iterative loop in the inventory has a form whose executed plan survives loop state past executor memory.") {
+      (s, dir) =>
+        val base = edges(s, dir)
+          .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"))
+        val eSrc = Materialize.trackedLocalCheckpoint(base.repartition(col("src")))
+        val eDst = Materialize.trackedLocalCheckpoint(base.repartition(col("dst")))
+        // cycle-eligible data-adaptive seed (gr14's): min vertex with an
+        // out- AND an in-edge — shuffled semi join, no vertex-set broadcast
+        val seed = Materialize.trackedLocalCheckpoint(
+          eSrc.select("src")
+            .join(eDst.select(col("dst").as("src")).distinct().hint("shuffle_merge"),
+              Seq("src"), "left_semi")
+            .agg(min(col("src")).as("node")))
+        def closure(e: DataFrame, outKey: String, inKey: String): DataFrame = {
+          var visited = seed
+          var frontier = seed
+          var round = 0
+          val cap = 30 // |V|-bounded: a frontier can't survive past 25 hops
+          var done = false
+          while (!done && round < cap) {
+            val next = Materialize.trackedLocalCheckpoint(
+              closureShuffledHop(e, frontier, visited, outKey, inKey))
+            done = next.isEmpty
+            if (!done) {
+              visited = Materialize.trackedLocalCheckpoint(visited.unionByName(next))
+              frontier = next
+            }
+            round += 1
+          }
+          if (!done)
+            throw new IllegalStateException(
+              s"closure did not converge in $cap rounds — frontier outlived |V|?")
+          visited
+        }
+        val fwd = closure(eSrc, "src", "dst")
+        val bwd = closure(eDst, "dst", "src")
+        val scc = Materialize.trackedLocalCheckpoint(
+          fwd.join(bwd.hint("shuffle_merge"), Seq("node"), "left_semi"))
+        scc.join(Tables.load(s, dir, "nation")
+            .select(col("n_nationkey").cast("int").as("node"), col("n_name"))
+            .hint("shuffle_merge"), "node")
+          .crossJoin(scc.agg(count(lit(1)).as("scc_size")))
+          .select(col("n_name").as("nation"), col("scc_size"))
+    },
+
+    GraftQuery(
+      "gr18_scc_decomposition",
+      // definition-level oracle: scc_id(v) = MIN over everything
+      // MUTUALLY reachable with v (reach is reflexive by its seed), the
+      // algorithm-free mutual-reachability CTE — no FW-BW anywhere in it
+      Some(s"""WITH RECURSIVE $edgesDuck,
+              |reach(root, node) AS (
+              |  SELECT n_nationkey, n_nationkey FROM nation
+              |  UNION
+              |  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+              |scc AS (SELECT r1.root AS node, MIN(r1.node) AS scc_id
+              |        FROM reach r1 JOIN reach r2
+              |          ON r1.root = r2.node AND r1.node = r2.root
+              |        GROUP BY r1.root),
+              |sz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+              |       FROM scc GROUP BY 1)
+              |SELECT CAST(s.node AS INT) AS node, CAST(s.scc_id AS INT) AS scc_id,
+              |       z.scc_size
+              |FROM scc s JOIN sz z ON z.scc_id = s.scc_id""".stripMargin),
+      "FULL strongly-connected-component decomposition — gr14 extracts ONE seed's SCC; this is the production graph-mining deliverable its doc names: a (vertex, scc_id) labeling of EVERY vertex, computed by the FW-BW recursion run BREADTH-WISE as data parallelism instead of driver-side branching: every vertex carries a partition label, each outer round picks min-vertex pivots for ALL active partitions at once, runs ONE multi-source forward and ONE backward closure (frontier rows are (node, part) — the recursion's entire current level is two closures regardless of how many branches it has, which is what makes the recursion tree affordable on a cluster), labels each partition's fwd∩bwd with its pivot, and splits the remainder into the three FW-BW residual sets via label arithmetic part*4+tag (F-only/B-only/neither — each SCC-closed, the invariant that makes pivot = min(part) = min(SCC) and so labels DETERMINISTIC and equal to the oracle's min-mutually-reachable). Before each round a trim pass peels vertices with no within-partition in- or out-edge to convergence — those are singleton SCCs by definition (labels = themselves), and batch-trimming them is what kills the DAG-shaped residue that would otherwise cost one recursion level per vertex (the classical FW-BW+Trim result). Outer rounds are loud-capped (every active partition loses at least its pivot's SCC per round; trim clears pure-DAG partitions entirely, so depth tracks the nesting of cyclic regions, not |V|). Vertex-scale state rides broadcasts here — the gr14 regime, each one swapping to gr17's shuffled form past executor memory (same recipe, pinned there). Isolated vertices are singletons via trim round 1 — the tx12 nothing-vanishes contract. GraphSpec pins: multi-vertex SCC non-vacuity at every fixture scale, partition = exact cover, and gr14's seed-SCC appearing verbatim as one equivalence class.") {
+      (s, dir) =>
+        val e = Materialize.trackedLocalCheckpoint(edges(s, dir)
+          .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst")))
+        var parts = Materialize.trackedLocalCheckpoint(Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").cast("int").as("node"))
+          .withColumn("part", lit(0L)))
+        var labelFrames = List.empty[DataFrame]
+        // within-partition edge view: both endpoints active AND in the
+        // same partition (the subgraph the current recursion level sees)
+        def withinEdges(p: DataFrame): DataFrame = Materialize.trackedLocalCheckpoint(
+          e.join(broadcast(p.select(col("node").as("src"), col("part"))), "src")
+            .join(broadcast(p.select(col("node").as("dst"), col("part").as("p2"))), "dst")
+            .filter(col("part") === col("p2"))
+            .select("src", "dst", "part"))
+        val outerCap = 10 // depth tracks cyclic-region nesting, not |V| (trim)
+        var outer = 0
+        while (outer < outerCap && !parts.isEmpty) {
+          // ---- trim to convergence: no within-part out-edge OR in-edge
+          //      => singleton SCC, label = self
+          var trimming = true
+          var tr = 0
+          while (trimming && tr < 30) {
+            val we = withinEdges(parts)
+            val survivors = Materialize.trackedLocalCheckpoint(parts
+              .join(broadcast(we.select(col("src").as("node"), col("part")).distinct()),
+                Seq("node", "part"), "left_semi")
+              .join(broadcast(we.select(col("dst").as("node"), col("part")).distinct()),
+                Seq("node", "part"), "left_semi"))
+            val trimmed = Materialize.trackedLocalCheckpoint(
+              parts.join(broadcast(survivors), Seq("node", "part"), "left_anti"))
+            if (trimmed.isEmpty) trimming = false
+            else {
+              labelFrames ::= trimmed.select(col("node"), col("node").as("scc_id"))
+              parts = survivors
+            }
+            tr += 1
+          }
+          if (trimming)
+            throw new IllegalStateException("trim did not converge in 30 rounds")
+          if (!parts.isEmpty) {
+            val we = withinEdges(parts)
+            val pivots = Materialize.trackedLocalCheckpoint(
+              parts.groupBy("part").agg(min(col("node")).as("pivot")))
+            // multi-source closure: ALL partitions' pivots expand at once,
+            // every frontier row tagged (node, part) so expansion never
+            // leaks across partition boundaries
+            def mclosure(outKey: String, inKey: String): DataFrame = {
+              var visited = Materialize.trackedLocalCheckpoint(
+                pivots.select(col("pivot").as("node"), col("part")))
+              var frontier = visited
+              var round = 0
+              var done = false
+              while (!done && round < 30) {
+                val next = Materialize.trackedLocalCheckpoint(we
+                  .join(broadcast(frontier.withColumnRenamed("node", outKey)),
+                    Seq(outKey, "part"))
+                  .select(col(inKey).as("node"), col("part")).distinct()
+                  .join(broadcast(visited), Seq("node", "part"), "left_anti"))
+                done = next.isEmpty
+                if (!done) {
+                  visited = Materialize.trackedLocalCheckpoint(visited.unionByName(next))
+                  frontier = next
+                }
+                round += 1
+              }
+              if (!done)
+                throw new IllegalStateException(
+                  "closure did not converge in 30 rounds — frontier outlived |V|?")
+              visited
+            }
+            val fwd = mclosure("src", "dst")
+            val bwd = mclosure("dst", "src")
+            val sccs = Materialize.trackedLocalCheckpoint(
+              fwd.join(broadcast(bwd), Seq("node", "part"), "left_semi"))
+            labelFrames ::= Materialize.trackedLocalCheckpoint(sccs.join(broadcast(pivots), "part")
+              .select(col("node"), col("pivot").as("scc_id")))
+            // three SCC-closed residual sets, one label-arithmetic split
+            parts = Materialize.trackedLocalCheckpoint(parts
+              .join(broadcast(sccs), Seq("node", "part"), "left_anti")
+              .join(broadcast(fwd.withColumn("in_f", lit(1))),
+                Seq("node", "part"), "left")
+              .join(broadcast(bwd.withColumn("in_b", lit(1))),
+                Seq("node", "part"), "left")
+              .select(col("node"),
+                (col("part") * 4 + when(col("in_f") === 1, lit(1L))
+                  .when(col("in_b") === 1, lit(2L)).otherwise(lit(3L))).as("part")))
+          }
+          outer += 1
+        }
+        if (!parts.isEmpty)
+          throw new IllegalStateException(
+            s"FW-BW recursion did not converge in $outerCap levels — " +
+              "cyclic-region nesting outlived the cap?")
+        val labels = Materialize.trackedLocalCheckpoint(labelFrames.reduce(_.unionByName(_)))
+        labels.join(
+            broadcast(labels.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))),
+            "scc_id")
+          .select(col("node"), col("scc_id"), col("scc_size"))
     })
 
   /** Weighted sparsified edge list `(src, dst, cost)` for gr11:
@@ -843,6 +1021,20 @@ object Graph {
       .select(col("dst").as("node")).distinct()
       .join(visited.select("node").hint("shuffle_merge"), Seq("node"), "left_anti")
       .withColumn("hop", lit(h).cast("int"))
+
+  /** One gr17 closure hop: gr15's shuffled-hop shape generalized to a
+    * role-swappable direction (outKey/inKey), no hop column — the
+    * convergence loops track visited sets, not depths. ONLY the
+    * frontier and visited sets move (equi-joins under SHUFFLE_MERGE
+    * hints against the pre-partitioned edge side); package-visible so
+    * PlanAuditSpec can pin the hop broadcast-free in isolation.
+    */
+  private[graft] def closureShuffledHop(
+      e: DataFrame, frontier: DataFrame, visited: DataFrame,
+      outKey: String, inKey: String): DataFrame =
+    e.join(frontier.withColumnRenamed("node", outKey).hint("shuffle_merge"), outKey)
+      .select(col(inKey).as("node")).distinct()
+      .join(visited.select("node").hint("shuffle_merge"), Seq("node"), "left_anti")
 
   /** Shared gr08/gr09 ground truth: the transitive closure itself —
     * component(v) = MIN over everything reachable from v (undirected),

@@ -101,7 +101,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "gr12_pagerank_shuffled", // shared edges() front door: 1-row median broadcast (pre-checkpoint; the LOOP is zero-broadcast, separately pinned)
     "gr13_lpa_shuffled", // same shared edges() front door 1-row median broadcast (loop pinned zero-broadcast)
     "q62_forecast_salted_join", // 1-row forecast-total frame broadcast into the fanout decision (the decision table itself is key-grain and equi-joined)
-    "gr14_scc_seed" // shared edges() front door 1-row median broadcast + the 1-row scc_size frame
+    "gr14_scc_seed", // shared edges() front door 1-row median broadcast + the 1-row scc_size frame
+    "gr17_scc_seed_shuffled" // ONLY the 1-row scc_size frame (gr10's adaptive-k precedent); the loops are zero-broadcast, separately pinned below
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
@@ -119,6 +120,44 @@ class PlanAuditSpec extends AnyFunSuite {
         if (!bnljAllowed(q.name))
           assert(!p.contains("BroadcastNestedLoopJoin"),
             s"${q.name} plans an unexpected BroadcastNestedLoopJoin")
+      }
+    } finally spark.conf.unset(operators.Materialize.ConfKey)
+  }
+
+  test("partition-less windows are bounded: every global WindowExec feeds from a Limit/TakeOrdered/aggregate") {
+    // the driver's bench tail is full of 'WindowExec: No Partition
+    // Defined' WARNs (VERDICT r12 #7); every traced instance is
+    // post-limit(k)/aggregate-fed — BOUNDED cardinality, so the
+    // single-partition window is benign. This sweep turns that
+    // assertion into an audit: any FUTURE fact-scale global window
+    // (the genuine single-partition scale-killer) fails loudly here,
+    // not at 100 TB. Full-plan mode so no checkpoint hides a window's
+    // true feed.
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    def expand(p: SparkPlan): Seq[SparkPlan] = {
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case _ => Nil
+      }
+      p +: (p.children ++ p.subqueries ++ extra).flatMap(expand)
+    }
+    def bounded(p: SparkPlan): Boolean = expand(p).exists {
+      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec | _: LocalLimitExec => true
+      case _: BaseAggregateExec => true // grouped-aggregate-fed: group-count scale
+      case _ => false
+    }
+    spark.conf.set(operators.Materialize.ConfKey, "none")
+    try {
+      for (q <- GraftQuery.all) {
+        val plans = expand(q.build(spark, sf0001).queryExecution.executedPlan)
+        for (w <- plans.collect { case w: WindowExec if w.partitionSpec.isEmpty => w })
+          assert(bounded(w.child),
+            s"${q.name}: a partition-less WindowExec feeds from unbounded input — " +
+              "a single-partition scale-killer at fact scale")
       }
     } finally spark.conf.unset(operators.Materialize.ConfKey)
   }
@@ -430,6 +469,44 @@ class PlanAuditSpec extends AnyFunSuite {
       "gr15's hop must not broadcast anything — frontier and visited are equi-joined")
     assert(p.contains("SortMergeJoin"),
       "the shuffle_merge hints must hold through AQE")
+  }
+
+  test("gr17: the shuffled closure hop never broadcasts the frontier or visited set; full plan BHJ-free") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // gr15's isolation discipline: each hop hides behind its checkpoint
+    // inside the query, so audit one hop's executed plan directly —
+    // with a DATA-derived (checkpointed) frontier, since a literal
+    // 1-row seed constant-folds into an irrelevant single-row broadcast
+    val e = operators.Materialize.trackedLocalCheckpoint(
+      operators.Graph.edges(spark, sf001)
+        .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"))
+        .repartition(col("dst")))
+    val seed = operators.Materialize.trackedLocalCheckpoint(spark.range(1)
+      .select(lit(0).cast("int").as("node")))
+    // backward direction (dst-partitioned edges) — the role swap gr15
+    // never exercised
+    val hop = operators.Graph.closureShuffledHop(e, seed, seed, "dst", "src")
+    hop.collect() // finalize the adaptive plan before reading it
+    val p = hop.queryExecution.executedPlan.toString
+    assert(!p.contains("Broadcast"),
+      "gr17's hop must not broadcast anything — frontier and visited are equi-joined")
+    assert(p.contains("SortMergeJoin"),
+      "the shuffle_merge hints must hold through AQE")
+    // and the WHOLE query: the only broadcast anywhere in the executed
+    // plan is the single 1-row scc_size frame (a BNLJ, gr10's
+    // 1-row-threshold precedent) — zero BroadcastHashJoin means no
+    // hashed relation of any vertex-scale set anywhere
+    val df = GraftQuery.all.find(_.name == "gr17_scc_seed_shuffled").get.build(spark, sf001)
+    df.collect()
+    // count on the FINAL adaptive plan only — AQE's toString repeats the
+    // tree under "== Initial Plan ==", double-counting every operator
+    val fp = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!fp.contains("BroadcastHashJoin"),
+      "gr17 must not hash-broadcast any vertex-scale set")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(fp).size <= 1,
+      "gr17: only the single 1-row scc_size frame may broadcast")
+    assert(fp.contains("SortMergeJoin"),
+      "gr17's nation attribution and intersection must stay shuffled")
   }
 
   test("q57: no fact-scale rows ever cross a SinglePartition exchange") {

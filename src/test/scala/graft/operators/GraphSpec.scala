@@ -339,6 +339,62 @@ class GraphSpec extends AnyFunSuite {
     assert(g11.nonEmpty, "empty SSSP output — equivalence pin is vacuous")
   }
 
+  test("gr17: shuffled-frontier seed SCC is row-identical to gr14") {
+    def rows(name: String) = run(name).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val g14 = rows("gr14_scc_seed")
+    val g17 = rows("gr17_scc_seed_shuffled")
+    assert(g17 == g14,
+      s"gr17 diverged from gr14: extra=${g17 -- g14} missing=${g14 -- g17}")
+    assert(g14.nonEmpty, "empty SCC output — equivalence pin is vacuous")
+    assert(g14.map(_._2).head > 1L,
+      "seed SCC is a singleton — the convergence loops never iterated")
+  }
+
+  test("gr18: full FW-BW decomposition equals mutual-reachability SCCs; exact cover; gr14's class verbatim") {
+    // the definition, replayed per-vertex on the collected edge list:
+    // scc_id(v) = min over { u : v→*u and u→*v } (reflexively incl. v)
+    val out = edgeList.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val allNations = Tables.load(spark, sf001, "nation")
+      .select("n_nationkey").collect().map(lv(_, 0)).toSet
+    def fwdClosure(v: Long): Set[Long] = {
+      var visited = Set(v); var frontier = Set(v)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(out.getOrElse(_, Set.empty)) -- visited
+        visited ++= next; frontier = next
+      }
+      visited
+    }
+    val reach = allNations.map(v => v -> fwdClosure(v)).toMap
+    val expected = allNations.map { v =>
+      v -> (reach(v).filter(u => reach(u).contains(v)) + v).min
+    }.toMap
+    val got = run("gr18_scc_decomposition").collect()
+      .map(r => (lv(r, 0), lv(r, 1), lv(r, 2)))
+    // exact cover: every nation labeled exactly once
+    assert(got.map(_._1).toSet === allNations, "labeling must cover every vertex")
+    assert(got.length === allNations.size, "a vertex was labeled more than once")
+    assert(got.map(t => t._1 -> t._2).toMap === expected,
+      "scc_id diverged from min-mutually-reachable")
+    // sizes are the class cardinalities
+    val sizes = expected.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    got.foreach { case (n, id, sz) =>
+      assert(sz === sizes(id), s"scc_size wrong for node $n (class $id)") }
+    // non-vacuity: a genuinely multi-vertex SCC exists AND more than one
+    // class exists (all-singletons or one-giant-class would each leave
+    // half the algorithm untested)
+    assert(sizes.values.max > 1L, "all SCCs singleton — FW-BW core never fired")
+    assert(sizes.size > 1, "one giant SCC — the residual split never fired")
+    // gr14's seed-SCC appears verbatim as one equivalence class
+    val g14Members = run("gr14_scc_seed").collect().map(_.getString(0)).toSet
+    val names = Tables.load(spark, sf001, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val classes = got.groupBy(_._2).values.map(_.map(t => names(t._1)).toSet).toSet
+    assert(classes.contains(g14Members),
+      "gr14's seed SCC must appear as one gr18 equivalence class")
+  }
+
   test("gr13: shuffled-label LPA is row-identical to gr06") {
     def rows(name: String) = run(name).collect()
       .map(r => (r.getString(0), lv(r, 1), r.getLong(2))).toSet
