@@ -66,7 +66,7 @@ object ChangeArchiveJob {
     * implementation shared by [[build]] and [[buildAnnotated]] — the
     * two pipelines must never scope the allowlist differently.
     */
-  private def qualifiedFor(cfg: TaskConfig, instanceName: String): Seq[String] =
+  private[cdc] def qualifiedFor(cfg: TaskConfig, instanceName: String): Seq[String] =
     cfg.sources.find(_.instanceName == instanceName)
       .map(src => cfg.tables.map(t => s"${src.dbName}.$t"))
       .getOrElse(Seq.empty)
@@ -261,7 +261,8 @@ object DeadLetterSink {
   def write(annotated: DataFrame, batchId: Long, dir: String): Unit =
     annotated.filter(col("reason") =!= Debezium.Kept)
       .select(col("reason"), col("env_md5"),
-        coalesce(col("tableName"), lit("")).as("tbl"))
+        coalesce(col("tableName"), lit("")).as("tbl"),
+        col("instanceName"), col("value"))
       .write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
 
   /** The quarantine as one DataFrame (all batches), for audits and the
@@ -270,4 +271,90 @@ object DeadLetterSink {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("basePath", dir).parquet(s"$dir/batch_id=*")
       .select("reason", "env_md5", "tbl")
+
+  /** The full quarantine including the raw envelopes and their source
+    * instance — the replay surface ([[DeadLetterReplay]]).
+    */
+  def readFull(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", dir).parquet(s"$dir/batch_id=*")
+      .select("reason", "env_md5", "tbl", "instanceName", "value")
+}
+
+/** The operational loop the quarantine promises (VERDICT r12 #8): fix
+  * the parser/config, then REPLAY exactly what was dropped instead of
+  * re-tailing the binlog. One batch pass:
+  *
+  *  1. read the full quarantine, dedupe on the md5 replay id (an
+  *     envelope quarantined in several generations replays once);
+  *  2. re-classify every envelope through the CURRENT parser with the
+  *     CURRENT config's per-instance allowlist — the same
+  *     [[Debezium.parseAnnotated]] the live job runs, so a fix that
+  *     heals the stream heals the replay identically;
+  *  3. newly-KEPT rows enrich and deliver through the normal writers
+  *     under the caller's `replayBatchId` — DETERMINISTIC, so the
+  *     parquet/ledger/MERGE writers' own idempotency contracts make a
+  *     re-run of the replay overwrite itself, never duplicate;
+  *  4. still-rejected envelopes re-quarantine (with their RE-classified
+  *     reason) into the successor quarantine directory, preserving the
+  *     full replay surface for the next fix;
+  *  5. returns the reconciliation report: (reason_before, reason_after,
+  *     n) — every quarantined envelope accounted for exactly once, the
+  *     audit that proves the replay neither lost nor duplicated.
+  *
+  * The caller retires the old quarantine dir after a successful replay
+  * (the report is the evidence); re-running against the old dir is safe
+  * by 3's idempotency. All work is executor-side except the per-instance
+  * loop (bounded by the config's source count, like the live job's
+  * per-source union).
+  */
+object DeadLetterReplay {
+  def run(
+      spark: SparkSession,
+      quarantineDir: String,
+      cfg: TaskConfig,
+      writers: Seq[BatchWriter],
+      replayBatchId: Long,
+      requarantineDir: String): DataFrame = {
+    TaskConfigChecker.check(cfg)
+    import spark.implicits._
+    val full = DeadLetterSink.readFull(spark, quarantineDir)
+      .dropDuplicates("env_md5")
+      .persist()
+    try {
+      // re-classify with the CURRENT config, per source instance (the
+      // allowlist is per-instance-qualified, exactly as in the live job)
+      val insts = full.select("instanceName").distinct().collect()
+        .map(_.getString(0)).toSeq.sorted
+      val reparsedFrames = insts.map { inst =>
+        Debezium.parseAnnotated(
+          full.filter(col("instanceName") === inst).select("value"),
+          inst,
+          allowedTables = Some(ChangeArchiveJob.qualifiedFor(cfg, inst)))
+      }
+      if (reparsedFrames.isEmpty)
+        Seq.empty[(String, String, Long)].toDF("reason_before", "reason_after", "n")
+      else {
+        val pinned = reparsedFrames.reduce(_ unionByName _).persist()
+        try {
+          val healed = Debezium.enrich(
+            pinned.filter(col("reason") === Debezium.Kept)
+              .select("instanceName", "tableName", "id", "recordDelTime", "dataJson"),
+            ChangeArchiveJob.sourcesDf(spark, cfg))
+          writers.foreach(_.write(healed, replayBatchId))
+          DeadLetterSink.write(pinned, replayBatchId, requarantineDir)
+          // reconciliation: old reason × new reason, exact counts —
+          // sum(n) over the report == quarantined envelopes, always
+          val report = full
+            .select(col("env_md5"), col("reason").as("reason_before"))
+            .join(pinned.select(col("env_md5"), col("reason").as("reason_after")),
+              "env_md5")
+            .groupBy("reason_before", "reason_after")
+            .agg(count(lit(1)).as("n"))
+            .collect() // materialize before unpersisting the inputs
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          report.toSeq.toDF("reason_before", "reason_after", "n")
+        } finally { pinned.unpersist(); () }
+      }
+    } finally { full.unpersist(); () }
+  }
 }

@@ -232,7 +232,12 @@ object Debezium {
       col("_id").as("id"),
       when(col("_reason") === Kept, timestamp_millis(col("_ts"))).as("recordDelTime"),
       col("_before").as("dataJson"),
-      md5(col("value")).as("env_md5"))
+      md5(col("value")).as("env_md5"),
+      // the RAW envelope rides along so the quarantine can persist it —
+      // a dead letter that stores only its hash cannot be replayed
+      // after a parser fix ([[DeadLetterReplay]]); kept-path consumers
+      // select explicit columns and never carry it past the split
+      col("value"))
   }
 
   /** Per-(table, before-image key-set) SHAPE taxonomy of raw envelopes

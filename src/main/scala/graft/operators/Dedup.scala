@@ -957,6 +957,55 @@ object Dedup {
           .select(col("dirty_id"), col("match_id"),
             expr("CAST(levenshtein(corrupted, name) AS INT)").as("dist"))
     },
+
+    GraftQuery(
+      "dd17_multikey_linkage",
+      Some(s"""WITH d AS (SELECT doc_id,
+              |             ARRAY_TO_STRING((STRING_SPLIT(text, ' '))[1:4], ' ') AS name,
+              |             ${Sampling.duckBucket100Of("doc_id")} AS bkt FROM documents),
+              |reg AS (SELECT doc_id, name FROM d WHERE LENGTH(name) >= 8),
+              |dirty AS (SELECT doc_id,
+              |            1 + CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 2)) AS INT)
+              |                % LENGTH(name) AS pos,
+              |            name
+              |          FROM d WHERE bkt < 10 AND LENGTH(name) >= 8),
+              |c AS (SELECT doc_id, substring(name, 1, pos - 1) || substring(name, pos + 1)
+              |        AS corrupted FROM dirty),
+              |cand AS (
+              |  SELECT c.doc_id AS dirty_id, r.doc_id AS match_id, c.corrupted, r.name
+              |  FROM c JOIN reg r
+              |    ON lower(substring(c.corrupted, 1, 1)) = lower(substring(r.name, 1, 1))
+              |  UNION
+              |  SELECT c.doc_id, r.doc_id, c.corrupted, r.name
+              |  FROM c JOIN reg r
+              |    ON lower(substring(c.corrupted, LENGTH(c.corrupted), 1))
+              |     = lower(substring(r.name, LENGTH(r.name), 1)))
+              |SELECT dirty_id, match_id,
+              |       CAST(levenshtein(corrupted, name) AS INT) AS dist
+              |FROM cand WHERE levenshtein(corrupted, name) <= 1""".stripMargin),
+      "MULTI-KEY blocking record linkage — the honesty upgrade on dd16 (VERDICT r12 #6): dd16 deletes only at positions >= 2, so its single first-character blocking key can never break and the 100% recall it pins is true by construction. Here the injected deletion lands at ANY md5-derived position INCLUDING 1 (first char gone) and the final one (last char gone) — each single blocking key now has a blind spot, and recall comes from the Fellegi-Sunter move the dd16 doc could only name: REDUNDANT blocking keys, unioned. Two equi-join passes (first-character block, last-character block) each bound pairs at block granularity — never all-pairs, never a theta join; UNION-distinct merges the candidate sets (a middle-position deletion reaches the pair through both keys and must score once); a single character deletion cannot touch both ends at once, so the two keys COVER every injection point — the coverage argument is structural, not probabilistic, and DedupSpec pins 100% recovery with position-1 and final-position deletions both non-vacuously present in the fixture. Levenshtein still runs only inside blocks; the automatic BNLJ/cartesian sweep audits the plan (dd17 is NOT on the allowlist). Both engines' identical integer levenshtein keeps the full value oracle.") {
+      (s, dir) =>
+        val d = spread(docs(s, dir), "doc_id").select(col("doc_id"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 4)).as("name"))
+          .withColumn("bkt", expr(Sampling.bucket100("doc_id")))
+        val reg = d.filter(length(col("name")) >= 8)
+          .select(col("doc_id").as("match_id"), col("name"))
+        val dirty = d.filter(col("bkt") < 10 && length(col("name")) >= 8)
+          .withColumn("pos", expr(
+            "1 + CAST(conv(substring(md5(CAST(doc_id AS STRING)), 9, 2), 16, 10) AS INT) % length(name)"))
+          .select(col("doc_id").as("dirty_id"),
+            expr("concat(substring(name, 1, pos - 1), substring(name, pos + 1, length(name)))")
+              .as("corrupted"))
+        val byFirst = dirty.join(reg,
+          lower(expr("substring(corrupted, 1, 1)")) === lower(expr("substring(name, 1, 1)")))
+        val byLast = dirty.join(reg,
+          lower(expr("substring(corrupted, length(corrupted), 1)"))
+            === lower(expr("substring(name, length(name), 1)")))
+        byFirst.unionByName(byLast).distinct()
+          .filter(expr("levenshtein(corrupted, name) <= 1"))
+          .select(col("dirty_id"), col("match_id"),
+            expr("CAST(levenshtein(corrupted, name) AS INT)").as("dist"))
+    },
   )
 
 

@@ -699,6 +699,63 @@ class ChangeArchiveJobSpec extends AnyFunSuite {
       "a replayed batch must replace its own content exactly")
   }
 
+  test("dead-letter replay: a config fix heals exactly the fixable rows ONCE; taxonomy reconciles") {
+    val (srcA, ckpt, out, dlq, dlq2, replayOut) = (tmpDir("rp-a"), tmpDir("rp-ckpt"),
+      tmpDir("rp-out"), tmpDir("rp-dlq"), tmpDir("rp-dlq2"), tmpDir("rp-replay"))
+    // cfg listens only to t_orders: the t_users envelopes quarantine as
+    // not_listened (the "mis-scoped config" failure a later fix heals);
+    // the no-table and bad-ts envelopes are genuinely broken
+    writeEnvelopes(srcA, "f1.jsonl", Seq(
+      envelope(1),
+      envelope(2, table = "t_users"),
+      envelope(3, table = "t_users"),
+      envelope(4, table = ""),
+      """{"op":"d","ts_ms":-5,"source":{"db":"demo","table":"t_orders"},"before":{"id":9,"amount":"x"},"after":null}"""))
+    ChangeArchiveJob.run(spark,
+      Seq(ChangeArchiveJob.SourceStream("src-a", srcA)),
+      cfg, Seq(new ParquetBatchWriter(out)), ckpt,
+      deadLetterDir = Some(dlq)).awaitTermination()
+    val before = DeadLetterSink.read(spark, dlq).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    assert(before === Map(Debezium.NotListened -> 2L, Debezium.NoTable -> 1L,
+      Debezium.BadTs -> 1L), s"unexpected quarantine taxonomy: $before")
+
+    // THE FIX: t_users joins the allowlist; replay the quarantine
+    val cfgFixed = cfg.copy(tables = Seq("t_orders", "t_users"))
+    def replay() = DeadLetterReplay.run(spark, dlq, cfgFixed,
+      Seq(new ParquetBatchWriter(replayOut)), 9000L, dlq2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val report = replay()
+    // reconciliation: every quarantined envelope accounted for once
+    assert(report === Map(
+      (Debezium.NotListened, Debezium.Kept) -> 2L,
+      (Debezium.NoTable, Debezium.NoTable) -> 1L,
+      (Debezium.BadTs, Debezium.BadTs) -> 1L), s"report diverged: $report")
+    assert(report.values.sum === before.values.sum,
+      "replay lost or duplicated a quarantined envelope")
+    // healed rows delivered exactly once, fully enriched
+    def healedRows() = spark.read.parquet(s"$replayOut/batch_id=9000").collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[String]("fbNo"),
+        r.getAs[String]("dbTbName")))
+    val healed = healedRows()
+    assert(healed.map(_._1).sorted === Array("2", "3"),
+      "exactly the healable rows must deliver")
+    assert(healed.forall(_._2 == "FBA"), "healed rows must be enriched")
+    assert(healed.forall(_._3 == "demo_t_users"))
+    // still-dead rows re-quarantined with their RE-classified reasons,
+    // raw envelopes intact (the next fix can replay again)
+    val requeued = DeadLetterSink.readFull(spark, dlq2).collect()
+    assert(requeued.map(_.getString(0)).sorted ===
+      Array(Debezium.BadTs, Debezium.NoTable).sorted)
+    assert(requeued.forall(_.getAs[String]("value").startsWith("{")),
+      "re-quarantined rows must keep the raw envelope")
+    // idempotency: a re-run overwrites itself — healed rows land ONCE
+    val report2 = replay()
+    assert(report2 === report, "replay must be deterministic")
+    assert(healedRows().sorted.toSeq === healed.sorted.toSeq,
+      "a replayed replay must not duplicate healed rows")
+  }
+
   test("streamed schema-drift monitor: cumulative partials == batch cdc09 taxonomy across resume") {
     val (src, ckpt, out) = (tmpDir("drift-src"), tmpDir("drift-ckpt"), tmpDir("drift-out"))
     def taxonomy(df: org.apache.spark.sql.DataFrame) = df.collect()

@@ -328,4 +328,46 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.length >= dirtyIds.length,
       "matches were collapsed — the adjudication layer needs all candidates")
   }
+
+  test("dd17: multi-key blocking recovers EVERY deletion position — incl. position 1 and the final char") {
+    val rows = byName("dd17_multikey_linkage").build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty, "no linkage candidates — blocking or injection broke")
+    // replay the injection driver-side to know each dirty record's
+    // deletion position (the whole point vs dd16: positions span 1..len)
+    val d = graft.Tables.load(spark, sf001, "documents")
+      .selectExpr("doc_id",
+        "concat_ws(' ', slice(split(text, ' '), 1, 4)) AS name",
+        graft.operators.Sampling.bucket100("doc_id") + " AS bkt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getAs[Number](2).longValue))
+    val positions = d.filter(t => t._3 < 10 && t._2.length >= 8).map { case (id, name, _) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      id -> (1 + Integer.parseInt(hex.substring(8, 10), 16) % name.length, name.length)
+    }.toMap
+    // the hardening is non-vacuous only if the fixture actually deletes
+    // at position 1 (first-char block blind) AND at the final position
+    // (last-char block blind) — assert both injection classes exist
+    assert(positions.values.exists(_._1 == 1),
+      "no position-1 deletion in the fixture — the first-char blind spot is untested")
+    assert(positions.values.exists(p => p._1 == p._2),
+      "no final-position deletion in the fixture — the last-char blind spot is untested")
+    // 100% recovery: EVERY dirty record — whatever its deletion position
+    // — links back to its own registry row at distance 1
+    positions.keys.foreach { id =>
+      assert(rows.contains((id, id, 1)),
+        s"dirty record $id (deletion pos ${positions(id)._1}/${positions(id)._2}) " +
+          "failed to recover its own registry row")
+    }
+    assert(rows.forall(_._3 <= 1), "a candidate past the threshold leaked through")
+    assert(rows.filter(r => r._1 == r._2).forall(_._3 === 1),
+      "a self-match at distance 0 means the injection was a no-op")
+    // block-bounded, never all-pairs: with two redundant single-char
+    // blocking keys the candidate space is at most ~2/26ths of the
+    // cross product (uniform-ish first/last chars); assert the emitted
+    // pairs stay far under all-pairs as a coarse structural guard
+    val regSize = d.count(_._2.length >= 8)
+    assert(rows.length < positions.size.toLong * regSize / 4,
+      "candidate volume approaches all-pairs — blocking is not bounding the join")
+  }
 }
