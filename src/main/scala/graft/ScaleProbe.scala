@@ -123,7 +123,9 @@ object ScaleProbe {
       "dd13_duplicate_spans", "dd14_clusters_ptrjump",
       "gr09_cc_shuffled", "gr10_kcore_shuffled", "gr11_sssp",
       "gr12_pagerank_shuffled", "gr13_lpa_shuffled",
-      "dd15_bloom_incremental", "q62_forecast_salted_join").map(n => n -> run(n))
+      "gr17_scc_seed_shuffled", "gr18_scc_decomposition",
+      "dd15_bloom_incremental", "q62_forecast_salted_join",
+      "dd17_multikey_linkage").map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio

@@ -102,6 +102,16 @@ object Graph {
     */
   private[graft] def kcoreK(maxDeg: Long): Long = maxDeg / 2
 
+  /** gr19's sparsification quantile — the operator's resolution knob
+    * (gr06's precedent): the MEDIAN graph's condensation is a 1-deep
+    * star at every fixture scale (one giant SCC swallows the core, so
+    * longest-path layering degenerates to sources-vs-sink), while the
+    * p75 graph keeps BOTH a genuine multi-vertex SCC to contract AND a
+    * depth >= 2 DAG (probed at sf0.001/0.01/0.1) — the regime where
+    * max-relaxation differs from one-hop and the pin is non-vacuous.
+    */
+  private[graft] val CondensationQ = 0.75
+
   /** Shared gr03/gr10 ground truth: the peel chain computed straight
     * from the definition. Two engines, two execution strategies
     * (broadcast vs shuffled keep-set), one oracle — gr09's discipline
@@ -776,104 +786,177 @@ object Graph {
               |FROM scc s JOIN sz z ON z.scc_id = s.scc_id""".stripMargin),
       "FULL strongly-connected-component decomposition — gr14 extracts ONE seed's SCC; this is the production graph-mining deliverable its doc names: a (vertex, scc_id) labeling of EVERY vertex, computed by the FW-BW recursion run BREADTH-WISE as data parallelism instead of driver-side branching: every vertex carries a partition label, each outer round picks min-vertex pivots for ALL active partitions at once, runs ONE multi-source forward and ONE backward closure (frontier rows are (node, part) — the recursion's entire current level is two closures regardless of how many branches it has, which is what makes the recursion tree affordable on a cluster), labels each partition's fwd∩bwd with its pivot, and splits the remainder into the three FW-BW residual sets via label arithmetic part*4+tag (F-only/B-only/neither — each SCC-closed, the invariant that makes pivot = min(part) = min(SCC) and so labels DETERMINISTIC and equal to the oracle's min-mutually-reachable). Before each round a trim pass peels vertices with no within-partition in- or out-edge to convergence — those are singleton SCCs by definition (labels = themselves), and batch-trimming them is what kills the DAG-shaped residue that would otherwise cost one recursion level per vertex (the classical FW-BW+Trim result). Outer rounds are loud-capped (every active partition loses at least its pivot's SCC per round; trim clears pure-DAG partitions entirely, so depth tracks the nesting of cyclic regions, not |V|). Vertex-scale state rides broadcasts here — the gr14 regime, each one swapping to gr17's shuffled form past executor memory (same recipe, pinned there). Isolated vertices are singletons via trim round 1 — the tx12 nothing-vanishes contract. GraphSpec pins: multi-vertex SCC non-vacuity at every fixture scale, partition = exact cover, and gr14's seed-SCC appearing verbatim as one equivalence class.") {
       (s, dir) =>
-        val e = Materialize.trackedLocalCheckpoint(edges(s, dir)
-          .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst")))
-        var parts = Materialize.trackedLocalCheckpoint(Tables.load(s, dir, "nation")
-          .select(col("n_nationkey").cast("int").as("node"))
-          .withColumn("part", lit(0L)))
-        var labelFrames = List.empty[DataFrame]
-        // within-partition edge view: both endpoints active AND in the
-        // same partition (the subgraph the current recursion level sees)
-        def withinEdges(p: DataFrame): DataFrame = Materialize.trackedLocalCheckpoint(
-          e.join(broadcast(p.select(col("node").as("src"), col("part"))), "src")
-            .join(broadcast(p.select(col("node").as("dst"), col("part").as("p2"))), "dst")
-            .filter(col("part") === col("p2"))
-            .select("src", "dst", "part"))
-        val outerCap = 10 // depth tracks cyclic-region nesting, not |V| (trim)
-        var outer = 0
-        while (outer < outerCap && !parts.isEmpty) {
-          // ---- trim to convergence: no within-part out-edge OR in-edge
-          //      => singleton SCC, label = self
-          var trimming = true
-          var tr = 0
-          while (trimming && tr < 30) {
-            val we = withinEdges(parts)
-            val survivors = Materialize.trackedLocalCheckpoint(parts
-              .join(broadcast(we.select(col("src").as("node"), col("part")).distinct()),
-                Seq("node", "part"), "left_semi")
-              .join(broadcast(we.select(col("dst").as("node"), col("part")).distinct()),
-                Seq("node", "part"), "left_semi"))
-            val trimmed = Materialize.trackedLocalCheckpoint(
-              parts.join(broadcast(survivors), Seq("node", "part"), "left_anti"))
-            if (trimmed.isEmpty) trimming = false
-            else {
-              labelFrames ::= trimmed.select(col("node"), col("node").as("scc_id"))
-              parts = survivors
-            }
-            tr += 1
-          }
-          if (trimming)
-            throw new IllegalStateException("trim did not converge in 30 rounds")
-          if (!parts.isEmpty) {
-            val we = withinEdges(parts)
-            val pivots = Materialize.trackedLocalCheckpoint(
-              parts.groupBy("part").agg(min(col("node")).as("pivot")))
-            // multi-source closure: ALL partitions' pivots expand at once,
-            // every frontier row tagged (node, part) so expansion never
-            // leaks across partition boundaries
-            def mclosure(outKey: String, inKey: String): DataFrame = {
-              var visited = Materialize.trackedLocalCheckpoint(
-                pivots.select(col("pivot").as("node"), col("part")))
-              var frontier = visited
-              var round = 0
-              var done = false
-              while (!done && round < 30) {
-                val next = Materialize.trackedLocalCheckpoint(we
-                  .join(broadcast(frontier.withColumnRenamed("node", outKey)),
-                    Seq(outKey, "part"))
-                  .select(col(inKey).as("node"), col("part")).distinct()
-                  .join(broadcast(visited), Seq("node", "part"), "left_anti"))
-                done = next.isEmpty
-                if (!done) {
-                  visited = Materialize.trackedLocalCheckpoint(visited.unionByName(next))
-                  frontier = next
-                }
-                round += 1
-              }
-              if (!done)
-                throw new IllegalStateException(
-                  "closure did not converge in 30 rounds — frontier outlived |V|?")
-              visited
-            }
-            val fwd = mclosure("src", "dst")
-            val bwd = mclosure("dst", "src")
-            val sccs = Materialize.trackedLocalCheckpoint(
-              fwd.join(broadcast(bwd), Seq("node", "part"), "left_semi"))
-            labelFrames ::= Materialize.trackedLocalCheckpoint(sccs.join(broadcast(pivots), "part")
-              .select(col("node"), col("pivot").as("scc_id")))
-            // three SCC-closed residual sets, one label-arithmetic split
-            parts = Materialize.trackedLocalCheckpoint(parts
-              .join(broadcast(sccs), Seq("node", "part"), "left_anti")
-              .join(broadcast(fwd.withColumn("in_f", lit(1))),
-                Seq("node", "part"), "left")
-              .join(broadcast(bwd.withColumn("in_b", lit(1))),
-                Seq("node", "part"), "left")
-              .select(col("node"),
-                (col("part") * 4 + when(col("in_f") === 1, lit(1L))
-                  .when(col("in_b") === 1, lit(2L)).otherwise(lit(3L))).as("part")))
-          }
-          outer += 1
-        }
-        if (!parts.isEmpty)
-          throw new IllegalStateException(
-            s"FW-BW recursion did not converge in $outerCap levels — " +
-              "cyclic-region nesting outlived the cap?")
-        val labels = Materialize.trackedLocalCheckpoint(labelFrames.reduce(_.unionByName(_)))
+        val labels = sccLabels(s, dir)
         labels.join(
             broadcast(labels.groupBy("scc_id").agg(count(lit(1)).as("scc_size"))),
             "scc_id")
           .select(col("node"), col("scc_id"), col("scc_size"))
+    },
+
+    GraftQuery(
+      "gr19_condensation_levels",
+      // definition-level oracle: gr18's mutual-reachability SCCs, the
+      // distinct cross-class edges, and level = the LONGEST path from
+      // any source — enumerated by a recursive CTE (finite: the
+      // condensation is acyclic by construction)
+      Some(s"""WITH RECURSIVE ${edgesDuckQ("0.75")},
+              |reach(root, node) AS (
+              |  SELECT n_nationkey, n_nationkey FROM nation
+              |  UNION
+              |  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node),
+              |scc AS (SELECT r1.root AS node, MIN(r1.node) AS scc_id
+              |        FROM reach r1 JOIN reach r2
+              |          ON r1.root = r2.node AND r1.node = r2.root
+              |        GROUP BY r1.root),
+              |cond AS (SELECT DISTINCT s1.scc_id AS src_c, s2.scc_id AS dst_c
+              |         FROM edges e JOIN scc s1 ON s1.node = e.src
+              |                      JOIN scc s2 ON s2.node = e.dst
+              |         WHERE s1.scc_id <> s2.scc_id),
+              |walk(c, len) AS (
+              |  SELECT DISTINCT scc_id, CAST(0 AS BIGINT) FROM scc
+              |  WHERE scc_id NOT IN (SELECT dst_c FROM cond)
+              |  UNION ALL
+              |  SELECT cond.dst_c, w.len + 1 FROM walk w JOIN cond ON cond.src_c = w.c),
+              |lvl AS (SELECT c AS scc_id, MAX(len) AS level FROM walk GROUP BY 1)
+              |SELECT CAST(l.scc_id AS INT) AS scc_id, CAST(l.level AS BIGINT) AS level,
+              |       CAST(m.n AS BIGINT) AS n_members
+              |FROM lvl l JOIN (SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY 1) m
+              |  ON m.scc_id = l.scc_id""".stripMargin),
+      "CONDENSATION of the directed graph + topological LEVELS — what gr18's labeling is FOR: contracting each SCC to one vertex yields the condensation DAG (acyclic by construction — any cross-class cycle would have merged the classes), and the DAG is where every order-dependent graph computation becomes well-defined: dependency scheduling, stage assignment, influence stratification. Level(C) = length of the LONGEST source-to-C path — the earliest parallel stage C can run in, the quantity a scheduler actually needs (min-path layering under-orders: a node is not ready until its LAST prerequisite level clears). Execution: gr18's labels contract the edge list to distinct cross-class pairs (one vertex-grain join per endpoint + distinct — the edge scan happens once); levels run as a bounded max-relaxation fixpoint (level' = max(level, max over preds level+1), monotone non-decreasing and bounded by the DAG depth, so convergence is detected by an empty-increase probe under gr08's loud cap — the same discipline as every loop in the family, with MAX in place of MIN). The oracle pays recursive-CTE path enumeration — exponential in principle, fine at fixture scale — precisely the blowup the relaxation loop avoids (gr04/gr05's lesson, applied to longest path: the loop carries ONE row per class, not one per path). Isolated classes are sources at level 0 — nothing vanishes. GraphSpec replays levels sequentially over the driver-side condensation and pins acyclicity + a genuinely multi-level DAG.") {
+      (s, dir) =>
+        val labels = sccLabels(s, dir, CondensationQ)
+        val e = edges(s, dir, CondensationQ)
+          .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"))
+        val cond = Materialize.trackedLocalCheckpoint(
+          e.join(broadcast(labels.select(col("node").as("src"), col("scc_id").as("src_c"))), "src")
+            .join(broadcast(labels.select(col("node").as("dst"), col("scc_id").as("dst_c"))), "dst")
+            .filter(col("src_c") =!= col("dst_c"))
+            .select("src_c", "dst_c").distinct())
+        var lvl = Materialize.trackedLocalCheckpoint(
+          labels.select("scc_id").distinct().withColumn("level", lit(0L)))
+        var round = 0
+        var done = false
+        while (!done && round < 30) { // DAG depth <= #classes <= |V|
+          val relaxed = cond
+            .join(broadcast(lvl.select(col("scc_id").as("src_c"), col("level"))), "src_c")
+            .select(col("dst_c").as("scc_id"), (col("level") + 1).as("level"))
+          val next = Materialize.trackedLocalCheckpoint(
+            lvl.unionByName(relaxed).groupBy("scc_id").agg(max(col("level")).as("level")))
+          // monotone fixpoint: converged when no class's level increased
+          done = next.join(broadcast(lvl.withColumnRenamed("level", "old")), "scc_id")
+            .filter(col("level") > col("old")).isEmpty
+          lvl = next
+          round += 1
+        }
+        if (!done)
+          throw new IllegalStateException(
+            "level relaxation did not converge in 30 rounds — is the condensation cyclic?")
+        lvl.join(broadcast(labels.groupBy("scc_id").agg(count(lit(1)).as("n_members"))),
+            "scc_id")
+          .select(col("scc_id"), col("level"), col("n_members"))
     })
+
+  /** gr18's FW-BW+Trim decomposition as a reusable primitive: the
+    * checkpointed (node, scc_id) labeling of EVERY nation vertex over
+    * the median-sparsified trade graph (scc_id = min vertex of the
+    * class — see gr18's doc for the invariant argument). Shared by
+    * gr18 (sizes view) and gr19 (condensation DAG).
+    */
+  private[graft] def sccLabels(s: SparkSession, dir: String, q: Double = 0.5): DataFrame = {
+    val e = Materialize.trackedLocalCheckpoint(edges(s, dir, q)
+      .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst")))
+    var parts = Materialize.trackedLocalCheckpoint(Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").cast("int").as("node"))
+      .withColumn("part", lit(0L)))
+    var labelFrames = List.empty[DataFrame]
+    // within-partition edge view: both endpoints active AND in the
+    // same partition (the subgraph the current recursion level sees)
+    def withinEdges(p: DataFrame): DataFrame = Materialize.trackedLocalCheckpoint(
+      e.join(broadcast(p.select(col("node").as("src"), col("part"))), "src")
+        .join(broadcast(p.select(col("node").as("dst"), col("part").as("p2"))), "dst")
+        .filter(col("part") === col("p2"))
+        .select("src", "dst", "part"))
+    val outerCap = 10 // depth tracks cyclic-region nesting, not |V| (trim)
+    var outer = 0
+    while (outer < outerCap && !parts.isEmpty) {
+      // ---- trim to convergence: no within-part out-edge OR in-edge
+      //      => singleton SCC, label = self
+      var trimming = true
+      var tr = 0
+      while (trimming && tr < 30) {
+        val we = withinEdges(parts)
+        val survivors = Materialize.trackedLocalCheckpoint(parts
+          .join(broadcast(we.select(col("src").as("node"), col("part")).distinct()),
+            Seq("node", "part"), "left_semi")
+          .join(broadcast(we.select(col("dst").as("node"), col("part")).distinct()),
+            Seq("node", "part"), "left_semi"))
+        val trimmed = Materialize.trackedLocalCheckpoint(
+          parts.join(broadcast(survivors), Seq("node", "part"), "left_anti"))
+        if (trimmed.isEmpty) trimming = false
+        else {
+          labelFrames ::= trimmed.select(col("node"), col("node").as("scc_id"))
+          parts = survivors
+        }
+        tr += 1
+      }
+      if (trimming)
+        throw new IllegalStateException("trim did not converge in 30 rounds")
+      if (!parts.isEmpty) {
+        val we = withinEdges(parts)
+        val pivots = Materialize.trackedLocalCheckpoint(
+          parts.groupBy("part").agg(min(col("node")).as("pivot")))
+        // multi-source closure: ALL partitions' pivots expand at once,
+        // every frontier row tagged (node, part) so expansion never
+        // leaks across partition boundaries
+        def mclosure(outKey: String, inKey: String): DataFrame = {
+          var visited = Materialize.trackedLocalCheckpoint(
+            pivots.select(col("pivot").as("node"), col("part")))
+          var frontier = visited
+          var round = 0
+          var done = false
+          while (!done && round < 30) {
+            val next = Materialize.trackedLocalCheckpoint(we
+              .join(broadcast(frontier.withColumnRenamed("node", outKey)),
+                Seq(outKey, "part"))
+              .select(col(inKey).as("node"), col("part")).distinct()
+              .join(broadcast(visited), Seq("node", "part"), "left_anti"))
+            done = next.isEmpty
+            if (!done) {
+              visited = Materialize.trackedLocalCheckpoint(visited.unionByName(next))
+              frontier = next
+            }
+            round += 1
+          }
+          if (!done)
+            throw new IllegalStateException(
+              "closure did not converge in 30 rounds — frontier outlived |V|?")
+          visited
+        }
+        val fwd = mclosure("src", "dst")
+        val bwd = mclosure("dst", "src")
+        val sccs = Materialize.trackedLocalCheckpoint(
+          fwd.join(broadcast(bwd), Seq("node", "part"), "left_semi"))
+        labelFrames ::= Materialize.trackedLocalCheckpoint(sccs.join(broadcast(pivots), "part")
+          .select(col("node"), col("pivot").as("scc_id")))
+        // three SCC-closed residual sets, one label-arithmetic split
+        parts = Materialize.trackedLocalCheckpoint(parts
+          .join(broadcast(sccs), Seq("node", "part"), "left_anti")
+          .join(broadcast(fwd.withColumn("in_f", lit(1))),
+            Seq("node", "part"), "left")
+          .join(broadcast(bwd.withColumn("in_b", lit(1))),
+            Seq("node", "part"), "left")
+          .select(col("node"),
+            (col("part") * 4 + when(col("in_f") === 1, lit(1L))
+              .when(col("in_b") === 1, lit(2L)).otherwise(lit(3L))).as("part")))
+      }
+      outer += 1
+    }
+    if (!parts.isEmpty)
+      throw new IllegalStateException(
+        s"FW-BW recursion did not converge in $outerCap levels — " +
+          "cyclic-region nesting outlived the cap?")
+    Materialize.trackedLocalCheckpoint(labelFrames.reduce(_.unionByName(_)))
+  }
 
   /** Weighted sparsified edge list `(src, dst, cost)` for gr11:
     * cost = 1e6 div support — the stronger the trade link, the cheaper

@@ -315,5 +315,46 @@ object Profile {
             Tables.load(s, dir, "orders"), "o_custkey"))
           .unionByName(block("events_events_user", ev, "user_id", ev, "user_id"))
     },
+
+    GraftQuery(
+      "pr09_fd_audit",
+      Some("""WITH fd1 AS (SELECT d, COUNT(*) AS ndep FROM (
+             |    SELECT DISTINCT o_orderkey AS d, o_custkey AS p FROM orders) GROUP BY d),
+             |fd2 AS (SELECT d, COUNT(*) AS ndep FROM (
+             |    SELECT DISTINCT l_orderkey AS d, l_suppkey AS p FROM lineitem) GROUP BY d),
+             |fd3 AS (SELECT d, COUNT(*) AS ndep FROM (
+             |    SELECT DISTINCT user_id AS d, event_type AS p FROM events) GROUP BY d)
+             |SELECT 'orders' AS relation, 'o_orderkey' AS determinant,
+             |       'o_custkey' AS dependent,
+             |       CAST(COUNT(*) AS BIGINT) AS n_det,
+             |       CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             |       CAST(MAX(ndep) AS BIGINT) AS max_deps
+             |FROM fd1
+             |UNION ALL
+             |SELECT 'lineitem', 'l_orderkey', 'l_suppkey', CAST(COUNT(*) AS BIGINT),
+             |       CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(MAX(ndep) AS BIGINT) FROM fd2
+             |UNION ALL
+             |SELECT 'events', 'user_id', 'event_type', CAST(COUNT(*) AS BIGINT),
+             |       CAST(SUM(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             |       CAST(MAX(ndep) AS BIGINT) FROM fd3""".stripMargin),
+      "FUNCTIONAL-DEPENDENCY audit — the schema-semantics profiling axis pr01-pr08 lack (they profile VALUES: distributions, skew, referential integrity, drift; this profiles RULES): for each declared candidate dependency det -> dep, does one determinant value ever map to more than one dependent value? The answer decides real pipeline structure — a 0-violation FD is a candidate KEY (dedup grain, upsert key, partition key) or a safe denormalization (carry dep alongside det instead of joining for it); a violated 'FD' caught here is the silent fan-out that turns a later enrichment join into row multiplication (the q53/q56 class of bug, detected BEFORE the join ships). Three declared dependencies audited: a true key (o_orderkey -> o_custkey, zero violations expected — the oracle-checked positive), a deliberate fan-out (l_orderkey -> l_suppkey: an order straddles suppliers), and a behavioral non-rule (user_id -> event_type). Scale mechanics, per FD: ONE distinct at (det, dep) grain (map-side partial combine — the only pass that sees fact rows), a count at det grain, then a 1-row fold; nothing larger than the distinct-pair set ever shuffles, and the three audits union as independent branches (at 100 TB you run one branch per suspected rule, same plan). All counts exact integers — bit-identical cross-engine. ProfileSpec pins both polarities non-vacuously: the key holds with zero violations, the fan-outs genuinely violate.") {
+      (s, dir) =>
+        def fd(df: org.apache.spark.sql.DataFrame, rel: String,
+            det: String, dep: String) =
+          df.select(col(det).as("d"), col(dep).as("p")).distinct()
+            .groupBy("d").agg(count(lit(1)).as("ndep"))
+            .agg(count(lit(1)).as("n_det"),
+              sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violating"),
+              max(col("ndep")).as("max_deps"))
+            .select(lit(rel).as("relation"), lit(det).as("determinant"),
+              lit(dep).as("dependent"),
+              col("n_det"), col("n_violating"), col("max_deps"))
+        fd(Tables.load(s, dir, "orders"), "orders", "o_orderkey", "o_custkey")
+          .unionByName(
+            fd(Tables.load(s, dir, "lineitem"), "lineitem", "l_orderkey", "l_suppkey"))
+          .unionByName(
+            fd(Tables.load(s, dir, "events"), "events", "user_id", "event_type"))
+    },
   )
 }

@@ -300,5 +300,50 @@ object Temporal {
             col("n_active"), col("n_cohort"),
             (col("n_active").cast("double") / col("n_cohort")).as("retention"))
     },
+
+    GraftQuery(
+      "q66_sequence_funnel",
+      Some("""WITH v AS (SELECT user_id,
+             |            MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+             |          FROM events GROUP BY 1),
+             |c AS (SELECT e.user_id, MIN(e.ts) AS t2
+             |      FROM events e JOIN v ON v.user_id = e.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t1
+             |        AND e.ts <= v.t1 + INTERVAL 6 HOUR GROUP BY 1),
+             |p AS (SELECT e.user_id, MIN(e.ts) AS t3
+             |      FROM events e JOIN c ON c.user_id = e.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+             |        AND e.ts <= c.t2 + INTERVAL 6 HOUR GROUP BY 1)
+             |SELECT CAST(date_trunc('day', v.t1) AS DATE) AS cohort_day,
+             |       COUNT(*) AS n_started,
+             |       COUNT(c.t2) AS n_clicked,
+             |       COUNT(p.t3) AS n_completed
+             |FROM v LEFT JOIN c ON c.user_id = v.user_id
+             |       LEFT JOIN p ON p.user_id = v.user_id
+             |WHERE v.t1 IS NOT NULL
+             |GROUP BY 1""".stripMargin),
+      "ORDERED event-sequence detection (CEP-lite): the strict 3-stage funnel view -> click -> purchase where each stage anchors on the EARLIEST qualifying event AFTER the previous anchor — the batch twin of what CEP engines call sequence pattern matching, and the shape q47 (2 stages, time-bounded) does not cover: here ORDER AND PROXIMITY are the predicate — each stage must land within 6 hours of the previous anchor (an unbounded chain is vacuously satisfiable on any long-lived user: probed on this fixture, every user with all three event types completes it; the 6 h window makes the detector genuinely selective at every fixture scale — most click-holders are excluded, completions survive — and the spec pins both sides). Execution is the q52 discipline taken one step further: three CHAINED window minimums over the SAME user_id partitioning — t1 = min(view), t2 = min(click with ts > t1), t3 = min(purchase with ts > t2); each depends on the previous, but identical partitioning means Catalyst plans ONE exchange feeding three Window operators (plan-audited: exactly one user_id shuffle sees fact rows), where the oracle spells three self-joins. The per-user collapse inherits the window partitioning, and the cohort rollup shuffles only user-sized rows. Longer patterns are the same chain, one window per stage — cost stays one fact shuffle regardless of pattern length, the property that makes sequence mining viable at 100 TB event volume. Exact counts; date_trunc day cohorts bit-identical cross-engine.") {
+      (s, dir) =>
+        val w = Window.partitionBy("user_id")
+        Tables.load(s, dir, "events")
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") > col("t1")
+              && col("ts") <= col("t1") + expr("INTERVAL 6 HOURS"),
+              col("ts"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2")
+              && col("ts") <= col("t2") + expr("INTERVAL 6 HOURS"),
+              col("ts"))).over(w))
+          .filter(col("t1").isNotNull)
+          .select("user_id", "t1", "t2", "t3").dropDuplicates("user_id")
+          .groupBy(to_date(col("t1")).as("cohort_day"))
+          .agg(count(lit(1)).as("n_started"),
+            count(col("t2")).as("n_clicked"),
+            count(col("t3")).as("n_completed"))
+    },
   )
 }

@@ -395,6 +395,63 @@ class GraphSpec extends AnyFunSuite {
       "gr14's seed SCC must appear as one gr18 equivalence class")
   }
 
+  test("gr19: condensation levels equal sequential longest-path layering; DAG acyclic and multi-level") {
+    // driver-side reference: SCC labels by mutual reachability (gr18's
+    // expected machinery), condensation edges, longest-path levels —
+    // over gr19's p75 graph (its resolution knob, see CondensationQ)
+    val edgeList = Graph.edges(spark, sf001, Graph.CondensationQ).collect()
+      .map(r => (lv(r, 0), lv(r, 1))).toSeq
+    val out = edgeList.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val allNations = Tables.load(spark, sf001, "nation")
+      .select("n_nationkey").collect().map(lv(_, 0)).toSet
+    def fwdClosure(v: Long): Set[Long] = {
+      var visited = Set(v); var frontier = Set(v)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(out.getOrElse(_, Set.empty)) -- visited
+        visited ++= next; frontier = next
+      }
+      visited
+    }
+    val reach = allNations.map(v => v -> fwdClosure(v)).toMap
+    val sccId = allNations.map { v =>
+      v -> (reach(v).filter(u => reach(u).contains(v)) + v).min
+    }.toMap
+    val cond = edgeList.map { case (a, b) => (sccId(a), sccId(b)) }
+      .filter { case (a, b) => a != b }.toSet
+    // acyclicity — the invariant the whole operator rests on
+    def condReach(c: Long): Set[Long] = {
+      var visited = Set.empty[Long]; var frontier = Set(c)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(f => cond.filter(_._1 == f).map(_._2)) -- visited
+        visited ++= next; frontier = next
+      }
+      visited
+    }
+    val classIds = sccId.values.toSet
+    classIds.foreach(c => assert(!condReach(c).contains(c),
+      s"condensation has a cycle through class $c — SCC contraction is broken"))
+    // sequential longest-path levels by relaxation to fixpoint
+    var lvl = classIds.map(_ -> 0L).toMap
+    var changed = true
+    while (changed) {
+      changed = false
+      cond.foreach { case (a, b) =>
+        if (lvl(a) + 1 > lvl(b)) { lvl += b -> (lvl(a) + 1); changed = true }
+      }
+    }
+    val sizes = sccId.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = run("gr19_condensation_levels").collect()
+      .map(r => lv(r, 0) -> ((lv(r, 1), lv(r, 2)))).toMap
+    assert(got === classIds.map(c => c -> ((lvl(c), sizes(c)))).toMap,
+      "levels diverged from the sequential longest-path layering")
+    // non-vacuity: a single-level answer means the DAG structure (and
+    // so the whole relaxation loop) was never exercised
+    assert(got.values.map(_._1).toSet.size > 1,
+      "all classes at one level — the condensation DAG is trivial here")
+    assert(got.values.map(_._1).max >= 2L,
+      "no chain of length 2 — max-relaxation indistinguishable from one hop")
+  }
+
   test("gr13: shuffled-label LPA is row-identical to gr06") {
     def rows(name: String) = run(name).collect()
       .map(r => (r.getString(0), lv(r, 1), r.getLong(2))).toSet

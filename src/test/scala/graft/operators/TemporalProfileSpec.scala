@@ -103,6 +103,54 @@ class TemporalProfileSpec extends AnyFunSuite {
     assert(exchanges.size <= 2, s"unexpected exchanges: $exchanges")
   }
 
+  test("q66: sequence funnel equals a driver replay; order genuinely binds; one fact shuffle") {
+    import org.apache.spark.sql.functions.col
+    // driver-side replay of the chained-anchor definition
+    val ev = graft.Tables.load(spark, sf001, "events")
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val win = 6L * 3600 * 1000 // the 6 h per-stage proximity bound
+    val perUser = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val t1 = rows.filter(_._2 == "view").map(_._3).minOption
+      t1.map { v =>
+        val t2 = rows.filter(r => r._2 == "click" && r._3 > v && r._3 <= v + win)
+          .map(_._3).minOption
+        val t3 = t2.flatMap(c =>
+          rows.filter(r => r._2 == "purchase" && r._3 > c && r._3 <= c + win)
+            .map(_._3).minOption)
+        (u, v, t2, t3)
+      }
+    }.toSeq
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val expected = perUser.groupBy(t => fmt.format(new java.util.Date(t._2)))
+      .view.mapValues(us =>
+        (us.size.toLong, us.count(_._3.isDefined).toLong,
+          us.count(_._4.isDefined).toLong)).toMap
+    val got = run("q66_sequence_funnel").collect()
+      .map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected, s"funnel diverged from the sequential replay")
+    // order-sensitivity non-vacuity: some user has click events but NO
+    // qualifying click (all precede the first view) — without such
+    // users the strict ordering is indistinguishable from plain EXISTS
+    val excluded = perUser.count { case (u, v, t2, _) =>
+      t2.isEmpty && ev.exists(r => r._1 == u && r._2 == "click")
+    }
+    assert(excluded > 0,
+      "no user excluded by ordering — the sequence constraint never fired")
+    // completions exist (the full chain is exercised end to end)
+    assert(expected.values.map(_._3).sum > 0, "no completed sequence in the fixture")
+    // plan: the three chained windows + per-user collapse share ONE
+    // user_id exchange over fact rows (q47's discipline, 3 stages deep)
+    val plan = run("q66_sequence_funnel").queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.count(_ == "user_id") == 1,
+      s"expected exactly one user_id shuffle: $exchanges")
+  }
+
   test("q51: disjoint-interval rolling distinct equals the brute-force window") {
     // the query's whole trick is that a plain COUNT of exploded
     // contribution intervals equals COUNT(DISTINCT user) per trailing
@@ -229,6 +277,31 @@ class TemporalProfileSpec extends AnyFunSuite {
     // key's output (strictly, unless the distribution is flat)
     assert(hotSelf >= estSelf / keysSelf,
       s"max_key_pairs $hotSelf below the mean ${estSelf / keysSelf} — not a max")
+  }
+
+  test("pr09: FD audit matches driver-side recomputation; both polarities non-vacuous") {
+    val got = run("pr09_fd_audit").collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // driver-side recomputation straight from the definition
+    def fd(table: String, det: String, dep: String): (Long, Long, Long) = {
+      val pairs = graft.Tables.load(spark, sf001, table)
+        .select(det, dep).distinct().collect()
+        .map(r => (r.get(0), r.get(1)))
+      val perDet = pairs.groupBy(_._1).view.mapValues(_.length.toLong)
+      (perDet.size.toLong, perDet.count(_._2 > 1).toLong, perDet.values.max)
+    }
+    assert(got("orders") === fd("orders", "o_orderkey", "o_custkey"))
+    assert(got("lineitem") === fd("lineitem", "l_orderkey", "l_suppkey"))
+    assert(got("events") === fd("events", "user_id", "event_type"))
+    // polarity non-vacuity: the audit must be able to say BOTH "this
+    // rule holds" and "this rule is violated" on real data — a suite
+    // of all-holds (or all-violated) audits couldn't discriminate
+    assert(got("orders")._2 === 0L && got("orders")._3 === 1L,
+      "o_orderkey -> o_custkey must hold (it is a key dependency)")
+    assert(got("lineitem")._2 > 0L && got("lineitem")._3 > 1L,
+      "l_orderkey -> l_suppkey must be violated (orders straddle suppliers)")
+    assert(got("events")._2 > 0L,
+      "user_id -> event_type must be violated (behavior is not a rule)")
   }
 
   test("pr01/pr02: profile totals are consistent with each other") {
