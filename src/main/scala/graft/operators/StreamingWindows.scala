@@ -296,5 +296,41 @@ object StreamingWindows {
             col("window.end").as("window_end"),
             col("n_users"), col("n_events"))
     },
+
+    GraftQuery(
+      "st14_sequence_match",
+      Some("""WITH v AS (SELECT user_id,
+             |            MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+             |          FROM events GROUP BY 1),
+             |c AS (SELECT e.user_id, MIN(e.ts) AS t2
+             |      FROM events e JOIN v ON v.user_id = e.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.t1
+             |        AND e.ts <= v.t1 + INTERVAL 6 HOUR GROUP BY 1),
+             |p AS (SELECT e.user_id, MIN(e.ts) AS t3
+             |      FROM events e JOIN c ON c.user_id = e.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+             |        AND e.ts <= c.t2 + INTERVAL 6 HOUR GROUP BY 1)
+             |SELECT v.user_id, v.t1, c.t2, p.t3
+             |FROM v JOIN c ON c.user_id = v.user_id
+             |       JOIN p ON p.user_id = v.user_id""".stripMargin),
+      "Streamed SEQUENCE detection — q66's strict 6 h view -> click -> purchase chain as the match-emission view (completed chains only, with their three anchor timestamps): the batch twin of a CEP state machine, and the streaming family's first stateful PATTERN operator (st01-st13 cover windows/dedup/joins/chained aggs; none holds a per-key automaton). The streaming side ([[SequenceMatch]]) runs the identical semantics through flatMapGroupsWithState: per-user state = three optional anchors + a done bit (O(1) per user regardless of event volume — the property that lets a billion-user stream keep its whole pattern state in the state store), events applied in event-time order, one append-mode emission per user at completion, late/replayed events no-ops after the done bit. StreamingEquivalenceSpec pins the real readStream state machine == this batch twin row-for-row at micro-second anchor precision, AND that the automaton's state survives a checkpoint restart mid-pattern (view+click before the stop, purchase after — the match must emit exactly once, in the second run). Batch execution is q66's one-exchange chained-window plan with an inner completed-only projection.") {
+      (s, dir) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        Tables.load(s, dir, "events")
+          .filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") > col("t1")
+              && col("ts") <= col("t1") + expr("INTERVAL 6 HOURS"),
+              col("ts"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2")
+              && col("ts") <= col("t2") + expr("INTERVAL 6 HOURS"),
+              col("ts"))).over(w))
+          .filter(col("t3").isNotNull)
+          .select("user_id", "t1", "t2", "t3").dropDuplicates("user_id")
+    },
   )
 }

@@ -96,6 +96,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ss12_trained_ivf_recall", // ss09's probe (1-row query, k-row cells) x2 + ss10's Lloyd scans
     "ss13_truncated_prefilter", // 1-row query vector broadcast into prefix scan + exact audit scan
     "sp11_curriculum_phases", // 1-row min/max + 1-row corpus-count frames (q57's bucketizer)
+    "pk02_balanced_shards", // same 1-row min/max stats frame (q57's bucketizer, descending)
     "tx17_vocab_coverage", // 3 one-row cut aggregates x a 1-row totals frame
     "gr11_sssp", // 1-row median broadcast in the weighted-edges front door
     "gr12_pagerank_shuffled", // shared edges() front door: 1-row median broadcast (pre-checkpoint; the LOOP is zero-broadcast, separately pinned)

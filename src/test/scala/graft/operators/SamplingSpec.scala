@@ -195,4 +195,34 @@ class SamplingSpec extends AnyFunSuite {
         s"phase $p max ${maxByPhase(p)} exceeds phase ${p + 1} min ${minByPhase(p + 1)}")
     }
   }
+
+  test("pk02 shards are LPT-balanced: sorted round-robin beats arrival order; spread tiny vs mean (sf0.01)") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    val toks = graft.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver replay of the assignment: rank by (tokens desc, doc_id),
+    // then serpentine deal — even blocks forward, odd blocks reversed
+    val sortedLoads = toks.sortBy(t => (-t._2, t._1)).zipWithIndex
+      .groupBy { case (_, i) =>
+        if ((i / 16) % 2 == 0) i % 16 else 15 - i % 16
+      }.view.mapValues(_.map(_._1._2).sum).values.toSeq
+    val got = graft.GraftQuery.all.find(_.name == "pk02_balanced_shards").get
+      .build(spark, sf001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === (0 until 16).toSet, "all 16 shards must be populated")
+    assert(got.values.map(_._2).toSeq.sorted === sortedLoads.sorted,
+      "shard loads diverged from the sorted round-robin replay")
+    // the balance CLAIM: sorted round-robin's max-min token spread
+    // strictly beats arrival-order (doc_id-order) round-robin, and is a
+    // small fraction of the mean shard load
+    val arrivalLoads = toks.sortBy(_._1).zipWithIndex
+      .groupBy(_._2 % 16).view.mapValues(_.map(_._1._2).sum).values.toSeq
+    def spread(xs: Seq[Long]) = xs.max - xs.min
+    assert(spread(sortedLoads) < spread(arrivalLoads),
+      s"sorting did not improve balance: sorted=${spread(sortedLoads)} arrival=${spread(arrivalLoads)}")
+    val mean = sortedLoads.sum / sortedLoads.length
+    assert(spread(sortedLoads) < mean / 50,
+      s"serpentine spread ${spread(sortedLoads)} exceeds 2% of mean shard load $mean")
+  }
 }

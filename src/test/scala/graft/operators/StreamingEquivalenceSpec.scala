@@ -495,4 +495,71 @@ class StreamingEquivalenceSpec extends AnyFunSuite {
       assert(maxTotal < inputRows,
         s"$flavor: some batch held $maxTotal >= all $inputRows rows in state")
     }
+
+  test("sequence state machine: streaming matches == batch twin; automaton survives restart mid-pattern") {
+    import spark.implicits._
+    // A: the whole fixture through a real readStream state machine —
+    // row-for-row equal to the chained-window batch twin, anchors at
+    // full timestamp precision
+    val streamed = runToMemory(
+      SequenceMatch.matches(
+        streamEvents.filter(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .as[SequenceMatch.SeqEvent]).toDF(),
+      "st14_stream", "append")
+    val batch = StreamingWindows.all.find(_.name == "st14_sequence_match").get
+      .build(spark, sf0001)
+    assert(sortedRows(streamed.select("user_id", "t1", "t2", "t3")) === sortedRows(batch))
+    assert(streamed.count() > 0, "no completed sequence — equivalence pin is vacuous")
+
+    // B: the automaton's state crosses a checkpointed restart
+    // mid-pattern, and the done bit dedupes replayed suffixes
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("seq-src").toString
+    val ckpt = Files.createTempDirectory("seq-ckpt").toString
+    val out = Files.createTempDirectory("seq-out").toString
+    def addFile(name: String, rows: Seq[String]): Unit = {
+      Files.write(Paths.get(src, name), rows.mkString("\n").getBytes("UTF-8")); ()
+    }
+    def runOnce(): Unit = {
+      val q = SequenceMatch.matches(
+        spark.readStream
+          .schema("ts TIMESTAMP, user_id BIGINT, event_type STRING")
+          .json(src)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .as[SequenceMatch.SeqEvent])
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def matchesOnDisk(): Seq[(Long, String)] =
+      spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(3).toString)).toSeq.sorted
+    // run 1: user 1 is mid-pattern (view + click, no purchase yet);
+    // user 2's purchase without prior stages must never match
+    addFile("b1.jsonl", Seq(
+      """{"ts":"2024-01-01 10:00:00","user_id":1,"event_type":"view"}""",
+      """{"ts":"2024-01-01 10:30:00","user_id":1,"event_type":"click"}""",
+      """{"ts":"2024-01-01 10:05:00","user_id":2,"event_type":"purchase"}"""))
+    runOnce()
+    assert(matchesOnDisk().isEmpty, "no chain is complete yet")
+    // run 2 (restart from the checkpoint): the qualifying purchase
+    // arrives — the anchors persisted in the state store must complete
+    // the match exactly once
+    addFile("b2.jsonl", Seq(
+      """{"ts":"2024-01-01 11:00:00","user_id":1,"event_type":"purchase"}"""))
+    runOnce()
+    assert(matchesOnDisk() === Seq((1L, "2024-01-01 11:00:00.0")),
+      "the restart must complete the mid-pattern chain exactly once")
+    // run 3: a later purchase for the same user is a no-op (done bit)
+    addFile("b3.jsonl", Seq(
+      """{"ts":"2024-01-01 11:30:00","user_id":1,"event_type":"purchase"}"""))
+    runOnce()
+    assert(matchesOnDisk() === Seq((1L, "2024-01-01 11:00:00.0")),
+      "a completed user must never match again")
+  }
 }
