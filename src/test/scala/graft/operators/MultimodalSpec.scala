@@ -200,4 +200,62 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("mm10 dHash: decoded-raster hash equals closed form; banding recall = all-pairs truth; pruning real") {
+    import graft.operators.Multimodal.PngCodec
+    // golden: the hash computed from the REAL decoded raster equals the
+    // closed form pushed through the same 8x7 NN grid
+    def closedForm(id: Long, w: Int, h: Int): Long = {
+      var bits = 0L
+      for (j <- 0 until 7; i <- 0 until 8) {
+        val y = j * h / 7
+        val (x1, x2) = (i * w / 9, (i + 1) * w / 9)
+        def px(x: Int) = ((id * 17 + x * 31 + y * 7) % 256).toInt
+        if (px(x2) > px(x1)) bits |= 1L << (j * 8 + i)
+      }
+      bits
+    }
+    for ((id, w, h) <- Seq((7L, 13, 9), (42L, 4, 4), (9L, 16, 11))) {
+      val png = PngCodec.encodeGray(w, h,
+        (x, y) => ((id * 17 + x * 31 + y * 7) % 256).toInt)
+      assert(PngCodec.decodeDhash(png) === closedForm(id, w, h),
+        s"decoded-raster dHash diverged from the closed form for ($id, $w, $h)")
+    }
+    // the query's banded candidates recover EXACTLY the all-pairs
+    // Hamming <= 4 truth (pigeonhole recall + exact rerank precision)
+    def md5hex(s0: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s0.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hs = graft.Tables.load(spark, sf001, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 60)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val m = md5hex(r.getString(1))
+        val (w, h) = (4 + Integer.parseInt(m.substring(0, 2), 16) % 13,
+          4 + Integer.parseInt(m.substring(2, 4), 16) % 13)
+        r.getLong(0) -> closedForm(r.getLong(0), w, h)
+      }.toMap
+    val truth = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)) if d <= 4
+    } yield (a, b, d)).toSet
+    val got = graft.GraftQuery.all.find(_.name == "mm10_perceptual_neardup").get
+      .build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === truth,
+      s"banded pairs != all-pairs truth: extra=${got -- truth} missing=${truth -- got}")
+    assert(truth.exists(_._3 == 0), "no distance-0 pair — re-encode dedup untested")
+    assert(truth.exists(t => t._3 >= 1 && t._3 <= 4),
+      "no near-miss pair — the Hamming threshold is untested")
+    // the banding genuinely PRUNES: candidate pairs (band agreement)
+    // are far fewer than all pairs, else the LSH is all-pairs in disguise
+    def bandsOf(x: Long): Seq[(Int, Long)] =
+      (0, x % 4096) +: (1 to 4).map(k => (k, (x >> (12 + 11 * (k - 1))) % 2048))
+    val cands = (for {
+      a <- hs.keys; b <- hs.keys if a < b
+      if bandsOf(hs(a)).zip(bandsOf(hs(b))).exists(p => p._1 == p._2)
+    } yield (a, b)).toSet
+    val allPairs = hs.size * (hs.size - 1) / 2
+    assert(cands.size < allPairs / 2,
+      s"banding admitted ${cands.size} of $allPairs pairs — not pruning")
+  }
 }
