@@ -152,5 +152,64 @@ object Decontam {
             coalesce(col("max_shared"), lit(0L)).as("max_shared"),
             when(col("n_tainting_train").isNotNull, lit("tainted"))
               .otherwise(lit("clean")).as("verdict"))
+    },
+
+    GraftQuery(
+      "dc04_semantic_decontam",
+      Some(s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+              |                    ${Sampling.duckBucket100Of("vec_id")} AS bkt
+              |             FROM embeddings),
+              |pl AS (SELECT ${Hashing.planesDuck} AS planes),
+              |tr AS (SELECT vec_id, e FROM emb WHERE bkt < 80),
+              |te AS (SELECT vec_id, e FROM emb WHERE bkt >= 90),
+              |st AS (SELECT vec_id, e, ${Hashing.embSigDuck} AS sig FROM te, pl),
+              |sr AS (SELECT vec_id, e, ${Hashing.embSigDuck} AS sig FROM tr, pl),
+              |bt AS (SELECT vec_id, bb.b AS band_idx, substring(sig, bb.b*4 + 1, 4) AS band_key
+              |       FROM st, (SELECT UNNEST(RANGE(0, 8)) AS b) bb),
+              |br AS (SELECT vec_id, bb.b AS band_idx, substring(sig, bb.b*4 + 1, 4) AS band_key
+              |       FROM sr, (SELECT UNNEST(RANGE(0, 8)) AS b) bb),
+              |cand AS (SELECT DISTINCT bt.vec_id AS test_id, br.vec_id AS train_id
+              |         FROM bt JOIN br
+              |           ON bt.band_idx = br.band_idx AND bt.band_key = br.band_key),
+              |fl AS (SELECT c.test_id, COUNT(*) AS n_train_matches,
+              |              ROUND(MAX(LIST_COSINE_SIMILARITY(a.e, b.e)), 4) AS max_sim
+              |       FROM cand c JOIN te a ON a.vec_id = c.test_id
+              |                   JOIN tr b ON b.vec_id = c.train_id
+              |       WHERE LIST_COSINE_SIMILARITY(a.e, b.e) >= 0.45
+              |       GROUP BY 1)
+              |SELECT te.vec_id AS test_id,
+              |       COALESCE(fl.n_train_matches, 0) AS n_train_matches,
+              |       fl.max_sim
+              |FROM te LEFT JOIN fl ON fl.test_id = te.vec_id""".stripMargin),
+      "SEMANTIC decontamination — the leakage axis dc01-dc03 cannot see: a paraphrased or re-worded benchmark item shares almost no rare trigrams with its training twin, but its EMBEDDING sits right next to it (the published contamination studies' motivation for embedding-space checks alongside n-gram ones). Same eval-side report shape as dc03 — one row per held-out vector, clean rows explicit with zero matches (checked-and-clean must be distinguishable from never-checked) — but the evidence is cosine: per test vector, how many sp05-split TRAIN vectors land within 0.45, and the worst offender's similarity. The detector is dd06's shipped machinery across the split: hyperplane-LSH band equi-join generates test x train candidates (never the test x train cross product — at 100 TB train-side vectors hash into band buckets once and the benchmark probes them, the same asymmetry as dc01's broadcast), exact cosine reranks. The oracle replicates the identical planes, signatures, and banding in SQL (dd06's discipline — a sampling/LSH operator is value-checkable exactly when its randomness is md5-derived), so engine == oracle INCLUDING the detector's recall behavior; the exact all-pairs truth is the spec's job, which prices what the bands miss. Both polarities non-vacuous at every fixture scale (probed: 2-5 of 61 test vectors flagged).") {
+      (s, dir) =>
+        graft.functions.GraftFunctions.register(s)
+        val emb = Tables.spread(Tables.load(s, dir, "embeddings"), "vec_id")
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+          .withColumn("bkt", expr(Sampling.bucket100("vec_id")))
+        val train = emb.filter(col("bkt") < 80).select("vec_id", "e")
+        val test = emb.filter(col("bkt") >= 90).select("vec_id", "e")
+        def bands(df: DataFrame, idCol: String): DataFrame =
+          df.withColumn("sig", expr(Hashing.embSigExpr))
+            .select(col("vec_id").as(idCol),
+              posexplode(expr(
+                "transform(sequence(0, 7), b -> substring(sig, b*4 + 1, 4))"))
+                .as(Seq("band_idx", "band_key")))
+        val cand = bands(test, "test_id")
+          .join(bands(train, "train_id"), Seq("band_idx", "band_key"))
+          .select("test_id", "train_id").distinct()
+        val flagged = cand
+          .join(test.select(col("vec_id").as("test_id"), col("e").as("e_t")), "test_id")
+          .join(train.select(col("vec_id").as("train_id"), col("e").as("e_r")), "train_id")
+          .withColumn("sim", expr("graft_cosine(e_t, e_r)"))
+          .filter(col("sim") >= 0.45)
+          .groupBy("test_id")
+          .agg(count(lit(1)).as("n_train_matches"), round(max(col("sim")), 4).as("max_sim"))
+        test.select(col("vec_id").as("test_id"))
+          .join(broadcast(flagged), Seq("test_id"), "left")
+          .select(col("test_id"),
+            coalesce(col("n_train_matches"), lit(0L)).as("n_train_matches"),
+            col("max_sim"))
     })
 }

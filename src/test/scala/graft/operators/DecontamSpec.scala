@@ -64,4 +64,43 @@ class DecontamSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == expected, s"dc02 purge inconsistent with dc01 flags: got=$got expected=$expected")
   }
+
+  test("dc04: precision exact vs all-pairs cosine truth; recall priced; clean rows explicit (sf0.01)") {
+    import org.apache.spark.sql.functions.col
+    // exact all-pairs ground truth, straight from the definition — the
+    // O(test x train) scan the shipped LSH detector avoids
+    val emb = Tables.load(spark, sf001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val train = emb.filter(t => bucket(t._1) < 80)
+    val test = emb.filter(t => bucket(t._1) >= 90)
+    val truth = test.map { case (tid, te) =>
+      tid -> train.filter { case (_, tr) => cos(te, tr) >= 0.45 }.map(_._1).toSet
+    }.toMap
+    val got = byName("dc04_semantic_decontam").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // report covers EVERY test vector — clean rows explicit
+    assert(got.keySet === test.map(_._1).toSet, "every held-out vector must be reported")
+    // precision: the LSH + exact-rerank path can never flag a pair the
+    // exact truth rejects (rerank IS the exact cosine)
+    got.foreach { case (tid, n) =>
+      assert(n <= truth(tid).size.toLong,
+        s"test vec $tid: flagged $n > ${truth(tid).size} true matches — precision broken")
+    }
+    // recall priced: the bands recover the large majority of true
+    // matches on this fixture (dd06's recall discipline cross-split)
+    val trueTotal = truth.values.map(_.size).sum
+    val gotTotal = got.values.sum
+    assert(trueTotal > 0, "no cross-split semantic match — the audit is vacuous")
+    assert(gotTotal.toDouble / trueTotal >= 0.6,
+      s"LSH recall ${gotTotal.toDouble / trueTotal} too low (got $gotTotal of $trueTotal)")
+    // both polarities: flagged and clean test vectors coexist
+    assert(got.values.exists(_ > 0) && got.values.exists(_ == 0),
+      "report cannot discriminate — all flagged or all clean")
+  }
 }
