@@ -990,21 +990,29 @@ object Dedup {
           .withColumn("bkt", expr(Sampling.bucket100("doc_id")))
         val reg = d.filter(length(col("name")) >= 8)
           .select(col("doc_id").as("match_id"), col("name"))
+        // VALUE COLLAPSE (dd05/dd06's discipline): registry clones share
+        // their name, so blocking + Levenshtein run against DISTINCT
+        // names — scoring cost is clone-independent — and matches expand
+        // to the clone ids by one equi-join at the end (ScaleProbe 10x:
+        // the expanded formulation scored every (dirty, clone) pair and
+        // ran 15x; this is linear)
+        val regNames = reg.select("name").distinct()
         val dirty = d.filter(col("bkt") < 10 && length(col("name")) >= 8)
           .withColumn("pos", expr(
             "1 + CAST(conv(substring(md5(CAST(doc_id AS STRING)), 9, 2), 16, 10) AS INT) % length(name)"))
           .select(col("doc_id").as("dirty_id"),
             expr("concat(substring(name, 1, pos - 1), substring(name, pos + 1, length(name)))")
               .as("corrupted"))
-        val byFirst = dirty.join(reg,
+        val byFirst = dirty.join(regNames,
           lower(expr("substring(corrupted, 1, 1)")) === lower(expr("substring(name, 1, 1)")))
-        val byLast = dirty.join(reg,
+        val byLast = dirty.join(regNames,
           lower(expr("substring(corrupted, length(corrupted), 1)"))
             === lower(expr("substring(name, length(name), 1)")))
         byFirst.unionByName(byLast).distinct()
           .filter(expr("levenshtein(corrupted, name) <= 1"))
-          .select(col("dirty_id"), col("match_id"),
-            expr("CAST(levenshtein(corrupted, name) AS INT)").as("dist"))
+          .withColumn("dist", expr("CAST(levenshtein(corrupted, name) AS INT)"))
+          .join(reg, "name") // expand distinct-name matches to clone ids
+          .select(col("dirty_id"), col("match_id"), col("dist"))
     },
   )
 
