@@ -854,6 +854,70 @@ object Graph {
         lvl.join(broadcast(labels.groupBy("scc_id").agg(count(lit(1)).as("n_members"))),
             "scc_id")
           .select(col("scc_id"), col("level"), col("n_members"))
+    },
+
+    GraftQuery(
+      "gr20_personalized_pagerank",
+      Some(s"""WITH $edgesDuck,
+              |seed AS (SELECT MIN(src) AS s FROM edges),
+              |r0 AS (SELECT n_nationkey AS node,
+              |              CASE WHEN n_nationkey = (SELECT s FROM seed)
+              |                   THEN 1000000000 ELSE 0 END AS r
+              |       FROM nation),
+              |r1 AS (SELECT n.node,
+              |              CAST(CASE WHEN n.node = (SELECT s FROM seed)
+              |                        THEN 150000000 ELSE 0 END
+              |                   + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS BIGINT) AS r
+              |       FROM r0 n
+              |       LEFT JOIN edges e ON e.dst = n.node
+              |       LEFT JOIN r0 r ON r.node = e.src
+              |       LEFT JOIN outdeg o ON o.src = e.src
+              |       GROUP BY n.node),
+              |r2 AS (SELECT n.node,
+              |              CAST(CASE WHEN n.node = (SELECT s FROM seed)
+              |                        THEN 150000000 ELSE 0 END
+              |                   + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS BIGINT) AS r
+              |       FROM r1 n
+              |       LEFT JOIN edges e ON e.dst = n.node
+              |       LEFT JOIN r1 r ON r.node = e.src
+              |       LEFT JOIN outdeg o ON o.src = e.src
+              |       GROUP BY n.node),
+              |r3 AS (SELECT n.node,
+              |              CAST(CASE WHEN n.node = (SELECT s FROM seed)
+              |                        THEN 150000000 ELSE 0 END
+              |                   + (85 * COALESCE(SUM(r.r // o.deg), 0)) // 100 AS BIGINT) AS r
+              |       FROM r2 n
+              |       LEFT JOIN edges e ON e.dst = n.node
+              |       LEFT JOIN r2 r ON r.node = e.src
+              |       LEFT JOIN outdeg o ON o.src = e.src
+              |       GROUP BY n.node)
+              |SELECT na.n_name AS nation, r3.r AS rank_units
+              |FROM r3 JOIN nation na ON na.n_nationkey = r3.node
+              |WHERE r3.r > 0""".stripMargin),
+      "PERSONALIZED PageRank (random walk with restart) — gr01's global importance re-anchored to a query vertex, THE similarity-to-this-node primitive behind recommendation and related-entity queries ('which trade partners matter FROM France's point of view' is a different question from 'which matter globally', and the answer concentrates provably around the seed): same three power iterations, same d = 0.85, same exact integer 1e-9 units and truncating division at both sites, but all restart mass re-injects at the data-adaptive seed (min vertex with an out-edge — restart at a sink would strand the walk) instead of spreading 1/N everywhere. The structural consequence is the operator's point at 100 TB: rank mass is ZERO outside the seed's 3-hop out-neighborhood, so the output is neighborhood-sized, not graph-sized — vertices the walk never touched are ABSENT (r > 0 filter; gr11's absence-is-information contract), which is what makes per-query PPR serving viable where global PageRank must materialize |V| rows. Execution is gr01's loop verbatim with the personalized base term (one contribution shuffle per hop, vertex-scale rank table broadcast — swapping to gr12's shuffled form past executor memory); the oracle unrolls the same three iterations with the seed-anchored base. GraphSpec replays the exact integer recurrence driver-side, pins seed dominance, genuine mass decay with hop distance, and that the personalization genuinely reorders gr01's global ranking.") {
+      (s, dir) =>
+        val e = edges(s, dir)
+        val outdeg = broadcast(e.groupBy("src").agg(count(lit(1)).as("deg")))
+        val seed = broadcast(e.agg(min(col("src")).as("seed")))
+        val nodes = Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("node"), col("n_name"))
+        def base = when(col("node") === col("seed"), lit(150000000L)).otherwise(lit(0L))
+        var ranks = nodes.select("node").crossJoin(seed)
+          .select(col("node"),
+            when(col("node") === col("seed"), lit(1000000000L)).otherwise(lit(0L)).as("r"))
+        for (_ <- 1 to 3) {
+          val contribs = e
+            .join(outdeg, "src")
+            .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            .select(col("dst").as("node"), expr("r div deg").as("c"))
+          ranks = nodes.select("node").crossJoin(seed)
+            .join(contribs.groupBy("node").agg(sum(col("c")).as("s")), Seq("node"), "left")
+            .select(col("node"),
+              (base + expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+        }
+        ranks.filter(col("r") > 0)
+          .join(broadcast(nodes), "node")
+          .select(col("n_name").as("nation"), col("r").as("rank_units"))
     })
 
   /** gr18's FW-BW+Trim decomposition as a reusable primitive: the

@@ -395,6 +395,43 @@ class GraphSpec extends AnyFunSuite {
       "gr14's seed SCC must appear as one gr18 equivalence class")
   }
 
+  test("gr20: PPR equals the exact integer restart recurrence; seed dominates; reorders the global ranking") {
+    val nations = Tables.load(spark, sf001, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val outdeg = edgeList.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val inEdges = edgeList.groupBy(_._2)
+    val seed = edgeList.map(_._1).min
+    var rank: Map[Long, Long] =
+      nations.keys.map(n => n -> (if (n == seed) 1000000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      rank = nations.keys.map { n =>
+        val s = inEdges.getOrElse(n, Seq.empty)
+          .map { case (u, _) => rank(u) / outdeg(u) }.sum
+        n -> ((if (n == seed) 150000000L else 0L) + 85 * s / 100)
+      }.toMap
+    }
+    val expected = rank.filter(_._2 > 0).map { case (n, r) => nations(n) -> r }
+    val got = run("gr20_personalized_pagerank").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected, "PPR diverged from the exact integer recurrence")
+    // personalization structure: the seed strictly dominates (it alone
+    // receives restart mass every round), ranks genuinely vary, and at
+    // least one vertex the walk never reached is absent from the output
+    assert(got(nations(seed)) > (got - nations(seed)).values.max,
+      "seed must carry the maximum personalized rank")
+    assert(got.values.toSet.size > 1, "uniform PPR — the walk never propagated")
+    // personalization REORDERS the global view: some pair of nations
+    // ranks in the opposite order under gr01 (else PPR is just PageRank)
+    val global = run("gr01_pagerank").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val common = got.keySet.intersect(global.keySet).toSeq
+    val inverted = common.combinations(2).exists { case Seq(a, b) =>
+      (got(a) - got(b)).sign * (global(a) - global(b)).sign == -1
+    }
+    assert(inverted, "PPR ordering identical to global PageRank — personalization vacuous")
+  }
+
   test("gr19: condensation levels equal sequential longest-path layering; DAG acyclic and multi-level") {
     // driver-side reference: SCC labels by mutual reachability (gr18's
     // expected machinery), condensation edges, longest-path levels —
