@@ -356,5 +356,49 @@ object Profile {
           .unionByName(
             fd(Tables.load(s, dir, "events"), "events", "user_id", "event_type"))
     },
+
+    GraftQuery(
+      "pr10_snapshot_diff",
+      Some(s"""WITH o AS (SELECT o_orderkey AS k,
+              |                  CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+              |                  ${Sampling.duckBucket100Of("o_orderkey")} AS bkt
+              |           FROM orders),
+              |a AS (SELECT k, price FROM o WHERE bkt < 95),
+              |b AS (SELECT k, CASE WHEN bkt % 7 = 0
+              |                     THEN price + CAST(1.00 AS DECIMAL(12,2))
+              |                     ELSE price END AS price
+              |      FROM o WHERE bkt >= 5)
+              |SELECT CASE WHEN a.k IS NULL THEN 'added'
+              |            WHEN b.k IS NULL THEN 'removed'
+              |            WHEN a.price <> b.price THEN 'changed'
+              |            ELSE 'unchanged' END AS change_class,
+              |       COUNT(*) AS n_rows,
+              |       CAST(SUM(COALESCE(b.price, 0) - COALESCE(a.price, 0)) AS DOUBLE)
+              |         AS total_price_delta
+              |FROM a FULL OUTER JOIN b ON a.k = b.k
+              |GROUP BY 1""".stripMargin),
+      "SNAPSHOT DIFF / table reconciliation — the audit every incremental pipeline runs between two generations of the same table ('what did last night's load actually change?'): per key, classify added / removed / changed / unchanged and account the value drift per class, the four numbers that catch a botched backfill (everything 'changed'), a truncated extract (mass 'removed'), or a double-load (mass 'added') BEFORE downstream consumers do. The two snapshots are synthesized deterministically from one table (tx16's injection discipline — generation A omits keys bucketed >= 95, generation B omits < 5 and mutates every bkt%7==0 price by +1.00), so all four classes are non-vacuously present at every fixture scale and the oracle states the exact expected counts and deltas. Execution is ONE full-outer join on the key (q53's MERGE shape repurposed as an audit — both sides shuffle once, classification and the per-class fold are map-side; the class aggregate is 4 rows); at 100 TB both snapshots stored bucketed on the key (q55's layout) make even that single shuffle vanish. Money math decimal end-to-end, one terminal double cast — bit-identical cross-engine.") {
+      (s, dir) =>
+        val o = Tables.load(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            col("o_totalprice").cast("decimal(12,2)").as("price"))
+          .withColumn("bkt", expr(Sampling.bucket100("k")))
+        val a = o.filter(col("bkt") < 95).select(col("k").as("ka"), col("price").as("pa"))
+        val b = o.filter(col("bkt") >= 5)
+          .select(col("k").as("kb"),
+            when(col("bkt") % 7 === 0, col("price") + lit(BigDecimal("1.00")))
+              .otherwise(col("price")).cast("decimal(12,2)").as("pb"))
+        a.join(b, col("ka") === col("kb"), "full_outer")
+          .select(
+            when(col("ka").isNull, "added")
+              .when(col("kb").isNull, "removed")
+              .when(col("pa") =!= col("pb"), "changed")
+              .otherwise("unchanged").as("change_class"),
+            (coalesce(col("pb"), lit(BigDecimal("0.00")))
+              - coalesce(col("pa"), lit(BigDecimal("0.00")))).as("delta"))
+          .groupBy("change_class")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("delta")).cast("double").as("total_price_delta"))
+    },
   )
 }

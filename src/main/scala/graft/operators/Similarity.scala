@@ -774,6 +774,43 @@ object Similarity {
           .select(col("rnk"), col("vec_id"), col("d").cast("long").as("exact_d_units"),
             coalesce(col("h"), lit(0)).cast("int").as("hit"))
     },
+
+    GraftQuery(
+      "ss14_maxsim_late_interaction",
+      Some("""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |q AS (SELECT vec_id,
+             |             LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe
+             |      FROM emb),
+             |qq AS (SELECT qe AS qv FROM q WHERE vec_id = (SELECT MIN(vec_id) FROM q)),
+             |pairs AS (SELECT d.vec_id, p.i // 8 AS qt,
+             |                 CAST(list_inner_product(
+             |                   qq.qv[((p.i // 8) * 8 + 1):((p.i // 8) * 8 + 8)],
+             |                   d.qe[((p.i % 8) * 8 + 1):((p.i % 8) * 8 + 8)]) AS BIGINT) AS dot
+             |          FROM q d, qq, (SELECT UNNEST(RANGE(0, 64)) AS i) p),
+             |best AS (SELECT vec_id, qt, MAX(dot) AS m FROM pairs GROUP BY 1, 2),
+             |scored AS (SELECT vec_id, CAST(SUM(m) AS BIGINT) AS maxsim_units
+             |           FROM best GROUP BY 1)
+             |SELECT vec_id, maxsim_units FROM scored
+             |ORDER BY maxsim_units DESC, vec_id LIMIT 10""".stripMargin),
+      "MULTI-VECTOR late-interaction retrieval (the ColBERT MaxSim scorer) — the serving primitive the single-vector family (ss01-ss13) cannot express: when a query and a document each carry a SET of token vectors, relevance is sum-over-query-tokens of the max dot against ANY document token — soft term matching, the quality jump over pooling everything into one vector (one pooled dot is exactly what ss01 scores; MaxSim rewards a document that matches each query facet with a DIFFERENT region). Modeled here by slicing the 64-dim embedding into 8 tokens x 8 dims (the plumbing is the point — real multi-vector data only widens the arrays); the query is the data-adaptive min-id vector, scores are integer dots over the family's shared floor-quantized units (exact cross-engine — 8 terms x 1e12 stays under 2^53, so even the oracle's double-accumulating list_inner_product is exact). Execution prices the real late-interaction bill honestly: the (query token x doc token) interaction explodes to Q x T = 64 rows per doc — map-side, with the per-(doc, qt) MAX and per-doc SUM both partial-aggregating before any shuffle — and top-10 lands via TakeOrderedAndProject (per-task heaps, no global sort); at 100 TB this per-doc constant is exactly why production ColBERT serves through an ANN candidate stage first (ss09's probe) and MaxSim-reranks only survivors, the composition these operators make available. SimilaritySpec replays the scorer driver-side and pins that cross-token maxima genuinely fire (some query token's best match is a DIFFERENT doc token index — the 'late' in late interaction, non-vacuous).") {
+      (s, dir) =>
+        val q = qemb(s, dir)
+        val qq = broadcast(q.orderBy(col("vec_id")).limit(1)
+          .select(col("qe").as("qv")))
+        q.crossJoin(qq)
+          .select(col("vec_id"), col("qe"), col("qv"),
+            explode(sequence(lit(0), lit(63))).as("i"))
+          .select(col("vec_id"), (col("i") / 8).cast("int").as("qt"),
+            expr("""aggregate(
+                   |  zip_with(slice(qv, (i div 8) * 8 + 1, 8),
+                   |           slice(qe, (i % 8) * 8 + 1, 8),
+                   |           (x, y) -> x * y),
+                   |  0L, (a, v) -> a + v)""".stripMargin).as("dot"))
+          .groupBy(col("vec_id"), col("qt")).agg(max(col("dot")).as("m"))
+          .groupBy(col("vec_id")).agg(sum(col("m")).as("maxsim_units"))
+          .orderBy(col("maxsim_units").desc, col("vec_id")).limit(10)
+          .select(col("vec_id"), col("maxsim_units"))
+    },
   )
 
   /** Single-probe IVF serve against an arbitrary centroid table

@@ -211,4 +211,40 @@ class SimilaritySpec extends AnyFunSuite {
     val hits = expect.count(_._4 == 1)
     assert(hits > 0, "prefix ordering recovered nothing — audit is vacuous")
   }
+
+  test("ss14: MaxSim equals a driver replay; cross-token maxima genuinely fire (sf0.001)") {
+    // exact integer replay of the scorer, straight from the definition
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000000).toLong).toArray)
+      .toMap
+    val qv = emb(emb.keys.min)
+    def tok(a: Array[Long], t: Int): Array[Long] = a.slice(t * 8, t * 8 + 8)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val scores = emb.map { case (id, de) =>
+      id -> (0 until 8).map { qt =>
+        (0 until 8).map(dt => dot(tok(qv, qt), tok(de, dt))).max
+      }.sum
+    }
+    val expected = scores.toSeq.sortBy(t => (-t._2, t._1)).take(10)
+    val got = byName("ss14_maxsim_late_interaction").build(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected, s"MaxSim top-10 diverged: got=$got expected=$expected")
+    // the query scores ITSELF at the top (every token matches itself)
+    assert(got.head._1 === emb.keys.min, "self must be the best MaxSim match")
+    // the LATE in late interaction: for some top-10 doc and some query
+    // token, the best-matching doc token is a DIFFERENT index — the
+    // cross-token max genuinely fires (a same-index-only scorer is just
+    // the pooled dot in 8 pieces)
+    val crossFires = got.map(_._1).exists { id =>
+      val de = emb(id)
+      (0 until 8).exists { qt =>
+        val dots = (0 until 8).map(dt => dot(tok(qv, qt), tok(de, dt)))
+        dots.indexOf(dots.max) != qt
+      }
+    }
+    assert(crossFires, "no cross-token max anywhere in the top-10 — MaxSim is vacuous")
+  }
 }

@@ -311,4 +311,44 @@ class TemporalProfileSpec extends AnyFunSuite {
     assert(prof.values.toSet.size == 1, "all columns must report the same row count")
     assert(histTotal == prof("n_chars"), "histogram must preserve the row count")
   }
+
+  test("pr10: snapshot diff matches a driver replay; every class non-vacuous; deltas reconcile") {
+    import org.apache.spark.sql.functions.col
+    def bucket(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % 100
+    }
+    val orders = graft.Tables.load(spark, sf001, "orders")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0),
+        // mirror Spark's double -> decimal(12,2) cast: toString-based
+        // BigDecimal then HALF_UP to scale 2
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val a = orders.filter(t => bucket(t._1) < 95).toMap
+    val b = orders.filter(t => bucket(t._1) >= 5)
+      .map { case (k, p) => k -> (if (bucket(k) % 7 == 0) p + 1 else p) }.toMap
+    val classes = (a.keySet ++ b.keySet).toSeq.map { k =>
+      (a.get(k), b.get(k)) match {
+        case (None, Some(p)) => ("added", p)
+        case (Some(p), None) => ("removed", -p)
+        case (Some(pa), Some(pb)) if pa != pb => ("changed", pb - pa)
+        case _ => ("unchanged", BigDecimal(0))
+      }
+    }
+    val expected = classes.groupBy(_._1).view.mapValues(v =>
+      (v.size.toLong, v.map(_._2).sum.toDouble)).toMap
+    val got = run("pr10_snapshot_diff").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === expected, s"diff diverged: got=$got expected=$expected")
+    // all four classes present — the audit can tell every story apart
+    assert(got.keySet === Set("added", "removed", "changed", "unchanged"))
+    // reconciliation invariants: every changed row drifted by exactly
+    // +1.00 (the injected mutation), unchanged rows contribute zero
+    assert(got("changed")._2 === got("changed")._1.toDouble,
+      "changed delta must be exactly n_changed x 1.00")
+    assert(got("unchanged")._2 === 0.0)
+    assert(got("added")._2 > 0 && got("removed")._2 < 0,
+      "added/removed mass must carry its sign")
+  }
 }
