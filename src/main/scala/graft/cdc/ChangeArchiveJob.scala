@@ -274,10 +274,29 @@ object DeadLetterSink {
 
   /** The full quarantine including the raw envelopes and their source
     * instance — the replay surface ([[DeadLetterReplay]]).
+    *
+    * Read with mergeSchema=true: the live job appends batch dirs into
+    * one quarantine dir across upgrades, so a mixed-generation dir
+    * (old batches written before instanceName/value existed) is the
+    * default upgrade path. Without the merge, whichever footer Spark
+    * samples decides whether the select throws or the old batches
+    * silently null-fill. With it, pre-upgrade rows surface as nulls —
+    * which [[DeadLetterReplay.run]] then counts and REFUSES to
+    * silently drop. A dir where NO batch carries the replay columns
+    * fails here, loudly, instead of at a downstream resolver.
     */
-  def readFull(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("basePath", dir).parquet(s"$dir/batch_id=*")
-      .select("reason", "env_md5", "tbl", "instanceName", "value")
+  def readFull(spark: SparkSession, dir: String): DataFrame = {
+    val merged = spark.read
+      .option("basePath", dir)
+      .option("mergeSchema", "true")
+      .parquet(s"$dir/batch_id=*")
+    val missing = Seq("instanceName", "value").filterNot(merged.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"dead-letter dir $dir has no batch with replay columns ${missing.mkString(", ")} — " +
+          "it predates the replay surface entirely; drain or migrate it before DeadLetterReplay")
+    merged.select("reason", "env_md5", "tbl", "instanceName", "value")
+  }
 }
 
 /** The operational loop the quarantine promises (VERDICT r12 #8): fix
@@ -321,6 +340,21 @@ object DeadLetterReplay {
       .dropDuplicates("env_md5")
       .persist()
     try {
+      // Pre-upgrade batches (written before instanceName/value existed)
+      // surface as nulls under readFull's mergeSchema read. They cannot
+      // replay (no raw envelope to re-parse) and their md5(null) ids
+      // would collapse under the dedupe and then vanish from the
+      // inner-join reconciliation — violating the "every quarantined
+      // envelope accounted for exactly once" contract. Refuse loudly:
+      // the operator drains or migrates the old dir first.
+      val preUpgrade =
+        full.filter(col("value").isNull || col("instanceName").isNull).count()
+      if (preUpgrade > 0)
+        throw new IllegalStateException(
+          s"dead-letter dir $quarantineDir carries $preUpgrade pre-upgrade envelope(s) " +
+            "with null instanceName/value (batches written before the replay surface); " +
+            "they cannot be replayed and would silently vanish from the reconciliation — " +
+            "drain or migrate those batch dirs before running DeadLetterReplay")
       // re-classify with the CURRENT config, per source instance (the
       // allowlist is per-instance-qualified, exactly as in the live job)
       val insts = full.select("instanceName").distinct().collect()

@@ -93,6 +93,13 @@ object Graph {
   private[graft] val DegCapKey = "spark.graft.graph.degCap"
   private[graft] val DefaultDegCap = 1000
 
+  /** Loud cap on [[sccLabels]]' FW-BW recursion depth. Default 25 =
+    * |V| of the nation graph (the true worst case under min-vertex
+    * pivots: an SCC chain can peel one class per level); overridable
+    * for larger vertex sets, same discipline as [[DegCapKey]].
+    */
+  private[graft] val SccOuterCapKey = "spark.graft.graph.sccOuterCap"
+
   /** gr03's core order is DATA-ADAPTIVE: k = max raw degree `div` 2
     * (integer division, bit-identical cross-engine). A fixed k cannot
     * bind at every fixture scale (sf0.001 degrees top out at 16 where
@@ -940,7 +947,14 @@ object Graph {
         .join(broadcast(p.select(col("node").as("dst"), col("part").as("p2"))), "dst")
         .filter(col("part") === col("p2"))
         .select("src", "dst", "part"))
-    val outerCap = 10 // depth tracks cyclic-region nesting, not |V| (trim)
+    // Worst-case depth is the SCC-chain length, not just cyclic-region
+    // nesting: with min-vertex pivots, a chain of k SCCs whose global
+    // min always lands in the head class peels ONE class per level, so
+    // a convergent decomposition can legitimately need |V| levels on an
+    // adversarial fixture. Cap at |V| (25 nations) by default,
+    // conf-overridable like DegCapKey — the loud-cap discipline stays,
+    // without the adversarial-pivot false alarm.
+    val outerCap = s.conf.get(SccOuterCapKey, "25").toInt
     var outer = 0
     while (outer < outerCap && !parts.isEmpty) {
       // ---- trim to convergence: no within-part out-edge OR in-edge

@@ -707,12 +707,17 @@ object Multimodal {
           .select(col("doc_id"), col("w"), col("h"))
           .as[(Long, Int, Int)]
         // real PNG bytes in, REAL decode out, hash from the decoded
-        // raster — one narrow stage, payloads stay on executors
-        val hashes = dims.mapPartitions(_.map { case (id, w, h) =>
-          val png = PngCodec.encodeGray(w, h,
-            (x, y) => ((id * 17 + x * 31 + y * 7) % 256).toInt)
-          (id, PngCodec.decodeDhash(png))
-        }).toDF("doc_id", "dhash")
+        // raster — one narrow stage, payloads stay on executors.
+        // Checkpointed: the hash frame feeds FOUR plan branches (both
+        // sides of the band self-join + the two rerank joins); without
+        // the pin each branch would re-run the PNG encode+decode per
+        // image unless AQE exchange reuse happens to fire.
+        val hashes = Materialize.trackedLocalCheckpoint(
+          dims.mapPartitions(_.map { case (id, w, h) =>
+            val png = PngCodec.encodeGray(w, h,
+              (x, y) => ((id * 17 + x * 31 + y * 7) % 256).toInt)
+            (id, PngCodec.decodeDhash(png))
+          }).toDF("doc_id", "dhash"))
         // 5-band LSH split: band 0 = low 12 bits, bands 1-4 = 11 bits each
         val bands = hashes.select(col("doc_id"), col("dhash"), explode(array(
           struct(lit(0).as("band"), (col("dhash") % 4096).as("bits")) +:

@@ -25,6 +25,27 @@ object TextAnalysis {
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** tx19's frozen weight vector: w(b) = first-4-hex-chars of
+    * md5("gw" + b) mod 17, minus 8 — integers in [-8, 8], the same
+    * md5-seed discipline as tx18's bucket hash, derived once
+    * driver-side. Exposed for the spec's driver-side replay.
+    * Declared BEFORE `all` — object vals initialize in declaration
+    * order, and `all`'s construction reads these.
+    */
+  private[operators] val ModelWeights: IndexedSeq[Int] = (0 until 16).map { b =>
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"gw$b".getBytes("UTF-8"))
+    Integer.parseInt(f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x", 16) % 17 - 8
+  }
+
+  /** tx20's merge-round count: enough rounds that a MERGED symbol
+    * re-enters a later round's best pair at every fixture scale (the
+    * regime where BPE differs from bigram counting — probed: 'p'+'ar'
+    * at round 8 on sf0.001, 'm'+'er' at round 6 on sf0.01 and round 8
+    * on sf0.1), small enough that the unrolled oracle stays readable.
+    */
+  private[operators] val BpeRounds = 8
+
   /** tx11's hot/cold split point: bigrams with corpus count above this
     * broadcast as the frequent head (skew-proof), the tail equi-joins.
     * Chosen so BOTH sides are non-empty at verify scale (sf0.01 max
@@ -686,6 +707,115 @@ object TextAnalysis {
             expr("CAST(size(filter(v, x -> x > 0)) AS INT)").as("nnz"),
             expr("CAST(aggregate(v, 0L, (s, x) -> s + x) AS BIGINT)").as("l1"))
     },
+
+    GraftQuery(
+      "tx19_model_quality_filter",
+      Some("""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+             |v AS (SELECT doc_id,
+             |        LIST_TRANSFORM(RANGE(0, 16), b -> LEN(LIST_FILTER(w,
+             |          t -> CAST(('0x' || substring(md5(t), 1, 4)) AS INT) % 16 = b))) AS v
+             |      FROM d),
+             |wt AS (SELECT LIST_TRANSFORM(RANGE(0, 16),
+             |         b -> CAST(('0x' || substring(md5('gw' || CAST(b AS VARCHAR)), 1, 4)) AS INT) % 17 - 8) AS wv),
+             |sc AS (SELECT doc_id,
+             |         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 17), i -> v[i] * wv[i])) AS BIGINT) AS score
+             |       FROM v, wt)
+             |SELECT doc_id, score,
+             |       CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INT) AS model_keep
+             |FROM sc""".stripMargin),
+      "MODEL-BASED quality filtering (the DCLM/FineWeb-Edu pattern) — the SERVING pass of a trained linear quality classifier, the filter modern pipelines run where tx12 runs hand-written rules: score = <hashed features, weight vector>, keep iff score >= 0. Features are tx18's 16-dim hashing-trick vector verbatim (same md5 bucket function — the featurizer the classifier was 'trained' on must be the featurizer it serves with, THE production invariant this op demonstrates); the weight vector is a broadcast-scale constant (16 ints in [-8, 8], md5-derived per index from the family's cross-engine seed discipline — the op makes no training claim, exactly as a pipeline loads frozen weights from a registry; at real scale the vector is 2^20-dim and still a broadcast literal, which is the whole point: model-based filtering costs ONE map-side dot per doc, zero shuffles, no vocab, no OOV). The dot is exact BIGINT arithmetic over exact integer counts times integer weights — order-free, so hash-identical cross-engine with no FP summation games; the sign threshold is the decision boundary. TextAnalysisSpec replays the full dot driver-side from raw text and pins agreement with tx12's rule-based verdicts on the extreme ends (kept-and-model-keeps AND dropped-and-model-drops both non-vacuous — a filter that always fires one way audits nothing).") {
+      (s, dir) =>
+        // frozen weights, derived driver-side once (md5 of 'gw<b>', first
+        // 4 hex chars mod 17 minus 8) and shipped as a literal array —
+        // the broadcast-constant shape a real model-serving pass has
+        val wv = array(ModelWeights.map(w => lit(w.toLong)): _*)
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr(
+            "transform(split(text, ' '), t -> CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT) % 16)")
+            .as("bs"))
+          .select(col("doc_id"), expr(
+            """aggregate(bs, array_repeat(0L, 16),
+              |  (acc, x) -> transform(acc, (v, i) -> IF(i = x, v + 1L, v)))""".stripMargin)
+            .as("v"))
+          .withColumn("wv", wv)
+          .select(col("doc_id"),
+            expr("aggregate(zip_with(v, wv, (a, b) -> a * b), 0L, (s, x) -> s + x)")
+              .as("score"))
+          .withColumn("model_keep",
+            when(col("score") >= 0, 1).otherwise(0).cast("int"))
+    },
+
+    GraftQuery(
+      "tx20_bpe_merges",
+      Some(bpeOracle),
+      s"BPE TOKENIZER TRAINING — the pair-merge loop (Sennrich et al.) that BUILDS the vocabulary tx17 only prices: $BpeRounds loud-capped merge rounds, each one (count adjacent symbol pairs corpus-wide) -> (pick the global argmax pair) -> (merge it everywhere), emitting the merge table (round, lhs, rhs, pair count) that IS a BPE tokenizer's training artifact. Scale shape per round: the corpus collapses ONCE to (distinct word, freq) — dd05's value-collapse discipline, so every round's work is vocabulary-sized, never corpus-sized (the classic BPE implementation trick, and the only reason corpus-scale BPE training is feasible: 100 TB of text is tens of millions of DISTINCT words) — then ONE map-side-combining (lhs, rhs) count shuffle weighted by word freq, a TakeOrderedAndProject(1) argmax with deterministic tiebreak (count DESC, pair ASC), and a map-side merge via string replace on the parenthesis-delimited symbol string, '(l)(r)' -> '(lr)': delimiters make the replace exactly BPE's left-to-right non-overlapping greedy merge ((a,a) on 'aaaa' -> 'aa','aa') with zero cross-symbol false matches, and both engines' REPLACE share that semantic, so every round is bit-identical cross-engine. The 1-row argmax frame broadcasts into the next round (never collected); symbols restrict to lowercase-alphabetic tokens so the delimiters are safe by construction. All counts exact integers; the oracle unrolls the same $BpeRounds rounds as chained CTEs (gr01's discipline). TextAnalysisSpec replays the merges driver-side from raw text; ScaleProbe carries the op in its probe list (clone-heavy corpora must not move the per-round bill — freq absorbs multiplicity).") {
+      (s, dir) =>
+        // value collapse: all rounds run at (distinct word, freq) grain
+        var cur = Materialize(Tables.load(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok").rlike("^[a-z]+$"))
+          .groupBy("tok").agg(count(lit(1)).as("freq"))
+          .select(concat(lit("("), concat_ws(")(", split(col("tok"), "")), lit(")"))
+            .as("syms"), col("freq")))
+        val merges = (1 to BpeRounds).map { r =>
+          val pc = cur
+            .select(col("freq"),
+              expr("split(substring(syms, 2, length(syms) - 2), '\\\\)\\\\(')").as("a"))
+            .select(col("freq"), explode(expr(
+              """IF(size(a) >= 2,
+                |   transform(sequence(1, size(a) - 1),
+                |     i -> struct(element_at(a, i) AS lhs, element_at(a, i + 1) AS rhs)),
+                |   array())""".stripMargin)).as("p"))
+            .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+            .agg(sum(col("freq")).as("n"))
+          // global argmax, deterministic tiebreak — TakeOrderedAndProject,
+          // 1 row; checkpointed because it feeds BOTH the merge and the
+          // output row (and truncates the per-round lineage growth)
+          val best = Materialize(
+            pc.orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1))
+          cur = Materialize(cur
+            .crossJoin(broadcast(best.select(
+              concat(lit("("), col("lhs"), lit(")("), col("rhs"), lit(")")).as("pat"),
+              concat(lit("("), col("lhs"), col("rhs"), lit(")")).as("rep"))))
+            .select(expr("replace(syms, pat, rep)").as("syms"), col("freq")))
+          best.select(lit(r).cast("int").as("rnd"), col("lhs"), col("rhs"),
+            col("n").cast("bigint").as("n"))
+        }
+        merges.reduce(_ unionByName _)
+    },
   )
+
+  /** tx20's DuckDB oracle: the same value-collapsed corpus and the
+    * same `(l)(r)` delimited-replace merge, unrolled [[BpeRounds]]
+    * times as chained CTEs (the gr01 bounded-unroll discipline).
+    */
+  private lazy val bpeOracle: String = {
+    val round = (i: Int, prev: String) =>
+      s"""pc$i AS (SELECT p.lhs AS lhs, p.rhs AS rhs, SUM(freq) AS n FROM (
+         |    SELECT freq, UNNEST(CASE WHEN LEN(a) >= 2 THEN
+         |        LIST_TRANSFORM(RANGE(1, LEN(a)), i -> {'lhs': a[i], 'rhs': a[i + 1]})
+         |      ELSE [] END) AS p
+         |    FROM (SELECT freq,
+         |            STRING_SPLIT(substring(syms, 2, LEN(syms) - 2), ')(') AS a
+         |          FROM $prev))
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT lhs, rhs, n FROM pc$i ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |w$i AS (SELECT REPLACE(syms, '(' || b.lhs || ')(' || b.rhs || ')',
+         |                       '(' || b.lhs || b.rhs || ')') AS syms, freq
+         |        FROM $prev, b$i b)""".stripMargin
+    val rounds = (1 to BpeRounds).map(i => round(i, if (i == 1) "w0" else s"w${i - 1}"))
+      .mkString(",\n")
+    val sel = (1 to BpeRounds)
+      .map(i => s"SELECT CAST($i AS INT) AS rnd, lhs, rhs, CAST(n AS BIGINT) AS n FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT '(' || ARRAY_TO_STRING(STRING_SPLIT(tok, ''), ')(') || ')' AS syms, freq
+       |  FROM (SELECT tok, COUNT(*) AS freq
+       |        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+       |        WHERE regexp_matches(tok, '^[a-z]+${"$"}')
+       |        GROUP BY tok)),
+       |$rounds
+       |$sel""".stripMargin
+  }
 
 }

@@ -105,7 +105,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "gr14_scc_seed", // shared edges() front door 1-row median broadcast + the 1-row scc_size frame
     "gr17_scc_seed_shuffled", // ONLY the 1-row scc_size frame (gr10's adaptive-k precedent); the loops are zero-broadcast, separately pinned below
     "gr20_personalized_pagerank", // shared edges() front door 1-row median broadcast + the 1-row seed frame per hop (gr01's pattern, seed-anchored)
-    "ss14_maxsim_late_interaction" // ONE query vector (1-row frame) broadcast against the corpus scan (ss01's pattern)
+    "ss14_maxsim_late_interaction", // ONE query vector (1-row frame) broadcast against the corpus scan (ss01's pattern)
+    "tx20_bpe_merges" // per round: the 1-row argmax (best pair) frame broadcast into the vocabulary-sized merge
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
