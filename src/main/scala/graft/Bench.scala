@@ -141,7 +141,7 @@ object Bench {
   private val FamilyCode = Map(
     "cdc" -> "c", "dd" -> "d", "dc" -> "e", "ss" -> "s", "st" -> "t",
     "tx" -> "x", "sp" -> "p", "pr" -> "r", "sk" -> "k", "pk" -> "b",
-    "mm" -> "m", "gr" -> "g", "ud" -> "u")
+    "mm" -> "m", "gr" -> "g", "ud" -> "u", "pl" -> "l")
 
   /** Rendered bench key: the query's id prefix with the zero padding in
     * its numeric suffix dropped and the family prefix mapped to its

@@ -39,5 +39,6 @@ object GraftQuery {
       operators.Multimodal.all ++
       operators.StreamingWindows.all ++
       operators.Udx.all ++
-      operators.Temporal.all
+      operators.Temporal.all ++
+      operators.Pipeline.all
 }

@@ -46,6 +46,35 @@ object Sampling {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** pk02's serpentine assignment as a reusable frame: input
+    * `(doc_id, n_tokens)`, output `(doc_id, n_tokens, shard)` —
+    * factored so the corpus-build pipeline (pl01) packs its SURVIVOR
+    * set with the SHIPPED operator, not a re-derivation. The global
+    * descending rank uses q57's two-phase decomposition (value-range
+    * buckets against a broadcast 1-row min/max frame, within-bucket
+    * row_number, bucket-offset broadcast) — no fact-scale rows cross
+    * a single partition; see pk02's doc for the balance argument.
+    */
+  private[operators] def serpentineShardAssignments(d0: DataFrame): DataFrame = {
+    val d = d0.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+    val stats = d.agg(min(col("n_tokens")).as("mn"), max(col("n_tokens")).as("mx"))
+    // descending-order buckets: bkt ascends as n_tokens descends, so
+    // bucket order composes with the within-bucket descending sort
+    val b = d.crossJoin(broadcast(stats))
+      .withColumn("bkt",
+        when(col("mx") === col("mn"), lit(0)).otherwise(
+          floor((col("mx") - col("n_tokens")) * 64 / (col("mx") - col("mn")))
+            .cast("int")))
+    val offs = b.groupBy("bkt").agg(count(lit(1)).as("c"))
+      .withColumn("off", sum(col("c")).over(Window.orderBy("bkt")) - col("c"))
+    b.join(broadcast(offs.select(col("bkt"), col("off"))), "bkt")
+      .withColumn("rn", col("off") + row_number().over(
+        Window.partitionBy("bkt").orderBy(col("n_tokens").desc, col("doc_id"))))
+      .select(col("doc_id"), col("n_tokens"), expr(
+        """CAST(CASE WHEN ((rn - 1) DIV 16) % 2 = 0 THEN (rn - 1) % 16
+          |          ELSE 15 - (rn - 1) % 16 END AS INT)""".stripMargin).as("shard"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -346,27 +375,9 @@ object Sampling {
              |FROM r GROUP BY 1""".stripMargin),
       "BALANCED shard packing — the load-balancing axis pk01 does not touch (pk01 packs into FIXED-budget bins, count open-ended; this packs into a FIXED shard count, loads balanced — the training-data sharding problem: k workers, equal token turnout): SERPENTINE sorted round-robin, the LPT-flavored heuristic that is deterministic and one-pass — rank every doc by size DESCENDING, deal each consecutive k-block out boustrophedon (even blocks left-to-right, odd blocks right-to-left). Plain rank-mod-k systematically hands shard 0 every block's LARGEST doc, accumulating bias across blocks (measured on this corpus: 94-token spread); the direction flip cancels it block-pairwise (measured: 11 — an order of magnitude, for one CASE expression), the classic balanced-dealing result. SamplingSpec prices exactly that: the serpentine spread strictly beats arrival-order round-robin AND sits under 2% of the mean shard load. The global DESCENDING rank uses q57's two-phase decomposition (value-range bucketing + within-bucket row_number + bucket-offset broadcast) so NO fact-scale rows cross a single partition — the window audit sweep would reject the naive global ROW_NUMBER this oracle spells. Exact integer ranks/counts/sums — bit-identical cross-engine.") {
       (s, dir) =>
-        val d = docs(s, dir)
-          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
-        val stats = d.agg(min(col("n_tokens")).as("mn"), max(col("n_tokens")).as("mx"))
-        // descending-order buckets: bkt ascends as n_tokens descends, so
-        // bucket order composes with the within-bucket descending sort
-        val b = d.crossJoin(broadcast(stats))
-          .withColumn("bkt",
-            when(col("mx") === col("mn"), lit(0)).otherwise(
-              floor((col("mx") - col("n_tokens")) * 64 / (col("mx") - col("mn")))
-                .cast("int")))
-        val offs = b.groupBy("bkt").agg(count(lit(1)).as("c"))
-          .withColumn("off",
-            sum(col("c")).over(org.apache.spark.sql.expressions.Window
-              .orderBy("bkt")) - col("c"))
-        b.join(broadcast(offs.select(col("bkt"), col("off"))), "bkt")
-          .withColumn("rn", col("off") + row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("bkt")
-              .orderBy(col("n_tokens").desc, col("doc_id"))))
-          .groupBy(expr(
-            """CAST(CASE WHEN ((rn - 1) DIV 16) % 2 = 0 THEN (rn - 1) % 16
-              |          ELSE 15 - (rn - 1) % 16 END AS INT)""".stripMargin).as("shard"))
+        serpentineShardAssignments(docs(s, dir)
+          .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens")))
+          .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("shard_tokens"))
     })

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table (harness-mandated
@@ -120,6 +121,60 @@ object TextAnalysis {
   private val Bm25W =
     "(CAST(tf AS DOUBLE) * 2.2e0) / (CAST(tf AS DOUBLE) + 1.2e0 * " +
       "(0.25e0 + (0.75e0 * CAST(dl AS DOUBLE) * CAST(nd AS DOUBLE)) / CAST(sl AS DOUBLE)))"
+
+  /** tx12's verdict chain as a reusable frame `(doc_id, n_tokens,
+    * reason, keep)` — the quality GATE stage of the corpus-build
+    * pipeline (pl01), factored so the pipeline runs the SHIPPED
+    * operator, not a re-derivation. See tx12's doc for semantics.
+    */
+  private[operators] def filterVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val en = inList(profiles("en"))
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+    // tx09's repetition signal, doc-keyed: two map-side-combining aggs
+    val bigrams = expr(
+      """CASE WHEN size(w) >= 2 THEN
+        |  transform(sequence(1, size(w) - 1),
+        |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+        |ELSE array() END""".stripMargin)
+    val rep = d.select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_frac"))
+    var m = d.withColumn("n_tokens", size(col("w")))
+      .withColumn("stop_ratio",
+        expr(s"CAST(size(filter(w, x -> x IN $en)) AS DOUBLE)") / col("n_tokens"))
+    for ((l, ws) <- profiles)
+      m = m.withColumn(s"${l}_hits", expr(s"size(filter(w, x -> x IN ${inList(ws)}))"))
+    m.withColumn("guess",
+        when(greatest(col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits")) === 0, "und")
+          .when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"), col("es_hits")), "en")
+          .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
+          .when(col("fr_hits") >= col("es_hits"), "fr")
+          .otherwise("es"))
+      // LEFT join + coalesce: a sub-2-token doc has no bigrams and
+      // no rep row — it must flow through (attributed 'too_short'),
+      // not vanish from the verdict (the chain's own contract)
+      .join(rep, Seq("doc_id"), "left")
+      .withColumn("top_frac", coalesce(col("top_frac"), lit(0.0)))
+      .select(
+        col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("n_tokens") > 90, "too_long")
+          .when(col("stop_ratio") < 0.01, "low_stopword")
+          .when(col("top_frac") > 0.10, "repetitive")
+          .when(col("guess") =!= col("lang"), "lang_mismatch")
+          .otherwise("kept").as("reason"),
+        when(col("n_tokens").between(20, 90) && col("stop_ratio") >= 0.01 &&
+          col("top_frac") <= 0.10 && col("guess") === col("lang"), 1)
+          .otherwise(0).as("keep"))
+  }
+
+  /** tx12's DuckDB twin, self-contained for nesting inside composed
+    * oracles (pl01) — parenthesized so its WITH scope cannot collide
+    * with a composer's CTE names (the keeperIdsDuck discipline).
+    */
+  private[operators] lazy val filterVerdictsDuck: String = s"($filterChainDuck)"
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -414,47 +469,7 @@ object TextAnalysis {
       "tx12_filter_chain",
       Some(filterChainDuck),
       "The COMPOSED quality-filter chain (C4/Gopher-style) — the single gating pass a training pipeline actually ships, not the individual signals: length bounds, minimum stopword density (too FEW stopwords = not natural language — the C4 rule), within-doc repetition (tx09's top-bigram fraction), and language agreement (tx03's guess vs the declared tag), folded into one verdict per document with a FIRST-FAILING-RULE reason — the cdc05 drop-taxonomy discipline applied to document filtering: every drop is attributed, nothing vanishes silently. All signals are per-doc map math except the repetition score's two doc-keyed map-side-combining aggregations; the signals join on doc_id (co-partitioned by the same key), so the chain is one linear pass — embarrassingly parallel at 100 TB, and the reason column is exactly what you GROUP BY to audit a corpus-scale filter run. Ratio comparisons are single IEEE divisions of identical integers on both engines — bit-identical, no rounding games.") {
-      (s, dir) =>
-        val en = inList(profiles("en"))
-        val d = Tables.load(s, dir, "documents")
-          .withColumn("w", split(col("text"), " "))
-        // tx09's repetition signal, doc-keyed: two map-side-combining aggs
-        val bigrams = expr(
-          """CASE WHEN size(w) >= 2 THEN
-            |  transform(sequence(1, size(w) - 1),
-            |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
-            |ELSE array() END""".stripMargin)
-        val rep = d.select(col("doc_id"), explode(bigrams).as("bg"))
-          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_frac"))
-        var m = d.withColumn("n_tokens", size(col("w")))
-          .withColumn("stop_ratio",
-            expr(s"CAST(size(filter(w, x -> x IN $en)) AS DOUBLE)") / col("n_tokens"))
-        for ((l, ws) <- profiles)
-          m = m.withColumn(s"${l}_hits", expr(s"size(filter(w, x -> x IN ${inList(ws)}))"))
-        m.withColumn("guess",
-            when(greatest(col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits")) === 0, "und")
-              .when(col("en_hits") >= greatest(col("de_hits"), col("fr_hits"), col("es_hits")), "en")
-              .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
-              .when(col("fr_hits") >= col("es_hits"), "fr")
-              .otherwise("es"))
-          // LEFT join + coalesce: a sub-2-token doc has no bigrams and
-          // no rep row — it must flow through (attributed 'too_short'),
-          // not vanish from the verdict (the chain's own contract)
-          .join(rep, Seq("doc_id"), "left")
-          .withColumn("top_frac", coalesce(col("top_frac"), lit(0.0)))
-          .select(
-            col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
-            when(col("n_tokens") < 20, "too_short")
-              .when(col("n_tokens") > 90, "too_long")
-              .when(col("stop_ratio") < 0.01, "low_stopword")
-              .when(col("top_frac") > 0.10, "repetitive")
-              .when(col("guess") =!= col("lang"), "lang_mismatch")
-              .otherwise("kept").as("reason"),
-            when(col("n_tokens").between(20, 90) && col("stop_ratio") >= 0.01 &&
-              col("top_frac") <= 0.10 && col("guess") === col("lang"), 1)
-              .otherwise(0).as("keep"))
+      (s, dir) => filterVerdicts(s, dir)
     },
 
     GraftQuery(

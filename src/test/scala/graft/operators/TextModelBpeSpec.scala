@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.TestSpark._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** tx19/tx20 pins.
+  *
+  * tx19: the integer dot-product score equals a full driver-side
+  * replay from raw text (same md5 bucket hash, same md5-derived
+  * weights), and the model's verdicts AGREE with tx12's rule-based
+  * verdicts at both extremes — kept-and-model-keeps and
+  * dropped-and-model-drops each non-vacuous (a filter that always
+  * fires one way audits nothing), plus both DISAGREEMENT cells exist
+  * (if model and rules were identical the model op would be
+  * redundant; the fixture exercises all four confusion cells).
+  *
+  * tx20: the emitted merge table equals a driver-side replay of
+  * greedy BPE (value-collapsed vocabulary, per-round global argmax
+  * with the (count DESC, pair ASC) tiebreak, left-to-right
+  * non-overlapping merge), and a merged symbol genuinely re-enters a
+  * later round's best pair — the regime separating BPE from plain
+  * bigram counting.
+  */
+class TextModelBpeSpec extends AnyFunSuite {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("tx19: scores equal the driver-side dot replay; verdicts span all four tx12-agreement cells") {
+    val got = graft.GraftQuery.all.find(_.name == "tx19_model_quality_filter").get
+      .build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet === docs.keySet, "one score per document, none dropped")
+    // replay: weights from md5("gw"+b), features from md5(token) buckets
+    val w = (0 until 16).map(b => Integer.parseInt(md5hex(s"gw$b").take(4), 16) % 17 - 8)
+    assert(w === TextAnalysis.ModelWeights)
+    assert(w.exists(_ > 0) && w.exists(_ < 0),
+      "weight vector must carry both signs or the threshold is vacuous")
+    docs.foreach { case (id, text) =>
+      val v = Array.fill(16)(0L)
+      text.split(" ", -1).foreach { t =>
+        v(Integer.parseInt(md5hex(t).take(4), 16) % 16) += 1
+      }
+      val score = v.zip(w).map { case (a, b) => a * b }.sum
+      assert(got(id)._1 === score, s"doc $id score diverged from the replay")
+      assert(got(id)._2 === (if (score >= 0) 1 else 0), s"doc $id verdict")
+    }
+    // agreement with the rule-based chain on the extremes: all four
+    // confusion cells populated on the fixture
+    val rules = graft.GraftQuery.all.find(_.name == "tx12_filter_chain").get
+      .build(spark, sf001).select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cells = docs.keySet.groupBy(id => (got(id)._2, rules(id))).view.mapValues(_.size).toMap
+    assert(cells.getOrElse((1, 1), 0) > 0, "no doc both model-kept and rule-kept")
+    assert(cells.getOrElse((0, 0), 0) > 0, "no doc both model-dropped and rule-dropped")
+    assert(cells.getOrElse((1, 0), 0) > 0 || cells.getOrElse((0, 1), 0) > 0,
+      "model and rules identical — the model op would be redundant")
+  }
+
+  test("tx20: merge table equals the driver-side greedy-BPE replay; a merged symbol re-enters") {
+    val got = graft.GraftQuery.all.find(_.name == "tx20_bpe_merges").get
+      .build(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.length === TextAnalysis.BpeRounds)
+    // replay: value-collapsed vocabulary, greedy left-to-right merges
+    var vocab = graft.Tables.load(spark, sf001, "documents")
+      .select("text").collect().iterator
+      .flatMap(_.getString(0).split(" ", -1))
+      .filter(_.matches("[a-z]+"))
+      .toSeq.groupBy(identity).map { case (tok, occ) =>
+        tok.map(_.toString).toVector -> occ.size.toLong
+      }
+    val expected = (1 to TextAnalysis.BpeRounds).map { r =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((l, rr), n) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.toSeq.map { case (syms, f) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (acc.nonEmpty && acc.last == l && x == rr) acc(acc.size - 1) = l + rr
+          else acc += x
+        }
+        acc.toVector -> f
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      (r, l, rr, n)
+    }
+    assert(got === expected, "merge table diverged from the driver-side replay")
+    // the BPE-vs-bigram regime: some later best pair contains an
+    // earlier round's MERGED symbol
+    val merged = expected.map { case (_, l, r, _) => l + r }.toSet
+    assert(expected.exists { case (_, l, r, _) => merged.contains(l) || merged.contains(r) },
+      s"no merged symbol re-entered a best pair in ${TextAnalysis.BpeRounds} rounds — " +
+        "raise BpeRounds or the op degenerates to bigram counting")
+  }
+}
