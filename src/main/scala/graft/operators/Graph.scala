@@ -180,6 +180,58 @@ object Graph {
        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM scc) AS scc_size
        |FROM scc JOIN nation na ON na.n_nationkey = scc.node""".stripMargin
 
+  /** gr21's sampling and fixed-point parameters. Depth cap 5 is the
+    * loud bound on BOTH engines: probed seed eccentricities are ≤ 3 at
+    * every fixture scale, the oracle unrolls exactly BetDepthCap
+    * forward+backward levels, and the Spark loop THROWS if a frontier
+    * survives it — so cap and unroll can never silently disagree.
+    * Declared before `all` (object init order — dd13's lesson).
+    */
+  private[graft] val BetK = 4
+  private[graft] val BetDepthCap = 5
+  private[graft] val BetScale = 1000000000L
+
+  /** gr21's DuckDB oracle: the same md5-chosen seeds, the same
+    * level-synchronous sigma counting and fixed-point Brandes
+    * accumulation, unrolled [[BetDepthCap]] levels each way. Every
+    * recursion level is MATERIALIZED — the kcore-oracle lesson: the
+    * visited chain references each level twice and DuckDB inlines
+    * CTEs per reference, so the unmaterialized spelling re-expands
+    * exponentially.
+    */
+  private lazy val betweennessOracle: String = {
+    val L = BetDepthCap
+    val fwd = (1 to L).map { l =>
+      s"""f$l AS MATERIALIZED (SELECT f.s, e.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${l - 1} f JOIN edges e ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${l - 1} p WHERE p.s = f.s AND p.node = e.dst)
+         |  GROUP BY 1, 2),
+         |v$l AS MATERIALIZED (SELECT * FROM v${l - 1} UNION ALL SELECT s, node FROM f$l)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (L - 1 to 0 by -1).map { l =>
+      s"""d$l AS MATERIALIZED (SELECT v.s, v.node, v.sigma,
+         |  CAST(COALESCE(SUM((v.sigma * ($BetScale + w.delta)) // w.sigma), 0) AS BIGINT) AS delta
+         |  FROM f$l v
+         |  LEFT JOIN edges e ON e.src = v.node
+         |  LEFT JOIN d${l + 1} w ON w.s = v.s AND w.node = e.dst
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val alld = (0 to L).map(l => s"SELECT s, node, delta FROM d$l").mkString(" UNION ALL ")
+    s"""WITH $edgesDuck,
+       |seeds AS (SELECT node AS s FROM (SELECT DISTINCT src AS node FROM edges) c
+       |  ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT $BetK),
+       |f0 AS MATERIALIZED (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+       |v0 AS MATERIALIZED (SELECT s, node FROM f0),
+       |$fwd,
+       |d$L AS MATERIALIZED (SELECT s, node, sigma, CAST(0 AS BIGINT) AS delta FROM f$L),
+       |$bwd,
+       |alld AS ($alld),
+       |bet AS (SELECT node, CAST(SUM(delta) AS BIGINT) AS centrality_units
+       |        FROM alld WHERE node <> s GROUP BY node)
+       |SELECT na.n_name AS nation, COALESCE(b.centrality_units, 0) AS centrality_units
+       |FROM nation na LEFT JOIN bet b ON b.node = na.n_nationkey""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -925,6 +977,66 @@ object Graph {
         ranks.filter(col("r") > 0)
           .join(broadcast(nodes), "node")
           .select(col("n_name").as("nation"), col("r").as("rank_units"))
+    },
+
+    GraftQuery(
+      "gr21_betweenness_sampled",
+      Some(betweennessOracle),
+      s"SAMPLED-SOURCE BETWEENNESS centrality (Brandes accumulation over $BetK md5-chosen sources) — the PATH-centrality axis the family lacked: PageRank/PPR measure where walks concentrate, SCC/condensation measure structure; betweenness measures which vertices shortest paths FLOW THROUGH (the broker/bottleneck signal — remove a high-betweenness nation and trade re-routes). Exact Brandes is all-sources (O(V·E), unpayable at graph scale); THE scalable estimator samples k sources and accumulates their dependencies — here k=$BetK sources chosen by md5 rank (the family's no-RNG seed discipline), all processed SIMULTANEOUSLY at (seed, node) grain: one forward level-synchronous BFS counting shortest paths (sigma, exact BIGINTs — the gr05 frontier-dedup loop carrying a path-count aggregation), then Brandes' backward pass, per level one edge-grain join computing delta(v) = Σ_succ sigma(v)·(1 + delta(w))/sigma(w). All arithmetic is FIXED-POINT: 1e-9 units with truncating integer division at every accumulation site (gr20's discipline) — the op's DEFINED output is this deterministic integer recurrence (within depth·1e-9 of real-valued Brandes per site), order-free and bit-identical cross-engine where IEEE summation would hash-diverge. Both loops are loud-capped at depth $BetDepthCap (probed eccentricity ≤ 3 at every fixture scale; a frontier surviving the cap THROWS — the oracle unrolls exactly $BetDepthCap levels, so a silent truncation can never diverge from it). Every nation gets a row (zeros meaningful: 'checked, no path flows through' — dc03's explicit-clean contract). Frontier/visited/delta are (k·V)-grain broadcasts into the pinned edge list; past executor memory they swap to gr17's shuffled recipe verbatim (same equi-join keys). GraphSpec replays the integer Brandes driver-side and pins genuinely nested accumulation (a delta fed by a nonzero deeper delta) at spec scale.") {
+      (s, dir) =>
+        val e = edges(s, dir)
+        val seeds = e.select(col("src").as("node")).distinct()
+          .orderBy(md5(col("node").cast("string")), col("node")).limit(BetK)
+          .select(col("node").as("s"))
+        // forward: level-synchronous BFS over all seeds at once,
+        // sigma = number of shortest paths (exact integer)
+        var frontier = Materialize(seeds
+          .select(col("s"), col("s").as("node"), lit(1L).as("sigma")))
+        var visited = frontier.select("s", "node")
+        val levels = scala.collection.mutable.ArrayBuffer(frontier)
+        var depth = 0
+        while (!frontier.isEmpty && depth < BetDepthCap) {
+          depth += 1
+          val next = Materialize(frontier
+            .join(broadcast(e.withColumnRenamed("src", "node")), "node")
+            .select(col("s"), col("dst").as("node"), col("sigma"))
+            .join(broadcast(visited), Seq("s", "node"), "left_anti")
+            .groupBy("s", "node").agg(sum(col("sigma")).as("sigma")))
+          levels += next
+          visited = Materialize(visited.unionByName(next.select("s", "node")))
+          frontier = next
+        }
+        if (!frontier.isEmpty)
+          throw new IllegalStateException(
+            s"BFS frontier survived $BetDepthCap levels — the oracle unrolls exactly " +
+              s"$BetDepthCap; raise BetDepthCap (and the oracle) rather than truncate")
+        // backward: Brandes dependency accumulation, deepest level first;
+        // fixed-point units with truncating division at every site
+        var delta = Materialize(levels.last
+          .select(col("s"), col("node"), col("sigma"), lit(0L).as("delta")))
+        var acc = delta
+        for (d <- levels.size - 2 to 0 by -1) {
+          val wd = delta.select(col("s"), col("node").as("dst"),
+            col("sigma").as("wsigma"), col("delta").as("wdelta"))
+          val nd = Materialize(levels(d)
+            .select(col("s"), col("node"), col("sigma"))
+            .join(broadcast(e.withColumnRenamed("src", "node")
+              .select(col("node"), col("dst"))), Seq("node"), "left")
+            .join(broadcast(wd), Seq("s", "dst"), "left")
+            .groupBy("s", "node", "sigma")
+            .agg(coalesce(
+              sum(expr(s"(sigma * (${BetScale}L + wdelta)) div wsigma")),
+              lit(0L)).as("delta")))
+          acc = acc.unionByName(nd)
+          delta = nd
+        }
+        val bet = acc.filter(col("node") =!= col("s"))
+          .groupBy("node").agg(sum(col("delta")).as("centrality_units"))
+        Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("node"), col("n_name").as("nation"))
+          .join(broadcast(bet), Seq("node"), "left")
+          .select(col("nation"),
+            coalesce(col("centrality_units"), lit(0L)).as("centrality_units"))
     })
 
   /** gr18's FW-BW+Trim decomposition as a reusable primitive: the

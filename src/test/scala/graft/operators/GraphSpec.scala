@@ -500,4 +500,73 @@ class GraphSpec extends AnyFunSuite {
     // non-vacuity: the p90 graph holds >= 2 communities at every scale
     assert(g6.map(_._2).size >= 2, "single community — propagation pin is vacuous")
   }
+
+  /** Driver-side replay of gr21's fixed-point Brandes (same md5 seed
+    * choice, same truncating-division recurrence). Returns the
+    * per-node units and whether any accumulation site consumed a
+    * NONZERO deeper delta (the nested regime separating Brandes from
+    * plain path counting).
+    */
+  private def brandesReplay(sf: String): (Map[Long, Long], Boolean) = {
+    val edges = Graph.edges(spark, sf).collect().map(r => (lv(r, 0), lv(r, 1))).toSeq
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = adj.keys.toSeq.sortBy(n => (md5hex(n.toString), n)).take(Graph.BetK)
+    val bet = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var nested = false
+    for (s <- seeds) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      var levels = Vector(Seq(s))
+      var frontier = Seq(s)
+      while (frontier.nonEmpty) {
+        assert(levels.size - 1 <= Graph.BetDepthCap, "replay exceeded the loud depth cap")
+        val nxt = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for (u <- frontier; v <- adj.getOrElse(u, Nil) if !dist.contains(v))
+          nxt(v) += sigma(u)
+        for ((v, sg) <- nxt) { dist(v) = levels.size; sigma(v) = sg }
+        frontier = nxt.keys.toSeq.sorted
+        if (frontier.nonEmpty) levels :+= frontier
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (d <- levels.size - 2 to 0 by -1; v <- levels(d)) {
+        var tot = 0L
+        for (w <- adj.getOrElse(v, Nil) if dist.get(w).contains(d + 1)) {
+          if (delta(w) > 0L) nested = true
+          tot += (sigma(v) * (Graph.BetScale + delta(w))) / sigma(w)
+        }
+        delta(v) = tot
+      }
+      for ((v, dl) <- delta if v != s) bet(v) += dl
+    }
+    (bet.toMap.filter(_._2 != 0L), nested)
+  }
+
+  test("gr21: equals the driver-side fixed-point Brandes; accumulation genuinely nests") {
+    // equality pin at the driver's verify scale
+    val got = run("gr21_betweenness_sampled").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val names = graft.Tables.load(spark, sf001, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    val (exp, _) = brandesReplay(sf001)
+    val expFull = names.map { case (k, n) => n -> exp.getOrElse(k, 0L) }
+    assert(got === expFull, "gr21 diverged from the driver-side Brandes replay")
+    assert(got.values.count(_ > 0) >= 3,
+      "fewer than 3 nonzero centralities — the sampled sources see no interior vertices")
+    // nested-accumulation pin at sf0.001, where a seed has eccentricity 3:
+    // some delta must consume a NONZERO deeper delta, the regime where
+    // Brandes' (1 + delta) recurrence differs from plain path counting
+    val (exp0, nested0) = brandesReplay(sf0001)
+    assert(nested0, "no accumulation site saw a nonzero deeper delta — pin is vacuous")
+    val got0 = graft.GraftQuery.all.find(_.name == "gr21_betweenness_sampled").get
+      .build(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val names0 = graft.Tables.load(spark, sf0001, "nation")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => lv(r, 0) -> r.getString(1)).toMap
+    assert(got0 === names0.map { case (k, n) => n -> exp0.getOrElse(k, 0L) },
+      "gr21 diverged from the replay at sf0.001")
+  }
 }
