@@ -125,7 +125,8 @@ object ScaleProbe {
       "gr12_pagerank_shuffled", "gr13_lpa_shuffled",
       "gr17_scc_seed_shuffled", "gr18_scc_decomposition",
       "dd15_bloom_incremental", "q62_forecast_salted_join",
-      "dd17_multikey_linkage", "tx20_bpe_merges").map(n => n -> run(n))
+      "dd17_multikey_linkage", "tx20_bpe_merges",
+      "gr21_betweenness_sampled").map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio

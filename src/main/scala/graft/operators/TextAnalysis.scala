@@ -765,46 +765,90 @@ object TextAnalysis {
       Some(bpeOracle),
       s"BPE TOKENIZER TRAINING — the pair-merge loop (Sennrich et al.) that BUILDS the vocabulary tx17 only prices: $BpeRounds loud-capped merge rounds, each one (count adjacent symbol pairs corpus-wide) -> (pick the global argmax pair) -> (merge it everywhere), emitting the merge table (round, lhs, rhs, pair count) that IS a BPE tokenizer's training artifact. Scale shape per round: the corpus collapses ONCE to (distinct word, freq) — dd05's value-collapse discipline, so every round's work is vocabulary-sized, never corpus-sized (the classic BPE implementation trick, and the only reason corpus-scale BPE training is feasible: 100 TB of text is tens of millions of DISTINCT words) — then ONE map-side-combining (lhs, rhs) count shuffle weighted by word freq, a TakeOrderedAndProject(1) argmax with deterministic tiebreak (count DESC, pair ASC), and a map-side merge via string replace on the parenthesis-delimited symbol string, '(l)(r)' -> '(lr)': delimiters make the replace exactly BPE's left-to-right non-overlapping greedy merge ((a,a) on 'aaaa' -> 'aa','aa') with zero cross-symbol false matches, and both engines' REPLACE share that semantic, so every round is bit-identical cross-engine. The 1-row argmax frame broadcasts into the next round (never collected); symbols restrict to lowercase-alphabetic tokens so the delimiters are safe by construction. All counts exact integers; the oracle unrolls the same $BpeRounds rounds as chained CTEs (gr01's discipline). TextAnalysisSpec replays the merges driver-side from raw text; ScaleProbe carries the op in its probe list (clone-heavy corpora must not move the per-round bill — freq absorbs multiplicity).") {
       (s, dir) =>
-        // value collapse: all rounds run at (distinct word, freq) grain
-        var cur = Materialize(Tables.load(s, dir, "documents")
+        bpeTrain(s, dir).zipWithIndex.map { case (best, i) =>
+          best.select(lit(i + 1).cast("int").as("rnd"), col("lhs"), col("rhs"),
+            col("n").cast("bigint").as("n"))
+        }.reduce(_ unionByName _)
+    },
+
+    GraftQuery(
+      "tx21_bpe_encode",
+      Some(bpeEncodeOracle),
+      s"BPE tokenizer APPLICATION — closes tx20's loop (train -> APPLY -> count): every document encoded with the $BpeRounds learned merges, emitting the per-doc (whitespace tokens, BPE units) the tokenizer report and every token-budget pass (pk01's bins, tx01's budgets) actually consume — a corpus's training cost is its BPE unit count, not its word count. Application is value-collapsed exactly like training: the DISTINCT word vocabulary folds through the $BpeRounds merge replaces IN TRAINING ORDER (each a map-side delimited-string REPLACE against the broadcast 1-row merge frame — order matters and is the trained artifact's contract), yielding a (word -> unit count) map that is VOCABULARY-sized; documents explode to tokens and join that map (broadcast here — a tokenizer's vocabulary is small by construction; at open-vocabulary corpus scale the tx11/tx15 hot-head/cold-tail split is the swap), non-alphabetic tokens pass through as one unit each via the LEFT join + CASE (the tx12 nothing-vanishes contract). Per-doc sums are exact integers — bit-identical cross-engine; the oracle chains the training CTEs with the application CTEs so both engines train AND apply identically. Spec pins the encoding against a driver-side replay and that merged units genuinely shrink the corpus (sum of units strictly under sum of characters of alpha words).") {
+      (s, dir) =>
+        val bests = bpeTrain(s, dir)
+        val vocab0 = Materialize(Tables.load(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("tok"))
-          .filter(col("tok").rlike("^[a-z]+$"))
-          .groupBy("tok").agg(count(lit(1)).as("freq"))
-          .select(concat(lit("("), concat_ws(")(", split(col("tok"), "")), lit(")"))
-            .as("syms"), col("freq")))
-        val merges = (1 to BpeRounds).map { r =>
-          val pc = cur
-            .select(col("freq"),
-              expr("split(substring(syms, 2, length(syms) - 2), '\\\\)\\\\(')").as("a"))
-            .select(col("freq"), explode(expr(
-              """IF(size(a) >= 2,
-                |   transform(sequence(1, size(a) - 1),
-                |     i -> struct(element_at(a, i) AS lhs, element_at(a, i + 1) AS rhs)),
-                |   array())""".stripMargin)).as("p"))
-            .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-            .agg(sum(col("freq")).as("n"))
-          // global argmax, deterministic tiebreak — TakeOrderedAndProject,
-          // 1 row; checkpointed because it feeds BOTH the merge and the
-          // output row (and truncates the per-round lineage growth)
-          val best = Materialize(
-            pc.orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1))
-          cur = Materialize(cur
-            .crossJoin(broadcast(best.select(
+          .filter(col("tok").rlike("^[a-z]+$")).distinct()
+          .select(col("tok"),
+            concat(lit("("), concat_ws(")(", split(col("tok"), "")), lit(")"))
+              .as("syms")))
+        // fold the learned merges through the vocabulary, training order
+        val encoded = bests.foldLeft(vocab0) { (v, best) =>
+          Materialize(v.crossJoin(broadcast(best.select(
               concat(lit("("), col("lhs"), lit(")("), col("rhs"), lit(")")).as("pat"),
               concat(lit("("), col("lhs"), col("rhs"), lit(")")).as("rep"))))
-            .select(expr("replace(syms, pat, rep)").as("syms"), col("freq")))
-          best.select(lit(r).cast("int").as("rnd"), col("lhs"), col("rhs"),
-            col("n").cast("bigint").as("n"))
+            .select(col("tok"), expr("replace(syms, pat, rep)").as("syms")))
         }
-        merges.reduce(_ unionByName _)
+        val units = encoded.select(col("tok"),
+          size(expr("split(substring(syms, 2, length(syms) - 2), '\\\\)\\\\(')"))
+            .cast("long").as("u"))
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .join(broadcast(units), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_tokens"),
+            sum(when(col("u").isNotNull, col("u")).otherwise(lit(1L)))
+              .cast("bigint").as("n_bpe_units"))
     },
   )
 
-  /** tx20's DuckDB oracle: the same value-collapsed corpus and the
-    * same `(l)(r)` delimited-replace merge, unrolled [[BpeRounds]]
-    * times as chained CTEs (the gr01 bounded-unroll discipline).
+  /** tx20's training loop, factored for reuse by the application pass
+    * (tx21): returns the [[BpeRounds]] 1-row argmax frames
+    * `(lhs, rhs, n)` in merge order, each checkpointed. All rounds run
+    * at (distinct word, freq) grain — see tx20's doc.
     */
-  private lazy val bpeOracle: String = {
+  private[operators] def bpeTrain(
+      s: SparkSession, dir: String): IndexedSeq[DataFrame] = {
+    // value collapse: all rounds run at (distinct word, freq) grain
+    var cur = Materialize(Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").rlike("^[a-z]+$"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .select(concat(lit("("), concat_ws(")(", split(col("tok"), "")), lit(")"))
+        .as("syms"), col("freq")))
+    (1 to BpeRounds).map { _ =>
+      val pc = cur
+        .select(col("freq"),
+          expr("split(substring(syms, 2, length(syms) - 2), '\\\\)\\\\(')").as("a"))
+        .select(col("freq"), explode(expr(
+          """IF(size(a) >= 2,
+            |   transform(sequence(1, size(a) - 1),
+            |     i -> struct(element_at(a, i) AS lhs, element_at(a, i + 1) AS rhs)),
+            |   array())""".stripMargin)).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("n"))
+      // global argmax, deterministic tiebreak — TakeOrderedAndProject,
+      // 1 row; checkpointed because it feeds BOTH the merge and the
+      // output row (and truncates the per-round lineage growth)
+      val best = Materialize(
+        pc.orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1))
+      cur = Materialize(cur
+        .crossJoin(broadcast(best.select(
+          concat(lit("("), col("lhs"), lit(")("), col("rhs"), lit(")")).as("pat"),
+          concat(lit("("), col("lhs"), col("rhs"), lit(")")).as("rep"))))
+        .select(expr("replace(syms, pat, rep)").as("syms"), col("freq")))
+      best
+    }
+  }
+
+  /** The tx20/tx21 shared training CTE chain: the value-collapsed
+    * corpus and the `(l)(r)` delimited-replace merge, unrolled
+    * [[BpeRounds]] times (the gr01 bounded-unroll discipline) —
+    * callers append their final SELECT over `b1..bN` (tx20) or chain
+    * the application CTEs (tx21).
+    */
+  private lazy val bpeTrainCtes: String = {
     val round = (i: Int, prev: String) =>
       s"""pc$i AS (SELECT p.lhs AS lhs, p.rhs AS rhs, SUM(freq) AS n FROM (
          |    SELECT freq, UNNEST(CASE WHEN LEN(a) >= 2 THEN
@@ -820,17 +864,48 @@ object TextAnalysis {
          |        FROM $prev, b$i b)""".stripMargin
     val rounds = (1 to BpeRounds).map(i => round(i, if (i == 1) "w0" else s"w${i - 1}"))
       .mkString(",\n")
-    val sel = (1 to BpeRounds)
-      .map(i => s"SELECT CAST($i AS INT) AS rnd, lhs, rhs, CAST(n AS BIGINT) AS n FROM b$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT '(' || ARRAY_TO_STRING(STRING_SPLIT(tok, ''), ')(') || ')' AS syms, freq
        |  FROM (SELECT tok, COUNT(*) AS freq
        |        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
        |        WHERE regexp_matches(tok, '^[a-z]+${"$"}')
        |        GROUP BY tok)),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  /** tx20's DuckDB oracle: the training chain's per-round argmaxes. */
+  private lazy val bpeOracle: String = {
+    val sel = (1 to BpeRounds)
+      .map(i => s"SELECT CAST($i AS INT) AS rnd, lhs, rhs, CAST(n AS BIGINT) AS n FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH $bpeTrainCtes
        |$sel""".stripMargin
+  }
+
+  /** tx21's DuckDB oracle: train (shared chain), then fold the merges
+    * through the DISTINCT-word vocabulary in training order, and sum
+    * per-doc BPE units (non-alpha tokens 1 unit via LEFT join + CASE).
+    */
+  private lazy val bpeEncodeOracle: String = {
+    val applies = (1 to BpeRounds).map { i =>
+      s"""v$i AS (SELECT tok, REPLACE(syms, '(' || b.lhs || ')(' || b.rhs || ')',
+         |                        '(' || b.lhs || b.rhs || ')') AS syms
+         |        FROM v${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |v0 AS (SELECT tok, '(' || ARRAY_TO_STRING(STRING_SPLIT(tok, ''), ')(') || ')' AS syms
+       |       FROM (SELECT DISTINCT tok
+       |             FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+       |             WHERE regexp_matches(tok, '^[a-z]+${"$"}'))),
+       |$applies,
+       |units AS (SELECT tok,
+       |            CAST(LEN(STRING_SPLIT(substring(syms, 2, LEN(syms) - 2), ')(')) AS BIGINT) AS u
+       |          FROM v$BpeRounds),
+       |tk AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+       |       CAST(SUM(CASE WHEN u.u IS NOT NULL THEN u.u ELSE 1 END) AS BIGINT) AS n_bpe_units
+       |FROM tk LEFT JOIN units u USING (tok)
+       |GROUP BY doc_id""".stripMargin
   }
 
 }

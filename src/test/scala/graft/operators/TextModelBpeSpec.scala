@@ -101,4 +101,60 @@ class TextModelBpeSpec extends AnyFunSuite {
       s"no merged symbol re-entered a best pair in ${TextAnalysis.BpeRounds} rounds — " +
         "raise BpeRounds or the op degenerates to bigram counting")
   }
+
+  test("tx21: encoding equals the driver-side replay; merges genuinely compress") {
+    val got = graft.GraftQuery.all.find(_.name == "tx21_bpe_encode").get
+      .build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // replay: train (greedy BPE over the collapsed vocabulary), then
+    // apply the merges in training order to every token of every doc
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet === docs.keySet)
+    var vocab = docs.values.toSeq.flatMap(_.split(" ", -1))
+      .filter(_.matches("[a-z]+"))
+      .groupBy(identity).map { case (t, o) => t.map(_.toString).toVector -> o.size.toLong }
+    val merges = (1 to TextAnalysis.BpeRounds).map { _ =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      val ((l, r), _) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      def merge(syms: Vector[String]): Vector[String] = {
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc(acc.size - 1) = l + r
+          else acc += x
+        }
+        acc.toVector
+      }
+      vocab = vocab.toSeq.map { case (s, f) => merge(s) -> f }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+      (l, r)
+    }
+    def encode(tok: String): Long =
+      if (!tok.matches("[a-z]+")) 1L
+      else merges.foldLeft(tok.map(_.toString).toVector) { case (syms, (l, r)) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { x =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc(acc.size - 1) = l + r
+          else acc += x
+        }
+        acc.toVector
+      }.size.toLong
+    var totalUnits = 0L
+    var totalAlphaChars = 0L
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val units = toks.map(encode).sum
+      assert(got(id) === ((toks.length, units)), s"doc $id encoding diverged")
+      totalUnits += toks.filter(_.matches("[a-z]+")).map(encode).sum
+      totalAlphaChars += toks.filter(_.matches("[a-z]+")).map(_.length.toLong).sum
+    }
+    assert(totalUnits < totalAlphaChars,
+      "BPE units did not compress below character count — the merges did nothing")
+  }
 }
