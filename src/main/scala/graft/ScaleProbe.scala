@@ -126,7 +126,7 @@ object ScaleProbe {
       "gr17_scc_seed_shuffled", "gr18_scc_decomposition",
       "dd15_bloom_incremental", "q62_forecast_salted_join",
       "dd17_multikey_linkage", "tx20_bpe_merges",
-      "gr21_betweenness_sampled").map(n => n -> run(n))
+      "gr21_betweenness_sampled", "dd18_span_removal").map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio

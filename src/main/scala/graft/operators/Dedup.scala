@@ -462,6 +462,45 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("sim"), 4).as("sim"))
   }
 
+  /** dd12's full DuckDB oracle, factored as a reusable block so the
+    * incremental pipeline manifest (pl02) can consume the IDENTICAL
+    * verdict semantics as a parenthesized subquery — the oracle-side
+    * twin of [[incrementalVerdicts]] being the shared Spark core.
+    */
+  private[operators] val incrementalDuck: String =
+    s"""WITH dall AS (SELECT doc_id, text,
+              |               ${Sampling.duckBucket100Of("doc_id")} AS bkt FROM documents),
+              |inc AS (SELECT doc_id, text FROM dall WHERE bkt < 10),
+              |corp AS (SELECT doc_id, text FROM dall WHERE bkt >= 10),
+              |ex AS (SELECT i.doc_id, MIN(c.doc_id) AS m
+              |       FROM inc i JOIN corp c ON md5(i.text) = md5(c.text) GROUP BY 1),
+              |dcx AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM corp),
+              |shcx AS (SELECT doc_id, $shingleDuck AS gs FROM dcx),
+              |ecx AS (SELECT doc_id, UNNEST(gs) AS g FROM shcx),
+              |rare AS (SELECT g FROM ecx GROUP BY g HAVING COUNT(*) <= $DfCap),
+              |ec AS (SELECT e.doc_id, e.g FROM ecx e JOIN rare USING (g)),
+              |dix AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM inc),
+              |shix AS (SELECT doc_id, $shingleDuck AS gs FROM dix),
+              |eix AS (SELECT doc_id, UNNEST(gs) AS g FROM shix),
+              |ei AS (SELECT e.doc_id, e.g FROM eix e JOIN rare USING (g)),
+              |nc AS (SELECT doc_id, COUNT(*) AS n FROM ec GROUP BY 1),
+              |ni AS (SELECT doc_id, COUNT(*) AS n FROM ei GROUP BY 1),
+              |p AS (SELECT i.doc_id AS di, c.doc_id AS dc, COUNT(*) AS shared
+              |      FROM ei i JOIN ec c ON i.g = c.g GROUP BY 1, 2),
+              |near AS (SELECT p.di AS doc_id, MIN(p.dc) AS m
+              |         FROM p JOIN ni ON ni.doc_id = p.di
+              |                JOIN nc ON nc.doc_id = p.dc
+              |         WHERE CAST(shared AS DOUBLE) / (ni.n + nc.n - shared) >= 0.8
+              |         GROUP BY 1)
+              |SELECT i.doc_id,
+              |       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+              |            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+              |            ELSE 'new' END AS verdict,
+              |       CAST(COALESCE(ex.m, nr.m) AS BIGINT) AS match_id
+              |FROM inc i
+              |LEFT JOIN ex ON ex.doc_id = i.doc_id
+              |LEFT JOIN near nr ON nr.doc_id = i.doc_id""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -769,38 +808,7 @@ object Dedup {
 
     GraftQuery(
       "dd12_incremental_dedup",
-      Some(s"""WITH dall AS (SELECT doc_id, text,
-              |               ${Sampling.duckBucket100Of("doc_id")} AS bkt FROM documents),
-              |inc AS (SELECT doc_id, text FROM dall WHERE bkt < 10),
-              |corp AS (SELECT doc_id, text FROM dall WHERE bkt >= 10),
-              |ex AS (SELECT i.doc_id, MIN(c.doc_id) AS m
-              |       FROM inc i JOIN corp c ON md5(i.text) = md5(c.text) GROUP BY 1),
-              |dcx AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM corp),
-              |shcx AS (SELECT doc_id, $shingleDuck AS gs FROM dcx),
-              |ecx AS (SELECT doc_id, UNNEST(gs) AS g FROM shcx),
-              |rare AS (SELECT g FROM ecx GROUP BY g HAVING COUNT(*) <= $DfCap),
-              |ec AS (SELECT e.doc_id, e.g FROM ecx e JOIN rare USING (g)),
-              |dix AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM inc),
-              |shix AS (SELECT doc_id, $shingleDuck AS gs FROM dix),
-              |eix AS (SELECT doc_id, UNNEST(gs) AS g FROM shix),
-              |ei AS (SELECT e.doc_id, e.g FROM eix e JOIN rare USING (g)),
-              |nc AS (SELECT doc_id, COUNT(*) AS n FROM ec GROUP BY 1),
-              |ni AS (SELECT doc_id, COUNT(*) AS n FROM ei GROUP BY 1),
-              |p AS (SELECT i.doc_id AS di, c.doc_id AS dc, COUNT(*) AS shared
-              |      FROM ei i JOIN ec c ON i.g = c.g GROUP BY 1, 2),
-              |near AS (SELECT p.di AS doc_id, MIN(p.dc) AS m
-              |         FROM p JOIN ni ON ni.doc_id = p.di
-              |                JOIN nc ON nc.doc_id = p.dc
-              |         WHERE CAST(shared AS DOUBLE) / (ni.n + nc.n - shared) >= 0.8
-              |         GROUP BY 1)
-              |SELECT i.doc_id,
-              |       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
-              |            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
-              |            ELSE 'new' END AS verdict,
-              |       CAST(COALESCE(ex.m, nr.m) AS BIGINT) AS match_id
-              |FROM inc i
-              |LEFT JOIN ex ON ex.doc_id = i.doc_id
-              |LEFT JOIN near nr ON nr.doc_id = i.doc_id""".stripMargin),
+      Some(incrementalDuck),
       "Incremental ingestion dedup — the form every dd-family pass takes in PRODUCTION: a new crawl drop (10% md5 split) is admitted against the EXISTING corpus, not against itself. Per incoming doc, one verdict with audit provenance: exact_dup (byte-identical text already in the corpus — md5 fingerprint equi-join, 16 bytes per doc cross the wire), near_dup (word-trigram Jaccard >= 0.8 against a corpus doc over the df-capped inverted index — dd05's threshold / cap / join shape applied CROSS-SPLIT, similarity measured in the corpus index's rare-shingle vocabulary), or new; match_id = the smallest matching corpus doc (deterministic), null for new. The at-scale asymmetry is the whole point: the corpus fingerprint store and inverted index are the PERSISTED artifacts (built once, incrementally maintained — Compaction's snapshot discipline), and each drop probes them at drop-size cost: the incoming side of every join is drop-sized, the df cap bounds each incoming shingle's fan-out at 50 corpus postings, and nothing ever re-pairs corpus-vs-corpus (the m² the batch passes pay). Priority exact > near is a CASE after two LEFT probes; every count is an exact integer, the Jaccard division is the dd05 IEEE division — hash-identical cross-engine.") {
       (s, dir) =>
         incrementalVerdicts(s, spread(docs(s, dir), "doc_id"))
@@ -827,27 +835,7 @@ object Dedup {
               |FROM runs WHERE span >= $MinSpan GROUP BY 1, 2""".stripMargin),
       s"Substring-level duplicate-SPAN detection — the token-exact span dedup of Lee et al.'s 'Deduplicating Training Data Makes Language Models Better' (the ExactSubstr pass), re-expressed for a shuffle engine: instead of a distributed suffix array, every token position emits an $SpanK-gram fingerprint (ONE xxhash64 — 8 bytes cross the wire, never gram text), positions sharing a fingerprint meet in a df-capped equi-join, and a maximal shared span is recovered as a RUN of consecutive matching positions at constant pair offset — the classic gaps-and-islands window (pos - row_number is constant within a run), so a run of m matched $SpanK-gram positions certifies a shared span of m+${SpanK - 1} tokens. Sits between dd11 (fixed 50-token chunks at stride 40 — misses spans straddling chunk edges and anything under a chunk) and dd03/dd05 (whole-doc fuzzy): this finds EVERY maximal cross-doc span >= $MinSpan tokens at token resolution, the signal you need to cut injected boilerplate out of the MIDDLE of otherwise-distinct pages. Per pair: span count, longest span, total duplicated tokens (offset-grain accounting: two runs at different offsets may overlap in text — the conservative upper bound; interval-merge is the downstream refinement). Scale: the positional index is token-count-sized (the honest price of token resolution — 100 TB of text is ~2e13 positions, so you SHARD this by corpus partition exactly like dd12's incremental probe), the df cap bounds every fingerprint's fan-out at $DfCap postings killing the hot-boilerplate skew bomb, the island window shuffles at matched-pair grain (tiny after the cap), and all outputs are exact integers — bit-identical cross-engine.") {
       (s, dir) =>
-        val g = docs(s, dir)
-          .select(col("doc_id"), split(col("text"), " ").as("a"))
-          .withColumn("n", size(col("a")))
-          .filter(col("n") >= SpanK)
-          .select(col("doc_id"), col("a"),
-            explode(expr(s"sequence(1, n - ${SpanK - 1})")).as("pos"))
-          .select(col("doc_id"), col("pos"),
-            xxhash64(concat_ws(" ", expr(s"slice(a, pos, $SpanK)"))).as("g"))
-        val rare = g.join(
-          g.groupBy("g").agg(count(lit(1)).as("f"))
-            .filter(col("f") <= DfCap).select("g"),
-          Seq("g"), "left_semi")
-        val p = rare.select(col("g"), col("doc_id").as("da"), col("pos").as("pa"))
-          .join(rare.select(col("g"), col("doc_id").as("db"), col("pos").as("pb")), "g")
-          .filter(col("da") < col("db"))
-          .select(col("da"), col("db"), col("pa"), (col("pa") - col("pb")).as("off"))
-        val w = Window.partitionBy("da", "db", "off").orderBy("pa")
-        p.withColumn("isle", col("pa") - row_number().over(w))
-          .groupBy("da", "db", "off", "isle")
-          .agg((count(lit(1)) + (SpanK - 1)).as("span"))
-          .filter(col("span") >= MinSpan)
+        spanRuns(s, dir)
           .groupBy(col("da").as("doc_a"), col("db").as("doc_b"))
           .agg(count(lit(1)).as("n_spans"),
             max(col("span")).as("max_span"),
@@ -1014,8 +1002,97 @@ object Dedup {
           .join(reg, "name") // expand distinct-name matches to clone ids
           .select(col("dirty_id"), col("match_id"), col("dist"))
     },
+
+    GraftQuery(
+      "dd18_span_removal",
+      Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents),
+              |g AS (SELECT doc_id, i AS pos, HASH(ARRAY_TO_STRING(a[i : i + ${SpanK - 1}], ' ')) AS g
+              |      FROM d, UNNEST(RANGE(1, GREATEST(LEN(a) - ${SpanK - 2}, 1))) AS t(i)
+              |      WHERE LEN(a) >= $SpanK),
+              |rare AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) <= $DfCap),
+              |r AS (SELECT x.doc_id, x.pos, x.g FROM g x JOIN rare USING (g)),
+              |p AS (SELECT x.doc_id AS da, y.doc_id AS db, x.pos AS pa, x.pos - y.pos AS off
+              |      FROM r x JOIN r y ON x.g = y.g AND x.doc_id < y.doc_id),
+              |i AS (SELECT da, db, off, pa,
+              |             pa - ROW_NUMBER() OVER (PARTITION BY da, db, off ORDER BY pa) AS isle
+              |      FROM p),
+              |runs AS (SELECT da, db, off, MIN(pa) AS pa0, COUNT(*) + ${SpanK - 1} AS span
+              |         FROM i GROUP BY da, db, off, isle),
+              |iv AS (SELECT db AS doc_id, pa0 - off AS s, pa0 - off + span - 1 AS e
+              |       FROM runs WHERE span >= $MinSpan),
+              |dr AS (SELECT DISTINCT doc_id, pos FROM
+              |       (SELECT doc_id, UNNEST(RANGE(s, e + 1)) AS pos FROM iv) u),
+              |toks AS (SELECT doc_id, i AS pos, a[i] AS tok
+              |         FROM d, UNNEST(RANGE(1, LEN(a) + 1)) AS t(i)),
+              |o AS (SELECT t.doc_id, t.pos, t.tok, dr.pos IS NOT NULL AS dropped
+              |      FROM toks t
+              |      JOIN (SELECT DISTINCT doc_id FROM dr) af USING (doc_id)
+              |      LEFT JOIN dr ON dr.doc_id = t.doc_id AND dr.pos = t.pos)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              |       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+              |       COALESCE(STRING_AGG(CASE WHEN NOT dropped THEN tok END, ' '
+              |                           ORDER BY pos), '') AS cleaned
+              |FROM o GROUP BY 1""".stripMargin),
+      s"Duplicate-span REMOVAL — the corpus REWRITE dd13's doc promised as 'the downstream refinement': dd13 certifies every maximal cross-doc shared span >= $MinSpan tokens but only PRICES the duplication (its offset-grain token accounting may double-count overlapping runs); this pass actually CUTS it, Lee et al.'s ExactSubstr dedup completed as a transformation. Retention is canonical min-id (the dd08/dd12 discipline): each certified span survives in the pair's LOWER doc_id and is cut from the higher, so chained copies A<B<C collapse to A's single copy deterministically. The cut set is the POSITION-GRAIN UNION of all span intervals landing on a doc — distinct (doc_id, pos) IS the interval merge at token resolution, so overlapping spans from different partners (and different-offset runs over the same text, dd13's stated double-count) cost each token exactly once; n_removed is the exact deduplicated-token count dd13 could only upper-bound. Rewrite = posexplode to (doc_id, pos, token), left-semi to affected docs only (untouched docs never enter the doc-grain shuffle), anti-mark against the cut set, and per-doc ordered reassembly via array_sort(collect_list(struct(pos, tok))) — deterministic, and bounded by doc length exactly like every per-doc array op in the family. Output per AFFECTED doc: original token count, removed count, cleaned text. Scale: runs/intervals/cut-set are all sized by total DUPLICATED tokens (the output of the audit that motivated the cut), never corpus tokens; the positional index is dd13's priced cost, factored (spanRuns), computed once.") {
+      (s, dir) =>
+        val runs = spanRuns(s, dir)
+        val drops = runs.select(col("db").as("doc_id"),
+            explode(expr(
+              "sequence(CAST(pa0 - off AS INT), CAST(pa0 - off + span - 1 AS INT))")).as("pos"))
+          .distinct()
+        val toks = docs(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+        toks.join(drops.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .join(drops.withColumn("dropped", lit(1)), Seq("doc_id", "pos"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("dropped").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+            array_join(
+              transform(
+                array_sort(collect_list(when(col("dropped").isNull,
+                  struct(col("pos"), col("tok"))))),
+                x => x.getField("tok")),
+              " ").as("cleaned"))
+    },
   )
 
+
+  /** dd13's factored core, shared with dd18: every maximal cross-doc
+    * shared span >= [[MinSpan]] tokens, at run grain `(da, db, off,
+    * pa0, span)` — doc_a < doc_b, `off` the constant position offset of
+    * the run, `pa0` the run's first matched position IN doc_a (so the
+    * span occupies `[pa0, pa0+span-1]` in doc_a and `[pa0-off,
+    * pa0-off+span-1]` in doc_b). See dd13's doc for the positional
+    * fingerprint + df cap + gaps-and-islands recovery argument; dd18
+    * consumes the same grain to REWRITE the corpus.
+    */
+  private[operators] def spanRuns(s: SparkSession, dir: String): DataFrame = {
+    val g = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .withColumn("n", size(col("a")))
+      .filter(col("n") >= SpanK)
+      .select(col("doc_id"), col("a"),
+        explode(expr(s"sequence(1, n - ${SpanK - 1})")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", expr(s"slice(a, pos, $SpanK)"))).as("g"))
+    val rare = g.join(
+      g.groupBy("g").agg(count(lit(1)).as("f"))
+        .filter(col("f") <= DfCap).select("g"),
+      Seq("g"), "left_semi")
+    val p = rare.select(col("g"), col("doc_id").as("da"), col("pos").as("pa"))
+      .join(rare.select(col("g"), col("doc_id").as("db"), col("pos").as("pb")), "g")
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"), col("pa"), (col("pa") - col("pb")).as("off"))
+    val w = Window.partitionBy("da", "db", "off").orderBy("pa")
+    p.withColumn("isle", col("pa") - row_number().over(w))
+      .groupBy("da", "db", "off", "isle")
+      .agg(min(col("pa")).as("pa0"),
+        (count(lit(1)) + (SpanK - 1)).as("span"))
+      .filter(col("span") >= MinSpan)
+      .select("da", "db", "off", "pa0", "span")
+  }
 
   /** dd12's core over any `(doc_id, text)` frame — split by md5 bucket
     * into a 10% incoming drop + 90% corpus, then verdict each incoming

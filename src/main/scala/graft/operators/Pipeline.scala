@@ -108,5 +108,79 @@ object Pipeline {
           .agg(count(lit(1)).as("n")).select(lit(5).as("stage"), col("detail"), col("n"))
         Seq(st0, st1, st2, st3, st4, st5).reduce(_ unionByName _)
           .select(col("stage").cast("int"), col("detail"), col("n").cast("bigint"))
+    },
+
+    GraftQuery(
+      "pl02_incremental_manifest",
+      Some(s"""WITH fc AS (SELECT * FROM ${TextAnalysis.filterVerdictsDuck}),
+              |di AS (SELECT doc_id FROM documents
+              |       WHERE ${Sampling.duckBucket100Of("doc_id")} < 10),
+              |v AS (SELECT doc_id, verdict FROM (${Dedup.incrementalDuck}) t),
+              |cont AS (SELECT DISTINCT train_doc AS doc_id FROM (${Decontam.pairsDuck}
+              |         SELECT DISTINCT train_doc FROM pairs) c),
+              |toks AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens FROM documents),
+              |s1 AS (SELECT doc_id FROM fc WHERE reason = 'kept'
+              |       AND doc_id IN (SELECT doc_id FROM di)),
+              |s2 AS (SELECT s1.doc_id FROM s1 JOIN v USING (doc_id)
+              |       WHERE v.verdict = 'new'),
+              |s3 AS (SELECT doc_id FROM s2
+              |       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+              |r AS (SELECT s3.doc_id, t.n_tokens,
+              |             ROW_NUMBER() OVER (ORDER BY t.n_tokens DESC, s3.doc_id) AS rn
+              |      FROM s3 JOIN toks t USING (doc_id))
+              |SELECT CAST(0 AS INT) AS stage, 'drop_in' AS detail, COUNT(*) AS n FROM di
+              |UNION ALL SELECT 1, reason, COUNT(*) FROM fc
+              |  WHERE doc_id IN (SELECT doc_id FROM di) GROUP BY reason
+              |UNION ALL SELECT 2, verdict, COUNT(*) FROM v
+              |  WHERE doc_id IN (SELECT doc_id FROM s1) GROUP BY 2
+              |UNION ALL SELECT 3,
+              |  CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+              |       THEN 'contaminated' ELSE 'clean' END, COUNT(*)
+              |FROM s2 GROUP BY 2
+              |UNION ALL SELECT 4, 'shard_' || CAST(
+              |  CASE WHEN ((rn - 1) // 16) % 2 = 0 THEN (rn - 1) % 16
+              |       ELSE 15 - (rn - 1) % 16 END AS VARCHAR), COUNT(*)
+              |FROM r GROUP BY 2
+              |UNION ALL SELECT 5, 'corpus_after', COUNT(*) FROM
+              |  (SELECT doc_id FROM documents
+              |   WHERE ${Sampling.duckBucket100Of("doc_id")} >= 10
+              |   UNION ALL SELECT doc_id FROM s3) u""".stripMargin),
+      "INCREMENTAL corpus-build manifest — the delta data card: production does not rebuild a 100 TB corpus per crawl, it ADMITS each new drop against the standing corpus, and the number that ships with the release is the drop's attrition trail. Same composition contract as pl01 (FACTOR, DON'T COPY — every stage is the shipped operator's core; chain semantics survivors(k) = survivors(k-1) ∩ keep(k)), but every stage is DROP-SCOPED and the dedup stage is the INCREMENTAL one: stage 0 drop_in (sp01's 10% md5 split — dd12's own drop selector, so the manifest describes exactly the admission dd12 verdicts); stage 1 the tx12 reason histogram over the drop; stage 2 dd12's drop-vs-corpus verdicts (exact_dup/near_dup/new via incrementalVerdicts — the corpus side probed, never re-paired) over quality survivors; stage 3 contaminated-vs-clean among admitted candidates (dc01's pair set filtered to the drop's train-side docs); stage 4 the serpentine delta-pack shard loads (pk02 on the admitted set); stage 5 corpus_after = standing corpus + admissions, the accretion line a store audit reconciles against (computed as a union count — no 1-row crossJoin arithmetic). At 100 TB the asymmetry is the point: every stage is drop-sized except the dd12 probe, whose corpus side is the PERSISTED store (StreamedDedup maintains it incrementally); the manifest stays counter-grain. PipelineSpec pins every stage count against the standalone operators chained driver-side.") {
+      (s, dir) =>
+        val docsDf = Tables.load(s, dir, "documents")
+        val di = docsDf.filter(expr(s"${Sampling.bucket100("doc_id")} < 10"))
+          .select("doc_id")
+        // stage cores — the shipped operators, factored
+        val fc = Materialize(TextAnalysis.filterVerdicts(s, dir)
+          .join(di, Seq("doc_id"), "left_semi"))
+        val v = Materialize(
+          Dedup.incrementalVerdicts(s, Tables.spread(docsDf, "doc_id"))
+            .select("doc_id", "verdict"))
+        val cont = Decontam.overlapPairs(s, dir)
+          .select(col("train_doc").as("doc_id")).distinct()
+        val s1 = fc.filter(col("reason") === "kept").select("doc_id", "n_tokens")
+        val cls2 = Materialize(s1.join(v, Seq("doc_id"), "left"))
+        val s2 = cls2.filter(col("verdict") === "new").select("doc_id", "n_tokens")
+        val cls3 = Materialize(s2
+          .join(broadcast(cont.withColumn("is_cont", lit(1))), Seq("doc_id"), "left"))
+        val s3 = cls3.filter(col("is_cont").isNull).select("doc_id", "n_tokens")
+        val st0 = di.agg(count(lit(1)).as("n"))
+          .select(lit(0).as("stage"), lit("drop_in").as("detail"), col("n"))
+        val st1 = fc.groupBy(col("reason").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(1).as("stage"), col("detail"), col("n"))
+        val st2 = cls2.groupBy(col("verdict").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(2).as("stage"), col("detail"), col("n"))
+        val st3 = cls3.groupBy(
+            when(col("is_cont").isNotNull, "contaminated").otherwise("clean").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(3).as("stage"), col("detail"), col("n"))
+        val st4 = Sampling.serpentineShardAssignments(s3)
+          .groupBy(concat(lit("shard_"), col("shard").cast("string")).as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(4).as("stage"), col("detail"), col("n"))
+        val st5 = docsDf.filter(expr(s"${Sampling.bucket100("doc_id")} >= 10"))
+          .select("doc_id").unionByName(s3.select("doc_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(5).as("stage"), lit("corpus_after").as("detail"), col("n"))
+        Seq(st0, st1, st2, st3, st4, st5).reduce(_ unionByName _)
+          .select(col("stage").cast("int"), col("detail"), col("n").cast("bigint"))
     })
 }

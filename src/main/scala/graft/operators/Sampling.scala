@@ -380,5 +380,39 @@ object Sampling {
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).as("shard_tokens"))
+    },
+
+    GraftQuery(
+      "pk03_packed_sequences",
+      Some("""WITH d AS (SELECT doc_id,
+             |            CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok,
+             |            md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |c AS (SELECT doc_id, n_tok,
+             |        COALESCE(SUM(n_tok) OVER (ORDER BY h, doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+             |      FROM d)
+             |SELECT doc_id, n_tok, CAST(st AS BIGINT) AS start_tok,
+             |       CAST(st // 2048 AS BIGINT) AS seq_first,
+             |       CAST((st + n_tok - 1) // 2048 AS BIGINT) AS seq_last
+             |FROM c""".stripMargin),
+      "CONCAT-AND-CHUNK training-sequence construction — the third packing axis, and the one an autoregressive trainer actually consumes: pk01 packs whole docs into open-count budget bins (a straddler overflows), pk02 balances a fixed shard count; pk03 lays the corpus out in ONE deterministic order and cuts it into FIXED 2048-token sequences with documents CROSSING the cuts — GPT-style packing, every token used, zero padding, sequence count = ceil(corpus_tokens/2048) by construction. The order is the md5-of-key shuffle (sp01's contract applied to training order: deterministic, engine-stable, layout-independent — re-packing a re-partitioned corpus yields byte-identical sequences, which a rand() shuffle cannot promise). Per doc: its global token offset and the [seq_first, seq_last] range of sequences it occupies — exactly the boundary index a packed-pretraining loader needs to build attention masks and to answer 'which sequences contain doc X' during data-attribution audits. The global prefix-sum is the q57/pk02 two-phase discipline applied to SUM instead of rank: 256 md5-prefix buckets whose lexicographic order IS the global order (the bucket key is the sort key's leading 2 hex chars), a bounded within-bucket running sum, and an aggregate-fed 256-row cumulative bucket-offset broadcast — no fact-scale rows cross one partition, the window audit sweep enforces it. All arithmetic exact BIGINT — bit-identical cross-engine.") {
+      (s, dir) =>
+        val d = docs(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("bkt", substring(col("h"), 1, 2))
+        val wIn = Window.partitionBy("bkt").orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = d.groupBy("bkt").agg(sum(col("n_tok")).as("tot"))
+          .withColumn("off", coalesce(
+            sum(col("tot")).over(Window.orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        d.join(broadcast(offs.select("bkt", "off")), "bkt")
+          .withColumn("start_tok",
+            col("off") + coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+          .select(col("doc_id"), col("n_tok"), col("start_tok"),
+            expr("start_tok div 2048").as("seq_first"),
+            expr("(start_tok + n_tok - 1) div 2048").as("seq_last"))
     })
 }

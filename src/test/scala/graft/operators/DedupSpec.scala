@@ -119,6 +119,63 @@ class DedupSpec extends AnyFunSuite {
       "no long span found — the injected boilerplate is not being recovered")
   }
 
+  test("dd18 span removal matches a sequential rewrite reference; canonical copy survives (sf0.01)") {
+    import graft.operators.Dedup.{DfCap, MinSpan, SpanK}
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val byId = docs.toMap
+    // same positional-gram + df-cap + islands reference as the dd13
+    // test, extended to the db-side intervals the rewrite cuts
+    val grams: Seq[(Long, Int, String)] = docs.toSeq.flatMap { case (id, text) =>
+      val w = text.split(" ", -1)
+      if (w.length < SpanK) Seq.empty[(Long, Int, String)]
+      else w.sliding(SpanK).zipWithIndex.map { case (g, i) => (id, i + 1, g.mkString(" ")) }.toSeq
+    }
+    val freq = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val rare = grams.filter(g => freq(g._3) <= DfCap)
+    val intervals: Seq[(Long, Int, Int)] = rare.groupBy(_._3).values.toSeq.flatMap { occ =>
+      for {
+        (da, pa, _) <- occ; (db, pb, _) <- occ
+        if da < db
+      } yield ((da, db, pa - pb), pa)
+    }.groupBy(_._1).toSeq.flatMap { case ((_, db, off), ps) =>
+      val sorted = ps.map(_._2).distinct.sorted
+      sorted.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (h :: t), p) if h.head == p - 1 => (p :: h) :: t
+        case (acc, p) => List(p) :: acc
+      }.map { r =>
+        val span = r.size + SpanK - 1
+        val s = r.min - off
+        (db, s, s + span - 1, span)
+      }
+    }.collect { case (db, s, e, span) if span >= MinSpan => (db, s, e) }
+    // position-grain union == interval merge at token resolution
+    val dropSet: Map[Long, Set[Int]] = intervals.groupBy(_._1).view
+      .mapValues(_.flatMap(iv => iv._2 to iv._3).toSet).toMap
+    val expect = dropSet.map { case (id, drop) =>
+      val w = byId(id).split(" ", -1)
+      val kept = w.zipWithIndex.collect { case (t, i) if !drop(i + 1) => t }
+      id -> (w.length.toLong, drop.size.toLong, kept.mkString(" "))
+    }
+    val got = byName("dd18_span_removal").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == expect, s"rewrite diverged from the sequential reference: " +
+      s"extra=${got.keySet -- expect.keySet} missing=${expect.keySet -- got.keySet} " +
+      s"changed=${expect.keySet.intersect(got.keySet).filter(k => expect(k) != got(k))}")
+    assert(expect.nonEmpty, "fixture has no span >= MinSpan to cut — rewrite is vacuous")
+    assert(got.values.forall(_._2 > 0), "an unaffected doc leaked into the rewrite report")
+    // canonical retention (the Lee et al. keep-one contract): every cut
+    // interval's token sequence must still exist VERBATIM in some
+    // lower-id doc — the corpus never loses the text, only the copies
+    intervals.foreach { case (db, s, e) =>
+      val cut = byId(db).split(" ", -1).slice(s - 1, e).toSeq
+      val survives = docs.exists { case (id, text) =>
+        id < db && text.split(" ", -1).sliding(cut.length).exists(_.sameElements(cut))
+      }
+      assert(survives, s"cut span [$s,$e] of doc $db survives in no lower-id doc")
+    }
+  }
+
   test("dd14 pointer-jumping clusters are row-identical to dd07 (sf0.01)") {
     // two loops (min-label propagation vs pointer jumping), two round
     // complexities (diameter vs log n), one fixpoint — any divergence

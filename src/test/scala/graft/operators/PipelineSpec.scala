@@ -83,6 +83,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(stage(5).values.sum === s3.size.toLong)
   }
 
+  test("pl02: incremental stage counts equal the standalone operators chained driver-side") {
+    val manifest = build("pl02_incremental_manifest").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    def stage(k: Int): Map[String, Long] =
+      manifest.collect { case ((s, d), n) if s == k => d -> n }
+
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    val tokens = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length.toLong).toMap
+    val di = tokens.keySet.filter(bucket(_) < 10)
+
+    // standalone stage outputs
+    val verdicts = build("tx12_filter_chain").select("doc_id", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val inc = build("dd12_incremental_dedup").select("doc_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cont = build("dc01_benchmark_overlap").select("train_doc").collect()
+      .map(_.getLong(0)).toSet
+
+    // the chain, driver-side
+    val s1 = di.filter(verdicts(_) == "kept")
+    val s2 = s1.filter(inc(_) == "new")
+    val s3 = s2.diff(cont)
+
+    assert(stage(0) === Map("drop_in" -> di.size.toLong))
+    assert(stage(1) === di.toSeq.map(verdicts).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap)
+    assert(stage(2) === s1.toSeq.map(inc).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap)
+    assert(stage(3) === Map("clean" -> s3.size.toLong,
+      "contaminated" -> (s2.size - s3.size).toLong).filter(_._2 > 0))
+    val expShards = s3.toSeq.map(id => (tokens(id), id))
+      .sortBy { case (t, id) => (-t, id) }.zipWithIndex
+      .map { case (_, i) =>
+        if ((i / 16) % 2 == 0) i % 16 else 15 - i % 16
+      }.groupBy(s => s"shard_$s").view.mapValues(_.size.toLong).toMap
+    assert(stage(4) === expShards)
+    assert(stage(5) === Map(
+      "corpus_after" -> (tokens.keySet.count(bucket(_) >= 10) + s3.size).toLong))
+
+    // conservation at every gate
+    assert(stage(1).values.sum === di.size.toLong)
+    assert(stage(2).values.sum === s1.size.toLong)
+    assert(stage(3).values.sum === s2.size.toLong)
+    assert(stage(4).values.sum === s3.size.toLong)
+
+    // genuine admission decisions, or the delta card pins nothing:
+    // the quality gate and the incremental dedup must both have
+    // dropped AND admitted something within the drop
+    assert(s1.nonEmpty && s1.size < di.size,
+      s"quality gate trivial on the drop: ${s1.size}/${di.size}")
+    assert(s2.nonEmpty && s2.size < s1.size,
+      s"incremental dedup trivial on the drop: ${s2.size}/${s1.size}")
+  }
+
   test("pl01: no stage re-scans documents — the manifest plan carries exactly one live scan") {
     // In the shipped (checkpointing) mode, every stage core executes
     // exactly once, at its Materialize boundary, during build — the

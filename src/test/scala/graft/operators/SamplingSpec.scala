@@ -225,4 +225,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(spread(sortedLoads) < mean / 50,
       s"serpentine spread ${spread(sortedLoads)} exceeds 2% of mean shard load $mean")
   }
+
+  test("pk03 packed sequences match a sequential concat-and-chunk replay; docs cross cuts (sf0.01)") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val toks = graft.Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // sequential replay: md5-shuffled order, running offset, 2048 cuts
+    var off = 0L
+    val expect = toks.sortBy(t => (md5hex(t._1.toString), t._1)).map { case (id, n) =>
+      val st = off; off += n
+      id -> ((n, st, st / 2048, (st + n - 1) / 2048))
+    }.toMap
+    val got = graft.GraftQuery.all.find(_.name == "pk03_packed_sequences").get
+      .build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == expect, s"packing diverged from the sequential replay: " +
+      s"changed=${expect.keySet.filter(k => got.get(k) != expect.get(k)).take(5)}")
+    // every token used, zero padding: offsets tile [0, corpus_tokens)
+    assert(off == toks.map(_._2).sum)
+    // the packing is non-vacuous: some doc straddles a cut, and some
+    // sequence contains at least two whole documents
+    assert(got.values.exists(v => v._3 != v._4), "no doc crosses a sequence cut")
+    val whole = got.values.toSeq.filter(v => v._3 == v._4).groupBy(_._3)
+    assert(whole.values.exists(_.size >= 2), "no sequence holds two whole docs")
+  }
 }
