@@ -108,6 +108,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ss14_maxsim_late_interaction", // ONE query vector (1-row frame) broadcast against the corpus scan (ss01's pattern)
     "tx20_bpe_merges", // per round: the 1-row argmax (best pair) frame broadcast into the vocabulary-sized merge
     "pl01_corpus_build_manifest", // inherits pk02's 1-row min/max bucketizer frame for the shard-packing stage
+    "pl02_incremental_manifest", // same: pk02's 1-row min/max bucketizer frame under the delta-pack stage
     "gr21_betweenness_sampled", // shared edges() front door 1-row median broadcast (loop state is checkpoint-derived)
     "tx21_bpe_encode" // tx20's 1-row argmax frames, broadcast per merge round into the vocabulary fold
   )
