@@ -53,20 +53,25 @@ object Bench {
       cold()
     } catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // best-of-two per query, back-to-back (the pair shares Spark's
-    // bounded codegen cache — a full intervening pass evicts it and
-    // was measured to cost ~70 ms/query across the inventory), PLUS a
-    // third decorrelated sample at the END for every query still over
-    // the gate's 1 s bar. Rationale: machine-load noise is temporally
-    // correlated — one slow window (co-tenant burst, major GC) spans
-    // tens of seconds and hits BOTH back-to-back repeats inside it;
-    // the r6 driver run priced a contiguous q34–q39 block 2–4x over
-    // its isolated times exactly this way. Every such mispricing lands
-    // >1 s, so the targeted retry (~a minute after the pair, outside
-    // the window) reclaims it; queries inflated to under 1 s cannot
-    // fail the gate and aren't worth the extra wall-clock. Cache is
-    // cleared between runs, so all samples are cold — some builders
-    // persist() an intermediate and must rebuild it.
+    // min-of-2 per query across TWO FULL IN-SEQUENCE PASSES (r15 —
+    // VERDICT r14 #1), not a back-to-back pair. Machine-load noise is
+    // temporally correlated: one slow window (co-tenant burst, major
+    // GC) spans tens of seconds to MINUTES and hits BOTH back-to-back
+    // repeats inside it — r12 s6, r13 x9 and r14 d12/d15/g12 each
+    // minted an hour-of-forensics waiver this way, and the r14 record
+    // drifted 161.4→190.1 s on identical code hours apart. Separating
+    // the two samples by a full inventory pass (~7 min at sf0.1) means
+    // a window must span BOTH passes to fabricate a regression — the
+    // same min-of-2 discipline ScaleProbe adopted in r10 for the same
+    // reason ("a machine window hitting one side of the pair
+    // fabricates exactly the super-linearity the gate watches for").
+    // Cost: the pair no longer shares Spark's bounded codegen cache
+    // (~70 ms/query, measured) — seconds per run, priced against the
+    // session-hour each window waiver costs. PLUS two further
+    // decorrelated retry passes at the END for every query still over
+    // the gate's 1 s bar (queries under 1 s cannot fail the gate).
+    // Cache is cleared between runs, so all samples are cold — some
+    // builders persist() an intermediate and must rebuild it.
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.HashMap[String, Double]()
     def sample(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)(
@@ -82,9 +87,8 @@ object Bench {
       }
     def record(name: String)(e: Throwable): Unit =
       errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(60)
-    sorted.foreach { case (name, fn) =>
-      sample(name, fn)(record(name)); sample(name, fn)(record(name))
-    }
+    for (_ <- 1 to 2)
+      sorted.foreach { case (name, fn) => sample(name, fn)(record(name)) }
     // squash the sweep's garbage OUTSIDE any timing, so the retry tail
     // does not start under the sweep's heap debt
     System.gc()

@@ -57,6 +57,41 @@ object Decontam {
     Materialize(e.join(rare, "g").select("doc_id", "b", "g"))
   }
 
+  /** The PERSISTABLE benchmark-side contamination index `(test_doc,
+    * g)`: the held-out split's df-capped rare-shingle postings — what
+    * a production pipeline builds ONCE per benchmark release and every
+    * admission batch probes (r15, the streamed pipeline's decontam
+    * stage). Rarity (df <= cap) is computed over the full corpus at
+    * index-build time, exactly dc01's definition — the standing-index
+    * trade: df stats freeze at build time and the index is rebuilt on
+    * benchmark (or major corpus) releases, never per batch.
+    */
+  private[operators] def benchmarkIndex(s: SparkSession, dir: String): DataFrame =
+    rareShingles(s, dir).filter(col("b") >= 90)
+      .select(col("doc_id").as("test_doc"), col("g"))
+
+  /** Batch docs contaminated against a persisted [[benchmarkIndex]]:
+    * `(doc_id)` of every incoming doc sharing >= [[Overlap]] rare
+    * trigrams with SOME single benchmark doc — dc01's pair rule with
+    * the train side swapped for the batch. The batch side needs no
+    * df filter of its own: the join key must be in the index, and the
+    * index holds only rare shingles (both sides' postings are
+    * per-doc-distinct via `graft_shingles`, so the pair count is the
+    * intersection size, exactly dc01's). Index broadcasts — benchmark
+    * postings are eval-set-sized by construction; the batch side is
+    * batch-sized. Zero corpus-side work per batch.
+    */
+  private[operators] def contaminatedAgainstIndex(
+      s: SparkSession, inc: DataFrame, index: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    inc.select(col("doc_id"), explode(expr("graft_shingles(text)")).as("g"))
+      .join(broadcast(index), "g")
+      .groupBy("doc_id", "test_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= Overlap)
+      .select("doc_id").distinct()
+  }
+
   /** Flagged `(train_doc, test_doc, n_shared)` pairs — the dc01 body,
     * reused by dc02's purge.
     */

@@ -1006,10 +1006,22 @@ object Graph {
           visited = Materialize(visited.unionByName(next.select("s", "node")))
           frontier = next
         }
-        if (!frontier.isEmpty)
-          throw new IllegalStateException(
-            s"BFS frontier survived $BetDepthCap levels — the oracle unrolls exactly " +
-              s"$BetDepthCap; raise BetDepthCap (and the oracle) rather than truncate")
+        // loud cap, fired only on a REAL cap/unroll disagreement: a
+        // non-empty frontier AT the cap is fine when its expansion is
+        // empty (eccentricity exactly BetDepthCap — the oracle unrolls
+        // that level too); only an unexplored level cap+1 would make
+        // the truncation silently diverge from the oracle (ADVICE r14)
+        if (!frontier.isEmpty) {
+          val overflow = frontier
+            .join(broadcast(e.withColumnRenamed("src", "node")), "node")
+            .select(col("s"), col("dst").as("node"))
+            .join(broadcast(visited), Seq("s", "node"), "left_anti")
+          if (!overflow.isEmpty)
+            throw new IllegalStateException(
+              s"BFS has unexplored vertices beyond depth $BetDepthCap — the oracle " +
+                s"unrolls exactly $BetDepthCap; raise BetDepthCap (and the oracle) " +
+                "rather than truncate")
+        }
         // backward: Brandes dependency accumulation, deepest level first;
         // fixed-point units with truncating division at every site
         var delta = Materialize(levels.last

@@ -60,7 +60,7 @@ object Pipeline {
               |UNION ALL SELECT 1, reason, COUNT(*) FROM fc GROUP BY reason
               |UNION ALL SELECT 2,
               |  CASE WHEN doc_id IN (SELECT doc_id FROM keepers)
-              |       THEN 'kept' ELSE 'near_dup' END, COUNT(*)
+              |       THEN 'kept' ELSE 'duplicate' END, COUNT(*)
               |FROM s1 GROUP BY 2
               |UNION ALL SELECT 3,
               |  CASE WHEN doc_id IN (SELECT doc_id FROM cont)
@@ -73,7 +73,7 @@ object Pipeline {
               |  CASE WHEN ((rn - 1) // 16) % 2 = 0 THEN (rn - 1) % 16
               |       ELSE 15 - (rn - 1) % 16 END AS VARCHAR), COUNT(*)
               |FROM r GROUP BY 2""".stripMargin),
-      "END-TO-END corpus-build manifest — the per-stage attrition table (stage, detail, n) of the full chain ingest -> tx12 quality gate -> dd08 dedup keep-list -> dc01/dc02 benchmark decontamination -> sp05 deterministic split -> pk02 balanced shard packing, each stage executing the SHIPPED operator's factored core (never a re-derivation — PipelineSpec pins every stage count against the standalone operators chained driver-side, and the scan audit pins composition adds no documents re-scans). Stage rows: docs_in; the tx12 reason histogram (every drop attributed); kept-vs-near_dup among quality survivors (keepers are the corpus-global dd08 min-id set — dedup scope is a whole-corpus property, so survivors intersect the standalone keep-set); kept-vs-contaminated among dedup survivors (the dc02 broadcast purge set); train/val/test sizes of the clean corpus (md5 buckets — re-running the pipeline on grown data moves no doc); and the 16 serpentine shard loads of the final pack. At 100 TB every stage keeps its own audited plan, the chaining is doc_id-keyed semi/anti joins that carry no payload, and the manifest output is counter-grain (tens of rows) — this table IS the data card a corpus release ships.") {
+      "END-TO-END corpus-build manifest — the per-stage attrition table (stage, detail, n) of the full chain ingest -> tx12 quality gate -> dd08 dedup keep-list -> dc01/dc02 benchmark decontamination -> sp05 deterministic split -> pk02 balanced shard packing, each stage executing the SHIPPED operator's factored core (never a re-derivation — PipelineSpec pins every stage count against the standalone operators chained driver-side, and the scan audit pins composition adds no documents re-scans). Stage rows: docs_in; the tx12 reason histogram (every drop attributed); kept-vs-duplicate among quality survivors (exact AND near dups — keepers are the corpus-global dd08 min-id set — dedup scope is a whole-corpus property, so survivors intersect the standalone keep-set); kept-vs-contaminated among dedup survivors (the dc02 broadcast purge set); train/val/test sizes of the clean corpus (md5 buckets — re-running the pipeline on grown data moves no doc); and the 16 serpentine shard loads of the final pack. At 100 TB every stage keeps its own audited plan, the chaining is doc_id-keyed semi/anti joins that carry no payload, and the manifest output is counter-grain (tens of rows) — this table IS the data card a corpus release ships.") {
       (s, dir) =>
         val docs = Tables.load(s, dir, "documents")
         // stage cores — the shipped operators, factored (never re-derived)
@@ -93,8 +93,11 @@ object Pipeline {
           .select(lit(0).as("stage"), lit("docs_in").as("detail"), col("n"))
         val st1 = fc.groupBy(col("reason").as("detail"))
           .agg(count(lit(1)).as("n")).select(lit(1).as("stage"), col("detail"), col("n"))
+        // 'duplicate', not 'near_dup': dd08's keep-set drops exact AND
+        // near duplicates — the broader label describes the whole drop
+        // reason (ADVICE r14)
         val st2 = cls2.groupBy(
-            when(col("is_keeper").isNotNull, "kept").otherwise("near_dup").as("detail"))
+            when(col("is_keeper").isNotNull, "kept").otherwise("duplicate").as("detail"))
           .agg(count(lit(1)).as("n")).select(lit(2).as("stage"), col("detail"), col("n"))
         val st3 = cls3.groupBy(
             when(col("is_cont").isNotNull, "contaminated").otherwise("kept").as("detail"))

@@ -127,10 +127,19 @@ object TextAnalysis {
     * pipeline (pl01), factored so the pipeline runs the SHIPPED
     * operator, not a re-derivation. See tx12's doc for semantics.
     */
-  private[operators] def filterVerdicts(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def filterVerdicts(s: SparkSession, dir: String): DataFrame =
+    filterVerdictsOf(Tables.load(s, dir, "documents"))
+
+  /** [[filterVerdicts]] over an EXPLICIT `(doc_id, text, lang)` frame —
+    * the streamed admission pipeline runs the gate per micro-batch
+    * (r15). Legitimate factoring because every tx12 signal is PER-DOC
+    * (token counts, stopword ratio, within-doc bigram top_frac,
+    * n-gram language guess): the verdict of a doc is identical whether
+    * the frame holds the whole corpus or one batch.
+    */
+  private[operators] def filterVerdictsOf(d0: DataFrame): DataFrame = {
     val en = inList(profiles("en"))
-    val d = Tables.load(s, dir, "documents")
-      .withColumn("w", split(col("text"), " "))
+    val d = d0.withColumn("w", split(col("text"), " "))
     // tx09's repetition signal, doc-keyed: two map-side-combining aggs
     val bigrams = expr(
       """CASE WHEN size(w) >= 2 THEN
@@ -833,6 +842,17 @@ object TextAnalysis {
       // output row (and truncates the per-round lineage growth)
       val best = Materialize(
         pc.orderBy(col("n").desc, col("lhs"), col("rhs")).limit(1))
+      // loud guard (ADVICE r14): on a corpus whose vocabulary is fully
+      // merged before BpeRounds rounds, the pair-count frame comes back
+      // EMPTY and the crossJoin below would silently empty the
+      // vocabulary — truncating tx20's output below its contracted row
+      // count. The family's loud-cap discipline: a degenerate corpus
+      // fails visibly, never silently. (Cheap: `best` is checkpointed,
+      // 1 row at most.)
+      if (best.isEmpty)
+        throw new IllegalStateException(
+          s"BPE training exhausted all adjacent pairs before $BpeRounds rounds — " +
+            "lower BpeRounds (and the oracle's unroll) rather than truncate the merge table")
       cur = Materialize(cur
         .crossJoin(broadcast(best.select(
           concat(lit("("), col("lhs"), lit(")("), col("rhs"), lit(")")).as("pat"),

@@ -46,7 +46,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(stage(0) === Map("docs_in" -> tokens.size.toLong))
     assert(stage(1) === verdicts.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
     assert(stage(2) === Map("kept" -> s2.size.toLong,
-      "near_dup" -> (s1.size - s2.size).toLong).filter(_._2 > 0))
+      "duplicate" -> (s1.size - s2.size).toLong).filter(_._2 > 0))
     assert(stage(3) === Map("kept" -> s3.size.toLong,
       "contaminated" -> (s2.size - s3.size).toLong).filter(_._2 > 0))
     // genuine attrition at every gate, or the chain pins nothing
@@ -158,15 +158,28 @@ class PipelineSpec extends AnyFunSuite {
     // count in non-checkpointing mode is the wrong measurement here:
     // logical plan REUSE duplicates subtrees textually — 62 scans for
     // this DAG — while executing each pinned stage once.)
-    val plan = build("pl01_corpus_build_manifest")
-      .queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0)
-    val docScans = plan.linesIterator
-      .count(l => l.contains("FileScan") && l.contains("documents"))
+    // structural count, not a grep of the rendered plan (ADVICE r14):
+    // walk the physical tree — descending into AQE wrappers and
+    // expression subqueries — and count FileSourceScanExec leaves whose
+    // file location is the documents table; string-matching the
+    // rendered plan is brittle to Spark/AQE format changes.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    val nodes = walk(build("pl01_corpus_build_manifest").queryExecution.executedPlan)
+    val docScans = nodes.count {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("documents"))
+      case _ => false
+    }
     assert(docScans === 1,
       s"pl01's manifest plan carries $docScans live documents scans — expected exactly " +
         "the docs_in counter; a second scan means a stage consumer bypassed its checkpoint")
-    assert(plan.contains("Scan ExistingRDD"),
+    assert(nodes.exists(_.isInstanceOf[RDDScanExec]),
       "no checkpoint leaves in the manifest plan — stage pinning is not in effect")
   }
 }
