@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** STREAMED end-to-end admission pipeline (VERDICT r14 #2) — the
+  * continuous form of pl02: production does not run the delta data
+  * card as a batch job per crawl, it runs the WHOLE admission chain
+  * inside `foreachBatch`, per micro-batch, against persisted stores —
+  * quality-gate the drop, verdict it against the corpus fingerprint
+  * store, decontaminate against the benchmark index, delta-pack the
+  * admissions, and emit the per-batch attrition manifest. Completes
+  * the streamed-audit set (archive, dead letters, drift, compaction,
+  * dedup — now the composed pipeline itself).
+  *
+  * Composition contract — FACTOR, DON'T COPY (pl01/pl02's rule): every
+  * stage is the shipped operator's factored core, so streamed and
+  * batch semantics cannot drift:
+  *
+  *  - quality gate  = [[TextAnalysis.filterVerdictsOf]]        (tx12, per-doc
+  *                    signals — batch-scoped run is verdict-identical)
+  *  - dedup         = [[Dedup.verdictsAgainstStore]]           (dd12's core,
+  *                    against [[StreamedDedup]]'s persisted store)
+  *  - decontam      = [[Decontam.contaminatedAgainstIndex]]    (dc01's pair
+  *                    rule against the persisted benchmark index)
+  *  - delta-pack    = [[Sampling.serpentineShardAssignments]]  (pk02)
+  *
+  * Chain semantics are pl02's: survivors(k) = survivors(k-1) ∩
+  * keep(k), every stage drop-scoped, and the manifest is pl02's
+  * (stage, detail, n) table — StreamedPipelineSpec pins a one-batch
+  * stream's manifest row-identical to the shipped pl02 query, and a
+  * multi-batch stream equal to a sequential driver-side replay of the
+  * same cores, across a checkpointed mid-stream restart.
+  *
+  * Persisted state under `storeDir`:
+  *
+  *  - `exact/`, `shingles/` — [[StreamedDedup]]'s corpus fingerprint
+  *    store, verbatim (seeded from the standing corpus, accreted with
+  *    each batch's ADMITTED docs — a doc the quality gate or decontam
+  *    dropped never joins the corpus, so its fingerprints never enter
+  *    the store);
+  *  - `bench/` — [[Decontam.benchmarkIndex]], built once at seed time
+  *    (the standing-index trade: df stats freeze at build time);
+  *  - `admitted/batch_id=N/` — doc-grain admission ledger; the
+  *    manifest's corpus_after line is `seed + Σ admitted(<= N)`,
+  *    reconstructible from immutable partitions alone (no cross-batch
+  *    manifest reads, no driver counters to lose on restart).
+  *
+  * Replay idempotency, by construction (the StreamedDedup/Compaction
+  * discipline): every write of batch N — manifest, store accretions,
+  * admission ledger — lands in its own deterministic `batch_id=N`
+  * subdirectory with mode=overwrite, and every read of shared state
+  * EXCLUDES partitions the current batch could have written (store
+  * reads exclude `batch_id=N`; the ledger read takes `batch_id < N`),
+  * so an at-least-once re-delivery recomputes byte-identical content
+  * into the same paths.
+  *
+  * Scale: per batch every join's probe side is batch-sized (dd12's
+  * asymmetry — the store is scanned columnar, never re-paired), the
+  * benchmark index is a broadcast by construction, the pack is the
+  * two-phase serpentine rank over admissions only, and the manifest
+  * is counter-grain. At 100 TB the store gets the Compaction
+  * treatment; the per-batch protocol is unchanged.
+  */
+object StreamedPipeline {
+
+  /** One-time backfill: the dedup store from the standing corpus
+    * (exactly [[StreamedDedup.seed]]), the benchmark decontamination
+    * index, and the admission ledger's seed partition (the standing
+    * corpus doc ids, so corpus_after needs no side-channel count).
+    */
+  def seed(s: SparkSession, corpus: DataFrame, benchIndex: DataFrame,
+      storeDir: String): Unit = {
+    StreamedDedup.seed(s, corpus, storeDir)
+    benchIndex.write.mode("overwrite").parquet(s"$storeDir/bench")
+    corpus.select("doc_id").write.mode("overwrite")
+      .parquet(s"$storeDir/admitted/batch_id=${StreamedDedup.SeedBatchId}")
+  }
+
+  /** One micro-batch of the admission chain. Public so the spec can
+    * drive replay/idempotency directly (the foreachBatch body IS this
+    * function). `batch` must carry `(doc_id, text, lang)` — the
+    * quality gate's language check needs the declared lang.
+    */
+  def processBatch(batch: DataFrame, batchId: Long,
+      storeDir: String, manifestDir: String): Unit = {
+    val s = batch.sparkSession
+    val inc = Materialize(batch.select("doc_id", "text", "lang"))
+    // stage 1 — quality gate: tx12's per-doc verdict chain on the batch
+    val fc = Materialize(TextAnalysis.filterVerdictsOf(inc))
+    val s1 = fc.filter(col("reason") === "kept").select("doc_id", "n_tokens")
+    // stage 2 — dedup: dd12's core against the persisted store,
+    // probe side = quality survivors only (verdicts are per-doc
+    // against the store, so restricting the probe set cannot change
+    // any survivor's verdict — and a quality-reject's dedup is work
+    // the pipeline never pays)
+    val (exact, postings) = StreamedDedup.readStore(s, storeDir, batchId)
+    val cls2 = Materialize(s1.join(
+      Dedup.verdictsAgainstStore(
+        s, inc.join(s1.select("doc_id"), Seq("doc_id"), "left_semi"),
+        exact, postings).select("doc_id", "verdict"),
+      Seq("doc_id"), "left"))
+    val s2 = cls2.filter(col("verdict") === "new").select("doc_id", "n_tokens")
+    // stage 3 — decontam: dc01's pair rule against the persisted
+    // benchmark index (broadcast; zero corpus-side work)
+    val bench = s.read.parquet(s"$storeDir/bench")
+    val cont = Decontam.contaminatedAgainstIndex(
+      s, inc.join(s2.select("doc_id"), Seq("doc_id"), "left_semi"), bench)
+    val cls3 = Materialize(s2
+      .join(broadcast(cont.withColumn("is_cont", lit(1))), Seq("doc_id"), "left"))
+    val s3 = Materialize(cls3.filter(col("is_cont").isNull)
+      .select("doc_id", "n_tokens"))
+    // stage 5 — corpus_after from immutable ledger partitions only:
+    // strictly-earlier batches plus this batch's own admissions
+    // (foreachBatch re-delivers only the latest batch, so `< batchId`
+    // reads exactly the committed history on both first run and replay)
+    val prior = s.read.option("basePath", s"$storeDir/admitted")
+      .parquet(s"$storeDir/admitted/batch_id=*")
+      .filter(col("batch_id") < batchId).count()
+    // the manifest — pl02's (stage, detail, n) rows, batch-scoped
+    val st0 = inc.agg(count(lit(1)).as("n"))
+      .select(lit(0).as("stage"), lit("drop_in").as("detail"), col("n"))
+    val st1 = fc.groupBy(col("reason").as("detail"))
+      .agg(count(lit(1)).as("n")).select(lit(1).as("stage"), col("detail"), col("n"))
+    val st2 = cls2.groupBy(col("verdict").as("detail"))
+      .agg(count(lit(1)).as("n")).select(lit(2).as("stage"), col("detail"), col("n"))
+    val st3 = cls3.groupBy(
+        when(col("is_cont").isNotNull, "contaminated").otherwise("clean").as("detail"))
+      .agg(count(lit(1)).as("n")).select(lit(3).as("stage"), col("detail"), col("n"))
+    val st4 = Sampling.serpentineShardAssignments(s3)
+      .groupBy(concat(lit("shard_"), col("shard").cast("string")).as("detail"))
+      .agg(count(lit(1)).as("n")).select(lit(4).as("stage"), col("detail"), col("n"))
+    val st5 = s3.agg((count(lit(1)) + prior).as("n"))
+      .select(lit(5).as("stage"), lit("corpus_after").as("detail"), col("n"))
+    Seq(st0, st1, st2, st3, st4, st5).reduce(_ unionByName _)
+      .select(col("stage").cast("int"), col("detail"), col("n").cast("bigint"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$manifestDir/batch_id=$batchId")
+    // store accretion: ONLY the admitted docs (the chain's s3) —
+    // quality-rejects and contaminated docs never join the corpus
+    val admitted = inc.join(s3.select("doc_id"), Seq("doc_id"), "left_semi")
+    Dedup.corpusExact(admitted)
+      .join(exact, Seq("fp"), "left_anti")
+      .write.mode("overwrite").parquet(s"$storeDir/exact/batch_id=$batchId")
+    Dedup.corpusPostings(s, admitted)
+      .write.mode("overwrite").parquet(s"$storeDir/shingles/batch_id=$batchId")
+    s3.select("doc_id")
+      .write.mode("overwrite").parquet(s"$storeDir/admitted/batch_id=$batchId")
+  }
+
+  /** Run the continuous admission job over a parquet drop directory. */
+  def run(s: SparkSession, incomingDir: String, storeDir: String,
+      manifestDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val schema = "doc_id BIGINT, text STRING, lang STRING"
+    s.readStream.schema(schema).parquet(incomingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, storeDir, manifestDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
+
+  /** All manifests so far, batch-tagged, for audits and the spec. */
+  def readManifests(s: SparkSession, manifestDir: String): DataFrame =
+    s.read.option("basePath", manifestDir).parquet(s"$manifestDir/batch_id=*")
+      .select("batch_id", "stage", "detail", "n")
+}

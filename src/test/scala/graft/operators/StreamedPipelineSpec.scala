@@ -1,0 +1,193 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.TestSpark._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** StreamedPipeline pins (VERDICT r14 #2's "Done =" clause, literally):
+  *
+  *  1. the streamed per-batch manifests equal a sequential driver-side
+  *     replay of the same factored cores, ACROSS a checkpointed
+  *     mid-stream restart;
+  *  2. a ONE-batch stream's manifest is row-identical to the shipped
+  *     pl02 batch query on the same drop (streamed and batch
+  *     composition cannot drift);
+  *  3. re-delivering a processed batch is a no-op on both manifest and
+  *     store (replay idempotency);
+  *  4. admission asymmetry: a doc the quality gate drops never enters
+  *     the fingerprint store.
+  */
+class StreamedPipelineSpec extends AnyFunSuite {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"spl-$tag").toString
+
+  // the pl02 universe at sf0.001: 10% md5 split into drop + corpus
+  private lazy val all: DataFrame = graft.Tables.load(spark, sf0001, "documents")
+    .select(col("doc_id"), col("text"), col("lang"))
+    .withColumn("bkt", expr(Sampling.bucket100("doc_id")))
+  private lazy val inc = all.filter(col("bkt") < 10)
+    .select("doc_id", "text", "lang").collect()
+    .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+  private lazy val corp = all.filter(col("bkt") >= 10).select("doc_id", "text")
+  private lazy val bench = Decontam.benchmarkIndex(spark, sf0001).localCheckpoint()
+
+  private def toDf(rows: Seq[(Long, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  private def seed(storeDir: String): Unit =
+    StreamedPipeline.seed(spark, corp, bench, storeDir)
+
+  private def manifestOf(manifestDir: String, batchId: Long): Map[(Int, String), Long] =
+    StreamedPipeline.readManifests(spark, manifestDir)
+      .filter(col("batch_id") === batchId).collect()
+      .map(r => (r.getInt(1), r.getString(2)) -> r.getLong(3)).toMap
+
+  /** Driver-side sequential replay of the admission chain with the
+    * SAME factored cores — the ground truth for streamed == batch.
+    */
+  private def replay(batches: Seq[Seq[(Long, String, String)]])
+      : Seq[Map[(Int, String), Long]] = {
+    var exact = Dedup.corpusExact(corp).localCheckpoint()
+    var postings = Dedup.corpusPostings(spark, corp).localCheckpoint()
+    var corpusCount = corp.count()
+    batches.map { b =>
+      val bdf = toDf(b)
+      val fc = TextAnalysis.filterVerdictsOf(bdf)
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+      val s1 = b.map(_._1).filter(id => fc(id)._2 == "kept")
+      val v = Dedup.verdictsAgainstStore(spark,
+          bdf.filter(col("doc_id").isin(s1: _*)), exact, postings)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val s2 = s1.filter(v(_) == "new")
+      val cont = Decontam.contaminatedAgainstIndex(spark,
+          bdf.filter(col("doc_id").isin(s2: _*)), bench)
+        .collect().map(_.getLong(0)).toSet
+      val s3 = s2.filterNot(cont)
+      corpusCount += s3.size
+      val admitted = toDf(b.filter(d => s3.contains(d._1)))
+      exact = exact.unionByName(
+        Dedup.corpusExact(admitted).join(exact, Seq("fp"), "left_anti"))
+        .localCheckpoint()
+      postings = postings.unionByName(
+        Dedup.corpusPostings(spark, admitted)).localCheckpoint()
+      // the manifest rows, from first principles (pk02's serpentine
+      // replayed like PipelineSpec does)
+      val shards = s3.map(id => (fc(id)._1.toLong, id))
+        .sortBy { case (t, id) => (-t, id) }.zipWithIndex
+        .map { case (_, i) => if ((i / 16) % 2 == 0) i % 16 else 15 - i % 16 }
+        .groupBy(sh => s"shard_$sh").view.mapValues(_.size.toLong).toMap
+      (Map((0, "drop_in") -> b.size.toLong) ++
+        b.map(d => fc(d._1)._2).groupBy(identity).map {
+          case (r, xs) => (1, r) -> xs.size.toLong } ++
+        s1.map(v).groupBy(identity).map {
+          case (r, xs) => (2, r) -> xs.size.toLong } ++
+        Map((3, "contaminated") -> (s2.size - s3.size).toLong,
+            (3, "clean") -> s3.size.toLong).filter(_._2 > 0) ++
+        shards.map { case (d, n) => (4, d) -> n } ++
+        Map((5, "corpus_after") -> corpusCount)
+      ).toMap
+    }
+  }
+
+  test("streamed manifests == sequential replay across a checkpointed restart; one-batch == pl02") {
+    val (incoming, store, man, ckpt) =
+      (tmp("in"), tmp("store"), tmp("man"), tmp("ckpt"))
+    seed(store)
+    val batches = inc.toSeq.grouped((inc.length + 2) / 3).map(_.toSeq).toSeq
+    assert(batches.length === 3, "fixture must split into 3 micro-batches")
+
+    def writeDrop(i: Int): Unit =
+      toDf(batches(i)).coalesce(1).write.mode("append").parquet(incoming)
+    def start() = StreamedPipeline.run(spark, incoming, store, man, ckpt,
+      trigger = Trigger.ProcessingTime(100))
+
+    // batch 0, then KILL the query mid-stream
+    writeDrop(0)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart from the checkpoint: batches 1 and 2 drain
+    writeDrop(1)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      writeDrop(2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val expected = replay(batches)
+    for (i <- batches.indices)
+      assert(manifestOf(man, i.toLong) === expected(i),
+        s"batch $i manifest diverges from the sequential replay")
+
+    // genuine attrition somewhere in the stream, or the pin is vacuous
+    val totalIn = expected.map(_((0, "drop_in"))).sum
+    val totalAdmitted = expected.last((5, "corpus_after")) - corp.count()
+    assert(totalAdmitted > 0, "stream admitted nothing")
+    assert(totalAdmitted < totalIn, "stream dropped nothing")
+
+    // one-batch stream == the shipped pl02 batch query (same universe):
+    // pl02's manifest carries exactly these (stage, detail, n) rows
+    val (store1, man1) = (tmp("store1"), tmp("man1"))
+    seed(store1)
+    StreamedPipeline.processBatch(toDf(inc.toSeq), 0L, store1, man1)
+    val pl02 = graft.GraftQuery.all.find(_.name == "pl02_incremental_manifest").get
+      .build(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(manifestOf(man1, 0L) === pl02,
+      "a one-batch stream must equal the shipped pl02 batch manifest")
+  }
+
+  test("re-delivered batch is a no-op; rejected docs never enter the store") {
+    val (store, man) = (tmp("store2"), tmp("man2"))
+    seed(store)
+    val batch0 = inc.take(inc.length / 2).toSeq
+    StreamedPipeline.processBatch(toDf(batch0), 0L, store, man)
+
+    def storeState(): (Set[(String, Long)], Long, Set[Long]) = {
+      val (e, p) = StreamedDedup.readStore(spark, store, excludeBatch = Long.MinValue)
+      val admitted = spark.read.option("basePath", s"$store/admitted")
+        .parquet(s"$store/admitted/batch_id=*")
+        .filter(col("batch_id") >= 0).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      (e.collect().map(r => (r.getString(0), r.getLong(1))).toSet, p.count(), admitted)
+    }
+    val m1 = manifestOf(man, 0L)
+    val s1 = storeState()
+
+    // at-least-once re-delivery: same batch, same id — byte-stable
+    StreamedPipeline.processBatch(toDf(batch0), 0L, store, man)
+    assert(manifestOf(man, 0L) === m1, "replayed batch changed the manifest")
+    assert(storeState() === s1, "replayed batch changed the store")
+
+    // admission asymmetry: every doc the chain dropped is absent from
+    // the ledger AND its fingerprint absent from the exact store
+    // (unless an admitted doc carries identical text)
+    val admitted = s1._3
+    val dropped = batch0.filterNot(d => admitted.contains(d._1))
+    assert(dropped.nonEmpty, "batch dropped nothing — asymmetry pin is vacuous")
+    assert(admitted.nonEmpty, "batch admitted nothing — asymmetry pin is vacuous")
+    val admittedTexts = batch0.filter(d => admitted.contains(d._1)).map(_._2).toSet
+    val corpusFps = s1._1.map(_._1)
+    val leakable = dropped.filterNot(d => admittedTexts.contains(d._2))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fp(t: String): String =
+      md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // seed fps come from the corpus split; a dropped doc's text can
+    // only collide with those if it exactly duplicates corpus text —
+    // then its fp is legitimately present as CORPUS content
+    val corpusTexts = corp.collect().map(_.getString(1)).toSet
+    val mustBeAbsent = leakable.filterNot(d => corpusTexts.contains(d._2))
+    assert(mustBeAbsent.nonEmpty, "no discriminating dropped doc — pin is vacuous")
+    mustBeAbsent.foreach { d =>
+      assert(!corpusFps.contains(fp(d._2)),
+        s"rejected doc ${d._1}'s fingerprint leaked into the store")
+    }
+  }
+}
