@@ -1035,11 +1035,7 @@ object Dedup {
               |FROM o GROUP BY 1""".stripMargin),
       s"Duplicate-span REMOVAL — the corpus REWRITE dd13's doc promised as 'the downstream refinement': dd13 certifies every maximal cross-doc shared span >= $MinSpan tokens but only PRICES the duplication (its offset-grain token accounting may double-count overlapping runs); this pass actually CUTS it, Lee et al.'s ExactSubstr dedup completed as a transformation. Retention is canonical min-id (the dd08/dd12 discipline): each certified span survives in the pair's LOWER doc_id and is cut from the higher, so chained copies A<B<C collapse to A's single copy deterministically. The cut set is the POSITION-GRAIN UNION of all span intervals landing on a doc — distinct (doc_id, pos) IS the interval merge at token resolution, so overlapping spans from different partners (and different-offset runs over the same text, dd13's stated double-count) cost each token exactly once; n_removed is the exact deduplicated-token count dd13 could only upper-bound. Rewrite = posexplode to (doc_id, pos, token), left-semi to affected docs only (untouched docs never enter the doc-grain shuffle), anti-mark against the cut set, and per-doc ordered reassembly via array_sort(collect_list(struct(pos, tok))) — deterministic, and bounded by doc length exactly like every per-doc array op in the family. Output per AFFECTED doc: original token count, removed count, cleaned text. Scale: runs/intervals/cut-set are all sized by total DUPLICATED tokens (the output of the audit that motivated the cut), never corpus tokens; the positional index is dd13's priced cost, factored (spanRuns), computed once.") {
       (s, dir) =>
-        val runs = spanRuns(s, dir)
-        val drops = runs.select(col("db").as("doc_id"),
-            explode(expr(
-              "sequence(CAST(pa0 - off AS INT), CAST(pa0 - off + span - 1 AS INT))")).as("pos"))
-          .distinct()
+        val drops = spanDrops(s, dir)
         val toks = docs(s, dir)
           .select(col("doc_id"),
             posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
@@ -1068,6 +1064,45 @@ object Dedup {
     * fingerprint + df cap + gaps-and-islands recovery argument; dd18
     * consumes the same grain to REWRITE the corpus.
     */
+  /** dd18's position-grain CUT SET, factored for the rewrite-aware
+    * pipeline (pl03): the distinct `(doc_id, pos)` union of every
+    * certified span interval landing on the HIGHER doc of its pair
+    * (min-id retention). Distinct IS the interval merge at token
+    * resolution — overlapping spans cost each token exactly once; the
+    * frame is sized by total duplicated tokens, never corpus tokens.
+    */
+  private[operators] def spanDrops(s: SparkSession, dir: String): DataFrame =
+    spanRuns(s, dir).select(col("db").as("doc_id"),
+        explode(expr(
+          "sequence(CAST(pa0 - off AS INT), CAST(pa0 - off + span - 1 AS INT))")).as("pos"))
+      .distinct()
+
+  /** dd18's cut set as a parenthesized DuckDB subquery yielding
+    * `(doc_id, n_removed)` — the span CTE chain (dd18's oracle
+    * spelling verbatim) reduced to per-doc removed-token counts, for
+    * nesting inside composed oracles (pl03) without CTE-name
+    * collisions (the keeperIdsDuck discipline).
+    */
+  private[operators] lazy val spanRemovedDuck: String =
+    s"""(WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents),
+       |g AS (SELECT doc_id, i AS pos, HASH(ARRAY_TO_STRING(a[i : i + ${SpanK - 1}], ' ')) AS g
+       |      FROM d, UNNEST(RANGE(1, GREATEST(LEN(a) - ${SpanK - 2}, 1))) AS t(i)
+       |      WHERE LEN(a) >= $SpanK),
+       |rare AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) <= $DfCap),
+       |r AS (SELECT x.doc_id, x.pos, x.g FROM g x JOIN rare USING (g)),
+       |p AS (SELECT x.doc_id AS da, y.doc_id AS db, x.pos AS pa, x.pos - y.pos AS off
+       |      FROM r x JOIN r y ON x.g = y.g AND x.doc_id < y.doc_id),
+       |i AS (SELECT da, db, off, pa,
+       |             pa - ROW_NUMBER() OVER (PARTITION BY da, db, off ORDER BY pa) AS isle
+       |      FROM p),
+       |runs AS (SELECT da, db, off, MIN(pa) AS pa0, COUNT(*) + ${SpanK - 1} AS span
+       |         FROM i GROUP BY da, db, off, isle),
+       |iv AS (SELECT db AS doc_id, pa0 - off AS s, pa0 - off + span - 1 AS e
+       |       FROM runs WHERE span >= $MinSpan),
+       |dr AS (SELECT DISTINCT doc_id, pos FROM
+       |       (SELECT doc_id, UNNEST(RANGE(s, e + 1)) AS pos FROM iv) u)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM dr GROUP BY doc_id)""".stripMargin
+
   private[operators] def spanRuns(s: SparkSession, dir: String): DataFrame = {
     val g = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("a"))

@@ -185,5 +185,79 @@ object Pipeline {
           .select(lit(5).as("stage"), lit("corpus_after").as("detail"), col("n"))
         Seq(st0, st1, st2, st3, st4, st5).reduce(_ unionByName _)
           .select(col("stage").cast("int"), col("detail"), col("n").cast("bigint"))
+    },
+
+    GraftQuery(
+      "pl03_rewrite_manifest",
+      Some(s"""WITH fc AS (SELECT * FROM ${TextAnalysis.filterVerdictsDuck}),
+              |cont AS (SELECT train_doc AS doc_id FROM (${Decontam.pairsDuck}
+              |         SELECT DISTINCT train_doc FROM pairs) c),
+              |rem AS (SELECT doc_id, n_removed FROM ${Dedup.spanRemovedDuck} z),
+              |s1 AS (SELECT doc_id, n_tokens FROM fc WHERE reason = 'kept'),
+              |c2 AS (SELECT s1.doc_id, s1.n_tokens, COALESCE(rem.n_removed, 0) AS n_removed,
+              |              s1.n_tokens - COALESCE(rem.n_removed, 0) AS n_clean
+              |       FROM s1 LEFT JOIN rem USING (doc_id)),
+              |s2 AS (SELECT * FROM c2
+              |       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+              |r AS (SELECT doc_id, n_clean,
+              |             ROW_NUMBER() OVER (ORDER BY n_clean DESC, doc_id) AS rn
+              |      FROM s2)
+              |SELECT CAST(0 AS INT) AS stage, 'docs_in' AS detail, COUNT(*) AS n FROM documents
+              |UNION ALL SELECT 1, reason, COUNT(*) FROM fc GROUP BY reason
+              |UNION ALL SELECT 2,
+              |  CASE WHEN n_removed > 0 THEN 'rewritten' ELSE 'untouched' END, COUNT(*)
+              |FROM c2 GROUP BY 2
+              |UNION ALL SELECT 2, 'tokens_removed',
+              |  CAST(COALESCE(SUM(n_removed), 0) AS BIGINT) FROM c2
+              |UNION ALL SELECT 3,
+              |  CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+              |       THEN 'contaminated' ELSE 'kept' END, COUNT(*)
+              |FROM c2 GROUP BY 2
+              |UNION ALL SELECT 4,
+              |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END, COUNT(*)
+              |FROM (SELECT ${Sampling.duckBucket100Of("doc_id")} AS b FROM s2) sb GROUP BY 2
+              |UNION ALL SELECT 5, 'shard_' || CAST(
+              |  CASE WHEN ((rn - 1) // 16) % 2 = 0 THEN (rn - 1) % 16
+              |       ELSE 15 - (rn - 1) % 16 END AS VARCHAR), COUNT(*)
+              |FROM r GROUP BY 2""".stripMargin),
+      "REWRITE-AWARE corpus-build manifest (VERDICT r14 #4) — the Lee et al. ExactSubstr production shape: cut duplicated SPANS and keep the docs, instead of dropping whole near-duplicates, then PACK ON CLEANED COUNTS (pl01 packs original token counts — a shard balanced on pre-cut counts is unbalanced after the cut, the exact defect this variant fixes). Span-cut REPLACES whole-doc near-dedup here by measurement, not taste: dd08's min-id retention and dd18's min-id span retention are the same discipline, so every doc dd18 would cut IS a near-dup cluster member dd08 already drops — chaining both is structurally vacuous (measured on the fixture: affected-docs ∩ dd08-keepers = 0 at sf0.01); a pipeline either drops the doc or cuts its spans, and this is the cuts variant. Stage rows: docs_in; the tx12 reason histogram; the dd18 rewrite over quality survivors — rewritten vs untouched doc counts PLUS the tokens_removed line (the corpus shrinkage a data card reports; standalone dd18's corpus-global cut set restricted to survivors, the pl01 scope discipline); contaminated-vs-kept (dc01's broadcast purge set — a rewrite drops no docs, so stage 3 conserves stage 1's keep count); train/val/test over the clean corpus; and the 16 serpentine shard loads packed on n_tokens - n_removed. PipelineSpec pins token conservation (sum of cleaned = original - removed), the rewrite stage counts against standalone dd18, and both rewritten and untouched non-vacuous. At 100 TB the cut set is sized by duplicated tokens (dd18's bill, factored via spanDrops), the manifest stays counter-grain, and packing on cleaned counts is the same two-phase serpentine rank.") {
+      (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val fc = Materialize(TextAnalysis.filterVerdicts(s, dir))
+        val s1 = fc.filter(col("reason") === "kept").select("doc_id", "n_tokens")
+        // stage core: dd18's factored cut set, reduced to per-doc counts
+        val rem = Dedup.spanDrops(s, dir)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+        val cls2 = Materialize(s1.join(rem, Seq("doc_id"), "left")
+          .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+          .withColumn("n_clean", col("n_tokens") - col("n_removed")))
+        val cont = Decontam.overlapPairs(s, dir)
+          .select(col("train_doc").as("doc_id")).distinct()
+        val cls3 = Materialize(cls2
+          .join(broadcast(cont.withColumn("is_cont", lit(1))), Seq("doc_id"), "left"))
+        val s2 = cls3.filter(col("is_cont").isNull)
+          .select(col("doc_id"), col("n_clean"))
+        val st0 = docs.agg(count(lit(1)).as("n"))
+          .select(lit(0).as("stage"), lit("docs_in").as("detail"), col("n"))
+        val st1 = fc.groupBy(col("reason").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(1).as("stage"), col("detail"), col("n"))
+        val st2a = cls2.groupBy(
+            when(col("n_removed") > 0, "rewritten").otherwise("untouched").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(2).as("stage"), col("detail"), col("n"))
+        val st2b = cls2.agg(coalesce(sum(col("n_removed")), lit(0L)).as("n"))
+          .select(lit(2).as("stage"), lit("tokens_removed").as("detail"), col("n"))
+        val st3 = cls3.groupBy(
+            when(col("is_cont").isNotNull, "contaminated").otherwise("kept").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(3).as("stage"), col("detail"), col("n"))
+        val b = expr(Sampling.bucket100("doc_id"))
+        val st4 = s2.groupBy(
+            when(b < 80, "train").when(b < 90, "val").otherwise("test").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(4).as("stage"), col("detail"), col("n"))
+        val st5 = Sampling.serpentineShardAssignments(
+            s2.select(col("doc_id"), col("n_clean").as("n_tokens")))
+          .groupBy(concat(lit("shard_"), col("shard").cast("string")).as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(5).as("stage"), col("detail"), col("n"))
+        Seq(st0, st1, st2a, st2b, st3, st4, st5).reduce(_ unionByName _)
+          .select(col("stage").cast("int"), col("detail"), col("n").cast("bigint"))
     })
 }

@@ -39,6 +39,13 @@ object TextAnalysis {
     Integer.parseInt(f"${d(0) & 0xff}%02x${d(1) & 0xff}%02x", 16) % 17 - 8
   }
 
+  /** tx22's epoch count: enough batch-perceptron epochs that the
+    * training curve genuinely moves (weights change every epoch on the
+    * fixture) while the unrolled oracle stays readable — the BpeRounds
+    * discipline applied to training.
+    */
+  private[operators] val TxEpochs = 4
+
   /** tx20's merge-round count: enough rounds that a MERGED symbol
     * re-enters a later round's best pair at every fixture scale (the
     * regime where BPE differs from bigram counting — probed: 'p'+'ar'
@@ -810,6 +817,50 @@ object TextAnalysis {
             sum(when(col("u").isNotNull, col("u")).otherwise(lit(1L)))
               .cast("bigint").as("n_bpe_units"))
     },
+
+    GraftQuery(
+      "tx22_perceptron_train",
+      Some(perceptronOracle),
+      s"QUALITY-CLASSIFIER TRAINING — closes tx19's loop the way tx20/tx21 closed the tokenizer's (train -> serve): $TxEpochs epochs of the BATCH perceptron over tx18's hashed features (16 md5 bucket counts + a constant bias dim), labels = tx12's rule verdicts (the DCLM/FineWeb-Edu recipe: distill the expensive rule/LLM judgment into a linear model cheap enough to serve corpus-wide — tx19 is that serving pass), emitting the training trajectory (epoch, dim, weight, per-epoch misclassified count = the training curve). The distributed form is the batch update, not the online one: per epoch w += sum over misclassified docs of y*x (unit integer learning rate, margin miss at y*(w.x) <= 0) — ORDER-FREE exact-BIGINT arithmetic, so it needs no row ordering at all and is bit-identical cross-engine (strictly stronger determinism than an md5-ordered online pass, and the only form that distributes: the update is one map-side-combined 17-column sum, a single all-reduce per epoch, the data-parallel SGD shape). Scale shape: featurize + label ONCE (corpus-scale, map-side dot per doc, checkpointed — at 100 TB this is the persisted training-set artifact); each epoch then scans the compact (y, x[17]) frame, filters by the broadcast 1-row weight frame (tx20's argmax pattern — never collected), and reduces to ONE row; epoch cost is a linear scan regardless of corpus size, total = $TxEpochs scans. Weights init to zero, so epoch 1's update is the class-mean difference direction (every zero-score doc counts as a miss — deterministic). The oracle unrolls the same $TxEpochs epochs as chained CTEs (gr01's discipline). TextModelBpeSpec replays the epochs driver-side and pins that the trained weights BEAT tx19's frozen md5 weights on tx12-agreement — the number that justifies training at all.") {
+      (s, dir) =>
+        val v16 = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), expr(
+            "transform(split(text, ' '), t -> CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT) % 16)")
+            .as("bs"))
+          .select(col("doc_id"), expr(
+            """aggregate(bs, array_repeat(0L, 16),
+              |  (acc, x) -> transform(acc, (v, i) -> IF(i = x, v + 1L, v)))""".stripMargin)
+            .as("v"))
+        // the persisted training set: features + labels, built once
+        val feats = Materialize(v16
+          .join(filterVerdicts(s, dir).select("doc_id", "keep"), Seq("doc_id"))
+          .select(col("doc_id"),
+            expr("concat(v, array(1L))").as("x"),
+            when(col("keep") === 1, 1L).otherwise(-1L).as("y")))
+        var wf = Materialize(s.range(1).select(expr("array_repeat(0L, 17)").as("w")))
+        val sumCols = (0 until 17).map(j =>
+          coalesce(sum(expr(s"y * x[$j]")), lit(0L)).as(s"u$j"))
+        val epochs = (1 to TxEpochs).map { e =>
+          val upd = feats.crossJoin(broadcast(wf))
+            .withColumn("score",
+              expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)"))
+            .filter(col("y") * col("score") <= 0)
+            .agg(count(lit(1)).as("n_miss"), sumCols: _*)
+          val wn = Materialize(wf.crossJoin(broadcast(upd))
+            .select(expr("array(" +
+              (0 until 17).map(j => s"w[$j] + u$j").mkString(", ") + ")").as("w"),
+              col("n_miss")))
+          wf = wn.select("w")
+          wn
+        }
+        epochs.zipWithIndex.map { case (wn, i) =>
+          wn.select(lit(i + 1).cast("int").as("epoch"),
+              col("n_miss").cast("bigint").as("n_miss"),
+              posexplode(col("w")).as(Seq("dim", "w")))
+            .select(col("epoch"), col("n_miss"),
+              col("dim").cast("int").as("dim"), col("w").cast("bigint").as("w"))
+        }.reduce(_ unionByName _)
+    },
   )
 
   /** tx20's training loop, factored for reuse by the application pass
@@ -926,6 +977,43 @@ object TextAnalysis {
        |       CAST(SUM(CASE WHEN u.u IS NOT NULL THEN u.u ELSE 1 END) AS BIGINT) AS n_bpe_units
        |FROM tk LEFT JOIN units u USING (tok)
        |GROUP BY doc_id""".stripMargin
+  }
+
+  /** tx22's DuckDB oracle: the batch-perceptron recurrence unrolled
+    * [[TxEpochs]] times (gr01's bounded-unroll discipline). Features
+    * are tx19's oracle spelling (16 md5 bucket counts) plus the bias
+    * dim; each epoch is (filter by margin miss against the previous
+    * weights) -> (17 coalesced integer sums + the miss count) ->
+    * (elementwise add). All arithmetic BIGINT, order-free.
+    */
+  private lazy val perceptronOracle: String = {
+    val sums = (1 to 17).map(i => s"CAST(COALESCE(SUM(y * x[$i]), 0) AS BIGINT)")
+      .mkString("LIST_VALUE(", ", ", ")")
+    val epoch = (e: Int) =>
+      s"""m$e AS (SELECT y, x FROM f, w${e - 1}
+         |  WHERE y * CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 18), i -> x[i] * w[i])) AS BIGINT) <= 0),
+         |u$e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_miss, $sums AS u FROM m$e),
+         |w$e AS (SELECT LIST_TRANSFORM(RANGE(1, 18), i -> CAST(w${e - 1}.w[i] + u$e.u[i] AS BIGINT)) AS w,
+         |               u$e.n_miss AS n_miss
+         |        FROM w${e - 1}, u$e)""".stripMargin
+    val sel = (1 to TxEpochs).map(e =>
+      s"""SELECT CAST($e AS INT) AS epoch, n_miss, CAST(j AS INT) AS dim, w[j + 1] AS w
+         |FROM w$e, (SELECT UNNEST(RANGE(0, 17)) AS j) t""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH fc AS (SELECT doc_id, "keep" FROM $filterVerdictsDuck),
+       |dv AS (SELECT doc_id,
+       |         LIST_CONCAT(
+       |           LIST_TRANSFORM(RANGE(0, 16), b -> CAST(LEN(LIST_FILTER(w,
+       |             t -> CAST(('0x' || substring(md5(t), 1, 4)) AS INT) % 16 = b)) AS BIGINT)),
+       |           [CAST(1 AS BIGINT)]) AS x
+       |       FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents)),
+       |f AS (SELECT dv.doc_id, dv.x,
+       |             CASE WHEN fc."keep" = 1 THEN CAST(1 AS BIGINT)
+       |                  ELSE CAST(-1 AS BIGINT) END AS y
+       |      FROM dv JOIN fc USING (doc_id)),
+       |w0 AS (SELECT LIST_TRANSFORM(RANGE(0, 17), j -> CAST(0 AS BIGINT)) AS w),
+       |${(1 to TxEpochs).map(epoch).mkString(",\n")}
+       |$sel""".stripMargin
   }
 
 }

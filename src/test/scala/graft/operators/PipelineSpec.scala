@@ -143,6 +143,68 @@ class PipelineSpec extends AnyFunSuite {
       s"incremental dedup trivial on the drop: ${s2.size}/${s1.size}")
   }
 
+  test("pl03: token conservation; rewrite stage counts equal standalone dd18; pack uses cleaned counts") {
+    val manifest = build("pl03_rewrite_manifest").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    def stage(k: Int): Map[String, Long] =
+      manifest.collect { case ((s, d), n) if s == k => d -> n }
+
+    // standalone stage outputs
+    val verdicts = build("tx12_filter_chain")
+      .select("doc_id", "n_tokens", "reason").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getString(2)))).toMap
+    val dd18 = build("dd18_span_removal")
+      .select("doc_id", "n_tokens", "n_removed").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cont = build("dc01_benchmark_overlap").select("train_doc").collect()
+      .map(_.getLong(0)).toSet
+
+    val s1 = verdicts.collect { case (id, (_, "kept")) => id }.toSet
+    val removed = s1.toSeq.map(id => id -> dd18.get(id).map(_._2).getOrElse(0L)).toMap
+    val s2 = s1.diff(cont)
+
+    // rewrite stage counts vs standalone dd18, restricted to survivors
+    val rewritten = s1.count(removed(_) > 0).toLong
+    assert(stage(2) === Map("rewritten" -> rewritten,
+      "untouched" -> (s1.size - rewritten),
+      "tokens_removed" -> s1.toSeq.map(removed).sum))
+    // non-vacuous both ways, or the stage audits nothing
+    assert(rewritten > 0, "no quality survivor was rewritten")
+    assert(rewritten < s1.size, "every survivor was rewritten")
+
+    // token conservation: standalone dd18's cleaned text length equals
+    // original - removed for every rewritten survivor (the rewrite and
+    // the manifest's arithmetic agree doc-by-doc)
+    val cleanedLen = build("dd18_span_removal")
+      .select("doc_id", "cleaned").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getString(1).isEmpty) 0L
+         else r.getString(1).split(" ", -1).length.toLong)).toMap
+    s1.filter(removed(_) > 0).foreach { id =>
+      assert(cleanedLen(id) === dd18(id)._1 - dd18(id)._2,
+        s"doc $id: cleaned token count != original - removed")
+    }
+
+    // a rewrite drops no docs: stage 3 conserves stage 1's keep count
+    assert(stage(3).values.sum === s1.size.toLong)
+    assert(stage(4).values.sum === s2.size.toLong)
+
+    // the pack runs on CLEANED counts: serpentine replay over
+    // (n_tokens - n_removed) must equal the shard loads, and differ
+    // from the original-count packing somewhere (the variant's point)
+    def shardsOf(tokens: Map[Long, Long]): Map[String, Long] =
+      s2.toSeq.map(id => (tokens(id), id))
+        .sortBy { case (t, id) => (-t, id) }.zipWithIndex
+        .map { case (_, i) => if ((i / 16) % 2 == 0) i % 16 else 15 - i % 16 }
+        .groupBy(sh => s"shard_$sh").view.mapValues(_.size.toLong).toMap
+    val cleanCounts = s2.toSeq.map(id => id -> (verdicts(id)._1 - removed(id))).toMap
+    assert(stage(5) === shardsOf(cleanCounts))
+    val origOrder = s2.toSeq.map(id => (verdicts(id)._1, id)).sortBy { case (t, id) => (-t, id) }
+    val cleanOrder = s2.toSeq.map(id => (cleanCounts(id), id)).sortBy { case (t, id) => (-t, id) }
+    assert(origOrder.map(_._2) !== cleanOrder.map(_._2),
+      "cleaned-count packing ordered identically to original-count packing — the variant changes nothing on this fixture")
+  }
+
   test("pl01: no stage re-scans documents — the manifest plan carries exactly one live scan") {
     // In the shipped (checkpointing) mode, every stage core executes
     // exactly once, at its Materialize boundary, during build — the

@@ -157,4 +157,54 @@ class TextModelBpeSpec extends AnyFunSuite {
     assert(totalUnits < totalAlphaChars,
       "BPE units did not compress below character count — the merges did nothing")
   }
+
+  test("tx22: trajectory equals the driver-side epoch replay; trained weights beat tx19's frozen weights on tx12-agreement") {
+    val got = graft.GraftQuery.all.find(_.name == "tx22_perceptron_train").get
+      .build(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getInt(2)) -> ((r.getLong(3), r.getLong(1)))).toMap
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keep = graft.GraftQuery.all.find(_.name == "tx12_filter_chain").get
+      .build(spark, sf001).select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // features: tx18's 16 md5 bucket counts + the bias dim; y = ±1
+    val feats = docs.toSeq.map { case (id, text) =>
+      val v = Array.fill(17)(0L); v(16) = 1L
+      text.split(" ", -1).foreach { t =>
+        v(Integer.parseInt(md5hex(t).take(4), 16) % 16) += 1
+      }
+      (v.toVector, if (keep(id) == 1) 1L else -1L)
+    }
+    // replay the batch-perceptron epochs
+    var w = Vector.fill(17)(0L)
+    val trajectory = (1 to TextAnalysis.TxEpochs).map { e =>
+      val mis = feats.filter { case (x, y) =>
+        y * x.zip(w).map { case (a, b) => a * b }.sum <= 0 }
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj + mis.map { case (x, y) => y * x(j) }.sum }
+      (e, mis.size.toLong, w)
+    }
+    trajectory.foreach { case (e, nMiss, we) =>
+      (0 until 17).foreach { j =>
+        assert(got((e, j)) === ((we(j), nMiss)),
+          s"epoch $e dim $j diverged from the replay")
+      }
+    }
+    // the training curve genuinely moves: weights change every epoch
+    assert(trajectory.map(_._3).distinct.size === TextAnalysis.TxEpochs,
+      "weights stalled across epochs — training did nothing")
+    // the number that justifies training: final-epoch weights agree
+    // with tx12's rule verdicts STRICTLY more often than tx19's
+    // frozen md5 weights do (both thresholded at score >= 0)
+    val frozen = TextAnalysis.ModelWeights.map(_.toLong).toVector :+ 0L
+    def agreement(wv: Vector[Long]): Int = feats.count { case (x, y) =>
+      val kept = x.zip(wv).map { case (a, b) => a * b }.sum >= 0
+      kept == (y == 1L)
+    }
+    val (trained, untrained) = (agreement(w), agreement(frozen))
+    assert(trained > untrained,
+      s"trained weights ($trained/${feats.size} agreement) must beat the " +
+        s"frozen tx19 weights ($untrained/${feats.size})")
+  }
 }
