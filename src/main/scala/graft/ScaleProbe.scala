@@ -126,7 +126,15 @@ object ScaleProbe {
       "gr17_scc_seed_shuffled", "gr18_scc_decomposition",
       "dd15_bloom_incremental", "q62_forecast_salted_join",
       "dd17_multikey_linkage", "tx20_bpe_merges",
-      "gr21_betweenness_sampled", "dd18_span_removal").map(n => n -> run(n))
+      "gr21_betweenness_sampled", "dd18_span_removal",
+      // r15: the pipeline compositions — each stage core is probed
+      // above, but the chaining joins and the manifest assembly are
+      // new plan surface (VERDICT r14 #5); pk03's two-phase 256-bucket
+      // prefix sum and tx22's per-epoch 1-row reduce should both be
+      // scale-flat in everything but the featurize/ingest scan
+      "pl01_corpus_build_manifest", "pl02_incremental_manifest",
+      "pl03_rewrite_manifest", "pk03_packed_sequences",
+      "tx22_perceptron_train").map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio

@@ -151,8 +151,8 @@ object Similarity {
     * recall audit measures exactly the pipeline ss09 ships, not a
     * paraphrase that could drift.
     */
-  private val ivfPqCtes: String =
-    """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+  private def ivfPqCtes(nprobe: Int, adcK: Int): String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
       |seeds AS MATERIALIZED (SELECT qe AS qs,
       |                 CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
@@ -161,7 +161,7 @@ object Similarity {
       |cellpick AS (SELECT code AS cell FROM (
       |    SELECT s.code,
       |           LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (s.qs[i] - v.qe[i]) * (s.qs[i] - v.qe[i]))) AS d
-      |    FROM seeds s, qvec v) t ORDER BY d, code LIMIT 1),
+      |    FROM seeds s, qvec v) t ORDER BY d, code LIMIT $nprobe),
       |assign AS MATERIALIZED (SELECT vec_id, code AS cell FROM (
       |    SELECT q.vec_id, s.code,
       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
@@ -185,7 +185,7 @@ object Similarity {
       |        FROM pq p JOIN cds c ON c.sub = p.sub AND c.code = p.code
       |                  JOIN qsubs qs ON qs.sub = p.sub
       |        GROUP BY p.vec_id),
-      |cand AS MATERIALIZED (SELECT vec_id FROM adc ORDER BY pq_d, vec_id LIMIT 20),
+      |cand AS MATERIALIZED (SELECT vec_id FROM adc ORDER BY pq_d, vec_id LIMIT $adcK),
       |rer AS (SELECT q.vec_id,
       |               LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (q.qe[i] - v.qe[i]) * (q.qe[i] - v.qe[i]))) AS exact_d
       |        FROM q JOIN cand USING (vec_id), qvec v)""".stripMargin
@@ -193,14 +193,15 @@ object Similarity {
   /** The ss09 probe as a reusable builder (vec_id, exact_d_units, rn
     * 1..10) — ss11 joins the exact answer against this same plan.
     */
-  private def ivfPqProbe(s: SparkSession, dir: String): DataFrame = {
+  private def ivfPqProbe(s: SparkSession, dir: String,
+      nprobe: Int = 1, adcK: Int = 20): DataFrame = {
     val q = qemb(s, dir)
     val seeds = mdSeeds(q, 4)
     val qvec = q.filter(col("vec_id") === 0).select(col("qe").as("qq"))
     // coarse route: 4 x 1 rows, driver-trivial, broadcast onward
     val cell = broadcast(seeds.crossJoin(broadcast(qvec))
       .withColumn("d", il2("qs", "qq"))
-      .orderBy(col("d"), col("code")).limit(1)
+      .orderBy(col("d"), col("code")).limit(nprobe)
       .select(col("code").as("cell")))
     // cell membership: argmin over the 4 broadcast cell vectors,
     // map-side min_by — then keep ONLY the probed cell
@@ -230,7 +231,7 @@ object Similarity {
       .select("sub", "code", "pd"))
     val cand = pq.join(lut, Seq("sub", "code"))
       .groupBy("vec_id").agg(sum(col("pd")).as("pq_d"))
-      .orderBy(col("pq_d"), col("vec_id")).limit(20)
+      .orderBy(col("pq_d"), col("vec_id")).limit(adcK)
       .select("vec_id")
     // exact rerank of the 20 survivors only
     val w = org.apache.spark.sql.expressions.Window
@@ -622,7 +623,7 @@ object Similarity {
 
     GraftQuery(
       "ss09_ivf_pq_probe",
-      Some(ivfPqCtes + "\n" +
+      Some(ivfPqCtes(1, 20) + "\n" +
         """SELECT vec_id, CAST(exact_d AS BIGINT) AS exact_d_units, CAST(rn AS INT) AS rn
           |FROM (SELECT vec_id, exact_d, ROW_NUMBER() OVER (ORDER BY exact_d, vec_id) AS rn FROM rer) t
           |WHERE rn <= 10""".stripMargin),
@@ -632,7 +633,7 @@ object Similarity {
 
     GraftQuery(
       "ss11_ann_recall",
-      Some(ivfPqCtes + ",\n" +
+      Some(ivfPqCtes(1, 20) + ",\n" +
         """ann AS (SELECT vec_id FROM (
           |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY exact_d, vec_id) AS rn FROM rer) t
           |    WHERE rn <= 10),
@@ -810,6 +811,38 @@ object Similarity {
           .groupBy(col("vec_id")).agg(sum(col("m")).as("maxsim_units"))
           .orderBy(col("maxsim_units").desc, col("vec_id")).limit(10)
           .select(col("vec_id"), col("maxsim_units"))
+    },
+
+    GraftQuery(
+      "ss15_multiprobe_ivf",
+      Some(ivfPqCtes(3, 60) + ",\n" +
+        """ann AS (SELECT vec_id FROM (
+          |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY exact_d, vec_id) AS rn FROM rer) t
+          |    WHERE rn <= 10),
+          |exact AS (SELECT vec_id, d, ROW_NUMBER() OVER (ORDER BY d, vec_id) AS rnk FROM (
+          |    SELECT q.vec_id,
+          |           LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (q.qe[i] - v.qe[i]) * (q.qe[i] - v.qe[i]))) AS d
+          |    FROM q, qvec v WHERE q.vec_id <> 0) t ORDER BY d, vec_id LIMIT 10)
+          |SELECT CAST(e.rnk AS INT) AS rnk, e.vec_id, CAST(e.d AS BIGINT) AS exact_d_units,
+          |       CAST(CASE WHEN a.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS hit
+          |FROM exact e LEFT JOIN ann a USING (vec_id)""".stripMargin),
+      "MULTI-PROBE IVF serving (nprobe=3) — the recall-vs-cost KNOB production IVF actually tunes, closing the family's last serving gap: ss04/ss09/ss12 probe exactly ONE cell, so their recall is bounded by the probed cell's mass fraction no matter how good the quantizer is (ss12 measured exactly that); the production fix is never a better single probe, it is MORE probes. Same shipped pipeline as ss09 with its two knobs turned — the query routes to its top-3 cells (4-row broadcast, LIMIT nprobe instead of 1; the parameterization IS the operator), members of all three cells are ADC-scored through the same 32-entry (sub, code) lookup table (one KB-scale broadcast, 8 integer adds per member — the per-member bill is UNCHANGED, the candidate count triples, which is precisely the linear recall-for-cost trade the knob buys), the ADC top-60 (20 per probed cell, the budget scaling production uses) exact-reranks to top-10. Output is ss11's per-rank attribution against the brute-force exact top-10, same oracle text discipline — SUM(hit) here minus ss11's SUM(hit) is the measured recall the two extra probes bought (audited in-plan: SimilaritySpec pins recall(multi) >= recall(single) and that the candidate set is exactly the 3 routed cells' membership). At 100 TB: 3 cells scanned instead of 1 out of thousands — still never the corpus; routing stays a k-row broadcast; the audit runs on sampled queries to pick nprobe, exactly this query's shape.") {
+      (s, dir) =>
+        val q = qemb(s, dir)
+        val qvec = q.filter(col("vec_id") === 0).select(col("qe").as("qq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("exact_d_units"), col("vec_id"))
+        val exact = q.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qvec))
+          .withColumn("exact_d_units", il2("qe", "qq"))
+          .select(col("vec_id"), col("exact_d_units"))
+          .orderBy(col("exact_d_units"), col("vec_id")).limit(10)
+          .withColumn("rnk", row_number().over(w).cast("int"))
+        val ann = ivfPqProbe(s, dir, nprobe = 3, adcK = 60)
+          .select(col("vec_id"), lit(1).as("h"))
+        exact.join(broadcast(ann), Seq("vec_id"), "left")
+          .select(col("rnk"), col("vec_id"), col("exact_d_units"),
+            coalesce(col("h"), lit(0)).cast("int").as("hit"))
     },
   )
 

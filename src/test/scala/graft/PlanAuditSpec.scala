@@ -112,7 +112,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "gr21_betweenness_sampled", // shared edges() front door 1-row median broadcast (loop state is checkpoint-derived)
     "tx21_bpe_encode", // tx20's 1-row argmax frames, broadcast per merge round into the vocabulary fold
     "tx22_perceptron_train", // the 1-row weight frame broadcast into each epoch's scan + the 1-row update frame (tx20's argmax pattern)
-    "pl03_rewrite_manifest" // inherits pk02's 1-row min/max bucketizer frame for the cleaned-count pack stage
+    "pl03_rewrite_manifest", // inherits pk02's 1-row min/max bucketizer frame for the cleaned-count pack stage
+    "ss15_multiprobe_ivf" // ss09's probe shape (1-row query vector + 4-row cell table broadcasts), knobs turned to nprobe=3
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {

@@ -247,4 +247,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(crossFires, "no cross-token max anywhere in the top-10 — MaxSim is vacuous")
   }
+
+  test("ss15: multi-probe recall@10 strictly beats single-probe; candidates bounded by the 3 routed cells (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    def recall(name: String): Int = byName(name).build(spark, sf0001)
+      .agg(sum(col("hit"))).collect()(0).getLong(0).toInt
+    val (single, multi) = (recall("ss11_ann_recall"), recall("ss15_multiprobe_ivf"))
+    assert(multi > single,
+      s"nprobe=3 recall ($multi/10) must strictly beat nprobe=1 ($single/10) — " +
+        "the knob bought nothing on this fixture")
+    assert(multi < 10, "perfect recall — the audit no longer discriminates")
+
+    // cost bound: replay the coarse index driver-side — the probed
+    // cells must be exactly the query's top-3 by integer L2, and every
+    // hit doc must be a member of one of them (the candidate set never
+    // leaves the routed cells)
+    val emb = graft.Tables.load(spark, sf0001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS LONG)) AS qe")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = emb.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).take(4)
+      .zipWithIndex.map { case (id, c) => c -> emb(id) }
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qv = emb(0L)
+    val routed = seeds.map { case (c, s) => (l2(s, qv), c) }.sorted.take(3).map(_._2).toSet
+    assert(routed.size === 3, "the query must route to exactly 3 distinct cells")
+    def cellOf(v: Array[Long]): Int = seeds.map { case (c, s) => (l2(v, s), c) }.min._2
+    val members = emb.collect { case (id, v) if id != 0L && routed(cellOf(v)) => id }.toSet
+    val hits = byName("ss15_multiprobe_ivf").build(spark, sf0001)
+      .filter(col("hit") === 1).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(hits.subsetOf(members),
+      s"hit docs outside the 3 routed cells: ${hits.diff(members)}")
+    // the cost bound is real: the routed cells do NOT cover the corpus
+    assert(members.size < emb.size - 1,
+      "3 cells cover the whole corpus — the bound is vacuous")
+  }
 }
