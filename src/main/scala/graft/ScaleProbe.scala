@@ -134,7 +134,11 @@ object ScaleProbe {
       // scale-flat in everything but the featurize/ingest scan
       "pl01_corpus_build_manifest", "pl02_incremental_manifest",
       "pl03_rewrite_manifest", "pk03_packed_sequences",
-      "tx22_perceptron_train").map(n => n -> run(n))
+      "tx22_perceptron_train",
+      // r15: gr22 shares gr21's loop machinery (forward half only);
+      // sp12's token->bucket frame is the one corpus-scale object —
+      // both should track the scan, never the pair count
+      "gr22_harmonic_closeness", "sp12_dsir_importance").map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio

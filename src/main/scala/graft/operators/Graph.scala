@@ -232,6 +232,36 @@ object Graph {
        |FROM nation na LEFT JOIN bet b ON b.node = na.n_nationkey""".stripMargin
   }
 
+  /** gr22's DuckDB oracle: the same md5-chosen seeds and the same
+    * level-synchronous frontier-dedup BFS (forward only — first-visit
+    * level IS the distance), unrolled [[BetDepthCap]] levels, harmonic
+    * score = Σ [[BetScale]] // level. Every level MATERIALIZED (the
+    * kcore CTE-re-expansion lesson, same as betweennessOracle).
+    */
+  private lazy val harmonicOracle: String = {
+    val L = BetDepthCap
+    val fwd = (1 to L).map { l =>
+      s"""h$l AS MATERIALIZED (SELECT DISTINCT f.s, e.dst AS node
+         |  FROM h${l - 1} f JOIN edges e ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM hv${l - 1} p WHERE p.s = f.s AND p.node = e.dst)),
+         |hv$l AS MATERIALIZED (SELECT * FROM hv${l - 1} UNION ALL SELECT s, node FROM h$l)""".stripMargin
+    }.mkString(",\n")
+    val contrib = (1 to L)
+      .map(l => s"SELECT s, node, ${BetScale / l} AS h FROM h$l")
+      .mkString(" UNION ALL ")
+    s"""WITH $edgesDuck,
+       |seeds AS (SELECT node AS s FROM (SELECT DISTINCT src AS node FROM edges) c
+       |  ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT $BetK),
+       |h0 AS MATERIALIZED (SELECT s, s AS node FROM seeds),
+       |hv0 AS MATERIALIZED (SELECT s, node FROM h0),
+       |$fwd,
+       |contrib AS ($contrib),
+       |harm AS (SELECT node, CAST(SUM(h) AS BIGINT) AS harmonic_units
+       |         FROM contrib GROUP BY node)
+       |SELECT na.n_name AS nation, COALESCE(b.harmonic_units, 0) AS harmonic_units
+       |FROM nation na LEFT JOIN harm b ON b.node = na.n_nationkey""".stripMargin
+  }
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -1049,6 +1079,53 @@ object Graph {
           .join(broadcast(bet), Seq("node"), "left")
           .select(col("nation"),
             coalesce(col("centrality_units"), lit(0L)).as("centrality_units"))
+    },
+
+    GraftQuery(
+      "gr22_harmonic_closeness",
+      Some(harmonicOracle),
+      s"SAMPLED-SOURCE HARMONIC closeness centrality — the DISTANCE-centrality axis completing the family's measurement triad: PageRank/PPR measure where walks concentrate, betweenness (gr21) measures what paths flow THROUGH, harmonic measures what is CLOSE to everything (the reach/latency signal — a high-harmonic nation fills demand in few hops; the facility-location and influence-seeding score). Harmonic, not classic closeness, deliberately: classic closeness is 1/Σd and UNDEFINED on disconnected graphs (one unreachable vertex sends the sum to infinity), while harmonic sums 1/d with unreachable contributing ZERO — the only closeness variant that survives a sparsified (deliberately fragmenting) graph, which is why it is the one production graph stacks ship. Exact harmonic is all-pairs BFS (unpayable); THE scalable estimator samples k sources — gr21's estimator shape reused verbatim: the SAME $BetK md5-chosen seeds, the SAME level-synchronous frontier-dedup BFS at (seed, node) grain (first-visit level IS the distance — no sigma, no backward pass: harmonic costs exactly HALF of betweenness on identical machinery, which is the operational reason centrality suites compute it first), score(v) = Σ over seeds of $BetScale div d(seed,v) in fixed-point 1e-9 units with truncating division (deterministic, bit-identical cross-engine). Same loud depth-cap contract as gr21: cap $BetDepthCap, a frontier whose EXPANSION is non-empty at the cap throws, the oracle unrolls exactly $BetDepthCap levels so cap and unroll cannot silently disagree. Every nation gets a row, zeros meaningful ('checked, nothing sampled reaches it' — dc03's contract). Frontier/visited are (k·V)-grain broadcasts into the pinned edge list; past executor memory they swap to gr17's shuffled recipe verbatim. GraphSpec replays the BFS distances driver-side and pins depth->=2 contributions and multi-seed accumulation both non-vacuous.") {
+      (s, dir) =>
+        val e = edges(s, dir)
+        val seeds = e.select(col("src").as("node")).distinct()
+          .orderBy(md5(col("node").cast("string")), col("node")).limit(BetK)
+          .select(col("node").as("s"))
+        var frontier = Materialize(seeds.select(col("s"), col("s").as("node")))
+        var visited = frontier
+        var contribs = List.empty[DataFrame]
+        var depth = 0
+        while (!frontier.isEmpty && depth < BetDepthCap) {
+          depth += 1
+          val next = Materialize(frontier
+            .join(broadcast(e.withColumnRenamed("src", "node")), "node")
+            .select(col("s"), col("dst").as("node")).distinct()
+            .join(broadcast(visited), Seq("s", "node"), "left_anti"))
+          contribs ::= next.select(col("node"), lit(BetScale / depth).as("h"))
+          visited = Materialize(visited.unionByName(next))
+          frontier = next
+        }
+        // loud cap, gr21's exact contract: a non-empty frontier AT the
+        // cap is fine when its expansion is empty (eccentricity exactly
+        // BetDepthCap — the oracle unrolls that level too); only an
+        // unexplored level cap+1 diverges silently from the oracle
+        if (!frontier.isEmpty) {
+          val overflow = frontier
+            .join(broadcast(e.withColumnRenamed("src", "node")), "node")
+            .select(col("s"), col("dst").as("node"))
+            .join(broadcast(visited), Seq("s", "node"), "left_anti")
+          if (!overflow.isEmpty)
+            throw new IllegalStateException(
+              s"BFS has unexplored vertices beyond depth $BetDepthCap — the oracle " +
+                s"unrolls exactly $BetDepthCap; raise BetDepthCap (and the oracle) " +
+                "rather than truncate")
+        }
+        val harm = contribs.reduce(_ unionByName _)
+          .groupBy("node").agg(sum(col("h")).as("harmonic_units"))
+        Tables.load(s, dir, "nation")
+          .select(col("n_nationkey").as("node"), col("n_name").as("nation"))
+          .join(broadcast(harm), Seq("node"), "left")
+          .select(col("nation"),
+            coalesce(col("harmonic_units"), lit(0L)).as("harmonic_units"))
     })
 
   /** gr18's FW-BW+Trim decomposition as a reusable primitive: the

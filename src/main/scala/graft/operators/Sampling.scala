@@ -414,5 +414,49 @@ object Sampling {
           .select(col("doc_id"), col("n_tok"), col("start_tok"),
             expr("start_tok div 2048").as("seq_first"),
             expr("(start_tok + n_tok - 1) div 2048").as("seq_last"))
+    },
+
+    GraftQuery(
+      "sp12_dsir_importance",
+      Some(s"""WITH fc AS (SELECT doc_id FROM ${TextAnalysis.filterVerdictsDuck} WHERE "keep" = 1),
+              |tb AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 4)) AS INT) % 16 AS b
+              |       FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS t FROM documents)),
+              |raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM tb GROUP BY b),
+              |tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM tb JOIN fc USING (doc_id) GROUP BY b),
+              |tot AS (SELECT (SELECT CAST(SUM(r) AS BIGINT) FROM raw) AS tr,
+              |               (SELECT CAST(SUM(c) AS BIGINT) FROM tgt) AS tt),
+              |ratio AS (SELECT raw.b,
+              |            CAST((COALESCE(tgt.c, 0) * tot.tr * 10000) // (raw.r * tot.tt) AS BIGINT) AS ru
+              |          FROM raw LEFT JOIN tgt USING (b), tot),
+              |ds AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              |              CAST(SUM(ru) AS BIGINT) AS dsir_units
+              |       FROM tb JOIN ratio USING (b) GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, dsir_units,
+              |       CAST(CASE WHEN dsir_units >= n_tokens * 10000 THEN 1 ELSE 0 END AS INT) AS selected
+              |FROM ds""".stripMargin),
+      "DSIR-STYLE importance weighting (Xie et al.'s Data Selection via Importance Resampling, the hashed-n-gram form) — the data-SELECTION axis the sampling family lacked: sp02/sp04/sp08 reweight by metadata strata (language, source), sp06 by a quality score; DSIR reweights by DISTRIBUTIONAL similarity to a target corpus, the technique behind domain-targeted pretraining mixes. Target distribution = tx12's kept docs (the in-pipeline stand-in for 'high-quality reference corpus' — the same distillation source tx22 trains on), raw = the whole corpus; features are tx18/tx22's 16 md5 hash buckets (vocabulary-free, OOV-free — the hashing trick is what makes DSIR run at 100 TB: the 'model' is 16 integers per side). Per-bucket importance ratio ru[b] = (T[b]·total_R·1e4) div (R[b]·total_T) — the likelihood ratio p_target(b)/p_raw(b) in fixed-point 1e4 units, exact integer products and truncating division (no log, no libm — the tx13 idf lesson; int64 headroom to ~1e7 tokens per side, documented to promote to decimal beyond); per-doc score = Σ over its tokens of ru[bucket(token)] (the sum-form surrogate of DSIR's log-likelihood-ratio sum — order-free, bit-identical cross-engine), selected iff the doc's MEAN token ratio >= 1 (dsir_units >= n_tokens·1e4): 'more target-like than raw average'. Scale shape: the token->bucket frame is built ONCE (checkpointed, the only corpus-scale object); R and T are 16-row aggregates, the ratio table is a 16-row broadcast, scoring is one map-side join + one doc-grain agg — the whole selector adds ZERO corpus-side shuffles beyond the per-doc sum. SamplingSpec replays the ratios driver-side and pins both polarities non-vacuous (selected and rejected docs both exist) and that selection genuinely disagrees with tx12 somewhere (it is a different signal, not a rename).") {
+      (s, dir) =>
+        val tb = Materialize(docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+          .select(col("doc_id"),
+            expr("CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT) % 16").as("b")))
+        val kept = TextAnalysis.filterVerdicts(s, dir)
+          .filter(col("keep") === 1).select("doc_id")
+        val raw = tb.groupBy("b").agg(count(lit(1)).as("r"))
+        val tgt = tb.join(kept, Seq("doc_id"), "left_semi")
+          .groupBy("b").agg(count(lit(1)).as("c"))
+        val tot = raw.agg(sum(col("r")).as("tr"))
+          .crossJoin(tgt.agg(sum(col("c")).as("tt")))
+        val ratio = broadcast(raw.join(tgt, Seq("b"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .crossJoin(broadcast(tot))
+          .select(col("b"), expr("(c * tr * 10000L) div (r * tt)").as("ru")))
+        tb.join(ratio, Seq("b"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+            sum(col("ru")).cast("bigint").as("dsir_units"))
+          .select(col("doc_id"), col("n_tokens"), col("dsir_units"),
+            when(col("dsir_units") >= col("n_tokens") * lit(10000L), 1)
+              .otherwise(0).cast("int").as("selected"))
     })
 }

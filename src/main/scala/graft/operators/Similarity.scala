@@ -194,7 +194,16 @@ object Similarity {
     * 1..10) — ss11 joins the exact answer against this same plan.
     */
   private def ivfPqProbe(s: SparkSession, dir: String,
-      nprobe: Int = 1, adcK: Int = 20): DataFrame = {
+      nprobe: Int = 1, adcK: Int = 20): DataFrame =
+    ivfPqParts(s, dir, nprobe, adcK)._2
+
+  /** The probe split into (probed-cell members, reranked top-10) so
+    * ss16's sweep can price the candidate set the knob actually scans
+    * alongside the recall it buys. `members` is the ONLY corpus-sized
+    * frame; everything downstream is adcK rows.
+    */
+  private def ivfPqParts(s: SparkSession, dir: String,
+      nprobe: Int, adcK: Int): (DataFrame, DataFrame) = {
     val q = qemb(s, dir)
     val seeds = mdSeeds(q, 4)
     val qvec = q.filter(col("vec_id") === 0).select(col("qe").as("qq"))
@@ -236,12 +245,13 @@ object Similarity {
     // exact rerank of the 20 survivors only
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("exact_d_units"), col("vec_id"))
-    members.join(broadcast(cand), "vec_id")
+    val top = members.join(broadcast(cand), "vec_id")
       .crossJoin(broadcast(qvec))
       .withColumn("exact_d_units", il2("qe", "qq"))
       .select(col("vec_id"), col("exact_d_units"))
       .withColumn("rn", row_number().over(w).cast("int"))
       .filter(col("rn") <= 10)
+    (members, top)
   }
 
   val all: Seq[GraftQuery] = Seq(
@@ -844,7 +854,54 @@ object Similarity {
           .select(col("rnk"), col("vec_id"), col("exact_d_units"),
             coalesce(col("h"), lit(0)).cast("int").as("hit"))
     },
+
+    GraftQuery(
+      "ss16_nprobe_recall_sweep",
+      Some(nprobeSweepOracle),
+      "NPROBE TUNING SWEEP — the table an IVF deployment generates BEFORE picking ss15's knob: recall@10 AND candidate-set size at nprobe = 1, 2, 3 in one query, each row the shipped ivfPqParts pipeline at that setting (ADC budget scaled 20 per probe, ss15's production scaling). This is the audit that turns 'more probes = more recall' from folklore into a measured operating curve: n_members is the EXACT per-query cost (members of the probed cells are the only corpus rows the serve touches — the ADC/rerank bill is adcK-bounded), recall10 is what that cost buys against the brute-force exact top-10 (computed ONCE, shared across the sweep — the expensive truth is not re-derived per knob setting). Production runs exactly this shape over a sampled query set to pick nprobe per collection; the fixture's curve (recall rises with nprobe while n_members stays a strict subset of the corpus) is pinned by SimilaritySpec: monotone non-decreasing recall AND monotone increasing cost — a sweep where the knob moves neither number is measuring nothing. The three sweep rows share one coarse index and differ only in routing LIMIT; at 100 TB each row's probe is still k-row-broadcast routing + probed-cell scans, and the sweep is embarrassingly parallel across settings.") {
+      (s, dir) =>
+        val q = qemb(s, dir)
+        val qvec = q.filter(col("vec_id") === 0).select(col("qe").as("qq"))
+        val exact = Materialize(q.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qvec))
+          .withColumn("d", il2("qe", "qq"))
+          .orderBy(col("d"), col("vec_id")).limit(10)
+          .select("vec_id"))
+        Seq(1, 2, 3).map { k =>
+          val (members, top) = ivfPqParts(s, dir, k, 20 * k)
+          val nm = members.agg(count(lit(1)).cast("bigint").as("n_members"))
+          val rc = exact
+            .join(broadcast(top.select(col("vec_id"), lit(1).as("h"))),
+              Seq("vec_id"), "left")
+            .agg(sum(coalesce(col("h"), lit(0))).cast("bigint").as("recall10"))
+          nm.crossJoin(rc)
+            .select(lit(k).cast("int").as("nprobe"),
+              col("n_members"), col("recall10"))
+        }.reduce(_ unionByName _)
+    },
   )
+
+  /** ss16's oracle: three self-contained sweep blocks (nprobe 1/2/3,
+    * adcK 20/40/60), each the SAME [[ivfPqCtes]] text ss09/ss11/ss15
+    * share nested as a derived table (DuckDB scopes a WITH inside a
+    * subquery, so the fixed CTE names don't collide across blocks),
+    * UNION ALL'd into the sweep table.
+    */
+  private lazy val nprobeSweepOracle: String = {
+    def block(k: Int) =
+      s"""SELECT * FROM (${ivfPqCtes(k, 20 * k)},
+         |ann AS (SELECT vec_id FROM (
+         |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY exact_d, vec_id) AS rn FROM rer) t
+         |    WHERE rn <= 10),
+         |exact AS (SELECT vec_id FROM (
+         |    SELECT q.vec_id,
+         |           LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (q.qe[i] - v.qe[i]) * (q.qe[i] - v.qe[i]))) AS d
+         |    FROM q, qvec v WHERE q.vec_id <> 0) t ORDER BY d, vec_id LIMIT 10),
+         |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM members),
+         |rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS recall10 FROM exact JOIN ann USING (vec_id))
+         |SELECT CAST($k AS INT) AS nprobe, nm.n_members, rc.recall10 FROM nm, rc)""".stripMargin
+    Seq(1, 2, 3).map(block).mkString("\nUNION ALL\n")
+  }
 
   /** Single-probe IVF serve against an arbitrary centroid table
     * `(cluster, pos, cu)` (seed or trained — ss12 runs both): route the

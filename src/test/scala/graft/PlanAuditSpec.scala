@@ -113,7 +113,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx21_bpe_encode", // tx20's 1-row argmax frames, broadcast per merge round into the vocabulary fold
     "tx22_perceptron_train", // the 1-row weight frame broadcast into each epoch's scan + the 1-row update frame (tx20's argmax pattern)
     "pl03_rewrite_manifest", // inherits pk02's 1-row min/max bucketizer frame for the cleaned-count pack stage
-    "ss15_multiprobe_ivf" // ss09's probe shape (1-row query vector + 4-row cell table broadcasts), knobs turned to nprobe=3
+    "ss15_multiprobe_ivf", // ss09's probe shape (1-row query vector + 4-row cell table broadcasts), knobs turned to nprobe=3
+    "ss16_nprobe_recall_sweep", // ss09's probe shape x3 settings + per-setting 1-row cost x 1-row recall frames meeting in a broadcast
+    "gr22_harmonic_closeness", // shared edges() front door 1-row median broadcast (gr21's forward loop, checkpoint-derived state)
+    "sp12_dsir_importance" // 1-row corpus-totals frame broadcast into the 16-row ratio table (pr04's two-stat-frames pattern)
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {

@@ -569,4 +569,58 @@ class GraphSpec extends AnyFunSuite {
     assert(got0 === names0.map { case (k, n) => n -> exp0.getOrElse(k, 0L) },
       "gr21 diverged from the replay at sf0.001")
   }
+
+  /** Driver-side replay of gr22's sampled harmonic closeness (same md5
+    * seeds, plain BFS first-visit distances, BetScale div d). Returns
+    * per-node units plus the two non-vacuity facts: some contribution
+    * came from depth >= 2 (the 1/d weighting matters) and some node
+    * accumulated from >= 2 seeds (the sampling genuinely sums).
+    */
+  private def harmonicReplay(sf: String): (Map[Long, Long], Boolean, Boolean) = {
+    val edges = Graph.edges(spark, sf).collect().map(r => (lv(r, 0), lv(r, 1))).toSeq
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val seeds = adj.keys.toSeq.sortBy(n => (md5hex(n.toString), n)).take(Graph.BetK)
+    val harm = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val hits = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    var deep = false
+    for (s <- seeds) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      var frontier = Seq(s)
+      var depth = 0
+      while (frontier.nonEmpty) {
+        val nxt = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .distinct.filterNot(dist.contains)
+        depth += 1
+        if (nxt.nonEmpty) {
+          assert(depth <= Graph.BetDepthCap, "replay exceeded the loud depth cap")
+          nxt.foreach(v => dist(v) = depth)
+        }
+        frontier = nxt
+      }
+      for ((v, dv) <- dist if dv >= 1) {
+        harm(v) += Graph.BetScale / dv
+        hits(v) += 1
+        if (dv >= 2) deep = true
+      }
+    }
+    (harm.toMap, deep, hits.values.exists(_ >= 2))
+  }
+
+  test("gr22: equals the driver-side harmonic replay; depth>=2 and multi-seed accumulation both non-vacuous") {
+    for (sf <- Seq(sf001, sf0001)) {
+      val (exp, deep, multi) = harmonicReplay(sf)
+      assert(deep, s"$sf: every reached node is at depth 1 — the 1/d weighting is vacuous")
+      assert(multi, s"$sf: no node is reached by two seeds — the sampled sum is vacuous")
+      val names = Tables.load(spark, sf, "nation")
+        .select("n_nationkey", "n_name").collect()
+        .map(r => lv(r, 0) -> r.getString(1)).toMap
+      val got = graft.GraftQuery.all.find(_.name == "gr22_harmonic_closeness").get
+        .build(spark, sf).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === names.map { case (k, n) => n -> exp.getOrElse(k, 0L) },
+        s"gr22 diverged from the driver-side harmonic replay at $sf")
+    }
+  }
 }

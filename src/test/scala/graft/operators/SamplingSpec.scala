@@ -254,4 +254,42 @@ class SamplingSpec extends AnyFunSuite {
     val whole = got.values.toSeq.filter(v => v._3 == v._4).groupBy(_._3)
     assert(whole.values.exists(_.size >= 2), "no sequence holds two whole docs")
   }
+
+  test("sp12: equals the driver-side importance-ratio replay; both polarities non-vacuous; a distinct signal from tx12") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(t: String): Int = Integer.parseInt(md5hex(t).substring(0, 4), 16) % 16
+    val toks = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).map(bucket))
+    // labels from the SHIPPED gate — the spec replays sp12's NEW math
+    // (the ratio table + scoring), not tx12's already-pinned verdicts
+    val kept = TextAnalysis.filterVerdicts(spark, sf001)
+      .filter(col("keep") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val raw = Array.fill(16)(0L)
+    val tgt = Array.fill(16)(0L)
+    for ((id, bs) <- toks; b <- bs) {
+      raw(b) += 1
+      if (kept(id)) tgt(b) += 1
+    }
+    val (tr, tt) = (raw.sum, tgt.sum)
+    // a bucket no token maps to (small fixture vocabulary) has no
+    // ratio row in the query either — its entry here is never consumed
+    val ru = Array.tabulate(16)(b =>
+      if (raw(b) == 0L) 0L else (tgt(b) * tr * 10000L) / (raw(b) * tt))
+    val expect = toks.map { case (id, bs) =>
+      val units = bs.map(b => ru(b)).sum
+      id -> ((bs.length.toLong, units, if (units >= bs.length * 10000L) 1 else 0))
+    }.toMap
+    val got = byName("sp12_dsir_importance").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    assert(got == expect, "sp12 diverged from the driver-side ratio replay: " +
+      s"changed=${expect.keySet.filter(k => got.get(k) != expect.get(k)).take(5)}")
+    // both polarities exist, and the selector is a DIFFERENT signal
+    // from the tx12 labels it distills from — not a rename of keep
+    val sel = got.filter(_._2._3 == 1).keySet
+    assert(sel.nonEmpty && sel.size < got.size, "selection is all-or-nothing — vacuous")
+    assert(sel != kept, "sp12's selection equals tx12's keep set exactly — it adds no signal")
+  }
 }

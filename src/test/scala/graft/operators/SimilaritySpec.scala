@@ -284,4 +284,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(members.size < emb.size - 1,
       "3 cells cover the whole corpus — the bound is vacuous")
   }
+
+  test("ss16: the nprobe sweep's knob genuinely moves both axes — recall monotone, cost strictly increasing and sub-corpus") {
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq(sf0001, sf001)) {
+      val rows = byName("ss16_nprobe_recall_sweep").build(spark, sf)
+        .orderBy(col("nprobe")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      assert(rows.map(_._1).toSeq === Seq(1, 2, 3), s"$sf: sweep settings missing")
+      val corpus = graft.Tables.load(spark, sf, "embeddings").count() - 1
+      for (Seq((_, m1, r1), (_, m2, r2)) <- rows.toSeq.sliding(2)) {
+        assert(m2 > m1, s"$sf: candidate cost must strictly grow with nprobe ($m1 -> $m2)")
+        assert(r2 >= r1, s"$sf: recall fell as nprobe grew ($r1 -> $r2)")
+      }
+      assert(rows.last._3 > rows.head._3,
+        s"$sf: recall flat across the whole sweep — the knob measured nothing")
+      assert(rows.last._2 < corpus,
+        s"$sf: nprobe=3 scans the whole corpus — the cost bound is vacuous")
+      // cross-family consistency: the sweep's endpoints are the shipped
+      // single-probe (ss11) and multi-probe (ss15) audits' recalls
+      def recallOf(name: String): Long = byName(name).build(spark, sf)
+        .agg(sum(col("hit"))).collect()(0).getLong(0)
+      assert(rows.head._3 === recallOf("ss11_ann_recall"),
+        s"$sf: sweep nprobe=1 disagrees with ss11")
+      assert(rows.last._3 === recallOf("ss15_multiprobe_ivf"),
+        s"$sf: sweep nprobe=3 disagrees with ss15")
+    }
+  }
 }
