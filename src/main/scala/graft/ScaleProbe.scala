@@ -138,7 +138,11 @@ object ScaleProbe {
       // r15: gr22 shares gr21's loop machinery (forward half only);
       // sp12's token->bucket frame is the one corpus-scale object —
       // both should track the scan, never the pair count
-      "gr22_harmonic_closeness", "sp12_dsir_importance").map(n => n -> run(n))
+      "gr22_harmonic_closeness", "sp12_dsir_importance",
+      // dd19's clone-replicated worst case: every copy repeats itself
+      // identically, so laters/cut-set grow linearly with docs — the
+      // (doc,gram) window must track that, never pair across docs
+      "dd19_intradoc_repeat_scrub").map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio

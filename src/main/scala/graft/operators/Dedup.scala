@@ -60,6 +60,16 @@ object Dedup {
   private[operators] val SpanK = 8
   private[operators] val MinSpan = 20
 
+  /** dd19's WITHIN-doc repeat resolution: a token n-gram this long
+    * recurring inside ONE document marks its later occurrences as
+    * repetition to scrub. 3, not SpanK: intra-doc repetition in real
+    * corpora (and this fixture — probed: zero intra-doc runs exist at
+    * 8-gram resolution at any scale, ~30-900 repeated trigram
+    * occurrences do) lives at phrase scale, not passage scale; the
+    * constant is the op's resolution knob, same declare-before-`all`
+    * discipline as SpanK. */
+  private[operators] val IntraK = 3
+
   // ---- oracle (DuckDB dialect) expression fragments ----
   // the Spark side runs the compiled graft_* expressions
   // (graft.functions); their SQL-dialect twins live in the specs that
@@ -1034,25 +1044,82 @@ object Dedup {
               |                           ORDER BY pos), '') AS cleaned
               |FROM o GROUP BY 1""".stripMargin),
       s"Duplicate-span REMOVAL — the corpus REWRITE dd13's doc promised as 'the downstream refinement': dd13 certifies every maximal cross-doc shared span >= $MinSpan tokens but only PRICES the duplication (its offset-grain token accounting may double-count overlapping runs); this pass actually CUTS it, Lee et al.'s ExactSubstr dedup completed as a transformation. Retention is canonical min-id (the dd08/dd12 discipline): each certified span survives in the pair's LOWER doc_id and is cut from the higher, so chained copies A<B<C collapse to A's single copy deterministically. The cut set is the POSITION-GRAIN UNION of all span intervals landing on a doc — distinct (doc_id, pos) IS the interval merge at token resolution, so overlapping spans from different partners (and different-offset runs over the same text, dd13's stated double-count) cost each token exactly once; n_removed is the exact deduplicated-token count dd13 could only upper-bound. Rewrite = posexplode to (doc_id, pos, token), left-semi to affected docs only (untouched docs never enter the doc-grain shuffle), anti-mark against the cut set, and per-doc ordered reassembly via array_sort(collect_list(struct(pos, tok))) — deterministic, and bounded by doc length exactly like every per-doc array op in the family. Output per AFFECTED doc: original token count, removed count, cleaned text. Scale: runs/intervals/cut-set are all sized by total DUPLICATED tokens (the output of the audit that motivated the cut), never corpus tokens; the positional index is dd13's priced cost, factored (spanRuns), computed once.") {
-      (s, dir) =>
-        val drops = spanDrops(s, dir)
-        val toks = docs(s, dir)
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
-          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-        toks.join(drops.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
-          .join(drops.withColumn("dropped", lit(1)), Seq("doc_id", "pos"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tokens"),
-            sum(when(col("dropped").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-            array_join(
-              transform(
-                array_sort(collect_list(when(col("dropped").isNull,
-                  struct(col("pos"), col("tok"))))),
-                x => x.getField("tok")),
-              " ").as("cleaned"))
+      (s, dir) => rewriteDropped(s, dir, spanDrops(s, dir))
+    },
+
+    GraftQuery(
+      "dd19_intradoc_repeat_scrub",
+      Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents),
+              |tg AS (SELECT doc_id, i AS pos, HASH(ARRAY_TO_STRING(a[i : i + ${IntraK - 1}], ' ')) AS g
+              |       FROM d, UNNEST(RANGE(1, GREATEST(LEN(a) - ${IntraK - 2}, 1))) AS t(i)
+              |       WHERE LEN(a) >= $IntraK),
+              |lat AS (SELECT doc_id, pos FROM (
+              |        SELECT doc_id, pos, MIN(pos) OVER (PARTITION BY doc_id, g) AS p0 FROM tg) x
+              |        WHERE pos > p0),
+              |dr AS (SELECT DISTINCT doc_id, pos + o AS pos
+              |       FROM lat, UNNEST(RANGE(0, $IntraK)) AS u(o)),
+              |toks AS (SELECT doc_id, i AS pos, a[i] AS tok
+              |         FROM d, UNNEST(RANGE(1, LEN(a) + 1)) AS t(i)),
+              |o AS (SELECT t.doc_id, t.pos, t.tok, dr.pos IS NOT NULL AS dropped
+              |      FROM toks t
+              |      JOIN (SELECT DISTINCT doc_id FROM dr) af USING (doc_id)
+              |      LEFT JOIN dr ON dr.doc_id = t.doc_id AND dr.pos = t.pos)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              |       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+              |       COALESCE(STRING_AGG(CASE WHEN NOT dropped THEN tok END, ' '
+              |                           ORDER BY pos), '') AS cleaned
+              |FROM o GROUP BY 1""".stripMargin),
+      s"WITHIN-doc repetition scrub — the INTRA-document axis of the rewrite family (dd18 cuts what documents share with EACH OTHER; this cuts what a document repeats to ITSELF — the Rae et al./Gopher repetition pathology tx09 only MEASURES as top-bigram fraction, completed as a transformation): every later occurrence of a token $IntraK-gram already seen in the SAME document is cut at position grain, keep-FIRST-occurrence retention (the positional analog of dd18's min-id rule: only later occurrences ever enter the cut set, so every cut position's gram occurs verbatim EARLIER in its own document — no content leaves the pre-rewrite corpus, only copies; as in dd18, a first copy can still be clipped by a DIFFERENT gram's overlapping cut). Resolution is $IntraK, not dd13's $SpanK, by measurement: the fixture (like short-form text generally) holds ZERO intra-doc runs at 8-gram scale at any sf, while repeated trigrams exist at all three — the constant is the knob separating phrase-scale repetition from passage-scale plagiarism, and the two ops share everything downstream of it (the cut set is the distinct (doc_id,pos) interval union — overlapping repeats of overlapping grams cost each token once; the rewrite is dd18's factored rewriteDropped verbatim: affected docs only, anti-mark, ordered reassembly). Scale shape: the positional gram frame shuffles ONCE keyed (doc_id, gram) for the first-occurrence window — partitioned BY DOCUMENT, so parallelism is doc-count and skew is bounded by doc length (no cross-doc join, no df cap needed: a gram hot across the corpus is irrelevant here, only repetition within one doc pairs); laters/cut-set are sized by repeated tokens. DedupSpec replays sequentially (per-doc seen-set walk) and pins both the repeat-exists and clean-docs polarities plus that every cut position's gram occurs verbatim earlier in its own doc.") {
+      (s, dir) => rewriteDropped(s, dir, intraDrops(s, dir))
     },
   )
+
+  /** dd19's position-grain cut set: later occurrences of any within-doc
+    * repeated [[IntraK]]-gram, exploded to token positions, distinct.
+    * One (doc_id, gram)-keyed window shuffle; sized by repeated tokens.
+    */
+  private[operators] def intraDrops(s: SparkSession, dir: String): DataFrame = {
+    val tg = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .withColumn("n", size(col("a")))
+      .filter(col("n") >= IntraK)
+      .select(col("doc_id"), col("a"),
+        explode(expr(s"sequence(1, n - ${IntraK - 1})")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", expr(s"slice(a, pos, $IntraK)"))).as("g"))
+    val wg = Window.partitionBy("doc_id", "g")
+    tg.withColumn("p0", min(col("pos")).over(wg))
+      .filter(col("pos") > col("p0"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pos, pos + ${IntraK - 1})")).as("pos"))
+      .distinct()
+  }
+
+  /** The shared span-cut REWRITE (dd18/dd19): given a position-grain
+    * cut set `(doc_id, pos)`, rebuild each AFFECTED document without
+    * the cut tokens — posexplode, left-semi to affected docs (untouched
+    * docs never enter the doc-grain shuffle), anti-mark, per-doc
+    * ordered reassembly via array_sort(collect_list(struct(pos, tok))).
+    * Output per affected doc: original/removed token counts + cleaned
+    * text; bounded by doc length like every per-doc array op.
+    */
+  private def rewriteDropped(s: SparkSession, dir: String, drops: DataFrame): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    toks.join(drops.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .join(drops.withColumn("dropped", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("dropped").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("dropped").isNull,
+              struct(col("pos"), col("tok"))))),
+            x => x.getField("tok")),
+          " ").as("cleaned"))
+  }
 
 
   /** dd13's factored core, shared with dd18: every maximal cross-doc

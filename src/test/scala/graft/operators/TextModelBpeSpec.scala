@@ -207,4 +207,53 @@ class TextModelBpeSpec extends AnyFunSuite {
       s"trained weights ($trained/${feats.size} agreement) must beat the " +
         s"frozen tx19 weights ($untrained/${feats.size})")
   }
+
+  test("tx23: curve equals the driver-side sweep replay; monotone in theta; an interior point discriminates") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val keep = graft.GraftQuery.all.find(_.name == "tx12_filter_chain").get
+      .build(spark, sf001).select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val feats = docs.toSeq.map { case (id, text) =>
+      val v = Array.fill(17)(0L); v(16) = 1L
+      text.split(" ", -1).foreach { t =>
+        v(Integer.parseInt(md5hex(t).take(4), 16) % 16) += 1
+      }
+      (v.toVector, if (keep(id) == 1) 1L else -1L)
+    }
+    var w = Vector.fill(17)(0L)
+    for (_ <- 1 to TextAnalysis.TxEpochs) {
+      val mis = feats.filter { case (x, y) =>
+        y * x.zip(w).map { case (a, b) => a * b }.sum <= 0 }
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj + mis.map { case (x, y) => y * x(j) }.sum }
+    }
+    val scores = feats.map { case (x, y) =>
+      (x.zip(w).map { case (a, b) => a * b }.sum, y) }
+    val (lo, hi) = (scores.map(_._1).min, scores.map(_._1).max)
+    val expect = (1 to 5).map { k =>
+      val theta = lo + ((hi - lo) * k) / 6
+      val tp = scores.count { case (s, y) => s >= theta && y == 1L }.toLong
+      val fp = scores.count { case (s, y) => s >= theta && y == -1L }.toLong
+      val fn = scores.count { case (s, y) => s < theta && y == 1L }.toLong
+      val tn = scores.count { case (s, y) => s < theta && y == -1L }.toLong
+      k -> ((theta, tp, fp, fn, tn))
+    }.toMap
+    val got = graft.GraftQuery.all.find(_.name == "tx23_operating_curve").get
+      .build(spark, sf001).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expect, "tx23 diverged from the driver-side sweep replay")
+    // the curve's defining shape: raising theta can only shed keeps
+    val ordered = (1 to 5).map(got)
+    for (Seq(a, b) <- ordered.sliding(2)) {
+      assert(b._2 <= a._2, "tp increased as theta rose")
+      assert(b._5 >= a._5, "tn decreased as theta rose")
+    }
+    // an interior threshold genuinely splits the corpus (neither
+    // everything kept nor everything dropped) — the table discriminates
+    assert(ordered.exists(r => r._2 + r._3 > 0 && r._4 + r._5 > 0),
+      "no threshold splits the corpus — the sweep is vacuous")
+  }
 }
