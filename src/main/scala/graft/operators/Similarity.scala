@@ -82,6 +82,13 @@ object Similarity {
     .agg(transform(array_sort(collect_list(struct(col("pos"), col("cu")))),
       x => x("cu")).as("cs"))
 
+  /** ss17's per-subspace Lloyd round count. 2 suffices: PQ codebooks
+    * converge fast at k=4/dim=8, and the oracle unrolls each round as
+    * CTEs. Declared BEFORE `all` (object init order — a later val
+    * interpolates as 0 into the query doc, the Dedup SpanK lesson).
+    */
+  private[operators] val PqRounds = 2
+
   /** Integer dot product of two long-array columns. */
   private def idot(a: String, b: String) =
     aggregate(zip_with(col(a), col(b), (x, y) => x * y),
@@ -151,7 +158,37 @@ object Similarity {
     * recall audit measures exactly the pipeline ss09 ships, not a
     * paraphrase that could drift.
     */
-  private def ivfPqCtes(nprobe: Int, adcK: Int): String =
+  private def ivfPqCtes(nprobe: Int, adcK: Int, trainRounds: Int = 0): String = {
+    // the serving codebook CTE, always named `cds` so the downstream
+    // encode/ADC/rerank text is ONE copy for every consumer: either
+    // the raw seed subslices (ss08/ss09's codebook) or, with
+    // trainRounds > 0, per-subspace Lloyd iterations over ALL corpus
+    // subvectors starting from those same seeds (ss17)
+    val seedCds =
+      """SELECT code, s.sub, qs[s.sub * 8 + 1 : s.sub * 8 + 8] AS qc
+        |       FROM seeds, (SELECT UNNEST(RANGE(0, 8)) AS sub) s""".stripMargin
+    val cdsClause =
+      if (trainRounds == 0) s"cds AS MATERIALIZED ($seedCds)"
+      else {
+        val rounds = (1 to trainRounds).map { r =>
+          s"""pd$r AS (SELECT v.vec_id, v.sub, c.code,
+             |        LIST_SUM(LIST_TRANSFORM(RANGE(1, 9), i -> (v.sv[i] - c.qc[i]) * (v.sv[i] - c.qc[i]))) AS d
+             |        FROM svq v JOIN cb${r - 1} c USING (sub)),
+             |pa$r AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+             |    SELECT vec_id, sub, code, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+             |    FROM pd$r) t WHERE rn = 1),
+             |pc$r AS MATERIALIZED (SELECT a.sub, a.code, t.i AS pos,
+             |        CAST(FLOOR(CAST(SUM(v.sv[t.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cu
+             |    FROM pa$r a JOIN svq v USING (vec_id, sub), (SELECT UNNEST(RANGE(1, 9)) AS i) t
+             |    GROUP BY 1, 2, 3),
+             |cb$r AS MATERIALIZED (SELECT sub, code, LIST(cu ORDER BY pos) AS qc FROM pc$r GROUP BY 1, 2)""".stripMargin
+        }.mkString(",\n")
+        s"""svq AS MATERIALIZED (SELECT q.vec_id, s.sub, q.qe[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+           |       FROM q, (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
+           |cb0 AS MATERIALIZED ($seedCds),
+           |$rounds,
+           |cds AS MATERIALIZED (SELECT code, sub, qc FROM cb$trainRounds)""".stripMargin
+      }
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
       |seeds AS MATERIALIZED (SELECT qe AS qs,
@@ -171,8 +208,7 @@ object Similarity {
       |          WHERE a.cell = c.cell AND a.vec_id <> 0),
       |subs AS MATERIALIZED (SELECT q.vec_id, s.sub, q.qe[s.sub * 8 + 1 : s.sub * 8 + 8] AS qv
       |        FROM q JOIN members USING (vec_id), (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
-      |cds AS MATERIALIZED (SELECT code, s.sub, qs[s.sub * 8 + 1 : s.sub * 8 + 8] AS qc
-      |       FROM seeds, (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
+      |$cdsClause,
       |pq AS MATERIALIZED (SELECT vec_id, sub, code FROM (
       |    SELECT v.vec_id, v.sub, c.code,
       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
@@ -189,6 +225,7 @@ object Similarity {
       |rer AS (SELECT q.vec_id,
       |               LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (q.qe[i] - v.qe[i]) * (q.qe[i] - v.qe[i]))) AS exact_d
       |        FROM q JOIN cand USING (vec_id), qvec v)""".stripMargin
+  }
 
   /** The ss09 probe as a reusable builder (vec_id, exact_d_units, rn
     * 1..10) — ss11 joins the exact answer against this same plan.
@@ -203,7 +240,8 @@ object Similarity {
     * frame; everything downstream is adcK rows.
     */
   private def ivfPqParts(s: SparkSession, dir: String,
-      nprobe: Int, adcK: Int): (DataFrame, DataFrame) = {
+      nprobe: Int, adcK: Int,
+      cdsOverride: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val q = qemb(s, dir)
     val seeds = mdSeeds(q, 4)
     val qvec = q.filter(col("vec_id") === 0).select(col("qe").as("qq"))
@@ -225,8 +263,9 @@ object Similarity {
     // PQ-encode members (ss08's assignment restricted to the cell)
     val subs = members.select(col("vec_id"), explode(subSlices("qe", "qv")).as("x"))
       .select(col("vec_id"), col("x.sub").as("sub"), col("x.qv").as("qv"))
-    val cds = seeds.select(col("code"), explode(subSlices("qs", "qc")).as("x"))
-      .select(col("code"), col("x.sub").as("sub"), col("x.qc").as("qc"))
+    val cds = cdsOverride.getOrElse(
+      seeds.select(col("code"), explode(subSlices("qs", "qc")).as("x"))
+        .select(col("code"), col("x.sub").as("sub"), col("x.qc").as("qc")))
     val pq = subs.join(broadcast(cds), Seq("sub"))
       .withColumn("d", il2("qv", "qc"))
       .groupBy(col("vec_id"), col("sub"))
@@ -879,7 +918,94 @@ object Similarity {
               col("n_members"), col("recall10"))
         }.reduce(_ unionByName _)
     },
+
+    GraftQuery(
+      "ss17_trained_pq_recall",
+      Some(trainedPqOracle),
+      s"TRAINED PQ CODEBOOKS — the OTHER half of the train->serve story ss12 closed for the coarse quantizer: an IVF-PQ index has TWO trained artifacts (the coarse cells that route, and the 8 per-subspace codebooks that compress), and until now the codebooks were raw md5 seed subslices (ss08's init) — compression was untrained. ss17 trains them: $PqRounds per-subspace Lloyd rounds over ALL corpus subvectors (assignment at (vec_id, sub) grain — integer-L2 argmin against the 4-entry broadcast codebook per subspace; re-estimation the floored-integer-mean of ss10's discipline, 256 counter-grain rows per round), then serves the SAME single-probe IVF-PQ pipeline twice under identical conditions — seed codebooks vs trained codebooks (ivfPqParts parameterized by codebook, so both runs are the shipped plan) — with each answer attributed per-rank against the brute-force exact top-10 (ss12's dual-flag output: hit_seeded, hit_trained). The measured number: SUM(hit_trained) - SUM(hit_seeded) is what codebook training buys at fixed serve cost (candidate count UNCHANGED — training moves the ADC ranking's fidelity, not the bill; compare ss15/ss16, which buy recall by paying more candidates) — and on THIS fixture it measures <= 0 (the ss12 result repeated at the PQ axis: the synthetic embeddings are isotropic, so lower quantization error does not translate to better top-k recall on structure-free geometry; catching that BEFORE a fleet burns a codebook-training pass is the audit's whole job). SimilaritySpec pins the property training GUARANTEES — total quantization distortion strictly decreases from seed to trained codebooks (Lloyd's objective moved) — and the attribution frame's shape; recall is reported, not asserted. At 100 TB: training cost is $PqRounds x (corpus-subvector scan + a 256-row reduce) — the same shape ss10 prices for the coarse half; codebooks stay KB-scale broadcasts forever.") {
+      (s, dir) =>
+        val q = qemb(s, dir)
+        val qvec = q.filter(col("vec_id") === 0).select(col("qe").as("qq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("exact_d_units"), col("vec_id"))
+        val exact = Materialize(q.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qvec))
+          .withColumn("exact_d_units", il2("qe", "qq"))
+          .select(col("vec_id"), col("exact_d_units"))
+          .orderBy(col("exact_d_units"), col("vec_id")).limit(10)
+          .withColumn("rnk", row_number().over(w).cast("int")))
+        val seeded = ivfPqParts(s, dir, 1, 20)._2
+          .select(col("vec_id"), lit(1).as("hs"))
+        val trained = ivfPqParts(s, dir, 1, 20,
+            Some(pqTrainedCodebooks(s, dir)))._2
+          .select(col("vec_id"), lit(1).as("ht"))
+        exact
+          .join(broadcast(seeded), Seq("vec_id"), "left")
+          .join(broadcast(trained), Seq("vec_id"), "left")
+          .select(col("rnk"), col("vec_id"), col("exact_d_units"),
+            coalesce(col("hs"), lit(0)).cast("int").as("hit_seeded"),
+            coalesce(col("ht"), lit(0)).cast("int").as("hit_trained"))
+    },
   )
+
+  /** ss17's per-subspace Lloyd training: [[PqRounds]] rounds over all
+    * corpus subvectors, starting from the md5 seeds' subslices. Out:
+    * `(code, sub, qc)` — the trained 8x4 codebook table, KB-scale.
+    * Exposed to the spec so the distortion pin measures the exact
+    * codebooks the query serves.
+    */
+  private[operators] def pqTrainedCodebooks(s: SparkSession, dir: String): DataFrame = {
+    val q = qemb(s, dir)
+    val seeds = mdSeeds(q, 4)
+    val svq = Materialize(q.select(col("vec_id"), explode(subSlices("qe", "sv")).as("x"))
+      .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv")))
+    var cds = Materialize(seeds.select(col("code"), explode(subSlices("qs", "qc")).as("x"))
+      .select(col("code"), col("x.sub").as("sub"), col("x.qc").as("qc")))
+    for (_ <- 1 to PqRounds) {
+      val asg = svq.join(broadcast(cds), Seq("sub"))
+        .withColumn("d", il2("sv", "qc"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"),
+          first(col("sv")).as("sv"))
+      cds = Materialize(asg
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).as("cu"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cu")))),
+          x => x("cu")).as("qc"))
+        .select(col("code"), col("sub"), col("qc")))
+    }
+    cds
+  }
+
+  /** ss17's oracle: the exact top-10 joined against two self-contained
+    * probe blocks — the shared [[ivfPqCtes]] text untrained and with
+    * [[PqRounds]] Lloyd rounds injected ahead of the SAME serving
+    * CTEs (ss16's scoped-derived-table nesting).
+    */
+  private lazy val trainedPqOracle: String = {
+    def annBlock(rounds: Int) =
+      s"""(${ivfPqCtes(1, 20, rounds)},
+         |ann AS (SELECT vec_id FROM (
+         |    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY exact_d, vec_id) AS rn FROM rer) t
+         |    WHERE rn <= 10)
+         |SELECT vec_id FROM ann)""".stripMargin
+    s"""SELECT e.rnk, e.vec_id, e.exact_d_units,
+       |       CAST(CASE WHEN s.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS hit_seeded,
+       |       CAST(CASE WHEN t.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS hit_trained
+       |FROM (WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |      q AS (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
+       |      qvec AS (SELECT qe FROM q WHERE vec_id = 0)
+       |      SELECT CAST(ROW_NUMBER() OVER (ORDER BY d, vec_id) AS INT) AS rnk, vec_id,
+       |             CAST(d AS BIGINT) AS exact_d_units
+       |      FROM (SELECT q.vec_id,
+       |              LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (q.qe[i] - v.qe[i]) * (q.qe[i] - v.qe[i]))) AS d
+       |            FROM q, qvec v WHERE q.vec_id <> 0) t
+       |      ORDER BY d, vec_id LIMIT 10) e
+       |LEFT JOIN ${annBlock(0)} s USING (vec_id)
+       |LEFT JOIN ${annBlock(PqRounds)} t USING (vec_id)""".stripMargin
+  }
 
   /** ss16's oracle: three self-contained sweep blocks (nprobe 1/2/3,
     * adcK 20/40/60), each the SAME [[ivfPqCtes]] text ss09/ss11/ss15
