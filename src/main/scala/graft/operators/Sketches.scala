@@ -216,5 +216,43 @@ object Sketches {
           .select(col("day"), col("exact_7d"),
             (abs(col("est") - col("exact_7d")) / col("exact_7d") < 0.05)
               .as("sketch_within_5pct"))
+    },
+
+    GraftQuery(
+      "sk07_quantile_window_rollup",
+      Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+             |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
+             |daily AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+             |days AS (SELECT DISTINCT day AS d FROM daily),
+             |merged AS (SELECT dy.d, p.v, CAST(SUM(p.n) AS BIGINT) AS n
+             |           FROM days dy JOIN daily p ON p.day BETWEEN dy.d - 6 AND dy.d
+             |           GROUP BY 1, 2),
+             |ranked AS (SELECT d, v, n,
+             |                  SUM(n) OVER (PARTITION BY d ORDER BY v) AS run,
+             |                  SUM(n) OVER (PARTITION BY d) AS tot FROM merged)
+             |SELECT d AS day, CAST(MAX(tot) AS BIGINT) AS n_events,
+             |       MIN(CASE WHEN run * 2 >= tot THEN v END) AS p50_cents,
+             |       MIN(CASE WHEN run * 10 >= tot * 9 THEN v END) AS p90_cents
+             |FROM ranked GROUP BY 1""".stripMargin),
+      "Rolling 7-day QUANTILES from daily mergeable partials — the temporal rollup for the sketch store's OTHER headline statistic (sk06 rolls up distinct counts; every latency/price dashboard also wants windowed p50/p90, and re-scanning a 100 TB fact table per window is the thing a partial store exists to avoid). The partial is an EXACT value-grain histogram per day — (day, value-in-cents, count), the bounded-domain practice (prices quantize to cents, latencies to ms buckets; when the domain is genuinely unbounded the mergeable KLL sketch q40 surfaces is the fallback, trading this op's exactness for fixed size) — built in ONE map-side-combining pass; any trailing window is then a day-cardinality merge (7 partials summed value-wise), and the quantile reads off the merged histogram by the INTEGER rule: p50 = min v with 2*running >= total, p90 = min v with 10*running >= 9*total — percentile_disc semantics spelled as exact integer comparisons, so there is NO percentile function and NO interpolation to diverge cross-engine (the tx23 threshold lesson applied to quantiles). Scale shape: the fact table is scanned once for the daily partials; the rolling merge joins a day-list broadcast to the day-x-values store (microscopic at any fact scale); the running sum windows partition BY DAY. Same-store-many-windows is the sk06 contract: 7/28/90-day windows all read the same daily partials. SketchesSpec replays the windowed medians from raw collected events and pins that windows genuinely span multiple days.") {
+      (s, dir) =>
+        val ev = t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"),
+            expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v"))
+        val daily = Materialize(ev.groupBy("day", "v").agg(count(lit(1)).as("n")))
+        val days = daily.select(col("day").as("d")).distinct()
+        val merged = days
+          .join(broadcast(daily),
+            col("day").between(date_sub(col("d"), 6), col("d")))
+          .groupBy(col("d"), col("v")).agg(sum(col("n")).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("d").orderBy("v")
+        val totals = merged.groupBy("d").agg(sum(col("n")).as("tot"))
+        merged.withColumn("run", sum(col("n")).over(w))
+          .join(broadcast(totals), "d")
+          .groupBy(col("d").as("day"))
+          .agg(max(col("tot")).cast("bigint").as("n_events"),
+            min(when(col("run") * 2 >= col("tot"), col("v"))).as("p50_cents"),
+            min(when(col("run") * 10 >= col("tot") * 9, col("v"))).as("p90_cents"))
     })
 }

@@ -118,7 +118,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "gr22_harmonic_closeness", // shared edges() front door 1-row median broadcast (gr21's forward loop, checkpoint-derived state)
     "sp12_dsir_importance", // 1-row corpus-totals frame broadcast into the 16-row ratio table (pr04's two-stat-frames pattern)
     "tx23_operating_curve", // tx22's 1-row weight/update frames + the 1-row min/max and 5-row threshold broadcasts
-    "ss17_trained_pq_recall" // ss09's probe shape x2 (seeded + trained codebooks) + the 1-row query-vector broadcasts
+    "ss17_trained_pq_recall", // ss09's probe shape x2 (seeded + trained codebooks) + the 1-row query-vector broadcasts
+    "sk07_quantile_window_rollup" // sk06's day-range merge shape: day-list x daily-partial broadcasts (~30 rows each side)
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {

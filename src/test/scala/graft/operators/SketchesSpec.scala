@@ -100,4 +100,31 @@ class SketchesSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).max
     assert(here.values.max > daily, "no window exceeds a single day — merge vacuous")
   }
+
+  test("sk07: windowed quantiles from daily partials equal a raw-event replay; windows genuinely span days") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(to_date(col("ts")).as("day"), col("value"))
+      .collect().map(r => (r.getDate(0).toLocalDate, math.floor(r.getDouble(1) * 100).toLong))
+    val days = ev.map(_._1).distinct
+    val expect = days.map { d =>
+      val win = ev.filter { case (dy, _) =>
+        !dy.isAfter(d) && !dy.isBefore(d.minusDays(6)) }.map(_._2).sorted
+      val n = win.length.toLong
+      def q(num: Long, den: Long): Long = {
+        // min v with den*running >= num*total, over the sorted multiset
+        var run = 0L
+        win.find { _ => run += 1; run * den >= n * num }.get
+      }
+      d.toString -> ((n, q(1, 2), q(9, 10)))
+    }.toMap
+    val got = run("sk07_quantile_window_rollup").collect()
+      .map(r => r.getDate(0).toLocalDate.toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect, "sk07 diverged from the raw-event replay")
+    // merging is non-vacuous: some window holds more events than any
+    // single day contributes
+    val maxDaily = ev.groupBy(_._1).map(_._2.size).max.toLong
+    assert(got.values.map(_._1).max > maxDaily,
+      "no window exceeds a single day's volume — the 7-day merge is vacuous")
+  }
 }
