@@ -259,5 +259,106 @@ object Pipeline {
           .agg(count(lit(1)).as("n")).select(lit(5).as("stage"), col("detail"), col("n"))
         Seq(st0, st1, st2a, st2b, st3, st4, st5).reduce(_ unionByName _)
           .select(col("stage").cast("int"), col("detail"), col("n").cast("bigint"))
+    },
+
+    GraftQuery(
+      "pl04_model_gated_manifest",
+      Some(s"""WITH ${TextAnalysis.perceptronCtes},
+              |sc AS (SELECT f.doc_id,
+              |         CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 18), i -> f.x[i] * w.w[i])) AS BIGINT) AS score
+              |       FROM f, w${TextAnalysis.TxEpochs} w),
+              |mm AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM sc),
+              |th AS (SELECT CAST(k AS INT) AS k, lo + ((hi - lo) * k) // 6 AS theta
+              |       FROM mm, (SELECT UNNEST(RANGE(1, 6)) AS k) t),
+              |cur AS (SELECT th.k, th.theta,
+              |          CAST(SUM(CASE WHEN sc.score >= th.theta THEN 1 ELSE 0 END) AS BIGINT) AS keeps
+              |        FROM sc, th GROUP BY 1, 2),
+              |bud AS (SELECT CAST(SUM(CASE WHEN "keep" = 1 THEN 1 ELSE 0 END) AS BIGINT) AS budget FROM fc),
+              |best AS (SELECT theta FROM cur, bud ORDER BY ABS(keeps - budget), k LIMIT 1),
+              |keepers AS (SELECT doc_id FROM ${Dedup.keeperIdsDuck} k),
+              |cont AS (SELECT train_doc AS doc_id FROM (${Decontam.pairsDuck}
+              |         SELECT DISTINCT train_doc FROM pairs) c),
+              |s1 AS (SELECT doc_id FROM sc, best WHERE score >= theta),
+              |s2 AS (SELECT doc_id FROM s1 WHERE doc_id IN (SELECT doc_id FROM keepers)),
+              |s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+              |toks AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens FROM documents),
+              |r AS (SELECT s3.doc_id, t.n_tokens,
+              |             ROW_NUMBER() OVER (ORDER BY t.n_tokens DESC, s3.doc_id) AS rn
+              |      FROM s3 JOIN toks t USING (doc_id))
+              |SELECT CAST(0 AS INT) AS stage, 'docs_in' AS detail, COUNT(*) AS n FROM documents
+              |UNION ALL SELECT 1,
+              |  CASE WHEN score >= theta THEN 'model_keep' ELSE 'model_drop' END, COUNT(*)
+              |FROM sc, best GROUP BY 2
+              |UNION ALL SELECT 2,
+              |  CASE WHEN doc_id IN (SELECT doc_id FROM keepers)
+              |       THEN 'kept' ELSE 'duplicate' END, COUNT(*)
+              |FROM s1 GROUP BY 2
+              |UNION ALL SELECT 3,
+              |  CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+              |       THEN 'contaminated' ELSE 'kept' END, COUNT(*)
+              |FROM s2 GROUP BY 2
+              |UNION ALL SELECT 4,
+              |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END, COUNT(*)
+              |FROM (SELECT ${Sampling.duckBucket100Of("doc_id")} AS b FROM s3) sb GROUP BY 2
+              |UNION ALL SELECT 5, 'shard_' || CAST(
+              |  CASE WHEN ((rn - 1) // 16) % 2 = 0 THEN (rn - 1) % 16
+              |       ELSE 15 - (rn - 1) % 16 END AS VARCHAR), COUNT(*)
+              |FROM r GROUP BY 2""".stripMargin),
+      "MODEL-GATED corpus-build manifest — the DCLM/FineWeb production shape, closing train (tx22) -> calibrate (tx23) -> serve (tx19) -> ADMIT as one dataflow: pl01 gates on hand-written rules (tx12); production distills those rules into a linear classifier precisely so the GATE ITSELF can be the model (one broadcast dot per doc, vs the rule chain's dozen per-doc aggregations — the economic argument for model-based filtering, executed). The gate's threshold is NOT raw sign: serve-at-sign(0) drops ALL 500 fixture docs (measured — the weak 4-epoch perceptron's scores are uniformly negative; exactly why no production pipeline serves a classifier uncalibrated, and why tx23 exists). Instead the operating point is BUDGET-MATCHED from tx23's shared threshold grid: theta* = the candidate whose keep-count is closest to the rule gate's own keep-count (ties to the smaller index) — 'keep the same corpus volume the rules kept, let the model pick WHICH docs', the token-budget calibration recipe; chosen entirely from counter-grain aggregates (5-row curve x 1-row budget). Stage rows: docs_in; model_keep/model_drop at theta* (genuinely different membership from tx12's keeps — spec-pinned); then pl01's stages verbatim on the model-admitted set — kept-vs-duplicate (dd08's corpus-global keepers), kept-vs-contaminated (dc01's purge set), train/val/test split, 16 serpentine shard loads. FACTORED throughout: perceptronFeats/perceptronEpochs/thresholdGrid are tx22/tx23's exact cores, downstream stages are pl01's cores untouched, and the oracle chains the same CTEs so both engines train, calibrate, and admit identically. At 100 TB: features+labels build once (checkpointed), each epoch and the scoring pass are linear scans, calibration is counter-grain, the chain adds only doc_id-keyed semi/anti joins. PipelineSpec pins every stage count against the standalone operators chained driver-side and that the model gate differs from the rule gate.") {
+      (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val feats = TextAnalysis.perceptronFeats(s, dir)
+        val wf = TextAnalysis.perceptronEpochs(s, feats).last.select("w")
+        val scored = Materialize(feats.crossJoin(broadcast(wf))
+          .select(col("doc_id"), col("y"),
+            expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
+              .as("score")))
+        // budget-matched operating point from tx23's shared grid:
+        // keep-count closest to the rule gate's keep-count (the y
+        // labels ARE tx12's verdicts — no second rule pass)
+        val curve = scored.crossJoin(TextAnalysis.thresholdGrid(scored))
+          .groupBy("k", "theta")
+          .agg(sum(when(col("score") >= col("theta"), 1L).otherwise(0L)).as("keeps"))
+        val budget = scored.agg(
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("budget"))
+        val best = broadcast(curve.crossJoin(broadcast(budget))
+          .orderBy(abs(col("keeps") - col("budget")), col("k")).limit(1)
+          .select("theta"))
+        val gated = Materialize(scored.crossJoin(best)
+          .select(col("doc_id"),
+            (col("score") >= col("theta")).as("model_keep")))
+        val toks = docs.select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        val keepers = Dedup.keeperIds(s, dir)
+        val cont = Decontam.overlapPairs(s, dir)
+          .select(col("train_doc").as("doc_id")).distinct()
+        val s1 = Materialize(gated.filter(col("model_keep"))
+          .join(toks, Seq("doc_id")).select("doc_id", "n_tokens"))
+        val cls2 = Materialize(s1
+          .join(keepers.withColumn("is_keeper", lit(1)), Seq("doc_id"), "left"))
+        val s2 = cls2.filter(col("is_keeper").isNotNull).select("doc_id", "n_tokens")
+        val cls3 = Materialize(s2
+          .join(broadcast(cont.withColumn("is_cont", lit(1))), Seq("doc_id"), "left"))
+        val s3 = cls3.filter(col("is_cont").isNull).select("doc_id", "n_tokens")
+        val st0 = docs.agg(count(lit(1)).as("n"))
+          .select(lit(0).as("stage"), lit("docs_in").as("detail"), col("n"))
+        val st1 = gated.groupBy(
+            when(col("model_keep"), "model_keep").otherwise("model_drop").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(1).as("stage"), col("detail"), col("n"))
+        val st2 = cls2.groupBy(
+            when(col("is_keeper").isNotNull, "kept").otherwise("duplicate").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(2).as("stage"), col("detail"), col("n"))
+        val st3 = cls3.groupBy(
+            when(col("is_cont").isNotNull, "contaminated").otherwise("kept").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(3).as("stage"), col("detail"), col("n"))
+        val b = expr(Sampling.bucket100("doc_id"))
+        val st4 = s3.groupBy(
+            when(b < 80, "train").when(b < 90, "val").otherwise("test").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(4).as("stage"), col("detail"), col("n"))
+        val st5 = Sampling.serpentineShardAssignments(s3)
+          .groupBy(concat(lit("shard_"), col("shard").cast("string")).as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(5).as("stage"), col("detail"), col("n"))
+        Seq(st0, st1, st2, st3, st4, st5).reduce(_ unionByName _)
+          .select(col("stage").cast("int"), col("detail"), col("n").cast("bigint"))
     })
 }

@@ -843,11 +843,7 @@ object TextAnalysis {
           .select(col("doc_id"), col("y"),
             expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
               .as("score")))
-        val th = broadcast(sc.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
-          .select(explode(expr("sequence(1, 5)")).as("k"), col("lo"), col("hi"))
-          .select(col("k").cast("int").as("k"),
-            (col("lo") + expr("((hi - lo) * k) div 6")).as("theta")))
-        sc.crossJoin(th)
+        sc.crossJoin(thresholdGrid(sc))
           .groupBy("k", "theta")
           .agg(
             sum(when(col("score") >= col("theta") && col("y") === 1L, 1L).otherwise(0L)).as("tp"),
@@ -879,6 +875,18 @@ object TextAnalysis {
         expr("concat(v, array(1L))").as("x"),
         when(col("keep") === 1, 1L).otherwise(-1L).as("y")))
   }
+
+  /** tx23's 5-point equal-width threshold grid over a scored frame —
+    * (k 1..5, theta = lo + (hi-lo)*k div 6) from a 1-row min/max
+    * aggregate, broadcast. Shared by tx23 (the curve) and pl04 (the
+    * budget-matched gate) so "candidate operating points" has exactly
+    * one definition.
+    */
+  private[operators] def thresholdGrid(sc: DataFrame): DataFrame =
+    broadcast(sc.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+      .select(explode(expr("sequence(1, 5)")).as("k"), col("lo"), col("hi"))
+      .select(col("k").cast("int").as("k"),
+        (col("lo") + expr("((hi - lo) * k) div 6")).as("theta")))
 
   /** ...and the [[TxEpochs]] batch-perceptron updates over it: one
     * `(w[17], n_miss)` 1-row frame per epoch, in epoch order, each
@@ -1029,7 +1037,7 @@ object TextAnalysis {
     * weights) -> (17 coalesced integer sums + the miss count) ->
     * (elementwise add). All arithmetic BIGINT, order-free.
     */
-  private lazy val perceptronCtes: String = {
+  private[operators] lazy val perceptronCtes: String = {
     val sums = (1 to 17).map(i => s"CAST(COALESCE(SUM(y * x[$i]), 0) AS BIGINT)")
       .mkString("LIST_VALUE(", ", ", ")")
     val epoch = (e: Int) =>

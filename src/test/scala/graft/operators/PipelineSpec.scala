@@ -83,6 +83,79 @@ class PipelineSpec extends AnyFunSuite {
     assert(stage(5).values.sum === s3.size.toLong)
   }
 
+  test("pl04: model-gated stage counts equal the standalone operators chained driver-side; model gate differs from rule gate") {
+    val manifest = build("pl04_model_gated_manifest").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    def stage(k: Int): Map[String, Long] =
+      manifest.collect { case ((s, d), n) if s == k => d -> n }
+
+    // the gate, replayed end-to-end: md5 features + the SHIPPED
+    // trained weights (perceptronEpochs is the tx22 core the query
+    // calls), tx19's serving rule score >= 0
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val w = TextAnalysis.perceptronEpochs(spark,
+        TextAnalysis.perceptronFeats(spark, sf001))
+      .last.select("w").collect()(0).getSeq[Long](0).toVector
+    val docs = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tokens = docs.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val ruleKeep = build("tx12_filter_chain").select("doc_id", "keep").collect()
+      .collect { case r if r.getInt(1) == 1 => r.getLong(0) }.toSet
+    val scores = docs.map { case (id, text) =>
+      val v = Array.fill(17)(0L); v(16) = 1L
+      text.split(" ", -1).foreach { t =>
+        v(Integer.parseInt(md5hex(t).take(4), 16) % 16) += 1
+      }
+      id -> v.toVector.zip(w).map { case (a, b) => a * b }.sum
+    }.toMap
+    // the budget-matched operating point: tx23's grid, keep-count
+    // closest to the rule gate's keep-count, ties to the smaller k
+    val (lo, hi) = (scores.values.min, scores.values.max)
+    val thetaStar = (1 to 5).map { k =>
+      val theta = lo + ((hi - lo) * k) / 6
+      val keeps = scores.values.count(_ >= theta).toLong
+      (math.abs(keeps - ruleKeep.size), k, theta)
+    }.min._3
+    val modelKeep = scores.collect { case (id, s) if s >= thetaStar => id }.toSet
+    val keepers = build("dd08_dedup_keepers").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val cont = build("dc01_benchmark_overlap").select("train_doc").collect()
+      .map(_.getLong(0)).toSet
+    val s1 = modelKeep
+    val s2 = s1.intersect(keepers)
+    val s3 = s2.diff(cont)
+
+    assert(stage(0) === Map("docs_in" -> docs.length.toLong))
+    assert(stage(1) === Map("model_keep" -> s1.size.toLong,
+      "model_drop" -> (docs.length - s1.size).toLong).filter(_._2 > 0))
+    assert(stage(2) === Map("kept" -> s2.size.toLong,
+      "duplicate" -> (s1.size - s2.size).toLong).filter(_._2 > 0))
+    assert(stage(3) === Map("kept" -> s3.size.toLong,
+      "contaminated" -> (s2.size - s3.size).toLong).filter(_._2 > 0))
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100
+    val expSplit = s3.toSeq.map(bucket).groupBy {
+      case b if b < 80 => "train"
+      case b if b < 90 => "val"
+      case _ => "test"
+    }.view.mapValues(_.size.toLong).toMap
+    assert(stage(4) === expSplit)
+    val expShards = s3.toSeq.map(id => (tokens(id), id))
+      .sortBy { case (t, id) => (-t, id) }.zipWithIndex
+      .map { case (_, i) =>
+        if ((i / 16) % 2 == 0) i % 16 else 15 - i % 16
+      }.groupBy(s => s"shard_$s").view.mapValues(_.size.toLong).toMap
+    assert(stage(5) === expShards)
+
+    // this is a DIFFERENT pipeline, not pl01 renamed: the trained
+    // model's keep set must genuinely disagree with tx12's rule set
+    assert(modelKeep != ruleKeep,
+      "the model gate admits exactly the rule gate's set — distillation pinned nothing")
+    assert(s3.nonEmpty, "model-gated chain admitted nothing — every stage pin is vacuous")
+  }
+
   test("pl02: incremental stage counts equal the standalone operators chained driver-side") {
     val manifest = build("pl02_incremental_manifest").collect()
       .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
