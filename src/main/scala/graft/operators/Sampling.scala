@@ -458,5 +458,52 @@ object Sampling {
           .select(col("doc_id"), col("n_tokens"), col("dsir_units"),
             when(col("dsir_units") >= col("n_tokens") * lit(10000L), 1)
               .otherwise(0).cast("int").as("selected"))
+    },
+
+    GraftQuery(
+      "pk04_length_bucketed_batches",
+      Some("""WITH d AS (SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS len,
+             |            md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |rb AS (SELECT *, CAST(len // 16 AS INT) AS bkt,
+             |         ROW_NUMBER() OVER (PARTITION BY len // 16 ORDER BY h, doc_id) AS rn FROM d),
+             |ra AS (SELECT *, CAST(-1 AS INT) AS bkt,
+             |         ROW_NUMBER() OVER (ORDER BY h, doc_id) AS rn FROM d),
+             |u AS (SELECT 'bucketed' AS strategy, bkt, CAST((rn - 1) // 32 AS INT) AS batch_id, len FROM rb
+             |      UNION ALL
+             |      SELECT 'arrival', bkt, CAST((rn - 1) // 32 AS INT), len FROM ra)
+             |SELECT strategy, bkt AS bucket, batch_id,
+             |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |       CAST(MAX(len) AS BIGINT) AS max_len,
+             |       CAST(COUNT(*) * MAX(len) - SUM(len) AS BIGINT) AS pad_tokens
+             |FROM u GROUP BY 1, 2, 3""".stripMargin),
+      "LENGTH-BUCKETED inference batching — the serving/eval-side packing axis (pk01-pk03 pack for TRAINING, where concat erases lengths; inference and scoring pad every sequence in a batch to the batch max, so batch composition IS a cost knob: arrival-order batches pay mean(batch_max - len) per doc in dead pad FLOPs, and the standard fix — HF group_by_length, fairseq's bucketing — is to batch WITHIN length buckets). One query emits the per-batch cost table for BOTH strategies over the same corpus and the same deterministic md5 order (sp01's reproducibility contract: batches are identical across runs, partitionings, and engines): per (strategy, bucket, batch of 32) — doc count, padded length, and pad_tokens = n*max - sum, the exact dead-compute bill; Σ pad(bucketed) vs Σ pad(arrival) is the measured win (~6x on the fixture), read straight off the output. Scale shape: the within-bucket rank is a (bucket, md5-prefix)-partitioned window + a counter-grain per-bucket offset broadcast — the pk03 two-phase discipline with the bucket key prepended, so no doc-grain single partition exists under EITHER strategy (the arrival baseline gets the same two-phase treatment with one pseudo-bucket; the oracle spells both as plain windows, which DuckDB may run single-threaded — the SPARK plan is what the sweep audits). Buckets are 16-token bins (the fixture's length spread is ~30-100; the width is the op's granularity knob — production tunes it against bucket-count fragmentation, visible here as short tail batches). SamplingSpec replays both deals sequentially and pins the bucketed total strictly under arrival.") {
+      (s, dir) =>
+        val d = docs(s, dir)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).as("len"),
+            md5(col("doc_id").cast("string")).as("h"))
+        def deal(strategy: String, bucketed: Boolean): DataFrame = {
+          val withB =
+            if (bucketed) d.withColumn("bkt", expr("len div 16").cast("int"))
+            else d.withColumn("bkt", lit(-1))
+          val pfx = withB.withColumn("pfx", substring(col("h"), 1, 2))
+          val wIn = Window.partitionBy("bkt", "pfx").orderBy("h", "doc_id")
+          val offs = pfx.groupBy("bkt", "pfx").agg(count(lit(1)).as("cnt"))
+            .withColumn("off", coalesce(
+              sum(col("cnt")).over(Window.partitionBy("bkt").orderBy("pfx")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          pfx.join(broadcast(offs.select("bkt", "pfx", "off")), Seq("bkt", "pfx"))
+            .withColumn("rn", col("off") + row_number().over(wIn))
+            .withColumn("batch_id", expr("CAST((rn - 1) div 32 AS INT)"))
+            .groupBy(col("bkt"), col("batch_id"))
+            .agg(count(lit(1)).as("nd"), max(col("len")).as("ml"), sum(col("len")).as("sl"))
+            .select(lit(strategy).as("strategy"), col("bkt").as("bucket"),
+              col("batch_id"),
+              col("nd").cast("bigint").as("n_docs"),
+              col("ml").cast("bigint").as("max_len"),
+              (col("nd") * col("ml") - col("sl")).cast("bigint").as("pad_tokens"))
+        }
+        deal("bucketed", bucketed = true)
+          .unionByName(deal("arrival", bucketed = false))
     })
 }

@@ -292,4 +292,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(sel.nonEmpty && sel.size < got.size, "selection is all-or-nothing — vacuous")
     assert(sel != kept, "sp12's selection equals tx12's keep set exactly — it adds no signal")
   }
+
+  test("pk04: both deals equal a sequential replay; bucketing strictly cuts total padding") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).length)
+    def deal(strategy: String, bucketOf: Int => Int): Map[(String, Int, Int), (Long, Long, Long)] =
+      docs.groupBy { case (_, len) => bucketOf(len) }.flatMap { case (bkt, rows) =>
+        rows.sortBy { case (id, _) => (md5hex(id.toString), id) }
+          .zipWithIndex.groupBy(_._2 / 32).map { case (b, grp) =>
+            val lens = grp.map(_._1._2.toLong)
+            (strategy, bkt, b) ->
+              ((grp.size.toLong, lens.max, grp.size * lens.max - lens.sum))
+          }
+      }
+    val expect = deal("bucketed", _ / 16) ++ deal("arrival", _ => -1)
+    val got = byName("pk04_length_bucketed_batches").build(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === expect, "pk04 diverged from the sequential deal replay")
+    // the whole point, measured: bucketing strictly cuts dead padding
+    def pad(s: String) = got.collect { case ((st, _, _), v) if st == s => v._3 }.sum
+    assert(pad("bucketed") < pad("arrival"),
+      s"bucketed padding ${pad("bucketed")} not under arrival ${pad("arrival")}")
+    // non-degenerate: multiple real buckets, and full batches exist
+    assert(got.keys.count(_._1 == "bucketed") > got.keys.count(_._1 == "arrival"),
+      "bucketing produced no extra batch structure")
+    assert(got.values.exists(_._1 == 32L), "no full batch of 32 — fixture too small to pin")
+  }
 }
