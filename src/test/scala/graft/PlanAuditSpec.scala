@@ -120,7 +120,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "tx23_operating_curve", // tx22's 1-row weight/update frames + the 1-row min/max and 5-row threshold broadcasts
     "ss17_trained_pq_recall", // ss09's probe shape x2 (seeded + trained codebooks) + the 1-row query-vector broadcasts
     "sk07_quantile_window_rollup", // sk06's day-range merge shape: day-list x daily-partial broadcasts (~30 rows each side)
-    "pl04_model_gated_manifest" // tx22/tx23's 1-row weight + 5-row grid + 1-row budget/theta broadcasts, plus pk02's inherited bucketizer frame
+    "pl04_model_gated_manifest", // tx22/tx23's 1-row weight + 5-row grid + 1-row budget/theta broadcasts, plus pk02's inherited bucketizer frame
+    "dc05_overlap_threshold_sweep" // the pair-count frame x a 5-row threshold broadcast (conditional aggregation, counter-grain out)
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {

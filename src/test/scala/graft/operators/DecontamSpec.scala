@@ -103,4 +103,31 @@ class DecontamSpec extends AnyFunSuite {
     assert(got.values.exists(_ > 0) && got.values.exists(_ == 0),
       "report cannot discriminate — all flagged or all clean")
   }
+
+  test("dc05: sweep equals a replay over the factored pair counts; monotone; shipped row agrees with dc01 (sf0.01)") {
+    val pc = Decontam.pairCounts(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = (1 to 5).map { t =>
+      val f = pc.filter(_._3 >= t)
+      t -> ((f.length.toLong, f.map(_._1).distinct.length.toLong,
+        f.map(_._2).distinct.length.toLong))
+    }.toMap
+    val got = byName("dc05_overlap_threshold_sweep").build(spark, sf001).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expect, "dc05 diverged from the pair-count replay")
+    // the curve genuinely trades: every column strictly decreases
+    // somewhere and never increases
+    val ordered = (1 to 5).map(got)
+    for (Seq(a, b) <- ordered.sliding(2); i <- 0 until 3) {
+      val (av, bv) = (Seq(a._1, a._2, a._3)(i), Seq(b._1, b._2, b._3)(i))
+      assert(bv <= av, s"column $i rose as the threshold tightened")
+    }
+    assert(ordered.head._1 > ordered.last._1, "pair count flat across the sweep — no trade measured")
+    // the shipped threshold's row IS dc01's flagged set, counted
+    val dc01 = byName("dc01_benchmark_overlap").build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got(3)._1 === dc01.length.toLong, "thr=3 pair count disagrees with dc01")
+    assert(got(3)._2 === dc01.map(_._1).distinct.length.toLong,
+      "thr=3 tainted-train count disagrees with dc01")
+  }
 }
