@@ -131,7 +131,7 @@ object Dedup {
     * ITERATIVE cost does depend on clone multiplicity, collapse
     * instead — see [[clusterAssignments]].
     */
-  private def jaccardEdges(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def jaccardEdges(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sh = spread(docs(s, dir), "doc_id")
       .withColumn("gs", expr("graft_shingles(text)"))
@@ -331,7 +331,7 @@ object Dedup {
     * cap/join shape shared by the dd05 oracle, the dd07/dd08
     * [[clusterCtes]], and the dd10 recall audit's truth side.
     */
-  private lazy val pairScoreDuck: String =
+  private[operators] lazy val pairScoreDuck: String =
     s"""e AS (SELECT doc_id, UNNEST(gs) AS g FROM sh),
        |rare AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= $DfCap),
        |er AS (SELECT e.doc_id, e.g FROM e JOIN rare USING (g)),

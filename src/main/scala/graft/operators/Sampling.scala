@@ -505,5 +505,48 @@ object Sampling {
         }
         deal("bucketed", bucketed = true)
           .unionByName(deal("arrival", bucketed = false))
+    },
+
+    GraftQuery(
+      "sp13_split_leakage_audit",
+      Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+              |sh AS (SELECT doc_id, ${Dedup.shingleDuck} AS gs FROM d),
+              |${Dedup.pairScoreDuck},
+              |edges AS (SELECT doc_a, doc_b FROM p
+              |          JOIN n na ON na.doc_id = p.doc_a
+              |          JOIN n nb ON nb.doc_id = p.doc_b
+              |          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8),
+              |sp AS (SELECT doc_id, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+              |                           ELSE 'test' END AS split
+              |       FROM (SELECT doc_id, ${duckBucket100Of("doc_id")} AS b FROM documents) x),
+              |lab AS (SELECT LEAST(sa.split, sb2.split) AS split_lo,
+              |               GREATEST(sa.split, sb2.split) AS split_hi
+              |        FROM edges e JOIN sp sa ON sa.doc_id = e.doc_a
+              |                     JOIN sp sb2 ON sb2.doc_id = e.doc_b),
+              |cnt AS (SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+              |        FROM lab GROUP BY 1, 2)
+              |SELECT c.split_lo, c.split_hi,
+              |       CAST(COALESCE(cnt.n_pairs, 0) AS BIGINT) AS n_pairs
+              |FROM (VALUES ('test','test'),('test','train'),('test','val'),
+              |             ('train','train'),('train','val'),('val','val')) c(split_lo, split_hi)
+              |LEFT JOIN cnt USING (split_lo, split_hi)""".stripMargin),
+      "SPLIT LEAKAGE audit — the hygiene check BETWEEN the split and the dedup that neither owns alone: sp05 assigns train/val/test by md5 bucket, which is reproducible but CONTENT-BLIND, so two near-duplicate documents can land on opposite sides of the eval boundary — the held-out set then scores memorization, not generalization (the leakage mechanism the C4/Pile duplication studies documented; dc01 audits leakage against an EXTERNAL benchmark, this audits the split against ITSELF). One query: dd05's shipped near-dup pairs (the SAME df-capped inverted-index join + 0.8 Jaccard rule, via the factored jaccardEdges core / pairScoreDuck SQL — the audit measures the production near-dup definition, not a paraphrase) labeled by each endpoint's sp05 split, normalized to unordered (split_lo, split_hi), counted into the full 3x3 upper-triangle matrix — all SIX cells explicit, zeros meaning 'checked, clean' (dc03's contract): the train-test cell is the leakage figure a release gates on (4 pairs at sf0.01 — caught), train-train is dd08's ordinary dedup work, and the within-eval cells price eval redundancy. Counter-grain output from pair-grain work already audited in dd05's plan; the split labels join doc-id-keyed. At 100 TB this audit is why dedup runs BEFORE splitting in pl01 (keepers then split) — sp13 is the check that the ordering actually held. SamplingSpec replays from the shipped dd05 pairs + the md5 bucket rule and pins the leaky cell non-vacuous.") {
+      (s, dir) =>
+        val b = expr(bucket100("doc_id"))
+        val splits = docs(s, dir).select(col("doc_id"),
+          when(b < 80, "train").when(b < 90, "val").otherwise("test").as("split"))
+        val lab = Dedup.jaccardEdges(s, dir)
+          .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+          .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+          .select(least(col("sa"), col("sb")).as("split_lo"),
+            greatest(col("sa"), col("sb")).as("split_hi"))
+          .groupBy("split_lo", "split_hi").agg(count(lit(1)).as("n"))
+        val combos = s.createDataFrame(Seq(
+            ("test", "test"), ("test", "train"), ("test", "val"),
+            ("train", "train"), ("train", "val"), ("val", "val")))
+          .toDF("split_lo", "split_hi")
+        combos.join(broadcast(lab), Seq("split_lo", "split_hi"), "left")
+          .select(col("split_lo"), col("split_hi"),
+            coalesce(col("n"), lit(0L)).cast("bigint").as("n_pairs"))
     })
 }

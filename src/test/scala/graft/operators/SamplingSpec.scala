@@ -322,4 +322,34 @@ class SamplingSpec extends AnyFunSuite {
       "bucketing produced no extra batch structure")
     assert(got.values.exists(_._1 == 32L), "no full batch of 32 — fixture too small to pin")
   }
+
+  test("sp13: leakage matrix equals a replay from the shipped dd05 pairs; the train-test cell is live") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(id: Long): String =
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100 match {
+        case b if b < 80 => "train"
+        case b if b < 90 => "val"
+        case _ => "test"
+      }
+    val pairs = byName("dd05_ngram_jaccard_pairs").build(spark, sf001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val counted = pairs.map { case (a, b2) =>
+      val (sa, sb) = (split(a), split(b2))
+      (Seq(sa, sb).min, Seq(sa, sb).max)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = (for {
+      lo <- Seq("test", "train", "val"); hi <- Seq("test", "train", "val")
+      if lo <= hi
+    } yield (lo, hi) -> counted.getOrElse((lo, hi), 0L)).toMap
+    val got = byName("sp13_split_leakage_audit").build(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expect, "sp13 diverged from the dd05-pairs replay")
+    assert(got.size === 6, "matrix must carry all six cells, zeros explicit")
+    // the audit's reason to exist: genuine cross-boundary leakage on
+    // this fixture (a content-blind split cuts through near-dup pairs)
+    assert(got(("test", "train")) > 0, "no train-test leak — the headline cell is vacuous")
+    assert(got.values.exists(_ == 0L), "no explicit-zero cell — the 'checked, clean' contract is untested")
+  }
 }
