@@ -32,3 +32,34 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Embedded Derby is a JVM-wide singleton engine: when the two
+// Derby-backed cdc suites shared the main test JVM with the whole
+// parallel suite load, Derby's internals raced (observed as
+// Derby-internal NPEs and, worse, one SILENT 2-of-3 partial batch
+// apply in the exactly-once upsert spec). Structural fix: each
+// Derby-backed suite runs in its OWN forked JVM (its own Derby
+// engine + its own derby.system.home), so no other suite's Derby
+// activity can ever be in flight. sbt's default concurrent
+// restriction (Tags.ForkedTestGroup = 1) runs the groups serially.
+val derbySuites = Set(
+  "graft.cdc.ChangeArchiveJobSpec",
+  "graft.cdc.ArchiveMainSpec",
+)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val base = (ThisBuild / baseDirectory).value
+  val (derby, rest) = tests.partition(t => derbySuites.contains(t.name))
+  val mainGroup = Tests.Group(
+    "main", rest,
+    Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  val derbyGroups = derby.map { t =>
+    val home = base / "target" / "derby-home" / t.name
+    Tests.Group(
+      t.name, Seq(t),
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(
+        opts :+ s"-Dderby.system.home=$home")))
+  }
+  mainGroup +: derbyGroups
+}

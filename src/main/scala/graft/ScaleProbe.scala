@@ -142,7 +142,17 @@ object ScaleProbe {
       // dd19's clone-replicated worst case: every copy repeats itself
       // identically, so laters/cut-set grow linearly with docs — the
       // (doc,gram) window must track that, never pair across docs
-      "dd19_intradoc_repeat_scrub").map(n => n -> run(n))
+      "dd19_intradoc_repeat_scrub",
+      // r16 (VERDICT r15 #7): pl04 is the heaviest composition (train +
+      // calibrate + serve + admit) — with PerceptronStore the training
+      // artifacts build once per probe JVM, so the probed growth is the
+      // featurize scan + the scoring pass + pl01's chaining joins;
+      // pl05's union-distinct of the two position-grain cut sets must
+      // track duplicated tokens (both families grow linearly in the
+      // clone design); ss18's batch serve must track corpus x probed
+      // fraction, with routing/truth on the fixed query decile
+      "pl04_model_gated_manifest", "pl05_combined_rewrite_manifest",
+      "ss18_batched_ann_serving").map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio

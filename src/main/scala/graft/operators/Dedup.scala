@@ -1050,14 +1050,7 @@ object Dedup {
     GraftQuery(
       "dd19_intradoc_repeat_scrub",
       Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents),
-              |tg AS (SELECT doc_id, i AS pos, HASH(ARRAY_TO_STRING(a[i : i + ${IntraK - 1}], ' ')) AS g
-              |       FROM d, UNNEST(RANGE(1, GREATEST(LEN(a) - ${IntraK - 2}, 1))) AS t(i)
-              |       WHERE LEN(a) >= $IntraK),
-              |lat AS (SELECT doc_id, pos FROM (
-              |        SELECT doc_id, pos, MIN(pos) OVER (PARTITION BY doc_id, g) AS p0 FROM tg) x
-              |        WHERE pos > p0),
-              |dr AS (SELECT DISTINCT doc_id, pos + o AS pos
-              |       FROM lat, UNNEST(RANGE(0, $IntraK)) AS u(o)),
+              |dr AS (SELECT * FROM $intraDropPosDuck z),
               |toks AS (SELECT doc_id, i AS pos, a[i] AS tok
               |         FROM d, UNNEST(RANGE(1, LEN(a) + 1)) AS t(i)),
               |o AS (SELECT t.doc_id, t.pos, t.tok, dr.pos IS NOT NULL AS dropped
@@ -1150,7 +1143,12 @@ object Dedup {
     * nesting inside composed oracles (pl03) without CTE-name
     * collisions (the keeperIdsDuck discipline).
     */
-  private[operators] lazy val spanRemovedDuck: String =
+  /** dd18's position-grain cut set as a self-contained parenthesized
+    * SQL block `(doc_id, pos)` — ONE copy consumed by
+    * [[spanRemovedDuck]] (pl03) and the combined-rewrite oracle (pl05),
+    * exactly as [[spanDrops]] is the one Spark-side definition.
+    */
+  private[operators] lazy val spanDropPosDuck: String =
     s"""(WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents),
        |g AS (SELECT doc_id, i AS pos, HASH(ARRAY_TO_STRING(a[i : i + ${SpanK - 1}], ' ')) AS g
        |      FROM d, UNNEST(RANGE(1, GREATEST(LEN(a) - ${SpanK - 2}, 1))) AS t(i)
@@ -1165,10 +1163,27 @@ object Dedup {
        |runs AS (SELECT da, db, off, MIN(pa) AS pa0, COUNT(*) + ${SpanK - 1} AS span
        |         FROM i GROUP BY da, db, off, isle),
        |iv AS (SELECT db AS doc_id, pa0 - off AS s, pa0 - off + span - 1 AS e
-       |       FROM runs WHERE span >= $MinSpan),
-       |dr AS (SELECT DISTINCT doc_id, pos FROM
-       |       (SELECT doc_id, UNNEST(RANGE(s, e + 1)) AS pos FROM iv) u)
-       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM dr GROUP BY doc_id)""".stripMargin
+       |       FROM runs WHERE span >= $MinSpan)
+       |SELECT DISTINCT doc_id, pos FROM
+       |       (SELECT doc_id, UNNEST(RANGE(s, e + 1)) AS pos FROM iv) u)""".stripMargin
+
+  /** dd19's position-grain cut set, same factoring — consumed by the
+    * dd19 oracle and pl05's combined-rewrite oracle.
+    */
+  private[operators] lazy val intraDropPosDuck: String =
+    s"""(WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents),
+       |tg AS (SELECT doc_id, i AS pos, HASH(ARRAY_TO_STRING(a[i : i + ${IntraK - 1}], ' ')) AS g
+       |       FROM d, UNNEST(RANGE(1, GREATEST(LEN(a) - ${IntraK - 2}, 1))) AS t(i)
+       |       WHERE LEN(a) >= $IntraK),
+       |lat AS (SELECT doc_id, pos FROM (
+       |        SELECT doc_id, pos, MIN(pos) OVER (PARTITION BY doc_id, g) AS p0 FROM tg) x
+       |        WHERE pos > p0)
+       |SELECT DISTINCT doc_id, pos + o AS pos
+       |FROM lat, UNNEST(RANGE(0, $IntraK)) AS u(o))""".stripMargin
+
+  private[operators] lazy val spanRemovedDuck: String =
+    s"""(SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+       |FROM $spanDropPosDuck dr GROUP BY doc_id)""".stripMargin
 
   private[operators] def spanRuns(s: SparkSession, dir: String): DataFrame = {
     val g = docs(s, dir)

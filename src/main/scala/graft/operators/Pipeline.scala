@@ -308,22 +308,16 @@ object Pipeline {
       (s, dir) =>
         val docs = Tables.load(s, dir, "documents")
         val feats = TextAnalysis.perceptronFeats(s, dir)
-        val wf = TextAnalysis.perceptronEpochs(s, feats).last.select("w")
+        val wf = TextAnalysis.perceptronEpochs(s, dir).last.select("w")
         val scored = Materialize(feats.crossJoin(broadcast(wf))
           .select(col("doc_id"), col("y"),
             expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
               .as("score")))
         // budget-matched operating point from tx23's shared grid:
         // keep-count closest to the rule gate's keep-count (the y
-        // labels ARE tx12's verdicts — no second rule pass)
-        val curve = scored.crossJoin(TextAnalysis.thresholdGrid(scored))
-          .groupBy("k", "theta")
-          .agg(sum(when(col("score") >= col("theta"), 1L).otherwise(0L)).as("keeps"))
-        val budget = scored.agg(
-          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("budget"))
-        val best = broadcast(curve.crossJoin(broadcast(budget))
-          .orderBy(abs(col("keeps") - col("budget")), col("k")).limit(1)
-          .select("theta"))
+        // labels ARE tx12's verdicts — no second rule pass); factored
+        // (r16) so the streamed model gate serves the same definition
+        val best = TextAnalysis.budgetMatchedTheta(scored)
         val gated = Materialize(scored.crossJoin(best)
           .select(col("doc_id"),
             (col("score") >= col("theta")).as("model_keep")))
@@ -359,6 +353,108 @@ object Pipeline {
           .groupBy(concat(lit("shard_"), col("shard").cast("string")).as("detail"))
           .agg(count(lit(1)).as("n")).select(lit(5).as("stage"), col("detail"), col("n"))
         Seq(st0, st1, st2, st3, st4, st5).reduce(_ unionByName _)
+          .select(col("stage").cast("int"), col("detail"), col("n").cast("bigint"))
+    },
+
+    GraftQuery(
+      "pl05_combined_rewrite_manifest",
+      Some(s"""WITH fc AS (SELECT * FROM ${TextAnalysis.filterVerdictsDuck}),
+              |cont AS (SELECT train_doc AS doc_id FROM (${Decontam.pairsDuck}
+              |         SELECT DISTINCT train_doc FROM pairs) c),
+              |xp AS (SELECT doc_id, pos FROM ${Dedup.spanDropPosDuck} z),
+              |ip AS (SELECT doc_id, pos FROM ${Dedup.intraDropPosDuck} z),
+              |ru AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM
+              |       (SELECT doc_id, pos FROM xp UNION SELECT doc_id, pos FROM ip) u GROUP BY 1),
+              |rx AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cross FROM xp GROUP BY 1),
+              |ri AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_intra FROM ip GROUP BY 1),
+              |s1 AS (SELECT doc_id, n_tokens FROM fc WHERE reason = 'kept'),
+              |c2 AS (SELECT s1.doc_id, s1.n_tokens,
+              |              COALESCE(ru.n_removed, 0) AS n_removed,
+              |              COALESCE(rx.n_cross, 0) AS n_cross,
+              |              COALESCE(ri.n_intra, 0) AS n_intra,
+              |              s1.n_tokens - COALESCE(ru.n_removed, 0) AS n_clean
+              |       FROM s1 LEFT JOIN ru USING (doc_id)
+              |               LEFT JOIN rx USING (doc_id)
+              |               LEFT JOIN ri USING (doc_id)),
+              |s2 AS (SELECT * FROM c2
+              |       WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+              |r AS (SELECT doc_id, n_clean,
+              |             ROW_NUMBER() OVER (ORDER BY n_clean DESC, doc_id) AS rn
+              |      FROM s2)
+              |SELECT CAST(0 AS INT) AS stage, 'docs_in' AS detail, COUNT(*) AS n FROM documents
+              |UNION ALL SELECT 1, reason, COUNT(*) FROM fc GROUP BY reason
+              |UNION ALL SELECT 2,
+              |  CASE WHEN n_removed > 0 THEN 'rewritten' ELSE 'untouched' END, COUNT(*)
+              |FROM c2 GROUP BY 2
+              |UNION ALL SELECT 2, 'tokens_removed_crossdoc',
+              |  CAST(COALESCE(SUM(n_cross), 0) AS BIGINT) FROM c2
+              |UNION ALL SELECT 2, 'tokens_removed_intradoc',
+              |  CAST(COALESCE(SUM(n_intra), 0) AS BIGINT) FROM c2
+              |UNION ALL SELECT 2, 'tokens_removed',
+              |  CAST(COALESCE(SUM(n_removed), 0) AS BIGINT) FROM c2
+              |UNION ALL SELECT 3,
+              |  CASE WHEN doc_id IN (SELECT doc_id FROM cont)
+              |       THEN 'contaminated' ELSE 'kept' END, COUNT(*)
+              |FROM c2 GROUP BY 2
+              |UNION ALL SELECT 4,
+              |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END, COUNT(*)
+              |FROM (SELECT ${Sampling.duckBucket100Of("doc_id")} AS b FROM s2) sb GROUP BY 2
+              |UNION ALL SELECT 5, 'shard_' || CAST(
+              |  CASE WHEN ((rn - 1) // 16) % 2 = 0 THEN (rn - 1) % 16
+              |       ELSE 15 - (rn - 1) % 16 END AS VARCHAR), COUNT(*)
+              |FROM r GROUP BY 2""".stripMargin),
+      "COMBINED-rewrite corpus-build manifest (VERDICT r15 #6) — both rewrite axes scrubbed in ONE pass, the way a production cleanup actually runs: pl03 cuts cross-doc shared spans (dd18's Lee et al. ExactSubstr cut) and dd19 cuts within-doc repetition (the Rae et al./Gopher pathology), but a pipeline that rewrote the corpus twice would pay the posexplode/reassembly bill twice and ship two intermediate corpora; both cut sets are POSITION-GRAIN (doc_id, pos) frames, so their UNION-distinct IS the combined interval merge at token resolution — a position cut by a cross-doc span AND by intra-doc repetition costs its token exactly once, and dd18's factored rewrite machinery consumes the merged set unchanged. Stage rows are pl03's with the rewrite stage carrying BOTH families' attribution: rewritten/untouched doc counts on the merged set, tokens_removed_crossdoc (spanDrops restricted to quality survivors), tokens_removed_intradoc (intraDrops, same scope), and tokens_removed = the union count — the line that makes the double-count visible as data: crossdoc + intradoc >= combined, with equality exactly when no position sits in both cut sets (the data card's overlap report). Downstream stages are pl03's verbatim: contamination drops no docs (stage 3 conserves stage 1's keeps), split over the clean corpus, serpentine shards packed on n_tokens - combined n_removed. FACTORED throughout — spanDrops/intraDrops are dd18/dd19's exact cores (one Spark definition, one SQL text each, pl05 adds only the union); at 100 TB both frames are sized by duplicated tokens, the union-distinct is one (doc_id, pos) shuffle over them, and the manifest stays counter-grain. PipelineSpec pins token conservation (sum cleaned = original - union removed), each family line against its standalone operator restricted to survivors, and union <= sum of the families.") {
+      (s, dir) =>
+        val docs = Tables.load(s, dir, "documents")
+        val fc = Materialize(TextAnalysis.filterVerdicts(s, dir))
+        val s1 = fc.filter(col("reason") === "kept").select("doc_id", "n_tokens")
+        // the combined cut set: dd18's and dd19's factored position
+        // frames, union-distinct = the interval merge across families
+        val xp = Dedup.spanDrops(s, dir)
+        val ip = Dedup.intraDrops(s, dir)
+        val ru = xp.unionByName(ip).distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+        val rx = xp.groupBy("doc_id").agg(count(lit(1)).as("n_cross"))
+        val ri = ip.groupBy("doc_id").agg(count(lit(1)).as("n_intra"))
+        val cls2 = Materialize(s1
+          .join(ru, Seq("doc_id"), "left")
+          .join(rx, Seq("doc_id"), "left")
+          .join(ri, Seq("doc_id"), "left")
+          .withColumn("n_removed", coalesce(col("n_removed"), lit(0L)))
+          .withColumn("n_cross", coalesce(col("n_cross"), lit(0L)))
+          .withColumn("n_intra", coalesce(col("n_intra"), lit(0L)))
+          .withColumn("n_clean", col("n_tokens") - col("n_removed")))
+        val cont = Decontam.overlapPairs(s, dir)
+          .select(col("train_doc").as("doc_id")).distinct()
+        val cls3 = Materialize(cls2
+          .join(broadcast(cont.withColumn("is_cont", lit(1))), Seq("doc_id"), "left"))
+        val s2 = cls3.filter(col("is_cont").isNull)
+          .select(col("doc_id"), col("n_clean"))
+        val st0 = docs.agg(count(lit(1)).as("n"))
+          .select(lit(0).as("stage"), lit("docs_in").as("detail"), col("n"))
+        val st1 = fc.groupBy(col("reason").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(1).as("stage"), col("detail"), col("n"))
+        val st2a = cls2.groupBy(
+            when(col("n_removed") > 0, "rewritten").otherwise("untouched").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(2).as("stage"), col("detail"), col("n"))
+        val st2b = cls2.agg(coalesce(sum(col("n_cross")), lit(0L)).as("n"))
+          .select(lit(2).as("stage"), lit("tokens_removed_crossdoc").as("detail"), col("n"))
+        val st2c = cls2.agg(coalesce(sum(col("n_intra")), lit(0L)).as("n"))
+          .select(lit(2).as("stage"), lit("tokens_removed_intradoc").as("detail"), col("n"))
+        val st2d = cls2.agg(coalesce(sum(col("n_removed")), lit(0L)).as("n"))
+          .select(lit(2).as("stage"), lit("tokens_removed").as("detail"), col("n"))
+        val st3 = cls3.groupBy(
+            when(col("is_cont").isNotNull, "contaminated").otherwise("kept").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(3).as("stage"), col("detail"), col("n"))
+        val b = expr(Sampling.bucket100("doc_id"))
+        val st4 = s2.groupBy(
+            when(b < 80, "train").when(b < 90, "val").otherwise("test").as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(4).as("stage"), col("detail"), col("n"))
+        val st5 = Sampling.serpentineShardAssignments(
+            s2.select(col("doc_id"), col("n_clean").as("n_tokens")))
+          .groupBy(concat(lit("shard_"), col("shard").cast("string")).as("detail"))
+          .agg(count(lit(1)).as("n")).select(lit(5).as("stage"), col("detail"), col("n"))
+        Seq(st0, st1, st2a, st2b, st2c, st2d, st3, st4, st5).reduce(_ unionByName _)
           .select(col("stage").cast("int"), col("detail"), col("n").cast("bigint"))
     })
 }

@@ -447,10 +447,20 @@ object Sampling {
           .groupBy("b").agg(count(lit(1)).as("c"))
         val tot = raw.agg(sum(col("r")).as("tr"))
           .crossJoin(tgt.agg(sum(col("c")).as("tt")))
+        // loud overflow guard (16-row frame, negligible cost): c*tr*1e4
+        // and r*tt silently wrap int64 once either corpus side passes
+        // ~1e7 tokens; DuckDB's BIGINT multiply errors on overflow, so
+        // without this the engines would diverge silently. raise_error
+        // keeps the wrap impossible instead of documented-only.
         val ratio = broadcast(raw.join(tgt, Seq("b"), "left")
           .withColumn("c", coalesce(col("c"), lit(0L)))
           .crossJoin(broadcast(tot))
-          .select(col("b"), expr("(c * tr * 10000L) div (r * tt)").as("ru")))
+          .select(col("b"), expr(
+            """CASE WHEN (c > 0 AND tr > (9223372036854775807 div 10000) div c)
+              |       OR (tt > 0 AND r > 9223372036854775807 div tt)
+              |THEN CAST(raise_error(
+              |  'sp12: int64 overflow in importance ratio (tr*tt beyond ~1e7 x 1e7 tokens) — promote to decimal(38,0)') AS BIGINT)
+              |ELSE (c * tr * 10000L) div (r * tt) END""".stripMargin).as("ru")))
         tb.join(ratio, Seq("b"))
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("bigint").as("n_tokens"),

@@ -946,6 +946,64 @@ object Similarity {
             coalesce(col("hs"), lit(0)).cast("int").as("hit_seeded"),
             coalesce(col("ht"), lit(0)).cast("int").as("hit_trained"))
     },
+
+    GraftQuery(
+      "ss18_batched_ann_serving",
+      Some(batchedAnnOracle),
+      "BATCHED-QUERY ANN SERVING — the serving shape every other probe in the family lacks (VERDICT r15): ss01-ss17 all serve exactly ONE broadcast query vector, but production serves query BATCHES (millions/day), and the batch form is a structurally different plan — N queries route via the coarse index and meet the corpus in ONE equi-join on cell id, so the corpus side scans its probed cells ONCE for ALL queries instead of once per query (the per-query re-scan is the difference between an index lookup service and N full jobs). Query set = the held-out md5 decile of vectors (sp01's reproducible split — 44 queries at sf0.01, 186 at sf0.1); corpus = the other 90%, assigned to 4 md5-seeded coarse cells once (map-side argmin against the 4-row broadcast — query-count-independent). Each query routes to its top-3 cells (query-grain window, partitioned by query id); the routing table (queries x 3 rows — always the small side) BROADCASTS into the corpus assignment: one BroadcastHashJoin on cell emits every (query, candidate) pair. Exact rerank per pair, per-query top-10 by a (qid)-PARTITIONED window (no fact-scale single partition — parallelism = query count, the serving fleet's natural grain). Output: one row per query (qid, n_candidates, recall10 vs that query's OWN brute-force exact top-10) — the per-query recall DISTRIBUTION a deployment reads before promising an SLA (a mean hides the tail query that routes into the wrong cell). At 100 TB: cells number thousands, routes stay queries x nprobe, the cell equi-join shuffles candidates once, and the truth side (here the audited exact scan) runs only on the sampled audit decile — exactly this query's shape. SimilaritySpec pins: every decile query present exactly once, candidates strictly under the corpus (the cost bound is real), every served hit inside the query's 3 routed cells (driver-side replay), and the plan pin — zero live embeddings scans in the final plan (both split sides checkpointed once) with the candidate generation a single cell-keyed join, so corpus work cannot scale with query count.") {
+      (s, dir) =>
+        val q = qemb(s, dir)
+        val qset = Materialize(q
+          .filter(expr(s"${Sampling.bucket100("vec_id")} < 10"))
+          .select(col("vec_id").as("qid"), col("qe").as("qv")))
+        val corp = Materialize(q
+          .filter(expr(s"${Sampling.bucket100("vec_id")} >= 10"))
+          .select(col("vec_id"), col("qe")))
+        val seeds = mdSeeds(corp, 4)
+        // route every query to its top-3 of 4 cells: query-grain work,
+        // 4-row broadcast, (qid)-partitioned window
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy("d", "cell")
+        val routes = qset.crossJoin(broadcast(seeds))
+          .withColumn("d", il2("qv", "qs"))
+          .select(col("qid"), col("code").as("cell"), col("d"))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 3).select("qid", "cell")
+        // corpus -> cell assignment, computed ONCE (query-count-free)
+        val assign = corp.crossJoin(broadcast(seeds))
+          .withColumn("d", il2("qe", "qs"))
+          .groupBy("vec_id")
+          .agg(min_by(col("code"), struct(col("d"), col("code"))).as("cell"),
+            first(col("qe")).as("qe"))
+        // THE batch move: the routing table broadcasts into the corpus
+        // assignment — one equi-join on cell serves every query at once
+        val cand = assign.join(broadcast(routes), Seq("cell"))
+          .select(col("qid"), col("vec_id"), col("qe"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy("d", "vec_id")
+        val annTop = cand.join(broadcast(qset), Seq("qid"))
+          .withColumn("d", il2("qe", "qv"))
+          .select(col("qid"), col("vec_id"), col("d"))
+          .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
+          .select(col("qid"), col("vec_id"))
+        // per-query exact truth over the full corpus — the audited
+        // brute-force baseline (decile-sampled, like every ss audit)
+        val truth = corp.crossJoin(broadcast(qset))
+          .withColumn("d", il2("qe", "qv"))
+          .select(col("qid"), col("vec_id"), col("d"))
+          .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val nc = cand.groupBy("qid").agg(count(lit(1)).as("n_candidates"))
+        val rc = truth
+          .join(annTop.withColumn("h", lit(1)), Seq("qid", "vec_id"), "left")
+          .groupBy("qid").agg(sum(coalesce(col("h"), lit(0))).as("recall10"))
+        qset.select("qid")
+          .join(nc, Seq("qid"), "left")
+          .join(rc, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_candidates"), lit(0L)).cast("bigint").as("n_candidates"),
+            coalesce(col("recall10"), lit(0L)).cast("bigint").as("recall10"))
+    },
   )
 
   /** ss17's per-subspace Lloyd training: [[PqRounds]] rounds over all
@@ -1027,6 +1085,49 @@ object Similarity {
          |rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS recall10 FROM exact JOIN ann USING (vec_id))
          |SELECT CAST($k AS INT) AS nprobe, nm.n_members, rc.recall10 FROM nm, rc)""".stripMargin
     Seq(1, 2, 3).map(block).mkString("\nUNION ALL\n")
+  }
+
+  /** ss18's oracle: the identical batched pipeline in SQL — md5-decile
+    * query set, corpus-side 4-cell assignment, top-3 routing per query,
+    * ONE cell equi-join for all queries, per-query exact rerank top-10,
+    * per-query brute-force truth, (qid, n_candidates, recall10).
+    */
+  private lazy val batchedAnnOracle: String = {
+    val b = Sampling.duckBucket100Of("vec_id")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
+       |qset AS MATERIALIZED (SELECT vec_id AS qid, qe AS qv FROM q WHERE $b < 10),
+       |corp AS MATERIALIZED (SELECT vec_id, qe FROM q WHERE $b >= 10),
+       |seeds AS MATERIALIZED (SELECT qe AS qs,
+       |          CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
+       |        FROM corp ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+       |routes AS MATERIALIZED (SELECT qid, cell FROM (
+       |    SELECT w.qid, s.code AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY w.qid ORDER BY
+       |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (w.qv[i] - s.qs[i]) * (w.qv[i] - s.qs[i]))), s.code) AS rn
+       |    FROM qset w, seeds s) t WHERE rn <= 3),
+       |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+       |    SELECT c.vec_id, s.code AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+       |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (c.qe[i] - s.qs[i]) * (c.qe[i] - s.qs[i]))), s.code) AS rn
+       |    FROM corp c, seeds s) t WHERE rn = 1),
+       |cand AS MATERIALIZED (SELECT r.qid, a.vec_id FROM routes r JOIN assign a USING (cell)),
+       |ann AS (SELECT qid, vec_id FROM (
+       |    SELECT cd.qid, cd.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY cd.qid ORDER BY
+       |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (c.qe[i] - w.qv[i]) * (c.qe[i] - w.qv[i]))), cd.vec_id) AS rn
+       |    FROM cand cd JOIN corp c USING (vec_id) JOIN qset w USING (qid)) t WHERE rn <= 10),
+       |truth AS (SELECT qid, vec_id FROM (
+       |    SELECT w.qid, c.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY w.qid ORDER BY
+       |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (c.qe[i] - w.qv[i]) * (c.qe[i] - w.qv[i]))), c.vec_id) AS rn
+       |    FROM qset w, corp c) t WHERE rn <= 10),
+       |nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1),
+       |rc AS (SELECT t.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS r
+       |       FROM truth t LEFT JOIN ann a USING (qid, vec_id) GROUP BY 1)
+       |SELECT w.qid, CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_candidates,
+       |       CAST(COALESCE(rc.r, 0) AS BIGINT) AS recall10
+       |FROM (SELECT qid FROM qset) w LEFT JOIN nc USING (qid) LEFT JOIN rc USING (qid)""".stripMargin
   }
 
   /** Single-probe IVF serve against an arbitrary centroid table

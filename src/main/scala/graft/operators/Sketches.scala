@@ -241,8 +241,11 @@ object Sketches {
             expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v"))
         val daily = Materialize(ev.groupBy("day", "v").agg(count(lit(1)).as("n")))
         val days = daily.select(col("day").as("d")).distinct()
-        val merged = days
-          .join(broadcast(daily),
+        // the DAY LIST is the broadcast side (as the doc argues): it is
+        // strictly smaller than the day-x-values store, and streaming
+        // the store keeps the BNLJ's probe side the larger frame
+        val merged = daily
+          .join(broadcast(days),
             col("day").between(date_sub(col("d"), 6), col("d")))
           .groupBy(col("d"), col("v")).agg(sum(col("n")).as("n"))
         val w = org.apache.spark.sql.expressions.Window

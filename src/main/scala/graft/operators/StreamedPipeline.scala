@@ -78,18 +78,78 @@ object StreamedPipeline {
       .parquet(s"$storeDir/admitted/batch_id=${StreamedDedup.SeedBatchId}")
   }
 
+  /** Persist the TRAINED admission gate into the store (VERDICT r15
+    * #4): tx22's final weights and pl04's budget-matched theta*,
+    * computed from the SAME memoized artifacts pl04 serves
+    * ([[PerceptronStore]] via the tx22/tx23 cores), written as a 1-row
+    * `model/` table `(w[17], theta)`. A [[run]] with
+    * `gate = ModelGate` then scores each micro-batch with ONE
+    * broadcast integer dot per doc — at 100 TB the economic gate (the
+    * rule chain is a dozen per-doc aggregations per trigger, and in a
+    * micro-batch the difference compounds per trigger) — while the
+    * rule chain stays on as the labeled-audit side-car
+    * (`manifestDir/audit/batch_id=N`).
+    */
+  def seedModel(s: SparkSession, dir: String, storeDir: String): Unit = {
+    val feats = TextAnalysis.perceptronFeats(s, dir)
+    val wf = TextAnalysis.perceptronEpochs(s, dir).last.select("w")
+    val scored = Materialize(feats.crossJoin(broadcast(wf))
+      .select(col("doc_id"), col("y"),
+        expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
+          .as("score")))
+    wf.crossJoin(TextAnalysis.budgetMatchedTheta(scored))
+      .write.mode("overwrite").parquet(s"$storeDir/model")
+  }
+
+  /** Gate selector for [[processBatch]]/[[run]]. */
+  val RuleGate = "rules"
+  val ModelGate = "model"
+
   /** One micro-batch of the admission chain. Public so the spec can
     * drive replay/idempotency directly (the foreachBatch body IS this
     * function). `batch` must carry `(doc_id, text, lang)` — the
     * quality gate's language check needs the declared lang.
+    *
+    * `gate = ModelGate` replaces stage 1's rule chain with the trained
+    * classifier persisted by [[seedModel]] (keep iff the broadcast
+    * integer dot >= theta*, pl04's serving rule — stage-1 details
+    * become model_keep/model_drop), and writes the rule chain's reason
+    * histogram to `manifestDir/audit/batch_id=N` as the labeled-audit
+    * side-car instead of into the delivery manifest.
     */
   def processBatch(batch: DataFrame, batchId: Long,
-      storeDir: String, manifestDir: String): Unit = {
+      storeDir: String, manifestDir: String,
+      gate: String = RuleGate): Unit = {
     val s = batch.sparkSession
     val inc = Materialize(batch.select("doc_id", "text", "lang"))
-    // stage 1 — quality gate: tx12's per-doc verdict chain on the batch
+    // tx12's per-doc verdict chain on the batch: the delivery gate in
+    // rules mode, the labeled-audit side-car in model mode (n_tokens
+    // for the pack rides along either way)
     val fc = Materialize(TextAnalysis.filterVerdictsOf(inc))
-    val s1 = fc.filter(col("reason") === "kept").select("doc_id", "n_tokens")
+    val (s1, st1) = if (gate == ModelGate) {
+      val model = broadcast(s.read.parquet(s"$storeDir/model"))
+      val gated = Materialize(TextAnalysis.hashedFeaturesOf(inc)
+        .crossJoin(model)
+        .select(col("doc_id"),
+          (expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
+            >= col("theta")).as("model_keep")))
+      fc.groupBy(col("reason").as("detail"))
+        .agg(count(lit(1)).as("n"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$manifestDir/audit/batch_id=$batchId")
+      (gated.filter(col("model_keep"))
+        .join(fc.select("doc_id", "n_tokens"), Seq("doc_id"))
+        .select("doc_id", "n_tokens"),
+        gated.groupBy(
+            when(col("model_keep"), "model_keep").otherwise("model_drop").as("detail"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(1).as("stage"), col("detail"), col("n")))
+    } else {
+      (fc.filter(col("reason") === "kept").select("doc_id", "n_tokens"),
+        fc.groupBy(col("reason").as("detail"))
+          .agg(count(lit(1)).as("n"))
+          .select(lit(1).as("stage"), col("detail"), col("n")))
+    }
     // stage 2 — dedup: dd12's core against the persisted store,
     // probe side = quality survivors only (verdicts are per-doc
     // against the store, so restricting the probe set cannot change
@@ -121,8 +181,6 @@ object StreamedPipeline {
     // the manifest — pl02's (stage, detail, n) rows, batch-scoped
     val st0 = inc.agg(count(lit(1)).as("n"))
       .select(lit(0).as("stage"), lit("drop_in").as("detail"), col("n"))
-    val st1 = fc.groupBy(col("reason").as("detail"))
-      .agg(count(lit(1)).as("n")).select(lit(1).as("stage"), col("detail"), col("n"))
     val st2 = cls2.groupBy(col("verdict").as("detail"))
       .agg(count(lit(1)).as("n")).select(lit(2).as("stage"), col("detail"), col("n"))
     val st3 = cls3.groupBy(
@@ -152,12 +210,13 @@ object StreamedPipeline {
   /** Run the continuous admission job over a parquet drop directory. */
   def run(s: SparkSession, incomingDir: String, storeDir: String,
       manifestDir: String, checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      gate: String = RuleGate): StreamingQuery = {
     val schema = "doc_id BIGINT, text STRING, lang STRING"
     s.readStream.schema(schema).parquet(incomingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, storeDir, manifestDir)
+        processBatch(batch, batchId, storeDir, manifestDir, gate)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

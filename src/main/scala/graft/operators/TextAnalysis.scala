@@ -823,7 +823,7 @@ object TextAnalysis {
       Some(perceptronOracle),
       s"QUALITY-CLASSIFIER TRAINING — closes tx19's loop the way tx20/tx21 closed the tokenizer's (train -> serve): $TxEpochs epochs of the BATCH perceptron over tx18's hashed features (16 md5 bucket counts + a constant bias dim), labels = tx12's rule verdicts (the DCLM/FineWeb-Edu recipe: distill the expensive rule/LLM judgment into a linear model cheap enough to serve corpus-wide — tx19 is that serving pass), emitting the training trajectory (epoch, dim, weight, per-epoch misclassified count = the training curve). The distributed form is the batch update, not the online one: per epoch w += sum over misclassified docs of y*x (unit integer learning rate, margin miss at y*(w.x) <= 0) — ORDER-FREE exact-BIGINT arithmetic, so it needs no row ordering at all and is bit-identical cross-engine (strictly stronger determinism than an md5-ordered online pass, and the only form that distributes: the update is one map-side-combined 17-column sum, a single all-reduce per epoch, the data-parallel SGD shape). Scale shape: featurize + label ONCE (corpus-scale, map-side dot per doc, checkpointed — at 100 TB this is the persisted training-set artifact); each epoch then scans the compact (y, x[17]) frame, filters by the broadcast 1-row weight frame (tx20's argmax pattern — never collected), and reduces to ONE row; epoch cost is a linear scan regardless of corpus size, total = $TxEpochs scans. Weights init to zero, so epoch 1's update is the class-mean difference direction (every zero-score doc counts as a miss — deterministic). The oracle unrolls the same $TxEpochs epochs as chained CTEs (gr01's discipline). TextModelBpeSpec replays the epochs driver-side and pins that the trained weights BEAT tx19's frozen md5 weights on tx12-agreement — the number that justifies training at all.") {
       (s, dir) =>
-        perceptronEpochs(s, perceptronFeats(s, dir)).zipWithIndex.map { case (wn, i) =>
+        perceptronEpochs(s, dir).zipWithIndex.map { case (wn, i) =>
           wn.select(lit(i + 1).cast("int").as("epoch"),
               col("n_miss").cast("bigint").as("n_miss"),
               posexplode(col("w")).as(Seq("dim", "w")))
@@ -838,7 +838,7 @@ object TextAnalysis {
       s"CLASSIFIER OPERATING CURVE — the calibration pass between training (tx22) and serving (tx19): production never serves a quality classifier at raw sign(score); it picks the keep-threshold that hits a target precision/recall or token budget (FineWeb-Edu ships keep-iff-score>=3 on a 0-5 scale — a CHOSEN operating point, not the argmax), and the artifact that choice is read off is exactly this table: per candidate threshold, the exact confusion counts (tp/fp/fn/tn) of 'keep iff score >= theta' against tx12's rule labels. Thresholds are data-adaptive and aggregate-fed: 5 equal-width cuts over the trained score range, theta_k = lo + (hi-lo)*k div 6 from a 1-row min/max aggregate — no doc-grain global window, no quantile-interpolation cross-engine hazard (percentile semantics differ between engines; an equal-width grid over exact integer bounds is bit-identical by construction). Scale shape: the corpus is scored ONCE with tx22's final broadcast weights (the same exact-BIGINT dot tx19 serves, checkpointed), min/max is one 1-row reduce, and the 5-threshold confusion table is one scan of the scored frame against a 5-row broadcast — counter-grain output, every stage but the scoring pass independent of corpus size. All arithmetic exact integers; the oracle chains tx22's unrolled epoch CTEs so both engines train, score, and cut identically. TextModelBpeSpec replays the sweep driver-side and pins the curve's defining monotonicity (tp non-increasing, tn non-decreasing in theta) plus a genuinely discriminating interior point.") {
       (s, dir) =>
         val feats = perceptronFeats(s, dir)
-        val wf = perceptronEpochs(s, feats).last.select("w")
+        val wf = perceptronEpochs(s, dir).last.select("w")
         val sc = Materialize(feats.crossJoin(broadcast(wf))
           .select(col("doc_id"), col("y"),
             expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
@@ -856,12 +856,41 @@ object TextAnalysis {
     },
   )
 
-  /** tx22's training loop, factored for the calibration pass (tx23):
-    * the checkpointed `(doc_id, x[17], y)` training set (features +
-    * labels built once — at 100 TB the persisted artifact)...
+  /** tx22's training loop, factored for the calibration pass (tx23)
+    * and the model gate (pl04, StreamedPipeline): the `(doc_id, x[17],
+    * y)` training set (features + labels built once — at 100 TB the
+    * persisted artifact). Memoized to parquet per (application, dir)
+    * via [[PerceptronStore]] — before the memo, tx22, tx23 and pl04
+    * each re-ran featurize + all [[TxEpochs]] epochs from scratch
+    * (VERDICT r15 #3: the single most expensive bench query, pl04 at
+    * 10.6 s, was two-thirds repeated training; at 100 TB that is
+    * re-featurizing the corpus three times). The disk memo is q55's
+    * discipline: a training run persists its artifacts once, serving
+    * passes read them.
     */
-  private[operators] def perceptronFeats(s: SparkSession, dir: String): DataFrame = {
-    val v16 = Tables.load(s, dir, "documents")
+  private[operators] def perceptronFeats(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(PerceptronStore.ensure(s, dir) + "/feats")
+
+  /** The [[TxEpochs]] `(w[17], n_miss)` 1-row frames in epoch order,
+    * read from the memoized trajectory [[PerceptronStore]] persists.
+    */
+  private[operators] def perceptronEpochs(
+      s: SparkSession, dir: String): IndexedSeq[DataFrame] = {
+    val store = PerceptronStore.ensure(s, dir)
+    (1 to TxEpochs).map(i =>
+      s.read.parquet(store + "/epochs")
+        .filter(col("epoch") === i).select("w", "n_miss"))
+  }
+
+  /** tx18's 17-dim hashed feature vector (16 md5 bucket counts + the
+    * constant bias dim) over an explicit `(doc_id, text)` frame —
+    * factored so the streamed model gate featurizes a micro-batch with
+    * the IDENTICAL map-side expression the training pass used
+    * (filterVerdictsOf's legitimacy argument: the features are
+    * per-doc, so batch scope cannot change them).
+    */
+  private[operators] def hashedFeaturesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), expr(
         "transform(split(text, ' '), t -> CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT) % 16)")
         .as("bs"))
@@ -869,11 +898,34 @@ object TextAnalysis {
         """aggregate(bs, array_repeat(0L, 16),
           |  (acc, x) -> transform(acc, (v, i) -> IF(i = x, v + 1L, v)))""".stripMargin)
         .as("v"))
-    Materialize(v16
+      .select(col("doc_id"), expr("concat(v, array(1L))").as("x"))
+
+  /** The un-memoized featurize+label pass — [[PerceptronStore]] runs it
+    * exactly once per (application, dir); TextModelBpeSpec pins the
+    * memoized artifacts bit-identical to a fresh run.
+    */
+  private[operators] def perceptronFeatsFresh(s: SparkSession, dir: String): DataFrame =
+    Materialize(hashedFeaturesOf(Tables.load(s, dir, "documents"))
       .join(filterVerdicts(s, dir).select("doc_id", "keep"), Seq("doc_id"))
-      .select(col("doc_id"),
-        expr("concat(v, array(1L))").as("x"),
+      .select(col("doc_id"), col("x"),
         when(col("keep") === 1, 1L).otherwise(-1L).as("y")))
+
+  /** pl04's budget-matched operating point, factored so the batch
+    * manifest and the streamed gate share ONE definition: over a
+    * scored `(doc_id, y, score)` frame, theta* = the [[thresholdGrid]]
+    * candidate whose keep-count is closest to the rule gate's own
+    * keep-count (the y labels ARE tx12's verdicts), ties to the
+    * smaller index. 1-row broadcast out.
+    */
+  private[operators] def budgetMatchedTheta(scored: DataFrame): DataFrame = {
+    val curve = scored.crossJoin(thresholdGrid(scored))
+      .groupBy("k", "theta")
+      .agg(sum(when(col("score") >= col("theta"), 1L).otherwise(0L)).as("keeps"))
+    val budget = scored.agg(
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("budget"))
+    broadcast(curve.crossJoin(broadcast(budget))
+      .orderBy(abs(col("keeps") - col("budget")), col("k")).limit(1)
+      .select("theta"))
   }
 
   /** tx23's 5-point equal-width threshold grid over a scored frame —
@@ -892,9 +944,9 @@ object TextAnalysis {
     * `(w[17], n_miss)` 1-row frame per epoch, in epoch order, each
     * checkpointed and fed back as a broadcast (tx20's argmax pattern —
     * never collected). See tx22's doc for the order-free exact-BIGINT
-    * argument.
+    * argument. Run once per (application, dir) by [[PerceptronStore]].
     */
-  private[operators] def perceptronEpochs(
+  private[operators] def perceptronEpochsFresh(
       s: SparkSession, feats: DataFrame): IndexedSeq[DataFrame] = {
     var wf = Materialize(s.range(1).select(expr("array_repeat(0L, 17)").as("w")))
     val sumCols = (0 until 17).map(j =>
@@ -1091,4 +1143,44 @@ object TextAnalysis {
        |       CAST(SUM(CASE WHEN sc.score < th.theta AND sc.y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
        |FROM sc, th GROUP BY 1, 2""".stripMargin
 
+}
+
+/** Disk-memoized perceptron training artifacts, one build per
+  * (application, source dir): `feats/` = the `(doc_id, x[17], y)`
+  * training set, `epochs/` = the `(epoch, w[17], n_miss)` trajectory.
+  * tx22, tx23, pl04 and the streamed model gate all read these instead
+  * of re-running featurize + [[TextAnalysis.TxEpochs]] epochs each
+  * (VERDICT r15 #3 — training ran three times per bench pass; at
+  * 100 TB that is three corpus featurize passes for one model).
+  * BucketedLayout's discipline throughout: computeIfAbsent so a
+  * concurrent second caller blocks on the first build instead of
+  * reading a half-written store; md5 dir digest + applicationId in
+  * the path so concurrent JVMs never interleave; TempLayout's
+  * shutdown hook deletes the store at JVM exit. Training is exact
+  * integer arithmetic, so persist-then-read is bit-identical to a
+  * fresh run (TextModelBpeSpec pins it).
+  */
+private[graft] object PerceptronStore {
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensure(s: SparkSession, dir: String): String = {
+    val dirMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val tag = s"${s.sparkContext.applicationId}_$dirMd5"
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    built.computeIfAbsent(tag, _ => {
+      val out = TempLayout.dir(s"perceptron_$tag", dir)
+      TextAnalysis.perceptronFeatsFresh(s, dir)
+        .write.mode("overwrite").parquet(s"$out/feats")
+      // epochs train over the PERSISTED feats (one read, not a re-run)
+      TextAnalysis
+        .perceptronEpochsFresh(s, s.read.parquet(s"$out/feats"))
+        .zipWithIndex.map { case (wn, i) =>
+          wn.select(lit(i + 1).cast("int").as("epoch"), col("w"), col("n_miss"))
+        }
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/epochs")
+      out
+    })
+  }
 }

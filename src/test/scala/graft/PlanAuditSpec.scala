@@ -121,7 +121,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "ss17_trained_pq_recall", // ss09's probe shape x2 (seeded + trained codebooks) + the 1-row query-vector broadcasts
     "sk07_quantile_window_rollup", // sk06's day-range merge shape: day-list x daily-partial broadcasts (~30 rows each side)
     "pl04_model_gated_manifest", // tx22/tx23's 1-row weight + 5-row grid + 1-row budget/theta broadcasts, plus pk02's inherited bucketizer frame
-    "dc05_overlap_threshold_sweep" // the pair-count frame x a 5-row threshold broadcast (conditional aggregation, counter-grain out)
+    "dc05_overlap_threshold_sweep", // the pair-count frame x a 5-row threshold broadcast (conditional aggregation, counter-grain out)
+    "ss18_batched_ann_serving", // 4-row coarse-seed broadcasts (routing + assignment scans) + the query-DECILE frame (bounded by the sampled audit set, 44 rows at this sf) broadcast into the rerank and the exact-truth audit scan; the candidate join itself is the cell equi-join, separately pinned in SimilaritySpec
+    "pl05_combined_rewrite_manifest" // inherits pk02's 1-row min/max bucketizer frame for the cleaned-count pack stage (pl03's entry, combined cut set)
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {

@@ -210,16 +210,28 @@ class DedupSpec extends AnyFunSuite {
     assert(expect.size < docs.length, "every doc repeats itself — the clean polarity is vacuous")
     assert(got.values.forall(_._2 > 0), "an unaffected doc leaked into the rewrite report")
     // retention: every cut position sits inside a later occurrence of a
-    // gram that appears verbatim earlier in the SAME doc (the walk
-    // enforces it by construction; assert it against the raw text so a
-    // future query change cannot silently weaken the contract)
-    for ((id, (_, _, _)) <- expect.take(10)) {
+    // gram that appears verbatim earlier in the SAME doc. got == expect
+    // (above) pins the query's cut set to the walk's, so checking the
+    // walk's drop set against the RAW TEXT checks the query's: if both
+    // walk and query ever flipped to drop-FIRST-occurrence, got==expect
+    // would still pass but this would fail (no earlier verbatim copy).
+    for ((id, _) <- expect.take(10)) {
       val w = docs.toMap.apply(id).split(" ", -1)
-      val firstAt = scala.collection.mutable.Map.empty[Seq[String], Int]
+      val seen = scala.collection.mutable.Set.empty[Seq[String]]
+      val drop = scala.collection.mutable.Set.empty[Int]
       for (i <- 0 to w.length - IntraK) {
         val g = w.slice(i, i + IntraK).toSeq
-        if (!firstAt.contains(g)) firstAt(g) = i
-        else assert(firstAt(g) < i, "first-occurrence index not earlier")
+        if (seen(g)) (i + 1 to i + IntraK).foreach(drop += _) else seen += g
+      }
+      for (p <- drop) {
+        val covered = (math.max(0, p - IntraK) to math.min(p - 1, w.length - IntraK))
+          .exists { s => // 0-indexed gram start covering 1-indexed pos p
+            val g = w.slice(s, s + IntraK)
+            (s + 1 <= p && p <= s + IntraK) &&
+              (0 until s).exists(e => w.slice(e, e + IntraK).sameElements(g))
+          }
+        assert(covered,
+          s"doc $id cut pos $p has no covering gram with an earlier verbatim copy")
       }
     }
   }

@@ -94,8 +94,7 @@ class PipelineSpec extends AnyFunSuite {
     // calls), tx19's serving rule score >= 0
     def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val w = TextAnalysis.perceptronEpochs(spark,
-        TextAnalysis.perceptronFeats(spark, sf001))
+    val w = TextAnalysis.perceptronEpochs(spark, sf001)
       .last.select("w").collect()(0).getSeq[Long](0).toVector
     val docs = graft.Tables.load(spark, sf001, "documents")
       .select("doc_id", "text").collect()
@@ -276,6 +275,61 @@ class PipelineSpec extends AnyFunSuite {
     val cleanOrder = s2.toSeq.map(id => (cleanCounts(id), id)).sortBy { case (t, id) => (-t, id) }
     assert(origOrder.map(_._2) !== cleanOrder.map(_._2),
       "cleaned-count packing ordered identically to original-count packing — the variant changes nothing on this fixture")
+  }
+
+  test("pl05: combined rewrite — family lines equal the factored cores; union is the interval merge; pack on combined-clean counts") {
+    val manifest = build("pl05_combined_rewrite_manifest").collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    def stage(k: Int): Map[String, Long] =
+      manifest.collect { case ((s, d), n) if s == k => d -> n }
+
+    val verdicts = build("tx12_filter_chain")
+      .select("doc_id", "n_tokens", "reason").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getString(2)))).toMap
+    // the factored cores themselves (each pinned against a sequential
+    // walk in DedupSpec) — pl05's claim is about their COMPOSITION
+    val xp = Dedup.spanDrops(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    val ip = Dedup.intraDrops(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    val cont = build("dc01_benchmark_overlap").select("train_doc").collect()
+      .map(_.getLong(0)).toSet
+
+    val s1 = verdicts.collect { case (id, (_, "kept")) => id }.toSet
+    def perDoc(cut: Set[(Long, Long)]): Map[Long, Long] =
+      cut.groupBy(_._1).view.mapValues(_.size.toLong).toMap.withDefaultValue(0L)
+    val (crossN, intraN, unionN) = (perDoc(xp), perDoc(ip), perDoc(xp ++ ip))
+
+    // stage 2: family attribution + the merged line, survivor-scoped
+    val rewritten = s1.count(unionN(_) > 0).toLong
+    assert(stage(2) === Map(
+      "rewritten" -> rewritten,
+      "untouched" -> (s1.size - rewritten),
+      "tokens_removed_crossdoc" -> s1.toSeq.map(crossN).sum,
+      "tokens_removed_intradoc" -> s1.toSeq.map(intraN).sum,
+      "tokens_removed" -> s1.toSeq.map(unionN).sum))
+    // the union IS the interval merge: never more than the family sum
+    assert(stage(2)("tokens_removed") <=
+      stage(2)("tokens_removed_crossdoc") + stage(2)("tokens_removed_intradoc"))
+    // both families live on the survivors, or one attribution line is decoration
+    assert(s1.exists(crossN(_) > 0), "no cross-doc cut survived the quality gate")
+    assert(s1.exists(intraN(_) > 0), "no intra-doc cut survived the quality gate")
+    assert(rewritten < s1.size, "every survivor was rewritten")
+
+    // a rewrite drops no docs; downstream conserves
+    assert(stage(3).values.sum === s1.size.toLong)
+    val s2 = s1.diff(cont)
+    assert(stage(4).values.sum === s2.size.toLong)
+
+    // pack on COMBINED cleaned counts (token conservation: clean =
+    // original - union removed, per doc, by the serpentine replay)
+    def shardsOf(tokens: Map[Long, Long]): Map[String, Long] =
+      s2.toSeq.map(id => (tokens(id), id))
+        .sortBy { case (t, id) => (-t, id) }.zipWithIndex
+        .map { case (_, i) => if ((i / 16) % 2 == 0) i % 16 else 15 - i % 16 }
+        .groupBy(sh => s"shard_$sh").view.mapValues(_.size.toLong).toMap
+    val cleanCounts = s2.toSeq.map(id => id -> (verdicts(id)._1 - unionN(id))).toMap
+    assert(stage(5) === shardsOf(cleanCounts))
   }
 
   test("pl01: no stage re-scans documents — the manifest plan carries exactly one live scan") {

@@ -353,4 +353,67 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rs >= 0 && rs <= 10 && rt >= 0 && rt <= 10, s"$sf: recall out of range")
     }
   }
+
+  test("ss18: batched serving — every decile query answered once, hits inside routed cells, corpus work query-count-free (sf0.01)") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16) % 100
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS LONG)) AS qe")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val (qids, corpIds) = emb.keys.toSeq.sorted.partition(bucket(_) < 10)
+    assert(qids.size >= 10, "query decile degenerate at fixture scale")
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // driver replay: seeds from the CORPUS side, per-corpus-vector
+    // assignment, per-query top-3 routing, candidates, top-10, truth
+    val seeds = corpIds.sortBy(id => (md5hex(id.toString), id)).take(4)
+      .zipWithIndex.map { case (id, c) => c -> emb(id) }
+    def cellOf(v: Array[Long]): Int =
+      seeds.map { case (c, s) => (l2(v, s), c) }.min._2
+    val assign = corpIds.map(id => id -> cellOf(emb(id))).toMap
+    val routesOf = qids.map { qid =>
+      qid -> seeds.map { case (c, s) => (l2(emb(qid), s), c) }.sorted.take(3).map(_._2).toSet
+    }.toMap
+    val expect = qids.map { qid =>
+      val cand = corpIds.filter(id => routesOf(qid)(assign(id)))
+      val top = cand.sortBy(id => (l2(emb(id), emb(qid)), id)).take(10).toSet
+      val truth = corpIds.sortBy(id => (l2(emb(id), emb(qid)), id)).take(10)
+      qid -> ((cand.size.toLong, truth.count(top).toLong))
+    }.toMap
+    val df = byName("ss18_batched_ann_serving").build(spark, sf001)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect, "ss18 diverged from the driver-side batched replay")
+    assert(got.keySet === qids.toSet, "every decile query must be answered exactly once")
+    assert(got.values.forall(_._1 < corpIds.size),
+      "a query's candidate set covered the whole corpus — the cost bound is vacuous")
+    assert(got.values.exists(_._2 > 0), "zero recall everywhere — serving is broken")
+    // plan pin: both split sides are checkpointed once, so the FINAL
+    // plan carries ZERO live embeddings scans — corpus-side work is
+    // structurally one pass per stage, never one pass per query
+    import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // descends AQE stage wrappers too: df was collected above, so the
+    // adaptive plan has already been rewritten into QueryStageExec
+    // nodes whose subtrees live in .plan, not .children
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    val nodes = walk(df.queryExecution.executedPlan)
+    val embScans = nodes.count {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("embeddings"))
+      case _ => false
+    }
+    assert(embScans === 0,
+      s"ss18's final plan carries $embScans live embeddings scans — the split sides must " +
+        "be read from their checkpoints (one corpus pass for ALL queries)")
+    assert(nodes.exists(_.isInstanceOf[RDDScanExec]),
+      "no checkpoint leaves in the ss18 plan — split pinning is not in effect")
+  }
 }

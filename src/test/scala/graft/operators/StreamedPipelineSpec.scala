@@ -51,8 +51,12 @@ class StreamedPipelineSpec extends AnyFunSuite {
 
   /** Driver-side sequential replay of the admission chain with the
     * SAME factored cores — the ground truth for streamed == batch.
+    * With `modelKeeps` set, stage 1 is the trained gate (keep iff the
+    * doc is in the model's keep set) and the stage-1 manifest rows are
+    * pl04's model_keep/model_drop labels.
     */
-  private def replay(batches: Seq[Seq[(Long, String, String)]])
+  private def replay(batches: Seq[Seq[(Long, String, String)]],
+      modelKeeps: Option[Set[Long]] = None)
       : Seq[Map[(Int, String), Long]] = {
     var exact = Dedup.corpusExact(corp).localCheckpoint()
     var postings = Dedup.corpusPostings(spark, corp).localCheckpoint()
@@ -61,7 +65,10 @@ class StreamedPipelineSpec extends AnyFunSuite {
       val bdf = toDf(b)
       val fc = TextAnalysis.filterVerdictsOf(bdf)
         .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
-      val s1 = b.map(_._1).filter(id => fc(id)._2 == "kept")
+      val s1 = modelKeeps match {
+        case Some(mk) => b.map(_._1).filter(mk)
+        case None => b.map(_._1).filter(id => fc(id)._2 == "kept")
+      }
       val v = Dedup.verdictsAgainstStore(spark,
           bdf.filter(col("doc_id").isin(s1: _*)), exact, postings)
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -83,9 +90,16 @@ class StreamedPipelineSpec extends AnyFunSuite {
         .sortBy { case (t, id) => (-t, id) }.zipWithIndex
         .map { case (_, i) => if ((i / 16) % 2 == 0) i % 16 else 15 - i % 16 }
         .groupBy(sh => s"shard_$sh").view.mapValues(_.size.toLong).toMap
-      (Map((0, "drop_in") -> b.size.toLong) ++
-        b.map(d => fc(d._1)._2).groupBy(identity).map {
-          case (r, xs) => (1, r) -> xs.size.toLong } ++
+      val stage1 = modelKeeps match {
+        case Some(_) =>
+          val nk = s1.size.toLong
+          Map((1, "model_keep") -> nk, (1, "model_drop") -> (b.size - nk))
+            .filter(_._2 > 0)
+        case None =>
+          b.map(d => fc(d._1)._2).groupBy(identity).map {
+            case (r, xs) => (1, r) -> xs.size.toLong }.toMap
+      }
+      (Map((0, "drop_in") -> b.size.toLong) ++ stage1 ++
         s1.map(v).groupBy(identity).map {
           case (r, xs) => (2, r) -> xs.size.toLong } ++
         Map((3, "contaminated") -> (s2.size - s3.size).toLong,
@@ -142,6 +156,77 @@ class StreamedPipelineSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(manifestOf(man1, 0L) === pl02,
       "a one-batch stream must equal the shipped pl02 batch manifest")
+  }
+
+  test("model-gated stream: persisted gate IS pl04's artifacts; manifests == replay across restart; rule audit side-car intact") {
+    val (incoming, store, man, ckpt) =
+      (tmp("min"), tmp("mstore"), tmp("mman"), tmp("mckpt"))
+    seed(store)
+    StreamedPipeline.seedModel(spark, sf0001, store)
+
+    // 1) the persisted gate equals the tx22/tx23/pl04 cores' artifacts:
+    // weights = perceptronEpochs.last, theta* = budgetMatchedTheta
+    val model = spark.read.parquet(s"$store/model").collect()
+    assert(model.length === 1, "model store must be a 1-row (w, theta) table")
+    val w = model(0).getSeq[Long](model(0).fieldIndex("w")).toVector
+    val theta = model(0).getLong(model(0).fieldIndex("theta"))
+    val wCore = TextAnalysis.perceptronEpochs(spark, sf0001)
+      .last.select("w").collect()(0).getSeq[Long](0).toVector
+    assert(w === wCore, "persisted weights diverge from the tx22 core")
+    val feats = TextAnalysis.perceptronFeats(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toVector, r.getLong(2)))
+    val scores = feats.map { case (id, x, y) =>
+      (id, x.zip(w).map { case (a, b) => a * b }.sum, y) }
+    val (lo, hi) = (scores.map(_._2).min, scores.map(_._2).max)
+    val grid = (1 to 5).map(k => k -> (lo + ((hi - lo) * k) / 6))
+    val budget = scores.count(_._3 == 1L).toLong
+    val thetaStar = grid.minBy { case (k, t) =>
+      (math.abs(scores.count(_._2 >= t) - budget), k) }._2
+    assert(theta === thetaStar, "persisted theta* diverges from the budget-matched rule")
+
+    // 2) stream the drop in 3 micro-batches with a mid-stream restart
+    val keeps = scores.collect { case (id, sc, _) if sc >= theta => id }.toSet
+    val batches = inc.toSeq.grouped((inc.length + 2) / 3).map(_.toSeq).toSeq
+    def writeDrop(i: Int): Unit =
+      toDf(batches(i)).coalesce(1).write.mode("append").parquet(incoming)
+    def start() = StreamedPipeline.run(spark, incoming, store, man, ckpt,
+      trigger = Trigger.ProcessingTime(100), gate = StreamedPipeline.ModelGate)
+    writeDrop(0)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    writeDrop(1)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      writeDrop(2)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val expected = replay(batches, Some(keeps))
+    for (i <- batches.indices)
+      assert(manifestOf(man, i.toLong) === expected(i),
+        s"model-gated batch $i manifest diverges from the sequential replay")
+
+    // 3) the rule chain rides along as the labeled-audit side-car:
+    // per batch, the audit partition equals tx12's reason histogram
+    for (i <- batches.indices) {
+      val audit = spark.read.parquet(s"$man/audit/batch_id=$i").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rules = TextAnalysis.filterVerdictsOf(toDf(batches(i))).collect()
+        .map(_.getString(2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(audit === rules, s"batch $i audit side-car diverges from tx12's histogram")
+    }
+
+    // 4) replay idempotency holds for the model gate too
+    val m0 = manifestOf(man, 0L)
+    StreamedPipeline.processBatch(toDf(batches(0)), 0L, store, man,
+      gate = StreamedPipeline.ModelGate)
+    assert(manifestOf(man, 0L) === m0, "replayed model-gated batch changed the manifest")
+
+    // 5) non-vacuity: the model gate genuinely differs from the rule
+    // gate over the training corpus (pl04's pin, at this sf)
+    val ruleKeeps = feats.collect { case (id, _, y) if y == 1L => id }.toSet
+    assert(keeps !== ruleKeeps, "model and rule gates identical — gating is a rename")
   }
 
   test("re-delivered batch is a no-op; rejected docs never enter the store") {

@@ -208,6 +208,26 @@ class TextModelBpeSpec extends AnyFunSuite {
         s"frozen tx19 weights ($untrained/${feats.size})")
   }
 
+  test("perceptron store: memoized artifacts are bit-identical to a fresh training run") {
+    // the r16 memo (PerceptronStore) exists so tx22/tx23/pl04 stop
+    // re-training per query; it must never be allowed to drift from
+    // what an un-memoized run computes. Training is exact integer
+    // arithmetic, so equality is exact, not approximate.
+    val freshFeats = TextAnalysis.perceptronFeatsFresh(spark, sf001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toVector, r.getLong(2)))).toMap
+    val memoFeats = TextAnalysis.perceptronFeats(spark, sf001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toVector, r.getLong(2)))).toMap
+    assert(memoFeats === freshFeats, "memoized feats diverged from fresh")
+    val freshEpochs = TextAnalysis
+      .perceptronEpochsFresh(spark, TextAnalysis.perceptronFeats(spark, sf001))
+      .map(_.collect()(0)).map(r => (r.getSeq[Long](0).toVector, r.getLong(1)))
+    val memoEpochs = TextAnalysis.perceptronEpochs(spark, sf001)
+      .map(_.collect()(0)).map(r => (r.getSeq[Long](0).toVector, r.getLong(1)))
+    assert(memoEpochs === freshEpochs, "memoized trajectory diverged from fresh")
+  }
+
   test("tx23: curve equals the driver-side sweep replay; monotone in theta; an interior point discriminates") {
     val docs = graft.Tables.load(spark, sf001, "documents")
       .select("doc_id", "text").collect()
