@@ -152,7 +152,8 @@ object ScaleProbe {
       // clone design); ss18's batch serve must track corpus x probed
       // fraction, with routing/truth on the fixed query decile
       "pl04_model_gated_manifest", "pl05_combined_rewrite_manifest",
-      "ss18_batched_ann_serving").map(n => n -> run(n))
+      "ss18_batched_ann_serving", "ss19_batched_ivfpq_adc")
+      .map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
     // clone-group design makes output grow ~N² — a LINEAR time ratio

