@@ -97,6 +97,71 @@ object StreamedDedup {
       .write.mode("overwrite").parquet(s"$storeDir/shingles/batch_id=$batchId")
   }
 
+  /** Maintenance compaction — the "Compaction treatment" the scale
+    * note above promises, implemented (r16): a long-running stream
+    * leaves one store partition per admitting batch (at production
+    * trigger rates, thousands of directories of small files — the
+    * small-files problem, and a per-batch listing cost that grows
+    * with stream age); this pass folds the whole forest into ONE
+    * compacted partition per table. Readers are untouched: readStore
+    * globs `batch_id=*`, so verdicts before/after compaction are
+    * row-identical (spec-pinned).
+    *
+    * Contract: runs in a maintenance window (no trigger in flight),
+    * with a caller-chosen NEGATIVE `compactionId` (negative ids can
+    * never collide with foreachBatch's non-negative batch ids;
+    * distinct from [[SeedBatchId]] so an interrupted run never
+    * overwrites the only surviving copy in place). Crash-safe by
+    * WRITE-THEN-PRUNE:
+    *
+    *  1. the full collapsed row set — exact at fp-grain min-holder,
+    *     postings distinct; both collapses are no-ops on a healthy
+    *     store's content (fps unique by the accretion anti-join,
+    *     postings distinct by construction) and absorb the duplicates
+    *     an interrupted prior compaction leaves — lands in
+    *     `batch_id=<compactionId>` with mode=overwrite;
+    *  2. every OTHER partition is deleted (Hadoop FileSystem, so the
+    *     same code prunes HDFS/object-store paths on a cluster).
+    *
+    * A crash between 1 and 2 leaves duplicate rows visible, which the
+    * near-dup verdict would miscount (duplicate postings inflate df
+    * and shared counts) — hence the window contract: an interrupted
+    * compaction is RE-RUN (same id — it converges) before the stream
+    * resumes. StreamedDedupSpec pins verdict equivalence across a
+    * mid-stream compaction, content identity, single-partition
+    * layout, and convergence from a simulated interrupted run.
+    */
+  def compactStore(s: SparkSession, storeDir: String, compactionId: Long): Unit = {
+    require(compactionId < 0 && compactionId != SeedBatchId,
+      s"compactionId must be negative and != $SeedBatchId (got $compactionId)")
+    val (exact, postings) = readStore(s, storeDir, excludeBatch = Long.MinValue)
+    exact.groupBy("fp").agg(min(col("cid")).as("cid"))
+      .write.mode("overwrite").parquet(s"$storeDir/exact/batch_id=$compactionId")
+    postings.distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/shingles/batch_id=$compactionId")
+    pruneOtherPartitions(s, Seq(s"$storeDir/exact", s"$storeDir/shingles"), compactionId)
+  }
+
+  /** Delete every `batch_id=` partition except the compacted one —
+    * shared by [[compactStore]] and StreamedPipeline's ledger
+    * compaction. Hadoop FileSystem so it works beyond local disk.
+    */
+  private[operators] def pruneOtherPartitions(
+      s: SparkSession, tableDirs: Seq[String], keepId: Long): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    for (t <- tableDirs) {
+      val dir = new org.apache.hadoop.fs.Path(t)
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && n.startsWith("batch_id=") &&
+            n != s"batch_id=$keepId") {
+          fs.delete(st.getPath, true); ()
+        }
+      }
+    }
+  }
+
   /** Run the continuous job over a parquet drop directory. */
   def run(s: SparkSession, incomingDir: String, storeDir: String,
       outDir: String, checkpointDir: String,

@@ -139,4 +139,57 @@ class StreamedDedupSpec extends AnyFunSuite {
     assert(e.groupBy("fp").count().filter(col("count") > 1).isEmpty,
       "exact store must hold one row per distinct fingerprint")
   }
+
+  test("compaction: content-identical store, one partition per table, verdicts unchanged, interrupted run converges") {
+    val (store, out) = (tmp("store3"), tmp("out3"))
+    StreamedDedup.seed(spark, corp, store)
+    val batches = inc.toSeq.grouped((inc.length + 2) / 3).map(_.toSeq).toSeq
+    StreamedDedup.processBatch(toDf(batches(0)), 0L, store, out)
+    StreamedDedup.processBatch(toDf(batches(1)), 1L, store, out)
+
+    def storeState(): (Set[(String, Long)], Set[(Long, String)]) = {
+      val (e, p) = StreamedDedup.readStore(spark, store, excludeBatch = Long.MinValue)
+      (e.collect().map(r => (r.getString(0), r.getLong(1))).toSet,
+        p.collect().map(r => (r.getLong(0), r.get(1).toString)).toSet)
+    }
+    def partitions(table: String): Seq[String] = {
+      val d = new java.io.File(s"$store/$table")
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).toSeq.sorted
+    }
+    val pre = storeState()
+    assert(partitions("exact").size >= 2, "fixture must accrete multiple partitions")
+
+    // compact mid-stream (maintenance window between triggers)
+    StreamedDedup.compactStore(spark, store, -2L)
+    assert(storeState() === pre, "compaction changed the store's row content")
+    assert(partitions("exact") === Seq("batch_id=-2"), "exact not folded to one partition")
+    assert(partitions("shingles") === Seq("batch_id=-2"), "shingles not folded to one partition")
+
+    // the stream continues against the compacted store: batch 2's
+    // verdicts equal the sequential replay over the UNCOMPACTED chain
+    StreamedDedup.processBatch(toDf(batches(2)), 2L, store, out)
+    val (expected, _, _) = replay(batches)
+    assert(collectVerdicts(out).sortBy(_._1) === expected.sortBy(_._1),
+      "post-compaction verdicts diverge from the uncompacted sequential replay")
+
+    // interrupted compaction: the write phase of a NEW compaction id
+    // lands (duplicating every row) but the prune never runs — the
+    // documented crash window. Re-running the SAME compaction
+    // converges: content identical, single partition again.
+    val (e, p) = StreamedDedup.readStore(spark, store, excludeBatch = Long.MinValue)
+    e.write.mode("overwrite").parquet(s"$store/exact/batch_id=-3")
+    p.write.mode("overwrite").parquet(s"$store/shingles/batch_id=-3")
+    val post = storeState()
+    StreamedDedup.compactStore(spark, store, -3L)
+    assert(storeState() === post, "re-run compaction changed the row content")
+    assert(partitions("exact") === Seq("batch_id=-3") &&
+      partitions("shingles") === Seq("batch_id=-3"),
+      "re-run compaction did not converge to one partition")
+
+    // the contract is loud: a non-negative or seed id is refused
+    intercept[IllegalArgumentException](StreamedDedup.compactStore(spark, store, 5L))
+    intercept[IllegalArgumentException](
+      StreamedDedup.compactStore(spark, store, StreamedDedup.SeedBatchId))
+  }
 }

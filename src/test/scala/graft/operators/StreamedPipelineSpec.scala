@@ -229,6 +229,33 @@ class StreamedPipelineSpec extends AnyFunSuite {
     assert(keeps !== ruleKeeps, "model and rule gates identical — gating is a rename")
   }
 
+  test("store compaction mid-stream: manifests (incl. corpus_after from the compacted ledger) equal the uncompacted replay") {
+    val (store, man) = (tmp("cstore"), tmp("cman"))
+    seed(store)
+    val batches = inc.toSeq.grouped((inc.length + 2) / 3).map(_.toSeq).toSeq
+    StreamedPipeline.processBatch(toDf(batches(0)), 0L, store, man)
+    StreamedPipeline.processBatch(toDf(batches(1)), 1L, store, man)
+
+    // maintenance window between triggers: fold fingerprint tables AND
+    // the admission ledger into one partition each
+    StreamedPipeline.compactStores(spark, store, -2L)
+    def partitions(table: String): Seq[String] =
+      new java.io.File(s"$store/$table").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).toSeq.sorted
+    assert(partitions("admitted") === Seq("batch_id=-2"))
+    assert(partitions("exact") === Seq("batch_id=-2"))
+
+    // the stream continues: batch 2's manifest — including the
+    // corpus_after line, which now reads the COMPACTED ledger — must
+    // equal the sequential uncompacted replay
+    StreamedPipeline.processBatch(toDf(batches(2)), 2L, store, man)
+    val expected = replay(batches)
+    for (i <- batches.indices)
+      assert(manifestOf(man, i.toLong) === expected(i),
+        s"batch $i manifest diverges from the uncompacted replay after compaction")
+  }
+
   test("re-delivered batch is a no-op; rejected docs never enter the store") {
     val (store, man) = (tmp("store2"), tmp("man2"))
     seed(store)
