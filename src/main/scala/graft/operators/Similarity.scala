@@ -950,16 +950,15 @@ object Similarity {
     GraftQuery(
       "ss18_batched_ann_serving",
       Some(batchedAnnOracle),
-      "BATCHED-QUERY ANN SERVING — the serving shape every other probe in the family lacks (VERDICT r15): ss01-ss17 all serve exactly ONE broadcast query vector, but production serves query BATCHES (millions/day), and the batch form is a structurally different plan — N queries route via the coarse index and meet the corpus in ONE equi-join on cell id, so the corpus side scans its probed cells ONCE for ALL queries instead of once per query (the per-query re-scan is the difference between an index lookup service and N full jobs). Query set = the held-out md5 decile of vectors (sp01's reproducible split — 44 queries at sf0.01, 186 at sf0.1); corpus = the other 90%, assigned to 4 md5-seeded coarse cells once (map-side argmin against the 4-row broadcast — query-count-independent). Each query routes to its top-3 cells (query-grain window, partitioned by query id); the routing table (queries x 3 rows — always the small side) BROADCASTS into the corpus assignment: one BroadcastHashJoin on cell emits every (query, candidate) pair. Exact rerank per pair, per-query top-10 by a (qid)-PARTITIONED window (no fact-scale single partition — parallelism = query count, the serving fleet's natural grain). Output: one row per query (qid, n_candidates, recall10 vs that query's OWN brute-force exact top-10) — the per-query recall DISTRIBUTION a deployment reads before promising an SLA (a mean hides the tail query that routes into the wrong cell). At 100 TB: cells number thousands, routes stay queries x nprobe, the cell equi-join shuffles candidates once, and the truth side (here the audited exact scan) runs only on the sampled audit decile — exactly this query's shape. SimilaritySpec pins: every decile query present exactly once, candidates strictly under the corpus (the cost bound is real), every served hit inside the query's 3 routed cells (driver-side replay), and the plan pin — zero live embeddings scans in the final plan (both split sides checkpointed once) with the candidate generation a single cell-keyed join, so corpus work cannot scale with query count.") {
+      "BATCHED-QUERY ANN SERVING — the serving shape every other probe in the family lacks (VERDICT r15): ss01-ss17 all serve exactly ONE broadcast query vector, but production serves query BATCHES (millions/day), and the batch form is a structurally different plan — N queries route via the coarse index and meet the corpus in ONE equi-join on cell id, so the corpus side scans its probed cells ONCE for ALL queries instead of once per query (the per-query re-scan is the difference between an index lookup service and N full jobs). Query set = the held-out md5 decile of vectors (sp01's reproducible split — 44 queries at sf0.01, 186 at sf0.1); corpus = the other 90%, assigned to 4 md5-seeded coarse cells once (map-side argmin against the 4-row broadcast — query-count-independent). Each query routes to its top-3 cells (query-grain window, partitioned by query id); the routing table (queries x 3 rows — always the small side) BROADCASTS into the corpus assignment: one BroadcastHashJoin on cell emits every (query, candidate) pair. Exact rerank per pair, per-query top-10 by a (qid)-PARTITIONED window (no fact-scale single partition — parallelism = query count, the serving fleet's natural grain). Output: one row per query (qid, n_candidates, recall10 vs that query's OWN brute-force exact top-10) — the per-query recall DISTRIBUTION a deployment reads before promising an SLA (a mean hides the tail query that routes into the wrong cell). At 100 TB: cells number thousands, routes stay queries x nprobe, the cell equi-join shuffles candidates once, and the truth side (here the audited exact scan) runs only on the sampled audit decile — exactly this query's shape. r16: the index is DISK-PERSISTED per (application, dir) — qset/seeds/assign tables under a TempLayout store, built once and READ by every serve (production's shape: batch serving reads stored index tables, it never re-assigns the corpus per batch; PerceptronStore's discipline on the ANN side). SimilaritySpec pins: every decile query present exactly once, candidates strictly under the corpus (the cost bound is real), every served hit inside the query's 3 routed cells (driver-side replay), and the plan pin — ZERO raw-embeddings scans in the serving plan and at least one scan on the persisted index store, so corpus work cannot scale with query count and serving provably runs off the stored artifact.") {
       (s, dir) =>
-        val q = qemb(s, dir)
-        val qset = Materialize(q
-          .filter(expr(s"${Sampling.bucket100("vec_id")} < 10"))
-          .select(col("vec_id").as("qid"), col("qe").as("qv")))
-        val corp = Materialize(q
-          .filter(expr(s"${Sampling.bucket100("vec_id")} >= 10"))
-          .select(col("vec_id"), col("qe")))
-        val seeds = mdSeeds(corp, 4)
+        // serve from the PERSISTED index (r16): production batch
+        // serving reads stored tables — qset here is the sampled
+        // audit queries, assign the stored (vec_id, cell, qe) index
+        val store = ivfIndexStore(s, dir)
+        val qset = s.read.parquet(s"$store/qset")
+        val seeds = s.read.parquet(s"$store/seeds")
+        val assign = s.read.parquet(s"$store/assign")
         // route every query to its top-3 of 4 cells: query-grain work,
         // 4-row broadcast, (qid)-partitioned window
         val wq = org.apache.spark.sql.expressions.Window
@@ -969,14 +968,8 @@ object Similarity {
           .select(col("qid"), col("code").as("cell"), col("d"))
           .withColumn("rn", row_number().over(wq))
           .filter(col("rn") <= 3).select("qid", "cell")
-        // corpus -> cell assignment, computed ONCE (query-count-free)
-        val assign = corp.crossJoin(broadcast(seeds))
-          .withColumn("d", il2("qe", "qs"))
-          .groupBy("vec_id")
-          .agg(min_by(col("code"), struct(col("d"), col("code"))).as("cell"),
-            first(col("qe")).as("qe"))
-        // THE batch move: the routing table broadcasts into the corpus
-        // assignment — one equi-join on cell serves every query at once
+        // THE batch move: the routing table broadcasts into the stored
+        // cell assignment — one equi-join on cell serves every query
         val cand = assign.join(broadcast(routes), Seq("cell"))
           .select(col("qid"), col("vec_id"), col("qe"))
         val wr = org.apache.spark.sql.expressions.Window
@@ -988,7 +981,7 @@ object Similarity {
           .select(col("qid"), col("vec_id"))
         // per-query exact truth over the full corpus — the audited
         // brute-force baseline (decile-sampled, like every ss audit)
-        val truth = corp.crossJoin(broadcast(qset))
+        val truth = assign.crossJoin(broadcast(qset))
           .withColumn("d", il2("qe", "qv"))
           .select(col("qid"), col("vec_id"), col("d"))
           .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
@@ -1008,16 +1001,16 @@ object Similarity {
     GraftQuery(
       "ss19_batched_ivfpq_adc",
       Some(batchedIvfPqOracle),
-      "BATCHED IVF-PQ SERVING — ss18 with the COMPRESSED-domain scoring production actually ships (the full composition: ss18's batch routing x ss09's ADC funnel): at 100 TB the candidate rows of a routed cell are still too many to exact-score per query in full dimension, so the serving index stores 8-byte PQ codes and each query scores candidates by table lookup — here at batch grain. The corpus PQ-code index (vec_id, sub, code) is encoded ONCE against the 4-seed codebooks (query-count-free — THE persisted artifact; 8 small codes per vector replace the 64-dim vector in the scoring path); each query builds its 32-entry ADC lookup table in one map-side join (queries x 8 subvectors x the broadcast codebook — queries x 32 rows total, always the small side); candidates from ss18's cell equi-join then ADC-score via ONE (qid, sub, code) equi-join + a (qid, vec_id) partial-aggregating sum — 8 integer adds per candidate per query, never a full-dimension op; per-query ADC top-60 (20 per probed cell, ss15's budget scaling) exact-reranks to top-10. Output per query: (qid, n_members, recall10 vs the query's own exact top-10). The funnel's price is pinned, not assumed: recall(ss19) <= recall(ss18) per query (rerank-a-subset can only lose — SimilaritySpec proves the inequality against the shipped ss18 answer and replays the whole ADC path driver-side), and the compensation is the bill: ss18 exact-scores EVERY candidate in 64 dims, ss19 touches full vectors only for the 60 survivors. All integer arithmetic, bit-identical cross-engine. At 100 TB: the PQ index is the stored table, LUTs are per-query KBs, the ADC join shuffles (candidate x 8)-code rows keyed by vec_id — dimension-free — and rerank I/O is adcK-bounded per query.") {
+      "BATCHED IVF-PQ SERVING — ss18 with the COMPRESSED-domain scoring production actually ships (the full composition: ss18's batch routing x ss09's ADC funnel): at 100 TB the candidate rows of a routed cell are still too many to exact-score per query in full dimension, so the serving index stores 8-byte PQ codes and each query scores candidates by table lookup — here at batch grain. The corpus PQ-code index (vec_id, sub, code) is encoded ONCE against the 4-seed codebooks (query-count-free — THE persisted artifact; 8 small codes per vector replace the 64-dim vector in the scoring path); each query builds its 32-entry ADC lookup table in one map-side join (queries x 8 subvectors x the broadcast codebook — queries x 32 rows total, always the small side); candidates from ss18's cell equi-join then ADC-score via ONE (qid, sub, code) equi-join + a (qid, vec_id) partial-aggregating sum — 8 integer adds per candidate per query, never a full-dimension op; per-query ADC top-60 (20 per probed cell, ss15's budget scaling) exact-reranks to top-10. Output per query: (qid, n_members, recall10 vs the query's own exact top-10). The funnel's price is pinned, not assumed: recall(ss19) <= recall(ss18) per query (rerank-a-subset can only lose — SimilaritySpec proves the inequality against the shipped ss18 answer and replays the whole ADC path driver-side), and the compensation is the bill: ss18 exact-scores EVERY candidate in 64 dims, ss19 touches full vectors only for the 60 survivors. All integer arithmetic, bit-identical cross-engine. r16: the PQ index IS a stored table — `pqidx/` in the per-(application, dir) disk store ss18 shares — so the serve literally reads codes from disk and touches full vectors only at the rerank's `assign` read. At 100 TB: LUTs are per-query KBs, the ADC join shuffles (candidate x 8)-code rows keyed by vec_id — dimension-free — and rerank I/O is adcK-bounded per query.") {
       (s, dir) =>
-        val q = qemb(s, dir)
-        val qset = Materialize(q
-          .filter(expr(s"${Sampling.bucket100("vec_id")} < 10"))
-          .select(col("vec_id").as("qid"), col("qe").as("qv")))
-        val corp = Materialize(q
-          .filter(expr(s"${Sampling.bucket100("vec_id")} >= 10"))
-          .select(col("vec_id"), col("qe")))
-        val seeds = mdSeeds(corp, 4)
+        // serve from the PERSISTED index (r16): the PQ-code table is
+        // literally the stored artifact the doc promises — scoring
+        // never touches raw vectors until the rerank reads `assign`
+        val store = ivfIndexStore(s, dir)
+        val qset = s.read.parquet(s"$store/qset")
+        val seeds = s.read.parquet(s"$store/seeds")
+        val assign = s.read.parquet(s"$store/assign")
+        val pqIdx = s.read.parquet(s"$store/pqidx")
         val wq = org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy("d", "cell")
         val routes = qset.crossJoin(broadcast(seeds))
@@ -1025,22 +1018,9 @@ object Similarity {
           .select(col("qid"), col("code").as("cell"), col("d"))
           .withColumn("rn", row_number().over(wq))
           .filter(col("rn") <= 3).select("qid", "cell")
-        val assign = corp.crossJoin(broadcast(seeds))
-          .withColumn("d", il2("qe", "qs"))
-          .groupBy("vec_id")
-          .agg(min_by(col("code"), struct(col("d"), col("code"))).as("cell"),
-            first(col("qe")).as("qe"))
-        // the persisted compressed index: every corpus vector PQ-encoded
-        // ONCE against the seed codebooks (ss08's assignment, batch form)
+        // the 32-row serving codebook, rebuilt from the stored seeds
         val cds = seeds.select(col("code"), explode(subSlices("qs", "qc")).as("x"))
           .select(col("code"), col("x.sub").as("sub"), col("x.qc").as("qc"))
-        val pqIdx = Materialize(corp
-          .select(col("vec_id"), explode(subSlices("qe", "sv")).as("x"))
-          .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
-          .join(broadcast(cds), Seq("sub"))
-          .withColumn("d", il2("sv", "qc"))
-          .groupBy(col("vec_id"), col("sub"))
-          .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code")))
         // per-query ADC lookup tables: queries x 32 rows, map-side
         val qlut = qset
           .select(col("qid"), explode(subSlices("qv", "qsv")).as("x"))
@@ -1063,12 +1043,14 @@ object Similarity {
         // exact rerank touches full vectors ONLY for the 60 survivors
         val wx = org.apache.spark.sql.expressions.Window
           .partitionBy("qid").orderBy("d", "vec_id")
-        val annTop = adc60.join(corp, Seq("vec_id")).join(broadcast(qset), Seq("qid"))
+        val annTop = adc60
+          .join(assign.select("vec_id", "qe"), Seq("vec_id"))
+          .join(broadcast(qset), Seq("qid"))
           .withColumn("d", il2("qe", "qv"))
           .select(col("qid"), col("vec_id"), col("d"))
           .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 10)
           .select(col("qid"), col("vec_id"))
-        val truth = corp.crossJoin(broadcast(qset))
+        val truth = assign.crossJoin(broadcast(qset))
           .withColumn("d", il2("qe", "qv"))
           .select(col("qid"), col("vec_id"), col("d"))
           .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 10)
@@ -1165,6 +1147,56 @@ object Similarity {
          |rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS recall10 FROM exact JOIN ann USING (vec_id))
          |SELECT CAST($k AS INT) AS nprobe, nm.n_members, rc.recall10 FROM nm, rc)""".stripMargin
     Seq(1, 2, 3).map(block).mkString("\nUNION ALL\n")
+  }
+
+  /** Disk-memoized batch-serving index for ss18/ss19, one build per
+    * (application, source dir) — PerceptronStore's discipline applied
+    * to the ANN side: production serves from a PERSISTED index, it
+    * does not re-assign the corpus per query batch. Tables: `qset/`
+    * (qid, qv — the md5-decile audit queries), `seeds/` (code, qs —
+    * the 4 coarse cells), `assign/` (vec_id, cell, qe — corpus cell
+    * assignment WITH the full vector, the rerank side), `pqidx/`
+    * (vec_id, sub, code — the compressed codes, ss19's scoring side).
+    * All integer artifacts of deterministic builds, so persist-then-
+    * read is bit-identical to a fresh derivation; the builds read the
+    * PERSISTED upstream tables (corp -> seeds -> assign/pqidx) so one
+    * embeddings scan feeds the whole store.
+    */
+  private val ivfIdxBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexStore(s: SparkSession, dir: String): String = {
+    val dirMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val tag = s"${s.sparkContext.applicationId}_$dirMd5"
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    ivfIdxBuilt.computeIfAbsent(tag, _ => {
+      val out = TempLayout.dir(s"ivfidx_$tag", dir)
+      val q = qemb(s, dir)
+      q.filter(expr(s"${Sampling.bucket100("vec_id")} < 10"))
+        .select(col("vec_id").as("qid"), col("qe").as("qv"))
+        .write.mode("overwrite").parquet(s"$out/qset")
+      q.filter(expr(s"${Sampling.bucket100("vec_id")} >= 10"))
+        .select(col("vec_id"), col("qe"))
+        .write.mode("overwrite").parquet(s"$out/corp")
+      val corp = s.read.parquet(s"$out/corp")
+      mdSeeds(corp, 4).write.mode("overwrite").parquet(s"$out/seeds")
+      val seeds = broadcast(s.read.parquet(s"$out/seeds"))
+      corp.crossJoin(seeds)
+        .withColumn("d", il2("qe", "qs"))
+        .groupBy("vec_id")
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("cell"),
+          first(col("qe")).as("qe"))
+        .write.mode("overwrite").parquet(s"$out/assign")
+      val cds = seeds.select(col("code"), explode(subSlices("qs", "qc")).as("x"))
+        .select(col("code"), col("x.sub").as("sub"), col("x.qc").as("qc"))
+      corp.select(col("vec_id"), explode(subSlices("qe", "sv")).as("x"))
+        .select(col("vec_id"), col("x.sub").as("sub"), col("x.sv").as("sv"))
+        .join(broadcast(cds), Seq("sub"))
+        .withColumn("d", il2("sv", "qc"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("code"), struct(col("d"), col("code"))).as("code"))
+        .write.mode("overwrite").parquet(s"$out/pqidx")
+      out
+    })
   }
 
   /** ss18's oracle: the identical batched pipeline in SQL — md5-decile

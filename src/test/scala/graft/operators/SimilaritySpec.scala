@@ -390,10 +390,11 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.values.forall(_._1 < corpIds.size),
       "a query's candidate set covered the whole corpus — the cost bound is vacuous")
     assert(got.values.exists(_._2 > 0), "zero recall everywhere — serving is broken")
-    // plan pin: both split sides are checkpointed once, so the FINAL
-    // plan carries ZERO live embeddings scans — corpus-side work is
-    // structurally one pass per stage, never one pass per query
-    import org.apache.spark.sql.execution.{FileSourceScanExec, RDDScanExec, SparkPlan}
+    // plan pin: the serving plan reads the PERSISTED index store, not
+    // the raw embeddings — zero live embeddings scans (corpus-side
+    // work is structurally one pass per stage, never per query), and
+    // at least one scan on the ivfidx store tables
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     // descends AQE stage wrappers too: df was collected above, so the
     // adaptive plan has already been rewritten into QueryStageExec
@@ -405,16 +406,15 @@ class SimilaritySpec extends AnyFunSuite {
         case _ => Seq.empty
       }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
     val nodes = walk(df.queryExecution.executedPlan)
-    val embScans = nodes.count {
+    def scansOn(frag: String): Int = nodes.count {
       case f: FileSourceScanExec =>
-        f.relation.location.rootPaths.exists(_.toString.contains("embeddings"))
+        f.relation.location.rootPaths.exists(_.toString.contains(frag))
       case _ => false
     }
-    assert(embScans === 0,
-      s"ss18's final plan carries $embScans live embeddings scans — the split sides must " +
-        "be read from their checkpoints (one corpus pass for ALL queries)")
-    assert(nodes.exists(_.isInstanceOf[RDDScanExec]),
-      "no checkpoint leaves in the ss18 plan — split pinning is not in effect")
+    assert(scansOn("embeddings") === 0,
+      "ss18's serving plan touches raw embeddings — it must read the persisted index store")
+    assert(scansOn("graft_ivfidx") >= 1,
+      "ss18's serving plan reads no ivfidx store table — index persistence is not in effect")
   }
 
   test("ss19: batched ADC equals a driver replay; per-query recall never beats ss18's exact-rerank (the funnel's price) (sf0.01)") {
