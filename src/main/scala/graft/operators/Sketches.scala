@@ -257,5 +257,40 @@ object Sketches {
           .agg(max(col("tot")).cast("bigint").as("n_events"),
             min(when(col("run") * 2 >= col("tot"), col("v"))).as("p50_cents"),
             min(when(col("run") * 10 >= col("tot") * 9, col("v"))).as("p90_cents"))
+    },
+
+    GraftQuery(
+      "sk08_topk_window_rollup",
+      Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+             |days AS (SELECT DISTINCT day AS d FROM ev),
+             |wc AS (SELECT dy.d, e.event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+             |       FROM ev e JOIN days dy ON e.day BETWEEN dy.d - 6 AND dy.d
+             |       GROUP BY 1, 2),
+             |r AS (SELECT d, event_type, cnt,
+             |             ROW_NUMBER() OVER (PARTITION BY d ORDER BY cnt DESC, event_type) AS rnk
+             |      FROM wc)
+             |SELECT d AS day, CAST(rnk AS INT) AS rnk, event_type, cnt
+             |FROM r WHERE rnk <= 3""".stripMargin),
+      "Rolling 7-day TOP-K from daily mergeable frequent-items partials — the sketch store's THIRD headline statistic rolled up in time (sk06: windowed distinct counts from HLL partials; sk07: windowed quantiles from value histograms; every ops dashboard also wants 'top event types this week' without re-scanning the fact table per window): daily partial = ONE DataSketches frequent-items sketch per day via approx_top_k_accumulate (KB-scale, built in one map-side-combining pass), any trailing window = a day-cardinality approx_top_k_combine of 7 partials — the same-store-many-windows contract, now for the heavy-hitter statistic. TIE-SAFETY is the design point (the tx23/sk07 cross-engine lesson applied to top-k): the sketch's own estimate order is implementation-defined under count ties, so the plan estimates ALL tracked items (maxItemsTracked 100 exceeds the event-type cardinality — the sketch is in its EXACT regime, sk02's argument, which is what makes the full value oracle possible) and picks top-3 by the deterministic (count DESC, event_type) rule in a day-partitioned window; the merged-window day list is the broadcast side (the sk07 ADVICE discipline). At 100 TB the daily sketch store stays KB x days while the fact table never re-scans per window; outside the exact regime the counts become DataSketches error-bounded estimates and the oracle would relax to the in-plan-envelope pattern (q32/sk04) — documented, not hidden. SketchesSpec replays windowed top-3 from raw collected events and pins the exact regime plus genuinely multi-day windows.") {
+      (s, dir) =>
+        val ev = t(s, dir, "events")
+          .select(to_date(col("ts")).as("day"), col("event_type"))
+        val daily = Materialize(ev.groupBy("day")
+          .agg(expr("approx_top_k_accumulate(event_type, 100)").as("st")))
+        val days = daily.select(col("day").as("d")).distinct()
+        val merged = daily
+          .join(broadcast(days),
+            col("day").between(date_sub(col("d"), 6), col("d")))
+          .groupBy("d").agg(expr("approx_top_k_combine(st, 100)").as("st"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("day").orderBy(col("cnt").desc, col("event_type"))
+        merged
+          .select(col("d").as("day"),
+            explode(expr("approx_top_k_estimate(st, 100)")).as("e"))
+          .select(col("day"), col("e.item").as("event_type"),
+            col("e.count").cast("bigint").as("cnt"))
+          .withColumn("rnk", row_number().over(w).cast("int"))
+          .filter(col("rnk") <= 3)
+          .select(col("day"), col("rnk"), col("event_type"), col("cnt"))
     })
 }

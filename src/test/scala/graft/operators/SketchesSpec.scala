@@ -127,4 +127,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(got.values.map(_._1).max > maxDaily,
       "no window exceeds a single day's volume — the 7-day merge is vacuous")
   }
+
+  test("sk08: windowed top-3 from daily frequent-items partials equals a raw-event replay; exact regime holds") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getString(1)))
+    // the sketch's exact-regime precondition: tracked capacity (100)
+    // strictly exceeds the key cardinality — outside it the full value
+    // oracle would be the wrong check (the doc's documented relaxation)
+    assert(ev.map(_._2).distinct.length < 100,
+      "event_type cardinality reached maxItemsTracked — exact regime broken")
+    val days = ev.map(_._1).distinct
+    val expect = days.flatMap { d =>
+      val win = ev.filter { case (dy, _) =>
+        !dy.isAfter(d) && !dy.isBefore(d.minusDays(6)) }
+      win.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(3).zipWithIndex
+        .map { case ((t, c), i) => (d.toString, i + 1, t) -> c }
+    }.toMap
+    val got = run("sk08_topk_window_rollup").collect()
+      .map(r => (r.getDate(0).toLocalDate.toString, r.getInt(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(got === expect, "sk08 diverged from the raw-event replay")
+    // merging is non-vacuous: some windowed top-1 count exceeds any
+    // single day's count of that type
+    val maxDaily = ev.groupBy(identity).map(_._2.size).max.toLong
+    assert(got.collect { case ((_, 1, _), c) => c }.max > maxDaily,
+      "no windowed top-1 exceeds a single (day, type) count — the merge is vacuous")
+  }
 }
