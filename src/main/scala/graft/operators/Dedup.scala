@@ -95,7 +95,12 @@ object Dedup {
     * by the dd03 oracle and the dd10 recall audit (the audit must
     * measure the shipped generator, not a paraphrase).
     */
-  private lazy val minhashCandDuck: String =
+  /** The signature half of [[minhashCandDuck]] (`d`..`sigs`) — factored
+    * so dd20's banding sweep can hang THREE band blocks off one
+    * signature chain, exactly as the Spark side reuses one pinned
+    * [[minhashSigs]] table.
+    */
+  private lazy val minhashSigDuck: String =
     s"""d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
        |sh AS (SELECT doc_id, $shingleDuck AS gs FROM d),
        |hp AS (SELECT doc_id, LIST_TRANSFORM(gs, s -> {
@@ -104,14 +109,24 @@ object Dedup {
        |       FROM sh WHERE LEN(gs) > 0),
        |sigs AS (SELECT doc_id, LIST_TRANSFORM($permsDuck,
        |           t -> LIST_MIN(LIST_TRANSFORM(hs, h -> (t.a * h.h1 + t.b * h.h2 + t.c) % $P))) AS sig
-       |         FROM hp),
-       |bands AS (SELECT doc_id, bb.b AS band_idx,
-       |                 ARRAY_TO_STRING(sig[bb.b*4+1 : bb.b*4+4], ',') AS band_key
-       |          FROM sigs, (SELECT UNNEST(RANGE(0, 8)) AS b) bb),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |         FROM bands a JOIN bands b
+       |         FROM hp)""".stripMargin
+
+  /** One `(bands, rows)` band+candidate CTE block over `sigs` —
+    * `bands$tag`/`cand$tag` so dd20 composes three configs in one
+    * statement; (8, 4) with an empty tag IS dd03's shipped block.
+    */
+  private def bandBlockDuck(b: Int, r: Int, tag: String): String =
+    s"""bands$tag AS (SELECT doc_id, bb.b AS band_idx,
+       |                 ARRAY_TO_STRING(sig[bb.b*$r+1 : bb.b*$r+$r], ',') AS band_key
+       |          FROM sigs, (SELECT UNNEST(RANGE(0, $b)) AS b) bb),
+       |cand$tag AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands$tag a JOIN bands$tag b
        |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
        |          AND a.doc_id < b.doc_id)""".stripMargin
+
+  private lazy val minhashCandDuck: String =
+    s"""$minhashSigDuck,
+       |${bandBlockDuck(8, 4, "")}""".stripMargin
 
   /** THE near-dup edge pipeline for dd05 (word-trigram Jaccard ≥ 0.8
     * over the df-capped inverted index), emitting
@@ -162,11 +177,19 @@ object Dedup {
     * — dd03's candidate generator, reused verbatim by the dd10 recall
     * audit. SQL twin: [[minhashCandDuck]].
     */
-  private def bandCandidates(sigs: DataFrame): DataFrame = {
+  private def bandCandidates(sigs: DataFrame): DataFrame =
+    bandCandidatesBR(sigs, 8, 4)
+
+  /** [[bandCandidates]] at an arbitrary `(bands, rows)` split of the
+    * 32-wide signature (b*r = 32) — dd20's sweep turns the knob over
+    * the SAME pinned signature table. SQL twin: [[bandBlockDuck]].
+    */
+  private def bandCandidatesBR(sigs: DataFrame, b: Int, r: Int): DataFrame = {
+    require(b * r == 32, s"banding must tile the 32-wide signature (got $b x $r)")
     val bands = sigs.select(col("doc_id"),
       posexplode(expr(
-        """transform(sequence(0, 7),
-          |  b -> concat_ws(',', transform(slice(sig, b*4+1, 4), x -> CAST(x AS STRING))))""".stripMargin))
+        s"""transform(sequence(0, ${b - 1}),
+           |  bb -> concat_ws(',', transform(slice(sig, bb*$r+1, $r), x -> CAST(x AS STRING))))""".stripMargin))
         .as(Seq("band_idx", "band_key")))
     bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_key")),
@@ -1064,6 +1087,45 @@ object Dedup {
               |FROM o GROUP BY 1""".stripMargin),
       s"WITHIN-doc repetition scrub — the INTRA-document axis of the rewrite family (dd18 cuts what documents share with EACH OTHER; this cuts what a document repeats to ITSELF — the Rae et al./Gopher repetition pathology tx09 only MEASURES as top-bigram fraction, completed as a transformation): every later occurrence of a token $IntraK-gram already seen in the SAME document is cut at position grain, keep-FIRST-occurrence retention (the positional analog of dd18's min-id rule: only later occurrences ever enter the cut set, so every cut position's gram occurs verbatim EARLIER in its own document — no content leaves the pre-rewrite corpus, only copies; as in dd18, a first copy can still be clipped by a DIFFERENT gram's overlapping cut). Resolution is $IntraK, not dd13's $SpanK, by measurement: the fixture (like short-form text generally) holds ZERO intra-doc runs at 8-gram scale at any sf, while repeated trigrams exist at all three — the constant is the knob separating phrase-scale repetition from passage-scale plagiarism, and the two ops share everything downstream of it (the cut set is the distinct (doc_id,pos) interval union — overlapping repeats of overlapping grams cost each token once; the rewrite is dd18's factored rewriteDropped verbatim: affected docs only, anti-mark, ordered reassembly). Scale shape: the positional gram frame shuffles ONCE keyed (doc_id, gram) for the first-occurrence window — partitioned BY DOCUMENT, so parallelism is doc-count and skew is bounded by doc length (no cross-doc join, no df cap needed: a gram hot across the corpus is irrelevant here, only repetition within one doc pairs); laters/cut-set are sized by repeated tokens. DedupSpec replays sequentially (per-doc seen-set walk) and pins both the repeat-exists and clean-docs polarities plus that every cut position's gram occurs verbatim earlier in its own doc.") {
       (s, dir) => rewriteDropped(s, dir, intraDrops(s, dir))
+    },
+
+    GraftQuery(
+      "dd20_banding_sweep",
+      Some {
+        val blocks = Seq((4, 8, "_a"), (8, 4, "_b"), (16, 2, "_c"))
+        val rows = blocks.map { case (b, r, t) =>
+          s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$t) AS n_candidates,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+             |       (SELECT CAST(COUNT(*) AS BIGINT)
+             |        FROM truth x JOIN cand$t c USING (doc_a, doc_b)) AS n_caught""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $minhashSigDuck,
+           |$pairScoreDuck,
+           |truth AS (SELECT doc_a, doc_b
+           |          FROM p JOIN n na ON na.doc_id = p.doc_a
+           |                 JOIN n nb ON nb.doc_id = p.doc_b
+           |          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8),
+           |${blocks.map { case (b, r, t) => bandBlockDuck(b, r, t) }.mkString(",\n")}
+           |$rows""".stripMargin
+      },
+      "LSH BANDING SWEEP — the operating-curve table for dd03's (bands, rows) knob, completing the tuning-table family (ss16 tunes ANN nprobe, tx23 the classifier keep-point, dc05 the decontamination threshold; this tunes the near-dup candidate generator every 100 TB dedup run gates on): for each split of the SAME 32-wide MinHash signature — (4 x 8), the shipped (8 x 4), (16 x 2) — the exact candidate-pair count (the join's cost: candidates are the rows the scorer must touch) and the exact catch count against dd05's >= 0.8 truth (what the cost buys). Banding theory prices the trade analytically (a j-pair meets in >= 1 band w.p. 1-(1-j^r)^b: at j = 0.8, (4 x 8) ~ 0.52, (8 x 4) ~ 0.985, (16 x 2) ~ 1.0 while the accidental-collision floor rises as rows shrink); this table measures it on the corpus, which is what picks the config before freezing an index — dd10 then audits the CHOSEN config per Jaccard decile. One signature table feeds all three configs (pinned — built once, the sweep's only corpus-scale artifact); each config is ONE band-key equi-join; truth is computed once and shared (ss16's discipline). All counts exact integers, bit-identical cross-engine. Measured at sf0.1 the table reads exactly like the theory: (4 x 8) MISSES a true pair (255/256 — too-long rows drop a j just over 0.8), (16 x 2) pays 2036 candidates for zero extra catches over the shipped config's 256 — the two failure modes the shipped (8 x 4) sits between, and the number that justifies it; at the smaller fixtures the near-dups are j ~ 1 clones and recall saturates at every config (the sweep still prices the candidate axis — 46 vs 25 at sf0.01). DedupSpec pins candidate cost monotone (strictly increasing at the (16,2) end), catches monotone and bounded by candidates, and the shipped (8,4) endpoints equal to dd03's candidate set and dd10's truth totals — the sweep measures the production pipeline, not a paraphrase.") {
+      (s, dir) =>
+        val sigs = minhashSigs(s, dir)
+        val truth = Materialize(jaccardEdges(s, dir).select("doc_a", "doc_b"))
+        Seq((4, 8), (8, 4), (16, 2)).map { case (b, r) =>
+          val cand = Materialize(bandCandidatesBR(sigs, b, r))
+          val nc = cand.agg(count(lit(1)).as("n_candidates"))
+          val nt = truth.agg(count(lit(1)).as("n_true"))
+          val ng = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+            .agg(count(lit(1)).as("n_caught"))
+          nc.crossJoin(broadcast(nt)).crossJoin(broadcast(ng))
+            .select(lit(b).cast("int").as("bands"),
+              lit(r).cast("int").as("rows_per_band"),
+              col("n_candidates").cast("bigint").as("n_candidates"),
+              col("n_true").cast("bigint").as("n_true"),
+              col("n_caught").cast("bigint").as("n_caught"))
+        }.reduce(_ unionByName _)
     },
   )
 

@@ -125,6 +125,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ss18_batched_ann_serving", // 4-row coarse-seed broadcasts (routing + assignment scans) + the query-DECILE frame (bounded by the sampled audit set, 44 rows at this sf) broadcast into the rerank and the exact-truth audit scan; the candidate join itself is the cell equi-join, separately pinned in SimilaritySpec
     "ss19_batched_ivfpq_adc", // ss18's 4-row seed + query-decile broadcasts; the ADC path itself is all equi-joins ((qid,sub,code) LUT, vec_id codes) — only routing/truth share ss18's BNLJ shapes
     "sk08_topk_window_rollup", // sk06/sk07's day-range merge shape: the ~30-row day list broadcast into the daily-partial store
+    "dd20_banding_sweep", // per config: 1-row cost x 1-row truth x 1-row catch frames meeting in broadcasts (ss16's sweep pattern)
     "pl05_combined_rewrite_manifest" // inherits pk02's 1-row min/max bucketizer frame for the cleaned-count pack stage (pl03's entry, combined cut set)
   )
 

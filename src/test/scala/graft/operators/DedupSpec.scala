@@ -236,6 +236,36 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dd20 banding sweep: monotone cost/catch, bounded, shipped (8,4) endpoints equal dd03/dd05 (sf0.01)") {
+    val rows = byName("dd20_banding_sweep").build(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet === Set((4, 8), (8, 4), (16, 2)))
+    val Seq(a, b, c) = Seq((4, 8), (8, 4), (16, 2)).map(rows)
+    // one truth, shared across the sweep
+    assert(a._2 == b._2 && b._2 == c._2, "truth must be computed once and shared")
+    // candidate cost monotone as rows shrink, strictly at the (16,2)
+    // end (at this sf the j~1 clones make (4,8) and (8,4) coincide —
+    // the strictness lives where the accidental-collision floor rises)
+    assert(a._1 <= b._1 && b._1 < c._1,
+      s"candidate counts not monotone: ${a._1}, ${b._1}, ${c._1}")
+    // catches monotone, bounded by truth and by candidates
+    assert(a._3 <= b._3 && b._3 <= c._3, "catches must be non-decreasing")
+    Seq(a, b, c).foreach { case (nc, nt, ng) =>
+      assert(ng <= nt && ng <= nc, "caught must be bounded by truth and candidates")
+    }
+    // shipped-config endpoints: dd03's emitted pairs are its (8,4)
+    // candidates AFTER the est-Jaccard >= 0.5 score filter — a subset
+    // of the sweep's raw candidate count — and the sweep's truth IS
+    // dd05's >= 0.8 pair set (computed by the same factored core)
+    val dd03 = byName("dd03_minhash_lsh_pairs").build(spark, sf001)
+      .select("doc_a", "doc_b").collect().length.toLong
+    val dd05 = byName("dd05_ngram_jaccard_pairs").build(spark, sf001)
+      .collect().length.toLong
+    assert(b._1 >= dd03, "sweep (8,4) raw candidates fewer than dd03's scored pairs")
+    assert(b._2 === dd05, "sweep truth count != dd05's shipped >=0.8 pairs")
+  }
+
   test("dd14 pointer-jumping clusters are row-identical to dd07 (sf0.01)") {
     // two loops (min-label propagation vs pointer jumping), two round
     // complexities (diameter vs log n), one fixpoint — any divergence
