@@ -1096,9 +1096,10 @@ object Dedup {
         val rows = blocks.map { case (b, r, t) =>
           s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
              |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$t) AS n_candidates,
-             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true,
+             |       tv.n_true,
              |       (SELECT CAST(COUNT(*) AS BIGINT)
-             |        FROM truth x JOIN cand$t c USING (doc_a, doc_b)) AS n_caught""".stripMargin
+             |        FROM truth x JOIN cand$t c USING (doc_a, doc_b)) AS n_caught
+             |FROM tv""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"""WITH $minhashSigDuck,
            |$pairScoreDuck,
@@ -1106,28 +1107,51 @@ object Dedup {
            |          FROM p JOIN n na ON na.doc_id = p.doc_a
            |                 JOIN n nb ON nb.doc_id = p.doc_b
            |          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8),
+           |tv AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
            |${blocks.map { case (b, r, t) => bandBlockDuck(b, r, t) }.mkString(",\n")}
            |$rows""".stripMargin
       },
       "LSH BANDING SWEEP — the operating-curve table for dd03's (bands, rows) knob, completing the tuning-table family (ss16 tunes ANN nprobe, tx23 the classifier keep-point, dc05 the decontamination threshold; this tunes the near-dup candidate generator every 100 TB dedup run gates on): for each split of the SAME 32-wide MinHash signature — (4 x 8), the shipped (8 x 4), (16 x 2) — the exact candidate-pair count (the join's cost: candidates are the rows the scorer must touch) and the exact catch count against dd05's >= 0.8 truth (what the cost buys). Banding theory prices the trade analytically (a j-pair meets in >= 1 band w.p. 1-(1-j^r)^b: at j = 0.8, (4 x 8) ~ 0.52, (8 x 4) ~ 0.985, (16 x 2) ~ 1.0 while the accidental-collision floor rises as rows shrink); this table measures it on the corpus, which is what picks the config before freezing an index — dd10 then audits the CHOSEN config per Jaccard decile. One signature table feeds all three configs (pinned — built once, the sweep's only corpus-scale artifact); each config is ONE band-key equi-join; truth is computed once and shared (ss16's discipline). All counts exact integers, bit-identical cross-engine. Measured at sf0.1 the table reads exactly like the theory: (4 x 8) MISSES a true pair (255/256 — too-long rows drop a j just over 0.8), (16 x 2) pays 2036 candidates for zero extra catches over the shipped config's 256 — the two failure modes the shipped (8 x 4) sits between, and the number that justifies it; at the smaller fixtures the near-dups are j ~ 1 clones and recall saturates at every config (the sweep still prices the candidate axis — 46 vs 25 at sf0.01). DedupSpec pins candidate cost monotone (strictly increasing at the (16,2) end), catches monotone and bounded by candidates, and the shipped (8,4) endpoints equal to dd03's candidate set and dd10's truth totals — the sweep measures the production pipeline, not a paraphrase.") {
-      (s, dir) =>
-        val sigs = minhashSigs(s, dir)
-        val truth = Materialize(jaccardEdges(s, dir).select("doc_a", "doc_b"))
-        Seq((4, 8), (8, 4), (16, 2)).map { case (b, r) =>
-          val cand = Materialize(bandCandidatesBR(sigs, b, r))
-          val nc = cand.agg(count(lit(1)).as("n_candidates"))
-          val nt = truth.agg(count(lit(1)).as("n_true"))
-          val ng = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-            .agg(count(lit(1)).as("n_caught"))
-          nc.crossJoin(broadcast(nt)).crossJoin(broadcast(ng))
-            .select(lit(b).cast("int").as("bands"),
-              lit(r).cast("int").as("rows_per_band"),
-              col("n_candidates").cast("bigint").as("n_candidates"),
-              col("n_true").cast("bigint").as("n_true"),
-              col("n_caught").cast("bigint").as("n_caught"))
-        }.reduce(_ unionByName _)
+      (s, dir) => bandingSweep(s, dir).sweep
     },
   )
+
+  /** The (bands, rows) configs dd20 sweeps — tiles of the 32-wide
+    * signature, the shipped (8, 4) in the middle.
+    */
+  private[operators] val BandConfigs: Seq[(Int, Int)] = Seq((4, 8), (8, 4), (16, 2))
+
+  /** dd20/dd21's shared sweep machinery over ONE pinned signature
+    * table: per-config materialized candidate sets plus the sweep table
+    * `(bands, rows_per_band, n_candidates, n_true, n_caught)`. The
+    * 1-row truth count is aggregated ONCE and cross-joined into every
+    * config row (ADVICE r16 — 'truth is computed once' now holds at the
+    * aggregate level too, matching the query doc).
+    */
+  private[operators] final case class BandingSweep(
+      sigs: DataFrame, truth: DataFrame,
+      cands: Seq[(Int, Int, DataFrame)], sweep: DataFrame)
+
+  private[operators] def bandingSweep(s: SparkSession, dir: String): BandingSweep = {
+    val sigs = minhashSigs(s, dir)
+    val truth = Materialize(jaccardEdges(s, dir).select("doc_a", "doc_b"))
+    val nt = broadcast(Materialize(truth.agg(count(lit(1)).as("n_true"))))
+    val cands = BandConfigs.map { case (b, r) =>
+      (b, r, Materialize(bandCandidatesBR(sigs, b, r)))
+    }
+    val sweep = cands.map { case (b, r, cand) =>
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val ng = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_caught"))
+      nc.crossJoin(nt).crossJoin(broadcast(ng))
+        .select(lit(b).cast("int").as("bands"),
+          lit(r).cast("int").as("rows_per_band"),
+          col("n_candidates").cast("bigint").as("n_candidates"),
+          col("n_true").cast("bigint").as("n_true"),
+          col("n_caught").cast("bigint").as("n_caught"))
+    }.reduce(_ unionByName _)
+    BandingSweep(sigs, truth, cands, sweep)
+  }
 
   /** dd19's position-grain cut set: later occurrences of any within-doc
     * repeated [[IntraK]]-gram, exploded to token positions, distinct.

@@ -130,16 +130,62 @@ object StreamedDedup {
     * resumes. StreamedDedupSpec pins verdict equivalence across a
     * mid-stream compaction, content identity, single-partition
     * layout, and convergence from a simulated interrupted run.
+    *
+    * "No trigger in flight" also covers the CRASHED-batch case (ADVICE
+    * r16): a stream that died after batch N's store append but BEFORE
+    * its checkpoint commit will REPLAY batch N on restart, and its
+    * protocol step 1 (`readStore(excludeBatch = N)`) only works while
+    * N's rows still live under `batch_id=N` — compacting first folds
+    * them into `batch_id=<compactionId>`, the replayed batch verdicts
+    * its own docs against themselves (new → exact_dup), and ledger
+    * readers filtering `batch_id < N` double-see its admissions. So
+    * "fully committed", not merely "not running", is the precondition.
+    * Pass `checkpointDir` to ENFORCE it: compaction refuses while the
+    * streaming checkpoint shows a started-but-uncommitted batch
+    * (offsets/ ahead of commits/ — exactly the replay-pending state).
     */
-  def compactStore(s: SparkSession, storeDir: String, compactionId: Long): Unit = {
+  def compactStore(s: SparkSession, storeDir: String, compactionId: Long,
+      checkpointDir: Option[String] = None): Unit = {
     require(compactionId < 0 && compactionId != SeedBatchId,
       s"compactionId must be negative and != $SeedBatchId (got $compactionId)")
+    checkpointDir.flatMap(uncommittedBatch(s, _)).foreach { b =>
+      throw new IllegalStateException(
+        s"refusing to compact $storeDir: streaming checkpoint shows batch $b " +
+          "started but not committed — it will replay on restart, and its " +
+          "own-partition exclusion needs the uncompacted batch_id layout. " +
+          "Resume the stream to completion (or re-run the interrupted " +
+          "compaction id) first.")
+    }
     val (exact, postings) = readStore(s, storeDir, excludeBatch = Long.MinValue)
     exact.groupBy("fp").agg(min(col("cid")).as("cid"))
       .write.mode("overwrite").parquet(s"$storeDir/exact/batch_id=$compactionId")
     postings.distinct()
       .write.mode("overwrite").parquet(s"$storeDir/shingles/batch_id=$compactionId")
     pruneOtherPartitions(s, Seq(s"$storeDir/exact", s"$storeDir/shingles"), compactionId)
+  }
+
+  /** The replay-pending probe behind [[compactStore]]'s checkpoint
+    * guard: a batch id that appears in the checkpoint's `offsets/`
+    * (started) with no matching `commits/` entry (committed). Spark's
+    * microbatch engine writes offsets before running a batch and
+    * commits after — a gap between the two maxima IS the
+    * crashed-uncommitted state that will replay on restart. Shared
+    * with StreamedPipeline/StreamedIndex compaction (same contract).
+    */
+  private[operators] def uncommittedBatch(
+      s: SparkSession, checkpointDir: String): Option[Long] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(checkpointDir)
+    val fs = root.getFileSystem(conf)
+    def maxId(sub: String): Option[Long] = {
+      val d = new org.apache.hadoop.fs.Path(root, sub)
+      if (!fs.exists(d)) None
+      else fs.listStatus(d)
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+        .reduceOption(_ max _)
+    }
+    val committed = maxId("commits")
+    maxId("offsets").filter(o => !committed.exists(_ >= o))
   }
 
   /** Delete every `batch_id=` partition except the compacted one —

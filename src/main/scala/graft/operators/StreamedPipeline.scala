@@ -112,10 +112,15 @@ object StreamedPipeline {
     * < every live batch id — the accretion count survives compaction
     * byte-identically (spec-pinned, across a post-compaction batch
     * and a restart). Same maintenance-window + re-run-on-interrupt
-    * contract as the store pass.
+    * contract as the store pass, including the crashed-uncommitted-
+    * batch clause: pass `checkpointDir` to refuse compaction while the
+    * streaming checkpoint shows a replay-pending batch (its
+    * own-partition exclusion and the ledger's `batch_id < N` read both
+    * need the uncompacted layout — see StreamedDedup.compactStore).
     */
-  def compactStores(s: SparkSession, storeDir: String, compactionId: Long): Unit = {
-    StreamedDedup.compactStore(s, storeDir, compactionId)
+  def compactStores(s: SparkSession, storeDir: String, compactionId: Long,
+      checkpointDir: Option[String] = None): Unit = {
+    StreamedDedup.compactStore(s, storeDir, compactionId, checkpointDir)
     s.read.option("basePath", s"$storeDir/admitted")
       .parquet(s"$storeDir/admitted/batch_id=*")
       .select("doc_id").distinct()

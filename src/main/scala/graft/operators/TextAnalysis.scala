@@ -1163,24 +1163,22 @@ object TextAnalysis {
   * of re-running featurize + [[TextAnalysis.TxEpochs]] epochs each
   * (VERDICT r15 #3 — training ran three times per bench pass; at
   * 100 TB that is three corpus featurize passes for one model).
-  * BucketedLayout's discipline throughout: computeIfAbsent so a
-  * concurrent second caller blocks on the first build instead of
-  * reading a half-written store; md5 dir digest + applicationId in
+  * [[DiskMemo]]'s discipline throughout: a concurrent second caller
+  * of the same store blocks on the first build (never reads a
+  * half-written store) while the build itself runs OUTSIDE the memo
+  * map's bin lock, and a failed build deletes its partial output
+  * (ADVICE r16); md5 dir digest + applicationId in
   * the path so concurrent JVMs never interleave; TempLayout's
   * shutdown hook deletes the store at JVM exit. Training is exact
   * integer arithmetic, so persist-then-read is bit-identical to a
   * fresh run (TextModelBpeSpec pins it).
   */
 private[graft] object PerceptronStore {
-  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def ensure(s: SparkSession, dir: String): String = {
-    val dirMd5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val tag = s"${s.sparkContext.applicationId}_$dirMd5"
-      .replaceAll("[^a-zA-Z0-9]", "_")
-    built.computeIfAbsent(tag, _ => {
-      val out = TempLayout.dir(s"perceptron_$tag", dir)
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"perceptron_$tag", dir)
+    DiskMemo.ensure(s"perceptron_$tag", out) {
       TextAnalysis.perceptronFeatsFresh(s, dir)
         .write.mode("overwrite").parquet(s"$out/feats")
       // epochs train over the PERSISTED feats (one read, not a re-run)
@@ -1191,7 +1189,6 @@ private[graft] object PerceptronStore {
         }
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/epochs")
-      out
-    })
+    }
   }
 }

@@ -192,4 +192,43 @@ class StreamedDedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       StreamedDedup.compactStore(spark, store, StreamedDedup.SeedBatchId))
   }
+
+  test("checkpoint guard: compaction refuses while a batch is started-but-uncommitted (ADVICE r16)") {
+    val (store, out, ckpt) = (tmp("store4"), tmp("out4"), tmp("ckpt4"))
+    StreamedDedup.seed(spark, corp, store)
+    StreamedDedup.processBatch(toDf(inc.take(4).toSeq), 0L, store, out)
+
+    // a synthetic checkpoint in the crashed state the guard targets:
+    // batch 0 committed, batch 1 started (offsets) but never committed
+    // — exactly what a crash between store append and commit leaves
+    def touch(sub: String, id: Long): Unit = {
+      val d = new java.io.File(s"$ckpt/$sub"); d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, id.toString).toPath,
+        "{}".getBytes("UTF-8")); ()
+    }
+    touch("offsets", 0L); touch("commits", 0L); touch("offsets", 1L)
+    assert(StreamedDedup.uncommittedBatch(spark, ckpt) === Some(1L))
+    val pre = {
+      val (e, p) = StreamedDedup.readStore(spark, store, excludeBatch = Long.MinValue)
+      (e.count(), p.count())
+    }
+    intercept[IllegalStateException](
+      StreamedDedup.compactStore(spark, store, -2L, Some(ckpt)))
+    val post = {
+      val (e, p) = StreamedDedup.readStore(spark, store, excludeBatch = Long.MinValue)
+      (e.count(), p.count())
+    }
+    assert(post === pre, "a refused compaction must not touch the store")
+
+    // once the batch commits, the same call proceeds
+    touch("commits", 1L)
+    assert(StreamedDedup.uncommittedBatch(spark, ckpt) === None)
+    StreamedDedup.compactStore(spark, store, -2L, Some(ckpt))
+    val d = new java.io.File(s"$store/exact")
+    assert(d.listFiles().filter(_.getName.startsWith("batch_id="))
+      .map(_.getName).toSeq === Seq("batch_id=-2"))
+
+    // and a checkpoint-less call keeps the doc-level contract (no guard)
+    StreamedDedup.compactStore(spark, store, -3L)
+  }
 }
