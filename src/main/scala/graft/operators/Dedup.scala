@@ -128,6 +128,41 @@ object Dedup {
     s"""$minhashSigDuck,
        |${bandBlockDuck(8, 4, "")}""".stripMargin
 
+  /** The (bands, rows) configs dd20 sweeps — tiles of the 32-wide
+    * signature, the shipped (8, 4) in the middle. Declared BEFORE
+    * `all` (object init order — strict vals referenced while `all`
+    * initializes would read as null from later in the file).
+    */
+  private[operators] val BandConfigs: Seq[(Int, Int)] = Seq((4, 8), (8, 4), (16, 2))
+
+  private val BandTags: Seq[(Int, Int, String)] =
+    Seq((4, 8, "_a"), (8, 4, "_b"), (16, 2, "_c"))
+
+  /** dd20's full oracle chain, factored so dd21 can hang the decision
+    * rule + the chosen config's scored pairs off the SAME sweep text:
+    * signatures, truth (+ its 1-row count, computed once — ADVICE
+    * r16), the three band blocks, and the `sweep` counter table.
+    */
+  private lazy val bandingSweepDuck: String = {
+    val rows = BandTags.map { case (b, r, t) =>
+      s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$t) AS n_candidates,
+         |       tv.n_true,
+         |       (SELECT CAST(COUNT(*) AS BIGINT)
+         |        FROM truth x JOIN cand$t c USING (doc_a, doc_b)) AS n_caught
+         |FROM tv""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$minhashSigDuck,
+       |$pairScoreDuck,
+       |truth AS (SELECT doc_a, doc_b
+       |          FROM p JOIN n na ON na.doc_id = p.doc_a
+       |                 JOIN n nb ON nb.doc_id = p.doc_b
+       |          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8),
+       |tv AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
+       |${BandTags.map { case (b, r, t) => bandBlockDuck(b, r, t) }.mkString(",\n")},
+       |sweep AS ($rows)""".stripMargin
+  }
+
   /** THE near-dup edge pipeline for dd05 (word-trigram Jaccard ≥ 0.8
     * over the df-capped inverted index), emitting
     * `(doc_a, doc_b, jaccard)`; its SQL twin is dd05's oracle /
@@ -1091,35 +1126,55 @@ object Dedup {
 
     GraftQuery(
       "dd20_banding_sweep",
-      Some {
-        val blocks = Seq((4, 8, "_a"), (8, 4, "_b"), (16, 2, "_c"))
-        val rows = blocks.map { case (b, r, t) =>
-          s"""SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band,
-             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$t) AS n_candidates,
-             |       tv.n_true,
-             |       (SELECT CAST(COUNT(*) AS BIGINT)
-             |        FROM truth x JOIN cand$t c USING (doc_a, doc_b)) AS n_caught
-             |FROM tv""".stripMargin
-        }.mkString("\nUNION ALL\n")
-        s"""WITH $minhashSigDuck,
-           |$pairScoreDuck,
-           |truth AS (SELECT doc_a, doc_b
-           |          FROM p JOIN n na ON na.doc_id = p.doc_a
-           |                 JOIN n nb ON nb.doc_id = p.doc_b
-           |          WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8),
-           |tv AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth),
-           |${blocks.map { case (b, r, t) => bandBlockDuck(b, r, t) }.mkString(",\n")}
-           |$rows""".stripMargin
-      },
+      Some(s"""WITH $bandingSweepDuck
+              |SELECT bands, rows_per_band, n_candidates, n_true, n_caught
+              |FROM sweep""".stripMargin),
       "LSH BANDING SWEEP — the operating-curve table for dd03's (bands, rows) knob, completing the tuning-table family (ss16 tunes ANN nprobe, tx23 the classifier keep-point, dc05 the decontamination threshold; this tunes the near-dup candidate generator every 100 TB dedup run gates on): for each split of the SAME 32-wide MinHash signature — (4 x 8), the shipped (8 x 4), (16 x 2) — the exact candidate-pair count (the join's cost: candidates are the rows the scorer must touch) and the exact catch count against dd05's >= 0.8 truth (what the cost buys). Banding theory prices the trade analytically (a j-pair meets in >= 1 band w.p. 1-(1-j^r)^b: at j = 0.8, (4 x 8) ~ 0.52, (8 x 4) ~ 0.985, (16 x 2) ~ 1.0 while the accidental-collision floor rises as rows shrink); this table measures it on the corpus, which is what picks the config before freezing an index — dd10 then audits the CHOSEN config per Jaccard decile. One signature table feeds all three configs (pinned — built once, the sweep's only corpus-scale artifact); each config is ONE band-key equi-join; truth is computed once and shared (ss16's discipline). All counts exact integers, bit-identical cross-engine. Measured at sf0.1 the table reads exactly like the theory: (4 x 8) MISSES a true pair (255/256 — too-long rows drop a j just over 0.8), (16 x 2) pays 2036 candidates for zero extra catches over the shipped config's 256 — the two failure modes the shipped (8 x 4) sits between, and the number that justifies it; at the smaller fixtures the near-dups are j ~ 1 clones and recall saturates at every config (the sweep still prices the candidate axis — 46 vs 25 at sf0.01). DedupSpec pins candidate cost monotone (strictly increasing at the (16,2) end), catches monotone and bounded by candidates, and the shipped (8,4) endpoints equal to dd03's candidate set and dd10's truth totals — the sweep measures the production pipeline, not a paraphrase.") {
       (s, dir) => bandingSweep(s, dir).sweep
     },
-  )
 
-  /** The (bands, rows) configs dd20 sweeps — tiles of the 32-wide
-    * signature, the shipped (8, 4) in the middle.
-    */
-  private[operators] val BandConfigs: Seq[(Int, Int)] = Seq((4, 8), (8, 4), (16, 2))
+    GraftQuery(
+      "dd21_tuned_banding",
+      Some(s"""WITH $bandingSweepDuck,
+              |best AS (SELECT bands, rows_per_band FROM sweep
+              |         WHERE n_caught = (SELECT MAX(n_caught) FROM sweep)
+              |         ORDER BY n_candidates, bands LIMIT 1),
+              |tagged AS (${Seq((4, 8, "_a"), (8, 4, "_b"), (16, 2, "_c")).map { case (b, r, t) =>
+                s"SELECT CAST($b AS INT) AS bands, CAST($r AS INT) AS rows_per_band, doc_a, doc_b FROM cand$t"
+              }.mkString("\nUNION ALL\n")}),
+              |cp AS (SELECT t.bands, t.rows_per_band, t.doc_a, t.doc_b
+              |       FROM tagged t JOIN best USING (bands, rows_per_band))
+              |SELECT cp.bands, cp.rows_per_band, cp.doc_a, cp.doc_b,
+              |       CAST(LEN(LIST_FILTER(RANGE(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est_jaccard
+              |FROM cp JOIN sigs sa ON sa.doc_id = cp.doc_a
+              |        JOIN sigs sb ON sb.doc_id = cp.doc_b
+              |WHERE CAST(LEN(LIST_FILTER(RANGE(1, 33), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 >= 0.5""".stripMargin),
+      "TUNED LSH banding — the tuning LOOP closed (VERDICT r16 #4): dd20 produces the (bands, rows) operating curve but dd03 still hard-codes (8, 4); every other tuning table in the inventory already DRIVES its consumer (q62's forecast drives q58's salting, pl04 serves tx23's grid-chosen theta*, and a 100 TB dedup run freezes its banding config off exactly dd20's counters, not off a constant in source). The decision rule is the sweep's own economics: among configs whose catch equals the MAX catch, take the CHEAPEST (fewest candidate pairs — the scorer's bill), tiebreak by bands ascending — a deterministic 3-row argmin over dd20's counter-grain table (TakeOrderedAndProject on an aggregate-fed frame; no corpus-side work beyond the sweep both queries share). The chosen config then feeds the SHIPPED band generator: the per-config candidate sets are already materialized by the sweep (the choice costs no fourth banding pass), the 1-row choice broadcast-joins the config-tagged union, and the survivors score through dd03's exact estimator (>= 0.5, same text both engines). Output: the chosen (bands, rows_per_band) on every scored pair — dd03's product with the config column the tuner picked. Measured: at sf0.1 the rule lands on the shipped (8, 4) ((4x8) misses a true pair, (16x2) pays 2036 candidates for zero extra catches) and dd21's pairs are dd03's row-for-row (DedupSpec pins the identity WHEN the choice is (8,4), plus the rule itself against a driver-side replay of the sweep); at the clone-saturated small fixtures every config catches everything and the rule correctly buys the cheaper (4, 8) — the config a tuner SHOULD ship for that corpus shape, which is the point of computing the choice instead of freezing it. At 100 TB: the sweep is the priced artifact (one signature table + three band-key equi-joins), the choice is a 3-row fold, and re-running the pair on each corpus snapshot is how the banding config tracks corpus drift.") {
+      (s, dir) =>
+        val bs = bandingSweep(s, dir)
+        // decision rule: cheapest config whose catch equals the max —
+        // a 3-row TakeOrderedAndProject over the shared sweep table
+        val mx = bs.sweep.agg(max(col("n_caught")).as("mx"))
+        val best = broadcast(bs.sweep.crossJoin(broadcast(mx))
+          .filter(col("n_caught") === col("mx"))
+          .orderBy(col("n_candidates"), col("bands")).limit(1)
+          .select("bands", "rows_per_band"))
+        // the chosen config feeds the shipped generator: candidate sets
+        // are already materialized by the sweep — tag, pick, score
+        val tagged = bs.cands.map { case (b, r, cand) =>
+          cand.select(lit(b).cast("int").as("bands"),
+            lit(r).cast("int").as("rows_per_band"),
+            col("doc_a"), col("doc_b"))
+        }.reduce(_ unionByName _)
+        tagged.join(best, Seq("bands", "rows_per_band"))
+          .join(bs.sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+          .join(bs.sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+          .withColumn("est_jaccard",
+            expr("CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS DOUBLE) / 32"))
+          .filter(col("est_jaccard") >= 0.5)
+          .select("bands", "rows_per_band", "doc_a", "doc_b", "est_jaccard")
+    },
+  )
 
   /** dd20/dd21's shared sweep machinery over ONE pinned signature
     * table: per-config materialized candidate sets plus the sweep table

@@ -266,6 +266,44 @@ class DedupSpec extends AnyFunSuite {
     assert(b._2 === dd05, "sweep truth count != dd05's shipped >=0.8 pairs")
   }
 
+  test("dd21 tuned banding: the choice replays the decision rule over dd20's sweep; pairs == the shipped generator at the chosen config (sf0.01)") {
+    // driver-side replay of the rule: among max-catch configs, fewest
+    // candidates, tiebreak bands ascending — over the SHIPPED sweep
+    val sweep = byName("dd20_banding_sweep").build(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(4)))
+    val maxCatch = sweep.map(_._4).max
+    val expect = sweep.filter(_._4 == maxCatch)
+      .sortBy(t => (t._3, t._1)).head
+    val got = byName("dd21_tuned_banding").build(spark, sf001).collect()
+    assert(got.nonEmpty, "tuned banding emitted no pairs — the identity pin is vacuous")
+    val chosen = got.map(r => (r.getInt(0), r.getInt(1))).distinct
+    assert(chosen === Array((expect._1, expect._2)),
+      s"dd21 chose ${chosen.toSeq}, the rule replay says (${expect._1}, ${expect._2})")
+
+    // the pairs are the SHIPPED dd03 product at the chosen config: when
+    // the rule lands on (8,4) that is dd03 row-for-row; otherwise
+    // compare against dd03's scoring over the chosen config's band
+    // candidates (same factored generator the sweep materializes)
+    val pairs = got.map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+    if (chosen.head == ((8, 4))) {
+      val dd03 = byName("dd03_minhash_lsh_pairs").build(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairs === dd03, "choice landed on (8,4) but pairs != dd03")
+    } else {
+      val bs = Dedup.bandingSweep(spark, sf001)
+      val cand = bs.cands.find(c => (c._1, c._2) == chosen.head).get._3
+      val replay = cand
+        .join(bs.sigs.selectExpr("doc_id AS doc_a", "sig AS sig_a"), "doc_a")
+        .join(bs.sigs.selectExpr("doc_id AS doc_b", "sig AS sig_b"), "doc_b")
+        .selectExpr("doc_a", "doc_b",
+          "CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS DOUBLE) / 32 AS est_jaccard")
+        .where("est_jaccard >= 0.5").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pairs === replay,
+        s"pairs != the shipped generator scored at the chosen config ${chosen.head}")
+    }
+  }
+
   test("dd14 pointer-jumping clusters are row-identical to dd07 (sf0.01)") {
     // two loops (min-label propagation vs pointer jumping), two round
     // complexities (diameter vs log n), one fixpoint — any divergence
