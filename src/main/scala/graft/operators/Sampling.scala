@@ -518,6 +518,31 @@ object Sampling {
     },
 
     GraftQuery(
+      "pk05_bpe_unit_shards",
+      Some(s"""WITH u AS MATERIALIZED (SELECT * FROM (${TextAnalysis.bpeEncodeOracle}) z),
+              |r AS (SELECT doc_id, n_tokens, n_bpe_units,
+              |             ROW_NUMBER() OVER (ORDER BY n_bpe_units DESC, doc_id) AS rn
+              |      FROM u)
+              |SELECT CAST(CASE WHEN ((rn - 1) // 16) % 2 = 0 THEN (rn - 1) % 16
+              |                 ELSE 15 - (rn - 1) % 16 END AS INT) AS shard,
+              |       COUNT(*) AS n_docs,
+              |       CAST(SUM(n_bpe_units) AS BIGINT) AS shard_units,
+              |       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+              |FROM r GROUP BY 1""".stripMargin),
+      "BPE-UNIT shard balancing — the packing family re-based on the unit the TRAINER actually consumes (VERDICT r16 #2): pk02 balances shards in WHITESPACE tokens, but tx21's encode is what prices a document to the GPU — a shard balanced in whitespace tokens is UNBALANCED in BPE units exactly when token-length and unit-length diverge (long words, rare vocabulary — the pl03 cleaned-counts argument pushed one level deeper, from 'pack what survives' to 'pack what the model sees'). Same shipped serpentine core (serpentineShardAssignments — one definition with pk02: two-phase global descending rank, boustrophedon 16-shard deal), budget column swapped to tx21's per-doc n_bpe_units via the factored bpeUnits core (one definition with tx21 — the packer and the tokenizer report cannot drift). Output per shard: doc count, the BPE-unit load the deal balanced, AND the whitespace-token load it implies — the two-unit comparison read straight off the table (unit-balanced shards visibly spread in tokens; SamplingSpec measures the converse, pins pk05's unit spread at-most pk02's deal re-priced in units with strict improvement at the divergent fixtures, and pins unit conservation against tx21). The oracle chains tx20's training CTEs through tx21's encode into the serpentine rank — both engines train, encode, and deal identically, all exact integers. At 100 TB: the encode is the corpus-scale pass tx21 already prices (vocabulary-sized merge folds, one broadcast join); the deal adds pk02's two-phase rank — no fact-scale single partition, sweep-enforced like every rank in the family.") {
+      (s, dir) =>
+        val u = Materialize(TextAnalysis.bpeUnits(s, dir))
+        serpentineShardAssignments(
+            u.select(col("doc_id"), col("n_bpe_units").as("n_tokens")))
+          .select(col("doc_id"), col("n_tokens").as("n_units"), col("shard"))
+          .join(u.select("doc_id", "n_tokens"), Seq("doc_id"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_units")).cast("bigint").as("shard_units"),
+            sum(col("n_tokens")).cast("bigint").as("shard_tokens"))
+    },
+
+    GraftQuery(
       "sp13_split_leakage_audit",
       Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
               |sh AS (SELECT doc_id, ${Dedup.shingleDuck} AS gs FROM d),

@@ -802,31 +802,7 @@ object TextAnalysis {
       "tx21_bpe_encode",
       Some(bpeEncodeOracle),
       s"BPE tokenizer APPLICATION — closes tx20's loop (train -> APPLY -> count): every document encoded with the $BpeRounds learned merges, emitting the per-doc (whitespace tokens, BPE units) the tokenizer report and every token-budget pass (pk01's bins, tx01's budgets) actually consume — a corpus's training cost is its BPE unit count, not its word count. Application is value-collapsed exactly like training: the DISTINCT word vocabulary folds through the $BpeRounds merge replaces IN TRAINING ORDER (each a map-side delimited-string REPLACE against the broadcast 1-row merge frame — order matters and is the trained artifact's contract), yielding a (word -> unit count) map that is VOCABULARY-sized; documents explode to tokens and join that map (broadcast here — a tokenizer's vocabulary is small by construction; at open-vocabulary corpus scale the tx11/tx15 hot-head/cold-tail split is the swap), non-alphabetic tokens pass through as one unit each via the LEFT join + CASE (the tx12 nothing-vanishes contract). Per-doc sums are exact integers — bit-identical cross-engine; the oracle chains the training CTEs with the application CTEs so both engines train AND apply identically. Spec pins the encoding against a driver-side replay and that merged units genuinely shrink the corpus (sum of units strictly under sum of characters of alpha words).") {
-      (s, dir) =>
-        val bests = bpeTrain(s, dir)
-        val vocab0 = Materialize(Tables.load(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("tok"))
-          .filter(col("tok").rlike("^[a-z]+$")).distinct()
-          .select(col("tok"),
-            concat(lit("("), concat_ws(")(", split(col("tok"), "")), lit(")"))
-              .as("syms")))
-        // fold the learned merges through the vocabulary, training order
-        val encoded = bests.foldLeft(vocab0) { (v, best) =>
-          Materialize(v.crossJoin(broadcast(best.select(
-              concat(lit("("), col("lhs"), lit(")("), col("rhs"), lit(")")).as("pat"),
-              concat(lit("("), col("lhs"), col("rhs"), lit(")")).as("rep"))))
-            .select(col("tok"), expr("replace(syms, pat, rep)").as("syms")))
-        }
-        val units = encoded.select(col("tok"),
-          size(expr("split(substring(syms, 2, length(syms) - 2), '\\\\)\\\\(')"))
-            .cast("long").as("u"))
-        Tables.load(s, dir, "documents")
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-          .join(broadcast(units), Seq("tok"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).cast("int").as("n_tokens"),
-            sum(when(col("u").isNotNull, col("u")).otherwise(lit(1L)))
-              .cast("bigint").as("n_bpe_units"))
+      (s, dir) => bpeUnits(s, dir)
     },
 
     GraftQuery(
@@ -1027,6 +1003,41 @@ object TextAnalysis {
     }
   }
 
+  /** tx21's factored core: per-doc `(doc_id, n_tokens, n_bpe_units)` —
+    * train the [[BpeRounds]] merges, fold them through the DISTINCT
+    * word vocabulary in training order (each a map-side
+    * delimited-string replace against the broadcast 1-row merge
+    * frame), then one broadcast join + doc-grain agg. Shared by tx21
+    * and pk05 (the BPE-unit packer) so the trainer-facing token
+    * accounting has ONE definition.
+    */
+  private[operators] def bpeUnits(s: SparkSession, dir: String): DataFrame = {
+    val bests = bpeTrain(s, dir)
+    val vocab0 = Materialize(Tables.load(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").rlike("^[a-z]+$")).distinct()
+      .select(col("tok"),
+        concat(lit("("), concat_ws(")(", split(col("tok"), "")), lit(")"))
+          .as("syms")))
+    // fold the learned merges through the vocabulary, training order
+    val encoded = bests.foldLeft(vocab0) { (v, best) =>
+      Materialize(v.crossJoin(broadcast(best.select(
+          concat(lit("("), col("lhs"), lit(")("), col("rhs"), lit(")")).as("pat"),
+          concat(lit("("), col("lhs"), col("rhs"), lit(")")).as("rep"))))
+        .select(col("tok"), expr("replace(syms, pat, rep)").as("syms")))
+    }
+    val units = encoded.select(col("tok"),
+      size(expr("split(substring(syms, 2, length(syms) - 2), '\\\\)\\\\(')"))
+        .cast("long").as("u"))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(units), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("u").isNotNull, col("u")).otherwise(lit(1L)))
+          .cast("bigint").as("n_bpe_units"))
+  }
+
   /** The tx20/tx21 shared training CTE chain: the value-collapsed
     * corpus and the `(l)(r)` delimited-replace merge, unrolled
     * [[BpeRounds]] times (the gr01 bounded-unroll discipline) —
@@ -1071,7 +1082,7 @@ object TextAnalysis {
     * through the DISTINCT-word vocabulary in training order, and sum
     * per-doc BPE units (non-alpha tokens 1 unit via LEFT join + CASE).
     */
-  private lazy val bpeEncodeOracle: String = {
+  private[operators] lazy val bpeEncodeOracle: String = {
     val applies = (1 to BpeRounds).map { i =>
       s"""v$i AS (SELECT tok, REPLACE(syms, '(' || b.lhs || ')(' || b.rhs || ')',
          |                        '(' || b.lhs || b.rhs || ')') AS syms
