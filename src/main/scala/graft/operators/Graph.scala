@@ -519,38 +519,7 @@ object Graph {
             .distinct())
         val nodes = Tables.load(s, dir, "nation")
           .select(col("n_nationkey").cast("int").as("node"))
-        var lab = Materialize.trackedLocalCheckpoint(
-          nodes.withColumn("component", col("node")))
-        var converged = false
-        var round = 0
-        val maxRounds = 12 // log2-ish cap: 2^12 pointer depth, loud on overrun
-        while (!converged && round < maxRounds) {
-          // (1) neighbor-min hop: ONE edge-grain shuffle with map-side
-          // partial MIN; labels broadcast (vertex-scale)
-          val nbr = und
-            .join(broadcast(lab.select(col("node").as("b"), col("component").as("nc"))), "b")
-            .groupBy(col("a").as("node"))
-            .agg(min(col("nc")).as("nc"))
-          val hopped = lab.join(nbr, Seq("node"), "left")
-            .select(col("node"),
-              least(col("component"), coalesce(col("nc"), col("component"))).as("c1"),
-              (coalesce(col("nc"), col("component")) < col("component")).as("ch1"))
-          // (2) pointer jump: c2(v) = c1(c1(v)) — labels are node ids,
-          // so the lookup table is hopped itself, keyed by node
-          val ptr = hopped.select(col("node").as("c1"), col("c1").as("jc"))
-          val jumped = hopped.join(broadcast(ptr), Seq("c1"), "left")
-            .select(col("node"),
-              coalesce(col("jc"), col("c1")).as("component"),
-              (col("ch1") || coalesce(col("jc"), col("c1")) < col("c1")).as("changed"))
-          val next = Materialize.trackedLocalCheckpoint(jumped)
-          converged = next.where(col("changed")).isEmpty
-          lab = next.select(col("node"), col("component"))
-          round += 1
-        }
-        if (!converged)
-          throw new IllegalStateException(
-            s"pointer-jumping CC did not converge in $maxRounds rounds — " +
-              "pathological pointer depth; raise the cap")
+        val lab = ccPointerJump(und, nodes)
         val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
         lab.select(col("node"), col("component"),
           count(lit(1)).over(w).as("component_size"))
@@ -1126,7 +1095,80 @@ object Graph {
           .join(broadcast(harm), Seq("node"), "left")
           .select(col("nation"),
             coalesce(col("harmonic_units"), lit(0L)).as("harmonic_units"))
+    },
+
+    GraftQuery(
+      "gr23_incremental_cc",
+      // ground truth: gr08's algorithm-free oracle VERBATIM — the
+      // closure over the UNION graph; the incremental path must be
+      // indistinguishable from the rebuild
+      Some(ccOracle),
+      "INCREMENTAL connected-component maintenance — the graph family's first DELTA operator (VERDICT r16 #3): every fixpoint in the family recomputes from scratch, but production graphs take edge DROPS continuously (dd12's exact situation on the graph side — near-dup edges arrive with every ingest batch and the dedup clustering that consumes CC labels cannot re-run a corpus-scale fixpoint per drop). The persisted artifact is gr08's labels on the BASE graph (a 70%-md5 split of the p90 edge list, built once per (application, dir) into a DiskMemo label store — the serve READS labels from parquet; the base edge list appears in no CC round); the 30% delta then merges components with DROP-SIZED work: (1) each delta edge's endpoints look up their base components — two joins against the vertex-scale broadcast label table; (2) edges whose endpoints already share a component are DISCARDED (they change nothing — at web scale this kills most of the delta, the reason incremental CC is cheap); (3) the survivors form a COMPONENT graph — vertices are touched component ids, never base vertices — and the SAME factored ccPointerJump loop (one definition with gr08) runs on it at DELTA grain: the merge map is component -> min(merged group), O(log n) rounds on the handful of touched components; (4) base labels left-join the broadcast merge map (coalesce = untouched components keep their label UNREAD from any loop — the work the delta does not touch is work not done), sizes recomputed in one vertex-grain window. Correctness is structural: union-graph components ARE the components of the quotient graph (base components + delta edges projected to component space), and min-label composes (each base label is already its component's min), so the merge map's min IS the union component's min — the oracle (gr08's closure, verbatim) checks exactly this, and GraphSpec pins both polarities non-vacuous: components genuinely merged by the delta AND components genuinely untouched, plus the merge loop's frames at component grain (never vertex or edge grain). At 100 TB: the base store accretes like every other persisted artifact, the per-drop bill is (delta edges) joins + a touched-components fixpoint, and the full edge list is never reshuffled — the quotient-graph trick is Kiveris et al.'s union-find batching applied at the label store.") {
+      (s, dir) =>
+        val store = ccBaseLabelStore(s, dir)
+        val lab = s.read.parquet(s"$store/labels")
+        // the 30%-md5 delta drop of the SAME p90 edge list gr08 runs on
+        // (70/30, not 90/10: measured across all three fixtures, the
+        // 10% delta's edges all land WITHIN base components — the
+        // merge path would be spec-vacuous; at 70/30 every scale has
+        // >= 1 genuinely-merged group AND >= 1 untouched component)
+        val delta = Materialize(edges(s, dir, 0.9)
+          .filter(edgeBucket100 >= 70)
+          .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst")))
+        // (1)+(2): project the delta into component space; same-component
+        // edges change nothing and drop here
+        val cedges = delta
+          .join(broadcast(lab.select(col("node").as("src"), col("component").as("ca"))), "src")
+          .join(broadcast(lab.select(col("node").as("dst"), col("component").as("cb"))), "dst")
+          .filter(col("ca") =!= col("cb"))
+          .select("ca", "cb")
+        // (3): the component-grain merge — gr08's factored loop on the
+        // quotient graph (vertices = touched components only)
+        val cnodes = cedges.select(col("ca").as("node"))
+          .unionByName(cedges.select(col("cb").as("node"))).distinct()
+        val cund = Materialize.trackedLocalCheckpoint(
+          cedges.select(col("ca").as("a"), col("cb").as("b"))
+            .unionByName(cedges.select(col("cb").as("a"), col("ca").as("b")))
+            .distinct())
+        val mergeMap = ccPointerJump(cund, cnodes)
+          .select(col("node").as("component"), col("component").as("merged"))
+        // (4): untouched components coalesce straight through
+        val updated = lab.join(broadcast(mergeMap), Seq("component"), "left")
+          .select(col("node"),
+            coalesce(col("merged"), col("component")).as("component"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        updated.select(col("node"), col("component"),
+          count(lit(1)).over(w).as("component_size"))
     })
+
+  /** Deterministic per-edge md5 bucket (0..99) — gr23's base/delta
+    * split key, the sp01 reproducible-split contract applied to edges.
+    */
+  private def edgeBucket100 = expr(
+    "CAST(conv(substring(md5(concat(CAST(src AS STRING), '_', CAST(dst AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100")
+
+  /** gr23's persisted artifact: gr08's labels over the BASE graph (the
+    * <90 md5 edge split of the p90 list), built ONCE per (application,
+    * dir) with the factored [[ccPointerJump]] loop and read from
+    * parquet by every serve — the incremental pass must never re-run
+    * the base fixpoint or touch the base edge list.
+    */
+  private def ccBaseLabelStore(s: SparkSession, dir: String): String = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"ccbase_$tag", dir)
+    DiskMemo.ensure(s"ccbase_$tag", out) {
+      val base = edges(s, dir, 0.9).filter(edgeBucket100 < 70)
+      val und = Materialize.trackedLocalCheckpoint(
+        base.select(col("src").cast("int").as("a"), col("dst").cast("int").as("b"))
+          .unionByName(
+            base.select(col("dst").cast("int").as("a"), col("src").cast("int").as("b")))
+          .distinct())
+      val nodes = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("node"))
+      ccPointerJump(und, nodes)
+        .write.mode("overwrite").parquet(s"$out/labels")
+    }
+  }
 
   /** gr18's FW-BW+Trim decomposition as a reusable primitive: the
     * checkpointed (node, scc_id) labeling of EVERY nation vertex over
@@ -1415,6 +1457,52 @@ object Graph {
        |SELECT CAST(node AS INT) AS node, CAST(component AS INT) AS component,
        |       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
        |FROM lab""".stripMargin
+
+  /** gr08's pointer-jumping fixpoint, factored (r17) so gr23's
+    * component-grain merge pass runs the IDENTICAL loop: per round
+    * (1) one neighbor-min hop — edge-grain map-side-combining MIN,
+    * labels broadcast — then (2) a pointer jump component <-
+    * component(component), O(log n) convergence on any diameter,
+    * monotone-decrease changed-flag fixpoint probe, loud cap. `und`
+    * must be a PINNED undirected `(a, b)` edge list; `nodes` the
+    * vertex set. Checkpoints unconditionally — the loop invariant
+    * Materialize.scala documents, NOT the conf switch.
+    */
+  private[operators] def ccPointerJump(und: DataFrame, nodes: DataFrame): DataFrame = {
+    var lab = Materialize.trackedLocalCheckpoint(
+      nodes.withColumn("component", col("node")))
+    var converged = false
+    var round = 0
+    val maxRounds = 12 // log2-ish cap: 2^12 pointer depth, loud on overrun
+    while (!converged && round < maxRounds) {
+      // (1) neighbor-min hop: ONE edge-grain shuffle with map-side
+      // partial MIN; labels broadcast (vertex-scale)
+      val nbr = und
+        .join(broadcast(lab.select(col("node").as("b"), col("component").as("nc"))), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("nc")).as("nc"))
+      val hopped = lab.join(nbr, Seq("node"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nc"), col("component"))).as("c1"),
+          (coalesce(col("nc"), col("component")) < col("component")).as("ch1"))
+      // (2) pointer jump: c2(v) = c1(c1(v)) — labels are node ids,
+      // so the lookup table is hopped itself, keyed by node
+      val ptr = hopped.select(col("node").as("c1"), col("c1").as("jc"))
+      val jumped = hopped.join(broadcast(ptr), Seq("c1"), "left")
+        .select(col("node"),
+          coalesce(col("jc"), col("c1")).as("component"),
+          (col("ch1") || coalesce(col("jc"), col("c1")) < col("c1")).as("changed"))
+      val next = Materialize.trackedLocalCheckpoint(jumped)
+      converged = next.where(col("changed")).isEmpty
+      lab = next.select(col("node"), col("component"))
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"pointer-jumping CC did not converge in $maxRounds rounds — " +
+          "pathological pointer depth; raise the cap")
+    lab
+  }
 
   /** One gr09 round: neighbor-min hop + pointer jump with the label
     * table EQUI-JOINED under SHUFFLE_MERGE hints — no broadcast of any

@@ -231,6 +231,61 @@ class GraphSpec extends AnyFunSuite {
     assert(g8.nonEmpty, "empty CC output — equivalence pin is vacuous")
   }
 
+  test("gr23: incremental CC row-identical to gr08's rebuild; merged AND untouched components both non-vacuous") {
+    def rows(name: String) = run(name).collect()
+      .map(r => (lv(r, 0), lv(r, 1), r.getLong(2))).toSet
+    val rebuild = rows("gr08_connected_components")
+    val inc = rows("gr23_incremental_cc")
+    assert(inc == rebuild,
+      s"gr23 diverged from the rebuild: extra=${inc -- rebuild} missing=${rebuild -- inc}")
+
+    // driver replay of the split: union-find over the base (md5 < 70)
+    // edges vs over the full p90 list — the delta must genuinely merge
+    // some base components AND genuinely leave others untouched, or
+    // the incremental path is a rename of the rebuild
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(a: Long, b: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"${a}_$b").substring(0, 8), 16) % 100
+    val all = Graph.edges(spark, sf001, 0.9).collect()
+      .map(r => (lv(r, 0), lv(r, 1))).toSeq
+    val base = all.filter { case (a, b) => bucket(a, b) < 70 }
+    assert(base.size < all.size, "delta split is empty — the merge pin is vacuous")
+    val nationKeys = Tables.load(spark, sf001, "nation")
+      .select("n_nationkey").collect().map(r => lv(r, 0)).toSeq
+    def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(nationKeys.map(v => v -> v): _*)
+      def find(v: Long): Long = {
+        var r = v; while (parent(r) != r) r = parent(r)
+        var c = v; while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      nationKeys.groupBy(find).flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m)
+      }
+    }
+    val baseComp = components(base)
+    val fullComp = components(all)
+    // the shipped output equals the union-graph union-find too
+    assert(inc.map(t => t._1 -> t._2).toMap === fullComp,
+      "gr23 labels diverge from the union-graph union-find")
+    // merged polarity: >= 2 distinct base components share a full label
+    val mergedGroups = baseComp.values.toSeq.distinct
+      .groupBy(c => fullComp(c)).values.filter(_.size >= 2)
+    assert(mergedGroups.nonEmpty,
+      "no base components merged by the delta — the incremental path never exercised")
+    // untouched polarity: some base component survives as a full
+    // component with the SAME member set (zero work done for it)
+    val baseSets = nationKeys.groupBy(baseComp).values.map(_.toSet).toSet
+    val fullSets = nationKeys.groupBy(fullComp).values.map(_.toSet).toSet
+    assert((baseSets & fullSets).nonEmpty,
+      "every base component was touched by the delta — the untouched pin is vacuous")
+  }
+
   test("gr11: equals a sequential 4-round Bellman-Ford over the collected weighted edges") {
     import org.apache.spark.sql.functions.col
     def lv(r: org.apache.spark.sql.Row, i: Int): Long =
