@@ -152,7 +152,16 @@ object ScaleProbe {
       // clone design); ss18's batch serve must track corpus x probed
       // fraction, with routing/truth on the fixed query decile
       "pl04_model_gated_manifest", "pl05_combined_rewrite_manifest",
-      "ss18_batched_ann_serving", "ss19_batched_ivfpq_adc")
+      "ss18_batched_ann_serving", "ss19_batched_ivfpq_adc",
+      // r17 (VERDICT r16 #1-#4): ss20's serve must match ss18's
+      // scale-flat shape over the accreted store (accretion itself is
+      // batch-sized); dd21 adds a 3-row fold + one broadcast pick on
+      // top of dd20's sweep (probed via its dd03/dd05 cores above);
+      // pk05 rides tx20/tx21's vocabulary-sized encode + pk02's
+      // two-phase rank; gr23's merge pass is component-grain — its
+      // probed growth should be the edge-pipeline scan only
+      "ss20_accreted_index_serving", "dd21_tuned_banding",
+      "pk05_bpe_unit_shards", "gr23_incremental_cc")
       .map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
