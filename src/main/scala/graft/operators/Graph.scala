@@ -1139,6 +1139,63 @@ object Graph {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
         updated.select(col("node"), col("component"),
           count(lit(1)).over(w).as("component_size"))
+    },
+
+    GraftQuery(
+      "gr24_cc_edge_deletion",
+      // ground truth: gr08's algorithm-free closure over the REMAINING
+      // edge set (the kept 80% of the _rm-salted md5 split)
+      Some {
+        val rmb = "CAST(('0x' || substring(md5(CAST(src AS VARCHAR) || '_' || " +
+          "CAST(dst AS VARCHAR) || '_rm'), 1, 8)) AS BIGINT) % 100"
+        s"""WITH RECURSIVE ${edgesDuckQ("0.9")},
+           |kept AS (SELECT src, dst FROM edges WHERE $rmb < 80),
+           |und AS (SELECT src AS a, dst AS b FROM kept
+           |        UNION SELECT dst, src FROM kept),
+           |reach(root, node) AS (
+           |  SELECT n_nationkey, n_nationkey FROM nation
+           |  UNION
+           |  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node),
+           |lab AS (SELECT root AS node, MIN(node) AS component FROM reach GROUP BY root)
+           |SELECT CAST(node AS INT) AS node, CAST(component AS INT) AS component,
+           |       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
+           |FROM lab""".stripMargin
+      },
+      "DELETION-scoped connected-component maintenance — gr23's mirror image, and the HARD half of incremental CC (additions only ever MERGE, so component-grain pointer jumping suffices; deletions can SPLIT a component, and no label algebra recovers a split without re-examining edges — the reason production graph stores treat deletes as the expensive path): given the persisted FULL-graph labels (gr08's loop over all p90 edges, built once into a DiskMemo store — a SECOND artifact, distinct from gr23's base store) and a 20% md5-salted edge-deletion set, recompute ONLY the components that lost an edge. The scoping identity is structural: every edge's endpoints share a full component (components are maximal), so every surviving edge lies ENTIRELY inside one full component — untouched components (no deleted edge) keep their labels UNREAD by any loop, and the recompute subgraph is exactly the affected components' vertices + their surviving edges. Execution: deleted edges look up their component (one broadcast join against the vertex-scale label table), the distinct affected set broadcasts into a vertex semi-join (subgraph vertices) and an edge semi-join (subgraph edges), and the SAME factored ccPointerJump loop (one definition with gr08/gr23) re-labels the subgraph — work sized by the affected components, not the graph; splits fall out naturally as multiple new min-labels inside one old component. Final labels = untouched (from the store) UNION recomputed, sizes in one vertex-grain window. Oracle: gr08's algorithm-free closure over the kept edge set verbatim. GraphSpec pins the full polarity triple via a driver union-find replay: a component genuinely SPLIT by the deletions, a component genuinely untouched, and the recompute's subgraph strictly smaller than the graph. At 100 TB: the deletion batch is drop-sized, affected components are the work unit (a web-scale delete touches few), and the full-label store is the same artifact the addition path (gr23) maintains — together they are the production CC lifecycle over a mutating edge set.") {
+      (s, dir) =>
+        val store = ccFullLabelStore(s, dir)
+        val lab = s.read.parquet(s"$store/labels")
+        val rmb = expr(
+          "CAST(conv(substring(md5(concat(CAST(src AS STRING), '_', CAST(dst AS STRING), '_rm')), 1, 8), 16, 10) AS BIGINT) % 100")
+        val e = Materialize(edges(s, dir, 0.9)
+          .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"),
+            (rmb >= 80).as("deleted")))
+        // affected components: one broadcast lookup per deleted edge's
+        // src endpoint suffices (both endpoints share the component)
+        val affected = broadcast(e.filter(col("deleted"))
+          .join(broadcast(lab.select(col("node").as("src"), col("component"))), "src")
+          .select("component").distinct())
+        // the recompute subgraph: affected components' vertices + their
+        // surviving edges (scoping identity — see the doc)
+        val subNodes = lab.join(affected, Seq("component"), "left_semi")
+          .select("node")
+        val kept = e.filter(!col("deleted"))
+        val subEdges = kept
+          .join(broadcast(lab.select(col("node").as("src"), col("component"))), "src")
+          .join(affected, Seq("component"), "left_semi")
+          .select("src", "dst")
+        val und = Materialize.trackedLocalCheckpoint(
+          subEdges.select(col("src").as("a"), col("dst").as("b"))
+            .unionByName(subEdges.select(col("dst").as("a"), col("src").as("b")))
+            .distinct())
+        val relabeled = ccPointerJump(und, subNodes)
+        // untouched components pass through from the store unread
+        val untouched = lab.join(affected, Seq("component"), "left_anti")
+          .select("node", "component")
+        val updated = untouched.unionByName(relabeled)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        updated.select(col("node"), col("component"),
+          count(lit(1)).over(w).as("component_size"))
     })
 
   /** Deterministic per-edge md5 bucket (0..99) — gr23's base/delta
@@ -1162,6 +1219,28 @@ object Graph {
         base.select(col("src").cast("int").as("a"), col("dst").cast("int").as("b"))
           .unionByName(
             base.select(col("dst").cast("int").as("a"), col("src").cast("int").as("b")))
+          .distinct())
+      val nodes = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("node"))
+      ccPointerJump(und, nodes)
+        .write.mode("overwrite").parquet(s"$out/labels")
+    }
+  }
+
+  /** gr24's persisted artifact: gr08's labels over the FULL p90 graph
+    * (the store a production CC lifecycle maintains — gr23 merges
+    * additions into it, gr24 scopes deletions against it), built ONCE
+    * per (application, dir) with the factored [[ccPointerJump]] loop.
+    */
+  private def ccFullLabelStore(s: SparkSession, dir: String): String = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"ccfull_$tag", dir)
+    DiskMemo.ensure(s"ccfull_$tag", out) {
+      val e = edges(s, dir, 0.9)
+      val und = Materialize.trackedLocalCheckpoint(
+        e.select(col("src").cast("int").as("a"), col("dst").cast("int").as("b"))
+          .unionByName(
+            e.select(col("dst").cast("int").as("a"), col("src").cast("int").as("b")))
           .distinct())
       val nodes = Tables.load(s, dir, "nation")
         .select(col("n_nationkey").cast("int").as("node"))

@@ -543,6 +543,39 @@ object Sampling {
     },
 
     GraftQuery(
+      "pk06_bpe_unit_sequences",
+      Some(s"""WITH u AS MATERIALIZED (SELECT * FROM (${TextAnalysis.bpeEncodeOracle}) z),
+              |d AS (SELECT doc_id, n_bpe_units AS n_units,
+              |             md5(CAST(doc_id AS VARCHAR)) AS h FROM u),
+              |c AS (SELECT doc_id, n_units,
+              |        COALESCE(SUM(n_units) OVER (ORDER BY h, doc_id
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+              |      FROM d)
+              |SELECT doc_id, n_units, CAST(st AS BIGINT) AS start_unit,
+              |       CAST(st // 2048 AS BIGINT) AS seq_first,
+              |       CAST((st + n_units - 1) // 2048 AS BIGINT) AS seq_last
+              |FROM c""".stripMargin),
+      "BPE-UNIT training-sequence construction — pk03's concat-and-chunk re-based on the unit the trainer consumes (pk05's argument at SEQUENCE grain, where it bites harder: a shard is an aggregate so whitespace-vs-unit skew averages out across thousands of docs, but a 2048-cut SEQUENCE is the attention window itself — cut boundaries computed in whitespace tokens land mid-unit-budget, so 'sequence = 2048 tokens' becomes 'sequence = whatever unit count those tokens encode to', and the loader's masks misalign with what the GPU batches). Same md5-of-key deterministic order (sp01's contract — byte-identical re-packing on any layout), same two-phase global prefix sum (256 md5-prefix buckets whose lexicographic order IS the global order, bounded within-bucket running sum, 256-row cumulative offset broadcast — no fact-scale rows cross one partition), with the summed column swapped to tx21's per-doc n_bpe_units via the factored bpeUnits core (one definition with tx21/pk05). Per doc: global UNIT offset and the [seq_first, seq_last] range of 2048-UNIT sequences it occupies — sequence count = ceil(corpus_units/2048) by construction, every unit used, zero padding. The oracle chains tx20's training CTEs through tx21's encode into pk03's prefix-sum spelling — train, encode, order, and cut identically in both engines, exact BIGINT throughout. SamplingSpec pins unit conservation (last offset + last doc's units == tx21's corpus total), the ceil sequence-count identity, and the measured re-basing claim: documents exist whose unit-based sequence range disagrees with pk03's token-based one (the misalignment the re-base removes). At 100 TB the bill is tx21's encode (vocabulary-sized folds + one broadcast join) plus pk03's priced two-phase sum — nothing new shuffles at fact scale.") {
+      (s, dir) =>
+        val d = TextAnalysis.bpeUnits(s, dir)
+          .select(col("doc_id"), col("n_bpe_units").as("n_units"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("bkt", substring(col("h"), 1, 2))
+        val wIn = Window.partitionBy("bkt").orderBy("h", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offs = d.groupBy("bkt").agg(sum(col("n_units")).as("tot"))
+          .withColumn("off", coalesce(
+            sum(col("tot")).over(Window.orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        d.join(broadcast(offs.select("bkt", "off")), "bkt")
+          .withColumn("start_unit",
+            col("off") + coalesce(sum(col("n_units")).over(wIn), lit(0L)))
+          .select(col("doc_id"), col("n_units"), col("start_unit"),
+            expr("start_unit div 2048").as("seq_first"),
+            expr("(start_unit + n_units - 1) div 2048").as("seq_last"))
+    },
+
+    GraftQuery(
       "sp13_split_leakage_audit",
       Some(s"""WITH d AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
               |sh AS (SELECT doc_id, ${Dedup.shingleDuck} AS gs FROM d),

@@ -286,6 +286,59 @@ class GraphSpec extends AnyFunSuite {
       "every base component was touched by the delta — the untouched pin is vacuous")
   }
 
+  test("gr24: deletion-scoped CC equals the kept-graph union-find; split, untouched, and strict scoping all non-vacuous") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def rmBucket(a: Long, b: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"${a}_${b}_rm").substring(0, 8), 16) % 100
+    val all = Graph.edges(spark, sf001, 0.9).collect()
+      .map(r => (lv(r, 0), lv(r, 1))).toSeq
+    val kept = all.filter { case (a, b) => rmBucket(a, b) < 80 }
+    val deleted = all.filterNot { case (a, b) => rmBucket(a, b) < 80 }
+    assert(deleted.nonEmpty, "deletion set empty — every pin below is vacuous")
+    val nationKeys = Tables.load(spark, sf001, "nation")
+      .select("n_nationkey").collect().map(r => lv(r, 0)).toSeq
+    def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(nationKeys.map(v => v -> v): _*)
+      def find(v: Long): Long = {
+        var r = v; while (parent(r) != r) r = parent(r)
+        var c = v; while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      nationKeys.groupBy(find).flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m)
+      }
+    }
+    val fullComp = components(all)
+    val keptComp = components(kept)
+    val got = run("gr24_cc_edge_deletion").collect()
+      .map(r => (lv(r, 0), lv(r, 1), r.getLong(2)))
+    assert(got.map(t => t._1 -> t._2).toMap === keptComp,
+      "gr24 labels diverge from the kept-graph union-find")
+    val sizes = keptComp.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map(t => t._2 -> t._3).toMap === sizes.map(identity),
+      "gr24 component sizes diverge from the kept-graph union-find")
+
+    // split polarity: a full component whose members now span >= 2
+    // kept components — the failure mode additions can never produce
+    val members = nationKeys.groupBy(fullComp)
+    assert(members.values.exists(vs => vs.map(keptComp).distinct.size >= 2),
+      "no component split by the deletions — the hard path never exercised")
+    // untouched polarity + strict scoping: >= 1 full component holds no
+    // deleted edge, so the recompute subgraph is strictly smaller
+    val affected = deleted.map { case (a, _) => fullComp(a) }.toSet
+    val untouchedComps = members.keySet -- affected
+    assert(untouchedComps.nonEmpty,
+      "every component lost an edge — the untouched pin is vacuous")
+    val subVertexCount = members.filter(kv => affected(kv._1)).values.map(_.size).sum
+    assert(subVertexCount < nationKeys.size,
+      "the recompute subgraph covers every vertex — scoping bought nothing")
+  }
+
   test("gr11: equals a sequential 4-round Bellman-Ford over the collected weighted edges") {
     import org.apache.spark.sql.functions.col
     def lv(r: org.apache.spark.sql.Row, i: Int): Long =

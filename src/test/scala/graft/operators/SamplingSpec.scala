@@ -262,6 +262,35 @@ class SamplingSpec extends AnyFunSuite {
         s"vs whitespace-deal-in-units ${spread(tokenDealInUnits.values)}")
   }
 
+  test("pk06 BPE-unit sequences: replay-identical, unit conservation, ceil count, genuinely different cuts than pk03 (sf0.01)") {
+    def byName(n: String) = graft.GraftQuery.all.find(_.name == n).get
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val perDoc = byName("tx21_bpe_encode").build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap // doc_id -> n_bpe_units
+    // sequential replay: md5-of-key order, running unit offset
+    var off = 0L
+    val expect = perDoc.keys.toSeq.sortBy(id => (md5hex(id.toString), id)).map { id =>
+      val n = perDoc(id); val st = off; off += n
+      (id, n, st, st / 2048, (st + n - 1) / 2048)
+    }.toSet
+    val got = byName("pk06_bpe_unit_sequences").build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSet === expect, "pk06 diverged from the sequential unit-offset replay")
+    // conservation + ceil: offsets cover exactly the corpus unit total
+    val total = perDoc.values.sum
+    assert(got.map(t => t._3 + t._2).max === total,
+      "last offset + units != corpus unit total")
+    assert(got.map(_._5).max === (total - 1) / 2048,
+      "sequence count != ceil(corpus_units / 2048)")
+    // the re-basing claim: unit-based cuts genuinely disagree with
+    // pk03's token-based cuts for some document
+    val pk03 = byName("pk03_packed_sequences").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got.exists(t => pk03(t._1) != ((t._4, t._5))),
+      "every doc's sequence range identical under tokens and units — the re-base is vacuous")
+  }
+
   test("pk03 packed sequences match a sequential concat-and-chunk replay; docs cross cuts (sf0.01)") {
     import org.apache.spark.sql.functions.{col, size, split}
     def md5hex(s: String): String =
