@@ -1051,6 +1051,37 @@ object Similarity {
           s.read.parquet(s"$store/store/seeds"),
           assign)
     },
+
+    GraftQuery(
+      "ss21_accretion_drift_audit",
+      Some(accretionDriftOracle),
+      "ACCRETION-DRIFT recall audit — the number ss20's doc says a store owner reads after every ingest wave, now a first-class table: the accreted index encodes new vectors against the quantizer FROZEN at seed time, so serving quality on LATER waves is the canary for distribution drift — when new embeddings stop routing well under the old cells, recall concentrates its losses on the new waves, and THAT (not a calendar) is the signal to retrain and rebuild (the production retrain trigger for every frozen-codebook ANN deployment). One query, off the SAME factored batchedServe parts ss18/ss20 run (one definition — the audit measures the shipped serve, not a paraphrase): per ingest wave (batch_id read straight from the store's own partition column — provenance IS the wave label; -1 = bootstrap, 0/1 = the drops), the indexed vector count, how many of the batch queries' exact top-10 truth rows live in that wave (n_truth10 — the wave's SHARE of what a perfect index would return), and how many of those the serve actually returned (n_served_hits). Per-wave recall = hits/truth, read off the table; drift = the later waves' ratio sagging under the bootstrap's. The counts are integer-exact and the oracle recomputes waves from the md5 split the drops were cut by, so both engines label identically. SimilaritySpec pins the decomposition against ss20 (Σ n_served_hits == Σ ss20 recall10; Σ n_indexed == corpus; Σ n_truth10 == 10 x queries), every wave present, and truth mass on the accreted waves non-vacuous (the audit has something to measure). At 100 TB: the audit rides the serve it already pays for — two drop-sized count aggregations over the truth/hit frames joined to the vec-grain wave column; no new corpus-scale work.") {
+      (s, dir) =>
+        // own store instance (prefix ivfacc21): the audit's wave labels
+        // are the batch_id partition column, which a maintenance
+        // compaction legitimately folds away on ss20's shared store
+        val store = accretedIndexStore(s, dir, prefix = "ivfacc21")
+        val qset = s.read.parquet(s"$store/qset")
+        val seeds = s.read.parquet(s"$store/store/seeds")
+        val assignB = s.read.option("basePath", s"$store/store/assign")
+          .parquet(s"$store/store/assign/batch_id=*")
+        val p = batchedServeParts(qset, seeds,
+          assignB.select("vec_id", "cell", "qe"))
+        val waves = assignB.select(col("vec_id"),
+          col("batch_id").cast("bigint").as("wave"))
+        val idx = waves.groupBy("wave")
+          .agg(count(lit(1)).cast("bigint").as("n_indexed"))
+        val byWave = p.truth
+          .join(p.annTop.withColumn("h", lit(1)), Seq("qid", "vec_id"), "left")
+          .join(waves, Seq("vec_id"))
+          .groupBy("wave")
+          .agg(count(lit(1)).cast("bigint").as("n_truth10"),
+            sum(coalesce(col("h"), lit(0))).cast("bigint").as("n_served_hits"))
+        idx.join(byWave, Seq("wave"), "left")
+          .select(col("wave"), col("n_indexed"),
+            coalesce(col("n_truth10"), lit(0L)).cast("bigint").as("n_truth10"),
+            coalesce(col("n_served_hits"), lit(0L)).cast("bigint").as("n_served_hits"))
+    },
   )
 
   /** ss17's per-subspace Lloyd training: [[PqRounds]] rounds over all
@@ -1177,8 +1208,14 @@ object Similarity {
     * query), per-query exact rerank top-10, per-query brute-force
     * truth over the stored corpus, (qid, n_candidates, recall10).
     */
-  private def batchedServe(qset: DataFrame, seeds: DataFrame,
-      assign: DataFrame): DataFrame = {
+  /** [[batchedServe]]'s internal frames, exposed so ss21's drift audit
+    * counts hits at (wave, vector) grain off the SAME serve.
+    */
+  private final case class BatchedServeParts(
+      cand: DataFrame, annTop: DataFrame, truth: DataFrame)
+
+  private def batchedServeParts(qset: DataFrame, seeds: DataFrame,
+      assign: DataFrame): BatchedServeParts = {
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy("d", "cell")
     val routes = qset.crossJoin(broadcast(seeds))
@@ -1204,9 +1241,15 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("d"))
       .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 10)
       .select(col("qid"), col("vec_id"))
-    val nc = cand.groupBy("qid").agg(count(lit(1)).as("n_candidates"))
-    val rc = truth
-      .join(annTop.withColumn("h", lit(1)), Seq("qid", "vec_id"), "left")
+    BatchedServeParts(cand, annTop, truth)
+  }
+
+  private def batchedServe(qset: DataFrame, seeds: DataFrame,
+      assign: DataFrame): DataFrame = {
+    val p = batchedServeParts(qset, seeds, assign)
+    val nc = p.cand.groupBy("qid").agg(count(lit(1)).as("n_candidates"))
+    val rc = p.truth
+      .join(p.annTop.withColumn("h", lit(1)), Seq("qid", "vec_id"), "left")
       .groupBy("qid").agg(sum(coalesce(col("h"), lit(0))).as("recall10"))
     qset.select("qid")
       .join(nc, Seq("qid"), "left")
@@ -1223,10 +1266,11 @@ object Similarity {
     * Memoized per (application, dir) like [[ivfIndexStore]]; the qset
     * audit decile is identical to ss18's.
     */
-  private def accretedIndexStore(s: SparkSession, dir: String): String = {
+  private def accretedIndexStore(s: SparkSession, dir: String,
+      prefix: String = "ivfacc"): String = {
     val tag = DiskMemo.tag(s, dir)
-    val out = TempLayout.dir(s"ivfacc_$tag", dir)
-    DiskMemo.ensure(s"ivfacc_$tag", out) {
+    val out = TempLayout.dir(s"${prefix}_$tag", dir)
+    DiskMemo.ensure(s"${prefix}_$tag", out) {
       val q = qemb(s, dir)
       val b = Sampling.bucket100("vec_id")
       q.filter(expr(s"$b < 10"))
@@ -1294,9 +1338,46 @@ object Similarity {
   private lazy val accretedAnnOracle: String =
     batchedAnnOracleSeededBy(s" AND ${Sampling.duckBucket100Of("vec_id")} < 90")
 
-  private def batchedAnnOracleSeededBy(seedExtra: String): String = {
+  private def batchedAnnOracleSeededBy(seedExtra: String): String =
+    s"""WITH ${batchedAnnCtesSeededBy(seedExtra)},
+       |nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1),
+       |rc AS (SELECT t.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS r
+       |       FROM truth t LEFT JOIN ann a USING (qid, vec_id) GROUP BY 1)
+       |SELECT w.qid, CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_candidates,
+       |       CAST(COALESCE(rc.r, 0) AS BIGINT) AS recall10
+       |FROM (SELECT qid FROM qset) w LEFT JOIN nc USING (qid) LEFT JOIN rc USING (qid)""".stripMargin
+
+  /** ss21's oracle: the accreted pipeline's CTE body + wave labels
+    * recomputed from the md5 split the drops were cut by, counted at
+    * (wave) grain — indexed vectors, truth share, served hits.
+    */
+  private lazy val accretionDriftOracle: String = {
     val b = Sampling.duckBucket100Of("vec_id")
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""WITH ${batchedAnnCtesSeededBy(s" AND $b < 90")},
+       |waves AS (SELECT vec_id,
+       |            CAST(CASE WHEN $b < 90 THEN -1 WHEN $b < 95 THEN 0
+       |                 ELSE 1 END AS BIGINT) AS wave
+       |          FROM corp),
+       |idx AS (SELECT wave, CAST(COUNT(*) AS BIGINT) AS n_indexed
+       |        FROM waves GROUP BY 1),
+       |bw AS (SELECT w2.wave, CAST(COUNT(*) AS BIGINT) AS nt,
+       |              CAST(COUNT(a.vec_id) AS BIGINT) AS nh
+       |       FROM truth t
+       |       LEFT JOIN ann a ON a.qid = t.qid AND a.vec_id = t.vec_id
+       |       JOIN waves w2 ON w2.vec_id = t.vec_id
+       |       GROUP BY 1)
+       |SELECT i.wave, i.n_indexed,
+       |       CAST(COALESCE(bw.nt, 0) AS BIGINT) AS n_truth10,
+       |       CAST(COALESCE(bw.nh, 0) AS BIGINT) AS n_served_hits
+       |FROM idx i LEFT JOIN bw USING (wave)""".stripMargin
+  }
+
+  /** The batched pipeline's CTE body (`emb` .. `ann`/`truth`) — shared
+    * by ss18/ss20's recall summary and ss21's per-wave drift counts.
+    */
+  private def batchedAnnCtesSeededBy(seedExtra: String): String = {
+    val b = Sampling.duckBucket100Of("vec_id")
+    s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
        |qset AS MATERIALIZED (SELECT vec_id AS qid, qe AS qv FROM q WHERE $b < 10),
        |corp AS MATERIALIZED (SELECT vec_id, qe FROM q WHERE $b >= 10),
@@ -1324,13 +1405,7 @@ object Similarity {
        |    SELECT w.qid, c.vec_id,
        |           ROW_NUMBER() OVER (PARTITION BY w.qid ORDER BY
        |             LIST_SUM(LIST_TRANSFORM(RANGE(1, 65), i -> (c.qe[i] - w.qv[i]) * (c.qe[i] - w.qv[i]))), c.vec_id) AS rn
-       |    FROM qset w, corp c) t WHERE rn <= 10),
-       |nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1),
-       |rc AS (SELECT t.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS r
-       |       FROM truth t LEFT JOIN ann a USING (qid, vec_id) GROUP BY 1)
-       |SELECT w.qid, CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_candidates,
-       |       CAST(COALESCE(rc.r, 0) AS BIGINT) AS recall10
-       |FROM (SELECT qid FROM qset) w LEFT JOIN nc USING (qid) LEFT JOIN rc USING (qid)""".stripMargin
+       |    FROM qset w, corp c) t WHERE rn <= 10)""".stripMargin
   }
 
   /** ss19's oracle: ss18's batched blocks + the PQ funnel — corpus

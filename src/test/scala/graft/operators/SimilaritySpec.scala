@@ -468,4 +468,33 @@ class SimilaritySpec extends AnyFunSuite {
         s"query $qid: ADC recall $r19 beats exact-rerank recall ${ss18(qid)} — impossible")
     assert(got.values.exists(_._2 > 0), "zero recall everywhere — the ADC path is broken")
   }
+
+  test("ss21: per-wave drift counts decompose ss20's recall exactly; waves and accreted truth mass non-vacuous (sf0.01)") {
+    val drift = byName("ss21_accretion_drift_audit").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // wave provenance: the bootstrap (-1) and both ingest drops present
+    assert(drift.keySet === Set(-1L, 0L, 1L),
+      s"expected waves -1/0/1, got ${drift.keySet}")
+    val ss20 = byName("ss20_accreted_index_serving").build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // the decomposition: wave counts partition ss20's serve exactly
+    assert(drift.values.map(_._3).sum === ss20.map(_._2).sum,
+      "per-wave served hits do not sum to ss20's total recall")
+    assert(drift.values.map(_._2).sum === 10L * ss20.size,
+      "per-wave truth shares do not sum to 10 x queries")
+    // the audit has something to measure: truth mass exists on the
+    // accreted waves (otherwise drift is unobservable by construction)
+    assert((drift(0L)._2 + drift(1L)._2) > 0,
+      "no truth rows land on the ingest waves — the drift signal is vacuous")
+    // and the indexed counts cover the corpus side of the split
+    val emb = graft.Tables.load(spark, sf001, "embeddings").count()
+    def md5b(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8), 16) % 100
+    val nq = graft.Tables.load(spark, sf001, "embeddings")
+      .select("vec_id").collect().count(r => md5b(r.getLong(0)) < 10)
+    assert(drift.values.map(_._1).sum === emb - nq,
+      "per-wave indexed counts do not cover the corpus side")
+  }
 }
