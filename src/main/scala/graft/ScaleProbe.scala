@@ -161,7 +161,13 @@ object ScaleProbe {
       // two-phase rank; gr23's merge pass is component-grain — its
       // probed growth should be the edge-pipeline scan only
       "ss20_accreted_index_serving", "dd21_tuned_banding",
-      "pk05_bpe_unit_shards", "gr23_incremental_cc")
+      "pk05_bpe_unit_shards", "gr23_incremental_cc",
+      // r17 late additions: gr24's recompute must be sized by affected
+      // components (the edge-pipeline scan is the floor); pk06 rides
+      // pk05's encode + pk03's probed prefix sum; ss21/ss22 must hold
+      // ss18/ss19's scale-flat serving shape off the accreted store
+      "gr24_cc_edge_deletion", "pk06_bpe_unit_sequences",
+      "ss21_accretion_drift_audit", "ss22_accreted_adc_serving")
       .map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the

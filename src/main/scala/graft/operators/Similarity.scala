@@ -981,62 +981,10 @@ object Similarity {
         // never touches raw vectors until the rerank reads `assign`
         val store = ivfIndexStore(s, dir)
         val qset = s.read.parquet(s"$store/qset")
-        val seeds = s.read.parquet(s"$store/seeds")
-        val assign = s.read.parquet(s"$store/assign")
-        val pqIdx = s.read.parquet(s"$store/pqidx")
-        val wq = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy("d", "cell")
-        val routes = qset.crossJoin(broadcast(seeds))
-          .withColumn("d", il2("qv", "qs"))
-          .select(col("qid"), col("code").as("cell"), col("d"))
-          .withColumn("rn", row_number().over(wq))
-          .filter(col("rn") <= 3).select("qid", "cell")
-        // the 32-row serving codebook, rebuilt from the stored seeds
-        val cds = pqCodebookRows(seeds)
-        // per-query ADC lookup tables: queries x 32 rows, map-side
-        val qlut = qset
-          .select(col("qid"), explode(subSlices("qv", "qsv")).as("x"))
-          .select(col("qid"), col("x.sub").as("sub"), col("x.qsv").as("qsv"))
-          .join(broadcast(cds), Seq("sub"))
-          .withColumn("pd", il2("qc", "qsv"))
-          .select("qid", "sub", "code", "pd")
-        // ss18's cell equi-join emits candidates; ADC = one (qid, sub,
-        // code) equi-join + a partial-aggregating per-(qid, vec) sum
-        val cand = assign.join(broadcast(routes), Seq("cell"))
-          .select(col("qid"), col("vec_id"))
-        val wr = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy("pq_d", "vec_id")
-        val adc60 = cand.join(pqIdx, Seq("vec_id"))
-          .join(broadcast(qlut), Seq("qid", "sub", "code"))
-          .groupBy(col("qid"), col("vec_id"))
-          .agg(sum(col("pd")).as("pq_d"))
-          .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 60)
-          .select("qid", "vec_id")
-        // exact rerank touches full vectors ONLY for the 60 survivors
-        val wx = org.apache.spark.sql.expressions.Window
-          .partitionBy("qid").orderBy("d", "vec_id")
-        val annTop = adc60
-          .join(assign.select("vec_id", "qe"), Seq("vec_id"))
-          .join(broadcast(qset), Seq("qid"))
-          .withColumn("d", il2("qe", "qv"))
-          .select(col("qid"), col("vec_id"), col("d"))
-          .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 10)
-          .select(col("qid"), col("vec_id"))
-        val truth = assign.crossJoin(broadcast(qset))
-          .withColumn("d", il2("qe", "qv"))
-          .select(col("qid"), col("vec_id"), col("d"))
-          .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 10)
-          .select(col("qid"), col("vec_id"))
-        val nm = cand.groupBy("qid").agg(count(lit(1)).as("n_members"))
-        val rc = truth
-          .join(annTop.withColumn("h", lit(1)), Seq("qid", "vec_id"), "left")
-          .groupBy("qid").agg(sum(coalesce(col("h"), lit(0))).as("recall10"))
-        qset.select("qid")
-          .join(nm, Seq("qid"), "left")
-          .join(rc, Seq("qid"), "left")
-          .select(col("qid"),
-            coalesce(col("n_members"), lit(0L)).cast("bigint").as("n_members"),
-            coalesce(col("recall10"), lit(0L)).cast("bigint").as("recall10"))
+        batchedAdcServe(qset,
+          s.read.parquet(s"$store/seeds"),
+          s.read.parquet(s"$store/assign"),
+          s.read.parquet(s"$store/pqidx"))
     },
 
     GraftQuery(
@@ -1081,6 +1029,19 @@ object Similarity {
           .select(col("wave"), col("n_indexed"),
             coalesce(col("n_truth10"), lit(0L)).cast("bigint").as("n_truth10"),
             coalesce(col("n_served_hits"), lit(0L)).cast("bigint").as("n_served_hits"))
+    },
+
+    GraftQuery(
+      "ss22_accreted_adc_serving",
+      Some(accretedIvfPqOracle),
+      "COMPRESSED-DOMAIN SERVING OFF THE ACCRETED INDEX — ss22 closes the loop ss20 left half-open: StreamedIndex accretes BOTH store tables per drop (assign for the exact-rerank path, pqidx for the ADC path), ss20 serves the first, and until now nothing served the accreted PQ codes — an index table that is maintained but never read is dead weight, and at 100 TB the ADC path is the one production actually runs (ss19's argument: routed cells are still too many candidates to exact-score in full dimension, so scoring reads 8 small codes per vector). This is ss19's factored batchedAdcServe plan — per-query 32-entry LUTs against the codebook rebuilt from the FROZEN seed-time seeds, one (qid, sub, code) equi-join + partial-agg sum over the accreted pqidx, top-60 exact-reranked to top-10 touching accreted full vectors only for survivors — reading ONLY stored tables (one definition with ss19: the rebuilt-store and accreted-store serves cannot drift). The drop-encoded codes are the SAME codes a rebuild would assign (StreamedIndexSpec's encodePq identity pin), so serving quality depends only on how well the frozen codebooks fit the new data — exactly the drift ss21 measures, here priced at the compressed tier: recall(ss22) <= recall(ss20) per query (rerank-a-subset can only lose; SimilaritySpec pins the inequality against the shipped ss20 answer, ss19's funnel-price proof re-run on the accreted store). Output: ss19's (qid, n_members, recall10) over the full accreted corpus. At 100 TB: accretion writes 8 codes per new vector (map-side), the ADC join shuffles dimension-free code rows, rerank I/O stays adcK-bounded — the serving bill is ss19's, the maintenance bill is StreamedIndex's, and no rebuild ever runs.") {
+      (s, dir) =>
+        val store = accretedIndexStore(s, dir)
+        val (assign, pqIdx) = StreamedIndex.readIndex(s, s"$store/store")
+        batchedAdcServe(
+          s.read.parquet(s"$store/qset"),
+          s.read.parquet(s"$store/store/seeds"),
+          assign, pqIdx)
     },
   )
 
@@ -1259,6 +1220,71 @@ object Similarity {
         coalesce(col("recall10"), lit(0L)).cast("bigint").as("recall10"))
   }
 
+  /** ss19's ADC serving plan, factored over arbitrary stored tables
+    * (batchedServe's discipline applied to the compressed path) so
+    * ss22 serves the ACCRETED pqidx with the identical plan: per-query
+    * 32-entry LUTs vs the broadcast codebook, candidates from the cell
+    * equi-join, ADC = one (qid, sub, code) equi-join + partial-agg
+    * sum, top-60 exact-reranked to top-10 touching full vectors only
+    * for the survivors. Output (qid, n_members, recall10).
+    */
+  private def batchedAdcServe(qset: DataFrame, seeds: DataFrame,
+      assign: DataFrame, pqIdx: DataFrame): DataFrame = {
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy("d", "cell")
+    val routes = qset.crossJoin(broadcast(seeds))
+      .withColumn("d", il2("qv", "qs"))
+      .select(col("qid"), col("code").as("cell"), col("d"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 3).select("qid", "cell")
+    // the 32-row serving codebook, rebuilt from the stored seeds
+    val cds = pqCodebookRows(seeds)
+    // per-query ADC lookup tables: queries x 32 rows, map-side
+    val qlut = qset
+      .select(col("qid"), explode(subSlices("qv", "qsv")).as("x"))
+      .select(col("qid"), col("x.sub").as("sub"), col("x.qsv").as("qsv"))
+      .join(broadcast(cds), Seq("sub"))
+      .withColumn("pd", il2("qc", "qsv"))
+      .select("qid", "sub", "code", "pd")
+    // ss18's cell equi-join emits candidates; ADC = one (qid, sub,
+    // code) equi-join + a partial-aggregating per-(qid, vec) sum
+    val cand = assign.join(broadcast(routes), Seq("cell"))
+      .select(col("qid"), col("vec_id"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy("pq_d", "vec_id")
+    val adc60 = cand.join(pqIdx, Seq("vec_id"))
+      .join(broadcast(qlut), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd")).as("pq_d"))
+      .withColumn("rn", row_number().over(wr)).filter(col("rn") <= 60)
+      .select("qid", "vec_id")
+    // exact rerank touches full vectors ONLY for the 60 survivors
+    val wx = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy("d", "vec_id")
+    val annTop = adc60
+      .join(assign.select("vec_id", "qe"), Seq("vec_id"))
+      .join(broadcast(qset), Seq("qid"))
+      .withColumn("d", il2("qe", "qv"))
+      .select(col("qid"), col("vec_id"), col("d"))
+      .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val truth = assign.crossJoin(broadcast(qset))
+      .withColumn("d", il2("qe", "qv"))
+      .select(col("qid"), col("vec_id"), col("d"))
+      .withColumn("rn", row_number().over(wx)).filter(col("rn") <= 10)
+      .select(col("qid"), col("vec_id"))
+    val nm = cand.groupBy("qid").agg(count(lit(1)).as("n_members"))
+    val rc = truth
+      .join(annTop.withColumn("h", lit(1)), Seq("qid", "vec_id"), "left")
+      .groupBy("qid").agg(sum(coalesce(col("h"), lit(0))).as("recall10"))
+    qset.select("qid")
+      .join(nm, Seq("qid"), "left")
+      .join(rc, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_members"), lit(0L)).cast("bigint").as("n_members"),
+        coalesce(col("recall10"), lit(0L)).cast("bigint").as("recall10"))
+  }
+
   /** ss20's disk store: the ACCRETED serving index — seed the
     * [[StreamedIndex]] store from the seed-time corpus slice (deciles
     * [10, 90) of the md5 split), then ingest the two later drops
@@ -1412,7 +1438,16 @@ object Similarity {
     * codes encoded once, per-query 32-entry LUTs, ADC via the
     * (qid, sub, code) equi-join, top-60, exact rerank to top-10.
     */
-  private lazy val batchedIvfPqOracle: String = {
+  private lazy val batchedIvfPqOracle: String = batchedIvfPqOracleSeededBy("")
+
+  /** ss22's oracle: the ADC pipeline with the quantizer/codebooks
+    * frozen to the seed-corpus slice (ss20's seedExtra applied to
+    * ss19's funnel — with "" this IS ss19's oracle).
+    */
+  private lazy val accretedIvfPqOracle: String =
+    batchedIvfPqOracleSeededBy(s" AND ${Sampling.duckBucket100Of("vec_id")} < 90")
+
+  private def batchedIvfPqOracleSeededBy(seedExtra: String): String = {
     val b = Sampling.duckBucket100Of("vec_id")
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
@@ -1420,7 +1455,8 @@ object Similarity {
        |corp AS MATERIALIZED (SELECT vec_id, qe FROM q WHERE $b >= 10),
        |seeds AS MATERIALIZED (SELECT qe AS qs,
        |          CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
-       |        FROM corp ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
+       |        FROM (SELECT vec_id, qe FROM q WHERE $b >= 10$seedExtra) sc
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 4),
        |routes AS MATERIALIZED (SELECT qid, cell FROM (
        |    SELECT w.qid, s.code AS cell,
        |           ROW_NUMBER() OVER (PARTITION BY w.qid ORDER BY

@@ -130,6 +130,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dd21_tuned_banding", // dd20's sweep frames (1-row cost x truth x catch per config) + the 1-row max-catch frame and the 1-row chosen-config broadcast driving the tagged union (the decision rule is counter-grain by design)
     "ss20_accreted_index_serving", // ss18's serve shapes verbatim (4-row frozen-seed broadcasts + the query-decile frame into rerank and exact-truth), off the accreted store
     "ss21_accretion_drift_audit", // the same batchedServe parts as ss18/ss20 (4-row seeds + query-decile broadcasts); the wave counts themselves are drop-sized equi-join aggregations
+    "ss22_accreted_adc_serving", // ss19's entry verbatim (4-row seed + query-decile broadcasts; the ADC path is all equi-joins), off the accreted store
     "gr24_cc_edge_deletion", // shared edges() front door 1-row median broadcast, visible through the untouched-labels branch in mode=none (gr21/gr22's entry); the recompute loop state is checkpoint-derived
     "pk05_bpe_unit_shards", // inherits tx21's entry (tx20's 1-row argmax frames broadcast per merge round into the vocabulary fold) + pk02's 1-row min/max bucketizer frame
     "pk06_bpe_unit_sequences" // inherits tx21's entry (the same 1-row argmax-fold broadcasts); the prefix sum itself is pk03's two-phase window + 256-row offset broadcast

@@ -497,4 +497,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(drift.values.map(_._1).sum === emb - nq,
       "per-wave indexed counts do not cover the corpus side")
   }
+
+  test("ss22: accreted ADC recall never beats ss20's exact-rerank (the funnel's price, re-proved on the accreted store) (sf0.01)") {
+    val got = byName("ss22_accreted_adc_serving").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val ss20 = byName("ss20_accreted_index_serving").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === ss20.keySet,
+      "ss22 must answer exactly the query batch ss20 answers")
+    for ((qid, (nm, r22)) <- got) {
+      assert(r22 <= ss20(qid)._2,
+        s"query $qid: accreted ADC recall $r22 beats exact-rerank ${ss20(qid)._2} — impossible")
+      assert(nm === ss20(qid)._1,
+        s"query $qid: candidate counts diverge between the two accreted serves " +
+          "— routing must be identical (same frozen seeds, same store)")
+    }
+    assert(got.values.exists(_._2 > 0),
+      "zero recall everywhere — the accreted ADC path is broken")
+  }
 }
