@@ -252,6 +252,21 @@ final class IdempotentJdbcBatchWriter(
   * The MERGE text is SQL standard; only the one-row source relation is
   * dialect (`SYSIBM.SYSDUMMY1` on Derby/DB2 — the embedded test
   * backend — `DUAL` on Oracle/MySQL), so it's a constructor knob.
+  *
+  * TRUST-BUT-VERIFY (r17): after each table segment's MERGEs, the
+  * writer counts the segment's key range IN the open transaction and
+  * throws if any row is missing. Motivation: embedded Derby was
+  * observed (once under full-suite machine load, r17 — and once
+  * historically, then attributed to a cross-suite race the forked-JVM
+  * isolation has since removed) to silently apply only part of a MERGE
+  * batch: no exception, commit succeeds, rows missing. The exactly-once
+  * contract rests on the store not lying about what it applied, so the
+  * writer checks instead of assuming: a shortfall fails the task
+  * LOUDLY, and the retry heals row-granularly (MERGE is idempotent) —
+  * on a cluster this is self-healing; in local[n] (maxFailures=1) it
+  * surfaces as a diagnosable job failure instead of silent data loss.
+  * Cost: one indexed COUNT per (partition, table) segment, on the
+  * primary key.
   */
 final class UpsertJdbcBatchWriter(
     url: String,
@@ -278,6 +293,8 @@ final class UpsertJdbcBatchWriter(
             val it = rows.buffered
             while (it.hasNext) {
               val table = JdbcRouting.checkIdent(tf(it.head.getString(0)))
+              val segStart = (pid.toLong << 32) | idx
+              var n = 0
               val st = conn.prepareStatement(
                 s"""MERGE INTO $table t USING $dual
                    |ON t.run_id = ? AND t.batch_id = ? AND t.seq = ?
@@ -285,7 +302,6 @@ final class UpsertJdbcBatchWriter(
                    |  (run_id, batch_id, seq, id, fb_no, record_del_time, data_json)
                    |  VALUES (?, ?, ?, ?, ?, ?, ?)""".stripMargin)
               try {
-                var n = 0
                 while (it.hasNext && tf(it.head.getString(0)) == table) {
                   val r = it.next()
                   val seq = (pid.toLong << 32) | idx
@@ -302,6 +318,25 @@ final class UpsertJdbcBatchWriter(
                 }
                 st.executeBatch()
               } finally st.close()
+              // trust-but-verify (see class doc): the segment's full key
+              // range must be present IN this transaction before commit;
+              // a silent partial apply fails the task loudly and the
+              // retry heals row-granularly
+              val vq = conn.prepareStatement(
+                s"SELECT COUNT(*) FROM $table WHERE run_id = ? AND batch_id = ? " +
+                  "AND seq >= ? AND seq < ?")
+              try {
+                vq.setString(1, rid); vq.setLong(2, bid)
+                vq.setLong(3, segStart); vq.setLong(4, (pid.toLong << 32) | idx)
+                val rs = vq.executeQuery()
+                rs.next()
+                val found = rs.getLong(1)
+                if (found != n) throw new IllegalStateException(
+                  s"upsert verification failed for $table run=$rid batch=$bid " +
+                    s"partition=$pid: merged $n rows, store holds $found in the " +
+                    "segment's key range — silent partial apply; failing the " +
+                    "task so the retry re-merges")
+              } finally vq.close()
             }
             conn.commit()
           }
