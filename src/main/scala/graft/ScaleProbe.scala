@@ -167,7 +167,10 @@ object ScaleProbe {
       // pk05's encode + pk03's probed prefix sum; ss21/ss22 must hold
       // ss18/ss19's scale-flat serving shape off the accreted store
       "gr24_cc_edge_deletion", "pk06_bpe_unit_sequences",
-      "ss21_accretion_drift_audit", "ss22_accreted_adc_serving")
+      "ss21_accretion_drift_audit", "ss22_accreted_adc_serving",
+      // gr25 composes both factored CC-delta cores; its probed growth,
+      // like gr23/gr24's, should be the edge-pipeline scan
+      "gr25_cc_mixed_delta")
       .map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the

@@ -1115,27 +1115,12 @@ object Graph {
         val delta = Materialize(edges(s, dir, 0.9)
           .filter(edgeBucket100 >= 70)
           .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst")))
-        // (1)+(2): project the delta into component space; same-component
-        // edges change nothing and drop here
-        val cedges = delta
-          .join(broadcast(lab.select(col("node").as("src"), col("component").as("ca"))), "src")
-          .join(broadcast(lab.select(col("node").as("dst"), col("component").as("cb"))), "dst")
-          .filter(col("ca") =!= col("cb"))
-          .select("ca", "cb")
-        // (3): the component-grain merge — gr08's factored loop on the
-        // quotient graph (vertices = touched components only)
-        val cnodes = cedges.select(col("ca").as("node"))
-          .unionByName(cedges.select(col("cb").as("node"))).distinct()
-        val cund = Materialize.trackedLocalCheckpoint(
-          cedges.select(col("ca").as("a"), col("cb").as("b"))
-            .unionByName(cedges.select(col("cb").as("a"), col("ca").as("b")))
-            .distinct())
-        val mergeMap = ccPointerJump(cund, cnodes)
-          .select(col("node").as("component"), col("component").as("merged"))
-        // (4): untouched components coalesce straight through
-        val updated = lab.join(broadcast(mergeMap), Seq("component"), "left")
-          .select(col("node"),
-            coalesce(col("merged"), col("component")).as("component"))
+        // steps (1)-(4) of the doc live in the factored [[ccMergeAdds]]
+        // (one definition with gr25's addition phase): delta edges
+        // project into component space, same-component edges drop, the
+        // quotient graph pointer-jumps at component grain, untouched
+        // components coalesce straight through
+        val updated = ccMergeAdds(lab, delta)
         val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
         updated.select(col("node"), col("component"),
           count(lit(1)).over(w).as("component_size"))
@@ -1170,29 +1155,48 @@ object Graph {
         val e = Materialize(edges(s, dir, 0.9)
           .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"),
             (rmb >= 80).as("deleted")))
-        // affected components: one broadcast lookup per deleted edge's
-        // src endpoint suffices (both endpoints share the component)
-        val affected = broadcast(e.filter(col("deleted"))
-          .join(broadcast(lab.select(col("node").as("src"), col("component"))), "src")
-          .select("component").distinct())
-        // the recompute subgraph: affected components' vertices + their
-        // surviving edges (scoping identity — see the doc)
-        val subNodes = lab.join(affected, Seq("component"), "left_semi")
-          .select("node")
-        val kept = e.filter(!col("deleted"))
-        val subEdges = kept
-          .join(broadcast(lab.select(col("node").as("src"), col("component"))), "src")
-          .join(affected, Seq("component"), "left_semi")
-          .select("src", "dst")
-        val und = Materialize.trackedLocalCheckpoint(
-          subEdges.select(col("src").as("a"), col("dst").as("b"))
-            .unionByName(subEdges.select(col("dst").as("a"), col("src").as("b")))
-            .distinct())
-        val relabeled = ccPointerJump(und, subNodes)
-        // untouched components pass through from the store unread
-        val untouched = lab.join(affected, Seq("component"), "left_anti")
-          .select("node", "component")
-        val updated = untouched.unionByName(relabeled)
+        val updated = ccDeleteScoped(lab,
+          e.filter(!col("deleted")).select("src", "dst"),
+          e.filter(col("deleted")).select("src", "dst"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        updated.select(col("node"), col("component"),
+          count(lit(1)).over(w).as("component_size"))
+    },
+
+    GraftQuery(
+      "gr25_cc_mixed_delta",
+      // ground truth: gr08's algorithm-free closure over the POST-delta
+      // graph (kept < 55 plus added >= 80 of the _zz-salted split)
+      Some {
+        val zzb = "CAST(('0x' || substring(md5(CAST(src AS VARCHAR) || '_' || " +
+          "CAST(dst AS VARCHAR) || '_zz'), 1, 8)) AS BIGINT) % 100"
+        s"""WITH RECURSIVE ${edgesDuckQ("0.9")},
+           |kept AS (SELECT src, dst FROM edges WHERE $zzb < 55 OR $zzb >= 80),
+           |und AS (SELECT src AS a, dst AS b FROM kept
+           |        UNION SELECT dst, src FROM kept),
+           |reach(root, node) AS (
+           |  SELECT n_nationkey, n_nationkey FROM nation
+           |  UNION
+           |  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node),
+           |lab AS (SELECT root AS node, MIN(node) AS component FROM reach GROUP BY root)
+           |SELECT CAST(node AS INT) AS node, CAST(component AS INT) AS component,
+           |       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
+           |FROM lab""".stripMargin
+      },
+      "MIXED add+delete CC maintenance — the CC lifecycle in ONE delta application, which is what a production mutation batch actually looks like (a CDC-fed graph store receives inserts AND deletes per sync; applying them as two jobs double-pays the label-store read and serves an inconsistent intermediate state): given the persisted time-T labels (the `_zz` split's <80 slice of the p90 edges, a DiskMemo label store) and ONE delta — deletions = the [55,80) slice of the stored graph, additions = the >=80 slice, previously unseen — produce time-T+1 labels with work scoped by the delta on BOTH sides. Order is forced, not chosen: deletions first (the hard path — splits need edge re-examination) on the SURVIVING edge set via the factored ccDeleteScoped (gr24's core, one definition: affected components re-label, delete-untouched pass through unread), then additions on the post-delete labels via the factored ccMergeAdds (gr23's core, one definition: component-grain quotient pointer jump, merge map broadcast) — the reverse order would merge across edges about to be deleted and re-split what was just merged, paying the delete path twice. Correctness composes structurally: post-delete labels are exact on the survived graph (gr24's argument), and additions over an exact labeling reduce to the quotient graph (gr23's argument), so the pipeline equals a full recompute on (kept UNION added) — the oracle, gr08's algorithm-free closure over exactly that edge set. GraphSpec replays a driver union-find at each stage and pins all THREE polarities non-vacuous on the fixture: a component genuinely SPLIT by the deletions, post-delete components genuinely MERGED by the additions, and components untouched by the delete scope (the split constants 55/80 with the _zz salt are measured — the nearby 70/85-style splits leave one polarity vacuous at some scale). At 100 TB: one label-store read, one delta-sized delete scope, one drop-sized quotient merge — the per-sync bill of a mutating web/dedup graph, and the store write-back is the next batch's time-T artifact.") {
+      (s, dir) =>
+        val store = ccMixLabelStore(s, dir)
+        val lab = s.read.parquet(s"$store/labels")
+        val e = Materialize(edges(s, dir, 0.9)
+          .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"),
+            zzBucket100.as("b")))
+        // deletions first (see doc): scoped recompute on the survivors
+        val afterDelete = Materialize(ccDeleteScoped(lab,
+          e.filter(col("b") < 55).select("src", "dst"),
+          e.filter(col("b") >= 55 && col("b") < 80).select("src", "dst")))
+        // then additions: component-grain merge over the fresh labels
+        val updated = ccMergeAdds(afterDelete,
+          e.filter(col("b") >= 80).select("src", "dst"))
         val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
         updated.select(col("node"), col("component"),
           count(lit(1)).over(w).as("component_size"))
@@ -1226,6 +1230,89 @@ object Graph {
         .write.mode("overwrite").parquet(s"$out/labels")
     }
   }
+
+  /** gr24's deletion-scoped recompute, factored (r17) so gr25's mixed
+    * delta runs the IDENTICAL delete path: affected components from
+    * the deleted edges' endpoint lookups, their vertices + surviving
+    * edges re-labeled via [[ccPointerJump]], untouched labels passed
+    * through unread. `lab` = labels over the pre-delete graph; `kept`
+    * = surviving edges; `deleted` = the removed edges. All three
+    * frames' edges must come from the SAME pre-delete graph (the
+    * scoping identity — every edge lies inside one component — holds
+    * only then).
+    */
+  private def ccDeleteScoped(lab: DataFrame,
+      kept: DataFrame, deleted: DataFrame): DataFrame = {
+    val affected = broadcast(deleted
+      .join(broadcast(lab.select(col("node").as("src"), col("component"))), "src")
+      .select("component").distinct())
+    val subNodes = lab.join(affected, Seq("component"), "left_semi")
+      .select("node")
+    val subEdges = kept
+      .join(broadcast(lab.select(col("node").as("src"), col("component"))), "src")
+      .join(affected, Seq("component"), "left_semi")
+      .select("src", "dst")
+    val und = Materialize.trackedLocalCheckpoint(
+      subEdges.select(col("src").as("a"), col("dst").as("b"))
+        .unionByName(subEdges.select(col("dst").as("a"), col("src").as("b")))
+        .distinct())
+    val relabeled = ccPointerJump(und, subNodes)
+    lab.join(affected, Seq("component"), "left_anti")
+      .select("node", "component")
+      .unionByName(relabeled)
+  }
+
+  /** gr23's addition merge, factored (r17) for gr25: added edges
+    * project into component space via the broadcast label table,
+    * same-component edges drop, the survivors' quotient graph pointer-
+    * jumps at component grain, and the broadcast merge map rewrites
+    * only touched labels.
+    */
+  private def ccMergeAdds(lab: DataFrame, adds: DataFrame): DataFrame = {
+    val cedges = adds
+      .join(broadcast(lab.select(col("node").as("src"), col("component").as("ca"))), "src")
+      .join(broadcast(lab.select(col("node").as("dst"), col("component").as("cb"))), "dst")
+      .filter(col("ca") =!= col("cb"))
+      .select("ca", "cb")
+    val cnodes = cedges.select(col("ca").as("node"))
+      .unionByName(cedges.select(col("cb").as("node"))).distinct()
+    val cund = Materialize.trackedLocalCheckpoint(
+      cedges.select(col("ca").as("a"), col("cb").as("b"))
+        .unionByName(cedges.select(col("cb").as("a"), col("ca").as("b")))
+        .distinct())
+    val mergeMap = ccPointerJump(cund, cnodes)
+      .select(col("node").as("component"), col("component").as("merged"))
+    lab.join(broadcast(mergeMap), Seq("component"), "left")
+      .select(col("node"),
+        coalesce(col("merged"), col("component")).as("component"))
+  }
+
+  /** gr25's persisted artifact: gr08's labels over the time-T graph
+    * (the `_zz` md5 split's < 80 slice of the p90 edges) — the state a
+    * mixed add+delete delta then mutates.
+    */
+  private def ccMixLabelStore(s: SparkSession, dir: String): String = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"ccmix_$tag", dir)
+    DiskMemo.ensure(s"ccmix_$tag", out) {
+      val g0 = edges(s, dir, 0.9).filter(zzBucket100 < 80)
+      val und = Materialize.trackedLocalCheckpoint(
+        g0.select(col("src").cast("int").as("a"), col("dst").cast("int").as("b"))
+          .unionByName(
+            g0.select(col("dst").cast("int").as("a"), col("src").cast("int").as("b")))
+          .distinct())
+      val nodes = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("node"))
+      ccPointerJump(und, nodes)
+        .write.mode("overwrite").parquet(s"$out/labels")
+    }
+  }
+
+  /** gr25's delta-split key — a `_zz`-salted per-edge md5 bucket,
+    * independent of gr23's split and gr24's `_rm` deletions.
+    */
+  private def zzBucket100 = expr(
+    "CAST(conv(substring(md5(concat(CAST(src AS STRING), '_', CAST(dst AS STRING), '_zz')), 1, 8), 16, 10) AS BIGINT) % 100")
 
   /** gr24's persisted artifact: gr08's labels over the FULL p90 graph
     * (the store a production CC lifecycle maintains — gr23 merges

@@ -133,7 +133,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "ss22_accreted_adc_serving", // ss19's entry verbatim (4-row seed + query-decile broadcasts; the ADC path is all equi-joins), off the accreted store
     "gr24_cc_edge_deletion", // shared edges() front door 1-row median broadcast, visible through the untouched-labels branch in mode=none (gr21/gr22's entry); the recompute loop state is checkpoint-derived
     "pk05_bpe_unit_shards", // inherits tx21's entry (tx20's 1-row argmax frames broadcast per merge round into the vocabulary fold) + pk02's 1-row min/max bucketizer frame
-    "pk06_bpe_unit_sequences" // inherits tx21's entry (the same 1-row argmax-fold broadcasts); the prefix sum itself is pk03's two-phase window + 256-row offset broadcast
+    "pk06_bpe_unit_sequences", // inherits tx21's entry (the same 1-row argmax-fold broadcasts); the prefix sum itself is pk03's two-phase window + 256-row offset broadcast
+    "gr25_cc_mixed_delta" // gr24's entry (shared edges() front door 1-row median broadcast through the delete phase's untouched branch in mode=none); both fixpoints' state is checkpoint-derived
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {

@@ -339,6 +339,64 @@ class GraphSpec extends AnyFunSuite {
       "the recompute subgraph covers every vertex — scoping bought nothing")
   }
 
+  test("gr25: mixed add+delete delta equals the post-delta union-find; split, merge, and delete-scoping all non-vacuous") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def zz(a: Long, b: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"${a}_${b}_zz").substring(0, 8), 16) % 100
+    val all = Graph.edges(spark, sf001, 0.9).collect()
+      .map(r => (lv(r, 0), lv(r, 1))).toSeq
+    val g0 = all.filter { case (a, b) => zz(a, b) < 80 }       // the stored graph
+    val kept = g0.filter { case (a, b) => zz(a, b) < 55 }      // survives the delete
+    val deleted = g0.filterNot { case (a, b) => zz(a, b) < 55 }
+    val added = all.filter { case (a, b) => zz(a, b) >= 80 }   // the insert side
+    assert(deleted.nonEmpty && added.nonEmpty,
+      "delta sides empty — the lifecycle pins are vacuous")
+    val nationKeys = Tables.load(spark, sf001, "nation")
+      .select("n_nationkey").collect().map(r => lv(r, 0)).toSeq
+    def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(nationKeys.map(v => v -> v): _*)
+      def find(v: Long): Long = {
+        var r = v; while (parent(r) != r) r = parent(r)
+        var c = v; while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      nationKeys.groupBy(find).flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m)
+      }
+    }
+    val atT = components(g0)          // what the store holds
+    val afterDel = components(kept)   // stage 1's exact target
+    val finalC = components(kept ++ added) // the shipped answer
+    val got = run("gr25_cc_mixed_delta").collect()
+      .map(r => (lv(r, 0), lv(r, 1), r.getLong(2)))
+    assert(got.map(t => t._1 -> t._2).toMap === finalC,
+      "gr25 labels diverge from the post-delta union-find")
+    val sizes = finalC.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map(t => t._2 -> t._3).toMap === sizes.map(identity),
+      "gr25 component sizes diverge")
+
+    // polarity 1 — the delete path did real work: a time-T component
+    // whose members span >= 2 post-delete components
+    val membT = nationKeys.groupBy(atT)
+    assert(membT.values.exists(vs => vs.map(afterDel).distinct.size >= 2),
+      "no component split by the deletions — the delete path never exercised")
+    // polarity 2 — the add path did real work: >= 2 post-delete
+    // components share a final component
+    val postComps = afterDel.values.toSeq.distinct
+    assert(postComps.groupBy(c => finalC(c)).values.exists(_.size >= 2),
+      "no components merged by the additions — the add path never exercised")
+    // polarity 3 — the delete scope is strict: >= 1 time-T component
+    // holds no deleted edge (its labels pass through stage 1 unread)
+    val affected = deleted.map { case (a, _) => atT(a) }.toSet
+    assert((membT.keySet -- affected).nonEmpty,
+      "every component lost an edge — the delete scoping is vacuous")
+  }
+
   test("gr11: equals a sequential 4-round Bellman-Ford over the collected weighted edges") {
     import org.apache.spark.sql.functions.col
     def lv(r: org.apache.spark.sql.Row, i: Int): Long =
