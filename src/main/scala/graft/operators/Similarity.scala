@@ -1004,31 +1004,7 @@ object Similarity {
       "ss21_accretion_drift_audit",
       Some(accretionDriftOracle),
       "ACCRETION-DRIFT recall audit — the number ss20's doc says a store owner reads after every ingest wave, now a first-class table: the accreted index encodes new vectors against the quantizer FROZEN at seed time, so serving quality on LATER waves is the canary for distribution drift — when new embeddings stop routing well under the old cells, recall concentrates its losses on the new waves, and THAT (not a calendar) is the signal to retrain and rebuild (the production retrain trigger for every frozen-codebook ANN deployment). One query, off the SAME factored batchedServe parts ss18/ss20 run (one definition — the audit measures the shipped serve, not a paraphrase): per ingest wave (batch_id read straight from the store's own partition column — provenance IS the wave label; -1 = bootstrap, 0/1 = the drops), the indexed vector count, how many of the batch queries' exact top-10 truth rows live in that wave (n_truth10 — the wave's SHARE of what a perfect index would return), and how many of those the serve actually returned (n_served_hits). Per-wave recall = hits/truth, read off the table; drift = the later waves' ratio sagging under the bootstrap's. The counts are integer-exact and the oracle recomputes waves from the md5 split the drops were cut by, so both engines label identically. SimilaritySpec pins the decomposition against ss20 (Σ n_served_hits == Σ ss20 recall10; Σ n_indexed == corpus; Σ n_truth10 == 10 x queries), every wave present, and truth mass on the accreted waves non-vacuous (the audit has something to measure). At 100 TB: the audit rides the serve it already pays for — two drop-sized count aggregations over the truth/hit frames joined to the vec-grain wave column; no new corpus-scale work.") {
-      (s, dir) =>
-        // own store instance (prefix ivfacc21): the audit's wave labels
-        // are the batch_id partition column, which a maintenance
-        // compaction legitimately folds away on ss20's shared store
-        val store = accretedIndexStore(s, dir, prefix = "ivfacc21")
-        val qset = s.read.parquet(s"$store/qset")
-        val seeds = s.read.parquet(s"$store/store/seeds")
-        val assignB = s.read.option("basePath", s"$store/store/assign")
-          .parquet(s"$store/store/assign/batch_id=*")
-        val p = batchedServeParts(qset, seeds,
-          assignB.select("vec_id", "cell", "qe"))
-        val waves = assignB.select(col("vec_id"),
-          col("batch_id").cast("bigint").as("wave"))
-        val idx = waves.groupBy("wave")
-          .agg(count(lit(1)).cast("bigint").as("n_indexed"))
-        val byWave = p.truth
-          .join(p.annTop.withColumn("h", lit(1)), Seq("qid", "vec_id"), "left")
-          .join(waves, Seq("vec_id"))
-          .groupBy("wave")
-          .agg(count(lit(1)).cast("bigint").as("n_truth10"),
-            sum(coalesce(col("h"), lit(0))).cast("bigint").as("n_served_hits"))
-        idx.join(byWave, Seq("wave"), "left")
-          .select(col("wave"), col("n_indexed"),
-            coalesce(col("n_truth10"), lit(0L)).cast("bigint").as("n_truth10"),
-            coalesce(col("n_served_hits"), lit(0L)).cast("bigint").as("n_served_hits"))
+      (s, dir) => accretionDriftTable(s, dir)
     },
 
     GraftQuery(
@@ -1042,6 +1018,40 @@ object Similarity {
           s.read.parquet(s"$store/qset"),
           s.read.parquet(s"$store/store/seeds"),
           assign, pqIdx)
+    },
+
+    GraftQuery(
+      "ss23_drift_gated_retrain",
+      Some(driftGatedOracle),
+      "DRIFT-GATED RETRAIN — the tuning-loop pattern (q62's forecast drives q58's salting, pl04 serves tx23's chosen theta*, dd21 ships dd20's chosen banding) applied to the INDEX LIFECYCLE: ss21 publishes the per-wave recall table and its doc names the action — 'drift is the signal to retrain and rebuild' — so this operator computes the decision and serves the gated result instead of leaving the action to a human reading the table. The rule is the sag test in exact integers (no floats cross the gate): REBUILD iff any accreted wave's recall falls below 80% of the bootstrap wave's — cross-multiplied as n_served_hits_w * n_truth10_boot * 10 < n_served_hits_boot * n_truth10_w * 8, so both engines decide bit-identically; a truth-empty wave cannot trip it (0 < 0 is false). The gate then selects between the two serving postures the inventory already ships, BOTH as factored one-definition plans: rebuilt=0 serves the ACCRETED store (ss20's posture — the frozen quantizer still routes new data well, keep accreting), rebuilt=1 serves the RETRAINED one-shot store (ss18's posture — seeds re-picked over the full corpus, every code re-keyed; the rebuild ss20's doc says accretion defers until drift demands it). Output: the selected serve's (qid, n_candidates, recall10) with the decision as a column — the whole row set carries rebuilt=0 or =1, never a mix. Honesty note on the audit-scale shape: both branch plans are constructed and the broadcast 1-row decision selects via a join (the oracle needs one statement); at 100 TB the decision — a 4-row fold over ss21's counter table — gates the rebuild JOB before any serve runs, and only the chosen branch executes. Measured: the fixture's frozen quantizer holds (worst wave/boot ratio 0.94 at sf0.001, 1.02 at sf0.1), so the gate keeps the accreted index at every scale — the cheap outcome, which is the point of gating on measurement instead of rebuilding on a calendar. SimilaritySpec replays the rule from the shipped ss21 table and pins the selected rows equal to the shipped posture's own query (ss20 when rebuilt=0, ss18 when rebuilt=1).") {
+      (s, dir) =>
+        // the signal: ss21's table, via the factored core (the gate
+        // consumes exactly what the audit publishes)
+        val drift = Materialize(accretionDriftTable(s, dir))
+        val boot = drift.filter(col("wave") === -1)
+          .select(col("n_truth10").as("bt"), col("n_served_hits").as("bh"))
+        val dec = broadcast(Materialize(
+          drift.filter(col("wave") >= 0).crossJoin(broadcast(boot))
+            .agg(coalesce(max(when(
+              col("n_served_hits") * col("bt") * lit(10L) <
+                col("bh") * col("n_truth10") * lit(8L), 1).otherwise(0)), lit(0))
+              .cast("int").as("rebuilt"))))
+        // branch 0: the accreted store (ss21's instance — the one the
+        // signal audited); branch 1: the retrained one-shot store
+        val acc = accretedIndexStore(s, dir, prefix = "ivfacc21")
+        val (accAssign, _) = StreamedIndex.readIndex(s, s"$acc/store")
+        val frozen = batchedServe(
+          s.read.parquet(s"$acc/qset"),
+          s.read.parquet(s"$acc/store/seeds"),
+          accAssign).withColumn("rebuilt", lit(0))
+        val one = ivfIndexStore(s, dir)
+        val retrained = batchedServe(
+          s.read.parquet(s"$one/qset"),
+          s.read.parquet(s"$one/seeds"),
+          s.read.parquet(s"$one/assign")).withColumn("rebuilt", lit(1))
+        frozen.unionByName(retrained).join(dec, Seq("rebuilt"))
+          .select(col("qid"), col("n_candidates"), col("recall10"),
+            col("rebuilt").cast("int").as("rebuilt"))
     },
   )
 
@@ -1372,6 +1382,56 @@ object Similarity {
        |SELECT w.qid, CAST(COALESCE(nc.n, 0) AS BIGINT) AS n_candidates,
        |       CAST(COALESCE(rc.r, 0) AS BIGINT) AS recall10
        |FROM (SELECT qid FROM qset) w LEFT JOIN nc USING (qid) LEFT JOIN rc USING (qid)""".stripMargin
+
+  /** ss23's oracle: the three shipped oracle texts nested as derived
+    * tables (DuckDB scopes a WITH inside a subquery — the ss16
+    * precedent): the frozen-seed serve, the retrained serve, the drift
+    * table, the integer sag rule, and the gated union.
+    */
+  private lazy val driftGatedOracle: String =
+    s"""WITH f AS MATERIALIZED (SELECT * FROM ($accretedAnnOracle) t),
+       |r AS MATERIALIZED (SELECT * FROM ($batchedAnnOracle) t),
+       |d AS MATERIALIZED (SELECT * FROM ($accretionDriftOracle) t),
+       |dec AS MATERIALIZED (SELECT CASE WHEN EXISTS (
+       |    SELECT 1 FROM d w, d b WHERE w.wave >= 0 AND b.wave = -1
+       |      AND w.n_served_hits * b.n_truth10 * 10 < b.n_served_hits * w.n_truth10 * 8)
+       |  THEN 1 ELSE 0 END AS rebuilt)
+       |SELECT f.qid, f.n_candidates, f.recall10, CAST(dec.rebuilt AS INT) AS rebuilt
+       |FROM f, dec WHERE dec.rebuilt = 0
+       |UNION ALL
+       |SELECT r.qid, r.n_candidates, r.recall10, CAST(dec.rebuilt AS INT) AS rebuilt
+       |FROM r, dec WHERE dec.rebuilt = 1""".stripMargin
+
+  /** ss21's factored body — the per-wave drift table `(wave,
+    * n_indexed, n_truth10, n_served_hits)`, shared with ss23 (the
+    * gate consumes the SAME table the audit publishes). Own store
+    * instance (prefix ivfacc21): the wave labels are the batch_id
+    * partition column, which a maintenance compaction legitimately
+    * folds away on ss20's shared store.
+    */
+  private def accretionDriftTable(s: SparkSession, dir: String): DataFrame = {
+    val store = accretedIndexStore(s, dir, prefix = "ivfacc21")
+    val qset = s.read.parquet(s"$store/qset")
+    val seeds = s.read.parquet(s"$store/store/seeds")
+    val assignB = s.read.option("basePath", s"$store/store/assign")
+      .parquet(s"$store/store/assign/batch_id=*")
+    val p = batchedServeParts(qset, seeds,
+      assignB.select("vec_id", "cell", "qe"))
+    val waves = assignB.select(col("vec_id"),
+      col("batch_id").cast("bigint").as("wave"))
+    val idx = waves.groupBy("wave")
+      .agg(count(lit(1)).cast("bigint").as("n_indexed"))
+    val byWave = p.truth
+      .join(p.annTop.withColumn("h", lit(1)), Seq("qid", "vec_id"), "left")
+      .join(waves, Seq("vec_id"))
+      .groupBy("wave")
+      .agg(count(lit(1)).cast("bigint").as("n_truth10"),
+        sum(coalesce(col("h"), lit(0))).cast("bigint").as("n_served_hits"))
+    idx.join(byWave, Seq("wave"), "left")
+      .select(col("wave"), col("n_indexed"),
+        coalesce(col("n_truth10"), lit(0L)).cast("bigint").as("n_truth10"),
+        coalesce(col("n_served_hits"), lit(0L)).cast("bigint").as("n_served_hits"))
+  }
 
   /** ss21's oracle: the accreted pipeline's CTE body + wave labels
     * recomputed from the md5 split the drops were cut by, counted at

@@ -134,7 +134,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "gr24_cc_edge_deletion", // shared edges() front door 1-row median broadcast, visible through the untouched-labels branch in mode=none (gr21/gr22's entry); the recompute loop state is checkpoint-derived
     "pk05_bpe_unit_shards", // inherits tx21's entry (tx20's 1-row argmax frames broadcast per merge round into the vocabulary fold) + pk02's 1-row min/max bucketizer frame
     "pk06_bpe_unit_sequences", // inherits tx21's entry (the same 1-row argmax-fold broadcasts); the prefix sum itself is pk03's two-phase window + 256-row offset broadcast
-    "gr25_cc_mixed_delta" // gr24's entry (shared edges() front door 1-row median broadcast through the delete phase's untouched branch in mode=none); both fixpoints' state is checkpoint-derived
+    "gr25_cc_mixed_delta", // gr24's entry (shared edges() front door 1-row median broadcast through the delete phase's untouched branch in mode=none); both fixpoints' state is checkpoint-derived
+    "ss23_drift_gated_retrain" // both branches are ss18's serve shapes (4-row seeds + query-decile broadcasts) plus ss21's drift parts and the 1-row decision broadcast selecting the branch
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {

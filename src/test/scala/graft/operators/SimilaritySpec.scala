@@ -515,4 +515,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0),
       "zero recall everywhere — the accreted ADC path is broken")
   }
+
+  test("ss23: the gate replays the sag rule over ss21's shipped table; selected rows equal the chosen posture's own query (sf0.01)") {
+    val drift = byName("ss21_accretion_drift_audit").build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val (bt, bh) = drift.find(_._1 == -1L).map(t => (t._2, t._3)).get
+    val expectRebuilt =
+      if (drift.exists(t => t._1 >= 0 && t._3 * bt * 10 < bh * t._2 * 8)) 1 else 0
+    val got = byName("ss23_drift_gated_retrain").build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.nonEmpty, "gated serve emitted nothing")
+    assert(got.map(_._4).distinct.toSeq === Seq(expectRebuilt),
+      s"gate decided ${got.map(_._4).distinct.toSeq}, rule replay says $expectRebuilt " +
+        "(and the flag must be uniform — never a mixed serve)")
+    // the selected rows ARE the chosen posture's own shipped query
+    val postureName =
+      if (expectRebuilt == 1) "ss18_batched_ann_serving"
+      else "ss20_accreted_index_serving"
+    val posture = byName(postureName).build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet === posture,
+      s"gated rows diverge from $postureName")
+  }
 }
