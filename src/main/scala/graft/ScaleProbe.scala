@@ -170,7 +170,13 @@ object ScaleProbe {
       "ss21_accretion_drift_audit", "ss22_accreted_adc_serving",
       // gr25 composes both factored CC-delta cores; its probed growth,
       // like gr23/gr24's, should be the edge-pipeline scan
-      "gr25_cc_mixed_delta")
+      "gr25_cc_mixed_delta",
+      // r17 continuation: pl06 composes pl05's cut union with tx21's
+      // vocabulary pricing — the probed growth is the cut-position
+      // index (duplicated tokens) + the encode, never corpus x vocab;
+      // gr26's delta path must be sized by delta x degree (the store
+      // build pays the wedge join once per probe JVM)
+      "pl06_unit_priced_shards", "gr26_delta_triangles")
       .map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the

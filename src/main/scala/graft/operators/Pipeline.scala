@@ -456,5 +456,82 @@ object Pipeline {
           .agg(count(lit(1)).as("n")).select(lit(5).as("stage"), col("detail"), col("n"))
         Seq(st0, st1, st2a, st2b, st2c, st2d, st3, st4, st5).reduce(_ unionByName _)
           .select(col("stage").cast("int"), col("detail"), col("n").cast("bigint"))
+    },
+
+    GraftQuery(
+      "pl06_unit_priced_shards",
+      Some(s"""WITH uv AS MATERIALIZED (SELECT * FROM ${TextAnalysis.bpeUnitVocabDuck} z),
+              |fc AS (SELECT * FROM ${TextAnalysis.filterVerdictsDuck}),
+              |cont AS (SELECT train_doc AS doc_id FROM (${Decontam.pairsDuck}
+              |         SELECT DISTINCT train_doc FROM pairs) c),
+              |xp AS (SELECT doc_id, pos FROM ${Dedup.spanDropPosDuck} z),
+              |ip AS (SELECT doc_id, pos FROM ${Dedup.intraDropPosDuck} z),
+              |cut AS (SELECT doc_id, pos FROM xp UNION SELECT doc_id, pos FROM ip),
+              |tk AS (SELECT doc_id, i AS pos, a[i] AS tok
+              |       FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS a FROM documents) d,
+              |            UNNEST(RANGE(1, LEN(a) + 1)) AS t(i)),
+              |ck AS (SELECT tk.doc_id,
+              |              CASE WHEN uv.u IS NOT NULL THEN uv.u ELSE 1 END AS u
+              |       FROM tk LEFT JOIN uv USING (tok)
+              |       WHERE NOT EXISTS (SELECT 1 FROM cut
+              |                         WHERE cut.doc_id = tk.doc_id AND cut.pos = tk.pos)),
+              |cu AS (SELECT doc_id, CAST(SUM(u) AS BIGINT) AS n_clean_units,
+              |              CAST(COUNT(*) AS BIGINT) AS n_clean_tokens
+              |       FROM ck GROUP BY 1),
+              |s2 AS (SELECT f.doc_id,
+              |              COALESCE(cu.n_clean_units, 0) AS n_clean_units,
+              |              COALESCE(cu.n_clean_tokens, 0) AS n_clean_tokens
+              |       FROM fc f LEFT JOIN cu USING (doc_id)
+              |       WHERE f.reason = 'kept'
+              |         AND f.doc_id NOT IN (SELECT doc_id FROM cont)),
+              |r AS (SELECT doc_id, n_clean_units, n_clean_tokens,
+              |             ROW_NUMBER() OVER (ORDER BY n_clean_units DESC, doc_id) AS rn
+              |      FROM s2)
+              |SELECT CAST(CASE WHEN ((rn - 1) // 16) % 2 = 0 THEN (rn - 1) % 16
+              |                 ELSE 15 - (rn - 1) % 16 END AS INT) AS shard,
+              |       COUNT(*) AS n_docs,
+              |       CAST(SUM(n_clean_units) AS BIGINT) AS shard_units,
+              |       CAST(SUM(n_clean_tokens) AS BIGINT) AS shard_tokens
+              |FROM r GROUP BY 1""".stripMargin),
+      "UNIT-PRICED pipeline shards — pk05's argument composed with pl05's rewrite, the composition that prices what the GPU ACTUALLY receives: pl05 packs shards on n_tokens - n_removed (whitespace tokens of the REWRITTEN text) and pk05 packs on BPE units of the ORIGINAL text, but the corpus the trainer loads is rewritten AND unit-priced — a shard balanced in either proxy is unbalanced in rewritten-units exactly when the cut positions' unit density differs from the corpus average (duplicated spans are low-entropy boilerplate, i.e. SHORT-unit words — the cut removes disproportionately few units per token, so clean-token and clean-unit ranks genuinely diverge). The unit arithmetic is DROP-SIZED because tx21's encode is per-WORD (BPE merges never cross whitespace): clean units = n_bpe_units - sum of units at the cut positions, so the only position-grain frame is over AFFECTED docs (dd18's rewrite discipline — the left-semi to cut docs), joined to the broadcast vocabulary unit table via the factored bpeUnitVocab core (one definition with tx21/pk05/pk06); untouched docs price at doc grain straight from bpeUnits. Scope is pl05's corpus verbatim (quality keeps minus contaminated, both cut families union-distinct at position grain via the factored spanDrops/intraDrops cores), deal is the shipped serpentine core on n_clean_units, output per shard carries BOTH clean loads so the proxy-vs-real comparison reads off the table. The oracle chains the shared SQL texts (bpeUnitVocabDuck, filterVerdictsDuck, spanDropPosDuck, intraDropPosDuck, pairsDuck) through the direct spelling — sum units over NON-cut positions — algebraically identical to the shipped drop-sized form, exact integers throughout, so a factoring bug on either side hash-fails. PipelineSpec pins unit conservation (shard_units sum = corpus clean units computed independently), token identity with pl05's packing input, and the divergence claim (unit-rank and token-rank genuinely disagree on the fixture). At 100 TB: the encode is tx21's priced vocabulary fold, the cut-unit bill is sized by duplicated tokens, and the deal is pk02's two-phase rank — the composition adds NO new fact-scale shuffle over what pl05 + tx21 already pay.") {
+      (s, dir) =>
+        val fc = Materialize(TextAnalysis.filterVerdicts(s, dir))
+        val s1 = fc.filter(col("reason") === "kept").select("doc_id", "n_tokens")
+        val cut = Materialize(Dedup.spanDrops(s, dir)
+          .unionByName(Dedup.intraDrops(s, dir)).distinct())
+        val du = Materialize(TextAnalysis.bpeUnits(s, dir))
+        val uv = Materialize(TextAnalysis.bpeUnitVocab(s, dir))
+        // units at the cut positions: the position index is built over
+        // AFFECTED docs only (left-semi) — sized by duplicated tokens
+        val toksAff = Tables.load(s, dir, "documents")
+          .join(cut.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("p0", "tok")))
+          .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+        val cutU = cut.join(toksAff, Seq("doc_id", "pos"))
+          .join(broadcast(uv), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("u"), lit(1L))).as("cut_units"),
+            count(lit(1)).as("cut_tokens"))
+        val cont = Decontam.overlapPairs(s, dir)
+          .select(col("train_doc").as("doc_id")).distinct()
+        val s2 = s1
+          .join(du.select("doc_id", "n_bpe_units"), Seq("doc_id"))
+          .join(cutU, Seq("doc_id"), "left")
+          .join(broadcast(cont.withColumn("c", lit(1))), Seq("doc_id"), "left")
+          .filter(col("c").isNull)
+          .select(col("doc_id"),
+            (col("n_bpe_units") - coalesce(col("cut_units"), lit(0L)))
+              .as("n_clean_units"),
+            (col("n_tokens").cast("long") - coalesce(col("cut_tokens"), lit(0L)))
+              .as("n_clean_tokens"))
+        Sampling.serpentineShardAssignments(
+            s2.select(col("doc_id"), col("n_clean_units").as("n_tokens")))
+          .select(col("doc_id"), col("shard"))
+          .join(s2, Seq("doc_id"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_clean_units")).cast("bigint").as("shard_units"),
+            sum(col("n_clean_tokens")).cast("bigint").as("shard_tokens"))
     })
 }

@@ -1011,7 +1011,25 @@ object TextAnalysis {
     * and pk05 (the BPE-unit packer) so the trainer-facing token
     * accounting has ONE definition.
     */
-  private[operators] def bpeUnits(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def bpeUnits(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(bpeUnitVocab(s, dir)), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("u").isNotNull, col("u")).otherwise(lit(1L)))
+          .cast("bigint").as("n_bpe_units"))
+
+  /** The vocabulary unit table `(tok, u)` behind [[bpeUnits]], factored
+    * (pl06 prices individual token POSITIONS in units, so it needs the
+    * word-grain table, not the doc-grain rollup): train the
+    * [[BpeRounds]] merges, fold them through the DISTINCT word
+    * vocabulary in training order (each a map-side delimited-string
+    * replace against the broadcast 1-row merge frame), count resulting
+    * symbols. Vocabulary-sized end to end. SQL twin:
+    * [[bpeUnitVocabDuck]].
+    */
+  private[operators] def bpeUnitVocab(s: SparkSession, dir: String): DataFrame = {
     val bests = bpeTrain(s, dir)
     val vocab0 = Materialize(Tables.load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
@@ -1026,16 +1044,9 @@ object TextAnalysis {
           concat(lit("("), col("lhs"), col("rhs"), lit(")")).as("rep"))))
         .select(col("tok"), expr("replace(syms, pat, rep)").as("syms")))
     }
-    val units = encoded.select(col("tok"),
+    encoded.select(col("tok"),
       size(expr("split(substring(syms, 2, length(syms) - 2), '\\\\)\\\\(')"))
         .cast("long").as("u"))
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .join(broadcast(units), Seq("tok"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_tokens"),
-        sum(when(col("u").isNotNull, col("u")).otherwise(lit(1L)))
-          .cast("bigint").as("n_bpe_units"))
   }
 
   /** The tx20/tx21 shared training CTE chain: the value-collapsed
@@ -1082,26 +1093,35 @@ object TextAnalysis {
     * through the DISTINCT-word vocabulary in training order, and sum
     * per-doc BPE units (non-alpha tokens 1 unit via LEFT join + CASE).
     */
-  private[operators] lazy val bpeEncodeOracle: String = {
-    val applies = (1 to BpeRounds).map { i =>
-      s"""v$i AS (SELECT tok, REPLACE(syms, '(' || b.lhs || ')(' || b.rhs || ')',
-         |                        '(' || b.lhs || b.rhs || ')') AS syms
-         |        FROM v${i - 1}, b$i b)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $bpeTrainCtes,
-       |v0 AS (SELECT tok, '(' || ARRAY_TO_STRING(STRING_SPLIT(tok, ''), ')(') || ')' AS syms
-       |       FROM (SELECT DISTINCT tok
-       |             FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
-       |             WHERE regexp_matches(tok, '^[a-z]+${"$"}'))),
-       |$applies,
-       |units AS (SELECT tok,
-       |            CAST(LEN(STRING_SPLIT(substring(syms, 2, LEN(syms) - 2), ')(')) AS BIGINT) AS u
-       |          FROM v$BpeRounds),
+  private[operators] lazy val bpeEncodeOracle: String =
+    s"""WITH units AS (SELECT * FROM $bpeUnitVocabDuck z),
        |tk AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
        |       CAST(SUM(CASE WHEN u.u IS NOT NULL THEN u.u ELSE 1 END) AS BIGINT) AS n_bpe_units
        |FROM tk LEFT JOIN units u USING (tok)
        |GROUP BY doc_id""".stripMargin
+
+  /** [[bpeUnitVocab]]'s SQL twin as a self-contained parenthesized
+    * block `(tok, u)` — ONE copy consumed by [[bpeEncodeOracle]]
+    * (tx21/pk05/pk06) and the unit-priced pipeline oracle (pl06),
+    * exactly as the Spark core has one definition (the spanDropPosDuck
+    * discipline).
+    */
+  private[operators] lazy val bpeUnitVocabDuck: String = {
+    val applies = (1 to BpeRounds).map { i =>
+      s"""v$i AS (SELECT tok, REPLACE(syms, '(' || b.lhs || ')(' || b.rhs || ')',
+         |                        '(' || b.lhs || b.rhs || ')') AS syms
+         |        FROM v${i - 1}, b$i b)""".stripMargin
+    }.mkString(",\n")
+    s"""(WITH $bpeTrainCtes,
+       |v0 AS (SELECT tok, '(' || ARRAY_TO_STRING(STRING_SPLIT(tok, ''), ')(') || ')' AS syms
+       |       FROM (SELECT DISTINCT tok
+       |             FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents)
+       |             WHERE regexp_matches(tok, '^[a-z]+${"$"}'))),
+       |$applies
+       |SELECT tok,
+       |       CAST(LEN(STRING_SPLIT(substring(syms, 2, LEN(syms) - 2), ')(')) AS BIGINT) AS u
+       |FROM v$BpeRounds)""".stripMargin
   }
 
   /** tx22's DuckDB oracle: the batch-perceptron recurrence unrolled

@@ -127,6 +127,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sk08_topk_window_rollup", // sk06/sk07's day-range merge shape: the ~30-row day list broadcast into the daily-partial store
     "dd20_banding_sweep", // per config: 1-row cost x 1-row truth x 1-row catch frames meeting in broadcasts (ss16's sweep pattern)
     "pl05_combined_rewrite_manifest", // inherits pk02's 1-row min/max bucketizer frame for the cleaned-count pack stage (pl03's entry, combined cut set)
+    "pl06_unit_priced_shards", // inherits tx21's entry (tx20's 1-row argmax frames broadcast per merge round into the vocabulary fold) + pk02's 1-row min/max bucketizer frame on the clean-unit pack
     "dd21_tuned_banding", // dd20's sweep frames (1-row cost x truth x catch per config) + the 1-row max-catch frame and the 1-row chosen-config broadcast driving the tagged union (the decision rule is counter-grain by design)
     "ss20_accreted_index_serving", // ss18's serve shapes verbatim (4-row frozen-seed broadcasts + the query-decile frame into rerank and exact-truth), off the accreted store
     "ss21_accretion_drift_audit", // the same batchedServe parts as ss18/ss20 (4-row seeds + query-decile broadcasts); the wave counts themselves are drop-sized equi-join aggregations

@@ -789,4 +789,54 @@ class GraphSpec extends AnyFunSuite {
         s"gr22 diverged from the driver-side harmonic replay at $sf")
     }
   }
+  test("gr26: delta triangles equal a union recount; multi-delta ownership, gained and untouched vertices all non-vacuous") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def tr(a: Long, b: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"${a}_${b}_tr").substring(0, 8), 16) % 100
+    val all = Graph.edges(spark, sf001, 0.9).collect()
+      .map(r => (lv(r, 0), lv(r, 1))).toSeq
+    def canon(es: Seq[(Long, Long)]): Set[(Long, Long)] =
+      es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val undAll = canon(all)
+    val undBase = canon(all.filter { case (a, b) => tr(a, b) < 90 })
+    val delta = undAll -- undBase
+    assert(undBase.nonEmpty && delta.nonEmpty, "split sides empty — pins vacuous")
+
+    // algorithm-free recount on both slices (canonical a<b<c triples)
+    def tris(es: Set[(Long, Long)]): Set[(Long, Long, Long)] =
+      for {
+        (a, b) <- es
+        (b2, c) <- es if b2 == b && es.contains((a, c))
+      } yield (a, b, c)
+    val (triBase, triAll) = (tris(undBase), tris(undAll))
+    val newTris = triAll -- triBase
+    assert(newTris.nonEmpty, "delta produced no triangles")
+    def edgesOf(t: (Long, Long, Long)) =
+      Seq((t._1, t._2), (t._1, t._3), (t._2, t._3))
+    // every new triangle holds a delta edge (the delta-exactness identity)
+    newTris.foreach(t => assert(edgesOf(t).exists(delta.contains)))
+    // the ownership tiebreak is exercised: a triangle with >= 2 delta
+    // edges exists (the case naive per-delta-edge counting overcounts)
+    assert(newTris.exists(t => edgesOf(t).count(delta.contains) >= 2),
+      "no multi-delta triangle — the lex-min ownership rule is vacuous")
+
+    def pv(ts: Set[(Long, Long, Long)]): Map[Long, Long] =
+      ts.toSeq.flatMap(t => Seq(t._1, t._2, t._3))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .withDefaultValue(0L)
+    val (pb, pn) = (pv(triBase), pv(newTris))
+    val got = run("gr26_delta_triangles").collect()
+      .map(r => (lv(r, 0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 25)
+    got.foreach { case (n, b, nw, tot) =>
+      assert(b === pb(n), s"vertex $n: stored base count diverges from the recount")
+      assert(nw === pn(n), s"vertex $n: delta path diverges from the recount")
+      assert(tot === b + nw)
+    }
+    // polarity: some vertex gained, some triangled vertex untouched
+    assert(got.exists(_._3 > 0), "no vertex gained a triangle")
+    assert(got.exists(g => g._4 > 0 && g._3 == 0L),
+      "no triangled vertex untouched by the delta")
+  }
 }

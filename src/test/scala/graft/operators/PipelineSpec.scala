@@ -332,6 +332,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(stage(5) === shardsOf(cleanCounts))
   }
 
+  test("pl06: unit-priced shards — clean units replayed from the vocab; deal diverges from token pricing") {
+    val out = build("pl06_unit_priced_shards").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    val verdicts = build("tx12_filter_chain")
+      .select("doc_id", "n_tokens", "reason").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1).toLong, r.getString(2)))).toMap
+    val xp = Dedup.spanDrops(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    val ip = Dedup.intraDrops(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).toSet
+    val cont = build("dc01_benchmark_overlap").select("train_doc").collect()
+      .map(_.getLong(0)).toSet
+    // the factored unit vocabulary — tx21's own per-word pricing
+    val uv = TextAnalysis.bpeUnitVocab(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val texts = graft.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val s1 = verdicts.collect { case (id, (_, "kept")) => id }.toSet
+    val s2 = s1.diff(cont)
+    val cutByDoc = (xp ++ ip).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap.withDefaultValue(Set.empty[Long])
+    // clean pricing replayed from raw text: skip cut positions (1-based),
+    // price survivors through the vocab (non-alpha words 1 unit)
+    def cleanOf(id: Long): (Long, Long) = {
+      val kept = texts(id).split(" ", -1).zipWithIndex
+        .collect { case (t, i) if !cutByDoc(id).contains(i + 1L) => t }
+      (kept.map(t => uv.getOrElse(t, 1L)).sum, kept.length.toLong)
+    }
+    val clean = s2.toSeq.map(id => id -> cleanOf(id)).toMap
+    def serpentine(price: Long => Long): Map[Long, Int] =
+      s2.toSeq.map(id => (price(id), id)).sortBy { case (u, id) => (-u, id) }
+        .zipWithIndex.map { case ((_, id), i) =>
+          id -> (if ((i / 16) % 2 == 0) i % 16 else 15 - i % 16)
+        }.toMap
+    val deal = serpentine(clean(_)._1)
+    val expected = deal.groupBy(_._2).map { case (sh, m) =>
+      sh -> ((m.size.toLong,
+        m.keys.toSeq.map(clean(_)._1).sum, m.keys.toSeq.map(clean(_)._2).sum))
+    }
+    assert(out === expected)
+
+    // token identity with pl05's packing input: clean tokens are
+    // exactly n_tokens - union removed, per doc (the drop-sized
+    // subtraction and the raw-text replay agree)
+    s2.foreach { id =>
+      assert(clean(id)._2 === verdicts(id)._1 - cutByDoc(id).size.toLong)
+    }
+    // the re-base claim: pricing in units genuinely moves documents
+    // relative to pl05's clean-token deal, or pl06 pins nothing
+    val tokenDeal = serpentine(clean(_)._2)
+    assert(s2.exists(id => deal(id) != tokenDeal(id)),
+      "unit pricing never moved a doc off the token-priced deal")
+  }
+
   test("pl01: no stage re-scans documents — the manifest plan carries exactly one live scan") {
     // In the shipped (checkpointing) mode, every stage core executes
     // exactly once, at its Materialize boundary, during build — the
