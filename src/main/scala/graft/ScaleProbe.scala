@@ -176,7 +176,13 @@ object ScaleProbe {
       // index (duplicated tokens) + the encode, never corpus x vocab;
       // gr26's delta path must be sized by delta x degree (the store
       // build pays the wedge join once per probe JVM)
-      "pl06_unit_priced_shards", "gr26_delta_triangles")
+      "pl06_unit_priced_shards", "gr26_delta_triangles",
+      // sk09's probed growth is the store build's one events scan (the
+      // DiskMemo bootstrap); the serve itself reads day x cents rows
+      "sk09_sketch_store_serving",
+      // dd22 rides dd05's probed edge pipeline (the clone design grows
+      // edges ~N²; the label work must stay component-grain on top)
+      "dd22_incremental_clusters")
       .map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the

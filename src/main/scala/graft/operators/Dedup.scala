@@ -1174,7 +1174,63 @@ object Dedup {
           .filter(col("est_jaccard") >= 0.5)
           .select("bands", "rows_per_band", "doc_a", "doc_b", "est_jaccard")
     },
+
+    GraftQuery(
+      "dd22_incremental_clusters",
+      // ground truth: dd14/dd07's definition-level oracle VERBATIM —
+      // the closure over the FULL jaccard edge set; the incremental
+      // label maintenance must be indistinguishable from a re-cluster
+      Some(s"""WITH RECURSIVE $clusterCtes
+              |SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id""".stripMargin),
+      "INCREMENTAL near-dup cluster maintenance — the dedup family's label store closes the loop gr23 opened (gr08's doc promised 'the loop that groups near-dup documents at corpus scale'; gr23 built the delta machinery on the nation graph; this applies it to the graph it was promised for): production dedup clusters are CONSUMED continuously (keeper election, pl02's admission, retention) while near-dup edges ARRIVE continuously with every ingest drop — and re-running a corpus-scale clustering fixpoint per drop is exactly what the delta path avoids. Near-dup edges only ever ADD (a certified jaccard>=0.8 pair never un-certifies), so gr23's addition-merge path ALONE is exact — no hard deletion half. The persisted artifact is cluster labels over the SEED corpus (md5 doc-bucket <50; the split is measured — at 50 the spec fixture's drop genuinely EXTENDS a multi-doc base cluster, the polarity nearby splits leave vacuous), built once into a DiskMemo store by the factored ccPointerJump loop (one definition with gr08/gr23) over the seed-internal edges; the drop's edges (>=1 new endpoint) then merge labels with DROP-SIZED label work via the factored ccMergeAdds (one definition with gr23/gr25): new docs enter as self-labeled singletons, endpoints look up components, same-component edges drop, the quotient graph pointer-jumps at COMPONENT grain, and untouched clusters coalesce through unread — min-label composes, so the merge map's min IS the union cluster's min (gr23's structural argument, verbatim). Audit-scale honesty: the edge UNIVERSE here is dd05's full df-capped inverted-index pipeline filtered by endpoint bucket (the oracle needs one edge definition); in production the drop's pairs come from StreamedDedup's probe path (new-vs-store fingerprint hits), already shipped — dd22's contribution is the CLUSTERING side of that lifecycle, and at 100 TB the vertex-scale label broadcast flips to the shuffled equi-join twin exactly as gr09 does for gr08. Output = (doc_id, cluster) over the full graph's vertices; DedupSpec replays a driver union-find at both stages and pins the polarity triple: a multi-doc base cluster genuinely extended, multi-doc base clusters untouched (their labels pass through the store unread), and the store serve reading labels from parquet.") {
+      (s, dir) =>
+        val store = clusterLabelStore(s, dir)
+        val baseLab = s.read.parquet(s"$store/labels")
+        val edges = Materialize(jaccardEdges(s, dir).select("doc_a", "doc_b"))
+        val bA = expr(Sampling.bucket100("doc_a"))
+        val bB = expr(Sampling.bucket100("doc_b"))
+        // the drop's edges: at least one endpoint outside the seed slice
+        val delta = edges.filter(!(bA < 50 && bB < 50))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        // new docs enter as self-labeled singleton components
+        val dropLab = docs(s, dir)
+          .filter(expr(Sampling.bucket100("doc_id")) >= 50)
+          .select(col("doc_id").as("node"), col("doc_id").as("component"))
+        val lab = baseLab.unionByName(dropLab)
+        val updated = Graph.ccMergeAdds(lab, delta)
+        // restrict to the full graph's vertices (the oracle's universe)
+        val verts = edges.select(col("doc_a").as("node"))
+          .unionByName(edges.select(col("doc_b").as("node"))).distinct()
+        updated.join(verts, Seq("node"), "left_semi")
+          .select(col("node").as("doc_id"), col("component").as("cluster"))
+    },
   )
+
+  /** dd22's persisted artifact: cluster labels over the seed corpus
+    * (md5 doc-bucket <50), built ONCE per (application, dir) by the
+    * factored [[Graph.ccPointerJump]] loop over seed-internal jaccard
+    * edges and read from parquet by every serve — the base clustering
+    * fixpoint runs in no serve.
+    */
+  private def clusterLabelStore(s: SparkSession, dir: String): String = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"ddclu_$tag", dir)
+    DiskMemo.ensure(s"ddclu_$tag", out) {
+      val bA = expr(Sampling.bucket100("doc_a"))
+      val bB = expr(Sampling.bucket100("doc_b"))
+      val base = jaccardEdges(s, dir).filter(bA < 50 && bB < 50)
+        .select("doc_a", "doc_b")
+      val und = Materialize.trackedLocalCheckpoint(
+        base.select(col("doc_a").as("a"), col("doc_b").as("b"))
+          .unionByName(base.select(col("doc_b").as("a"), col("doc_a").as("b")))
+          .distinct())
+      val seedDocs = docs(s, dir)
+        .filter(expr(Sampling.bucket100("doc_id")) < 50)
+        .select(col("doc_id").as("node"))
+      Graph.ccPointerJump(und, seedDocs)
+        .write.mode("overwrite").parquet(s"$out/labels")
+    }
+  }
 
   /** dd20/dd21's shared sweep machinery over ONE pinned signature
     * table: per-config materialized candidate sets plus the sweep table

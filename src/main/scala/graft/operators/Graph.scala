@@ -1329,13 +1329,15 @@ object Graph {
       .unionByName(relabeled)
   }
 
-  /** gr23's addition merge, factored (r17) for gr25: added edges
+  /** gr23's addition merge, factored (r17) for gr25 and for the dedup
+    * family's cluster-label maintenance (dd22 — near-dup edges only
+    * ever ADD, so this merge path alone is exact there): added edges
     * project into component space via the broadcast label table,
     * same-component edges drop, the survivors' quotient graph pointer-
     * jumps at component grain, and the broadcast merge map rewrites
     * only touched labels.
     */
-  private def ccMergeAdds(lab: DataFrame, adds: DataFrame): DataFrame = {
+  private[operators] def ccMergeAdds(lab: DataFrame, adds: DataFrame): DataFrame = {
     val cedges = adds
       .join(broadcast(lab.select(col("node").as("src"), col("component").as("ca"))), "src")
       .join(broadcast(lab.select(col("node").as("dst"), col("component").as("cb"))), "dst")

@@ -220,43 +220,10 @@ object Sketches {
 
     GraftQuery(
       "sk07_quantile_window_rollup",
-      Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day,
-             |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
-             |daily AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
-             |days AS (SELECT DISTINCT day AS d FROM daily),
-             |merged AS (SELECT dy.d, p.v, CAST(SUM(p.n) AS BIGINT) AS n
-             |           FROM days dy JOIN daily p ON p.day BETWEEN dy.d - 6 AND dy.d
-             |           GROUP BY 1, 2),
-             |ranked AS (SELECT d, v, n,
-             |                  SUM(n) OVER (PARTITION BY d ORDER BY v) AS run,
-             |                  SUM(n) OVER (PARTITION BY d) AS tot FROM merged)
-             |SELECT d AS day, CAST(MAX(tot) AS BIGINT) AS n_events,
-             |       MIN(CASE WHEN run * 2 >= tot THEN v END) AS p50_cents,
-             |       MIN(CASE WHEN run * 10 >= tot * 9 THEN v END) AS p90_cents
-             |FROM ranked GROUP BY 1""".stripMargin),
+      Some(quantileRollupDuck),
       "Rolling 7-day QUANTILES from daily mergeable partials — the temporal rollup for the sketch store's OTHER headline statistic (sk06 rolls up distinct counts; every latency/price dashboard also wants windowed p50/p90, and re-scanning a 100 TB fact table per window is the thing a partial store exists to avoid). The partial is an EXACT value-grain histogram per day — (day, value-in-cents, count), the bounded-domain practice (prices quantize to cents, latencies to ms buckets; when the domain is genuinely unbounded the mergeable KLL sketch q40 surfaces is the fallback, trading this op's exactness for fixed size) — built in ONE map-side-combining pass; any trailing window is then a day-cardinality merge (7 partials summed value-wise), and the quantile reads off the merged histogram by the INTEGER rule: p50 = min v with 2*running >= total, p90 = min v with 10*running >= 9*total — percentile_disc semantics spelled as exact integer comparisons, so there is NO percentile function and NO interpolation to diverge cross-engine (the tx23 threshold lesson applied to quantiles). Scale shape: the fact table is scanned once for the daily partials; the rolling merge joins a day-list broadcast to the day-x-values store (microscopic at any fact scale); the running sum windows partition BY DAY. Same-store-many-windows is the sk06 contract: 7/28/90-day windows all read the same daily partials. SketchesSpec replays the windowed medians from raw collected events and pins that windows genuinely span multiple days.") {
       (s, dir) =>
-        val ev = t(s, dir, "events")
-          .select(to_date(col("ts")).as("day"),
-            expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v"))
-        val daily = Materialize(ev.groupBy("day", "v").agg(count(lit(1)).as("n")))
-        val days = daily.select(col("day").as("d")).distinct()
-        // the DAY LIST is the broadcast side (as the doc argues): it is
-        // strictly smaller than the day-x-values store, and streaming
-        // the store keeps the BNLJ's probe side the larger frame
-        val merged = daily
-          .join(broadcast(days),
-            col("day").between(date_sub(col("d"), 6), col("d")))
-          .groupBy(col("d"), col("v")).agg(sum(col("n")).as("n"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("d").orderBy("v")
-        val totals = merged.groupBy("d").agg(sum(col("n")).as("tot"))
-        merged.withColumn("run", sum(col("n")).over(w))
-          .join(broadcast(totals), "d")
-          .groupBy(col("d").as("day"))
-          .agg(max(col("tot")).cast("bigint").as("n_events"),
-            min(when(col("run") * 2 >= col("tot"), col("v"))).as("p50_cents"),
-            min(when(col("run") * 10 >= col("tot") * 9, col("v"))).as("p90_cents"))
+        rollingQuantiles(Materialize(StreamedSketch.partials(t(s, dir, "events"))))
     },
 
     GraftQuery(
@@ -292,5 +259,81 @@ object Sketches {
           .withColumn("rnk", row_number().over(w).cast("int"))
           .filter(col("rnk") <= 3)
           .select(col("day"), col("rnk"), col("event_type"), col("cnt"))
+    },
+
+    GraftQuery(
+      "sk09_sketch_store_serving",
+      Some(quantileRollupDuck),
+      "ROLLING QUANTILES SERVED OFF THE PERSISTED PARTIAL STORE — the claim sk06/sk07/sk08 argue from ('persist daily partials, the same store answers every window, the fact table never re-scans') finally exercised as a store: the partial table bootstraps from the first 20 days of events and two later day-range drops ([21,25], [26,30]) arrive through StreamedSketch's batch protocol — per batch, a day-grain admission anti-join against the store's one-column day projection (a re-delivered day's file adds NOTHING: the partial is computed from the delivered day exactly once, the compute-once contract of a partition-per-day telemetry lake), then ONE batch-sized map-side-combining aggregate to (day, value_cents, count), overwritten into the batch's deterministic partition (StreamedDedup's replay-idempotent discipline; StreamedSketchSpec pins accreted == inline partials bit-identically, streamed-across-restart == sequential replay over a real readStream kill/resume, re-delivery + replay no-ops, and post-compaction serving identity under the write-then-prune + crashed-batch contract every other store carries). The serve is sk07's factored rollingQuantiles over the STORE READ — one definition, so inline-sk07 and store-sk09 cannot drift, and the oracle is sk07's SQL verbatim: identical output proves the store path end to end, while the PLAN DELTA is the point — SketchesSpec pins ZERO events scans in sk09's serve (the store read replaces the fact scan; sk07 pays it inline). At 100 TB this is the difference between a dashboard query that scans the day's partial rows (days x distinct-cents, KB-scale) and one that re-scans the fact table per window; accretion cost is batch-sized, and the store takes the same compaction treatment as fingerprints/manifests/snapshots/index.") {
+      (s, dir) =>
+        val store = sketchPartialStore(s, dir)
+        rollingQuantiles(StreamedSketch.readStore(s, store))
     })
+
+  /** sk09's persisted artifact: the daily partial store bootstrapped
+    * from days [1,20] and accreted with two later day-range drops via
+    * [[StreamedSketch.processBatch]] — built once per (application,
+    * dir), served from parquet.
+    */
+  private def sketchPartialStore(s: SparkSession, dir: String): String = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"skstore_$tag", dir)
+    DiskMemo.ensure(s"skstore_$tag", out) {
+      val ev = t(s, dir, "events").select("ts", "value")
+        .withColumn("day", to_date(col("ts")))
+      StreamedSketch.seed(s,
+        ev.filter(col("day") <= lit("2024-01-20").cast("date")), out)
+      StreamedSketch.processBatch(
+        ev.filter(col("day").between(
+          lit("2024-01-21").cast("date"), lit("2024-01-25").cast("date"))),
+        0L, out)
+      StreamedSketch.processBatch(
+        ev.filter(col("day") >= lit("2024-01-26").cast("date")), 1L, out)
+    }
+  }
+
+  /** sk07's windowed-quantile serve over a `(day, v, n)` daily partial
+    * frame, factored — ONE definition for the inline query (sk07) and
+    * the store serve (sk09): day-list broadcast x partial merge, then
+    * the exact integer percentile rule (p50 = min v with 2*run >= tot,
+    * p90 = min v with 10*run >= 9*tot).
+    */
+  private[operators] def rollingQuantiles(daily: DataFrame): DataFrame = {
+    val days = daily.select(col("day").as("d")).distinct()
+    // the DAY LIST is the broadcast side (as sk07's doc argues): it is
+    // strictly smaller than the day-x-values store, and streaming
+    // the store keeps the BNLJ's probe side the larger frame
+    val merged = daily
+      .join(broadcast(days),
+        col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d"), col("v")).agg(sum(col("n")).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("d").orderBy("v")
+    val totals = merged.groupBy("d").agg(sum(col("n")).as("tot"))
+    merged.withColumn("run", sum(col("n")).over(w))
+      .join(broadcast(totals), "d")
+      .groupBy(col("d").as("day"))
+      .agg(max(col("tot")).cast("bigint").as("n_events"),
+        min(when(col("run") * 2 >= col("tot"), col("v"))).as("p50_cents"),
+        min(when(col("run") * 10 >= col("tot") * 9, col("v"))).as("p90_cents"))
+  }
+
+  /** sk07's oracle — shared verbatim by sk09 (the store serve must be
+    * indistinguishable from the inline computation).
+    */
+  private lazy val quantileRollupDuck: String =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+      |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
+      |daily AS (SELECT day, v, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day AS d FROM daily),
+      |merged AS (SELECT dy.d, p.v, CAST(SUM(p.n) AS BIGINT) AS n
+      |           FROM days dy JOIN daily p ON p.day BETWEEN dy.d - 6 AND dy.d
+      |           GROUP BY 1, 2),
+      |ranked AS (SELECT d, v, n,
+      |                  SUM(n) OVER (PARTITION BY d ORDER BY v) AS run,
+      |                  SUM(n) OVER (PARTITION BY d) AS tot FROM merged)
+      |SELECT d AS day, CAST(MAX(tot) AS BIGINT) AS n_events,
+      |       MIN(CASE WHEN run * 2 >= tot THEN v END) AS p50_cents,
+      |       MIN(CASE WHEN run * 10 >= tot * 9 THEN v END) AS p90_cents
+      |FROM ranked GROUP BY 1""".stripMargin
 }

@@ -125,6 +125,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "ss18_batched_ann_serving", // 4-row coarse-seed broadcasts (routing + assignment scans) + the query-DECILE frame (bounded by the sampled audit set, 44 rows at this sf) broadcast into the rerank and the exact-truth audit scan; the candidate join itself is the cell equi-join, separately pinned in SimilaritySpec
     "ss19_batched_ivfpq_adc", // ss18's 4-row seed + query-decile broadcasts; the ADC path itself is all equi-joins ((qid,sub,code) LUT, vec_id codes) — only routing/truth share ss18's BNLJ shapes
     "sk08_topk_window_rollup", // sk06/sk07's day-range merge shape: the ~30-row day list broadcast into the daily-partial store
+    "sk09_sketch_store_serving", // sk07's factored day-range merge, now over the persisted partial store — same ~30-row day-list broadcast
     "dd20_banding_sweep", // per config: 1-row cost x 1-row truth x 1-row catch frames meeting in broadcasts (ss16's sweep pattern)
     "pl05_combined_rewrite_manifest", // inherits pk02's 1-row min/max bucketizer frame for the cleaned-count pack stage (pl03's entry, combined cut set)
     "pl06_unit_priced_shards", // inherits tx21's entry (tx20's 1-row argmax frames broadcast per merge round into the vocabulary fold) + pk02's 1-row min/max bucketizer frame on the clean-unit pack
@@ -136,6 +137,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "pk05_bpe_unit_shards", // inherits tx21's entry (tx20's 1-row argmax frames broadcast per merge round into the vocabulary fold) + pk02's 1-row min/max bucketizer frame
     "pk06_bpe_unit_sequences", // inherits tx21's entry (the same 1-row argmax-fold broadcasts); the prefix sum itself is pk03's two-phase window + 256-row offset broadcast
     "gr25_cc_mixed_delta", // gr24's entry (shared edges() front door 1-row median broadcast through the delete phase's untouched branch in mode=none); both fixpoints' state is checkpoint-derived
+    "gr26_delta_triangles", // shared edges() front door: the 1-row p90 median broadcast into the sparsification filter; the delta/adjacency joins themselves are equi
     "ss23_drift_gated_retrain" // both branches are ss18's serve shapes (4-row seeds + query-decile broadcasts) plus ss21's drift parts and the 1-row decision broadcast selecting the branch
   )
 

@@ -555,4 +555,58 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.length < positions.size.toLong * regSize / 4,
       "candidate volume approaches all-pairs — blocking is not bounding the join")
   }
+
+  test("dd22: incremental clusters equal the union-graph union-find; extend and untouched polarities both non-vacuous") {
+    def md5b(d: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(d.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8), 16) % 100
+    // the shipped edge universe, collected once
+    val edges = Dedup.jaccardEdges(spark, sf001)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val base = edges.filter { case (a, b) => md5b(a) < 50 && md5b(b) < 50 }
+    val delta = edges.filterNot { case (a, b) => md5b(a) < 50 && md5b(b) < 50 }
+    assert(base.nonEmpty && delta.nonEmpty, "split sides empty — pins vacuous")
+
+    def uf(es: Seq[(Long, Long)], nodes: Set[Long]): Map[Long, Long] = {
+      val p = scala.collection.mutable.Map(nodes.toSeq.map(v => v -> v): _*)
+      def f(v: Long): Long = {
+        var r = v; while (p(r) != r) r = p(r)
+        var c = v; while (p(c) != r) { val n = p(c); p(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (f(a), f(b))
+        if (ra != rb) p(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      nodes.map(v => v -> f(v)).toMap
+    }
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    val bverts = base.flatMap(e => Seq(e._1, e._2)).toSet
+    val lb = uf(base, bverts)          // what the store holds (edge-verts)
+    val lu = uf(edges, verts)          // the rebuild truth
+
+    val got = byName("dd22_incremental_clusters").build(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === lu, "dd22 labels diverge from the union-graph union-find")
+
+    // polarity 1 — the drop genuinely EXTENDS a multi-doc base cluster:
+    // some delta edge endpoint sits in a base cluster of size >= 2
+    val sizes = lb.values.groupBy(identity).view.mapValues(_.size).toMap
+    val touched = delta.flatMap(e => Seq(e._1, e._2))
+      .filter(lb.contains).map(lb).toSet
+    assert(touched.exists(c => sizes(c) >= 2),
+      "no multi-doc base cluster extended by the drop — the merge path is trivial")
+    // polarity 2 — multi-doc base clusters untouched by any delta edge
+    // (their labels pass through the store unread)
+    val multi = sizes.collect { case (c, n) if n >= 2 => c }.toSet
+    assert((multi -- touched).nonEmpty,
+      "every multi-doc base cluster was touched — the pass-through is vacuous")
+    // untouched clusters keep their stored labels verbatim
+    (multi -- touched).foreach { c =>
+      bverts.filter(lb(_) == c).foreach(v => assert(got(v) === c,
+        s"untouched cluster $c changed its label for doc $v"))
+    }
+  }
 }

@@ -1,0 +1,187 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.TestSpark._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** StreamedSketch pins (the sk09 "Done =" clause): the accreted
+  * partial store is bit-identical to the inline partials over the same
+  * events; accrete-across-restart == sequential replay (real
+  * readStream, checkpointed kill/resume mid-stream); replaying a
+  * processed batch and re-delivering a held day are both no-ops;
+  * compaction preserves content/serving under the same
+  * write-then-prune + crashed-batch contract as the other stores; and
+  * sk09's serving plan reads the persisted store, never raw events.
+  */
+class StreamedSketchSpec extends AnyFunSuite {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"sksk-$tag").toString
+
+  private lazy val ev: DataFrame = graft.Tables.load(spark, sf0001, "events")
+    .select(col("ts"), col("value"))
+    .withColumn("day", to_date(col("ts")))
+  private def slice(lo: String, hi: String): DataFrame =
+    ev.filter(col("day").between(lit(lo).cast("date"), lit(hi).cast("date")))
+
+  private def storeState(store: String): Set[(java.sql.Date, Long, Long)] =
+    StreamedSketch.readStore(spark, store).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("accreted store == inline partials over the full event set; drops genuinely accrete") {
+    val store = tmp("store")
+    StreamedSketch.seed(spark, slice("2024-01-01", "2024-01-20"), store)
+    val nSeedDays = StreamedSketch.readStore(spark, store)
+      .select("day").distinct().count()
+    StreamedSketch.processBatch(slice("2024-01-21", "2024-01-25"), 0L, store)
+    StreamedSketch.processBatch(slice("2024-01-26", "2024-01-30"), 1L, store)
+    val acc = storeState(store)
+
+    val accDays = acc.map(_._1).size
+    assert(nSeedDays === 20L && accDays === 30,
+      s"fixture must seed 20 days and accrete to 30 (got $nSeedDays/$accDays)")
+    // THE identity pin: the accreted store may not differ from the
+    // inline partial computation in a single (day, value, count) row
+    val inline = StreamedSketch.partials(ev).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2))).toSet
+    assert(acc === inline, "accreted partials diverge from the inline computation")
+  }
+
+  test("streamed accretion across a checkpointed restart == sequential replay; re-delivered day and replayed batch are no-ops") {
+    val (incoming, store, ckpt) = (tmp("in"), tmp("store2"), tmp("ckpt"))
+    StreamedSketch.seed(spark, slice("2024-01-01", "2024-01-20"), store)
+
+    def writeDrop(lo: String, hi: String): Unit =
+      slice(lo, hi).select("ts", "value")
+        .coalesce(1).write.mode("append").parquet(incoming)
+    def start() = StreamedSketch.run(spark, incoming, store, ckpt,
+      trigger = Trigger.ProcessingTime(100))
+
+    // drop 0, then KILL the query mid-stream; restart drains drop 1
+    writeDrop("2024-01-21", "2024-01-25")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    writeDrop("2024-01-26", "2024-01-30")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = storeState(store)
+
+    // sequential replay with the same batch protocol
+    val store2 = tmp("store3")
+    StreamedSketch.seed(spark, slice("2024-01-01", "2024-01-20"), store2)
+    StreamedSketch.processBatch(slice("2024-01-21", "2024-01-25"), 0L, store2)
+    StreamedSketch.processBatch(slice("2024-01-26", "2024-01-30"), 1L, store2)
+    assert(streamed === storeState(store2),
+      "streamed accretion diverges from the sequential batch replay")
+
+    // at-least-once re-delivery: same batch, same id — byte-stable
+    StreamedSketch.processBatch(slice("2024-01-21", "2024-01-25"), 0L, store2)
+    assert(storeState(store2) === streamed, "replayed batch changed the store")
+
+    // a later batch re-delivering HELD days adds zero rows — the
+    // day-grain admission (re-counting a held day would double its n)
+    StreamedSketch.processBatch(slice("2024-01-21", "2024-01-25"), 7L, store2)
+    assert(storeState(store2) === streamed,
+      "re-delivered days grew the store — admission must be day-bounded")
+  }
+
+  test("compaction: content identity, one partition, interrupted run converges, guard refuses") {
+    val store = tmp("store4")
+    StreamedSketch.seed(spark, slice("2024-01-01", "2024-01-20"), store)
+    StreamedSketch.processBatch(slice("2024-01-21", "2024-01-25"), 0L, store)
+    StreamedSketch.processBatch(slice("2024-01-26", "2024-01-30"), 1L, store)
+    def partitions(): Seq[String] = {
+      val d = new java.io.File(s"$store/daily")
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+        .map(_.getName).toSeq.sorted
+    }
+    val pre = storeState(store)
+    assert(partitions().size === 3, "fixture must accrete 3 partitions")
+
+    StreamedSketch.compactStore(spark, store, -2L)
+    assert(storeState(store) === pre, "compaction changed the store's content")
+    assert(partitions() === Seq("batch_id=-2"))
+
+    // interrupted compaction: the write phase lands (duplicating every
+    // row) but the prune never runs; a re-run converges
+    StreamedSketch.readStore(spark, store)
+      .write.mode("overwrite").parquet(s"$store/daily/batch_id=-3")
+    StreamedSketch.compactStore(spark, store, -3L)
+    assert(storeState(store) === pre, "re-run compaction changed the content")
+    assert(partitions() === Seq("batch_id=-3"))
+
+    // loud contract: non-negative/seed ids refused; checkpoint guard
+    // refuses while a batch is started-but-uncommitted
+    intercept[IllegalArgumentException](StreamedSketch.compactStore(spark, store, 5L))
+    intercept[IllegalArgumentException](
+      StreamedSketch.compactStore(spark, store, StreamedSketch.SeedBatchId))
+    val ckpt = tmp("ckpt2")
+    def touch(sub: String, id: Long): Unit = {
+      val d = new java.io.File(s"$ckpt/$sub"); d.mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, id.toString).toPath,
+        "{}".getBytes("UTF-8")); ()
+    }
+    touch("offsets", 0L)
+    intercept[IllegalStateException](
+      StreamedSketch.compactStore(spark, store, -4L, Some(ckpt)))
+    touch("commits", 0L)
+    StreamedSketch.compactStore(spark, store, -4L, Some(ckpt))
+    assert(storeState(store) === pre)
+  }
+
+  test("sk09: serving reads the persisted store, never raw events; result invariant under compaction") {
+    val byName = graft.GraftQuery.all.map(x => x.name -> x).toMap
+    val df = byName("sk09_sketch_store_serving").build(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.size === 30 && got.exists(_._2 > 0),
+      "sk09 serving is broken — wrong day count or empty windows")
+    // store serve == inline serve (sk07), row for row
+    val inline = byName("sk07_quantile_window_rollup").build(spark, sf0001)
+      .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === inline, "the store serve diverges from sk07's inline serve")
+
+    // plan pin: zero raw-events scans; at least one store scan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    val nodes = walk(df.queryExecution.executedPlan)
+    def scansOn(frag: String): Int = nodes.count {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(frag))
+      case _ => false
+    }
+    assert(scansOn("events") === 0,
+      "sk09's serving plan touches raw events — it must read the partial store")
+    assert(scansOn("graft_skstore") >= 1,
+      "sk09's serving plan reads no partial-store table")
+
+    // compaction invariance: fold the memoized store the query serves
+    // from, re-serve, identical answer (readStore globs batch_id=*)
+    val root = nodes.collectFirst {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft_skstore")) =>
+        f.relation.location.rootPaths
+          .find(_.toString.contains("/daily/")).get.toString
+    }.get
+    val idx = root.indexOf("/daily/")
+    assert(idx > 0, s"unexpected store path shape: $root")
+    val storeDir = root.substring(root.indexOf("file:") match {
+      case -1 => 0
+      case i => i + 5
+    }, idx)
+    StreamedSketch.compactStore(spark, storeDir, -9L)
+    val post = byName("sk09_sketch_store_serving").build(spark, sf0001)
+      .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(post === got, "sk09's answer changed across store compaction")
+  }
+}
