@@ -171,6 +171,9 @@ object ScaleProbe {
       // gr25 composes both factored CC-delta cores; its probed growth,
       // like gr23/gr24's, should be the edge-pipeline scan
       "gr25_cc_mixed_delta",
+      // ss23 composes ss21's audit fold (4 rows) with the chosen
+      // posture's shipped serve — its probed shape is the serve's
+      "ss23_drift_gated_retrain",
       // r17 continuation: pl06 composes pl05's cut union with tx21's
       // vocabulary pricing — the probed growth is the cut-position
       // index (duplicated tokens) + the encode, never corpus x vocab;
@@ -182,7 +185,13 @@ object ScaleProbe {
       "sk09_sketch_store_serving",
       // dd22 rides dd05's probed edge pipeline (the clone design grows
       // edges ~N²; the label work must stay component-grain on top)
-      "dd22_incremental_clusters")
+      "dd22_incremental_clusters",
+      // gr27's serve is one store read + a component-grain merge over
+      // the delta2 slice — probed growth is the edge-pipeline scan
+      "gr27_chained_cc_deltas",
+      // q67's refresh must be sized by the drop terms (the store read
+      // is the base view's I/O; the base x base join runs in no serve)
+      "q67_join_mv_delta")
       .map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the

@@ -1267,6 +1267,25 @@ object Graph {
           .select(col("node"), col("tri_base"),
             coalesce(col("n"), lit(0L)).as("tri_new"),
             (col("tri_base") + coalesce(col("n"), lit(0L))).as("tri_total"))
+    },
+
+    GraftQuery(
+      "gr27_chained_cc_deltas",
+      // ground truth: gr08's algorithm-free closure over ALL p90 edges
+      // (the three chain windows partition the full edge list, so after
+      // both deltas the graph IS the full graph)
+      Some(ccOracle),
+      "CHAINED delta application with STORE WRITE-BACK — the line gr25's doc ends on ('the store write-back is the next batch's time-T artifact') exercised as code: gr23/gr24/gr25 all serve deltas over labels a FIXPOINT produced, but production never re-runs the fixpoint — batch N's serve reads labels batch N-1's DELTA PATH wrote, so the thing that actually needs proving is that incrementality COMPOSES: a merge over merge-produced labels is still exact, arbitrarily deep. The chain: T0 labels = the factored ccPointerJump over the `_ch`-salted <30 slice (the only fixpoint anywhere, the bootstrap); delta1 = the [30,60) slice merged via the factored ccMergeAdds and the result PERSISTED as the store's labels_t1 (the write-back — this parquet is the artifact, not an in-flight frame); the SERVE reads labels_t1 and applies delta2 (the >=60 slice) with the same factored merge — at no point after bootstrap does any fixpoint or any pre-T1 edge re-enter the plan. Exactness composes structurally (gr23's argument applied twice: T1 is exact on the <60 graph because T0 was exact on the <30 graph and additions reduce to the quotient; the final labels are exact on the FULL graph because T1 was exact), and min-label composes through both merges — so the oracle is gr08's closure over all p90 edges VERBATIM, and a hash mismatch convicts the CHAIN, not any single merge. The 30/60 windows are measured: BOTH deltas genuinely merge components at every fixture (nearby splits leave delta1 vacuous at sf0.01). GraphSpec replays a union-find at each chain stage, pins the persisted labels_t1 equal to the <60-graph union-find (the intermediate artifact is exact — THE chained-increments pin), and pins both merge polarities non-vacuous. At 100 TB this is the steady state of a CDC-fed graph store: one bootstrap fixpoint ever, then per-sync quotient merges over the previous sync's written labels, each delta-sized.") {
+      (s, dir) =>
+        val store = ccChainLabelStore(s, dir)
+        val labT1 = s.read.parquet(s"$store/labels_t1")
+        val delta2 = Materialize(edges(s, dir, 0.9)
+          .filter(chBucket100 >= 60)
+          .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst")))
+        val updated = ccMergeAdds(labT1, delta2)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        updated.select(col("node"), col("component"),
+          count(lit(1)).over(w).as("component_size"))
     })
 
   /** Deterministic per-edge md5 bucket (0..99) — gr23's base/delta
@@ -1388,6 +1407,43 @@ object Graph {
     */
   private def trBucket100 = expr(
     "CAST(conv(substring(md5(concat(CAST(src AS STRING), '_', CAST(dst AS STRING), '_tr')), 1, 8), 16, 10) AS BIGINT) % 100")
+
+  /** gr27's chain-window key — `_ch`-salted; the 30/60 windows are
+    * measured (see gr27's doc).
+    */
+  private def chBucket100 = expr(
+    "CAST(conv(substring(md5(concat(CAST(src AS STRING), '_', CAST(dst AS STRING), '_ch')), 1, 8), 16, 10) AS BIGINT) % 100")
+
+  /** gr27's persisted artifact: the chained label store — T0 labels
+    * from the bootstrap fixpoint over the `_ch` < 30 slice, then the
+    * [30,60) delta MERGED (never re-fixpointed) and written back as
+    * `labels_t1`, the artifact the serve's next delta reads. Both
+    * stages persist so the spec can pin the intermediate write-back
+    * exact.
+    */
+  private def ccChainLabelStore(s: SparkSession, dir: String): String = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"ccchain_$tag", dir)
+    DiskMemo.ensure(s"ccchain_$tag", out) {
+      val e = Materialize(edges(s, dir, 0.9)
+        .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"),
+          chBucket100.as("b")))
+      val e0 = e.filter(col("b") < 30).select("src", "dst")
+      val und0 = Materialize.trackedLocalCheckpoint(
+        e0.select(col("src").as("a"), col("dst").as("b"))
+          .unionByName(e0.select(col("dst").as("a"), col("src").as("b")))
+          .distinct())
+      val nodes = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("int").as("node"))
+      val t0 = ccPointerJump(und0, nodes)
+      t0.write.mode("overwrite").parquet(s"$out/labels_t0")
+      // the write-back: delta1 merges over the PERSISTED T0 read — the
+      // serve's input is merge-produced, not fixpoint-produced
+      ccMergeAdds(s.read.parquet(s"$out/labels_t0"),
+          e.filter(col("b") >= 30 && col("b") < 60).select("src", "dst"))
+        .write.mode("overwrite").parquet(s"$out/labels_t1")
+    }
+  }
 
   /** gr26's persisted artifact: per-vertex triangle counts over the
     * base slice (canonical undirected `_tr` < 90 of the p90 edges),

@@ -1157,7 +1157,69 @@ object Relational {
             (sum(dec(col("l_quantity"))) * 50).cast("double").as("est_sum_qty"),
             (sum(dec(col("l_extendedprice"))) * 50).cast("double").as("est_revenue"))
     },
+
+    GraftQuery(
+      "q67_join_mv_delta",
+      // ground truth: the FULL-TABLE rebuild of the view — q61's
+      // refresh-correctness invariant, now for a JOIN view
+      Some("""SELECT o_orderkey, l_linenumber, o_custkey, o_orderdate,
+             |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_totalprice > 400000""".stripMargin),
+      "Incremental JOIN-view maintenance — q61's refresh contract extended from algebraic aggregates to the OTHER MV class a 100 TB warehouse materializes (the pre-joined fact view behind every dashboard that cannot afford the join per query): for an insert-only delta the exact identity is Blakeley's three delta terms, V_new = V_old UNION (dO x L_old) UNION (O_old x dL) UNION (dO x dL) — every term is DROP-SIZED on at least one side, so the refresh never re-runs the base-x-base join that built the view. The persisted artifact is V_old = sigma(high-value orders)_base x lineitem_base (a DiskMemo store — the serve READS the view from parquet; the base join runs in no serve), the 10%-md5 deltas on BOTH tables arrive independently (orders split on orderkey, lineitem on (orderkey, linenumber) — a delta line for a base order and a delta order for base lines are DIFFERENT terms, which is exactly what the three-term identity sorts out), and each delta term broadcasts its drop side into an equi-join. The selective predicate (o_totalprice > 400000, sk01's HighValue) rides the orders scan in every term — pushed down, it bounds the view exactly as a production selective-join MV would. THE ORACLE IS THE FULL REBUILD: the merged terms must equal a from-scratch join bit-for-bit (decimal-cast money, the q61 discipline), which is the invariant an IVM system certifies — a missing term, a double-counted (dO x dL) row, or a delta leaking into the stored view all hash-fail. The 90/400000 split constants are measured: ALL FOUR terms are non-empty at every fixture (nearby splits leave the dO x dL corner — the term naive two-term implementations forget — empty). QueriesSpec pins term disjointness + the corner term non-vacuous, and that the serve's plan reads the stored view. At 100 TB: refresh cost is (drop x indexed-base) joins + a KB-scale union, the stored view takes Compaction's snapshot treatment, and deletes/updates extend by the standard counting algorithm (tombstone rows with multiplicity, documented not implemented — the insert-only form is the crawl/telemetry ingest case every other streamed store here models).") {
+      (s, dir) =>
+        val store = joinMvStore(s, dir)
+        val vBase = s.read.parquet(s"$store/view")
+        val (o, l) = mvSides(s, dir)
+        val oD = o.filter(col("ob") >= 90)
+        val lBase = l.filter(col("lb") < 90)
+        val lD = l.filter(col("lb") >= 90)
+        val oBase = o.filter(col("ob") < 90)
+        // Blakeley's three delta terms, drop side broadcast in each
+        vBase
+          .unionByName(mvJoin(broadcast(oD), lBase))
+          .unionByName(mvJoin(oBase, broadcast(lD)))
+          .unionByName(mvJoin(broadcast(oD), lD))
+    },
   )
+
+  /** q67's split-tagged view sides: high-value orders with their
+    * `_mv`-salted md5 bucket, lineitem rows with theirs — ONE
+    * definition for the store build and every serve (the split the
+    * store was built on and the split the deltas are cut on cannot
+    * drift).
+    */
+  private def mvSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        expr("CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '_mv')), 1, 8), 16, 10) AS BIGINT) % 100").as("ob"))
+    val l = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING), '_mv')), 1, 8), 16, 10) AS BIGINT) % 100").as("lb"))
+    (o, l)
+  }
+
+  /** The view's join + projection, shared by the store build and all
+    * three delta terms.
+    */
+  private def mvJoin(o: DataFrame, l: DataFrame): DataFrame =
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("o_orderdate"), col("price").cast("double").as("price"))
+
+  /** q67's persisted artifact: the base-x-base view, built ONCE per
+    * (application, dir) and read from parquet by every serve.
+    */
+  private def joinMvStore(s: SparkSession, dir: String): String = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"jmv_$tag", dir)
+    DiskMemo.ensure(s"jmv_$tag", out) {
+      val (o, l) = mvSides(s, dir)
+      mvJoin(o.filter(col("ob") < 90), l.filter(col("lb") < 90))
+        .write.mode("overwrite").parquet(s"$out/view")
+    }
+  }
 
   /** q62's decision table — pr08's per-key output forecast folded into
     * a per-key salt fanout: pairs(k) = fact-histogram × dim-histogram

@@ -138,6 +138,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "pk06_bpe_unit_sequences", // inherits tx21's entry (the same 1-row argmax-fold broadcasts); the prefix sum itself is pk03's two-phase window + 256-row offset broadcast
     "gr25_cc_mixed_delta", // gr24's entry (shared edges() front door 1-row median broadcast through the delete phase's untouched branch in mode=none); both fixpoints' state is checkpoint-derived
     "gr26_delta_triangles", // shared edges() front door: the 1-row p90 median broadcast into the sparsification filter; the delta/adjacency joins themselves are equi
+    "gr27_chained_cc_deltas", // same shared edges() front door (the delta2 slice filter); the chain's merges are component-grain equi joins
     "ss23_drift_gated_retrain" // both branches are ss18's serve shapes (4-row seeds + query-decile broadcasts) plus ss21's drift parts and the 1-row decision broadcast selecting the branch
   )
 

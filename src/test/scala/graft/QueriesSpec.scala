@@ -62,4 +62,64 @@ class QueriesSpec extends AnyFunSuite {
         .as("isBase")).groupBy("isBase").count().collect()
     assert(bkts.length === 2, "md5 split must produce both a base and a drop")
   }
+
+  test("q67: delta terms are disjoint, the dO x dL corner is non-vacuous, and the serve reads the stored view") {
+    import org.apache.spark.sql.functions._
+    def bkt(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8), 16) % 100
+    val df = GraftQuery.all.find(_.name == "q67_join_mv_delta").get.build(spark, sf0001)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // term classification replayed from the split keys: every output
+    // row lands in exactly ONE of the four terms (disjointness is what
+    // makes the union exact), and all four are non-empty — including
+    // the dO x dL corner, the term two-term implementations forget
+    val terms = rows.groupBy { case (ok, ln, _) =>
+      (bkt(s"${ok}_mv") >= 90, bkt(s"${ok}_${ln}_mv") >= 90)
+    }
+    assert(terms.keySet === Set((false, false), (true, false), (false, true), (true, true)),
+      s"missing delta terms: ${terms.keySet}")
+    assert(rows.length === terms.values.map(_.length).sum)
+    // per-term cardinalities replayed from the base tables: the union
+    // must contribute each term exactly once (a double-counted corner
+    // or a delta leaking into the stored view shifts a term's count;
+    // note the synthetic lineitem key repeats, so counts — not key
+    // sets — are the right grain)
+    val ords = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey").collect().map(_.getLong(0))
+      .groupBy(ok => bkt(s"${ok}_mv") >= 90)
+      .view.mapValues(_.groupBy(identity).view.mapValues(_.length).toMap).toMap
+    val lines = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy { case (ok, ln) => bkt(s"${ok}_${ln}_mv") >= 90 }
+      .view.mapValues(_.groupBy(_._1).view.mapValues(_.length).toMap).toMap
+    def termCount(dO: Boolean, dL: Boolean): Long = {
+      val o = ords.getOrElse(dO, Map.empty)
+      val l = lines.getOrElse(dL, Map.empty)
+      o.map { case (ok, n) => n.toLong * l.getOrElse(ok, 0).toLong }.sum
+    }
+    for (dO <- Seq(false, true); dL <- Seq(false, true))
+      assert(terms((dO, dL)).length.toLong === termCount(dO, dL),
+        s"term (dO=$dO, dL=$dL) count diverges from the replay")
+
+    // the serve reads the persisted view, and the base x base join is
+    // absent: the (false,false) rows come from ONE parquet scan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    val scans = walk(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.exists(_.contains("graft_jmv")),
+      "q67's serve does not read the persisted view")
+  }
 }

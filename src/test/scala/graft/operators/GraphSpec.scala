@@ -839,4 +839,75 @@ class GraphSpec extends AnyFunSuite {
     assert(got.exists(g => g._4 > 0 && g._3 == 0L),
       "no triangled vertex untouched by the delta")
   }
+
+  test("gr27: chained deltas over the written-back store equal the full-graph union-find; both merges non-vacuous; T1 artifact exact") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ch(a: Long, b: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"${a}_${b}_ch").substring(0, 8), 16) % 100
+    val all = Graph.edges(spark, sf001, 0.9).collect()
+      .map(r => (lv(r, 0), lv(r, 1))).toSeq
+    val e0 = all.filter { case (a, b) => ch(a, b) < 30 }
+    val e01 = all.filter { case (a, b) => ch(a, b) < 60 }
+    assert(e0.nonEmpty && e01.size > e0.size && all.size > e01.size,
+      "chain windows degenerate — pins vacuous")
+    val nationKeys = Tables.load(spark, sf001, "nation")
+      .select("n_nationkey").collect().map(r => lv(r, 0)).toSeq
+    def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(nationKeys.map(v => v -> v): _*)
+      def find(v: Long): Long = {
+        var r = v; while (parent(r) != r) r = parent(r)
+        var c = v; while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      nationKeys.groupBy(find).flatMap { case (_, vs) =>
+        val m = vs.min; vs.map(_ -> m)
+      }
+    }
+    val t0 = components(e0)
+    val t1 = components(e01)
+    val fin = components(all)
+    // both deltas genuinely merge, or the chain proves nothing
+    assert(t0.values.toSet.size > t1.values.toSet.size,
+      "delta1 merged nothing — the write-back stage is vacuous")
+    assert(t1.values.toSet.size > fin.values.toSet.size,
+      "delta2 merged nothing — the serve stage is vacuous")
+
+    val got = run("gr27_chained_cc_deltas").collect()
+      .map(r => (lv(r, 0), lv(r, 1), r.getLong(2)))
+    assert(got.map(t => t._1 -> t._2).toMap === fin,
+      "gr27 labels diverge from the full-graph union-find")
+    val sizes = fin.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.map(t => t._2 -> t._3).toMap === sizes.map(identity),
+      "gr27 component sizes diverge")
+
+    // THE chained-increments pin: the PERSISTED intermediate artifact
+    // (labels_t1, produced by a merge over the T0 read, no fixpoint)
+    // equals the <60-graph union-find exactly — resolve the store from
+    // the serving plan's scan paths
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    val nodes = walk(run("gr27_chained_cc_deltas").queryExecution.executedPlan)
+    val t1Path = nodes.collectFirst {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("labels_t1")) =>
+        f.relation.location.rootPaths.find(_.toString.contains("labels_t1")).get.toString
+    }
+    assert(t1Path.isDefined,
+      "gr27's serve does not read the persisted labels_t1 — the write-back is bypassed")
+    val stored = spark.read.parquet(t1Path.get).collect()
+      .map(r => lv(r, 0) -> lv(r, 1)).toMap
+    assert(stored === t1,
+      "the written-back T1 labels diverge from the <60-graph union-find")
+  }
 }
