@@ -75,9 +75,7 @@ object ScaleProbe {
     }
     def run(name: String): Double = {
       val fn = SparkEntry.queries(name)
-      def once(d: String): (Double, Long) = {
-        var rows = 0L
-        val sec = time { rows = fn(spark, d).count() }
+      def hygiene(): Unit = {
         // clearCache alone leaves localCheckpoint pins behind; released
         // deterministically so the 1x timing never pays residue from the
         // previous operator's Nx run (which would inflate time_ratio's
@@ -89,21 +87,37 @@ object ScaleProbe {
         // next timing — dc01's 10x broadcast otherwise taxes whatever
         // op is measured after it (cdc04 read 4.9 s vs 1.3 s isolated)
         System.gc()
-        (sec, rows)
       }
-      // warm BOTH scales: a first run at a given scale pays JIT,
-      // codegen-compile and heap-growth costs 2-3x the steady state
-      // (measured: cdc04 10x first run 17.6 s vs 5.3 s warmed) — a
-      // cold 10x against a warmed 1x reads as a fake super-linearity
+      // MATERIALIZE the output (noop write — Bench's own contract),
+      // never count(): Spark 4's distinct-keys propagation lets a
+      // count() ELIMINATE aggregate-keyed left joins above the probed
+      // work (measured r17: ss18's count 0.65 s vs 100 s materialized
+      // at 10x — the probe was timing a joinless plan for the whole
+      // batched-serving family, and only ss23, whose inner decision
+      // join is not elidable, showed its true cost)
+      def once(d: String): Double = {
+        val sec = time {
+          fn(spark, d).write.format("noop").mode("overwrite").save()
+        }
+        hygiene()
+        sec
+      }
+      def rowsOf(d: String): Long = {
+        val r = fn(spark, d).count(); hygiene(); r
+      }
+      // warm BOTH scales (also captures row counts): a first run at a
+      // given scale pays JIT, codegen-compile and heap-growth costs
+      // 2-3x the steady state (measured: cdc04 10x first run 17.6 s vs
+      // 5.3 s warmed) — a cold 10x against a warmed 1x reads as a fake
+      // super-linearity
+      val r1 = rowsOf(base); val rN = rowsOf(dir)
       once(base); once(dir)
       // best-of-R per scale, pairs interleaved: a slow machine window
       // spanning one sample inflates at most one (1x, Nx) pair, and the
       // min over R decorrelated samples discards it on both sides
       val samples = (1 to runs).map(_ => (once(base), once(dir)))
-      val s1 = samples.map(_._1._1).min
-      val r1 = samples.head._1._2
-      val sN = samples.map(_._2._1).min
-      val rN = samples.head._2._2
+      val s1 = samples.map(_._1).min
+      val sN = samples.map(_._2).min
       // Locale.ROOT: the f-interpolator formats with the DEFAULT locale
       // and a comma-decimal JVM would emit invalid JSON here (the
       // ADVICE r11 class of bug, fixed in Bench.jnum — same rule for

@@ -1149,12 +1149,28 @@ object Similarity {
     * PERSISTED upstream tables (corp -> seeds -> assign/pqidx) so one
     * embeddings scan feeds the whole store.
     */
+  /** Serving-batch cap for every stored `qset`: the audit decile is
+    * the SAMPLING UNIVERSE, but a serving batch is BOUNDED — it does
+    * not grow with corpus size, and neither may the per-query exact-
+    * truth audit (r16's warning verbatim: "the truth side must stay
+    * sampled, never become the serve's own bill" — uncapped, a 10x
+    * corpus grows the batch 10x and the truth crossJoin 100x, the
+    * super-linearity the r17 ScaleProbe caught on ss23 once the probe
+    * measured materialized output). Deterministic md5-order LIMIT so
+    * both engines pick the same queries; INACTIVE at every shipped
+    * fixture (deciles 186/44/19 < 256), so it binds only at scale —
+    * exactly where it must.
+    */
+  private final val ServeBatchCap = 256 // literal => constant-folded (the `all` Seq initializes before non-final vals)
+
   private def ivfIndexStore(s: SparkSession, dir: String): String = {
     val tag = DiskMemo.tag(s, dir)
     val out = TempLayout.dir(s"ivfidx_$tag", dir)
     DiskMemo.ensure(s"ivfidx_$tag", out) {
       val q = qemb(s, dir)
       q.filter(expr(s"${Sampling.bucket100("vec_id")} < 10"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(ServeBatchCap)
         .select(col("vec_id").as("qid"), col("qe").as("qv"))
         .write.mode("overwrite").parquet(s"$out/qset")
       q.filter(expr(s"${Sampling.bucket100("vec_id")} >= 10"))
@@ -1310,6 +1326,8 @@ object Similarity {
       val q = qemb(s, dir)
       val b = Sampling.bucket100("vec_id")
       q.filter(expr(s"$b < 10"))
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(ServeBatchCap)
         .select(col("vec_id").as("qid"), col("qe").as("qv"))
         .write.mode("overwrite").parquet(s"$out/qset")
       StreamedIndex.seed(s,
@@ -1465,7 +1483,8 @@ object Similarity {
     val b = Sampling.duckBucket100Of("vec_id")
     s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
-       |qset AS MATERIALIZED (SELECT vec_id AS qid, qe AS qv FROM q WHERE $b < 10),
+       |qset AS MATERIALIZED (SELECT vec_id AS qid, qe AS qv FROM q WHERE $b < 10
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ServeBatchCap),
        |corp AS MATERIALIZED (SELECT vec_id, qe FROM q WHERE $b >= 10),
        |seeds AS MATERIALIZED (SELECT qe AS qs,
        |          CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
@@ -1511,7 +1530,8 @@ object Similarity {
     val b = Sampling.duckBucket100Of("vec_id")
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
-       |qset AS MATERIALIZED (SELECT vec_id AS qid, qe AS qv FROM q WHERE $b < 10),
+       |qset AS MATERIALIZED (SELECT vec_id AS qid, qe AS qv FROM q WHERE $b < 10
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ServeBatchCap),
        |corp AS MATERIALIZED (SELECT vec_id, qe FROM q WHERE $b >= 10),
        |seeds AS MATERIALIZED (SELECT qe AS qs,
        |          CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
