@@ -522,8 +522,16 @@ class SimilaritySpec extends AnyFunSuite {
     val (bt, bh) = drift.find(_._1 == -1L).map(t => (t._2, t._3)).get
     val expectRebuilt =
       if (drift.exists(t => t._1 >= 0 && t._3 * bt * 10 < bh * t._2 * 8)) 1 else 0
+    // r18 pin (VERDICT r17 #2): in the keep-accreted posture the gate
+    // must not even CONSULT the one-shot store — the rebuild job it
+    // exists to avoid. Entry-grain counter, immune to DiskMemo hits.
+    val callsBefore = Similarity.ivfStoreCalls.get()
     val got = byName("ss23_drift_gated_retrain").build(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    if (expectRebuilt == 0)
+      assert(Similarity.ivfStoreCalls.get() === callsBefore,
+        "keep-accreted verdict, yet ss23 consulted the one-shot store — " +
+          "the gate is paying the rebuild it exists to avoid")
     assert(got.nonEmpty, "gated serve emitted nothing")
     assert(got.map(_._4).distinct.toSeq === Seq(expectRebuilt),
       s"gate decided ${got.map(_._4).distinct.toSeq}, rule replay says $expectRebuilt " +
