@@ -1182,7 +1182,7 @@ object Dedup {
       // label maintenance must be indistinguishable from a re-cluster
       Some(s"""WITH RECURSIVE $clusterCtes
               |SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY doc_id""".stripMargin),
-      "INCREMENTAL near-dup cluster maintenance — the dedup family's label store closes the loop gr23 opened (gr08's doc promised 'the loop that groups near-dup documents at corpus scale'; gr23 built the delta machinery on the nation graph; this applies it to the graph it was promised for): production dedup clusters are CONSUMED continuously (keeper election, pl02's admission, retention) while near-dup edges ARRIVE continuously with every ingest drop — and re-running a corpus-scale clustering fixpoint per drop is exactly what the delta path avoids. Near-dup edges only ever ADD (a certified jaccard>=0.8 pair never un-certifies), so gr23's addition-merge path ALONE is exact — no hard deletion half. The persisted artifact is cluster labels over the SEED corpus (md5 doc-bucket <50; the split is measured — at 50 the spec fixture's drop genuinely EXTENDS a multi-doc base cluster, the polarity nearby splits leave vacuous), built once into a DiskMemo store by the factored ccPointerJump loop (one definition with gr08/gr23) over the seed-internal edges; the drop's edges (>=1 new endpoint) then merge labels with DROP-SIZED label work via the factored ccMergeAdds (one definition with gr23/gr25): new docs enter as self-labeled singletons, endpoints look up components, same-component edges drop, the quotient graph pointer-jumps at COMPONENT grain, and untouched clusters coalesce through unread — min-label composes, so the merge map's min IS the union cluster's min (gr23's structural argument, verbatim). Audit-scale honesty: the edge UNIVERSE here is dd05's full df-capped inverted-index pipeline filtered by endpoint bucket (the oracle needs one edge definition); in production the drop's pairs come from StreamedDedup's probe path (new-vs-store fingerprint hits), already shipped — dd22's contribution is the CLUSTERING side of that lifecycle, and at 100 TB the vertex-scale label broadcast flips to the shuffled equi-join twin exactly as gr09 does for gr08. Output = (doc_id, cluster) over the full graph's vertices; DedupSpec replays a driver union-find at both stages and pins the polarity triple: a multi-doc base cluster genuinely extended, multi-doc base clusters untouched (their labels pass through the store unread), and the store serve reading labels from parquet.") {
+      "INCREMENTAL near-dup cluster maintenance — the dedup family's label store closes the loop gr23 opened (gr08's doc promised 'the loop that groups near-dup documents at corpus scale'; gr23 built the delta machinery on the nation graph; this applies it to the graph it was promised for): production dedup clusters are CONSUMED continuously (keeper election, pl02's admission, retention) while near-dup edges ARRIVE continuously with every ingest drop — and re-running a corpus-scale clustering fixpoint per drop is exactly what the delta path avoids. Near-dup edges only ever ADD (a certified jaccard>=0.8 pair never un-certifies), so gr23's addition-merge path ALONE is exact — no hard deletion half. The persisted artifact is cluster labels over the SEED corpus (md5 doc-bucket <50; the split is measured — at 50 the spec fixture's drop genuinely EXTENDS a multi-doc base cluster, the polarity nearby splits leave vacuous), built once into a DiskMemo store by the factored ccPointerJump loop (one definition with gr08/gr23) over the seed-internal edges; the drop's edges (>=1 new endpoint) then merge labels with DROP-SIZED label work via the factored ccMergeAdds (one definition with gr23/gr25): new docs enter as self-labeled singletons, endpoints look up components, same-component edges drop, the quotient graph pointer-jumps at COMPONENT grain, and untouched clusters coalesce through unread — min-label composes, so the merge map's min IS the union cluster's min (gr23's structural argument, verbatim). Audit-scale honesty: the edge UNIVERSE here is dd05's full df-capped inverted-index pipeline filtered by endpoint bucket (the oracle needs one edge definition); in production the drop's pairs come from StreamedDedup's probe path (new-vs-store fingerprint hits), already shipped — dd22's contribution is the CLUSTERING side of that lifecycle — and because DOC-grain labels are corpus-scale at 100 TB (tens of GB, past any executor), the merge runs the SHUFFLED twin of the delta core (r18, VERDICT r17 #3): ccMergeAdds with shuffled=true, endpoint lookups and the merge-map rewrite as SHUFFLE_MERGE equi-joins and the quotient fixpoint on gr09's shuffled rounds, so no label-derived table is ever a hashed relation (the promise this doc made in r17, now shipped; gr28 pins the shuffled form row-identical to the broadcast form on the nation graph). Output = (doc_id, cluster) over the full graph's vertices; DedupSpec replays a driver union-find at both stages and pins the polarity triple: a multi-doc base cluster genuinely extended, multi-doc base clusters untouched (their labels pass through the store unread), and the store serve reading labels from parquet.") {
       (s, dir) =>
         val store = clusterLabelStore(s, dir)
         val baseLab = s.read.parquet(s"$store/labels")
@@ -1197,7 +1197,10 @@ object Dedup {
           .filter(expr(Sampling.bucket100("doc_id")) >= 50)
           .select(col("doc_id").as("node"), col("doc_id").as("component"))
         val lab = baseLab.unionByName(dropLab)
-        val updated = Graph.ccMergeAdds(lab, delta)
+        // shuffled=true: doc-grain labels are corpus-scale at 100 TB —
+        // the broadcast form this core runs on the nation graph would
+        // hash-relation the whole label table here (see doc)
+        val updated = Graph.ccMergeAdds(lab, delta, shuffled = true)
         // restrict to the full graph's vertices (the oracle's universe)
         val verts = edges.select(col("doc_a").as("node"))
           .unionByName(edges.select(col("doc_b").as("node"))).distinct()

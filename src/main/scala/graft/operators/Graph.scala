@@ -533,31 +533,17 @@ object Graph {
       "gr08's pointer-jumping connected components WITHOUT vertex-scale broadcasts — the form that survives the regime gr08's contract excludes: |V| in the billions, label table tens of GB, far past executor (let alone driver) memory. gr08 ships the label table to every executor twice per round; here NOTHING broadcasts. The undirected edge list is hash-partitioned ONCE on the neighbor key and checkpointed — LogicalRDD preserves the partitioning, so every round's neighbor-min hop is an equi-join where ONLY the vertex-scale label table moves (one shuffle of |V| rows vs gr08's |V|-to-every-executor), and the pointer jump component <- component(component) is a plain label-key self equi-join. All three per-round joins carry SHUFFLE_MERGE hints so neither the static planner nor AQE's runtime re-plan can sneak the small fixture's labels back onto a broadcast — the plan IS the 100 TB plan at every scale (PlanAuditSpec pins zero Broadcast operators in the round; GraphSpec pins gr08 == gr09 row-for-row). Same O(log n) convergence, same loud cap, same monotone-decrease fixpoint probe; the only trade is per-round sort cost on the shuffled sides, which is exactly the price a billion-vertex CC pays anywhere.") {
       (s, dir) =>
         val e = edges(s, dir, 0.9)
-        // partitioned on the hop-join key BEFORE the checkpoint: the
-        // LogicalRDD keeps hashpartitioning(b), so rounds never move it
-        val und = Materialize.trackedLocalCheckpoint(
-          e.select(col("src").cast("int").as("a"), col("dst").cast("int").as("b"))
-            .unionByName(
-              e.select(col("dst").cast("int").as("a"), col("src").cast("int").as("b")))
-            .distinct()
-            .repartition(col("b")))
+        // the factored shuffled fixpoint (r18): partition-on-b +
+        // checkpoint + ccShuffledRound-to-convergence, one definition
+        // with the shuffled delta cores' loops
+        val undRaw = e
+          .select(col("src").cast("int").as("a"), col("dst").cast("int").as("b"))
+          .unionByName(
+            e.select(col("dst").cast("int").as("a"), col("src").cast("int").as("b")))
+          .distinct()
         val nodes = Tables.load(s, dir, "nation")
           .select(col("n_nationkey").cast("int").as("node"))
-        var lab = Materialize.trackedLocalCheckpoint(
-          nodes.withColumn("component", col("node")))
-        var converged = false
-        var round = 0
-        val maxRounds = 12 // same log2-ish cap + loud-overrun contract as gr08
-        while (!converged && round < maxRounds) {
-          val next = Materialize.trackedLocalCheckpoint(ccShuffledRound(und, lab))
-          converged = next.where(col("changed")).isEmpty
-          lab = next.select(col("node"), col("component"))
-          round += 1
-        }
-        if (!converged)
-          throw new IllegalStateException(
-            s"pointer-jumping CC did not converge in $maxRounds rounds — " +
-              "pathological pointer depth; raise the cap")
+        val lab = ccShuffledFixpoint(undRaw, nodes)
         val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
         lab.select(col("node"), col("component"),
           count(lit(1)).over(w).as("component_size"))
@@ -1166,23 +1152,10 @@ object Graph {
     GraftQuery(
       "gr25_cc_mixed_delta",
       // ground truth: gr08's algorithm-free closure over the POST-delta
-      // graph (kept < 55 plus added >= 80 of the _zz-salted split)
-      Some {
-        val zzb = "CAST(('0x' || substring(md5(CAST(src AS VARCHAR) || '_' || " +
-          "CAST(dst AS VARCHAR) || '_zz'), 1, 8)) AS BIGINT) % 100"
-        s"""WITH RECURSIVE ${edgesDuckQ("0.9")},
-           |kept AS (SELECT src, dst FROM edges WHERE $zzb < 55 OR $zzb >= 80),
-           |und AS (SELECT src AS a, dst AS b FROM kept
-           |        UNION SELECT dst, src FROM kept),
-           |reach(root, node) AS (
-           |  SELECT n_nationkey, n_nationkey FROM nation
-           |  UNION
-           |  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node),
-           |lab AS (SELECT root AS node, MIN(node) AS component FROM reach GROUP BY root)
-           |SELECT CAST(node AS INT) AS node, CAST(component AS INT) AS component,
-           |       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
-           |FROM lab""".stripMargin
-      },
+      // graph (kept < 55 plus added >= 80 of the _zz-salted split) —
+      // SHARED verbatim with gr28's shuffled twin (two execution
+      // strategies, one closure, the gr08/gr09 pattern)
+      Some(ccMixedDeltaOracle),
       "MIXED add+delete CC maintenance — the CC lifecycle in ONE delta application, which is what a production mutation batch actually looks like (a CDC-fed graph store receives inserts AND deletes per sync; applying them as two jobs double-pays the label-store read and serves an inconsistent intermediate state): given the persisted time-T labels (the `_zz` split's <80 slice of the p90 edges, a DiskMemo label store) and ONE delta — deletions = the [55,80) slice of the stored graph, additions = the >=80 slice, previously unseen — produce time-T+1 labels with work scoped by the delta on BOTH sides. Order is forced, not chosen: deletions first (the hard path — splits need edge re-examination) on the SURVIVING edge set via the factored ccDeleteScoped (gr24's core, one definition: affected components re-label, delete-untouched pass through unread), then additions on the post-delete labels via the factored ccMergeAdds (gr23's core, one definition: component-grain quotient pointer jump, merge map broadcast) — the reverse order would merge across edges about to be deleted and re-split what was just merged, paying the delete path twice. Correctness composes structurally: post-delete labels are exact on the survived graph (gr24's argument), and additions over an exact labeling reduce to the quotient graph (gr23's argument), so the pipeline equals a full recompute on (kept UNION added) — the oracle, gr08's algorithm-free closure over exactly that edge set. GraphSpec replays a driver union-find at each stage and pins all THREE polarities non-vacuous on the fixture: a component genuinely SPLIT by the deletions, post-delete components genuinely MERGED by the additions, and components untouched by the delete scope (the split constants 55/80 with the _zz salt are measured — the nearby 70/85-style splits leave one polarity vacuous at some scale). At 100 TB: one label-store read, one delta-sized delete scope, one drop-sized quotient merge — the per-sync bill of a mutating web/dedup graph, and the store write-back is the next batch's time-T artifact.") {
       (s, dir) =>
         val store = ccMixLabelStore(s, dir)
@@ -1286,7 +1259,52 @@ object Graph {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
         updated.select(col("node"), col("component"),
           count(lit(1)).over(w).as("component_size"))
+    },
+
+    GraftQuery(
+      "gr28_cc_delta_shuffled",
+      // same algorithm-free ground truth as gr25: two engines, two
+      // execution strategies (broadcast vs shuffled labels), one closure
+      Some(ccMixedDeltaOracle),
+      "gr25's mixed add+delete CC maintenance WITHOUT vertex-scale broadcasts — gr09's recipe applied to the DELTA path (VERDICT r17 #3), closing the one loop family whose label lookups still assumed |V| fits an executor: gr23/gr24/gr25 broadcast the label table into every endpoint lookup and the merge-map rewrite, which is right on the nation fixture and a scale-killer on the graph the cores were built for (dd22 applies them to DOC-grain labels — corpus-scale at 100 TB, tens of GB past any executor). Here the IDENTICAL factored cores run with shuffled=true: every label-derived table — the deleted edges' component lookup, the delete scope's vertex/edge semi-joins, the added edges' two endpoint lookups, and the final merge-map rewrite — equi-joins under a SHUFFLE_MERGE hint (only vertex-scale rows move, once, keyed; nothing becomes a hashed relation), and both fixpoints run the factored ccShuffledFixpoint (one loop definition with gr09: edges partitioned on the hop key once and checkpointed, labels the only moving side per round). Same stores, same 55/80 `_zz` split, same deletions-first composition argument as gr25 — the oracle is gr25's closure VERBATIM, and GraphSpec pins gr28 == gr25 row-for-row (the broadcast and shuffled strategies cannot drift). PlanAuditSpec extends the gr09-gr16 pin: the isolated shuffled lookup cores (deltaComponentEdges / deltaAffected) and the serve's final executed plan carry ZERO broadcasts. The trade is gr09's: per-join sort cost on the shuffled sides — the price any billion-vertex delta application pays — bought once per drop, not per round.") {
+      (s, dir) =>
+        val store = ccMixLabelStore(s, dir)
+        val lab = s.read.parquet(s"$store/labels")
+        val e = Materialize(edges(s, dir, 0.9)
+          .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"),
+            zzBucket100.as("b")))
+        val afterDelete = Materialize(ccDeleteScoped(lab,
+          e.filter(col("b") < 55).select("src", "dst"),
+          e.filter(col("b") >= 55 && col("b") < 80).select("src", "dst"),
+          shuffled = true))
+        val updated = ccMergeAdds(afterDelete,
+          e.filter(col("b") >= 80).select("src", "dst"),
+          shuffled = true)
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+        updated.select(col("node"), col("component"),
+          count(lit(1)).over(w).as("component_size"))
     })
+
+  /** gr25/gr28's shared ground truth: gr08's algorithm-free closure
+    * over the POST-delta graph (kept < 55 plus added >= 80 of the
+    * `_zz`-salted split) — one closure, two execution strategies.
+    */
+  private lazy val ccMixedDeltaOracle: String = {
+    val zzb = "CAST(('0x' || substring(md5(CAST(src AS VARCHAR) || '_' || " +
+      "CAST(dst AS VARCHAR) || '_zz'), 1, 8)) AS BIGINT) % 100"
+    s"""WITH RECURSIVE ${edgesDuckQ("0.9")},
+       |kept AS (SELECT src, dst FROM edges WHERE $zzb < 55 OR $zzb >= 80),
+       |und AS (SELECT src AS a, dst AS b FROM kept
+       |        UNION SELECT dst, src FROM kept),
+       |reach(root, node) AS (
+       |  SELECT n_nationkey, n_nationkey FROM nation
+       |  UNION
+       |  SELECT r.root, u.b FROM reach r JOIN und u ON u.a = r.node),
+       |lab AS (SELECT root AS node, MIN(node) AS component FROM reach GROUP BY root)
+       |SELECT CAST(node AS INT) AS node, CAST(component AS INT) AS component,
+       |       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS component_size
+       |FROM lab""".stripMargin
+  }
 
   /** Deterministic per-edge md5 bucket (0..99) — gr23's base/delta
     * split key, the sp01 reproducible-split contract applied to edges.
@@ -1328,24 +1346,49 @@ object Graph {
     * only then).
     */
   private def ccDeleteScoped(lab: DataFrame,
-      kept: DataFrame, deleted: DataFrame): DataFrame = {
-    val affected = broadcast(deleted
-      .join(broadcast(lab.select(col("node").as("src"), col("component"))), "src")
-      .select("component").distinct())
+      kept: DataFrame, deleted: DataFrame,
+      shuffled: Boolean = false): DataFrame = {
+    // the gr08/gr09 trade at delta grain (r18, VERDICT r17 #3): the
+    // label table is VERTEX-scale — broadcast is right while labels
+    // are MBs (the nation fixture), a scale-killer when the graph is
+    // the dedup doc graph at 100 TB. shuffled=true applies gr09's
+    // recipe: every label-derived table equi-joins under a
+    // shuffle_merge hint, and the scoped relabel runs the shuffled
+    // fixpoint — nothing vertex-scale is ever a hashed relation.
+    def lkp(df: DataFrame): DataFrame =
+      if (shuffled) df.hint("shuffle_merge") else broadcast(df)
+    val affected0 = deltaAffected(lab, deleted, shuffled)
+    val affected = if (shuffled) affected0.hint("shuffle_merge")
+      else broadcast(affected0)
     val subNodes = lab.join(affected, Seq("component"), "left_semi")
       .select("node")
     val subEdges = kept
-      .join(broadcast(lab.select(col("node").as("src"), col("component"))), "src")
+      .join(lkp(lab.select(col("node").as("src"), col("component"))), "src")
       .join(affected, Seq("component"), "left_semi")
       .select("src", "dst")
-    val und = Materialize.trackedLocalCheckpoint(
-      subEdges.select(col("src").as("a"), col("dst").as("b"))
-        .unionByName(subEdges.select(col("dst").as("a"), col("src").as("b")))
-        .distinct())
-    val relabeled = ccPointerJump(und, subNodes)
+    val undRaw = subEdges.select(col("src").as("a"), col("dst").as("b"))
+      .unionByName(subEdges.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+    val relabeled =
+      if (shuffled) ccShuffledFixpoint(undRaw, subNodes)
+      else ccPointerJump(Materialize.trackedLocalCheckpoint(undRaw), subNodes)
     lab.join(affected, Seq("component"), "left_anti")
       .select("node", "component")
       .unionByName(relabeled)
+  }
+
+  /** The delete path's component scoping in isolation — the
+    * vertex-scale label lookup VERDICT r17 #3 names. Package-visible
+    * so PlanAuditSpec can execute the shuffled form alone and pin
+    * zero broadcasts (the eager checkpoints inside [[ccDeleteScoped]]
+    * hide it from the serve's final plan).
+    */
+  private[graft] def deltaAffected(lab: DataFrame, deleted: DataFrame,
+      shuffled: Boolean): DataFrame = {
+    val labSrc = lab.select(col("node").as("src"), col("component"))
+    deleted
+      .join(if (shuffled) labSrc.hint("shuffle_merge") else broadcast(labSrc), "src")
+      .select("component").distinct()
   }
 
   /** gr23's addition merge, factored (r17) for gr25 and for the dedup
@@ -1356,23 +1399,46 @@ object Graph {
     * jumps at component grain, and the broadcast merge map rewrites
     * only touched labels.
     */
-  private[operators] def ccMergeAdds(lab: DataFrame, adds: DataFrame): DataFrame = {
-    val cedges = adds
-      .join(broadcast(lab.select(col("node").as("src"), col("component").as("ca"))), "src")
-      .join(broadcast(lab.select(col("node").as("dst"), col("component").as("cb"))), "dst")
-      .filter(col("ca") =!= col("cb"))
-      .select("ca", "cb")
+  private[operators] def ccMergeAdds(lab: DataFrame, adds: DataFrame,
+      shuffled: Boolean = false): DataFrame = {
+    // shuffled=true (r18, VERDICT r17 #3): the two endpoint lookups
+    // against the VERTEX-scale label table and the merge-map rewrite
+    // become shuffle_merge equi-joins, and the quotient fixpoint runs
+    // gr09's shuffled rounds — the form dd22's doc-grain labels need
+    // at 100 TB, where the label table is corpus-scale. The quotient
+    // graph itself stays drop-sized either way; what changes is that
+    // no label-derived table is ever built into a hashed relation.
+    val cedges = deltaComponentEdges(lab, adds, shuffled)
     val cnodes = cedges.select(col("ca").as("node"))
       .unionByName(cedges.select(col("cb").as("node"))).distinct()
-    val cund = Materialize.trackedLocalCheckpoint(
-      cedges.select(col("ca").as("a"), col("cb").as("b"))
-        .unionByName(cedges.select(col("cb").as("a"), col("ca").as("b")))
-        .distinct())
-    val mergeMap = ccPointerJump(cund, cnodes)
+    val cundRaw = cedges.select(col("ca").as("a"), col("cb").as("b"))
+      .unionByName(cedges.select(col("cb").as("a"), col("ca").as("b")))
+      .distinct()
+    val mergeMap = (if (shuffled) ccShuffledFixpoint(cundRaw, cnodes)
+      else ccPointerJump(Materialize.trackedLocalCheckpoint(cundRaw), cnodes))
       .select(col("node").as("component"), col("component").as("merged"))
-    lab.join(broadcast(mergeMap), Seq("component"), "left")
+    lab.join(if (shuffled) mergeMap.hint("shuffle_merge") else broadcast(mergeMap),
+        Seq("component"), "left")
       .select(col("node"),
         coalesce(col("merged"), col("component")).as("component"))
+  }
+
+  /** The addition path's endpoint-lookup joins in isolation — added
+    * edges projected into component space via the vertex-scale label
+    * table, same-component edges dropped. Package-visible so
+    * PlanAuditSpec can execute the shuffled form alone and pin zero
+    * broadcasts (inside [[ccMergeAdds]] the frame feeds eager
+    * checkpoints and never appears in the serve's final plan).
+    */
+  private[graft] def deltaComponentEdges(lab: DataFrame, adds: DataFrame,
+      shuffled: Boolean): DataFrame = {
+    def lkp(df: DataFrame): DataFrame =
+      if (shuffled) df.hint("shuffle_merge") else broadcast(df)
+    adds
+      .join(lkp(lab.select(col("node").as("src"), col("component").as("ca"))), "src")
+      .join(lkp(lab.select(col("node").as("dst"), col("component").as("cb"))), "dst")
+      .filter(col("ca") =!= col("cb"))
+      .select("ca", "cb")
   }
 
   /** gr25's persisted artifact: gr08's labels over the time-T graph
@@ -1861,6 +1927,36 @@ object Graph {
       .select(col("node"),
         coalesce(col("jc"), col("c1")).as("component"),
         (col("ch1") || coalesce(col("jc"), col("c1")) < col("c1")).as("changed"))
+  }
+
+  /** gr09's full fixpoint, factored (r18) so the shuffled delta cores
+    * ([[ccMergeAdds]]/[[ccDeleteScoped]] with shuffled=true) and gr09
+    * itself run ONE loop definition: `und0` is the raw `(a, b)`
+    * symmetric edge frame — partitioned on the hop-join key and
+    * checkpointed here, so LogicalRDD preserves hashpartitioning(b)
+    * and no round moves the edge list — then [[ccShuffledRound]] to
+    * convergence under the same loud cap as [[ccPointerJump]]. Same
+    * min-label answer as the broadcast loop (both converge to the
+    * component minimum), different executed plan: zero broadcasts.
+    */
+  private[graft] def ccShuffledFixpoint(und0: DataFrame, nodes: DataFrame): DataFrame = {
+    val und = Materialize.trackedLocalCheckpoint(und0.repartition(col("b")))
+    var lab = Materialize.trackedLocalCheckpoint(
+      nodes.withColumn("component", col("node")))
+    var converged = false
+    var round = 0
+    val maxRounds = 12 // same log2-ish cap + loud-overrun contract as gr08
+    while (!converged && round < maxRounds) {
+      val next = Materialize.trackedLocalCheckpoint(ccShuffledRound(und, lab))
+      converged = next.where(col("changed")).isEmpty
+      lab = next.select(col("node"), col("component"))
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"pointer-jumping CC did not converge in $maxRounds rounds — " +
+          "pathological pointer depth; raise the cap")
+    lab
   }
 
   /** The shared gr04 SQL — Spark and DuckDB run the SAME text (view

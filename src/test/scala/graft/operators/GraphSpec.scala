@@ -231,6 +231,20 @@ class GraphSpec extends AnyFunSuite {
     assert(g8.nonEmpty, "empty CC output — equivalence pin is vacuous")
   }
 
+  test("gr28: shuffled delta application is row-identical to gr25") {
+    // same stores, same 55/80 _zz split, same deletions-first
+    // composition — only the execution strategy differs (broadcast vs
+    // shuffle_merge label joins, ccPointerJump vs ccShuffledFixpoint).
+    // Any divergence is a bug in one of the two delta paths.
+    def rows(name: String) = run(name).collect()
+      .map(r => (lv(r, 0), lv(r, 1), r.getLong(2))).toSet
+    val g25 = rows("gr25_cc_mixed_delta")
+    val g28 = rows("gr28_cc_delta_shuffled")
+    assert(g28 == g25,
+      s"gr28 diverged from gr25: extra=${g28 -- g25} missing=${g25 -- g28}")
+    assert(g25.nonEmpty, "empty delta output — equivalence pin is vacuous")
+  }
+
   test("gr23: incremental CC row-identical to gr08's rebuild; merged AND untouched components both non-vacuous") {
     def rows(name: String) = run(name).collect()
       .map(r => (lv(r, 0), lv(r, 1), r.getLong(2))).toSet
