@@ -1271,7 +1271,13 @@ object Dedup {
     * repeated [[IntraK]]-gram, exploded to token positions, distinct.
     * One (doc_id, gram)-keyed window shuffle; sized by repeated tokens.
     */
-  private[operators] def intraDrops(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def intraDrops(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "intradrops")(intraDropsFresh(s, dir))
+
+  /** The un-memoized build behind [[intraDrops]] — StageStoreSpec
+    * pins store == fresh.
+    */
+  private[operators] def intraDropsFresh(s: SparkSession, dir: String): DataFrame = {
     val tg = docs(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .withColumn("n", size(col("a")))
@@ -1332,6 +1338,12 @@ object Dedup {
     * frame is sized by total duplicated tokens, never corpus tokens.
     */
   private[operators] def spanDrops(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "spandrops")(spanDropsFresh(s, dir))
+
+  /** The un-memoized build behind [[spanDrops]] — StageStoreSpec
+    * pins store == fresh.
+    */
+  private[operators] def spanDropsFresh(s: SparkSession, dir: String): DataFrame =
     spanRuns(s, dir).select(col("db").as("doc_id"),
         explode(expr(
           "sequence(CAST(pa0 - off AS INT), CAST(pa0 - off + span - 1 AS INT))")).as("pos"))

@@ -161,6 +161,12 @@ object TextAnalysis {
            |  a -> a.best)""".stripMargin)
 
   private[operators] def filterVerdicts(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "fverd")(filterVerdictsFresh(s, dir))
+
+  /** The un-memoized build behind [[filterVerdicts]] — StageStoreSpec
+    * pins store == fresh.
+    */
+  private[operators] def filterVerdictsFresh(s: SparkSession, dir: String): DataFrame =
     filterVerdictsOf(Tables.load(s, dir, "documents"))
 
   /** [[filterVerdicts]] over an EXPLICIT `(doc_id, text, lang)` frame —
@@ -1012,6 +1018,13 @@ object TextAnalysis {
     * accounting has ONE definition.
     */
   private[operators] def bpeUnits(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "bpeunits")(bpeUnitsFresh(s, dir))
+
+  /** The un-memoized build behind [[bpeUnits]] — reads the PERSISTED
+    * vocab store (PerceptronStore's chained-build shape: one BPE
+    * train feeds both tables). StageStoreSpec pins store == fresh.
+    */
+  private[operators] def bpeUnitsFresh(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .join(broadcast(bpeUnitVocab(s, dir)), Seq("tok"), "left")
@@ -1029,7 +1042,13 @@ object TextAnalysis {
     * symbols. Vocabulary-sized end to end. SQL twin:
     * [[bpeUnitVocabDuck]].
     */
-  private[operators] def bpeUnitVocab(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def bpeUnitVocab(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "bpevocab")(bpeUnitVocabFresh(s, dir))
+
+  /** The un-memoized build behind [[bpeUnitVocab]] — StageStoreSpec
+    * pins store == fresh.
+    */
+  private[operators] def bpeUnitVocabFresh(s: SparkSession, dir: String): DataFrame = {
     val bests = bpeTrain(s, dir)
     val vocab0 = Materialize(Tables.load(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))

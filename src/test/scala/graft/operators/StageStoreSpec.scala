@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.TestSpark._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The StageStore contract (VERDICT r17 #4): memoizing a shared
+  * pipeline stage core behind a parquet round-trip must be
+  * OBSERVATIONALLY INVISIBLE — the store serves exactly the rows the
+  * un-memoized build derives (the PerceptronStore parity pattern).
+  * Each pinned core is deterministic integer/md5/string math, so the
+  * comparison is exact set equality, no tolerance.
+  */
+class StageStoreSpec extends AnyFunSuite {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    val cols = df.columns.sorted
+    df.selectExpr(cols.map(c => s"CAST(`$c` AS STRING)"): _*)
+      .collect().map(_.mkString("")).toSet
+  }
+
+  private val cores: Seq[(String,
+      (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+      (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+    ("filterVerdicts", TextAnalysis.filterVerdicts, TextAnalysis.filterVerdictsFresh),
+    ("bpeUnitVocab", TextAnalysis.bpeUnitVocab, TextAnalysis.bpeUnitVocabFresh),
+    ("bpeUnits", TextAnalysis.bpeUnits, TextAnalysis.bpeUnitsFresh),
+    ("spanDrops", Dedup.spanDrops, Dedup.spanDropsFresh),
+    ("intraDrops", Dedup.intraDrops, Dedup.intraDropsFresh),
+    ("pairCounts", Decontam.pairCounts, Decontam.pairCountsFresh))
+
+  test("every memoized stage core serves exactly the fresh build's rows (sf0.001)") {
+    for ((name, store, fresh) <- cores) {
+      val got = rows(store(spark, sf0001))
+      val want = rows(fresh(spark, sf0001))
+      assert(got === want,
+        s"$name: store diverged from fresh build — " +
+          s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+      assert(want.nonEmpty, s"$name: fresh build is empty — parity pin is vacuous")
+    }
+  }
+
+  test("the store is a parquet read, not a re-derivation (plan pin, sf0.001)") {
+    // second call must hit the DiskMemo holder and plan a bare file
+    // scan of the store — zero scans of the documents table
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    val served = TextAnalysis.filterVerdicts(spark, sf0001)
+    val docScans = walk(served.queryExecution.executedPlan).count {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("documents"))
+      case _ => false
+    }
+    assert(docScans === 0,
+      s"memoized filterVerdicts still scans documents ($docScans scans) — " +
+        "the store read is not in effect")
+  }
+}
