@@ -130,4 +130,33 @@ class DecontamSpec extends AnyFunSuite {
     assert(got(3)._2 === dc01.map(_._1).distinct.length.toLong,
       "thr=3 tainted-train count disagrees with dc01")
   }
+
+  test("dc06: the budget rule replays driver-side; endpoint identity with dc01 when the choice is 3 (sf0.01)") {
+    // replay the purge-budget rule from the factored pair counts and
+    // an independent train-split count: smallest thr 1..5 whose
+    // tainted-train count stays within 10% of the split, fallback 5
+    val pc = Decontam.pairCounts(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nTrain = graft.Tables.load(spark, sf001, "documents")
+      .filter(org.apache.spark.sql.functions.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100 < 80"))
+      .count()
+    val expectThr = (1 to 5).find { t =>
+      pc.filter(_._3 >= t).map(_._1).distinct.length.toLong * 10 <= nTrain
+    }.getOrElse(5)
+    val rows = byName("dc06_tuned_overlap").build(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "tuned purge emitted nothing")
+    assert(rows.map(_._1).distinct.toSeq === Seq(expectThr),
+      s"dc06 chose ${rows.map(_._1).distinct.toSeq}, rule replay says $expectThr " +
+        "(and the choice must be uniform)")
+    // endpoint identity: when the rule lands on the shipped constant,
+    // the served pairs ARE dc01's flagged set row-for-row
+    if (expectThr == 3) {
+      val dc01 = byName("dc01_benchmark_overlap").build(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.map(t => (t._2, t._3, t._4)).toSet === dc01,
+        "dc06's thr=3 pairs diverge from dc01")
+    }
+  }
 }
