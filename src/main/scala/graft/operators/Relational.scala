@@ -1166,10 +1166,10 @@ object Relational {
              |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |WHERE o_totalprice > 400000""".stripMargin),
-      "Incremental JOIN-view maintenance — q61's refresh contract extended from algebraic aggregates to the OTHER MV class a 100 TB warehouse materializes (the pre-joined fact view behind every dashboard that cannot afford the join per query): for an insert-only delta the exact identity is Blakeley's three delta terms, V_new = V_old UNION (dO x L_old) UNION (O_old x dL) UNION (dO x dL) — every term is DROP-SIZED on at least one side, so the refresh never re-runs the base-x-base join that built the view. The persisted artifact is V_old = sigma(high-value orders)_base x lineitem_base (a DiskMemo store — the serve READS the view from parquet; the base join runs in no serve), the 10%-md5 deltas on BOTH tables arrive independently (orders split on orderkey, lineitem on (orderkey, linenumber) — a delta line for a base order and a delta order for base lines are DIFFERENT terms, which is exactly what the three-term identity sorts out), and each delta term broadcasts its drop side into an equi-join. The selective predicate (o_totalprice > 400000, sk01's HighValue) rides the orders scan in every term — pushed down, it bounds the view exactly as a production selective-join MV would. THE ORACLE IS THE FULL REBUILD: the merged terms must equal a from-scratch join bit-for-bit (decimal-cast money, the q61 discipline), which is the invariant an IVM system certifies — a missing term, a double-counted (dO x dL) row, or a delta leaking into the stored view all hash-fail. The 90/400000 split constants are measured: ALL FOUR terms are non-empty at every fixture (nearby splits leave the dO x dL corner — the term naive two-term implementations forget — empty). QueriesSpec pins term disjointness + the corner term non-vacuous, and that the serve's plan reads the stored view. At 100 TB: refresh cost is (drop x indexed-base) joins + a KB-scale union, the stored view takes Compaction's snapshot treatment, and deletes/updates extend by the standard counting algorithm (tombstone rows with multiplicity, documented not implemented — the insert-only form is the crawl/telemetry ingest case every other streamed store here models).") {
+      "Incremental JOIN-view maintenance — q61's refresh contract extended from algebraic aggregates to the OTHER MV class a 100 TB warehouse materializes (the pre-joined fact view behind every dashboard that cannot afford the join per query): for an insert-only delta the exact identity is Blakeley's three delta terms, V_new = V_old UNION (dO x L_old) UNION (O_old x dL) UNION (dO x dL) — every term is DROP-SIZED on at least one side, so the refresh never re-runs the base-x-base join that built the view. The persisted artifact is V_old = sigma(high-value orders)_base x lineitem_base (a DiskMemo store — the serve READS the view from parquet; the base join runs in no serve), the 10%-md5 deltas on BOTH tables arrive independently (orders split on orderkey, lineitem on (orderkey, linenumber) — a delta line for a base order and a delta order for base lines are DIFFERENT terms, which is exactly what the three-term identity sorts out), and each delta term broadcasts its drop side into an equi-join. The selective predicate (o_totalprice > 400000, sk01's HighValue) rides the orders scan in every term — pushed down, it bounds the view exactly as a production selective-join MV would. THE ORACLE IS THE FULL REBUILD: the merged terms must equal a from-scratch join bit-for-bit (decimal-cast money, the q61 discipline), which is the invariant an IVM system certifies — a missing term, a double-counted (dO x dL) row, or a delta leaking into the stored view all hash-fail. The 90/400000 split constants are measured: ALL FOUR terms are non-empty at every fixture (nearby splits leave the dO x dL corner — the term naive two-term implementations forget — empty). QueriesSpec pins term disjointness + the corner term non-vacuous, and that the serve's plan reads the stored view. At 100 TB: refresh cost is (drop x indexed-base) joins + a KB-scale union, the stored view takes Compaction's snapshot treatment, and deletes/updates extend by the standard counting algorithm — SHIPPED as q68 (r18): the store carries multiplicities and the mixed-polarity refresh runs the signed three-term identity (the insert-only form here remains the crawl/telemetry ingest case every other streamed store models). The lineitem-side delta broadcast (broadcast(lD)) assumes DROP-sized deltas — at a delta too large for the driver the term flips to the shuffled equi-join twin exactly as gr09/gr28 do for labels (ADVICE r17: the flip is a one-line hint swap; the term stays an equi-join either way).") {
       (s, dir) =>
         val store = joinMvStore(s, dir)
-        val vBase = s.read.parquet(s"$store/view")
+        val vBase = s.read.parquet(s"$store/view").drop("mult")
         val (o, l) = mvSides(s, dir)
         val oD = o.filter(col("ob") >= 90)
         val lBase = l.filter(col("lb") < 90)
@@ -1181,6 +1181,53 @@ object Relational {
           .unionByName(mvJoin(oBase, broadcast(lD)))
           .unionByName(mvJoin(broadcast(oD), lD))
     },
+
+    GraftQuery(
+      "q68_join_mv_counting",
+      // ground truth: the FULL REBUILD of the view over the MUTATED
+      // bases, at multiplicity grain (the counting view's own shape)
+      Some {
+        def ob(salt: String) =
+          s"CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '$salt'), 1, 8)) AS BIGINT) % 100"
+        def lb(salt: String) =
+          s"CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || '$salt'), 1, 8)) AS BIGINT) % 100"
+        s"""SELECT o_orderkey, l_linenumber, o_custkey, o_orderdate, price,
+           |       CAST(COUNT(*) AS BIGINT) AS mult
+           |FROM (SELECT o_orderkey, l_linenumber, o_custkey, o_orderdate,
+           |        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+           |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |      WHERE o_totalprice > 400000
+           |        AND (${ob("_mv")} >= 90 OR ${ob("_mvd")} >= 25)
+           |        AND (${lb("_mv")} >= 90 OR ${lb("_mvd")} >= 25)) t
+           |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+      },
+      "Join-MV maintenance under DELETES — the counting algorithm q67's doc deferred (VERDICT r17 #6), closing the last IVM gap: insert-only Blakeley handles the crawl-ingest case, but a warehouse view also takes deletes and updates (an update IS delete+insert), and the standard exact treatment is Gupta-Mumick COUNTING — the stored view carries a multiplicity per row, every delta row carries a polarity (+1 insert, -1 delete), the same three delta terms compute signed multiplicities by PRODUCT (so the delete-x-delete corner lands +1, correcting the row both middle terms removed — the sign case naive tombstoning gets wrong), and the refresh is one view-key aggregation summing multiplicities with mult <= 0 rows vanishing. ONE mixed delta against q67's persisted mult-carrying store: order inserts = the `_mv` >= 90 slice (q67's drop, verbatim), order deletes = base orders with `_mvd` < 25, line inserts/deletes the same two salts at line grain — measured so ALL delta classes are non-vacuous at every fixture, including all four sign corners of the dO x dL term (QueriesSpec replays the classes driver-side; the 25 constant is the measured threshold — nearby cuts leave a corner empty at sf0.001). THE ORACLE IS THE FULL REBUILD on the mutated bases at multiplicity grain: a wrong sign, a missed corner, a double-counted term or a tombstone leaking into the store all shift some row's mult and hash-fail. Term plans are q67's (drop side broadcast per term — the verdict's own caveat on q67's lineitem-delta broadcast applies and is documented there); the store read is plan-pinned. At 100 TB: refresh cost is unchanged from q67 (three drop-sized joins + a view-key-partitioned sum), the multiplicity column is the only storage delta, and this IS how production IVM (Materialize, DBSP, Calcite's incremental rules) treats retractions — counts, not tombstone scans.") {
+      (s, dir) =>
+        val store = joinMvStore(s, dir)
+        val vOld = s.read.parquet(s"$store/view")
+        val (o, l) = mvSides(s, dir)
+        // signed deltas: inserts +1 (the _mv >= 90 drops), deletes -1
+        // (base rows in the _mvd < 25 slice)
+        val dO = o.filter(col("ob") >= 90).withColumn("mo", lit(1L))
+          .unionByName(
+            o.filter(col("ob") < 90 && col("ob2") < 25).withColumn("mo", lit(-1L)))
+        val dL = l.filter(col("lb") >= 90).withColumn("ml", lit(1L))
+          .unionByName(
+            l.filter(col("lb") < 90 && col("lb2") < 25).withColumn("ml", lit(-1L)))
+        val oOld = o.filter(col("ob") < 90).withColumn("mo", lit(1L))
+        val lOld = l.filter(col("lb") < 90).withColumn("ml", lit(1L))
+        // the same three delta terms, multiplicities multiplied
+        val deltas = mvJoinSigned(broadcast(dO), lOld)
+          .unionByName(mvJoinSigned(oOld, broadcast(dL)))
+          .unionByName(mvJoinSigned(broadcast(dO), dL))
+        // refresh: one view-key aggregation; zero/negative rows vanish
+        vOld.unionByName(deltas)
+          .groupBy("o_orderkey", "l_linenumber", "o_custkey", "o_orderdate", "price")
+          .agg(sum(col("mult")).as("m"))
+          .filter(col("m") > 0)
+          .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+            col("o_orderdate"), col("price"), col("m").cast("bigint").as("mult"))
+    },
   )
 
   /** q67's split-tagged view sides: high-value orders with their
@@ -1190,13 +1237,19 @@ object Relational {
     * drift).
     */
   private def mvSides(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // ob/lb: the `_mv` INSERT-delta split (q67). ob2/lb2: the `_mvd`
+    // DELETE split over base rows (q68's mixed delta) — independent
+    // salts so the two mutations never correlate; consumers that need
+    // neither prune the columns away.
     val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
-        expr("CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '_mv')), 1, 8), 16, 10) AS BIGINT) % 100").as("ob"))
+        expr("CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '_mv')), 1, 8), 16, 10) AS BIGINT) % 100").as("ob"),
+        expr("CAST(conv(substring(md5(concat(CAST(o_orderkey AS STRING), '_mvd')), 1, 8), 16, 10) AS BIGINT) % 100").as("ob2"))
     val l = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").cast("decimal(12,2)").as("price"),
-        expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING), '_mv')), 1, 8), 16, 10) AS BIGINT) % 100").as("lb"))
+        expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING), '_mv')), 1, 8), 16, 10) AS BIGINT) % 100").as("lb"),
+        expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING), '_mvd')), 1, 8), 16, 10) AS BIGINT) % 100").as("lb2"))
     (o, l)
   }
 
@@ -1216,10 +1269,26 @@ object Relational {
     val out = TempLayout.dir(s"jmv_$tag", dir)
     DiskMemo.ensure(s"jmv_$tag", out) {
       val (o, l) = mvSides(s, dir)
+      // mult = 1 per stored row: the counting algorithm's view grain
+      // (q68); q67's insert-only serve drops the column
       mvJoin(o.filter(col("ob") < 90), l.filter(col("lb") < 90))
+        .withColumn("mult", lit(1L))
         .write.mode("overwrite").parquet(s"$out/view")
     }
   }
+
+  /** [[mvJoin]]'s SIGNED twin for q68's counting refresh: each side
+    * carries a polarity (`mo`/`ml` in {-1, +1}; +1 on an un-deltaed
+    * base side), and the joined row's multiplicity is their product —
+    * the Gupta-Mumick counting rule, which is what makes the
+    * (delete x delete) corner come out +1 (the row the two middle
+    * terms each removed once gets its double-removal corrected).
+    */
+  private def mvJoinSigned(o: DataFrame, l: DataFrame): DataFrame =
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+        col("o_orderdate"), col("price").cast("double").as("price"),
+        (col("mo") * col("ml")).as("mult"))
 
   /** q62's decision table — pr08's per-key output forecast folded into
     * a per-key salt fanout: pairs(k) = fact-histogram × dim-histogram

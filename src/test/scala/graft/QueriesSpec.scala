@@ -122,4 +122,57 @@ class QueriesSpec extends AnyFunSuite {
     assert(scans.exists(_.contains("graft_jmv")),
       "q67's serve does not read the persisted view")
   }
+
+  test("q68: every mixed-delta class is non-vacuous, deletes actually retract, and the serve reads the stored view") {
+    import org.apache.spark.sql.functions._
+    def bkt(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8), 16) % 100
+    def oIns(ok: Long) = bkt(s"${ok}_mv") >= 90
+    def oDel(ok: Long) = !oIns(ok) && bkt(s"${ok}_mvd") < 25
+    def lIns(ok: Long, ln: Int) = bkt(s"${ok}_${ln}_mv") >= 90
+    def lDel(ok: Long, ln: Int) = !lIns(ok, ln) && bkt(s"${ok}_${ln}_mvd") < 25
+    val df = GraftQuery.all.find(_.name == "q68_join_mv_counting").get.build(spark, sf0001)
+    val got = df.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // driver replay of the mutated-base join universe, per delta class
+    val ords = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey").collect().map(_.getLong(0)).distinct
+    val lines = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val pairs = for { ok <- ords; (lk, ln) <- lines if lk == ok } yield (ok, ln)
+    // all four sign corners of the dO x dL term exist in the DATA (the
+    // measured-split discipline: a vacuous corner pins nothing)
+    for ((name, p) <- Seq[(String, ((Long, Int)) => Boolean)](
+        ("ins x ins", t => oIns(t._1) && lIns(t._1, t._2)),
+        ("ins x del", t => oIns(t._1) && lDel(t._1, t._2)),
+        ("del x ins", t => oDel(t._1) && lIns(t._1, t._2)),
+        ("del x del", t => oDel(t._1) && lDel(t._1, t._2))))
+      assert(pairs.exists(p), s"dO x dL corner '$name' is vacuous at this fixture")
+    // polarity: inserts actually appear, deletes actually retract
+    val insO = pairs.filter(t => oIns(t._1) && !lIns(t._1, t._2) && !lDel(t._1, t._2))
+    val delO = pairs.filter(t => oDel(t._1) && !lIns(t._1, t._2) && !lDel(t._1, t._2))
+    val insL = pairs.filter(t => lIns(t._1, t._2) && !oIns(t._1) && !oDel(t._1))
+    val delL = pairs.filter(t => lDel(t._1, t._2) && !oIns(t._1) && !oDel(t._1))
+    assert(insO.nonEmpty && insO.forall(got), "order-insert rows missing from the refreshed view")
+    assert(delO.nonEmpty && !delO.exists(got), "order-delete rows survive in the refreshed view")
+    assert(insL.nonEmpty && insL.forall(got), "line-insert rows missing from the refreshed view")
+    assert(delL.nonEmpty && !delL.exists(got), "line-delete rows survive in the refreshed view")
+    // the serve reads the persisted mult-carrying view
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    val scans = walk(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.exists(_.contains("graft_jmv")),
+      "q68's serve does not read the persisted view")
+  }
 }
