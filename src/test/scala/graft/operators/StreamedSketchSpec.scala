@@ -23,7 +23,7 @@ class StreamedSketchSpec extends AnyFunSuite {
     Files.createTempDirectory(s"sksk-$tag").toString
 
   private lazy val ev: DataFrame = graft.Tables.load(spark, sf0001, "events")
-    .select(col("ts"), col("value"))
+    .select(col("ts"), col("value"), col("user_id"), col("event_type"))
     .withColumn("day", to_date(col("ts")))
   private def slice(lo: String, hi: String): DataFrame =
     ev.filter(col("day").between(lit(lo).cast("date"), lit(hi).cast("date")))
@@ -56,7 +56,7 @@ class StreamedSketchSpec extends AnyFunSuite {
     StreamedSketch.seed(spark, slice("2024-01-01", "2024-01-20"), store)
 
     def writeDrop(lo: String, hi: String): Unit =
-      slice(lo, hi).select("ts", "value")
+      slice(lo, hi).select("ts", "value", "user_id", "event_type")
         .coalesce(1).write.mode("append").parquet(incoming)
     def start() = StreamedSketch.run(spark, incoming, store, ckpt,
       trigger = Trigger.ProcessingTime(100))
@@ -133,6 +133,67 @@ class StreamedSketchSpec extends AnyFunSuite {
     assert(storeState(store) === pre)
   }
 
+  test("ad/hll/topk partials accrete under the same admission; merged views match inline one-shots (r18)") {
+    val store = tmp("store5")
+    StreamedSketch.seed(spark, slice("2024-01-01", "2024-01-20"), store)
+    StreamedSketch.processBatch(slice("2024-01-21", "2024-01-25"), 0L, store)
+    StreamedSketch.processBatch(slice("2024-01-26", "2024-01-30"), 1L, store)
+    // ad postings: exact row identity with the inline distinct
+    val adAcc = StreamedSketch.readAd(spark, store).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    val adInline = StreamedSketch.adPartials(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1))).toSet
+    assert(adAcc === adInline, "accreted ad postings diverge from inline")
+    // hll: per-day ESTIMATE identity with a one-shot day sketch (HLL
+    // register state is insertion-order-independent; serialized bytes
+    // may differ in sparse layout, so the pin is on estimates)
+    val accEst = StreamedSketch.readHll(spark, store)
+      .select(col("day"), expr("hll_sketch_estimate(sk)").as("e")).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val inlineEst = StreamedSketch.hllPartials(ev)
+      .select(col("day"), expr("hll_sketch_estimate(sk)").as("e")).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(accEst === inlineEst, "accreted HLL day estimates diverge from inline")
+    assert(accEst.size === 30, s"expected 30 hll day partials, got ${accEst.size}")
+    // topk: per-day estimated (item, count) sets identical — the
+    // tracked budget exceeds the type cardinality (exact regime)
+    def topkState(df: DataFrame) = df
+      .select(col("day"), explode(expr("approx_top_k_estimate(st, 100)")).as("e"))
+      .select(col("day"), col("e.item"), col("e.count"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(topkState(StreamedSketch.readTopk(spark, store)) ===
+      topkState(StreamedSketch.topkPartials(ev)),
+      "accreted frequent-items day estimates diverge from inline")
+  }
+
+  test("empty store reads as empty frames; a held day re-delivered with different content fails loudly (ADVICE r17)") {
+    val store = tmp("store6")
+    assert(StreamedSketch.readStore(spark, store).count() === 0L)
+    assert(StreamedSketch.readAd(spark, store).count() === 0L)
+    assert(StreamedSketch.readHll(spark, store).count() === 0L)
+    assert(StreamedSketch.readTopk(spark, store).count() === 0L)
+    // a first batch arriving before any seed sees "nothing held" —
+    // not an opaque path-not-found
+    StreamedSketch.processBatch(slice("2024-01-01", "2024-01-05"), 0L, store)
+    assert(StreamedSketch.readStore(spark, store)
+      .select("day").distinct().count() === 5L)
+    // AMENDED content for a held day is late/changed data the
+    // admission would silently discard — it must throw, naming days
+    val amended = slice("2024-01-01", "2024-01-05")
+      .withColumn("value", col("value") + lit(1.0))
+    val e = intercept[IllegalStateException](
+      StreamedSketch.processBatch(amended, 1L, store))
+    assert(e.getMessage.contains("not a byte-identical re-delivery"))
+    assert(e.getMessage.contains("2024-01-01"), "the guard must name the days")
+    // the failed batch wrote nothing: the store is unchanged
+    assert(StreamedSketch.readStore(spark, store)
+      .select("day").distinct().count() === 5L)
+    // a byte-identical re-delivery of the same days still no-ops
+    val pre = storeState(store)
+    StreamedSketch.processBatch(slice("2024-01-01", "2024-01-05"), 2L, store)
+    assert(storeState(store) === pre, "identical re-delivery changed the store")
+  }
+
   test("sk09: serving reads the persisted store, never raw events; result invariant under compaction") {
     val byName = graft.GraftQuery.all.map(x => x.name -> x).toMap
     val df = byName("sk09_sketch_store_serving").build(spark, sf0001)
@@ -183,5 +244,37 @@ class StreamedSketchSpec extends AnyFunSuite {
     val post = byName("sk09_sketch_store_serving").build(spark, sf0001)
       .collect().map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(post === got, "sk09's answer changed across store compaction")
+  }
+
+  test("sk10/sk11: the hll and topk serves read only the store and equal their inline twins (r18)") {
+    val byName = graft.GraftQuery.all.map(x => x.name -> x).toMap
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    def audit(name: String, inlineName: String): Unit = {
+      val df = byName(name).build(spark, sf0001)
+      val got = df.collect().map(_.toString).toSet
+      val inline = byName(inlineName).build(spark, sf0001)
+        .collect().map(_.toString).toSet
+      assert(got === inline, s"$name diverges from $inlineName's inline serve")
+      assert(got.nonEmpty, s"$name emitted nothing — pin is vacuous")
+      val nodes = walk(df.queryExecution.executedPlan)
+      def scansOn(frag: String): Int = nodes.count {
+        case f: FileSourceScanExec =>
+          f.relation.location.rootPaths.exists(_.toString.contains(frag))
+        case _ => false
+      }
+      assert(scansOn("events") === 0,
+        s"$name's serving plan touches raw events — it must read the partial store")
+      assert(scansOn("graft_skstore") >= 1,
+        s"$name's serving plan reads no partial-store table")
+    }
+    audit("sk10_hll_store_serving", "sk06_hll_window_rollup")
+    audit("sk11_topk_store_serving", "sk08_topk_window_rollup")
   }
 }
