@@ -51,7 +51,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // the benchmark side is small by construction (a few thousand docs
     // vs the corpus) — its shingle index must broadcast, or the whole
     // train corpus shuffles on the shingle key at 100 TB
-    assert(planFull("dc01_benchmark_overlap").contains("BroadcastHashJoin"))
+    // r18: dc01 serves the memoized pair-count store (StageStore), so
+    // the candidate-generation join under audit lives in the store's
+    // BUILD plan — audit the fresh core directly (same claim, the
+    // plan that actually runs once per corpus)
+    assert(operators.Decontam.pairCountsFresh(spark, sf0001)
+        .queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     val purge = planFull("dc02_decontaminated_train")
     assert(purge.contains("BroadcastHashJoin") && purge.contains("LeftAnti"),
       "dc02 must anti-join against the broadcast contaminated-id set")
@@ -122,10 +127,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "sk07_quantile_window_rollup", // sk06's day-range merge shape: day-list x daily-partial broadcasts (~30 rows each side)
     "pl04_model_gated_manifest", // tx22/tx23's 1-row weight + 5-row grid + 1-row budget/theta broadcasts, plus pk02's inherited bucketizer frame
     "dc05_overlap_threshold_sweep", // the pair-count frame x a 5-row threshold broadcast (conditional aggregation, counter-grain out)
+    "dc06_tuned_overlap", // dc05's 5-row sweep broadcasts + the 1-row n_train and 1-row chosen-threshold frames (the decision rule is counter-grain by design, dd21's pattern)
     "ss18_batched_ann_serving", // 4-row coarse-seed broadcasts (routing + assignment scans) + the query-DECILE frame (bounded by the sampled audit set, 44 rows at this sf) broadcast into the rerank and the exact-truth audit scan; the candidate join itself is the cell equi-join, separately pinned in SimilaritySpec
     "ss19_batched_ivfpq_adc", // ss18's 4-row seed + query-decile broadcasts; the ADC path itself is all equi-joins ((qid,sub,code) LUT, vec_id codes) — only routing/truth share ss18's BNLJ shapes
     "sk08_topk_window_rollup", // sk06/sk07's day-range merge shape: the ~30-row day list broadcast into the daily-partial store
     "sk09_sketch_store_serving", // sk07's factored day-range merge, now over the persisted partial store — same ~30-row day-list broadcast
+    "sk10_hll_store_serving", // sk06's day-range merge shape off the persisted hll/ad store — the same ~30-row day-list/daily-sketch broadcasts
+    "sk11_topk_store_serving", // sk08's day-range merge shape off the persisted frequent-items store — the same ~30-row day-list broadcast
     "dd20_banding_sweep", // per config: 1-row cost x 1-row truth x 1-row catch frames meeting in broadcasts (ss16's sweep pattern)
     "pl05_combined_rewrite_manifest", // inherits pk02's 1-row min/max bucketizer frame for the cleaned-count pack stage (pl03's entry, combined cut set)
     "pl06_unit_priced_shards", // inherits tx21's entry (tx20's 1-row argmax frames broadcast per merge round into the vocabulary fold) + pk02's 1-row min/max bucketizer frame on the clean-unit pack
@@ -137,9 +145,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "pk05_bpe_unit_shards", // inherits tx21's entry (tx20's 1-row argmax frames broadcast per merge round into the vocabulary fold) + pk02's 1-row min/max bucketizer frame
     "pk06_bpe_unit_sequences", // inherits tx21's entry (the same 1-row argmax-fold broadcasts); the prefix sum itself is pk03's two-phase window + 256-row offset broadcast
     "gr25_cc_mixed_delta", // gr24's entry (shared edges() front door 1-row median broadcast through the delete phase's untouched branch in mode=none); both fixpoints' state is checkpoint-derived
+    "gr28_cc_delta_shuffled", // gr25's entry verbatim (the same edges() front door 1-row median broadcast in mode=none); the delta path itself is pinned broadcast-free under the default mode in its own test
     "gr26_delta_triangles", // shared edges() front door: the 1-row p90 median broadcast into the sparsification filter; the delta/adjacency joins themselves are equi
     "gr27_chained_cc_deltas", // same shared edges() front door (the delta2 slice filter); the chain's merges are component-grain equi joins
-    "ss23_drift_gated_retrain" // both branches are ss18's serve shapes (4-row seeds + query-decile broadcasts) plus ss21's drift parts and the 1-row decision broadcast selecting the branch
+    "ss23_drift_gated_retrain" // the CHOSEN posture's serve shape (ss18/ss20's 4-row seeds + query-decile broadcasts) plus ss21's drift parts; the decision itself is collected driver-side (r18), so only one branch plans
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
@@ -462,6 +471,42 @@ class PlanAuditSpec extends AnyFunSuite {
       "gr09's round must not broadcast anything — labels are equi-joined")
     assert(p.contains("SortMergeJoin"),
       "the shuffle_merge hints must hold through AQE")
+  }
+
+  test("gr28: the shuffled delta cores never broadcast the label table") {
+    // the gr09 contract extended to the DELTA path (VERDICT r17 #3):
+    // dd22 applies these cores to doc-grain labels — corpus-scale at
+    // 100 TB — so the endpoint lookups and the merge-map rewrite must
+    // survive a label table past executor memory. The lookup joins
+    // feed eager checkpoints inside the cores and never appear in the
+    // serve's final plan, so audit the factored isolation cores
+    // directly (gr09's isolation discipline), then the serve's own
+    // executed plan for everything post-checkpoint.
+    import org.apache.spark.sql.functions.col
+    val e = operators.Graph.edges(spark, sf001, 0.9)
+      .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"))
+    val lab = operators.Materialize.trackedLocalCheckpoint(
+      Tables.load(spark, sf001, "nation")
+        .select(col("n_nationkey").cast("int").as("node"))
+        .withColumn("component", col("node")))
+    val adds = operators.Materialize.trackedLocalCheckpoint(e)
+    for ((nm, df) <- Seq(
+        "deltaComponentEdges" -> operators.Graph.deltaComponentEdges(lab, adds, shuffled = true),
+        "deltaAffected" -> operators.Graph.deltaAffected(lab, adds, shuffled = true))) {
+      df.collect() // finalize the adaptive plan before reading it
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Broadcast"),
+        s"$nm (shuffled) must not broadcast anything — labels are equi-joined")
+      assert(p.contains("SortMergeJoin"),
+        s"$nm: the shuffle_merge hints must hold through AQE")
+    }
+    val serve = GraftQuery.all.find(_.name == "gr28_cc_delta_shuffled").get
+      .build(spark, sf001)
+    serve.collect() // finalize the adaptive plan before reading it
+    val p = serve.queryExecution.executedPlan.toString
+    assert(!p.contains("Broadcast"),
+      "gr28's serve must not broadcast anything — the merge-map rewrite " +
+        "and anti/semi scoping joins are all shuffle_merge equi-joins")
   }
 
   test("gr12/gr13: the shuffled PageRank/LPA loops never broadcast vertex-scale state") {
