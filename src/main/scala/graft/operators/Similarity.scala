@@ -1064,6 +1064,21 @@ object Similarity {
         served.select(col("qid"), col("n_candidates"), col("recall10"),
           lit(rebuilt).cast("int").as("rebuilt"))
     },
+
+    GraftQuery(
+      "ss24_deletion_serving",
+      Some(deletionAnnOracle),
+      "SERVING UNDER DELETIONS — the mutation the index lifecycle still lacked (accretion ss20, drift audit ss21, compressed serve ss22, gated retrain ss23 — but vectors only ever ARRIVED): production vector stores take erasure requests continuously (GDPR/right-to-be-forgotten, content takedowns, license revocations), the request cannot wait for a maintenance window, and re-encoding the corpus to drop rows is exactly the rebuild accretion exists to avoid. The store gains StreamedIndex's TOMBSTONE protocol: a deletion batch writes the requested vec_ids under a deterministic tombs/batch_id=N partition (mode=overwrite — a replayed delete is byte-stable, the accretion idempotency contract; deleting a never-indexed vector is a structural no-op), serves read the LIVE view — both index tables anti-join the drop-sized tombstone set (logical delete, zero corpus-side work) — and compactStore makes the deletion PHYSICAL in its write-then-prune fold, clearing the consumed tombstones (a crash between fold and tomb-prune re-deletes already-removed rows — a no-op — rather than resurrecting them; StreamedIndexSpec pins the whole lifecycle including post-compaction serving identity). THIS query serves ss18's factored batchedServe over the live view after one deletion wave (the `_del`-salted decile of the accreted corpus — bootstrap and drop vectors both get requests): candidates can only SHRINK per query vs ss20 (routing is unchanged — same frozen seeds, same query batch — only cell membership drops; SimilaritySpec pins the per-query monotonicity with at least one strict drop), and the recall audit is against the exact top-10 of the LIVE corpus — the number that matters after erasure is quality over what remains, not over what was promised forgotten. Oracle: the accreted serve's SQL with the deletion filter on the corpus CTE (seeds stay frozen to the seed slice — erasure must not silently retrain the quantizer). At 100 TB: a deletion batch is request-sized, the serve's anti-join probes a columnar LONG set, and storage reclamation rides the compaction the store already schedules.") {
+      (s, dir) =>
+        val store = accretedIndexStore(s, dir, prefix = "ivfdel",
+          withDeletions = true)
+        val (assign, _) = StreamedIndex.readIndex(s, s"$store/store",
+          applyTombstones = true)
+        batchedServe(
+          s.read.parquet(s"$store/qset"),
+          s.read.parquet(s"$store/store/seeds"),
+          assign)
+    },
   )
 
   /** ss17's per-subspace Lloyd training: [[PqRounds]] rounds over all
@@ -1338,8 +1353,15 @@ object Similarity {
     * Memoized per (application, dir) like [[ivfIndexStore]]; the qset
     * audit decile is identical to ss18's.
     */
+  /** ss24's deletion-request split: an md5 salt over vec_id,
+    * independent of the decile split that cuts queries/corpus/drops —
+    * the [0,10) slice of the CORPUS is "requested for erasure".
+    */
+  private val DelBucket100 =
+    "CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), '_del')), 1, 8), 16, 10) AS BIGINT) % 100"
+
   private def accretedIndexStore(s: SparkSession, dir: String,
-      prefix: String = "ivfacc"): String = {
+      prefix: String = "ivfacc", withDeletions: Boolean = false): String = {
     val tag = DiskMemo.tag(s, dir)
     val out = TempLayout.dir(s"${prefix}_$tag", dir)
     DiskMemo.ensure(s"${prefix}_$tag", out) {
@@ -1359,6 +1381,13 @@ object Similarity {
       StreamedIndex.processBatch(
         q.filter(expr(s"$b >= 95")).select("vec_id", "qe"),
         1L, s"$out/store")
+      if (withDeletions)
+        // ss24: after the accretion waves, one deletion batch — the
+        // `_del` decile of the WHOLE accreted corpus (bootstrap and
+        // drop vectors both get erasure requests)
+        StreamedIndex.deleteBatch(
+          q.filter(expr(s"$b >= 10 AND $DelBucket100 < 10")).select("vec_id"),
+          2L, s"$out/store")
     }
   }
 
@@ -1412,8 +1441,21 @@ object Similarity {
   private lazy val accretedAnnOracle: String =
     batchedAnnOracleSeededBy(s" AND ${Sampling.duckBucket100Of("vec_id")} < 90")
 
-  private def batchedAnnOracleSeededBy(seedExtra: String): String =
-    s"""WITH ${batchedAnnCtesSeededBy(seedExtra)},
+  /** ss24's oracle: the accreted serve (seeds frozen to the seed
+    * slice) over the corpus MINUS the `_del` decile — the live view
+    * after erasure; truth recomputed over what remains.
+    */
+  private lazy val deletionAnnOracle: String = {
+    val delB =
+      "CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR) || '_del'), 1, 8)) AS BIGINT) % 100"
+    batchedAnnOracleSeededBy(
+      s" AND ${Sampling.duckBucket100Of("vec_id")} < 90",
+      s" AND $delB >= 10")
+  }
+
+  private def batchedAnnOracleSeededBy(seedExtra: String,
+      corpExtra: String = ""): String =
+    s"""WITH ${batchedAnnCtesSeededBy(seedExtra, corpExtra)},
        |nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n FROM cand GROUP BY 1),
        |rc AS (SELECT t.qid, CAST(COUNT(a.vec_id) AS BIGINT) AS r
        |       FROM truth t LEFT JOIN ann a USING (qid, vec_id) GROUP BY 1)
@@ -1499,13 +1541,14 @@ object Similarity {
   /** The batched pipeline's CTE body (`emb` .. `ann`/`truth`) — shared
     * by ss18/ss20's recall summary and ss21's per-wave drift counts.
     */
-  private def batchedAnnCtesSeededBy(seedExtra: String): String = {
+  private def batchedAnnCtesSeededBy(seedExtra: String,
+      corpExtra: String = ""): String = {
     val b = Sampling.duckBucket100Of("vec_id")
     s"""emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
        |qset AS MATERIALIZED (SELECT vec_id AS qid, qe AS qv FROM q WHERE $b < 10
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ServeBatchCap),
-       |corp AS MATERIALIZED (SELECT vec_id, qe FROM q WHERE $b >= 10),
+       |corp AS MATERIALIZED (SELECT vec_id, qe FROM q WHERE $b >= 10$corpExtra),
        |seeds AS MATERIALIZED (SELECT qe AS qs,
        |          CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
        |        FROM (SELECT vec_id, qe FROM q WHERE $b >= 10$seedExtra) sc
@@ -1546,13 +1589,14 @@ object Similarity {
   private lazy val accretedIvfPqOracle: String =
     batchedIvfPqOracleSeededBy(s" AND ${Sampling.duckBucket100Of("vec_id")} < 90")
 
-  private def batchedIvfPqOracleSeededBy(seedExtra: String): String = {
+  private def batchedIvfPqOracleSeededBy(seedExtra: String,
+      corpExtra: String = ""): String = {
     val b = Sampling.duckBucket100Of("vec_id")
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
        |q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(e, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS qe FROM emb),
        |qset AS MATERIALIZED (SELECT vec_id AS qid, qe AS qv FROM q WHERE $b < 10
        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ServeBatchCap),
-       |corp AS MATERIALIZED (SELECT vec_id, qe FROM q WHERE $b >= 10),
+       |corp AS MATERIALIZED (SELECT vec_id, qe FROM q WHERE $b >= 10$corpExtra),
        |seeds AS MATERIALIZED (SELECT qe AS qs,
        |          CAST(ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code
        |        FROM (SELECT vec_id, qe FROM q WHERE $b >= 10$seedExtra) sc

@@ -76,17 +76,58 @@ object StreamedIndex {
   }
 
   /** The accreted index as (assign, pqidx) frames, excluding
-    * `excludeBatch`'s own partitions (batch protocol step 1).
+    * `excludeBatch`'s own partitions (batch protocol step 1). With
+    * `applyTombstones` the LIVE view is served: both tables anti-join
+    * the tombstone set (drop-sized — a deletion batch, not the
+    * corpus), the logical-delete form every vector store runs between
+    * compactions (r18, ss24: deletion requests — GDPR erasure, content
+    * takedowns — cannot wait for a maintenance window, and re-encoding
+    * the corpus to remove rows is exactly the rebuild accretion
+    * avoids). [[compactStore]] makes the deletion PHYSICAL and clears
+    * the consumed tombstones.
     */
   def readIndex(s: SparkSession, storeDir: String,
-      excludeBatch: Long = Long.MinValue): (DataFrame, DataFrame) = {
+      excludeBatch: Long = Long.MinValue,
+      applyTombstones: Boolean = false): (DataFrame, DataFrame) = {
     def part(table: String, cols: Seq[String]): DataFrame =
       s.read.option("basePath", s"$storeDir/$table")
         .parquet(s"$storeDir/$table/batch_id=*")
         .filter(col("batch_id") =!= excludeBatch)
         .select(cols.map(col): _*)
-    (part("assign", Seq("vec_id", "cell", "qe")),
+    val (a0, p0) = (part("assign", Seq("vec_id", "cell", "qe")),
       part("pqidx", Seq("vec_id", "sub", "code")))
+    if (!applyTombstones) (a0, p0)
+    else {
+      val t = readTombstones(s, storeDir)
+      (a0.join(t, Seq("vec_id"), "left_anti"),
+        p0.join(t, Seq("vec_id"), "left_anti"))
+    }
+  }
+
+  /** One deletion batch: tombstone the given vec_ids under a
+    * deterministic `tombs/batch_id=N` partition (mode=overwrite, so a
+    * replayed delete is byte-stable — the same idempotency contract
+    * as accretion). Deleting a vector the index never held is a
+    * no-op by construction (the anti-join finds nothing to drop).
+    */
+  def deleteBatch(vecIds: DataFrame, batchId: Long, storeDir: String): Unit =
+    vecIds.select("vec_id").distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/tombs/batch_id=$batchId")
+
+  /** The accumulated tombstone set `(vec_id)` — empty (not an error)
+    * when no deletion batch has ever landed.
+    */
+  def readTombstones(s: SparkSession, storeDir: String): DataFrame = {
+    val dir = new java.io.File(s"$storeDir/tombs")
+    val hasParts = Option(dir.listFiles())
+      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch_id=")))
+    if (!hasParts)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT"))
+    else
+      s.read.option("basePath", s"$storeDir/tombs")
+        .parquet(s"$storeDir/tombs/batch_id=*")
+        .select("vec_id").distinct()
   }
 
   /** One micro-batch of accretion (`batch` = `(vec_id, qe)` quantized
@@ -130,13 +171,24 @@ object StreamedIndex {
           "started but not committed — it will replay on restart and its " +
           "own-partition exclusion needs the uncompacted layout.")
     }
-    val (assign, pqidx) = readIndex(s, storeDir)
+    // the fold serves the LIVE view: tombstoned rows are PHYSICALLY
+    // removed here (the logical deletes readIndex applies between
+    // windows become storage reclamation), and the consumed tombstones
+    // are cleared — an empty tombs partition replaces the forest, so a
+    // crash between the fold and the tomb prune re-deletes already-
+    // removed rows (a no-op) rather than resurrecting them
+    val (assign, pqidx) = readIndex(s, storeDir, applyTombstones = true)
     assign.dropDuplicates("vec_id")
       .write.mode("overwrite").parquet(s"$storeDir/assign/batch_id=$compactionId")
     pqidx.dropDuplicates("vec_id", "sub")
       .write.mode("overwrite").parquet(s"$storeDir/pqidx/batch_id=$compactionId")
     StreamedDedup.pruneOtherPartitions(
       s, Seq(s"$storeDir/assign", s"$storeDir/pqidx"), compactionId)
+    if (new java.io.File(s"$storeDir/tombs").exists()) {
+      readTombstones(s, storeDir).limit(0)
+        .write.mode("overwrite").parquet(s"$storeDir/tombs/batch_id=$compactionId")
+      StreamedDedup.pruneOtherPartitions(s, Seq(s"$storeDir/tombs"), compactionId)
+    }
   }
 
   /** Run the continuous accretion job over a parquet drop directory of

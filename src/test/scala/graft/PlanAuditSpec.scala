@@ -148,7 +148,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "gr28_cc_delta_shuffled", // gr25's entry verbatim (the same edges() front door 1-row median broadcast in mode=none); the delta path itself is pinned broadcast-free under the default mode in its own test
     "gr26_delta_triangles", // shared edges() front door: the 1-row p90 median broadcast into the sparsification filter; the delta/adjacency joins themselves are equi
     "gr27_chained_cc_deltas", // same shared edges() front door (the delta2 slice filter); the chain's merges are component-grain equi joins
-    "ss23_drift_gated_retrain" // the CHOSEN posture's serve shape (ss18/ss20's 4-row seeds + query-decile broadcasts) plus ss21's drift parts; the decision itself is collected driver-side (r18), so only one branch plans
+    "ss23_drift_gated_retrain", // the CHOSEN posture's serve shape (ss18/ss20's 4-row seeds + query-decile broadcasts) plus ss21's drift parts; the decision itself is collected driver-side (r18), so only one branch plans
+    "ss24_deletion_serving" // ss20's serve shape verbatim (4-row frozen-seed + query-decile broadcasts) over the live view; the tombstone anti-join is a drop-sized equi-join
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {

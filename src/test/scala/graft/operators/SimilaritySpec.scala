@@ -545,4 +545,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.map(t => (t._1, t._2, t._3)).toSet === posture,
       s"gated rows diverge from $postureName")
   }
+
+  test("ss24: deletion serve answers the same batch with monotonically fewer candidates; the deletion genuinely bites (sf0.01)") {
+    val ss20 = byName("ss20_accreted_index_serving").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = byName("ss24_deletion_serving").build(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === ss20.keySet,
+      "ss24 must answer exactly the query batch ss20 answers — erasure " +
+        "drops corpus vectors, never queries")
+    // routing is unchanged (same frozen seeds, same queries), so the
+    // only thing deletion can do to a query's candidate set is SHRINK it
+    for ((qid, n) <- got)
+      assert(n <= ss20(qid),
+        s"query $qid gained candidates under deletion ($n > ${ss20(qid)})")
+    assert(got.exists { case (qid, n) => n < ss20(qid) },
+      "no query lost a candidate — the deletion wave is vacuous")
+    assert(got.values.sum > 0, "deletion emptied every cell — serve is broken")
+  }
 }

@@ -208,4 +208,53 @@ class StreamedIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(post === got, "ss20's answer changed across store compaction")
   }
+
+  test("tombstone lifecycle: logical delete at read, replay no-op, physical removal + tomb clearing at compaction (r18)") {
+    val store = tmp("del")
+    StreamedIndex.seed(spark, seedCorp, store)
+    StreamedIndex.processBatch(drop0, 0L, store)
+    val preLive = indexState(store)
+    // no tombstones yet: the live view IS the raw view, and the
+    // tombstone read on a storeless dir is empty, not an error
+    assert(StreamedIndex.readTombstones(spark, store).count() === 0L)
+    val liveBefore = StreamedIndex.readIndex(spark, store, applyTombstones = true)
+    assert(liveBefore._1.count() === preLive._1.size.toLong)
+
+    // delete a deterministic slice that genuinely intersects the index
+    val delSet = q.filter(col("bkt") >= 10)
+      .filter(expr(
+        "CAST(conv(substring(md5(concat(CAST(vec_id AS STRING), '_del')), 1, 8), 16, 10) AS BIGINT) % 100 < 10"))
+      .select("vec_id")
+    val delIds = delSet.collect().map(_.getLong(0)).toSet
+    val indexedIds = preLive._1.map(_._1)
+    assert((delIds & indexedIds).nonEmpty,
+      "deletion slice misses the index entirely — the lifecycle pin is vacuous")
+    StreamedIndex.deleteBatch(delSet, 1L, store)
+
+    // logical delete: raw view unchanged, live view excludes exactly
+    // the tombstoned ids; deleting never-indexed vectors is a no-op
+    assert(indexState(store) === preLive, "deleteBatch mutated the index tables")
+    val (liveA, liveP) = StreamedIndex.readIndex(spark, store, applyTombstones = true)
+    val liveIds = liveA.collect().map(_.getLong(0)).toSet
+    assert(liveIds === indexedIds -- delIds, "live view != indexed minus tombstoned")
+    assert(liveP.collect().map(_.getLong(0)).toSet === indexedIds -- delIds,
+      "pqidx live view diverges from assign's")
+
+    // replayed delete (same batch id) is byte-stable
+    StreamedIndex.deleteBatch(delSet, 1L, store)
+    assert(StreamedIndex.readIndex(spark, store, applyTombstones = true)
+      ._1.collect().map(_.getLong(0)).toSet === liveIds,
+      "replayed delete changed the live view")
+
+    // compaction makes the deletion physical and clears the tombstones
+    StreamedIndex.compactStore(spark, store, -2L)
+    assert(StreamedIndex.readIndex(spark, store)._1
+      .collect().map(_.getLong(0)).toSet === liveIds,
+      "compaction did not physically remove tombstoned rows")
+    assert(StreamedIndex.readTombstones(spark, store).count() === 0L,
+      "consumed tombstones survive compaction")
+    // and the live view equals the raw view again
+    assert(StreamedIndex.readIndex(spark, store, applyTombstones = true)
+      ._1.collect().map(_.getLong(0)).toSet === liveIds)
+  }
 }
