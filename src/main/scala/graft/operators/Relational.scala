@@ -1228,7 +1228,80 @@ object Relational {
           .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
             col("o_orderdate"), col("price"), col("m").cast("bigint").as("mult"))
     },
+
+    GraftQuery(
+      "q69_agg_mv_delta",
+      // ground truth: the FULL REBUILD of the aggregate view over the
+      // MUTATED bases (q61's refresh invariant, on q68's delta)
+      Some {
+        def ob(salt: String) =
+          s"CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '$salt'), 1, 8)) AS BIGINT) % 100"
+        def lb(salt: String) =
+          s"CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || '$salt'), 1, 8)) AS BIGINT) % 100"
+        s"""SELECT o_custkey,
+           |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           |       CAST(COUNT(*) AS BIGINT) AS n_lines
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE o_totalprice > 400000
+           |  AND (${ob("_mv")} >= 90 OR ${ob("_mvd")} >= 25)
+           |  AND (${lb("_mv")} >= 90 OR ${lb("_mvd")} >= 25)
+           |GROUP BY 1""".stripMargin
+      },
+      "AGGREGATE-over-JOIN MV maintenance — the composition that IS the production dashboard view (q61 maintains an aggregate over ONE table; q67/q68 maintain the join at row grain; a real revenue-per-customer MV is the aggregate OF the join, and maintaining it at row grain — materializing the joined rows just to re-aggregate — wastes the whole point of the MV): the persisted artifact is the customer-grain aggregate (o_custkey, revenue, n_lines) of the base-x-base high-value join, and q68's mixed insert+delete delta refreshes it WITHOUT the view's rows ever existing — the three signed Blakeley terms aggregate straight to customer grain (SUM(price x mo x ml), SUM(mo x ml) — signs from the counting algorithm, so deletes subtract and the delete-x-delete corner adds back), one full-outer merge on the view key coalesces deltas into stored groups, and groups whose maintained COUNT reaches zero VANISH (the count is not a statistic here — it is the group's existence bit, the reason count must ride along with any SUM the counting algorithm maintains; measured: 15 customers genuinely vanish at sf0.001, 3 appear, 19 grow, 72 shrink, 19 pass through untouched — every polarity non-vacuous, QueriesSpec replays them). All money math in decimal through the signed sums (the q61 discipline — signed decimal addition is exact and order-free, so the refresh is bit-identical to the rebuild), cast to double only at the output. THE ORACLE IS THE FULL REBUILD on the mutated bases. At 100 TB: the refresh shuffles delta-sized term aggregates plus one customer-grain merge — the stored view's ROWS are never touched except at their own grain, which is the entire economics of maintaining the aggregate instead of the join.") {
+      (s, dir) =>
+        val store = aggMvStore(s, dir)
+        val vOld = s.read.parquet(s"$store/agg")
+        val (o, l) = mvSides(s, dir)
+        val dO = o.filter(col("ob") >= 90).withColumn("mo", lit(1L))
+          .unionByName(
+            o.filter(col("ob") < 90 && col("ob2") < 25).withColumn("mo", lit(-1L)))
+        val dL = l.filter(col("lb") >= 90).withColumn("ml", lit(1L))
+          .unionByName(
+            l.filter(col("lb") < 90 && col("lb2") < 25).withColumn("ml", lit(-1L)))
+        val oOld = o.filter(col("ob") < 90).withColumn("mo", lit(1L))
+        val lOld = l.filter(col("lb") < 90).withColumn("ml", lit(1L))
+        def rows(a: DataFrame, b: DataFrame): DataFrame =
+          a.join(b, col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_custkey"), col("price"),
+              (col("mo") * col("ml")).as("m"))
+        // one customer-grain aggregation over the unioned signed terms:
+        // the view's rows never materialize
+        val dAgg = rows(broadcast(dO), lOld)
+          .unionByName(rows(oOld, broadcast(dL)))
+          .unionByName(rows(broadcast(dO), dL))
+          .groupBy("o_custkey")
+          .agg(sum(col("price") * col("m")).as("d_revenue"),
+            sum(col("m")).as("d_n"))
+        val z = lit(0).cast("decimal(38,2)")
+        vOld.join(dAgg, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            (coalesce(col("revenue").cast("decimal(38,2)"), z) +
+              coalesce(col("d_revenue").cast("decimal(38,2)"), z)).as("rev2"),
+            (coalesce(col("n_lines"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+              .as("n2"))
+          .filter(col("n2") > 0)
+          .select(col("o_custkey"), col("rev2").cast("double").as("revenue"),
+            col("n2").cast("bigint").as("n_lines"))
+    },
   )
+
+  /** q69's persisted artifact: the CUSTOMER-grain aggregate of the
+    * base-x-base high-value join — revenue kept in exact decimal (the
+    * signed refresh must add to it losslessly), count kept as the
+    * group-existence bit the counting algorithm requires.
+    */
+  private def aggMvStore(s: SparkSession, dir: String): String = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"aggmv_$tag", dir)
+    DiskMemo.ensure(s"aggmv_$tag", out) {
+      val (o, l) = mvSides(s, dir)
+      o.filter(col("ob") < 90)
+        .join(l.filter(col("lb") < 90), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(sum(col("price")).as("revenue"), count(lit(1)).as("n_lines"))
+        .write.mode("overwrite").parquet(s"$out/agg")
+    }
+  }
 
   /** q67's split-tagged view sides: high-value orders with their
     * `_mv`-salted md5 bucket, lineitem rows with theirs — ONE

@@ -175,4 +175,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(scans.exists(_.contains("graft_jmv")),
       "q68's serve does not read the persisted view")
   }
+
+  test("q69: every group polarity is non-vacuous (vanish/appear/grow/shrink/untouched) and the refresh equals a replay") {
+    import org.apache.spark.sql.functions._
+    def bkt(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8), 16) % 100
+    val ords = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lines = Tables.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    def oLive(ok: Long) = bkt(s"${ok}_mv") >= 90 || bkt(s"${ok}_mvd") >= 25
+    def lLive(ok: Long, ln: Int) =
+      bkt(s"${ok}_${ln}_mv") >= 90 || bkt(s"${ok}_${ln}_mvd") >= 25
+    def oBase(ok: Long) = bkt(s"${ok}_mv") < 90
+    def lBase(ok: Long, ln: Int) = bkt(s"${ok}_${ln}_mv") < 90
+    def counts(oIn: Long => Boolean, lIn: (Long, Int) => Boolean) =
+      lines.filter { case (ok, ln) => ords.contains(ok) && oIn(ok) && lIn(ok, ln) }
+        .groupBy { case (ok, _) => ords(ok) }.view.mapValues(_.length.toLong).toMap
+    val base = counts(oBase, lBase)
+    val live = counts(oLive, lLive)
+    val got = GraftQuery.all.find(_.name == "q69_agg_mv_delta").get
+      .build(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === live, "refreshed group counts diverge from the replay")
+    // the full polarity set, each non-vacuous (gr25's discipline)
+    assert(base.keySet.exists(k => !live.contains(k)), "no group vanished")
+    assert(live.keySet.exists(k => !base.contains(k)), "no group appeared")
+    assert(base.exists { case (k, n) => live.get(k).exists(_ > n) }, "no group grew")
+    assert(base.exists { case (k, n) => live.get(k).exists(m => m < n && m > 0) },
+      "no group shrank")
+    assert(base.exists { case (k, n) => live.get(k).contains(n) }, "no group untouched")
+  }
 }
