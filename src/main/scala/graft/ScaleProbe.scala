@@ -205,7 +205,25 @@ object ScaleProbe {
       "gr27_chained_cc_deltas",
       // q67's refresh must be sized by the drop terms (the store read
       // is the base view's I/O; the base x base join runs in no serve)
-      "q67_join_mv_delta")
+      "q67_join_mv_delta",
+      // r18: gr28 is gr25's delta on the shuffled cores — same
+      // edge-pipeline-scan growth plus per-join sort constants, never
+      // a broadcast build; dc06 rides dc01's probed pair pipeline
+      // (the sweep + choice are a 5-row fold); q68's counting refresh
+      // adds a view-key aggregation that must track the view (linear),
+      // never the base x base join; sk10/sk11's probed growth is the
+      // store build's one events scan — the serves read day-grain
+      // partial rows and must stay flat in everything but that scan
+      "gr28_cc_delta_shuffled", "dc06_tuned_overlap",
+      "q68_join_mv_counting", "sk10_hll_store_serving",
+      "sk11_topk_store_serving",
+      // ss24 serves ss20's scale-flat shape over the live view; the
+      // tombstone anti-join probes a deletion-sized LONG set
+      "ss24_deletion_serving",
+      // q69's refresh is delta-term aggregates + one customer-grain
+      // merge — the view's rows never materialize; growth must track
+      // the delta joins, never base x base
+      "q69_agg_mv_delta")
       .map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the
