@@ -223,7 +223,10 @@ object ScaleProbe {
       // q69's refresh is delta-term aggregates + one customer-grain
       // merge — the view's rows never materialize; growth must track
       // the delta joins, never base x base
-      "q69_agg_mv_delta")
+      "q69_agg_mv_delta",
+      // sk12 reads the same value-partial store as sk09 — growth is
+      // the store build's one events scan, the serve day-grain
+      "sk12_total_store_serving")
       .map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the

@@ -1023,11 +1023,16 @@ object Similarity {
     GraftQuery(
       "ss23_drift_gated_retrain",
       Some(driftGatedOracle),
-      "DRIFT-GATED RETRAIN — the tuning-loop pattern (q62's forecast drives q58's salting, pl04 serves tx23's chosen theta*, dd21 ships dd20's chosen banding) applied to the INDEX LIFECYCLE: ss21 publishes the per-wave recall table and its doc names the action — 'drift is the signal to retrain and rebuild' — so this operator computes the decision and serves the gated result instead of leaving the action to a human reading the table. The rule is the sag test in exact integers (no floats cross the gate): REBUILD iff any accreted wave's recall falls below 80% of the bootstrap wave's — cross-multiplied as n_served_hits_w * n_truth10_boot * 10 < n_served_hits_boot * n_truth10_w * 8, so both engines decide bit-identically; a truth-empty wave cannot trip it (0 < 0 is false). The gate then selects between the two serving postures the inventory already ships, BOTH as factored one-definition plans: rebuilt=0 serves the ACCRETED store (ss20's posture — the frozen quantizer still routes new data well, keep accreting), rebuilt=1 serves the RETRAINED one-shot store (ss18's posture — seeds re-picked over the full corpus, every code re-keyed; the rebuild ss20's doc says accretion defers until drift demands it). Output: the selected serve's (qid, n_candidates, recall10) with the decision as a column — the whole row set carries rebuilt=0 or =1, never a mix. The gate ACTUALLY gates (r18, VERDICT r17 #2): the decision is a 4-row counter-grain fold over ss21's table, so it is collected driver-side (the CMS-consult precedent, one int off a broadcast-sized frame) and ONLY the chosen posture's plans are constructed — when the verdict is keep-accreted, ivfIndexStore is never invoked and the corpus re-encode the gate exists to avoid never runs (SimilaritySpec pins the one-shot build counter unmoved across the keep run). The oracle still nests both branches in one statement; the decision is deterministic, so the engines agree on which branch carries rows. Measured: the fixture's frozen quantizer holds (worst wave/boot ratio 0.94 at sf0.001, 1.02 at sf0.1), so the gate keeps the accreted index at every scale — the cheap outcome, which is the point of gating on measurement instead of rebuilding on a calendar. SimilaritySpec replays the rule from the shipped ss21 table and pins the selected rows equal to the shipped posture's own query (ss20 when rebuilt=0, ss18 when rebuilt=1).") {
+      "DRIFT-GATED RETRAIN — the tuning-loop pattern (q62's forecast drives q58's salting, pl04 serves tx23's chosen theta*, dd21 ships dd20's chosen banding) applied to the INDEX LIFECYCLE: ss21 publishes the per-wave recall table and its doc names the action — 'drift is the signal to retrain and rebuild' — so this operator computes the decision and serves the gated result instead of leaving the action to a human reading the table. The rule is the sag test in exact integers (no floats cross the gate): REBUILD iff any accreted wave's recall falls below 80% of the bootstrap wave's — cross-multiplied as n_served_hits_w * n_truth10_boot * 10 < n_served_hits_boot * n_truth10_w * 8, so both engines decide bit-identically; a truth-empty wave cannot trip it (0 < 0 is false). The gate then selects between the two serving postures the inventory already ships, BOTH as factored one-definition plans: rebuilt=0 serves the ACCRETED store (ss20's posture — the frozen quantizer still routes new data well, keep accreting), rebuilt=1 serves the RETRAINED one-shot store (ss18's posture — seeds re-picked over the full corpus, every code re-keyed; the rebuild ss20's doc says accretion defers until drift demands it). Output: the selected serve's (qid, n_candidates, recall10) with the decision as a column — the whole row set carries rebuilt=0 or =1, never a mix. The gate ACTUALLY gates (r18, VERDICT r17 #2): the decision is a 4-row counter-grain fold over ss21's table, so it is collected driver-side (the CMS-consult precedent, one int off a broadcast-sized frame) and ONLY the chosen posture's plans are constructed — when the verdict is keep-accreted, ivfIndexStore is never invoked and the corpus re-encode the gate exists to avoid never runs (SimilaritySpec pins the one-shot build counter unmoved across the keep run). And the keep posture pays ONE serve, not two: the drift audit and the served answer both read the same pinned batchedServeParts (the audit counts them at wave grain, the output summarizes them at query grain) — ss21's 'the audit rides the serve it already pays for', made physical in the gate. The oracle still nests both branches in one statement; the decision is deterministic, so the engines agree on which branch carries rows. Measured: the fixture's frozen quantizer holds (worst wave/boot ratio 0.94 at sf0.001, 1.02 at sf0.1), so the gate keeps the accreted index at every scale — the cheap outcome, which is the point of gating on measurement instead of rebuilding on a calendar. SimilaritySpec replays the rule from the shipped ss21 table and pins the selected rows equal to the shipped posture's own query (ss20 when rebuilt=0, ss18 when rebuilt=1).") {
       (s, dir) =>
-        // the signal: ss21's table, via the factored core (the gate
-        // consumes exactly what the audit publishes)
-        val drift = Materialize(accretionDriftTable(s, dir))
+        // the signal: ss21's table over PINNED serve parts — the audit
+        // and the keep posture's serve are the same computation, so
+        // the gate pays for it ONCE (r18; ss21's doc made the argument,
+        // the shared Materialize makes it physical)
+        val (p0, waves, qset) = accretionServeCtx(s, dir)
+        val p = BatchedServeParts(Materialize(p0.cand),
+          Materialize(p0.annTop), Materialize(p0.truth))
+        val drift = Materialize(accretionDriftOf(p, waves))
         val boot = drift.filter(col("wave") === -1)
           .select(col("n_truth10").as("bt"), col("n_served_hits").as("bh"))
         // counter-grain decision, collected driver-side (the
@@ -1051,15 +1056,11 @@ object Similarity {
             s.read.parquet(s"$one/seeds"),
             s.read.parquet(s"$one/assign"))
         } else {
-          // frozen quantizer still routes well: keep accreting
-          // (ss20's posture, ss21's own instance — the store the
-          // signal audited; no rebuild job runs)
-          val acc = accretedIndexStore(s, dir, prefix = "ivfacc21")
-          val (accAssign, _) = StreamedIndex.readIndex(s, s"$acc/store")
-          batchedServe(
-            s.read.parquet(s"$acc/qset"),
-            s.read.parquet(s"$acc/store/seeds"),
-            accAssign)
+          // frozen quantizer still routes well: keep accreting —
+          // the served rows are the SUMMARY of the very parts the
+          // audit counted (one serve, two readings; no rebuild job,
+          // no second corpus-cell join)
+          batchedServeSummary(p, qset)
         }
         served.select(col("qid"), col("n_candidates"), col("recall10"),
           lit(rebuilt).cast("int").as("rebuilt"))
@@ -1267,8 +1268,16 @@ object Similarity {
   }
 
   private def batchedServe(qset: DataFrame, seeds: DataFrame,
-      assign: DataFrame): DataFrame = {
-    val p = batchedServeParts(qset, seeds, assign)
+      assign: DataFrame): DataFrame =
+    batchedServeSummary(batchedServeParts(qset, seeds, assign), qset)
+
+  /** The per-query (qid, n_candidates, recall10) summary over already-
+    * computed serve parts — factored (r18) so ss23 can summarize the
+    * SAME pinned parts its drift audit counted (the audit rides the
+    * serve it already pays for — ss21's doc, now true for the gate's
+    * keep posture too).
+    */
+  private def batchedServeSummary(p: BatchedServeParts, qset: DataFrame): DataFrame = {
     val nc = p.cand.groupBy("qid").agg(count(lit(1)).as("n_candidates"))
     val rc = p.truth
       .join(p.annTop.withColumn("h", lit(1)), Seq("qid", "vec_id"), "left")
@@ -1490,6 +1499,18 @@ object Similarity {
     * folds away on ss20's shared store.
     */
   private def accretionDriftTable(s: SparkSession, dir: String): DataFrame = {
+    val (p, waves, _) = accretionServeCtx(s, dir)
+    accretionDriftOf(p, waves)
+  }
+
+  /** The ss21 serving context off the accreted store: the factored
+    * serve parts, the per-vector wave labels (the store's own
+    * batch_id partition column), and the stored query set — one
+    * construction shared by ss21's audit and ss23's gate (r18), so
+    * the gate can summarize the exact parts the audit counted.
+    */
+  private def accretionServeCtx(
+      s: SparkSession, dir: String): (BatchedServeParts, DataFrame, DataFrame) = {
     val store = accretedIndexStore(s, dir, prefix = "ivfacc21")
     val qset = s.read.parquet(s"$store/qset")
     val seeds = s.read.parquet(s"$store/store/seeds")
@@ -1499,6 +1520,11 @@ object Similarity {
       assignB.select("vec_id", "cell", "qe"))
     val waves = assignB.select(col("vec_id"),
       col("batch_id").cast("bigint").as("wave"))
+    (p, waves, qset)
+  }
+
+  /** ss21's per-wave counts over already-computed serve parts. */
+  private def accretionDriftOf(p: BatchedServeParts, waves: DataFrame): DataFrame = {
     val idx = waves.groupBy("wave")
       .agg(count(lit(1)).cast("bigint").as("n_indexed"))
     val byWave = p.truth

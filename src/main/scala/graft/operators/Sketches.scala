@@ -239,6 +239,15 @@ object Sketches {
     },
 
     GraftQuery(
+      "sk12_total_store_serving",
+      Some(totalRollupDuck),
+      "ROLLING TOTALS SERVED OFF THE PARTIAL STORE — the claim sk07's partial carried from day one ('the mergeable statistic behind windowed quantiles AND windowed totals') finally exercised on its second half: the SAME (day, value_cents, count) histogram rows that serve sk09's quantiles serve event counts and revenue totals — n_events = SUM(n), total_cents = SUM(v x n) over the 7-day window's partial rows — with ZERO new store surface and zero events scans (the whole point of persisting a value-grain partial instead of a purpose-built total: one table, every downstream statistic). Exact integers end to end (counts and cents), so the oracle is a plain SQL rebuild from raw events — identical output proves the store's partials losslessly carry the totals tier. At 100 TB this is the difference between the finance dashboard re-scanning the fact table per window and reading days x distinct-cents rows; and because the store is the one sk09/sk10/sk11 already maintain, the marginal cost of the totals tier is zero accretion work.") {
+      (s, dir) =>
+        val store = sketchPartialStore(s, dir)
+        rollingTotals(StreamedSketch.readStore(s, store))
+    },
+
+    GraftQuery(
       "sk11_topk_store_serving",
       Some(topkRollupDuck),
       "ROLLING TOP-K SERVED OFF THE PERSISTED FREQUENT-ITEMS STORE — the third and last partial family moved onto the store (VERDICT r17 #5, completing what sk09 started for quantiles and sk10 for cardinality): daily `approx_top_k_accumulate(event_type, 100)` states accrete per batch under StreamedSketch's day-grain protocol, and any trailing window is a day-cardinality `approx_top_k_combine` of STORE-READ states — sk08's serve through the factored rollingTopk (one definition; inline and store serving cannot drift), with the same tie-safe deterministic (count DESC, event_type) top-3 selection. Oracle is sk08's VERBATIM (the tracked budget exceeds the type cardinality, so the merged sketches are in their exact regime and the full value oracle holds — sk08's argument, now proven to survive the persist-merge round trip); StreamedSketchSpec pins zero events scans in the serve plus per-day estimate identity between accreted and one-shot states. At 100 TB this is the ops-dashboard contract: the store holds one KB-scale state per day, 'top event types this week' is a 7-row merge, and the fact table is touched exactly once per day at accretion — never per window, never per query.") {
@@ -292,6 +301,32 @@ object Sketches {
       .filter(col("rnk") <= 3)
       .select(col("day"), col("rnk"), col("event_type"), col("cnt"))
   }
+
+  /** sk12's serve: rolling 7-day totals over a `(day, v, n)` partial
+    * frame — counts and value sums read off the histogram rows, the
+    * quantile store's second statistic (exact integers).
+    */
+  private def rollingTotals(daily: DataFrame): DataFrame = {
+    val days = daily.select(col("day").as("d")).distinct()
+    daily
+      .join(broadcast(days),
+        col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d").as("day"))
+      .agg(sum(col("n")).cast("bigint").as("n_events"),
+        sum(col("v") * col("n")).cast("bigint").as("total_cents"))
+  }
+
+  /** sk12's oracle: the totals rebuilt from raw events — the store's
+    * partials must carry them losslessly.
+    */
+  private lazy val totalRollupDuck: String =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+      |              CAST(FLOOR(value * 100) AS BIGINT) AS v FROM events),
+      |days AS (SELECT DISTINCT day AS d FROM ev)
+      |SELECT dy.d AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(e.v) AS BIGINT) AS total_cents
+      |FROM ev e JOIN days dy ON e.day BETWEEN dy.d - 6 AND dy.d
+      |GROUP BY 1""".stripMargin
 
   /** sk06's oracle — shared verbatim by sk10 (the store serve must be
     * indistinguishable from the inline computation). exact_7d is the

@@ -277,4 +277,39 @@ class StreamedSketchSpec extends AnyFunSuite {
     audit("sk10_hll_store_serving", "sk06_hll_window_rollup")
     audit("sk11_topk_store_serving", "sk08_topk_window_rollup")
   }
+
+  test("sk12: totals off the store equal a driver replay of the partial rows; zero events scans (r18)") {
+    val byName = graft.GraftQuery.all.map(x => x.name -> x).toMap
+    val df = byName("sk12_total_store_serving").build(spark, sf0001)
+    val got = df.collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    // replay the windowed totals from the raw partial rows driver-side
+    val parts = StreamedSketch.partials(
+      graft.Tables.load(spark, sf0001, "events").select("ts", "value"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+    val days = parts.map(_._1).distinct
+    val expect = days.map { d =>
+      val w = parts.filter(p => !p._1.isBefore(d.minusDays(6)) && !p._1.isAfter(d))
+      (d.toString, w.map(_._3).sum, w.map(p => p._2 * p._3).sum)
+    }.toSet
+    assert(got === expect, "sk12 diverges from the partial-row replay")
+    assert(got.size === 30, s"expected 30 window days, got ${got.size}")
+    // plan pin: the serve reads the store, never raw events
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    val nodes = walk(df.queryExecution.executedPlan)
+    def scansOn(frag: String): Int = nodes.count {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(frag))
+      case _ => false
+    }
+    assert(scansOn("events") === 0, "sk12's serve touches raw events")
+    assert(scansOn("graft_skstore") >= 1, "sk12's serve reads no store table")
+  }
 }
