@@ -199,10 +199,25 @@ class QueriesSpec extends AnyFunSuite {
         .groupBy { case (ok, _) => ords(ok) }.view.mapValues(_.length.toLong).toMap
     val base = counts(oBase, lBase)
     val live = counts(oLive, lLive)
-    val got = GraftQuery.all.find(_.name == "q69_agg_mv_delta").get
-      .build(spark, sf0001).collect()
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val df = GraftQuery.all.find(_.name == "q69_agg_mv_delta").get
+      .build(spark, sf0001)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got === live, "refreshed group counts diverge from the replay")
+    // the refresh reads the persisted aggregate — the base x base join
+    // runs in no serve (the q67/q68 store pin, at the aggregate tier)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    val scans = walk(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.exists(_.contains("graft_aggmv")),
+      "q69's refresh does not read the persisted aggregate view")
     // the full polarity set, each non-vacuous (gr25's discipline)
     assert(base.keySet.exists(k => !live.contains(k)), "no group vanished")
     assert(live.keySet.exists(k => !base.contains(k)), "no group appeared")
