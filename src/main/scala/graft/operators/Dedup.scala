@@ -336,7 +336,20 @@ object Dedup {
     (gEdges, mg)
   }
 
-  private[operators] def clusterAssignments(s: SparkSession, dir: String): DataFrame = {
+  /** StageStore-memoized (VERDICT r18 #1): the df-capped pair pipeline
+    * + CC fixpoint behind this frame is consumed by dd07, dd08, dd14's
+    * parity pin, sp13 and four pl queries — before the store each
+    * consumer re-ran the whole chain. Deterministic (md5 collapse, min
+    * labels), so persist-then-read is bit-identical to a fresh build —
+    * StageStoreSpec pins store == fresh.
+    */
+  private[operators] def clusterAssignments(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "ddclusters")(clusterAssignmentsFresh(s, dir))
+
+  /** The un-memoized build behind [[clusterAssignments]] —
+    * StageStoreSpec pins store == fresh.
+    */
+  private[operators] def clusterAssignmentsFresh(s: SparkSession, dir: String): DataFrame = {
     val (gEdges, mg) = groupEdges(s, dir)
     val gClusters = minLabelClusters(gEdges)
     mg.join(gClusters.select(col("doc_id").as("gid"), col("cluster")), "gid")
@@ -403,13 +416,24 @@ object Dedup {
     * dd08's keep-list without the per-keeper drop accounting, exposed
     * for downstream pipeline stages (pp01).
     */
-  private[operators] def keeperIds(s: SparkSession, dir: String): DataFrame = {
-    val clusters = clusterAssignments(s, dir)
+  private[operators] def keeperIds(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "ddkeepers")(
+      keeperIdsOf(s, dir, clusterAssignments(s, dir)))
+
+  /** The un-memoized build behind [[keeperIds]] — derives from
+    * [[clusterAssignmentsFresh]] so StageStoreSpec's parity pin
+    * exercises the WHOLE fresh chain, not a read of the cluster store
+    * (the store build itself reads the cluster store, so the expensive
+    * pair+fixpoint chain runs once per (application, dir) total).
+    */
+  private[operators] def keeperIdsFresh(s: SparkSession, dir: String): DataFrame =
+    keeperIdsOf(s, dir, clusterAssignmentsFresh(s, dir))
+
+  private def keeperIdsOf(s: SparkSession, dir: String, clusters: DataFrame): DataFrame =
     docs(s, dir).select("doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("doc_id") === col("cluster"))
       .select("doc_id")
-  }
 
   /** DuckDB twin of [[keeperIds]] (a standalone subquery — its WITH
     * scope is self-contained so composers can nest it without CTE name
@@ -1207,7 +1231,122 @@ object Dedup {
         updated.join(verts, Seq("node"), "left_semi")
           .select(col("node").as("doc_id"), col("component").as("cluster"))
     },
+
+    GraftQuery(
+      "dd23_erasure_verdicts",
+      Some(erasedStoreDuck),
+      "INGESTION DEDUP UNDER ERASURE — the mutation the fingerprint store still lacked (VERDICT r18 #3: accretion dd12/StreamedDedup, compaction, the composed admission pipeline — but documents only ever ARRIVED; a GDPR-erased document's fingerprints and postings kept voting in near-dup verdicts forever, and the pipeline's corpus_after could never shrink): the store gains StreamedIndex's TOMBSTONE protocol at doc grain. An erasure batch writes the requested doc_ids under a deterministic tombs/batch_id=N partition (mode=overwrite — a replayed request is byte-stable; erasing a never-admitted doc is a structural no-op), the verdict pass reads the LIVE view — postings anti-join the erased ids, the exact table anti-joins on its HOLDER cid (the accretion protocol admits exactly one holder per distinct text, so the holder's row is the text's only live contribution; the one corner — a SEEDED clone family's collapsed min holder — demotes a re-arriving identical text from exact_dup to near_dup via its jaccard-1.0 sibling, still rejected, documented at readStore) — and compactStore makes the erasure PHYSICAL in its write-then-prune fold, clearing consumed tombstones (a crash between fold and tomb prune re-deletes already-removed rows, a no-op). The live view ALSO feeds accretion's fp growth-bound anti-join: a dead fp row must not shadow a new holder of the same text, or the text goes unprotected forever. THIS query runs the full lifecycle on fixture splits — seed the store (md5 bucket < 50), accrete one drop ([50, 80)) through the SHIPPED batch protocol, erase the `_del`-salted decile of ALL doc ids (admitted docs get erased; un-admitted requests no-op), then verdict a probe batch (>= 80) against the live store with the SAME factored verdictsAgainstStore every dedup serve runs. The oracle replays the whole protocol in SQL — admission against the seed store, holder-grain erasure, df-cap recomputed over the LIVE postings — so a tombstone that leaks into the wrong table, a dead fp shadowing, or a stale df count all hash-fail. At 100 TB: an erasure batch is request-sized, the live-view anti-joins probe a columnar LONG set, every verdict join stays drop-sized (dd12's asymmetry), and storage reclamation rides the compaction the store already schedules; StreamedDedupSpec pins the lifecycle — live-view verdicts == rebuild-without-erased, replayed erasure a no-op, post-compaction identity, and corpus_after genuinely shrinking through the pipeline ledger.") {
+      (s, dir) =>
+        val store = erasedDedupStore(s, dir)
+        val (exact, postings) = StreamedDedup.readStore(
+          s, s"$store/store", Long.MinValue, applyTombstones = true)
+        val probe = spread(docs(s, dir), "doc_id")
+          .filter(expr(Sampling.bucket100("doc_id")) >= 80)
+          .select("doc_id", "text")
+        verdictsAgainstStore(s, probe, exact, postings)
+    },
   )
+
+  /** dd23's persisted artifact: the streamed fingerprint store built
+    * by the SHIPPED protocol — seed (bucket < 50), one accretion drop
+    * ([50, 80)) through [[StreamedDedup.processBatch]], one erasure
+    * batch (the `_del` decile of all doc ids) through
+    * [[StreamedDedup.deleteBatch]]. DiskMemo'd per (application, dir).
+    */
+  private def erasedDedupStore(s: SparkSession, dir: String): String = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"dderase_$tag", dir)
+    DiskMemo.ensure(s"dderase_$tag", out) {
+      val d = spread(docs(s, dir), "doc_id")
+      val bkt = expr(Sampling.bucket100("doc_id"))
+      StreamedDedup.seed(s,
+        d.filter(bkt < 50).select("doc_id", "text"), s"$out/store")
+      StreamedDedup.processBatch(
+        d.filter(bkt >= 50 && bkt < 80).select("doc_id", "text"),
+        0L, s"$out/store", s"$out/verdicts")
+      StreamedDedup.deleteBatch(
+        d.filter(expr(DelBucket100) < 10).select("doc_id"),
+        1L, s"$out/store")
+    }
+  }
+
+  /** dd23's erasure-request split: an md5 salt over doc_id,
+    * independent of the seed/drop/probe decile split (ss24's
+    * discipline on the document key).
+    */
+  private def DelBucket100 =
+    "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), '_del')), 1, 8), 16, 10) AS BIGINT) % 100"
+
+  private def delBucketDuck =
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '_del'), 1, 8)) AS BIGINT) % 100"
+
+  /** dd23's oracle: the store protocol replayed in SQL — seed store,
+    * batch-0 admission (verdicts against the seed store's vocabulary),
+    * holder-grain erasure of the `_del` decile, then the probe's
+    * verdicts with the df cap recomputed over the LIVE postings
+    * (exactly [[verdictsAgainstStore]] over
+    * [[StreamedDedup.readStore]]'s live view).
+    */
+  private[operators] lazy val erasedStoreDuck: String =
+    s"""WITH dall AS (SELECT doc_id, text,
+       |               ${Sampling.duckBucket100Of("doc_id")} AS bkt,
+       |               $delBucketDuck AS dbk FROM documents),
+       |seed AS (SELECT doc_id, text FROM dall WHERE bkt < 50),
+       |b0 AS (SELECT doc_id, text FROM dall WHERE bkt >= 50 AND bkt < 80),
+       |probe AS (SELECT doc_id, text FROM dall WHERE bkt >= 80),
+       |tombs AS (SELECT doc_id FROM dall WHERE dbk < 10),
+       |sx AS (SELECT md5(text) AS fp, MIN(doc_id) AS cid FROM seed GROUP BY 1),
+       |spost AS (SELECT doc_id, UNNEST($shingleDuck) AS g
+       |          FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM seed)),
+       |rare0 AS (SELECT g FROM spost GROUP BY g HAVING COUNT(*) <= $DfCap),
+       |sec AS (SELECT p.doc_id, p.g FROM spost p JOIN rare0 USING (g)),
+       |b0post AS (SELECT doc_id, UNNEST($shingleDuck) AS g
+       |           FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM b0)),
+       |b0e AS (SELECT e.doc_id, e.g FROM b0post e JOIN rare0 USING (g)),
+       |nc0 AS (SELECT doc_id, COUNT(*) AS n FROM sec GROUP BY 1),
+       |ni0 AS (SELECT doc_id, COUNT(*) AS n FROM b0e GROUP BY 1),
+       |p0 AS (SELECT i.doc_id AS di, c.doc_id AS dc, COUNT(*) AS shared
+       |       FROM b0e i JOIN sec c ON i.g = c.g GROUP BY 1, 2),
+       |near0 AS (SELECT p0.di AS doc_id FROM p0
+       |          JOIN ni0 ON ni0.doc_id = p0.di JOIN nc0 ON nc0.doc_id = p0.dc
+       |          WHERE CAST(shared AS DOUBLE) / (ni0.n + nc0.n - shared) >= 0.8
+       |          GROUP BY 1),
+       |ex0 AS (SELECT b.doc_id FROM b0 b JOIN sx ON md5(b.text) = sx.fp GROUP BY 1),
+       |adm AS (SELECT doc_id, text FROM b0
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM ex0)
+       |          AND doc_id NOT IN (SELECT doc_id FROM near0)),
+       |admx AS (SELECT md5(text) AS fp, MIN(doc_id) AS cid FROM adm GROUP BY 1),
+       |storex AS (SELECT fp, cid FROM sx UNION ALL SELECT fp, cid FROM admx),
+       |livex AS (SELECT fp, cid FROM storex
+       |          WHERE cid NOT IN (SELECT doc_id FROM tombs)),
+       |admpost AS (SELECT doc_id, UNNEST($shingleDuck) AS g
+       |            FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM adm)),
+       |rawpost AS (SELECT doc_id, g FROM spost UNION ALL SELECT doc_id, g FROM admpost),
+       |livep AS (SELECT doc_id, g FROM rawpost
+       |          WHERE doc_id NOT IN (SELECT doc_id FROM tombs)),
+       |rare AS (SELECT g FROM livep GROUP BY g HAVING COUNT(*) <= $DfCap),
+       |ec AS (SELECT p.doc_id, p.g FROM livep p JOIN rare USING (g)),
+       |prpost AS (SELECT doc_id, UNNEST($shingleDuck) AS g
+       |           FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM probe)),
+       |ei AS (SELECT e.doc_id, e.g FROM prpost e JOIN rare USING (g)),
+       |nc AS (SELECT doc_id, COUNT(*) AS n FROM ec GROUP BY 1),
+       |ni AS (SELECT doc_id, COUNT(*) AS n FROM ei GROUP BY 1),
+       |p AS (SELECT i.doc_id AS di, c.doc_id AS dc, COUNT(*) AS shared
+       |      FROM ei i JOIN ec c ON i.g = c.g GROUP BY 1, 2),
+       |near AS (SELECT p.di AS doc_id, MIN(p.dc) AS m FROM p
+       |         JOIN ni ON ni.doc_id = p.di JOIN nc ON nc.doc_id = p.dc
+       |         WHERE CAST(shared AS DOUBLE) / (ni.n + nc.n - shared) >= 0.8
+       |         GROUP BY 1),
+       |ex AS (SELECT pr.doc_id, MIN(lx.cid) AS m FROM probe pr
+       |       JOIN livex lx ON md5(pr.text) = lx.fp GROUP BY 1)
+       |SELECT pr.doc_id,
+       |       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+       |            WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+       |            ELSE 'new' END AS verdict,
+       |       CAST(COALESCE(ex.m, nr.m) AS BIGINT) AS match_id
+       |FROM probe pr
+       |LEFT JOIN ex ON ex.doc_id = pr.doc_id
+       |LEFT JOIN near nr ON nr.doc_id = pr.doc_id""".stripMargin
 
   /** dd22's persisted artifact: cluster labels over the seed corpus
     * (md5 doc-bucket <50), built ONCE per (application, dir) by the

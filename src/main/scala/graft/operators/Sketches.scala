@@ -269,7 +269,12 @@ object Sketches {
         col("day").between(date_sub(col("d"), 6), col("d")))
       .groupBy(col("d").as("day"))
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
-    val exact = ad.select(col("day").as("d")).distinct()
+    // the day list rides an EXPLICIT broadcast (r19): it is ~30 rows at
+    // any fact scale, and without the hint the store read's join
+    // lineage inflates the size estimate past the auto-broadcast
+    // threshold — Spark then plans a CartesianProduct for the range
+    // predicate
+    val exact = broadcast(ad.select(col("day").as("d")).distinct())
       .join(ad, col("day").between(date_sub(col("d"), 6), col("d")))
       .groupBy(col("d").as("day"))
       .agg(countDistinct(col("user_id")).as("exact_7d"))

@@ -62,17 +62,68 @@ object StreamedDedup {
   }
 
   /** The store as (exact, postings) frames, excluding `excludeBatch`'s
-    * own partitions (see the batch protocol above).
+    * own partitions (see the batch protocol above). With
+    * `applyTombstones` the LIVE view is served (r19, VERDICT r18 #3 —
+    * StreamedIndex's erasure discipline on the fingerprint store): the
+    * postings anti-join the erased doc ids and the exact table
+    * anti-joins on its HOLDER (`cid`), so an erased document's
+    * fingerprints stop voting in every later verdict. Logical delete,
+    * zero corpus-side work — the anti-join probes a request-sized LONG
+    * set; [[compactStore]] makes it physical.
+    *
+    * Erasure is HOLDER-grain on the exact table: the accretion
+    * protocol admits exactly one holder per distinct text (duplicates
+    * are never admitted), so for all accreted content removing the
+    * holder's row removes the text's only live contribution. The one
+    * corner is a SEEDED clone family (corpusExact collapses clones to
+    * the min holder): erasing that holder drops the fp row while
+    * sibling postings remain, so a re-arriving identical text verdicts
+    * near_dup (jaccard 1.0 against the sibling) instead of exact_dup —
+    * still REJECTED, never admitted; only the label weakens, and only
+    * until re-seed or sibling erasure. dd23's oracle models exactly
+    * these store semantics.
     */
   def readStore(s: SparkSession, storeDir: String,
-      excludeBatch: Long): (DataFrame, DataFrame) = {
+      excludeBatch: Long, applyTombstones: Boolean = false): (DataFrame, DataFrame) = {
     def part(table: String, cols: Seq[String]): DataFrame =
       s.read.option("basePath", s"$storeDir/$table")
         .parquet(s"$storeDir/$table/batch_id=*")
         .filter(col("batch_id") =!= excludeBatch)
         .select(cols.map(col): _*)
-    (part("exact", Seq("fp", "cid")), part("shingles", Seq("doc_id", "g")))
+    val (e0, p0) = (part("exact", Seq("fp", "cid")),
+      part("shingles", Seq("doc_id", "g")))
+    if (!applyTombstones) (e0, p0)
+    else {
+      val t = readTombstones(s, storeDir)
+      (e0.join(t.select(col("doc_id").as("cid")), Seq("cid"), "left_anti")
+        .select("fp", "cid"),
+        p0.join(t, Seq("doc_id"), "left_anti"))
+    }
   }
+
+  /** One erasure batch (GDPR/right-to-be-forgotten, takedowns):
+    * tombstone the given doc_ids under a deterministic
+    * `tombs/batch_id=N` partition — mode=overwrite, so a replayed
+    * request is byte-stable, and erasing a document the store never
+    * admitted is a structural no-op (the anti-joins find nothing).
+    * [[StreamedIndex.deleteBatch]]'s contract, verbatim.
+    */
+  def deleteBatch(docIds: DataFrame, batchId: Long, storeDir: String): Unit =
+    docIds.select("doc_id").distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/tombs/batch_id=$batchId")
+
+  /** The accumulated erasure set `(doc_id)` — empty (not an error)
+    * when no erasure batch has ever landed; a missing STORE fails
+    * loudly ([[hasBatchPartitions]]).
+    */
+  def readTombstones(s: SparkSession, storeDir: String): DataFrame =
+    if (!hasBatchPartitions(s, storeDir, s"$storeDir/tombs"))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
+    else
+      s.read.option("basePath", s"$storeDir/tombs")
+        .parquet(s"$storeDir/tombs/batch_id=*")
+        .select("doc_id").distinct()
 
   /** One micro-batch: verdict + store accretion. Public so the spec
     * can drive replay/idempotency directly (the foreachBatch body IS
@@ -82,7 +133,11 @@ object StreamedDedup {
       storeDir: String, outDir: String): Unit = {
     val s = batch.sparkSession
     val inc = Materialize(batch.select("doc_id", "text"))
-    val (exact, postings) = readStore(s, storeDir, batchId)
+    // LIVE view (r19): erased docs must neither vote in verdicts nor
+    // block re-admission of their text through the fp growth-bound
+    // anti-join below (a dead fp row shadowing a new holder would
+    // leave the text unprotected forever)
+    val (exact, postings) = readStore(s, storeDir, batchId, applyTombstones = true)
     val verdicts = Materialize(
       Dedup.verdictsAgainstStore(s, inc, exact, postings))
     verdicts.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
@@ -156,12 +211,24 @@ object StreamedDedup {
           "Resume the stream to completion (or re-run the interrupted " +
           "compaction id) first.")
     }
-    val (exact, postings) = readStore(s, storeDir, excludeBatch = Long.MinValue)
+    // the fold serves the LIVE view (r19): tombstoned rows are
+    // PHYSICALLY removed here and the consumed tombstones are cleared
+    // — an empty tombs partition replaces the forest, so a crash
+    // between the fold and the tomb prune re-deletes already-removed
+    // rows (a no-op) rather than resurrecting them (StreamedIndex's
+    // compaction discipline on the fingerprint store)
+    val (exact, postings) =
+      readStore(s, storeDir, excludeBatch = Long.MinValue, applyTombstones = true)
     exact.groupBy("fp").agg(min(col("cid")).as("cid"))
       .write.mode("overwrite").parquet(s"$storeDir/exact/batch_id=$compactionId")
     postings.distinct()
       .write.mode("overwrite").parquet(s"$storeDir/shingles/batch_id=$compactionId")
     pruneOtherPartitions(s, Seq(s"$storeDir/exact", s"$storeDir/shingles"), compactionId)
+    if (hasBatchPartitions(s, storeDir, s"$storeDir/tombs")) {
+      readTombstones(s, storeDir).limit(0)
+        .write.mode("overwrite").parquet(s"$storeDir/tombs/batch_id=$compactionId")
+      pruneOtherPartitions(s, Seq(s"$storeDir/tombs"), compactionId)
+    }
   }
 
   /** The replay-pending probe behind [[compactStore]]'s checkpoint
@@ -186,6 +253,28 @@ object StreamedDedup {
     }
     val committed = maxId("commits")
     maxId("offsets").filter(o => !committed.exists(_ >= o))
+  }
+
+  /** Whether `tableDir` holds any `batch_id=` partition — resolved
+    * through Hadoop FileSystem so remote URIs behave like the read
+    * path (ADVICE r18: a `java.io.File` probe silently reads ANY
+    * unlistable path — remote store, permission failure, typo — as an
+    * empty store). The parent `storeDir` is REQUIRED to exist: a
+    * missing table under a real store is a legitimate "nothing held
+    * yet"; a missing store is an operational error that must fail
+    * loudly, not serve empty results.
+    */
+  private[operators] def hasBatchPartitions(
+      s: SparkSession, storeDir: String, tableDir: String): Boolean = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root),
+      s"store dir does not exist: $storeDir — refusing to read a " +
+        "missing store as empty (bad path / permission / remote URI?)")
+    val t = new org.apache.hadoop.fs.Path(tableDir)
+    fs.exists(t) && fs.listStatus(t).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id="))
   }
 
   /** Delete every `batch_id=` partition except the compacted one —

@@ -118,9 +118,12 @@ object StreamedIndex {
     * when no deletion batch has ever landed.
     */
   def readTombstones(s: SparkSession, storeDir: String): DataFrame = {
-    val dir = new java.io.File(s"$storeDir/tombs")
-    val hasParts = Option(dir.listFiles())
-      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch_id=")))
+    // ADVICE r18: probe through Hadoop FileSystem with the parent
+    // store required to exist — an unlistable path (remote URI,
+    // permission failure, typo) must fail loudly, not serve the full
+    // index as if nothing were deleted
+    val hasParts =
+      StreamedDedup.hasBatchPartitions(s, storeDir, s"$storeDir/tombs")
     if (!hasParts)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT"))
@@ -184,7 +187,7 @@ object StreamedIndex {
       .write.mode("overwrite").parquet(s"$storeDir/pqidx/batch_id=$compactionId")
     StreamedDedup.pruneOtherPartitions(
       s, Seq(s"$storeDir/assign", s"$storeDir/pqidx"), compactionId)
-    if (new java.io.File(s"$storeDir/tombs").exists()) {
+    if (StreamedDedup.hasBatchPartitions(s, storeDir, s"$storeDir/tombs")) {
       readTombstones(s, storeDir).limit(0)
         .write.mode("overwrite").parquet(s"$storeDir/tombs/batch_id=$compactionId")
       StreamedDedup.pruneOtherPartitions(s, Seq(s"$storeDir/tombs"), compactionId)

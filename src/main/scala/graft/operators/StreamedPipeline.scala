@@ -120,15 +120,42 @@ object StreamedPipeline {
     */
   def compactStores(s: SparkSession, storeDir: String, compactionId: Long,
       checkpointDir: Option[String] = None): Unit = {
-    StreamedDedup.compactStore(s, storeDir, compactionId, checkpointDir)
+    // replay-pending guard FIRST — before ANY mutation (the dedup-store
+    // pass re-checks, but the ledger fold below must not run either
+    // while a crashed batch is pending replay)
+    checkpointDir.flatMap(StreamedDedup.uncommittedBatch(s, _)).foreach { b =>
+      throw new IllegalStateException(
+        s"refusing to compact $storeDir: streaming checkpoint shows batch $b " +
+          "started but not committed — it will replay on restart and the " +
+          "ledger's batch_id < N read needs the uncompacted layout.")
+    }
+    // the ledger folds its LIVE view BEFORE the dedup-store compaction
+    // clears the consumed tombstones (r19): erased doc ids leave the
+    // ledger physically in the same maintenance pass that reclaims
+    // their fingerprints — after both, corpus_after is a plain count
+    // of live rows again
     s.read.option("basePath", s"$storeDir/admitted")
       .parquet(s"$storeDir/admitted/batch_id=*")
       .select("doc_id").distinct()
+      .join(StreamedDedup.readTombstones(s, storeDir),
+        Seq("doc_id"), "left_anti")
       .write.mode("overwrite")
       .parquet(s"$storeDir/admitted/batch_id=$compactionId")
     StreamedDedup.pruneOtherPartitions(
       s, Seq(s"$storeDir/admitted"), compactionId)
+    StreamedDedup.compactStore(s, storeDir, compactionId, checkpointDir)
   }
+
+  /** One erasure batch against the FULL admission store (r19): the
+    * tombstone lands once in the shared dedup-store tombs table —
+    * [[StreamedDedup.readStore]]'s live view retires the fingerprints
+    * and postings from every later verdict, [[processBatch]]'s ledger
+    * read subtracts the ids from corpus_after, and [[compactStores]]
+    * makes both physical. One marker, every consumer reconciled.
+    */
+  def eraseDocs(s: SparkSession, docIds: DataFrame, batchId: Long,
+      storeDir: String): Unit =
+    StreamedDedup.deleteBatch(docIds, batchId, storeDir)
 
   /** Gate selector for [[processBatch]]/[[run]]. */
   val RuleGate = "rules"
@@ -184,7 +211,8 @@ object StreamedPipeline {
     // against the store, so restricting the probe set cannot change
     // any survivor's verdict — and a quality-reject's dedup is work
     // the pipeline never pays)
-    val (exact, postings) = StreamedDedup.readStore(s, storeDir, batchId)
+    val (exact, postings) =
+      StreamedDedup.readStore(s, storeDir, batchId, applyTombstones = true)
     val cls2 = Materialize(s1.join(
       Dedup.verdictsAgainstStore(
         s, inc.join(s1.select("doc_id"), Seq("doc_id"), "left_semi"),
@@ -203,10 +231,17 @@ object StreamedPipeline {
     // stage 5 — corpus_after from immutable ledger partitions only:
     // strictly-earlier batches plus this batch's own admissions
     // (foreachBatch re-delivers only the latest batch, so `< batchId`
-    // reads exactly the committed history on both first run and replay)
+    // reads exactly the committed history on both first run and
+    // replay), MINUS erased docs (r19, VERDICT r18 #3 — the ledger is
+    // reconciled against the erasure tombstones, so corpus_after can
+    // genuinely shrink; before this an erased document was counted as
+    // corpus forever)
     val prior = s.read.option("basePath", s"$storeDir/admitted")
       .parquet(s"$storeDir/admitted/batch_id=*")
-      .filter(col("batch_id") < batchId).count()
+      .filter(col("batch_id") < batchId)
+      .join(StreamedDedup.readTombstones(s, storeDir),
+        Seq("doc_id"), "left_anti")
+      .count()
     // the manifest — pl02's (stage, detail, n) rows, batch-scoped
     val st0 = inc.agg(count(lit(1)).as("n"))
       .select(lit(0).as("stage"), lit("drop_in").as("detail"), col("n"))

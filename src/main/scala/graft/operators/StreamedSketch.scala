@@ -30,7 +30,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    (`hll_union_agg` at serve — sk10);
   *  - `topk/batch_id=N`: `(day, st)` — `approx_top_k_accumulate
   *    (event_type)` state per day, the frequent-items partial sk08
-  *    merges (`approx_top_k_combine` at serve — sk11).
+  *    merges (`approx_top_k_combine` at serve — sk11);
+  *  - `tombs/batch_id=N`: `(day, replaced_by)` — day-restatement
+  *    markers ([[restateDay]], r19): the named day serves from batch
+  *    `replaced_by` instead of its admitting batch, until compaction
+  *    folds the correction in and clears the marker.
   *
   * The value/ad partials are exact, so serves off them are exact; the
   * hll/topk partials carry sketch state whose MERGE is
@@ -53,8 +57,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *      A held day arriving with content that is NOT a byte-identical
   *      re-delivery FAILS LOUDLY (ADVICE r17): silently dropping it
   *      would permanently undercount that day with no signal — the
-  *      guard compares the conflicting days' exact value partials
-  *      (batch-sized, never corpus-sized) and names the days;
+  *      guard compares the conflicting days across EVERY exact
+  *      projection the store persists (value histogram, user set,
+  *      event-type counts — ADVICE r18; batch-sized, never
+  *      corpus-sized, and skipped entirely on the healthy no-replay
+  *      path), names the days, and points at [[restateDay]] — the
+  *      retract-and-replace correction path (VERDICT r18 #4);
   *   3. aggregate the fresh days' four partial tables — each one
   *      map-side-combining pass over the batch only;
   *   4. overwrite each table's `batch_id=N` partition.
@@ -113,9 +121,18 @@ object StreamedSketch {
     events.select(to_date(col("ts")).as("day"), col("event_type"))
       .groupBy("day").agg(expr("approx_top_k_accumulate(event_type, 100)").as("st"))
 
+  /** `daily` is written LAST (ADVICE r18): day-grain admission keys
+    * off the daily table alone, so the daily row is the batch's COMMIT
+    * MARKER — a crash between table writes leaves the day un-held (a
+    * later delivery re-admits it under a new batch id) instead of held
+    * with families permanently missing. The orphaned ad/hll/topk rows
+    * such a crash leaves are inert: [[liveBatchByDay]] maps every day
+    * to the batch its DAILY row names, so rows under a batch with no
+    * daily commit are never served.
+    */
   private val PartialTables = Seq[(String, DataFrame => DataFrame)](
-    "daily" -> partials, "ad" -> adPartials,
-    "hll" -> hllPartials, "topk" -> topkPartials)
+    "ad" -> adPartials, "hll" -> hllPartials,
+    "topk" -> topkPartials, "daily" -> partials)
 
   private def writeAll(events: DataFrame, storeDir: String, batchId: Long): Unit =
     PartialTables.foreach { case (name, f) =>
@@ -128,17 +145,55 @@ object StreamedSketch {
   def seed(s: SparkSession, events: DataFrame, storeDir: String): Unit =
     writeAll(events, storeDir, SeedBatchId)
 
+  /** The day-restatement markers `(day, replaced_by)` — empty when no
+    * correction ever landed. `replaced_by` = the correcting batch id;
+    * latest correction wins (max — correction ids are chosen above the
+    * stream's committed horizon, see [[restateDay]]).
+    */
+  private def readTombs(s: SparkSession, storeDir: String): DataFrame =
+    if (!StreamedDedup.hasBatchPartitions(s, storeDir, s"$storeDir/tombs"))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "day DATE, replaced_by BIGINT"))
+    else
+      s.read.option("basePath", s"$storeDir/tombs")
+        .parquet(s"$storeDir/tombs/batch_id=*")
+        .groupBy("day").agg(max(col("replaced_by")).as("replaced_by"))
+
+  /** The one LIVE batch per held day: the restatement marker's batch
+    * if the day was corrected, else the batch whose DAILY row admitted
+    * it (min — on a healthy store a day's daily row exists in exactly
+    * one batch; after an interrupted compaction any duplicate is
+    * byte-identical so min is THE batch). Derived from the daily table
+    * alone — daily is the commit marker ([[PartialTables]]), so rows
+    * any other table holds under a batch with no daily commit for that
+    * day are orphans of a crashed write and must never serve.
+    */
+  private def liveBatchByDay(s: SparkSession, storeDir: String,
+      excludeBatch: Long): DataFrame =
+    s.read.option("basePath", s"$storeDir/daily")
+      .parquet(s"$storeDir/daily/batch_id=*")
+      .filter(col("batch_id") =!= excludeBatch)
+      .groupBy("day").agg(min(col("batch_id")).as("admit_b"))
+      .join(readTombs(s, storeDir), Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("replaced_by"), col("admit_b")).as("live_b"))
+
   /** A store table `(key..., payload)` excluding `excludeBatch`'s own
-    * partition (batch protocol step 1), duplicate-collapsed on
-    * `keyCols` (interrupted-compaction tolerance), and EMPTY — not an
-    * error — when the table has no partitions yet (ADVICE r17).
+    * partition (batch protocol step 1), restricted to each day's LIVE
+    * batch (restatement-aware — [[liveBatchByDay]]), duplicate-
+    * collapsed on `keyCols` (interrupted-compaction tolerance), and
+    * EMPTY — not an error — when the table has no partitions yet
+    * (ADVICE r17). Emptiness is probed through Hadoop FileSystem with
+    * the parent store REQUIRED to exist (ADVICE r18 — an unlistable
+    * path must fail loudly, not serve an empty store).
     */
   private def readTable(s: SparkSession, storeDir: String, table: String,
       keyCols: Seq[String], schemaDDL: String, outCols: Seq[String],
       excludeBatch: Long): DataFrame = {
-    val dir = new java.io.File(s"$storeDir/$table")
-    val hasParts = Option(dir.listFiles())
-      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch_id=")))
+    val hasParts =
+      StreamedDedup.hasBatchPartitions(s, storeDir, s"$storeDir/$table") &&
+        StreamedDedup.hasBatchPartitions(s, storeDir, s"$storeDir/daily")
     if (!hasParts)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
@@ -146,6 +201,9 @@ object StreamedSketch {
       s.read.option("basePath", s"$storeDir/$table")
         .parquet(s"$storeDir/$table/batch_id=*")
         .filter(col("batch_id") =!= excludeBatch)
+        .join(liveBatchByDay(s, storeDir, excludeBatch),
+          Seq("day"), "inner")
+        .filter(col("batch_id") === col("live_b"))
         .dropDuplicates(keyCols)
         .select(outCols.map(col): _*)
   }
@@ -157,9 +215,10 @@ object StreamedSketch {
       "day DATE, v BIGINT, n BIGINT", Seq("day", "v", "n"), excludeBatch)
 
   /** The accreted daily-active-users postings `(day, user_id)`. */
-  def readAd(s: SparkSession, storeDir: String): DataFrame =
+  def readAd(s: SparkSession, storeDir: String,
+      excludeBatch: Long = Long.MinValue): DataFrame =
     readTable(s, storeDir, "ad", Seq("day", "user_id"),
-      "day DATE, user_id BIGINT", Seq("day", "user_id"), Long.MinValue)
+      "day DATE, user_id BIGINT", Seq("day", "user_id"), excludeBatch)
 
   /** The accreted HLL partials `(day, sk)`. */
   def readHll(s: SparkSession, storeDir: String): DataFrame =
@@ -171,10 +230,11 @@ object StreamedSketch {
     * the empty-store schema is derived from the aggregator itself on
     * an empty frame rather than spelled as DDL.
     */
-  def readTopk(s: SparkSession, storeDir: String): DataFrame = {
-    val dir = new java.io.File(s"$storeDir/topk")
-    val hasParts = Option(dir.listFiles())
-      .exists(_.exists(f => f.isDirectory && f.getName.startsWith("batch_id=")))
+  def readTopk(s: SparkSession, storeDir: String,
+      excludeBatch: Long = Long.MinValue): DataFrame = {
+    val hasParts =
+      StreamedDedup.hasBatchPartitions(s, storeDir, s"$storeDir/topk") &&
+        StreamedDedup.hasBatchPartitions(s, storeDir, s"$storeDir/daily")
     if (!hasParts)
       topkPartials(s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -183,6 +243,9 @@ object StreamedSketch {
     else
       s.read.option("basePath", s"$storeDir/topk")
         .parquet(s"$storeDir/topk/batch_id=*")
+        .filter(col("batch_id") =!= excludeBatch)
+        .join(liveBatchByDay(s, storeDir, excludeBatch), Seq("day"), "inner")
+        .filter(col("batch_id") === col("live_b"))
         .dropDuplicates("day")
         .select("day", "st")
   }
@@ -203,30 +266,112 @@ object StreamedSketch {
     val fresh = inc.join(held, Seq("day"), "left_anti")
     // loud re-delivery guard (ADVICE r17): a held day arriving with
     // DIFFERENT content is late/amended data the admission would
-    // silently discard — compare the conflicting days' exact value
-    // partials (batch-sized) and fail naming the days
-    val replayed = inc.join(held, Seq("day"), "left_semi")
-    val incPart = partials(replayed.select("ts", "value"))
-      .withColumnRenamed("n", "n_inc")
-    val storedPart = readStore(s, storeDir, excludeBatch = batchId)
-      .join(replayed.select("day").distinct(), Seq("day"), "left_semi")
-      .withColumnRenamed("n", "n_stored")
-    // full-outer compare at (day, v) grain: any one-sided or
-    // count-shifted row convicts the day (both frames are exact)
-    val conflictDays = incPart
-      .join(storedPart, Seq("day", "v"), "full_outer")
-      .filter(col("n_inc").isNull || col("n_stored").isNull ||
-        col("n_inc") =!= col("n_stored"))
-      .select("day").distinct().collect().map(_.getDate(0).toString).sorted
-    if (conflictDays.nonEmpty)
-      throw new IllegalStateException(
-        s"batch $batchId re-delivers held day(s) ${conflictDays.mkString(", ")} " +
-          "with content that is not a byte-identical re-delivery — the " +
-          "day-grain admission would silently discard the difference and " +
-          "permanently undercount; amend via a compaction-window rebuild of " +
-          "those days instead.")
+    // silently discard — compare the conflicting days against the
+    // stored content and fail naming the days. Collected replayed-day
+    // list FIRST (ADVICE r18): the common healthy batch re-delivers
+    // nothing, and must not pay two store reads + a full-outer join
+    // + a collect per trigger — the compare runs only when a held day
+    // actually re-arrived, scoped to exactly those days.
+    val replayedDays = inc.join(held, Seq("day"), "left_semi")
+      .select("day").distinct().collect().map(_.getDate(0))
+    if (replayedDays.nonEmpty) {
+      val replayed = Materialize(inc.filter(
+        col("day").isin(replayedDays.toIndexedSeq: _*)))
+      val scope = replayed.select("day").distinct()
+      // ALL exact projections the store persists (ADVICE r18 — the r18
+      // guard compared only the value histogram, so a re-delivery with
+      // the same values but different user_ids or event_types passed
+      // silently and the stale ad/hll/topk content was kept forever):
+      //  - (day, v, n)              ↔ daily (and the quantile/totals tier)
+      //  - (day, user_id)           ↔ ad — and hll, which is a
+      //    deterministic set function of the same user_ids (HLL
+      //    registers fold by max: same set ⇒ same sketch bytes)
+      //  - (day, event_type, count) ↔ topk via estimate-all under the
+      //    exact-regime budget (sk08's argument; outside that regime
+      //    this check stays conservative — it can only fail LOUDLY on
+      //    a re-delivery it cannot certify, never pass a bad one)
+      def oneSided(a: DataFrame, b: DataFrame, joinCols: Seq[String],
+          ca: String, cb: String): DataFrame =
+        a.join(b, joinCols, "full_outer")
+          .filter(col(ca).isNull || col(cb).isNull || col(ca) =!= col(cb))
+          .select("day")
+      val dVal = oneSided(
+        partials(replayed.select("ts", "value")).withColumnRenamed("n", "n_inc"),
+        readStore(s, storeDir, excludeBatch = batchId)
+          .join(scope, Seq("day"), "left_semi")
+          .withColumnRenamed("n", "n_stored"),
+        Seq("day", "v"), "n_inc", "n_stored")
+      val dAd = oneSided(
+        adPartials(replayed).withColumn("inc", lit(1)),
+        readAd(s, storeDir, excludeBatch = batchId)
+          .join(scope, Seq("day"), "left_semi")
+          .withColumn("stored", lit(1)),
+        Seq("day", "user_id"), "inc", "stored")
+      def typeCounts(st: DataFrame): DataFrame = st
+        .select(col("day"), explode(expr("approx_top_k_estimate(st, 100)")).as("e"))
+        .select(col("day"), col("e.item").as("event_type"),
+          col("e.count").cast("bigint").as("cnt"))
+      val dTk = oneSided(
+        typeCounts(topkPartials(replayed)).withColumnRenamed("cnt", "n_inc"),
+        typeCounts(readTopk(s, storeDir, excludeBatch = batchId)
+          .join(scope, Seq("day"), "left_semi"))
+          .withColumnRenamed("cnt", "n_stored"),
+        Seq("day", "event_type"), "n_inc", "n_stored")
+      val conflictDays = dVal.unionByName(dAd).unionByName(dTk)
+        .distinct().collect().map(_.getDate(0).toString).sorted
+      if (conflictDays.nonEmpty)
+        throw new IllegalStateException(
+          s"batch $batchId re-delivers held day(s) ${conflictDays.mkString(", ")} " +
+            "with content that is not a byte-identical re-delivery — the " +
+            "day-grain admission would silently discard the difference and " +
+            "permanently undercount; amend via restateDay (retract-and-" +
+            "replace under a fresh batch id) instead.")
+    }
     writeAll(fresh.select("ts", "value", "user_id", "event_type"),
       storeDir, batchId)
+  }
+
+  /** RETRACT-AND-REPLACE a delivered day (VERDICT r18 #4 — the remedy
+    * the re-delivery guard names): production telemetry DOES re-state
+    * days (late backfill, an upstream fix), and the day-grain
+    * admission correctly refuses to silently merge the amendment —
+    * this is the explicit correction path. `corrected` must carry the
+    * restated day(s)' FULL corrected content (replace, not patch).
+    *
+    * Protocol, crash-ordered so every window is consistent:
+    *
+    *   1. all four corrected partial tables land under the correcting
+    *      batch's own `batch_id=<batchId>` partitions (deterministic,
+    *      mode=overwrite — a re-run converges). Readers still serve
+    *      the OLD day: [[liveBatchByDay]] maps a day to its admitting
+    *      batch until a marker says otherwise, so the new rows are
+    *      invisible;
+    *   2. the day-grain marker `(day, replaced_by=batchId)` lands in
+    *      `tombs/batch_id=<batchId>` LAST — the correction's commit
+    *      point. From here every reader serves the corrected rows and
+    *      the old rows are dead (physically reclaimed at the next
+    *      [[compactStore]], which folds the LIVE view and clears the
+    *      consumed markers — the StreamedIndex tombstone discipline at
+    *      day grain).
+    *
+    * `batchId` must be above the stream's committed horizon and above
+    * any prior correction (latest-wins is max(replaced_by); a
+    * collision with a future stream batch is caught loudly by that
+    * batch's own-partition exclusion turning the restated day into a
+    * guard conflict, never a silent merge). Run in a maintenance
+    * window like compaction.
+    */
+  def restateDay(corrected: DataFrame, batchId: Long, storeDir: String): Unit = {
+    require(batchId != SeedBatchId, s"restatement id must not be $SeedBatchId")
+    val s = corrected.sparkSession
+    val inc = Materialize(corrected
+      .select(col("ts"), col("value"), col("user_id"), col("event_type"))
+      .withColumn("day", to_date(col("ts"))))
+    writeAll(inc.select("ts", "value", "user_id", "event_type"),
+      storeDir, batchId)
+    inc.select("day").distinct()
+      .withColumn("replaced_by", lit(batchId))
+      .write.mode("overwrite").parquet(s"$storeDir/tombs/batch_id=$batchId")
   }
 
   /** Maintenance compaction — [[StreamedIndex.compactStore]]'s
@@ -246,14 +391,29 @@ object StreamedSketch {
           "started but not committed — it will replay on restart and its " +
           "own-partition exclusion needs the uncompacted layout.")
     }
-    readStore(s, storeDir)
-      .write.mode("overwrite").parquet(s"$storeDir/daily/batch_id=$compactionId")
+    // the fold serves the LIVE view (restatement-aware reads), so a
+    // corrected day folds as its corrected content and the retracted
+    // generation is physically reclaimed here; daily folds LAST (the
+    // commit-marker discipline), the consumed restatement markers are
+    // cleared next (their content is now IN the fold — clearing before
+    // the table prune keeps every mid-crash read consistent: the
+    // compacted batch id is negative and below every admitting id, so
+    // min picks it the moment daily lands), and the old partitions
+    // prune at the end. A crash anywhere re-runs to convergence (the
+    // maintenance-window contract).
     readAd(s, storeDir)
       .write.mode("overwrite").parquet(s"$storeDir/ad/batch_id=$compactionId")
     readHll(s, storeDir)
       .write.mode("overwrite").parquet(s"$storeDir/hll/batch_id=$compactionId")
     readTopk(s, storeDir)
       .write.mode("overwrite").parquet(s"$storeDir/topk/batch_id=$compactionId")
+    readStore(s, storeDir)
+      .write.mode("overwrite").parquet(s"$storeDir/daily/batch_id=$compactionId")
+    if (StreamedDedup.hasBatchPartitions(s, storeDir, s"$storeDir/tombs")) {
+      readTombs(s, storeDir).limit(0)
+        .write.mode("overwrite").parquet(s"$storeDir/tombs/batch_id=$compactionId")
+      StreamedDedup.pruneOtherPartitions(s, Seq(s"$storeDir/tombs"), compactionId)
+    }
     StreamedDedup.pruneOtherPartitions(s,
       Seq("daily", "ad", "hll", "topk").map(t => s"$storeDir/$t"), compactionId)
   }

@@ -511,6 +511,25 @@ class PlanAuditSpec extends AnyFunSuite {
         "and anti/semi scoping joins are all shuffle_merge equi-joins")
   }
 
+  test("q67/q68/q69: MV delta terms are shuffled equi-joins — no hashed relation in any serve") {
+    // VERDICT r18 #1 (What's wrong): a delta cut from the standing
+    // base (q68/q69's DELETE slice is ~22.5% of base orders by the
+    // fixtures' own construction) is base-proportional — broadcasting
+    // it is a driver OOM at 100x. The serves ship the gr28 recipe:
+    // shuffle_merge hints on every delta side, audited AFTER execution
+    // so AQE's runtime re-plan is what's asserted.
+    for (q <- Seq("q67_join_mv_delta", "q68_join_mv_counting", "q69_agg_mv_delta")) {
+      val df = GraftQuery.all.find(_.name == q).get.build(spark, sf001)
+      df.collect() // finalize the adaptive plan before reading it
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Broadcast"),
+        s"$q: a delta term planned a hashed relation — base-proportional " +
+          "deltas must stay shuffled equi-joins")
+      assert(p.contains("SortMergeJoin"),
+        s"$q: the shuffle_merge hints must hold through AQE")
+    }
+  }
+
   test("gr12/gr13: the shuffled PageRank/LPA loops never broadcast vertex-scale state") {
     // the gr09 contract extended to the last two iterative loops
     // (VERDICT r11 #3): ranks/labels are equi-joined under

@@ -26,7 +26,11 @@ class StageStoreSpec extends AnyFunSuite {
     ("bpeUnits", TextAnalysis.bpeUnits, TextAnalysis.bpeUnitsFresh),
     ("spanDrops", Dedup.spanDrops, Dedup.spanDropsFresh),
     ("intraDrops", Dedup.intraDrops, Dedup.intraDropsFresh),
-    ("pairCounts", Decontam.pairCounts, Decontam.pairCountsFresh))
+    ("pairCounts", Decontam.pairCounts, Decontam.pairCountsFresh),
+    // r19: the dedup cluster chain (VERDICT r18 #1) — the pair
+    // pipeline + CC fixpoint behind dd07/dd08/sp13/pl01..pl05
+    ("clusterAssignments", Dedup.clusterAssignments, Dedup.clusterAssignmentsFresh),
+    ("keeperIds", Dedup.keeperIds, Dedup.keeperIdsFresh))
 
   test("every memoized stage core serves exactly the fresh build's rows (sf0.001)") {
     for ((name, store, fresh) <- cores) {
