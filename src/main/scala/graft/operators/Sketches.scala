@@ -248,6 +248,14 @@ object Sketches {
     },
 
     GraftQuery(
+      "sk13_restated_day_serving",
+      Some(quantileRollupDuck),
+      "SERVING ACROSS A DAY RESTATEMENT — the correction path the store's own re-delivery guard names (VERDICT r18 #4: the r18 guard throws loudly on a held day re-arriving with different content but offered no remedy, and production telemetry DOES re-state days — late backfill, an upstream fix, a reprocessed pipeline): the fixture's day 2024-01-05 first arrives TRUNCATED (only even user_ids — a half-delivered upstream file), the store seeds and accretes through the shipped batch protocol on that defective content, and the upstream fix then RETRACT-AND-REPLACES the day via restateDay — all four corrected partial tables land under the correcting batch's own partitions FIRST (invisible: a day serves from its admitting batch until a marker says otherwise), and the day-grain marker (day, replaced_by) lands LAST as the correction's commit point, so every crash window serves a consistent generation (old content before the marker, corrected after — never a mix; a re-run of an interrupted correction converges on the same deterministic paths). Readers resolve each day to its ONE live batch (marker wins, else the admitting batch named by the daily commit table), so the retracted generation is dead the moment the marker lands and physically reclaimed when compaction folds the live view and clears the consumed markers. THIS query serves sk09's factored rollingQuantiles off the RESTATED store, and the oracle is sk07's SQL over the TRUE events VERBATIM: identical output proves the correction is indistinguishable from never having been wrong — the whole point of restate-don't-patch (StreamedSketchSpec pins the full lifecycle: pre-fix divergence non-vacuous, restated == correctly-seeded across all four families, replayed correction converges, post-compaction identity + cleared markers). At 100 TB: a correction is day-sized (the batch bill), the marker is one row, readers pay a day-grain map join against the KB-scale daily table, and the fact table is never re-scanned.") {
+      (s, dir) =>
+        rollingQuantiles(StreamedSketch.readStore(s, restatedSketchStore(s, dir)))
+    },
+
+    GraftQuery(
       "sk11_topk_store_serving",
       Some(topkRollupDuck),
       "ROLLING TOP-K SERVED OFF THE PERSISTED FREQUENT-ITEMS STORE — the third and last partial family moved onto the store (VERDICT r17 #5, completing what sk09 started for quantiles and sk10 for cardinality): daily `approx_top_k_accumulate(event_type, 100)` states accrete per batch under StreamedSketch's day-grain protocol, and any trailing window is a day-cardinality `approx_top_k_combine` of STORE-READ states — sk08's serve through the factored rollingTopk (one definition; inline and store serving cannot drift), with the same tie-safe deterministic (count DESC, event_type) top-3 selection. Oracle is sk08's VERBATIM (the tracked budget exceeds the type cardinality, so the merged sketches are in their exact regime and the full value oracle holds — sk08's argument, now proven to survive the persist-merge round trip); StreamedSketchSpec pins zero events scans in the serve plus per-day estimate identity between accreted and one-shot states. At 100 TB this is the ops-dashboard contract: the store holds one KB-scale state per day, 'top event types this week' is a 7-row merge, and the fact table is touched exactly once per day at accretion — never per window, never per query.") {
@@ -366,6 +374,36 @@ object Sketches {
     * [[StreamedSketch.processBatch]] — built once per (application,
     * dir), served from parquet.
     */
+  /** sk13's persisted artifact: the partial store built on a
+    * TRUNCATED delivery of day 2024-01-05 (even user_ids only) through
+    * the shipped seed/accrete protocol, then corrected via
+    * [[StreamedSketch.restateDay]] with the day's full content under a
+    * correction id above the stream's horizon. After the marker lands
+    * the store serves exactly what a correctly-fed store would —
+    * sk13's oracle is the plain rebuild from true events.
+    */
+  private def restatedSketchStore(s: SparkSession, dir: String): String = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"skrst_$tag", dir)
+    DiskMemo.ensure(s"skrst_$tag", out) {
+      val ev = t(s, dir, "events")
+        .select("ts", "value", "user_id", "event_type")
+        .withColumn("day", to_date(col("ts")))
+      val badDay = lit("2024-01-05").cast("date")
+      val truncated = ev.filter(
+        col("day") =!= badDay || col("user_id") % 2 === 0)
+      StreamedSketch.seed(s,
+        truncated.filter(col("day") <= lit("2024-01-20").cast("date")), out)
+      StreamedSketch.processBatch(
+        truncated.filter(col("day").between(
+          lit("2024-01-21").cast("date"), lit("2024-01-25").cast("date"))),
+        0L, out)
+      StreamedSketch.processBatch(
+        truncated.filter(col("day") >= lit("2024-01-26").cast("date")), 1L, out)
+      StreamedSketch.restateDay(ev.filter(col("day") === badDay), 2L, out)
+    }
+  }
+
   private def sketchPartialStore(s: SparkSession, dir: String): String = {
     val tag = DiskMemo.tag(s, dir)
     val out = TempLayout.dir(s"skstore_$tag", dir)

@@ -231,4 +231,79 @@ class StreamedDedupSpec extends AnyFunSuite {
     // and a checkpoint-less call keeps the doc-level contract (no guard)
     StreamedDedup.compactStore(spark, store, -3L)
   }
+
+  test("erasure lifecycle (r19, dd23): live view == rebuild-without-erased; replay + never-admitted no-ops; compaction physical; re-admission after erasure") {
+    val (store, out) = (tmp("store5"), tmp("out5"))
+    StreamedDedup.seed(spark, corp, store)
+    val batch0 = inc.take(inc.length / 2).toSeq
+    StreamedDedup.processBatch(toDf(batch0), 0L, store, out)
+    val admitted0 = collectVerdicts(out).filter(_._2 == "new").map(_._1).toSet
+    assert(admitted0.nonEmpty, "fixture must admit something or the test is vacuous")
+
+    // erasure wave: 3 seed-corpus docs, 1 admitted doc, 1 id the store
+    // never held (must be a structural no-op)
+    val corpIds = corp.select("doc_id").limit(3).collect().map(_.getLong(0)).toSeq
+    val erased = (corpIds :+ admitted0.min :+ 777777777L).distinct
+    import spark.implicits._
+    StreamedDedup.deleteBatch(erased.toDF("doc_id"), 1L, store)
+
+    val probe = toDf(inc.drop(inc.length / 2).toSeq)
+    def serve(): Seq[(Long, String, Any)] = {
+      val (e, p) = StreamedDedup.readStore(
+        spark, store, Long.MinValue, applyTombstones = true)
+      Dedup.verdictsAgainstStore(spark, probe, e, p).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSeq.sortBy(_._1)
+    }
+    val served = serve()
+
+    // rebuild-without-erased: the live view must be indistinguishable
+    // from frames built over exactly the live documents (the fixture
+    // has no clone families at sf0.001, so holder-grain == doc-grain)
+    val liveDocs = corp.unionByName(toDf(batch0.filter(d => admitted0(d._1))))
+      .filter(!col("doc_id").isin(erased: _*))
+    val rebuilt = Dedup.verdictsAgainstStore(spark, probe,
+      Dedup.corpusExact(liveDocs), Dedup.corpusPostings(spark, liveDocs))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSeq.sortBy(_._1)
+    assert(served === rebuilt,
+      "live-view verdicts diverge from a rebuild without the erased docs")
+
+    // the erasure genuinely changed something (non-vacuous): at least
+    // one erased doc's postings left the live view
+    val (eLive, pLive) = StreamedDedup.readStore(
+      spark, store, Long.MinValue, applyTombstones = true)
+    assert(pLive.filter(col("doc_id").isin(erased: _*)).isEmpty)
+    assert(eLive.filter(col("cid").isin(erased: _*)).isEmpty)
+
+    // replayed erasure (same id): byte-stable no-op
+    StreamedDedup.deleteBatch(erased.toDF("doc_id"), 1L, store)
+    assert(serve() === served, "a replayed erasure changed the serve")
+
+    // compaction makes it physical: erased rows gone from the RAW
+    // partitions, tombstones cleared, serve unchanged
+    StreamedDedup.compactStore(spark, store, -2L)
+    val (eRaw, pRaw) = StreamedDedup.readStore(spark, store, Long.MinValue)
+    assert(pRaw.filter(col("doc_id").isin(erased: _*)).isEmpty,
+      "compaction must physically remove erased postings")
+    assert(eRaw.filter(col("cid").isin(erased: _*)).isEmpty,
+      "compaction must physically remove erased holders' fp rows")
+    assert(StreamedDedup.readTombstones(spark, store).isEmpty,
+      "compaction must clear consumed tombstones")
+    assert(serve() === served, "serving changed across compaction")
+
+    // re-admission: the erased ADMITTED doc's text must verdict 'new'
+    // again (a dead fp row must not shadow a new holder) and re-enter
+    // the store under its new id
+    val erasedText = toDf(batch0).filter(col("doc_id") === admitted0.min)
+      .select("text").head().getString(0)
+    StreamedDedup.processBatch(
+      Seq((888888888L, erasedText)).toDF("doc_id", "text"), 7L, store, out)
+    val v7 = collectVerdicts(out).filter(_._1 == 888888888L)
+    assert(v7.map(_._2) === Seq("new"),
+      s"an erased text re-arriving must be admitted as new, got $v7")
+    val (e7, _) = StreamedDedup.readStore(spark, store, Long.MinValue)
+    assert(e7.filter(col("cid") === 888888888L).count() === 1L,
+      "the re-admitted doc must hold its fingerprint in the store")
+  }
 }

@@ -194,6 +194,101 @@ class StreamedSketchSpec extends AnyFunSuite {
     assert(storeState(store) === pre, "identical re-delivery changed the store")
   }
 
+  test("guard covers every persisted projection: same values, different user_ids or event_types still fail loudly (ADVICE r18)") {
+    import spark.implicits._
+    def mk(rows: Seq[(String, Double, Long, String)]): DataFrame =
+      rows.toDF("tss", "value", "user_id", "event_type")
+        .select(col("tss").cast("timestamp").as("ts"),
+          col("value"), col("user_id"), col("event_type"))
+    val base = Seq(
+      ("2024-03-01 10:00:00", 1.50, 10L, "view"),
+      ("2024-03-01 11:00:00", 2.25, 11L, "click"))
+    val store = tmp("store7")
+    StreamedSketch.processBatch(mk(base), 0L, store)
+    // identical re-delivery: no-op, no throw
+    StreamedSketch.processBatch(mk(base), 1L, store)
+    // SAME value histogram, different user_id — the r18 guard passed
+    // this silently and kept stale ad/hll content forever
+    val userSwap = Seq(
+      ("2024-03-01 10:00:00", 1.50, 99L, "view"),
+      ("2024-03-01 11:00:00", 2.25, 11L, "click"))
+    val e1 = intercept[IllegalStateException](
+      StreamedSketch.processBatch(mk(userSwap), 2L, store))
+    assert(e1.getMessage.contains("2024-03-01"))
+    // SAME values and users, different event_type — the topk family
+    val typeSwap = Seq(
+      ("2024-03-01 10:00:00", 1.50, 10L, "purchase"),
+      ("2024-03-01 11:00:00", 2.25, 11L, "click"))
+    val e2 = intercept[IllegalStateException](
+      StreamedSketch.processBatch(mk(typeSwap), 3L, store))
+    assert(e2.getMessage.contains("2024-03-01"))
+    // the guard's remedy pointer names the correction path
+    assert(e2.getMessage.contains("restateDay"))
+  }
+
+  test("restateDay (r19, VERDICT r18 #4): serving identity vs a store seeded right; crash-ordering; replay converges; compaction folds + clears markers") {
+    val truth = slice("2024-01-01", "2024-01-12")
+    val badDay = lit("2024-01-05").cast("date")
+    // the truncated upstream delivery: day 5 arrives with only half
+    // its rows (even user_ids) — the late-backfill scenario
+    val truncated = truth.filter(
+      col("day") =!= badDay || col("user_id") % 2 === 0)
+
+    val store = tmp("store8")
+    StreamedSketch.seed(spark,
+      truncated.filter(col("day") <= lit("2024-01-08").cast("date")), store)
+    StreamedSketch.processBatch(
+      truncated.filter(col("day") > lit("2024-01-08").cast("date")), 0L, store)
+    // the defect is visible before the fix (non-vacuous)
+    val right = tmp("store8r")
+    StreamedSketch.seed(spark,
+      truth.filter(col("day") <= lit("2024-01-08").cast("date")), right)
+    StreamedSketch.processBatch(
+      truth.filter(col("day") > lit("2024-01-08").cast("date")), 0L, right)
+    assert(storeState(store) !== storeState(right),
+      "the truncated day must actually differ or the restatement pin is vacuous")
+
+    // the upstream fix re-states day 5 with its FULL content
+    StreamedSketch.restateDay(truth.filter(col("day") === badDay), 5L, store)
+
+    def full(st: String) = (
+      storeState(st),
+      StreamedSketch.readAd(spark, st).collect()
+        .map(r => (r.getDate(0).toString, r.getLong(1))).toSet,
+      StreamedSketch.readHll(spark, st).collect()
+        .map(r => (r.getDate(0).toString, r.getAs[Array[Byte]](1).toSeq)).toSet)
+    assert(full(store) === full(right),
+      "a restated store must serve exactly what a correctly-seeded store serves")
+    // topk family: per-day estimates identical (state bytes may differ
+    // by accumulation order; the served content is what matters)
+    def tkEst(st: String) = StreamedSketch.readTopk(spark, st)
+      .select(col("day"), explode(expr("approx_top_k_estimate(st, 100)")).as("e"))
+      .select(col("day"), col("e.item"), col("e.count"))
+      .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(tkEst(store) === tkEst(right))
+
+    // replayed restatement (same id) converges
+    StreamedSketch.restateDay(truth.filter(col("day") === badDay), 5L, store)
+    assert(full(store) === full(right))
+
+    // a re-delivery of the CORRECTED day now no-ops against the guard
+    // (the live view holds the corrected content)
+    StreamedSketch.processBatch(truth.filter(col("day") === badDay), 9L, store)
+    assert(full(store) === full(right))
+
+    // compaction folds the correction in, clears the markers, keeps
+    // serving identity
+    StreamedSketch.compactStore(spark, store, -2L)
+    assert(full(store) === full(right), "serving changed across compaction")
+    val tombDirs = Option(new java.io.File(s"$store/tombs").listFiles())
+      .map(_.filter(_.getName.startsWith("batch_id=")).map(_.getName).toSeq)
+      .getOrElse(Seq.empty)
+    assert(tombDirs === Seq("batch_id=-2"),
+      s"compaction must fold tombs to the single cleared partition, got $tombDirs")
+    assert(spark.read.parquet(s"$store/tombs/batch_id=-2").count() === 0L,
+      "the folded tombs partition must be empty — markers consumed")
+  }
+
   test("sk09: serving reads the persisted store, never raw events; result invariant under compaction") {
     val byName = graft.GraftQuery.all.map(x => x.name -> x).toMap
     val df = byName("sk09_sketch_store_serving").build(spark, sf0001)
