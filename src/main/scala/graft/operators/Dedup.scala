@@ -1609,11 +1609,29 @@ object Dedup {
       s: SparkSession,
       inc: DataFrame,
       corpExact: DataFrame,
+      corpPostings: DataFrame): DataFrame =
+    verdictsFromPairs(inc, storeMatchPairs(s, inc, corpExact, corpPostings))
+
+  /** The probe path at PAIR grain (r19, VERDICT r18 #5): EVERY
+    * qualifying (incoming doc, corpus doc) hit — exact fingerprint
+    * matches and near pairs over the df-capped store vocabulary —
+    * before the per-doc min aggregation [[verdictsFromPairs]] applies.
+    * This is the streamed edge source dd22's doc promises: the
+    * pipeline's label maintenance consumes these pairs as delta edges
+    * (an incoming doc matching TWO standing clusters is the event that
+    * merges them — the min-match verdict alone would miss it), and the
+    * verdict serve is a cheap fold over the same frame, so the hits
+    * are computed exactly once per batch.
+    */
+  private[operators] def storeMatchPairs(
+      s: SparkSession,
+      inc: DataFrame,
+      corpExact: DataFrame,
       corpPostings: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val exact = inc.select(col("doc_id"), md5(col("text")).as("fp"))
+    val exactP = inc.select(col("doc_id"), md5(col("text")).as("fp"))
       .join(corpExact, "fp")
-      .groupBy("doc_id").agg(min(col("cid")).as("exact_match"))
+      .select(col("doc_id"), col("cid").as("match_id"), lit("exact").as("kind"))
     // store-side df cap (the persisted index's vocabulary); both
     // splits' shingle streams are filtered by it
     val rare = corpPostings.groupBy("g").agg(count(lit(1)).as("df"))
@@ -1624,23 +1642,56 @@ object Dedup {
       .join(rare, "g"))
     val nc = ec.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val ni = ei.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val near = ei.select(col("doc_id").as("di"), col("g"))
+    val nearP = ei.select(col("doc_id").as("di"), col("g"))
       .join(ec.select(col("doc_id").as("dc"), col("g")), "g")
       .groupBy("di", "dc").agg(count(lit(1)).as("shared"))
       .join(ni.select(col("doc_id").as("di"), col("n").as("n_i")), "di")
       .join(nc.select(col("doc_id").as("dc"), col("n").as("n_c")), "dc")
       .filter(col("shared").cast("double") /
         (col("n_i") + col("n_c") - col("shared")) >= 0.8)
-      .groupBy(col("di").as("doc_id")).agg(min(col("dc")).as("near_match"))
+      .select(col("di").as("doc_id"), col("dc").as("match_id"),
+        lit("near").as("kind"))
+    exactP.unionByName(nearP)
+  }
+
+  /** The per-doc verdict fold over [[storeMatchPairs]]' hits — the
+    * exact > near priority and min-match audit id, dd12's output
+    * contract unchanged.
+    */
+  private[operators] def verdictsFromPairs(
+      inc: DataFrame, pairs: DataFrame): DataFrame = {
+    val agg = pairs.groupBy("doc_id").agg(
+      min(when(col("kind") === "exact", col("match_id"))).as("exact_match"),
+      min(when(col("kind") === "near", col("match_id"))).as("near_match"))
     inc.select("doc_id")
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
+      .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("exact_match").isNotNull, "exact_dup")
           .when(col("near_match").isNotNull, "near_dup")
           .otherwise("new").as("verdict"),
         coalesce(col("exact_match"), col("near_match"))
           .cast("bigint").as("match_id"))
+  }
+
+  /** Within-corpus duplicate edges for a raw `(doc_id, text)` frame —
+    * the seed-time label graph [[StreamedPipeline]]'s cluster store
+    * bootstraps from: dd05's df-capped jaccard pairs plus exact-clone
+    * edges (each clone linked to its family's min holder, so a fully
+    * byte-identical family still forms its cluster even when the df
+    * cap starves its shingles — dd07's self-edge argument at doc
+    * grain).
+    */
+  private[operators] def corpusDupEdges(s: SparkSession, corp: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sh = corp.withColumn("gs", expr("graft_shingles(text)"))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val (pairs, _) = invertedIndexJaccard(sh, "doc_id", lit(1L))
+    val fp = corp.select(md5(col("text")).as("fp"), col("doc_id"))
+    val clones = fp.join(fp.groupBy("fp").agg(min(col("doc_id")).as("m")), "fp")
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("m").as("doc_a"), col("doc_id").as("doc_b"))
+    pairs.select(col("ka").as("doc_a"), col("kb").as("doc_b"))
+      .unionByName(clones)
   }
 
   /** The dd06/dd09 shared core, pre-expansion.

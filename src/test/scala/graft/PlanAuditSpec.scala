@@ -135,6 +135,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sk10_hll_store_serving", // sk06's day-range merge shape off the persisted hll/ad store — the same ~30-row day-list/daily-sketch broadcasts
     "sk11_topk_store_serving", // sk08's day-range merge shape off the persisted frequent-items store — the same ~30-row day-list broadcast
     "sk12_total_store_serving", // the same day-range merge shape over the value-partial store (the quantile table's totals tier)
+    "sk13_restated_day_serving", // sk09's factored day-range merge shape over the RESTATED store — the same ~30-row day-list broadcast
     "dd20_banding_sweep", // per config: 1-row cost x 1-row truth x 1-row catch frames meeting in broadcasts (ss16's sweep pattern)
     "pl05_combined_rewrite_manifest", // inherits pk02's 1-row min/max bucketizer frame for the cleaned-count pack stage (pl03's entry, combined cut set)
     "pl06_unit_priced_shards", // inherits tx21's entry (tx20's 1-row argmax frames broadcast per merge round into the vocabulary fold) + pk02's 1-row min/max bucketizer frame on the clean-unit pack

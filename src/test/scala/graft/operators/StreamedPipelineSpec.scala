@@ -302,4 +302,99 @@ class StreamedPipelineSpec extends AnyFunSuite {
         s"rejected doc ${d._1}'s fingerprint leaked into the store")
     }
   }
+
+  test("cluster labels (r19, VERDICT r18 #5): per-batch maintenance == union-find over the probe path's emitted edges, across a checkpointed restart; batch writes are change-sized; compaction folds") {
+    val (incoming, store, man, ckpt) =
+      (tmp("lin"), tmp("lstore"), tmp("lman"), tmp("lckpt"))
+    seed(store)
+    val batches = inc.toSeq.grouped((inc.length + 1) / 2).map(_.toSeq).toSeq
+    assert(batches.length === 2)
+
+    // real readStream with a kill/resume between the two drops —
+    // the checkpointed-restart-mid-accretion clause
+    def writeDrop(i: Int): Unit =
+      toDf(batches(i)).coalesce(1).write.mode("append").parquet(incoming)
+    writeDrop(0)
+    val q1 = StreamedPipeline.run(spark, incoming, store, man, ckpt,
+      trigger = Trigger.ProcessingTime(100))
+    try q1.processAllAvailable() finally q1.stop()
+    writeDrop(1)
+    val q2 = StreamedPipeline.run(spark, incoming, store, man, ckpt,
+      trigger = Trigger.ProcessingTime(100))
+    try q2.processAllAvailable() finally q2.stop()
+
+    // ground truth: union-find over the seed edge graph plus the pair
+    // hits each batch's probe path emits against the store state of
+    // ITS time — the same factored cores, replayed driver-side
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra max rb) = ra min rb }; ()
+    }
+    val universe = scala.collection.mutable.Set[Long]()
+    universe ++= corp.select("doc_id").collect().map(_.getLong(0))
+    Dedup.corpusDupEdges(spark, corp).collect()
+      .foreach(r => union(r.getLong(0), r.getLong(1)))
+    var exact = Dedup.corpusExact(corp).localCheckpoint()
+    var postings = Dedup.corpusPostings(spark, corp).localCheckpoint()
+    for (b <- batches) {
+      val bdf = toDf(b)
+      val fc = TextAnalysis.filterVerdictsOf(bdf)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      val s1ids = b.map(_._1).filter(id => fc(id) == "kept")
+      val probe = bdf.filter(col("doc_id").isin(s1ids: _*))
+      universe ++= s1ids
+      val hits = Dedup.storeMatchPairs(spark, probe, exact, postings)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      hits.foreach { case (a, m) => union(a, m) }
+      // store evolution — the full chain, as the shipped replay does
+      val v = Dedup.verdictsFromPairs(probe,
+          Dedup.storeMatchPairs(spark, probe, exact, postings))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val s2 = s1ids.filter(v(_) == "new")
+      val cont = Decontam.contaminatedAgainstIndex(spark,
+          bdf.filter(col("doc_id").isin(s2: _*)), bench)
+        .collect().map(_.getLong(0)).toSet
+      val admitted = toDf(b.filter(d => s2.contains(d._1) && !cont(d._1)))
+      exact = exact.unionByName(
+        Dedup.corpusExact(admitted).join(exact, Seq("fp"), "left_anti"))
+        .localCheckpoint()
+      postings = postings.unionByName(
+        Dedup.corpusPostings(spark, admitted)).localCheckpoint()
+    }
+    val truth = universe.toSeq.map(id => id -> find(id)).toMap
+
+    def served(): Map[Long, Long] =
+      StreamedPipeline.readLabels(spark, store).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = served()
+    assert(got === truth,
+      "maintained labels diverge from the union-find over the emitted edges")
+    // non-vacuous: at least one probe doc joined a standing cluster
+    assert(truth.exists { case (n, c) => n != c },
+      "no doc clustered — the lifecycle pin is vacuous")
+
+    // change-sized writes: a batch's label partition holds its probe
+    // docs plus relabeled standees — never the whole corpus
+    val b1rows = spark.read
+      .parquet(s"$store/labels/batch_id=1").count()
+    assert(b1rows < corp.count(),
+      s"batch 1 wrote $b1rows label rows — writes must be change-sized")
+
+    // replayed batch (same id): byte-stable labels
+    StreamedPipeline.processBatch(toDf(batches(1)), 1L, store, man)
+    assert(served() === truth, "a replayed batch changed the labels")
+
+    // compaction folds the store to one resolved partition, same reads
+    StreamedPipeline.compactStores(spark, store, -2L)
+    val parts = new java.io.File(s"$store/labels").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .map(_.getName).toSeq
+    assert(parts === Seq("batch_id=-2"))
+    assert(served() === truth, "labels changed across compaction")
+  }
 }
