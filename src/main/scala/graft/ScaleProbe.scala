@@ -226,7 +226,17 @@ object ScaleProbe {
       "q69_agg_mv_delta",
       // sk12 reads the same value-partial store as sk09 — growth is
       // the store build's one events scan, the serve day-grain
-      "sk12_total_store_serving")
+      "sk12_total_store_serving",
+      // r19: dd23's probe-path verdicts are drop-sized over the live
+      // view (the store build pays seed+accrete once per probe JVM;
+      // the tombstone anti-joins probe a request-sized LONG set);
+      // sk13 is sk09's serve over the restated store — the correction
+      // is day-sized, growth is the store build's one events scan
+      "dd23_erasure_verdicts", "sk13_restated_day_serving",
+      // dd24's serve is a label-store read; its build rides dd23's
+      // probe shape plus a COMPONENT-grain quotient fixpoint — probed
+      // growth must track the probe hits, never corpus x corpus
+      "dd24_streamed_cluster_labels")
       .map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the

@@ -1245,7 +1245,94 @@ object Dedup {
           .select("doc_id", "text")
         verdictsAgainstStore(s, probe, exact, postings)
     },
+
+    GraftQuery(
+      "dd24_streamed_cluster_labels",
+      Some(streamedLabelsDuck),
+      "STREAMED CLUSTER-LABEL SERVING — dd22's promised production wiring as an oracle-checked serve (VERDICT r18 #5: dd22's delta edges came from dd05's batch pipeline filtered by bucket; production's drop pairs come from the STORE's probe path — the near-dup verdict hits every admission batch already computes): the persisted label store seeds ONCE from the standing corpus' dup-edge clustering (df-capped jaccard pairs + clone-family min-edges, the factored pointer-jump loop), and each micro-batch then maintains it inside foreachBatch from the probe path's PAIR-grain hits (storeMatchPairs — every exact/near match, not just the min-match verdict id: a drop doc matching TWO standing clusters is precisely the event that merges them) via the factored ccMergeAdds on the SHUFFLED form — batch docs enter as self-labeled singletons (new nodes only; a re-delivered id keeps its standing label), endpoint lookups and the merge-map rewrite are shuffle_merge equi-joins (doc-grain labels are corpus-scale at 100 TB — nothing label-derived is ever a hashed relation), and the batch WRITES only the labels it created or changed (latest-batch-wins at read; writes are drop-plus-merged-clusters-sized, never the corpus — the property that makes per-trigger maintenance affordable). A duplicate's label records the cluster that rejected it: the retention/attribution audit every corpus-governance pipeline keeps. THIS query reads the maintained store after seed (md5 bucket < 50) plus one drop (>= 50) — one protocol definition with StreamedPipeline's stage 6 (seedLabels/maintainLabels live on the store's owner). THE ORACLE IS THE ALGORITHM-FREE CLOSURE over the protocol's own edge universe (seed dup edges ∪ the drop's store hits, replayed in SQL with the df cap over the store's vocabulary): min-label composition across incremental merges must be indistinguishable from the one-shot transitive closure — gr23's structural argument, hash-checked; within-drop pairs are deliberately ABSENT from both sides (the probe path never pairs a batch against itself — dd12's asymmetry, documented). StreamedPipelineSpec pins the streamed lifecycle (union-find identity across a checkpointed kill/resume, change-sized writes, replay no-op, compaction fold); at 100 TB the per-batch bill is the probe the admission already pays plus a quotient-graph fixpoint at COMPONENT grain.") {
+      (s, dir) =>
+        val store = labeledDedupStore(s, dir)
+        StreamedDedup.readLabels(s, s"$store/store")
+          .select(col("node").as("doc_id"), col("component").as("cluster"))
+    },
   )
+
+  /** dd24's persisted artifact: the fingerprint store + cluster-label
+    * store built by the SHIPPED protocol — seed both from the bucket
+    * < 50 corpus, run one drop (>= 50) through processBatch, then
+    * maintain the labels from the SAME probe-path pairs the verdicts
+    * folded (exclude-own-batch store read, exactly what processBatch
+    * saw). DiskMemo'd per (application, dir).
+    */
+  private def labeledDedupStore(s: SparkSession, dir: String): String = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"ddlab_$tag", dir)
+    DiskMemo.ensure(s"ddlab_$tag", out) {
+      val d = spread(docs(s, dir), "doc_id")
+      val bkt = expr(Sampling.bucket100("doc_id"))
+      val seedDocs = d.filter(bkt < 50).select("doc_id", "text")
+      val batch = Materialize(d.filter(bkt >= 50).select("doc_id", "text"))
+      StreamedDedup.seed(s, seedDocs, s"$out/store")
+      StreamedDedup.seedLabels(s, seedDocs, s"$out/store")
+      StreamedDedup.processBatch(batch, 0L, s"$out/store", s"$out/verdicts")
+      val (exact, postings) =
+        StreamedDedup.readStore(s, s"$out/store", excludeBatch = 0L)
+      val pairs = Materialize(storeMatchPairs(s, batch, exact, postings))
+      StreamedDedup.maintainLabels(batch, pairs, 0L, s"$out/store")
+    }
+  }
+
+  /** dd24's oracle: the one-shot transitive closure over the
+    * protocol's edge universe — seed-internal dup edges (df-capped
+    * jaccard + clone min-edges, [[corpusDupEdges]]' SQL twin) unioned
+    * with the drop's probe hits (exact fp matches + near pairs in the
+    * store's df-capped vocabulary, [[storeMatchPairs]]' SQL twin) —
+    * labels = min reachable id, isolated docs self-labeled.
+    */
+  private[operators] lazy val streamedLabelsDuck: String =
+    s"""WITH RECURSIVE dall AS (SELECT doc_id, text,
+       |               ${Sampling.duckBucket100Of("doc_id")} AS bkt FROM documents),
+       |seed AS (SELECT doc_id, text FROM dall WHERE bkt < 50),
+       |b0 AS (SELECT doc_id, text FROM dall WHERE bkt >= 50),
+       |spost AS (SELECT doc_id, UNNEST($shingleDuck) AS g
+       |          FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM seed)),
+       |rare0 AS (SELECT g FROM spost GROUP BY g HAVING COUNT(*) <= $DfCap),
+       |sec AS (SELECT p.doc_id, p.g FROM spost p JOIN rare0 USING (g)),
+       |sn AS (SELECT doc_id, COUNT(*) AS n FROM sec GROUP BY 1),
+       |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |       FROM sec a JOIN sec b ON a.g = b.g AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |sedges AS (SELECT doc_a, doc_b FROM sp
+       |           JOIN sn na ON na.doc_id = sp.doc_a
+       |           JOIN sn nb ON nb.doc_id = sp.doc_b
+       |           WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8),
+       |sfp AS (SELECT md5(text) AS fp, doc_id FROM seed),
+       |sx AS (SELECT fp, MIN(doc_id) AS cid FROM sfp GROUP BY 1),
+       |scl AS (SELECT x.cid AS doc_a, f.doc_id AS doc_b
+       |        FROM sfp f JOIN sx x USING (fp) WHERE f.doc_id <> x.cid),
+       |bpost AS (SELECT doc_id, UNNEST($shingleDuck) AS g
+       |          FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM b0)),
+       |be AS (SELECT e.doc_id, e.g FROM bpost e JOIN rare0 USING (g)),
+       |bn AS (SELECT doc_id, COUNT(*) AS n FROM be GROUP BY 1),
+       |hp AS (SELECT i.doc_id AS di, c.doc_id AS dc, COUNT(*) AS shared
+       |       FROM be i JOIN sec c ON i.g = c.g GROUP BY 1, 2),
+       |hnear AS (SELECT hp.di AS doc_a, hp.dc AS doc_b FROM hp
+       |          JOIN bn ON bn.doc_id = hp.di JOIN sn ON sn.doc_id = hp.dc
+       |          WHERE CAST(shared AS DOUBLE) / (bn.n + sn.n - shared) >= 0.8),
+       |hex AS (SELECT b.doc_id AS doc_a, x.cid AS doc_b
+       |        FROM b0 b JOIN sx x ON md5(b.text) = x.fp),
+       |alledges AS (SELECT doc_a, doc_b FROM sedges
+       |             UNION SELECT doc_a, doc_b FROM scl
+       |             UNION SELECT doc_a, doc_b FROM hnear
+       |             UNION SELECT doc_a, doc_b FROM hex),
+       |bi AS (SELECT doc_a AS a, doc_b AS b FROM alledges
+       |       UNION SELECT doc_b, doc_a FROM alledges),
+       |nodes AS (SELECT doc_id FROM seed UNION SELECT doc_id FROM b0),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT bi.b, reach.r FROM reach JOIN bi ON bi.a = reach.doc_id)
+       |SELECT doc_id, MIN(r) AS cluster FROM reach GROUP BY 1""".stripMargin
 
   /** dd23's persisted artifact: the streamed fingerprint store built
     * by the SHIPPED protocol — seed (bucket < 50), one accretion drop

@@ -125,6 +125,76 @@ object StreamedDedup {
         .parquet(s"$storeDir/tombs/batch_id=*")
         .select("doc_id").distinct()
 
+  /** Seed the near-dup cluster-label store from the standing corpus
+    * (r19, VERDICT r18 #5): the base clustering fixpoint —
+    * [[Dedup.corpusDupEdges]] + the factored pointer-jump loop — runs
+    * ONCE here; [[maintainLabels]] then keeps the labels current with
+    * drop-sized work per batch.
+    */
+  def seedLabels(s: SparkSession, corpus: DataFrame, storeDir: String): Unit = {
+    val e0 = Dedup.corpusDupEdges(s, corpus)
+    val und = Materialize.trackedLocalCheckpoint(
+      e0.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionByName(e0.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .distinct())
+    Graph.ccPointerJump(und, corpus.select(col("doc_id").as("node")))
+      .write.mode("overwrite")
+      .parquet(s"$storeDir/labels/batch_id=$SeedBatchId")
+  }
+
+  /** The maintained cluster labels `(node, component)` — latest-batch-
+    * wins per doc (a batch writes a doc's row only when it creates or
+    * changes that doc's label, so the newest row IS the label). Empty
+    * — not an error — before any seed.
+    */
+  def readLabels(s: SparkSession, storeDir: String,
+      excludeBatch: Long = Long.MinValue): DataFrame =
+    if (!hasBatchPartitions(s, storeDir, s"$storeDir/labels"))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "node BIGINT, component BIGINT"))
+    else
+      s.read.option("basePath", s"$storeDir/labels")
+        .parquet(s"$storeDir/labels/batch_id=*")
+        .filter(col("batch_id") =!= excludeBatch)
+        .groupBy("node")
+        .agg(max_by(col("component"), col("batch_id")).as("component"))
+
+  /** One batch of cluster-label maintenance (r19, VERDICT r18 #5 —
+    * the streamed lifecycle dd22's doc promises): the probe path's
+    * PAIR-grain hits ([[Dedup.storeMatchPairs]]) are the drop's
+    * near-dup edges, merged into the persisted labels with dd22's
+    * delta core — batch docs enter as self-labeled singletons (new
+    * nodes only: a cross-batch re-delivered id keeps its standing
+    * label), endpoint lookups and the merge-map rewrite run SHUFFLED
+    * (doc-grain labels are corpus-scale at 100 TB), and the batch
+    * writes ONLY the labels it created or changed (drop-plus-merged-
+    * clusters-sized, never the corpus). A duplicate's label records
+    * the cluster that rejected it — the retention/attribution audit.
+    */
+  def maintainLabels(probeDocs: DataFrame, pairs: DataFrame,
+      batchId: Long, storeDir: String): Unit = {
+    val s = probeDocs.sparkSession
+    val labels = readLabels(s, storeDir, excludeBatch = batchId)
+    val dropLab = probeDocs.select(col("doc_id").as("node"))
+      .join(labels.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    val lab = Materialize.trackedLocalCheckpoint(labels.unionByName(dropLab))
+    val delta = Materialize.trackedLocalCheckpoint(
+      pairs.select(col("doc_id").as("src"), col("match_id").as("dst")).distinct())
+    val updated = Graph.ccMergeAdds(lab, delta, shuffled = true)
+    val changed = updated
+      .join(lab.withColumnRenamed("component", "old_c"), Seq("node"))
+      .filter(col("old_c") =!= col("component"))
+      .select("node", "component")
+    changed
+      .unionByName(updated
+        .join(dropLab.select("node"), Seq("node"), "left_semi")
+        .select("node", "component"))
+      .dropDuplicates("node")
+      .write.mode("overwrite").parquet(s"$storeDir/labels/batch_id=$batchId")
+  }
+
   /** One micro-batch: verdict + store accretion. Public so the spec
     * can drive replay/idempotency directly (the foreachBatch body IS
     * this function).
@@ -224,6 +294,13 @@ object StreamedDedup {
     postings.distinct()
       .write.mode("overwrite").parquet(s"$storeDir/shingles/batch_id=$compactionId")
     pruneOtherPartitions(s, Seq(s"$storeDir/exact", s"$storeDir/shingles"), compactionId)
+    // the label store (when maintained) folds to its resolved view —
+    // latest-batch-wins per doc, one partition, same reads
+    if (hasBatchPartitions(s, storeDir, s"$storeDir/labels")) {
+      readLabels(s, storeDir)
+        .write.mode("overwrite").parquet(s"$storeDir/labels/batch_id=$compactionId")
+      pruneOtherPartitions(s, Seq(s"$storeDir/labels"), compactionId)
+    }
     if (hasBatchPartitions(s, storeDir, s"$storeDir/tombs")) {
       readTombstones(s, storeDir).limit(0)
         .write.mode("overwrite").parquet(s"$storeDir/tombs/batch_id=$compactionId")

@@ -79,34 +79,15 @@ object StreamedPipeline {
     // near-dup cluster labels over the standing corpus (r19, VERDICT
     // r18 #5): the base clustering fixpoint runs ONCE here; every
     // micro-batch then maintains the labels with drop-sized work
-    // (dd22's delta-merge, fed by the probe path's pair hits)
-    val e0 = Dedup.corpusDupEdges(s, corpus)
-    val und = Materialize.trackedLocalCheckpoint(
-      e0.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .unionByName(e0.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        .distinct())
-    Graph.ccPointerJump(und, corpus.select(col("doc_id").as("node")))
-      .write.mode("overwrite")
-      .parquet(s"$storeDir/labels/batch_id=${StreamedDedup.SeedBatchId}")
+    // (dd22's delta-merge, fed by the probe path's pair hits) — the
+    // protocol lives on the store's owner (one definition with dd24)
+    StreamedDedup.seedLabels(s, corpus, storeDir)
   }
 
-  /** The maintained near-dup cluster labels `(node, component)` —
-    * latest-batch-wins per doc (a batch writes a doc's row only when
-    * it creates or changes that doc's label, so the newest row IS the
-    * label). Empty — not an error — before any seed.
-    */
+  /** The maintained near-dup cluster labels — [[StreamedDedup.readLabels]]. */
   def readLabels(s: SparkSession, storeDir: String,
       excludeBatch: Long = Long.MinValue): DataFrame =
-    if (!StreamedDedup.hasBatchPartitions(s, storeDir, s"$storeDir/labels"))
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "node BIGINT, component BIGINT"))
-    else
-      s.read.option("basePath", s"$storeDir/labels")
-        .parquet(s"$storeDir/labels/batch_id=*")
-        .filter(col("batch_id") =!= excludeBatch)
-        .groupBy("node")
-        .agg(max_by(col("component"), col("batch_id")).as("component"))
+    StreamedDedup.readLabels(s, storeDir, excludeBatch)
 
   /** Persist the TRAINED admission gate into the store (VERDICT r15
     * #4): tx22's final weights and pl04's budget-matched theta*,
@@ -173,14 +154,6 @@ object StreamedPipeline {
       .parquet(s"$storeDir/admitted/batch_id=$compactionId")
     StreamedDedup.pruneOtherPartitions(
       s, Seq(s"$storeDir/admitted"), compactionId)
-    // the label store folds to its resolved view (latest-batch-wins
-    // per doc) — one partition, same read results (r19)
-    if (StreamedDedup.hasBatchPartitions(s, storeDir, s"$storeDir/labels")) {
-      readLabels(s, storeDir)
-        .write.mode("overwrite")
-        .parquet(s"$storeDir/labels/batch_id=$compactionId")
-      StreamedDedup.pruneOtherPartitions(s, Seq(s"$storeDir/labels"), compactionId)
-    }
     StreamedDedup.compactStore(s, storeDir, compactionId, checkpointDir)
   }
 
@@ -313,33 +286,9 @@ object StreamedPipeline {
       .write.mode("overwrite").parquet(s"$storeDir/admitted/batch_id=$batchId")
     // stage 6 — cluster-label maintenance (r19, VERDICT r18 #5: the
     // streamed lifecycle dd22's doc promises): the probe path's pair
-    // hits ARE the drop's near-dup edges, so the persisted labels
-    // merge per batch with dd22's delta core — batch docs enter as
-    // self-labeled singletons (new nodes only: a cross-batch
-    // re-delivered id keeps its standing label), endpoint lookups and
-    // the merge-map rewrite run SHUFFLED (doc-grain labels are
-    // corpus-scale at 100 TB), and the batch writes only the labels it
-    // created or changed (drop-plus-merged-clusters-sized, never the
-    // corpus), latest-batch-wins at read. A duplicate's label records
-    // the cluster that rejected it — the retention/attribution audit.
-    val labels = readLabels(s, storeDir, excludeBatch = batchId)
-    val dropLab = probeDocs.select(col("doc_id").as("node"))
-      .join(labels.select("node"), Seq("node"), "left_anti")
-      .select(col("node"), col("node").as("component"))
-    val lab = Materialize.trackedLocalCheckpoint(labels.unionByName(dropLab))
-    val delta = Materialize.trackedLocalCheckpoint(
-      pairs.select(col("doc_id").as("src"), col("match_id").as("dst")).distinct())
-    val updated = Graph.ccMergeAdds(lab, delta, shuffled = true)
-    val changed = updated
-      .join(lab.withColumnRenamed("component", "old_c"), Seq("node"))
-      .filter(col("old_c") =!= col("component"))
-      .select("node", "component")
-    changed
-      .unionByName(updated
-        .join(dropLab.select("node"), Seq("node"), "left_semi")
-        .select("node", "component"))
-      .dropDuplicates("node")
-      .write.mode("overwrite").parquet(s"$storeDir/labels/batch_id=$batchId")
+    // hits ARE the drop's near-dup edges — the merge protocol lives on
+    // the store's owner (one definition with dd24's serve).
+    StreamedDedup.maintainLabels(probeDocs, pairs, batchId, storeDir)
   }
 
   /** Run the continuous admission job over a parquet drop directory. */

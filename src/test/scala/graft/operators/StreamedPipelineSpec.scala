@@ -303,6 +303,40 @@ class StreamedPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("erasure reconciles the ledger (r19): corpus_after shrinks by live tombstones; compaction makes the ledger physical") {
+    val (store, man) = (tmp("estore"), tmp("eman"))
+    seed(store)
+    val batches = inc.toSeq.grouped((inc.length + 1) / 2).map(_.toSeq).toSeq
+    StreamedPipeline.processBatch(toDf(batches(0)), 0L, store, man)
+    val after0 = manifestOf(man, 0L)((5, "corpus_after"))
+
+    // erase 3 seed-corpus docs + 1 id never admitted (a no-op)
+    val victims = corp.select("doc_id").limit(3).collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    StreamedPipeline.eraseDocs(spark,
+      (victims :+ 31337314159L).toDF("doc_id"), 50L, store)
+
+    // the next batch's corpus_after reads the reconciled ledger: the
+    // prior count dropped by exactly the 3 erased LIVE docs
+    StreamedPipeline.processBatch(toDf(batches(1)), 1L, store, man)
+    val after1 = manifestOf(man, 1L)((5, "corpus_after"))
+    val admitted1 = manifestOf(man, 1L)((3, "clean"))
+    assert(after1 === after0 - 3 + admitted1,
+      s"corpus_after must shrink by the erased docs: batch0=$after0, " +
+        s"admitted1=$admitted1, got $after1")
+
+    // compaction folds the ledger minus the erased ids, then clears
+    // the consumed tombstones — a post-compaction batch agrees
+    StreamedPipeline.compactStores(spark, store, -2L)
+    val ledger = spark.read.option("basePath", s"$store/admitted")
+      .parquet(s"$store/admitted/batch_id=*")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !ledger.contains(v)),
+      "erased ids must leave the ledger physically at compaction")
+    assert(StreamedDedup.readTombstones(spark, store).isEmpty)
+    assert(ledger.size.toLong === after1, "folded ledger must equal the served corpus_after")
+  }
+
   test("cluster labels (r19, VERDICT r18 #5): per-batch maintenance == union-find over the probe path's emitted edges, across a checkpointed restart; batch writes are change-sized; compaction folds") {
     val (incoming, store, man, ckpt) =
       (tmp("lin"), tmp("lstore"), tmp("lman"), tmp("lckpt"))
