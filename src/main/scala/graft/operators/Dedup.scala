@@ -181,7 +181,17 @@ object Dedup {
     * ITERATIVE cost does depend on clone multiplicity, collapse
     * instead — see [[clusterAssignments]].
     */
-  private[operators] def jaccardEdges(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def jaccardEdges(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "jacedges")(jaccardEdgesFresh(s, dir))
+
+  /** The un-memoized build behind [[jaccardEdges]] — StageStoreSpec
+    * pins store == fresh. Memoized r19: the scored pair table is a
+    * STAGE OUTPUT consumed by five queries (dd05's own answer, the
+    * dd10/dd20/dd21 truth side, dd22's edge universe) and re-derived
+    * the df-capped index + self-join in each before the store.
+    * Deterministic (md5 shingles, integer counts, one IEEE division).
+    */
+  private[operators] def jaccardEdgesFresh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sh = spread(docs(s, dir), "doc_id")
       .withColumn("gs", expr("graft_shingles(text)"))
@@ -198,13 +208,22 @@ object Dedup {
     * are the compiled twins of the SQL-dialect formulations (specs pin
     * bit-equivalence).
     */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "mhsigs")(minhashSigsFresh(s, dir))
+
+  /** The un-memoized build behind [[minhashSigs]] — StageStoreSpec
+    * pins store == fresh. Memoized r19: the 32-wide signature table
+    * feeds dd03, the dd10 audit and both banding-sweep consumers
+    * (dd20/dd21) — a persisted signature table is exactly what a
+    * production LSH deployment maintains anyway.
+    */
+  private[operators] def minhashSigsFresh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Materialize(spread(docs(s, dir), "doc_id")
+    spread(docs(s, dir), "doc_id")
       .withColumn("gs", expr("graft_shingles(text)"))
       .filter(size(col("gs")) > 0)
       .withColumn("sig", expr("graft_minhash_sig(gs)"))
-      .select("doc_id", "sig"))
+      .select("doc_id", "sig")
   }
 
   /** LSH band candidates (8 bands × 4 rows) over [[minhashSigs]]:

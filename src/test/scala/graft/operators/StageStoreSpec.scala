@@ -30,7 +30,10 @@ class StageStoreSpec extends AnyFunSuite {
     // r19: the dedup cluster chain (VERDICT r18 #1) — the pair
     // pipeline + CC fixpoint behind dd07/dd08/sp13/pl01..pl05
     ("clusterAssignments", Dedup.clusterAssignments, Dedup.clusterAssignmentsFresh),
-    ("keeperIds", Dedup.keeperIds, Dedup.keeperIdsFresh))
+    ("keeperIds", Dedup.keeperIds, Dedup.keeperIdsFresh),
+    // r19 late additions: the LSH family's two shared stage outputs
+    ("jaccardEdges", Dedup.jaccardEdges, Dedup.jaccardEdgesFresh),
+    ("minhashSigs", Dedup.minhashSigs, Dedup.minhashSigsFresh))
 
   test("every memoized stage core serves exactly the fresh build's rows (sf0.001)") {
     for ((name, store, fresh) <- cores) {
