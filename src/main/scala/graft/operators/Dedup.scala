@@ -1823,6 +1823,25 @@ object Dedup {
     *   gsz = clone count, e`), and the confirmed group pairs
     *   (`gid_a ≤ gid_b, gsz_a, gsz_b, sim ≥ 0.45`, diagonal included).
     */
+  /** The two memoized stage outputs of the dd06/dd09 shared core
+    * (r19): the confirmed group-pair table and the vec->group member
+    * map each build once per (application, dir) and persist — before
+    * the store dd06 and dd09 each re-ran the collapse + band join +
+    * cosine rerank. Deterministic (md5 group keys, min ids, one IEEE
+    * cosine per distinct pair) — StageStoreSpec pins store == fresh.
+    */
+  private[operators] def embGroupPairs(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "embpairs")(embGroupPairsFresh(s, dir))
+
+  private[operators] def embGroupPairsFresh(s: SparkSession, dir: String): DataFrame =
+    embeddingGroupPairs(s, dir)._3
+
+  private[operators] def embVecMap(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "embmap")(embVecMapFresh(s, dir))
+
+  private[operators] def embVecMapFresh(s: SparkSession, dir: String): DataFrame =
+    embeddingGroupPairs(s, dir)._1
+
   private def embeddingGroupPairs(
       s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(s)
@@ -1865,7 +1884,7 @@ object Dedup {
     * each pair once).
     */
   private def embeddingNearDupPairs(s: SparkSession, dir: String): DataFrame = {
-    val (ev, _, gPairs) = embeddingGroupPairs(s, dir)
+    val (ev, gPairs) = (embVecMap(s, dir), embGroupPairs(s, dir))
     gPairs
       .join(ev.select(col("gid").as("gid_a"), col("vec_id").as("va")), "gid_a")
       .join(ev.select(col("gid").as("gid_b"), col("vec_id").as("vb")), "gid_b")
@@ -1892,7 +1911,7 @@ object Dedup {
     * the vec→group map — no propagation ever sees per-vector rows.
     */
   private def semanticClusters(s: SparkSession, dir: String): DataFrame = {
-    val (ev, _, gPairs) = embeddingGroupPairs(s, dir)
+    val (ev, gPairs) = (embVecMap(s, dir), embGroupPairs(s, dir))
     val cross = gPairs.filter(col("gid_a") =!= col("gid_b"))
       .select(col("gid_a").as("doc_a"), col("gid_b").as("doc_b"))
     // diagonal pairs that survived the sim filter, restricted to groups

@@ -33,7 +33,9 @@ class StageStoreSpec extends AnyFunSuite {
     ("keeperIds", Dedup.keeperIds, Dedup.keeperIdsFresh),
     // r19 late additions: the LSH family's two shared stage outputs
     ("jaccardEdges", Dedup.jaccardEdges, Dedup.jaccardEdgesFresh),
-    ("minhashSigs", Dedup.minhashSigs, Dedup.minhashSigsFresh))
+    ("minhashSigs", Dedup.minhashSigs, Dedup.minhashSigsFresh),
+    ("embGroupPairs", Dedup.embGroupPairs, Dedup.embGroupPairsFresh),
+    ("embVecMap", Dedup.embVecMap, Dedup.embVecMapFresh))
 
   test("every memoized stage core serves exactly the fresh build's rows (sf0.001)") {
     for ((name, store, fresh) <- cores) {
