@@ -295,9 +295,17 @@ object StreamedDedup {
       .write.mode("overwrite").parquet(s"$storeDir/shingles/batch_id=$compactionId")
     pruneOtherPartitions(s, Seq(s"$storeDir/exact", s"$storeDir/shingles"), compactionId)
     // the label store (when maintained) folds to its resolved view —
-    // latest-batch-wins per doc, one partition, same reads
+    // latest-batch-wins per doc, one partition, same reads — MINUS
+    // erased docs (r19): an erased doc's own label row leaves the
+    // store with its fingerprints. Component ids stay stable even when
+    // the erased doc's id NAMED the component: the label is an opaque
+    // historical identifier (the min id at formation), not a live
+    // reference — relabeling surviving members on every erasure would
+    // churn every downstream consumer keyed by cluster id.
     if (hasBatchPartitions(s, storeDir, s"$storeDir/labels")) {
       readLabels(s, storeDir)
+        .join(readTombstones(s, storeDir)
+          .select(col("doc_id").as("node")), Seq("node"), "left_anti")
         .write.mode("overwrite").parquet(s"$storeDir/labels/batch_id=$compactionId")
       pruneOtherPartitions(s, Seq(s"$storeDir/labels"), compactionId)
     }

@@ -335,6 +335,13 @@ class StreamedPipelineSpec extends AnyFunSuite {
       "erased ids must leave the ledger physically at compaction")
     assert(StreamedDedup.readTombstones(spark, store).isEmpty)
     assert(ledger.size.toLong === after1, "folded ledger must equal the served corpus_after")
+    // the erased docs' own label rows left the label store with their
+    // fingerprints (component ids elsewhere stay stable — opaque
+    // historical identifiers, not live references)
+    val labelNodes = StreamedPipeline.readLabels(spark, store)
+      .select("node").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !labelNodes.contains(v)),
+      "erased docs must leave the label store at compaction")
   }
 
   test("cluster labels (r19, VERDICT r18 #5): per-batch maintenance == union-find over the probe path's emitted edges, across a checkpointed restart; batch writes are change-sized; compaction folds") {
