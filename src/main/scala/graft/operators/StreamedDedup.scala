@@ -148,17 +148,26 @@ object StreamedDedup {
     * — not an error — before any seed.
     */
   def readLabels(s: SparkSession, storeDir: String,
-      excludeBatch: Long = Long.MinValue): DataFrame =
-    if (!hasBatchPartitions(s, storeDir, s"$storeDir/labels"))
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "node BIGINT, component BIGINT"))
-    else
-      s.read.option("basePath", s"$storeDir/labels")
-        .parquet(s"$storeDir/labels/batch_id=*")
-        .filter(col("batch_id") =!= excludeBatch)
-        .groupBy("node")
-        .agg(max_by(col("component"), col("batch_id")).as("component"))
+      excludeBatch: Long = Long.MinValue,
+      applyTombstones: Boolean = false): DataFrame = {
+    val l0 =
+      if (!hasBatchPartitions(s, storeDir, s"$storeDir/labels"))
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "node BIGINT, component BIGINT"))
+      else
+        s.read.option("basePath", s"$storeDir/labels")
+          .parquet(s"$storeDir/labels/batch_id=*")
+          .filter(col("batch_id") =!= excludeBatch)
+          .groupBy("node")
+          .agg(max_by(col("component"), col("batch_id")).as("component"))
+    // live view (r19): an erased doc's own label row drops between
+    // compactions, same anti-join discipline as readStore — component
+    // ids elsewhere stay stable (opaque historical identifiers)
+    if (!applyTombstones) l0
+    else l0.join(readTombstones(s, storeDir).select(col("doc_id").as("node")),
+      Seq("node"), "left_anti")
+  }
 
   /** One batch of cluster-label maintenance (r19, VERDICT r18 #5 —
     * the streamed lifecycle dd22's doc promises): the probe path's

@@ -316,6 +316,12 @@ class StreamedPipelineSpec extends AnyFunSuite {
     StreamedPipeline.eraseDocs(spark,
       (victims :+ 31337314159L).toDF("doc_id"), 50L, store)
 
+    // the live label view drops the erased docs' own rows immediately
+    val liveLabels = StreamedDedup.readLabels(spark, store, applyTombstones = true)
+      .select("node").collect().map(_.getLong(0)).toSet
+    assert(victims.forall(v => !liveLabels.contains(v)),
+      "erased docs must leave the LIVE label view before compaction")
+
     // the next batch's corpus_after reads the reconciled ledger: the
     // prior count dropped by exactly the 3 erased LIVE docs
     StreamedPipeline.processBatch(toDf(batches(1)), 1L, store, man)
