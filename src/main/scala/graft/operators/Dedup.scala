@@ -217,7 +217,7 @@ object Dedup {
     * (dd20/dd21) — a persisted signature table is exactly what a
     * production LSH deployment maintains anyway.
     */
-  private[operators] def minhashSigsFresh(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashSigsFresh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     spread(docs(s, dir), "doc_id")
       .withColumn("gs", expr("graft_shingles(text)"))
@@ -1833,7 +1833,7 @@ object Dedup {
   private[operators] def embGroupPairs(s: SparkSession, dir: String): DataFrame =
     StageStore.table(s, dir, "embpairs")(embGroupPairsFresh(s, dir))
 
-  private[operators] def embGroupPairsFresh(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embGroupPairsFresh(s: SparkSession, dir: String): DataFrame =
     embeddingGroupPairs(s, dir)._3
 
   private[operators] def embVecMap(s: SparkSession, dir: String): DataFrame =

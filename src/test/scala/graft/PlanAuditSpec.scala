@@ -234,15 +234,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // read the materialized RDD and contain ZERO re-evaluations of the
     // signature expression (stronger than the old InMemoryTableScan
     // check: the expensive expr is gone from the plan entirely)
-    for ((name, sigExpr) <- Seq(
-      "dd03_minhash_lsh_pairs" -> "graft_minhash_sig",
-      "dd04_simhash_pairs" -> "graft_simhash64")) {
-      val p = plan(name)
-      assert(p.contains("Scan ExistingRDD"),
-        s"$name must read its checkpointed signature table")
-      assert(!p.contains(sigExpr),
-        s"$name must not recompute $sigExpr past the checkpoint")
-    }
+    // dd03's signature table is StageStore-memoized (r19): the serve
+    // must read the persisted parquet store — the expensive expression
+    // is gone from the plan entirely, stronger than the checkpoint pin
+    val p3 = plan("dd03_minhash_lsh_pairs")
+    assert(p3.contains("Scan parquet"),
+      "dd03 must read its persisted signature store")
+    assert(!p3.contains("graft_minhash_sig"),
+      "dd03 must not recompute graft_minhash_sig past the store")
+    // dd04 (simhash) stays on the in-JVM checkpoint pin
+    val p4 = plan("dd04_simhash_pairs")
+    assert(p4.contains("Scan ExistingRDD"),
+      "dd04 must read its checkpointed signature table")
+    assert(!p4.contains("graft_simhash64"),
+      "dd04 must not recompute graft_simhash64 past the checkpoint")
   }
 
   test("map-side text pipelines keep whole-stage-codegen spans") {
@@ -734,9 +739,18 @@ class PlanAuditSpec extends AnyFunSuite {
   test("LSH pipelines use the compiled expressions") {
     // full-plan mode sees past the materialization point, so the
     // builders' own invocations are asserted (not merely registration)
-    assert(planFull("dd03_minhash_lsh_pairs").contains("graft_minhash_sig"))
-    assert(planFull("dd03_minhash_lsh_pairs").contains("graft_shingles"))
+    // dd03/dd06's stage cores are StageStore-memoized (r19): the
+    // compiled expressions now run in the FRESH builders (the code the
+    // store build executes), so that is where the invocation is pinned
+    def freshPlan(df: org.apache.spark.sql.DataFrame): String = {
+      spark.conf.set(operators.Materialize.ConfKey, "none")
+      try df.queryExecution.executedPlan.toString
+      finally spark.conf.unset(operators.Materialize.ConfKey)
+    }
+    val sig = freshPlan(operators.Dedup.minhashSigsFresh(spark, sf001))
+    assert(sig.contains("graft_minhash_sig") && sig.contains("graft_shingles"))
     assert(planFull("dd04_simhash_pairs").contains("graft_simhash64"))
-    assert(planFull("dd06_embedding_neardup_lsh").contains("graft_cosine"))
+    assert(freshPlan(operators.Dedup.embGroupPairsFresh(spark, sf001))
+      .contains("graft_cosine"))
   }
 }

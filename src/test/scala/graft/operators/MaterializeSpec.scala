@@ -9,8 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class MaterializeSpec extends AnyFunSuite {
 
-  private def dd05(dir: String) =
-    graft.GraftQuery.all.find(_.name == "dd05_ngram_jaccard_pairs").get.build(spark, dir)
+  // the FRESH jaccard-pair build (r19: the dd05 query itself now reads
+  // the StageStore table, so the Materialize behavior under test lives
+  // in the un-memoized builder — the code path the store build runs)
+  private def dd05(dir: String) = Dedup.jaccardEdgesFresh(spark, dir)
 
   test("all three modes produce identical results") {
     def rows(mode: Option[String]): Seq[String] = {
