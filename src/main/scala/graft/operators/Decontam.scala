@@ -82,6 +82,19 @@ object Decontam {
     * batch-sized. Zero corpus-side work per batch.
     */
   private[operators] def contaminatedAgainstIndex(
+      s: SparkSession, inc: DataFrame, index: DataFrame): DataFrame =
+    flaggedPairsAgainstIndex(s, inc, index)
+      .select(col("train_doc").as("doc_id")).distinct()
+
+  /** The PAIR-grain core behind [[contaminatedAgainstIndex]], factored
+    * (r19) so [[BenchmarkRegistry.retroAudit]] ledgers the same
+    * evidence the admission pipeline's doc-grain verdict folds:
+    * `(doc_id→train_doc, test_doc, n_shared)` for every incoming doc
+    * sharing >= [[Overlap]] rare trigrams with some index doc. Index
+    * broadcasts (eval-sized by construction); the probe side never
+    * shuffles on the shingle key.
+    */
+  private[operators] def flaggedPairsAgainstIndex(
       s: SparkSession, inc: DataFrame, index: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     inc.select(col("doc_id"), explode(expr("graft_shingles(text)")).as("g"))
@@ -89,7 +102,7 @@ object Decontam {
       .groupBy("doc_id", "test_doc")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= Overlap)
-      .select("doc_id").distinct()
+      .withColumnRenamed("doc_id", "train_doc")
   }
 
   /** Flagged `(train_doc, test_doc, n_shared)` pairs — the dc01 body,
@@ -307,7 +320,87 @@ object Decontam {
         pc.crossJoin(choice)
           .filter(col("n_shared") >= col("thr"))
           .select(col("thr"), col("train_doc"), col("test_doc"), col("n_shared"))
+    },
+
+    GraftQuery(
+      "dc07_retroactive_audit",
+      Some(s"""$releasePairsDuck
+              |SELECT train_doc, test_doc, n_shared FROM pb
+              |WHERE train_doc NOT IN (SELECT train_doc FROM pa)""".stripMargin),
+      "RETROACTIVE contamination audit — the lifecycle event dc01–dc06 cannot express (r19): every prior decontam operator audits against the benchmark set that exists AT AUDIT TIME, but production eval suites accrete — a benchmark released months after the corpus shipped makes already-admitted training docs retroactively contaminated, and re-running the full dc01 audit per release re-pays the corpus scan times the whole registry. The BenchmarkRegistry store makes the event delta-sized: rarity (df <= cap over the corpus) freezes ONCE at registry creation (dc01's standing-index trade, now a persisted rare/ table), each release admission joins its eval-sized postings (broadcast) against the streamed rare table — zero corpus work — and the retroactive audit is ONE corpus pass against the broadcast NEW release's index only (the dc01 asymmetry, paid per release instead of per registry), ledgered at pair grain under the release's own batch_id partition (mode=overwrite — replay byte-stable). THIS query runs the lifecycle on fixture splits — create, admit release A (held-out bucket [90,95)), audit, admit release B ([95,100)), audit — and serves release B's NOVEL flags: its ledger pairs restricted to train docs no earlier release had flagged, the incremental purge list that is the audit's entire point (a doc already purged for release A is not new work). Novelty is a READ-side view over full per-release ledgers — an audit-time fact, deterministic under later retraction — and its anti-join's standing flagged-doc side is deliberately NOT broadcast (corpus-proportional in the worst case: ~18% of train docs at sf0.1); the pair-set-sized left side keeps the shuffle trivial. The oracle replays the whole protocol in SQL (the dc01 CTE chain with the held-out side split per release; novelty as NOT IN over release A's pairs) so a frozen-rarity drift, a cross-release posting leak, or novelty suppression landing in the LEDGER (it must not — retraction composability depends on full per-release evidence) all hash-fail. Both polarities live at sf0.1 (479 novel vs 211 already-flagged train docs); at small SF the exclusion set is empty and the oracle pins exactly that. BenchmarkRegistrySpec pins the lifecycle: per-release ledgers == dc01 on the release slice, registry union == the one-shot audit, replay idempotency, and novelty == driver-side set difference.") {
+      (s, dir) =>
+        val store = registryStore(s, dir)
+        BenchmarkRegistry.novelFlags(s, store, 0L)
+    },
+
+    GraftQuery(
+      "dc08_release_retraction",
+      Some(s"""$releasePairsDuck
+              |SELECT CAST(0 AS BIGINT) AS release_batch,
+              |       train_doc, test_doc, n_shared
+              |FROM pb""".stripMargin),
+      "BENCHMARK-RELEASE RETRACTION — the registry's erasure path (r19, completing the store-mutation discipline ss24/dd23 gave the index and fingerprint stores): a leaked or deprecated eval release must STOP purging training docs, and a registry with no retraction protocol poisons its corpus forever (every doc its flags ever touched stays purged). Retraction is a request-sized tombstone — the retracted release ids land under a deterministic tombs/batch_id=M partition (mode=overwrite: replayed requests byte-stable; retracting a never-admitted release is a structural no-op) — and every registry read gains a LIVE view: index postings and ledger flags anti-join the release-count-sized tombstone set (broadcast by nature — a registry holds dozens of releases, not thousands), so a retracted release's evidence stops voting in the purge list the moment the tombstone lands, with ZERO corpus-side work. Compaction makes it physical — deletes the retracted batch_id partitions from index/ and flags/ and clears consumed tombstones, crash-safe by delete-then-clear (re-deleting a missing partition is a no-op; an interrupted run re-runs with the same id and converges); there is deliberately NO fold step, because partitions are RELEASE-grain and folding would destroy the batch attribution novelty and retraction both key on. THIS query serves the live cumulative purge evidence after the fixture lifecycle ends with release A retracted: only release B's ledger survives, at pair grain with its release attribution — and crucially the docs release A alone had flagged RE-ENTER the corpus, while docs flagged by BOTH releases stay purged because the ledger stores each release's FULL evidence (novelty suppression is read-side only, dc07's design decision paying off exactly here). The oracle is release B's pair set verbatim — the retraction must be indistinguishable from release A never having existed. BenchmarkRegistrySpec pins live == rebuild-without-retracted, replayed retraction a no-op, and post-compaction identity of the live view (physical deletion, tombs cleared, convergent re-run) — with the honest trade stated: compaction erases the retracted release's ledger WITH it, so a later release's audit-time novelty view converges to novelty-vs-live-evidence (the retracted suppression history is deliberately unrecoverable — the same privacy-over-history call dd23 makes for erased holders).") {
+      (s, dir) =>
+        val store = registryStore(s, dir)
+        BenchmarkRegistry.readFlags(s, store, applyTombstones = true)
+          .select(col("batch_id").cast("bigint").as("release_batch"),
+            col("train_doc"), col("test_doc"), col("n_shared"))
     })
+
+  /** dc07/dc08's persisted artifact: a [[BenchmarkRegistry]] run
+    * through the full release lifecycle on fixture splits — create
+    * (rarity frozen over the full document set, dc01's df universe),
+    * admit release A (held-out bucket [90, 95) as the seed batch),
+    * retroactively audit the train split against it, admit release B
+    * ([95, 100) as batch 0) months later and audit ONLY the delta,
+    * then retract release A (tomb batch 0). DiskMemo'd per
+    * (application, dir) — dc07 reads audit-time novelty (tombs-blind
+    * by definition), dc08 reads the live view, so one store serves
+    * both deterministically.
+    */
+  private def registryStore(s: SparkSession, dir: String): String = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"dcreg_$tag", dir)
+    DiskMemo.ensure(s"dcreg_$tag", out) {
+      val d = Tables.spread(docs(s, dir), "doc_id")
+        .withColumn("b", expr(Sampling.bucket100("doc_id")))
+      val train = d.filter(col("b") < 80).select("doc_id", "text")
+      val relA = d.filter(col("b") >= 90 && col("b") < 95).select("doc_id", "text")
+      val relB = d.filter(col("b") >= 95).select("doc_id", "text")
+      val store = s"$out/store"
+      BenchmarkRegistry.create(s, d.select("doc_id", "text"), store)
+      BenchmarkRegistry.accreteRelease(s, relA, BenchmarkRegistry.SeedBatchId, store)
+      BenchmarkRegistry.retroAudit(s, train, BenchmarkRegistry.SeedBatchId, store)
+      BenchmarkRegistry.accreteRelease(s, relB, 0L, store)
+      BenchmarkRegistry.retroAudit(s, train, 0L, store)
+      BenchmarkRegistry.retract(s, Seq(BenchmarkRegistry.SeedBatchId), 0L, store)
+    }
+    s"$out/store"
+  }
+
+  /** Shared DuckDB prefix for the registry oracles: the pairsDuck
+    * chain with the held-out side split into the two fixture releases
+    * (A = bucket [90, 95), B = [95, 100)). Rarity is df over the full
+    * document set — exactly what [[BenchmarkRegistry.create]] froze.
+    */
+  private lazy val releasePairsDuck: String =
+    s"""WITH d AS (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS w,
+       |                  ${Sampling.duckBucket100Of("doc_id")} AS b
+       |           FROM documents),
+       |sh AS (SELECT doc_id, b, ${Dedup.shingleDuck} AS gs FROM d),
+       |e AS (SELECT doc_id, b, UNNEST(gs) AS g FROM sh),
+       |rare AS (SELECT g FROM e GROUP BY g HAVING COUNT(*) <= ${Dedup.DfCap}),
+       |er AS (SELECT e.doc_id, e.b, e.g FROM e JOIN rare USING (g)),
+       |pa AS (SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+       |              COUNT(*) AS n_shared
+       |       FROM (SELECT doc_id, g FROM er WHERE b < 80) tr
+       |       JOIN (SELECT doc_id, g FROM er WHERE b >= 90 AND b < 95) te USING (g)
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $Overlap),
+       |pb AS (SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+       |              COUNT(*) AS n_shared
+       |       FROM (SELECT doc_id, g FROM er WHERE b < 80) tr
+       |       JOIN (SELECT doc_id, g FROM er WHERE b >= 95) te USING (g)
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= $Overlap)""".stripMargin
 
   /** dc05's sweep aggregation over a pinned pair-count frame, factored
     * (r18) so dc06's tuner measures EXACTLY the operating curve dc05
