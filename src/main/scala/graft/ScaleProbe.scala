@@ -236,7 +236,17 @@ object ScaleProbe {
       // dd24's serve is a label-store read; its build rides dd23's
       // probe shape plus a COMPONENT-grain quotient fixpoint — probed
       // growth must track the probe hits, never corpus x corpus
-      "dd24_streamed_cluster_labels")
+      "dd24_streamed_cluster_labels",
+      // r19: dc07/dc08 ride the registry build (create = one corpus
+      // df scan, audits = dc01's probed broadcast asymmetry per
+      // release); the serves are ledger reads — dc07 adds a
+      // pair-grain anti-join, dc08 a release-count tombstone filter
+      "dc07_retroactive_audit", "dc08_release_retraction",
+      // q70's refresh is the q68/q69 delta-term joins plus an
+      // affected-group semi-joined recompute — growth must track the
+      // delta terms and the affected groups' row support, never
+      // base x base
+      "q70_minmax_mv_delta")
       .map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the

@@ -226,4 +226,66 @@ class QueriesSpec extends AnyFunSuite {
       "no group shrank")
     assert(base.exists { case (k, n) => live.get(k).contains(n) }, "no group untouched")
   }
+
+  test("q70: refresh equals a driver replay, every classifier class is non-vacuous, and the serve reads the stored extrema") {
+    import org.apache.spark.sql.functions._
+    def bkt(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8), 16) % 100
+    val ords = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lines = Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("decimal(12,2)").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    def oLive(ok: Long) = bkt(s"${ok}_mv") >= 90 || bkt(s"${ok}_mvd") >= 25
+    def lLive(ok: Long, ln: Int) =
+      bkt(s"${ok}_${ln}_mv") >= 90 || bkt(s"${ok}_${ln}_mvd") >= 25
+    def oBase(ok: Long) = bkt(s"${ok}_mv") < 90
+    def lBase(ok: Long, ln: Int) = bkt(s"${ok}_${ln}_mv") < 90
+    def agg(oIn: Long => Boolean, lIn: (Long, Int) => Boolean)
+        : Map[Long, (Double, Double, Long)] =
+      lines.filter { case (ok, ln, _) => ords.contains(ok) && oIn(ok) && lIn(ok, ln) }
+        .groupBy { case (ok, _, _) => ords(ok) }.view
+        .mapValues(xs => (xs.map(_._3).min, xs.map(_._3).max, xs.length.toLong))
+        .toMap
+    val base = agg(oBase, lBase)
+    val live = agg(oLive, lLive)
+    val df = GraftQuery.all.find(_.name == "q70_minmax_mv_delta").get
+      .build(spark, sf0001)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got === live, "refreshed extrema diverge from the driver replay")
+    // the serve reads the persisted (mn, mx, n) store — the base x base
+    // join runs in no refresh (the MV-family store pin)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      Seq(p) ++ (p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case qs: QueryStageExec => walk(qs.plan)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(walk) ++ p.subqueries.flatMap(walk)
+    val scans = walk(df.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.map(_.toString)
+    }.flatten
+    assert(scans.exists(_.contains("graft_mmmv")),
+      "q70's refresh does not read the persisted extrema view")
+    // classifier classes, each non-vacuous at sf0.001: groups whose
+    // extrema survive closed-form (same mn/mx, changed count), groups
+    // whose MIN genuinely moved (the recompute path doing real work),
+    // new groups, vanished groups, untouched pass-throughs
+    assert(base.exists { case (k, (mn, mx, n)) =>
+      live.get(k).exists { case (m2, x2, n2) => m2 == mn && x2 == mx && n2 != n } },
+      "no group kept its extrema while changing count")
+    assert(base.exists { case (k, (mn, _, _)) =>
+      live.get(k).exists { case (m2, _, _) => m2 > mn } },
+      "no group's MIN moved up (boundary delete -> recompute never exercised)")
+    assert(live.keySet.exists(k => !base.contains(k)), "no group appeared")
+    assert(base.keySet.exists(k => !live.contains(k)), "no group vanished")
+    assert(base.exists { case (k, v) => live.get(k).contains(v) }, "no group untouched")
+  }
 }
