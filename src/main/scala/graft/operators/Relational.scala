@@ -1368,9 +1368,13 @@ object Relational {
         // unsafe groups: re-aggregate from the MUTATED bases,
         // restricted to the affected customers (vanished groups fall
         // out naturally — the restricted scan finds no rows)
+        // the affected set is VIEW-grain (customer ids) — corpus-
+        // proportional at 100 TB under a heavy delete wave, so the
+        // semi-join ships shuffled like the delta terms (never a
+        // hashed relation)
         val affected = merged.filter(col("unsafe")).select("o_custkey")
         val mutO = o.filter(col("ob") >= 90 || col("ob2") >= 25)
-          .join(affected, Seq("o_custkey"), "left_semi")
+          .join(affected.hint("shuffle_merge"), Seq("o_custkey"), "left_semi")
         val mutL = l.filter(col("lb") >= 90 || col("lb2") >= 25)
         val recomputed = mutO
           .join(mutL, col("o_orderkey") === col("l_orderkey"))

@@ -616,5 +616,66 @@ object Sampling {
         combos.join(broadcast(lab), Seq("split_lo", "split_hi"), "left")
           .select(col("split_lo"), col("split_hi"),
             coalesce(col("n"), lit(0L)).cast("bigint").as("n_pairs"))
+    },
+
+    GraftQuery(
+      "sp14_budget_waterfill",
+      Some("""WITH dom AS (SELECT lang, source,
+             |         SUM(LEN(STRING_SPLIT(text, ' '))) AS c
+             |       FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT SUM(c) AS b, COUNT(*) AS n FROM dom),
+             |ranked AS (SELECT lang, source, c, 2 * c AS cap,
+             |         ROW_NUMBER() OVER (ORDER BY 2 * c, lang, source) AS k,
+             |         SUM(2 * c) OVER (ORDER BY 2 * c, lang, source
+             |           ROWS UNBOUNDED PRECEDING) AS p
+             |       FROM dom),
+             |st AS (SELECT (SELECT COUNT(*) FROM ranked, tot
+             |               WHERE cap * (n - k) + p <= b) AS kstar,
+             |              b, n FROM tot),
+             |sh AS (SELECT s.kstar, s.n - s.kstar AS m, s.b,
+             |              COALESCE((SELECT p FROM ranked r2 WHERE r2.k = s.kstar), 0) AS pstar
+             |       FROM st s)
+             |SELECT r.lang, r.source, CAST(r.c AS BIGINT) AS n_tokens,
+             |       CAST(CASE WHEN r.k <= s.kstar OR s.m = 0 THEN r.cap
+             |            ELSE (s.b - s.pstar) // s.m +
+             |                 CASE WHEN r.k - s.kstar <= (s.b - s.pstar) % s.m
+             |                      THEN 1 ELSE 0 END
+             |            END AS BIGINT) AS alloc_tokens,
+             |       CASE WHEN r.k <= s.kstar THEN 'capped' ELSE 'filled' END AS status
+             |FROM ranked r, sh s""".stripMargin),
+      "TOKEN-BUDGET WATER-FILLING with repetition caps — the epoch allocator a multilingual/multi-source training run decides its data card with (the D4/data-budgeting question: given a total token budget and a hard repetition ceiling per domain, who gets how many tokens?): uniform mixing wants every (lang, source) domain to contribute an equal share of the budget, but a small domain repeated past the cap (here R = 2 epochs) measurably degrades the model (the documented repeated-data penalty), so its contribution CAPS at R x its corpus and the freed budget waterfalls to the domains that can absorb it. The exact solution is classic water-filling, computed CLOSED-FORM in integers: sort domains by cap ascending (tie-break (lang, source) — fully deterministic), f(k) = prefix_cap(k) + cap_k x (n - k) is non-decreasing, so the capped set is the prefix where f(k) <= B (one conditional count, no iteration — the analytical threshold the iterative redistribute-until-stable loop converges to), every capped domain takes exactly its cap, and the survivors split the remaining budget by truncating division with the remainder assigned to the first (B - P*) mod m of them in sort order — allocations sum to B EXACTLY, bit-identical cross-engine (no floats anywhere; B = the corpus's own total token count, so the fixture exercises both polarities at every SF — smallest domains cap at 2 epochs, the largest absorb the freed budget). The whole decision runs on a domain-grain aggregate (~100 rows — the q62/sp08 counter-grain pattern): ONE corpus scan computes per-domain token counts map-side partial-aggregated, the unpartitioned windows order domain-count rows, and the output is the per-domain allocation table a sampler (sp08) or shard packer (pk05) consumes. At 100 TB nothing but the token-count scan touches the corpus. SamplingSpec replays the fill driver-side (greedy redistribute-until-stable == the closed form), and pins sum == budget, both statuses non-vacuous, and every allocation within its cap.") {
+      (s, dir) =>
+        val dom = docs(s, dir)
+          .groupBy("lang", "source")
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("c"))
+        val wAll = Window.partitionBy()
+        val ord = Window.partitionBy()
+          .orderBy(col("cap"), col("lang"), col("source"))
+        val ranked = dom
+          .withColumn("cap", lit(2L) * col("c"))
+          .withColumn("b", sum(col("c")).over(wAll))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("k", row_number().over(ord))
+          .withColumn("p", sum(col("cap")).over(ord))
+        val st = ranked
+          .agg(
+            sum(when(col("cap") * (col("n") - col("k")) + col("p") <= col("b"), 1L)
+              .otherwise(0L)).as("kstar"),
+            first(col("b")).as("b"), first(col("n")).as("n"),
+            // P* = prefix cap at kstar: max(p) over capped rows (0 if none)
+            coalesce(max(when(
+              col("cap") * (col("n") - col("k")) + col("p") <= col("b"), col("p"))),
+              lit(0L)).as("pstar"))
+          .withColumn("m", col("n") - col("kstar"))
+        ranked.drop("b", "n")
+          .crossJoin(broadcast(st.select("kstar", "b", "pstar", "m")))
+          .select(col("lang"), col("source"), col("c").cast("bigint").as("n_tokens"),
+            when(col("k") <= col("kstar") || col("m") === 0, col("cap"))
+              .otherwise(expr("(b - pstar) div m") +
+                when(col("k") - col("kstar") <= expr("(b - pstar) % m"), 1L)
+                  .otherwise(0L))
+              .cast("bigint").as("alloc_tokens"),
+            when(col("k") <= col("kstar"), lit("capped"))
+              .otherwise(lit("filled")).as("status"))
     })
 }

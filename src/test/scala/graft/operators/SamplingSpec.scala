@@ -417,4 +417,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(("test", "train")) > 0, "no train-test leak — the headline cell is vacuous")
     assert(got.values.exists(_ == 0L), "no explicit-zero cell — the 'checked, clean' contract is untested")
   }
+
+  test("sp14: closed-form water-fill == greedy redistribute-until-stable; sum == budget; caps respected; both statuses live") {
+    val rows = byName("sp14_budget_waterfill").build(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val c = rows.map(x => (x._1, x._2) -> x._3).toMap
+    val budget = c.values.sum // B = total corpus tokens, the query's constant
+    // the iterative reference: equal shares, cap the overfull, refill
+    // the rest from the freed budget, repeat to fixpoint — the loop the
+    // closed form's threshold replaces
+    var capped = Set.empty[(String, String)]
+    var stable = false
+    while (!stable) {
+      val m = c.size - capped.size
+      val rem = budget - capped.toSeq.map(k => 2L * c(k)).sum
+      val share = rem / m
+      val newly = c.keySet.filterNot(capped).filter(k => 2L * c(k) <= share)
+      if (newly.isEmpty) stable = true else capped ++= newly
+    }
+    val m = c.size - capped.size
+    val rem = budget - capped.toSeq.map(k => 2L * c(k)).sum
+    val (share, extra) = (rem / m, rem % m)
+    // the closed form hands the +1 remainder to the first `extra`
+    // uncapped domains in (cap, lang, source) order
+    val uncappedOrd = c.keySet.filterNot(capped).toSeq
+      .sortBy { case (l, s) => (2L * c((l, s)), l, s) }
+    val plusOne = uncappedOrd.take(extra.toInt).toSet
+    val expect = c.map { case (k, ci) =>
+      k -> (if (capped(k)) 2L * ci
+            else share + (if (plusOne(k)) 1L else 0L))
+    }
+    val got = rows.map(x => (x._1, x._2) -> x._4).toMap
+    assert(got === expect, "closed form diverged from the greedy fixpoint")
+    assert(got.values.sum === budget, "allocations must sum to the budget exactly")
+    assert(rows.forall(x => x._4 <= 2L * x._3), "an allocation exceeded its cap")
+    val statuses = rows.map(_._5).toSet
+    assert(statuses === Set("capped", "filled"), "both statuses must be live")
+    assert(rows.forall(x => (x._5 == "capped") == capped((x._1, x._2))),
+      "status column disagrees with the fixpoint's capped set")
+  }
 }
