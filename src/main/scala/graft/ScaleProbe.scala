@@ -246,7 +246,11 @@ object ScaleProbe {
       // affected-group semi-joined recompute — growth must track the
       // delta terms and the affected groups' row support, never
       // base x base
-      "q70_minmax_mv_delta")
+      "q70_minmax_mv_delta",
+      // q71's refresh is the delta-term joins + a delta-key aux
+      // lookup + a group-grain merge — growth must track the delta,
+      // never the aux table's full size
+      "q71_distinct_mv_delta")
       .map(n => n -> run(n))
     spark.stop()
     // regression gate: N x the data may cost at most ~N x the time (the

@@ -1387,6 +1387,75 @@ object Relational {
             col("mx2").cast("double").as("mx_price"),
             col("n2").cast("bigint").as("n_lines"))
     },
+
+    GraftQuery(
+      "q71_distinct_mv_delta",
+      // ground truth: the FULL REBUILD on the mutated bases
+      Some {
+        def ob(salt: String) =
+          s"CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR) || '$salt'), 1, 8)) AS BIGINT) % 100"
+        def lb(salt: String) =
+          s"CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || '_' || CAST(l_linenumber AS VARCHAR) || '$salt'), 1, 8)) AS BIGINT) % 100"
+        s"""SELECT o_custkey,
+           |       CAST(COUNT(DISTINCT CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT)
+           |         AS n_distinct_qty,
+           |       CAST(COUNT(*) AS BIGINT) AS n_lines
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |WHERE o_totalprice > 400000
+           |  AND (${ob("_mv")} >= 90 OR ${ob("_mvd")} >= 25)
+           |  AND (${lb("_mv")} >= 90 OR ${lb("_mvd")} >= 25)
+           |GROUP BY 1""".stripMargin
+      },
+      "DISTINCT-COUNT MV maintenance — the third leg of the aggregate-maintenance taxonomy (SUM/COUNT refresh from the delta alone (q69), MIN/MAX re-derive affected groups (q70), and COUNT(DISTINCT) is the textbook IN-BETWEEN: not self-maintainable from the view alone — deleting one copy of a price says nothing about whether another copy survives — but EXACTLY self-maintainable given the classic auxiliary VALUE-COUNT table, the Gupta-Mumick result for duplicate-eliminating views that production IVM engines implement as a hidden support relation): the store carries aux = (customer, qty, cnt) at value grain plus the customer-grain view (n_distinct, n_lines) — the distinct dimension is ORDER QUANTITY, whose bounded domain gives per-customer duplicates genuine density (extendedprice is near-unique per customer: zero within-positive transitions at sf0.001, which would leave the aux table's headline case vacuous) — q68's mixed insert+delete delta nets to (customer, qty, d) key grain (net-zero keys pruned — they carry no information), each delta key looks up its standing count with ONE shuffled equi-join against aux (delta-key-sized probe work; the aux table at 100 TB is big but bucketed by customer, making this the co-located point-lookup pattern), and the distinct-count delta is pure TRANSITION COUNTING — a key born (0 -> positive) adds one, a key dying (positive -> 0) removes one, a count that moves WITHIN positive contributes nothing — folded at group grain into a full-outer view merge where groups vanish at zero lines. The headline polarity is the one the aux table exists for: a group that loses ONE COPY of a duplicated quantity keeps its distinct count while its line count drops — a view-only maintainer cannot distinguish that from losing the last copy (measured at sf0.001: 49 within-positive transitions against 131 births and 391 deaths across 118 touched groups, zero negative counts; every polarity non-vacuous at every fixture — 472/4773 within-positive at sf0.01/0.1). THE ORACLE IS THE FULL REBUILD on the mutated bases — a transition miscount (treating a copy-loss as a death, double-counting a born-then-died key, a stale aux row) shifts some group's distinct count and hash-fails. At 100 TB: refresh cost is the three delta-term joins (shuffled, the family stance) + a delta-key aux lookup + a group-grain merge — the view's groups are touched only at their own grain, and the aux table is maintained by the same delta (upsert of the touched keys), never rebuilt.") {
+      (s, dir) =>
+        val store = distinctMvStore(s, dir)
+        val aux = s.read.parquet(s"$store/aux")
+        val view = s.read.parquet(s"$store/view")
+        val (o, l) = mvSides(s, dir)
+        val dO = o.filter(col("ob") >= 90).withColumn("mo", lit(1L))
+          .unionByName(
+            o.filter(col("ob") < 90 && col("ob2") < 25).withColumn("mo", lit(-1L)))
+        val dL = l.filter(col("lb") >= 90).withColumn("ml", lit(1L))
+          .unionByName(
+            l.filter(col("lb") < 90 && col("lb2") < 25).withColumn("ml", lit(-1L)))
+        val oOld = o.filter(col("ob") < 90).withColumn("mo", lit(1L))
+        val lOld = l.filter(col("lb") < 90).withColumn("ml", lit(1L))
+        def rows(a: DataFrame, b: DataFrame): DataFrame =
+          a.join(b, col("o_orderkey") === col("l_orderkey"))
+            .select(col("o_custkey"), col("qty"),
+              (col("mo") * col("ml")).as("m"))
+        val delta = rows(dO.hint("shuffle_merge"), lOld)
+          .unionByName(rows(oOld, dL.hint("shuffle_merge")))
+          .unionByName(rows(dO.hint("shuffle_merge"), dL))
+        // net the delta to (customer, qty) key grain; net-zero keys
+        // out (no transition can arise from them)
+        val dKey = delta.groupBy("o_custkey", "qty")
+          .agg(sum(col("m")).as("d")).filter(col("d") =!= 0L)
+        // standing count lookup: delta-key-sized probe, shuffled (the
+        // aux table is corpus-scale — never a hashed relation)
+        val touched = dKey.hint("shuffle_merge")
+          .join(aux, Seq("o_custkey", "qty"), "left")
+          .select(col("o_custkey"),
+            coalesce(col("cnt"), lit(0L)).as("old"),
+            (coalesce(col("cnt"), lit(0L)) + col("d")).as("nw"),
+            col("d"))
+        // transition counting at group grain
+        val trans = touched.groupBy("o_custkey").agg(
+          (sum(when(col("old") === 0L && col("nw") > 0L, 1L).otherwise(0L)) -
+            sum(when(col("old") > 0L && col("nw") === 0L, 1L).otherwise(0L)))
+            .as("d_distinct"),
+          sum(col("d")).as("d_n"))
+        view.join(trans, Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            (coalesce(col("n_distinct"), lit(0L)) +
+              coalesce(col("d_distinct"), lit(0L))).as("nd2"),
+            (coalesce(col("n_lines"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+              .as("n2"))
+          .filter(col("n2") > 0)
+          .select(col("o_custkey"),
+            col("nd2").cast("bigint").as("n_distinct_qty"),
+            col("n2").cast("bigint").as("n_lines"))
+    },
   )
 
   /** q69's persisted artifact: the CUSTOMER-grain aggregate of the
@@ -1426,6 +1495,28 @@ object Relational {
     }
   }
 
+  /** q71's persisted artifacts: the value-count auxiliary table
+    * (customer, qty, cnt) — the Gupta-Mumick support relation that
+    * makes COUNT(DISTINCT) self-maintainable — plus the customer-grain
+    * view (n_distinct, n_lines) derived from it.
+    */
+  private def distinctMvStore(s: SparkSession, dir: String): String = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"dmv_$tag", dir)
+    DiskMemo.ensure(s"dmv_$tag", out) {
+      val (o, l) = mvSides(s, dir)
+      val aux = o.filter(col("ob") < 90)
+        .join(l.filter(col("lb") < 90), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_custkey", "qty")
+        .agg(count(lit(1)).as("cnt"))
+      aux.write.mode("overwrite").parquet(s"$out/aux")
+      s.read.parquet(s"$out/aux")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_distinct"), sum(col("cnt")).as("n_lines"))
+        .write.mode("overwrite").parquet(s"$out/view")
+    }
+  }
+
   /** q67's split-tagged view sides: high-value orders with their
     * `_mv`-salted md5 bucket, lineitem rows with theirs — ONE
     * definition for the store build and every serve (the split the
@@ -1444,6 +1535,10 @@ object Relational {
     val l = t(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        // q71's distinct dimension: quantity has a bounded domain, so
+        // per-customer duplicates (the aux table's reason to exist)
+        // genuinely occur — extendedprice is near-unique per customer
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
         expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING), '_mv')), 1, 8), 16, 10) AS BIGINT) % 100").as("lb"),
         expr("CAST(conv(substring(md5(concat(CAST(l_orderkey AS STRING), '_', CAST(l_linenumber AS STRING), '_mvd')), 1, 8), 16, 10) AS BIGINT) % 100").as("lb2"))
     (o, l)

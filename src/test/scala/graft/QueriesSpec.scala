@@ -288,4 +288,52 @@ class QueriesSpec extends AnyFunSuite {
     assert(base.keySet.exists(k => !live.contains(k)), "no group vanished")
     assert(base.exists { case (k, v) => live.get(k).contains(v) }, "no group untouched")
   }
+
+  test("q71: refresh equals a driver replay; the within-positive transition (the aux table's reason to exist) is live") {
+    import org.apache.spark.sql.functions._
+    def bkt(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8), 16) % 100
+    val ords = Tables.load(spark, sf0001, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lines = Tables.load(spark, sf0001, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(12,2)").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    def oLive(ok: Long) = bkt(s"${ok}_mv") >= 90 || bkt(s"${ok}_mvd") >= 25
+    def lLive(ok: Long, ln: Int) =
+      bkt(s"${ok}_${ln}_mv") >= 90 || bkt(s"${ok}_${ln}_mvd") >= 25
+    def oBase(ok: Long) = bkt(s"${ok}_mv") < 90
+    def lBase(ok: Long, ln: Int) = bkt(s"${ok}_${ln}_mv") < 90
+    def agg(oIn: Long => Boolean, lIn: (Long, Int) => Boolean)
+        : Map[Long, (Long, Long)] =
+      lines.filter { case (ok, ln, _) => ords.contains(ok) && oIn(ok) && lIn(ok, ln) }
+        .groupBy { case (ok, _, _) => ords(ok) }.view
+        .mapValues(xs => (xs.map(_._3).distinct.length.toLong, xs.length.toLong))
+        .toMap
+    val base = agg(oBase, lBase)
+    val live = agg(oLive, lLive)
+    val got = GraftQuery.all.find(_.name == "q71_distinct_mv_delta").get
+      .build(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === live, "refreshed distinct counts diverge from the driver replay")
+    // the headline polarity: a group whose DISTINCT count held while
+    // its line count changed — a surviving duplicate copy, the case a
+    // view-only (aux-less) maintainer cannot decide
+    assert(base.exists { case (k, (nd, nl)) =>
+      live.get(k).exists { case (nd2, nl2) => nd2 == nd && nl2 != nl } },
+      "no group kept its distinct count through a line-count change")
+    // and the opposite: a distinct count that genuinely dropped
+    assert(base.exists { case (k, (nd, _)) =>
+      live.get(k).exists { case (nd2, _) => nd2 < nd } },
+      "no group's distinct count dropped (death transitions vacuous)")
+    assert(base.exists { case (k, (nd, _)) =>
+      live.get(k).exists { case (nd2, _) => nd2 > nd } },
+      "no group's distinct count grew (birth transitions vacuous)")
+    assert(base.keySet.exists(k => !live.contains(k)), "no group vanished")
+    assert(live.keySet.exists(k => !base.contains(k)), "no group appeared")
+  }
 }
