@@ -202,10 +202,23 @@ object BenchmarkRegistry {
     * are seed -1 or non-negative), so an interrupted run can be
     * re-run with the same id and converge.
     */
-  def compact(s: SparkSession, storeDir: String, compactionId: Long): Unit = {
+  def compact(s: SparkSession, storeDir: String, compactionId: Long,
+      checkpointDir: Option[String] = None): Unit = {
     require(compactionId <= -2,
       s"compactionId must be <= -2 (got $compactionId) — release ids are " +
         s"$SeedBatchId or non-negative")
+    // when a pipeline serves this registry snapshot-isolated
+    // (StreamedPipeline registry mode), a replay-pending batch's
+    // recorded release set may name partitions this pass would
+    // physically delete — same maintenance-window contract as the
+    // pipeline's own store compaction
+    checkpointDir.flatMap(StreamedDedup.uncommittedBatch(s, _)).foreach { b =>
+      throw new IllegalStateException(
+        s"refusing to compact registry $storeDir: a consuming pipeline's " +
+          s"checkpoint shows batch $b started but not committed — its " +
+          "recorded benchmark-release snapshot may name partitions this " +
+          "pass deletes. Resume the stream to completion first.")
+    }
     val retracted = readTombstones(s, storeDir)
       .collect().map(_.getLong(0))
     val conf = s.sparkContext.hadoopConfiguration

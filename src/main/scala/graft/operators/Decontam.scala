@@ -47,7 +47,7 @@ object Decontam {
   /** Df-capped shingle postings tagged with the sp05 split bucket:
     * `(doc_id, b, g)`, pinned (feeds both join sides).
     */
-  private def rareShingles(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def rareShingles(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val d = docs(s, dir).withColumn("b", expr(Sampling.bucket100("doc_id")))
     val e = Tables.spread(d, "doc_id")

@@ -533,5 +533,253 @@ object Pipeline {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_clean_units")).cast("bigint").as("shard_units"),
             sum(col("n_clean_tokens")).cast("bigint").as("shard_tokens"))
+    },
+
+    GraftQuery(
+      "pl07_registry_admission",
+      Some(registryAdmissionDuck),
+      "REGISTRY-SNAPSHOT ADMISSION — the pipeline's decontam stage against a LIVE, MUTATING benchmark registry (r19, composing dc07/dc08's store into pl02's chain): pl02's bench index is frozen at seed time, but production eval suites accrete WHILE the pipeline runs, and the naive fix — read the live registry per batch — breaks the at-least-once contract (a replayed batch would see releases its first run didn't, admitting differently on replay). The protocol is SNAPSHOT ISOLATION: each batch's first run records the registry's live release set under benchset/batch_id=N BEFORE any output (crash-safe: Spark's _SUCCESS marker distinguishes a committed snapshot from a torn write), and every run — first or replay — serves the index restricted to the RECORDED set, tombstone-blind, so accretions and retractions take effect at the NEXT batch boundary and never rewrite history. THIS query is the batch twin over two sequential drops with a release landing between them: drop 1 (md5 bucket [0,5)) admits under snapshot {A}, release B ([95,100)) arrives, drop 2 ([5,10)) admits under {A, B} — and the docs drop 1 admitted that B would have flagged are EXACTLY what dc07's retroactive audit exists to find (the two operators are one lifecycle: forward admission under the snapshot, backward audit when the registry grows). Every stage is the shipped core — tx12 quality, dd12's store verdicts with drop 2 probing the store AS LEFT BY drop 1's admissions (sequential accretion, the dd23 oracle's discipline), dc01's pair rule via the factored flaggedPairsAgainstIndex, pk02's serpentine pack — and stage 3 gains per-release ATTRIBUTION rows (release_<id>, distinct flagged docs, zeros explicit: a release in the snapshot that flags nothing is 'checked and clean', dc03's contract). THE ORACLE REPLAYS THE WHOLE TWO-BATCH PROTOCOL in SQL — both stores, both snapshots, the sequential df-cap recomputation over the accreted vocabulary — so a snapshot leak (drop 1 seeing B), a stale store (drop 2 missing drop 1's admissions), or an attribution miscount all hash-fail. StreamedPipelineSpec pins the STREAMED protocol against this twin across a checkpointed kill/resume with the registry mutating mid-stream, including the headline replay pin: retract B, replay batch 2, the recorded snapshot wins. At 100 TB: the snapshot is a release-count-sized read; everything else prices exactly as pl02.") {
+      (s, dir) =>
+        val docsDf = Tables.spread(Tables.load(s, dir, "documents"), "doc_id")
+        val b = expr(Sampling.bucket100("doc_id"))
+        val d1 = Materialize(docsDf.filter(b < 5).select("doc_id", "text"))
+        val d2 = Materialize(
+          docsDf.filter(b >= 5 && b < 10).select("doc_id", "text"))
+        val corp = docsDf.filter(b >= 10).select("doc_id", "text")
+        // the registry's per-release indexes (rarity = corpus-wide df,
+        // BenchmarkRegistry.create's frozen statistic)
+        val rs = Decontam.rareShingles(s, dir)
+        val idxA = rs.filter(col("b") >= 90 && col("b") < 95)
+          .select(col("doc_id").as("test_doc"), col("g"), lit(-1L).as("rel_id"))
+        val idxB = rs.filter(col("b") >= 95)
+          .select(col("doc_id").as("test_doc"), col("g"), lit(0L).as("rel_id"))
+        val fc = TextAnalysis.filterVerdicts(s, dir)
+
+        /** One drop through the chain — the streamed processBatch's
+          * registry branch, batch-twinned. Returns (admitted docs,
+          * manifest rows).
+          */
+        def admitDrop(batchId: Int, drop: DataFrame,
+            exact: DataFrame, postings: DataFrame,
+            idx: DataFrame, snapIds: Seq[Long],
+            corpusSoFar: DataFrame): (DataFrame, DataFrame) = {
+          val fcd = Materialize(
+            fc.join(drop.select("doc_id"), Seq("doc_id"), "left_semi"))
+          val s1 = fcd.filter(col("reason") === "kept")
+            .select("doc_id", "n_tokens")
+          val probeDocs = Materialize(
+            drop.join(s1.select("doc_id"), Seq("doc_id"), "left_semi"))
+          val v = Materialize(
+            Dedup.verdictsAgainstStore(s, probeDocs, exact, postings)
+              .select("doc_id", "verdict"))
+          val cls2 = Materialize(s1.join(v, Seq("doc_id"), "left"))
+          val s2 = cls2.filter(col("verdict") === "new")
+            .select("doc_id", "n_tokens")
+          val decIn = drop.join(s2.select("doc_id"), Seq("doc_id"), "left_semi")
+          val pairs = Materialize(Decontam.flaggedPairsAgainstIndex(
+            s, decIn, idx.select("test_doc", "g")))
+          val cont = pairs.select(col("train_doc").as("doc_id")).distinct()
+          val cls3 = Materialize(s2
+            .join(broadcast(cont.withColumn("is_cont", lit(1))), Seq("doc_id"), "left"))
+          val s3 = Materialize(cls3.filter(col("is_cont").isNull)
+            .select("doc_id", "n_tokens"))
+          import s.implicits._
+          val snapDf = snapIds.toDF("rel_id")
+          val perRelease = snapDf
+            .join(pairs
+              .join(idx.select("test_doc", "rel_id").distinct(), "test_doc")
+              .groupBy("rel_id")
+              .agg(countDistinct(col("train_doc")).as("n")),
+              Seq("rel_id"), "left")
+            .select(lit(3).as("stage"),
+              concat(lit("release_"), col("rel_id").cast("string")).as("detail"),
+              coalesce(col("n"), lit(0L)).as("n"))
+          val st0 = drop.agg(count(lit(1)).as("n"))
+            .select(lit(0).as("stage"), lit("drop_in").as("detail"), col("n"))
+          val st1 = fcd.groupBy(col("reason").as("detail"))
+            .agg(count(lit(1)).as("n"))
+            .select(lit(1).as("stage"), col("detail"), col("n"))
+          val st2 = cls2.groupBy(col("verdict").as("detail"))
+            .agg(count(lit(1)).as("n"))
+            .select(lit(2).as("stage"), col("detail"), col("n"))
+          val st3 = cls3.groupBy(
+              when(col("is_cont").isNotNull, "contaminated")
+                .otherwise("clean").as("detail"))
+            .agg(count(lit(1)).as("n"))
+            .select(lit(3).as("stage"), col("detail"), col("n"))
+          val st4 = Sampling.serpentineShardAssignments(s3)
+            .groupBy(concat(lit("shard_"), col("shard").cast("string")).as("detail"))
+            .agg(count(lit(1)).as("n"))
+            .select(lit(4).as("stage"), col("detail"), col("n"))
+          val st5 = corpusSoFar.select("doc_id")
+            .unionByName(s3.select("doc_id"))
+            .agg(count(lit(1)).as("n"))
+            .select(lit(5).as("stage"), lit("corpus_after").as("detail"), col("n"))
+          val rows = Seq(st0, st1, st2, st3, perRelease, st4, st5)
+            .reduce(_ unionByName _)
+            .select(lit(batchId.toLong).as("batch_id"),
+              col("stage").cast("int"), col("detail"), col("n").cast("bigint"))
+          (drop.join(s3.select("doc_id"), Seq("doc_id"), "left_semi"), rows)
+        }
+
+        val exact0 = Dedup.corpusExact(corp)
+        val post0 = Dedup.corpusPostings(s, corp)
+        val (adm1, rows1) = admitDrop(0, d1, exact0, post0,
+          idxA, Seq(-1L), corp)
+        // the store AS LEFT BY drop 1 (sequential accretion — the
+        // growth-bound anti-join is structural here: an admitted doc's
+        // fp cannot already be in the store, its verdict was 'new')
+        val exact1 = exact0.unionByName(Dedup.corpusExact(adm1))
+        val post1 = post0.unionByName(Dedup.corpusPostings(s, adm1))
+        val (_, rows2) = admitDrop(1, d2, exact1, post1,
+          idxA.unionByName(idxB), Seq(-1L, 0L),
+          corp.select("doc_id").unionByName(adm1.select("doc_id")))
+        rows1.unionByName(rows2)
     })
+
+  /** pl07's oracle: the full two-batch registry-snapshot admission
+    * protocol replayed in SQL — sequential stores (drop 2 verdicts
+    * against the vocabulary AS LEFT BY drop 1's admissions, df cap
+    * recomputed, the erasedStoreDuck discipline), per-drop snapshots
+    * ({A} then {A, B}), per-release attribution with explicit zeros.
+    */
+  private lazy val registryAdmissionDuck: String = {
+    val sh = Dedup.shingleDuck
+    s"""WITH dall AS (SELECT doc_id, text,
+       |               ${Sampling.duckBucket100Of("doc_id")} AS bkt FROM documents),
+       |fc AS (SELECT * FROM ${TextAnalysis.filterVerdictsDuck}),
+       |toks AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens FROM documents),
+       |d1 AS (SELECT doc_id, text FROM dall WHERE bkt < 5),
+       |d2 AS (SELECT doc_id, text FROM dall WHERE bkt >= 5 AND bkt < 10),
+       |corp AS (SELECT doc_id, text FROM dall WHERE bkt >= 10),
+       |allp AS (SELECT doc_id, bkt, UNNEST($sh) AS g
+       |         FROM (SELECT doc_id, bkt, STRING_SPLIT(text, ' ') AS w FROM dall)),
+       |rrare AS (SELECT g FROM allp GROUP BY g HAVING COUNT(*) <= ${Dedup.DfCap}),
+       |idxa AS (SELECT doc_id AS test_doc, a.g FROM allp a JOIN rrare USING (g)
+       |         WHERE bkt >= 90 AND bkt < 95),
+       |idxb AS (SELECT doc_id AS test_doc, a.g FROM allp a JOIN rrare USING (g)
+       |         WHERE bkt >= 95),
+       |s1a AS (SELECT fc.doc_id, fc.n_tokens FROM fc
+       |        JOIN d1 USING (doc_id) WHERE reason = 'kept'),
+       |s1b AS (SELECT fc.doc_id, fc.n_tokens FROM fc
+       |        JOIN d2 USING (doc_id) WHERE reason = 'kept'),
+       |sx AS (SELECT md5(text) AS fp, MIN(doc_id) AS cid FROM corp GROUP BY 1),
+       |cpost AS (SELECT doc_id, UNNEST($sh) AS g
+       |          FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM corp)),
+       |rare0 AS (SELECT g FROM cpost GROUP BY g HAVING COUNT(*) <= ${Dedup.DfCap}),
+       |ec0 AS (SELECT p.doc_id, p.g FROM cpost p JOIN rare0 USING (g)),
+       |nc0 AS (SELECT doc_id, COUNT(*) AS n FROM ec0 GROUP BY 1),
+       |pr1 AS (SELECT d.doc_id, d.text FROM d1 d JOIN s1a USING (doc_id)),
+       |p1post AS (SELECT doc_id, UNNEST($sh) AS g
+       |           FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM pr1)),
+       |e1 AS (SELECT e.doc_id, e.g FROM p1post e JOIN rare0 USING (g)),
+       |ni1 AS (SELECT doc_id, COUNT(*) AS n FROM e1 GROUP BY 1),
+       |pp1 AS (SELECT i.doc_id AS di, c.doc_id AS dc, COUNT(*) AS shared
+       |        FROM e1 i JOIN ec0 c ON i.g = c.g GROUP BY 1, 2),
+       |near1 AS (SELECT pp1.di AS doc_id FROM pp1
+       |          JOIN ni1 ON ni1.doc_id = pp1.di JOIN nc0 ON nc0.doc_id = pp1.dc
+       |          WHERE CAST(shared AS DOUBLE) / (ni1.n + nc0.n - shared) >= 0.8
+       |          GROUP BY 1),
+       |ex1 AS (SELECT p.doc_id FROM pr1 p JOIN sx ON md5(p.text) = sx.fp GROUP BY 1),
+       |v1 AS (SELECT s.doc_id,
+       |         CASE WHEN s.doc_id IN (SELECT doc_id FROM ex1) THEN 'exact_dup'
+       |              WHEN s.doc_id IN (SELECT doc_id FROM near1) THEN 'near_dup'
+       |              ELSE 'new' END AS verdict
+       |       FROM s1a s),
+       |s2a AS (SELECT doc_id FROM v1 WHERE verdict = 'new'),
+       |dec1 AS (SELECT doc_id, UNNEST($sh) AS g
+       |         FROM (SELECT d.doc_id, STRING_SPLIT(d.text, ' ') AS w
+       |               FROM d1 d JOIN s2a USING (doc_id))),
+       |f1 AS (SELECT t.doc_id AS train_doc, i.test_doc, COUNT(*) AS n
+       |       FROM dec1 t JOIN idxa i USING (g)
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |cont1 AS (SELECT DISTINCT train_doc AS doc_id FROM f1),
+       |s3a AS (SELECT doc_id FROM s2a
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM cont1)),
+       |adm AS (SELECT d.doc_id, d.text FROM d1 d JOIN s3a USING (doc_id)),
+       |admx AS (SELECT md5(text) AS fp, MIN(doc_id) AS cid FROM adm GROUP BY 1),
+       |storex AS (SELECT fp, cid FROM sx UNION ALL SELECT fp, cid FROM admx),
+       |apost AS (SELECT doc_id, UNNEST($sh) AS g
+       |          FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM adm)),
+       |post1 AS (SELECT doc_id, g FROM cpost UNION ALL SELECT doc_id, g FROM apost),
+       |rare1 AS (SELECT g FROM post1 GROUP BY g HAVING COUNT(*) <= ${Dedup.DfCap}),
+       |ec1s AS (SELECT p.doc_id, p.g FROM post1 p JOIN rare1 USING (g)),
+       |nc1 AS (SELECT doc_id, COUNT(*) AS n FROM ec1s GROUP BY 1),
+       |pr2 AS (SELECT d.doc_id, d.text FROM d2 d JOIN s1b USING (doc_id)),
+       |p2post AS (SELECT doc_id, UNNEST($sh) AS g
+       |           FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM pr2)),
+       |e2 AS (SELECT e.doc_id, e.g FROM p2post e JOIN rare1 USING (g)),
+       |ni2 AS (SELECT doc_id, COUNT(*) AS n FROM e2 GROUP BY 1),
+       |pp2 AS (SELECT i.doc_id AS di, c.doc_id AS dc, COUNT(*) AS shared
+       |        FROM e2 i JOIN ec1s c ON i.g = c.g GROUP BY 1, 2),
+       |near2 AS (SELECT pp2.di AS doc_id FROM pp2
+       |          JOIN ni2 ON ni2.doc_id = pp2.di JOIN nc1 ON nc1.doc_id = pp2.dc
+       |          WHERE CAST(shared AS DOUBLE) / (ni2.n + nc1.n - shared) >= 0.8
+       |          GROUP BY 1),
+       |ex2 AS (SELECT p.doc_id FROM pr2 p
+       |        JOIN storex ON md5(p.text) = storex.fp GROUP BY 1),
+       |v2 AS (SELECT s.doc_id,
+       |         CASE WHEN s.doc_id IN (SELECT doc_id FROM ex2) THEN 'exact_dup'
+       |              WHEN s.doc_id IN (SELECT doc_id FROM near2) THEN 'near_dup'
+       |              ELSE 'new' END AS verdict
+       |       FROM s1b s),
+       |s2b AS (SELECT doc_id FROM v2 WHERE verdict = 'new'),
+       |dec2 AS (SELECT doc_id, UNNEST($sh) AS g
+       |         FROM (SELECT d.doc_id, STRING_SPLIT(d.text, ' ') AS w
+       |               FROM d2 d JOIN s2b USING (doc_id))),
+       |idxab AS (SELECT test_doc, g, -1 AS rel_id FROM idxa
+       |          UNION ALL SELECT test_doc, g, 0 FROM idxb),
+       |f2 AS (SELECT t.doc_id AS train_doc, i.test_doc, COUNT(*) AS n
+       |       FROM dec2 t JOIN idxab i USING (g)
+       |       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |relmap AS (SELECT DISTINCT test_doc, -1 AS rel_id FROM idxa
+       |           UNION ALL SELECT DISTINCT test_doc, 0 FROM idxb),
+       |cont2 AS (SELECT DISTINCT train_doc AS doc_id FROM f2),
+       |s3b AS (SELECT doc_id FROM s2b
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM cont2)),
+       |r1 AS (SELECT s3a.doc_id, t.n_tokens,
+       |              ROW_NUMBER() OVER (ORDER BY t.n_tokens DESC, s3a.doc_id) AS rn
+       |       FROM s3a JOIN toks t USING (doc_id)),
+       |r2 AS (SELECT s3b.doc_id, t.n_tokens,
+       |              ROW_NUMBER() OVER (ORDER BY t.n_tokens DESC, s3b.doc_id) AS rn
+       |       FROM s3b JOIN toks t USING (doc_id))
+       |SELECT CAST(0 AS BIGINT) AS batch_id, CAST(0 AS INT) AS stage,
+       |       'drop_in' AS detail, COUNT(*) AS n FROM d1
+       |UNION ALL SELECT 0, 1, reason, COUNT(*) FROM fc
+       |  WHERE doc_id IN (SELECT doc_id FROM d1) GROUP BY 3
+       |UNION ALL SELECT 0, 2, verdict, COUNT(*) FROM v1 GROUP BY 3
+       |UNION ALL SELECT 0, 3,
+       |  CASE WHEN doc_id IN (SELECT doc_id FROM cont1)
+       |       THEN 'contaminated' ELSE 'clean' END, COUNT(*)
+       |FROM s2a GROUP BY 3
+       |UNION ALL SELECT 0, 3, 'release_-1',
+       |  (SELECT COUNT(DISTINCT train_doc) FROM f1)
+       |UNION ALL SELECT 0, 4, 'shard_' || CAST(
+       |  CASE WHEN ((rn - 1) // 16) % 2 = 0 THEN (rn - 1) % 16
+       |       ELSE 15 - (rn - 1) % 16 END AS VARCHAR), COUNT(*)
+       |FROM r1 GROUP BY 3
+       |UNION ALL SELECT 0, 5, 'corpus_after', COUNT(*) FROM
+       |  (SELECT doc_id FROM corp UNION ALL SELECT doc_id FROM s3a) u1
+       |UNION ALL SELECT 1, 0, 'drop_in', COUNT(*) FROM d2
+       |UNION ALL SELECT 1, 1, reason, COUNT(*) FROM fc
+       |  WHERE doc_id IN (SELECT doc_id FROM d2) GROUP BY 3
+       |UNION ALL SELECT 1, 2, verdict, COUNT(*) FROM v2 GROUP BY 3
+       |UNION ALL SELECT 1, 3,
+       |  CASE WHEN doc_id IN (SELECT doc_id FROM cont2)
+       |       THEN 'contaminated' ELSE 'clean' END, COUNT(*)
+       |FROM s2b GROUP BY 3
+       |UNION ALL SELECT 1, 3, 'release_' || CAST(sn.rel_id AS VARCHAR),
+       |  COALESCE(cnts.n, 0)
+       |FROM (VALUES (-1), (0)) sn(rel_id)
+       |LEFT JOIN (SELECT rm.rel_id, COUNT(DISTINCT f2.train_doc) AS n
+       |           FROM f2 JOIN relmap rm USING (test_doc)
+       |           GROUP BY 1) cnts USING (rel_id)
+       |UNION ALL SELECT 1, 4, 'shard_' || CAST(
+       |  CASE WHEN ((rn - 1) // 16) % 2 = 0 THEN (rn - 1) % 16
+       |       ELSE 15 - (rn - 1) % 16 END AS VARCHAR), COUNT(*)
+       |FROM r2 GROUP BY 3
+       |UNION ALL SELECT 1, 5, 'corpus_after', COUNT(*) FROM
+       |  (SELECT doc_id FROM corp UNION ALL SELECT doc_id FROM s3a
+       |   UNION ALL SELECT doc_id FROM s3b) u2""".stripMargin
+  }
 }

@@ -184,9 +184,32 @@ object StreamedPipeline {
     * histogram to `manifestDir/audit/batch_id=N` as the labeled-audit
     * side-car instead of into the delivery manifest.
     */
+  /** The decontam stage's benchmark source (r19): `None` = the flat
+    * `bench/` index [[seed]] wrote (pl02's static contract). `Some` =
+    * a LIVE [[BenchmarkRegistry]] at that dir, with SNAPSHOT-ISOLATED
+    * reads: the batch's first run records the registry's live release
+    * set under `benchset/batch_id=N` (written BEFORE any output — a
+    * crash anywhere later replays against the recorded set), and every
+    * run — first or replay — serves the index restricted to that
+    * recorded set, TOMBSTONE-BLIND. A release accreted or retracted
+    * after the batch first ran therefore never changes what a replay
+    * admits (the at-least-once contract survives a mutating registry);
+    * new releases take effect at the NEXT batch's snapshot, and a
+    * doc admitted before its flagging release arrived is exactly what
+    * the registry's retroactive audit (dc07) exists to find.
+    * Registry compaction while a batch is replay-pending would delete
+    * partitions a recorded set still names — the same maintenance-
+    * window contract as [[compactStores]] (pass the pipeline's
+    * checkpointDir to [[BenchmarkRegistry.compact]]'s guard).
+    */
   def processBatch(batch: DataFrame, batchId: Long,
       storeDir: String, manifestDir: String,
-      gate: String = RuleGate): Unit = {
+      gate: String = RuleGate): Unit =
+    processBatch(batch, batchId, storeDir, manifestDir, gate, None)
+
+  def processBatch(batch: DataFrame, batchId: Long,
+      storeDir: String, manifestDir: String,
+      gate: String, registryDir: Option[String]): Unit = {
     val s = batch.sparkSession
     val inc = Materialize(batch.select("doc_id", "text", "lang"))
     // tx12's per-doc verdict chain on the batch: the delivery gate in
@@ -235,10 +258,37 @@ object StreamedPipeline {
       Seq("doc_id"), "left"))
     val s2 = cls2.filter(col("verdict") === "new").select("doc_id", "n_tokens")
     // stage 3 — decontam: dc01's pair rule against the persisted
-    // benchmark index (broadcast; zero corpus-side work)
-    val bench = s.read.parquet(s"$storeDir/bench")
-    val cont = Decontam.contaminatedAgainstIndex(
-      s, inc.join(s2.select("doc_id"), Seq("doc_id"), "left_semi"), bench)
+    // benchmark index (broadcast; zero corpus-side work). Registry
+    // mode serves the snapshot-isolated live registry instead (see
+    // the contract on the public overload) and adds per-release
+    // attribution rows to the manifest.
+    val decontamInput = inc.join(s2.select("doc_id"), Seq("doc_id"), "left_semi")
+    val (cont, stReg) = registryDir match {
+      case None =>
+        (Decontam.contaminatedAgainstIndex(
+          s, decontamInput, s.read.parquet(s"$storeDir/bench")), None)
+      case Some(reg) =>
+        val snap = broadcast(benchsetSnapshot(s, reg, storeDir, batchId))
+        // tombstone-BLIND + recorded-set-restricted: the replay
+        // contract (retraction after first run must not change what
+        // this batch admits)
+        val idx = BenchmarkRegistry.readIndex(s, reg)
+          .join(snap, Seq("batch_id"), "left_semi")
+        val pairs = Materialize(Decontam.flaggedPairsAgainstIndex(
+          s, decontamInput, idx.select("test_doc", "g")))
+        // attribution: flagged docs per snapshot release, zeros
+        // explicit (the dc03 'checked and clean' contract)
+        val rel = idx.select("test_doc", "batch_id").distinct()
+        val perRelease = snap
+          .join(pairs.join(rel, "test_doc")
+            .groupBy("batch_id")
+            .agg(countDistinct(col("train_doc")).as("n")),
+            Seq("batch_id"), "left")
+          .select(lit(3).as("stage"),
+            concat(lit("release_"), col("batch_id").cast("string")).as("detail"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        (pairs.select(col("train_doc").as("doc_id")).distinct(), Some(perRelease))
+    }
     val cls3 = Materialize(s2
       .join(broadcast(cont.withColumn("is_cont", lit(1))), Seq("doc_id"), "left"))
     val s3 = Materialize(cls3.filter(col("is_cont").isNull)
@@ -270,7 +320,8 @@ object StreamedPipeline {
       .agg(count(lit(1)).as("n")).select(lit(4).as("stage"), col("detail"), col("n"))
     val st5 = s3.agg((count(lit(1)) + prior).as("n"))
       .select(lit(5).as("stage"), lit("corpus_after").as("detail"), col("n"))
-    Seq(st0, st1, st2, st3, st4, st5).reduce(_ unionByName _)
+    (Seq(st0, st1, st2, st3) ++ stReg.toSeq ++ Seq(st4, st5))
+      .reduce(_ unionByName _)
       .select(col("stage").cast("int"), col("detail"), col("n").cast("bigint"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$manifestDir/batch_id=$batchId")
@@ -291,16 +342,43 @@ object StreamedPipeline {
     StreamedDedup.maintainLabels(probeDocs, pairs, batchId, storeDir)
   }
 
+  /** The batch's recorded benchmark-release set `(batch_id)` — the
+    * snapshot-isolation primitive (see [[processBatch]]'s contract):
+    * read back if this batch already recorded one (the `_SUCCESS`
+    * marker distinguishes a committed snapshot from a torn write —
+    * Spark's committer writes it last, so a crash mid-write re-records
+    * rather than reading garbage); otherwise record the registry's
+    * LIVE release set (tombstones applied — a retraction that landed
+    * before this batch ever ran legitimately excludes its release)
+    * under the batch's own partition, BEFORE any downstream output.
+    */
+  private def benchsetSnapshot(s: SparkSession, registryDir: String,
+      storeDir: String, batchId: Long): DataFrame = {
+    val part = s"$storeDir/benchset/batch_id=$batchId"
+    val conf = s.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$part/_SUCCESS")
+    if (!marker.getFileSystem(conf).exists(marker)) {
+      BenchmarkRegistry.readIndex(s, registryDir, applyTombstones = true)
+        .select("batch_id").distinct()
+        .withColumnRenamed("batch_id", "release_batch")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(part)
+    }
+    s.read.parquet(part)
+      .select(col("release_batch").cast("bigint").as("batch_id"))
+  }
+
   /** Run the continuous admission job over a parquet drop directory. */
   def run(s: SparkSession, incomingDir: String, storeDir: String,
       manifestDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      gate: String = RuleGate): StreamingQuery = {
+      gate: String = RuleGate,
+      registryDir: Option[String] = None): StreamingQuery = {
     val schema = "doc_id BIGINT, text STRING, lang STRING"
     s.readStream.schema(schema).parquet(incomingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, storeDir, manifestDir, gate)
+        processBatch(batch, batchId, storeDir, manifestDir, gate, registryDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

@@ -158,6 +158,82 @@ class StreamedPipelineSpec extends AnyFunSuite {
       "a one-batch stream must equal the shipped pl02 batch manifest")
   }
 
+  test("registry mode (r19): snapshot-isolated decontam — batch 0 under {A}, batch 1 under {A,B}, == the pl07 batch twin; a replay AFTER retraction serves the recorded snapshot; drop-1 admissions are dc07's retroactive catch") {
+    def bkt(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 8), 16) % 100
+    val (incoming, store, man, ckpt, regRoot) =
+      (tmp("rin"), tmp("rstore"), tmp("rman"), tmp("rckpt"), tmp("reg"))
+    val reg = s"$regRoot/store"
+    // sf0.01, not the suite's sf0.001 universe: the retroactive-catch
+    // polarity (a drop-1 admission release B later flags) is vacuous
+    // at sf0.001 — no cross-split pair reaches the overlap threshold
+    val docsAll = graft.Tables.load(spark, sf001, "documents")
+    val withB = docsAll.withColumn("bkt", expr(Sampling.bucket100("doc_id")))
+    BenchmarkRegistry.create(spark, docsAll.select("doc_id", "text"), reg)
+    BenchmarkRegistry.accreteRelease(spark,
+      withB.filter(col("bkt") >= 90 && col("bkt") < 95).select("doc_id", "text"),
+      BenchmarkRegistry.SeedBatchId, reg)
+    StreamedPipeline.seed(spark,
+      withB.filter(col("bkt") >= 10).select("doc_id", "text"),
+      Decontam.benchmarkIndex(spark, sf001).localCheckpoint(), store)
+    val inc01 = withB.filter(col("bkt") < 10)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val drop1 = inc01.filter(d => bkt(d._1) < 5).toSeq
+    val drop2 = inc01.filter(d => bkt(d._1) >= 5).toSeq
+    assert(drop1.nonEmpty && drop2.nonEmpty)
+
+    def start() = StreamedPipeline.run(spark, incoming, store, man, ckpt,
+      trigger = Trigger.ProcessingTime(100), registryDir = Some(reg))
+    // batch 0 admits under snapshot {A}
+    toDf(drop1).coalesce(1).write.mode("append").parquet(incoming)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    // release B lands BETWEEN batches
+    BenchmarkRegistry.accreteRelease(spark,
+      withB.filter(col("bkt") >= 95).select("doc_id", "text"), 0L, reg)
+    // batch 1 admits under snapshot {A, B}
+    toDf(drop2).coalesce(1).write.mode("append").parquet(incoming)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the streamed manifests equal the pl07 batch twin row-for-row
+    val twin = graft.GraftQuery.all.find(_.name == "pl07_registry_admission").get
+      .build(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)) -> r.getLong(3)).toMap
+    for (b <- Seq(0L, 1L))
+      assert(manifestOf(man, b) ===
+        twin.collect { case ((`b`, st, d), n) => (st, d) -> n },
+        s"batch $b manifest diverges from the pl07 twin")
+    // the snapshot rows themselves: batch 0 sees ONLY release A
+    assert(manifestOf(man, 0L).keys.count(_._2.startsWith("release_")) === 1)
+    assert(manifestOf(man, 1L).keys.count(_._2.startsWith("release_")) === 2)
+
+    // HEADLINE replay pin: retract B, re-deliver batch 1 — the
+    // recorded benchset snapshot wins and the manifest is byte-stable
+    // (a live-registry read here would drop release B's flags)
+    val before = manifestOf(man, 1L)
+    BenchmarkRegistry.retract(spark, Seq(0L), 0L, reg)
+    StreamedPipeline.processBatch(toDf(drop2), 1L, store, man,
+      StreamedPipeline.RuleGate, Some(reg))
+    assert(manifestOf(man, 1L) === before,
+      "replay after retraction must serve the recorded snapshot")
+
+    // the dc07 hook: batch 0 admitted docs that release B would have
+    // flagged — retroactive contamination, non-vacuous on this fixture
+    val admitted0 = spark.read
+      .parquet(s"$store/admitted/batch_id=0").collect().map(_.getLong(0)).toSet
+    val idxB = BenchmarkRegistry.readIndex(spark, reg)
+      .filter(col("batch_id") === 0L).select("test_doc", "g")
+    val flaggedByB = Decontam.flaggedPairsAgainstIndex(
+        spark, toDf(drop1).select("doc_id", "text"), idxB)
+      .select("train_doc").collect().map(_.getLong(0)).toSet
+    assert(admitted0.intersect(flaggedByB).nonEmpty,
+      "no drop-1 admission is retroactively contaminated by B — the snapshot story is vacuous on this fixture")
+  }
+
   test("model-gated stream: persisted gate IS pl04's artifacts; manifests == replay across restart; rule audit side-car intact") {
     val (incoming, store, man, ckpt) =
       (tmp("min"), tmp("mstore"), tmp("mman"), tmp("mckpt"))
