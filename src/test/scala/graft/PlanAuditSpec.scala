@@ -151,7 +151,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "gr26_delta_triangles", // shared edges() front door: the 1-row p90 median broadcast into the sparsification filter; the delta/adjacency joins themselves are equi
     "gr27_chained_cc_deltas", // same shared edges() front door (the delta2 slice filter); the chain's merges are component-grain equi joins
     "ss23_drift_gated_retrain", // the CHOSEN posture's serve shape (ss18/ss20's 4-row seeds + query-decile broadcasts) plus ss21's drift parts; the decision itself is collected driver-side (r18), so only one branch plans
-    "ss24_deletion_serving" // ss20's serve shape verbatim (4-row frozen-seed + query-decile broadcasts) over the live view; the tombstone anti-join is a drop-sized equi-join
+    "ss24_deletion_serving", // ss20's serve shape verbatim (4-row frozen-seed + query-decile broadcasts) over the live view; the tombstone anti-join is a drop-sized equi-join
+    "sp14_budget_waterfill", // the 1-row water-level frame (kstar/b/pstar/m) broadcast into the ~100-row domain table (the decision rule is counter-grain by design, dd21/dc06's pattern)
+    "pl07_registry_admission" // inherits pk02's 1-row min/max bucketizer frame on the pack stage (pl03/pl05's entry) + the 1-row release-overlap count frame left-joined onto the per-release ledger rows
   )
 
   test("no cartesian products; BNLJ only where a non-equi broadcast is intended") {
