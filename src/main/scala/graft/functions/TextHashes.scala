@@ -148,6 +148,14 @@ object GraftFunctions {
         { children: Seq[Expression] =>
           val c = arity("graft_cosine", "graft_cosine(a, b)", 2)(children)
           CosineSim(c.head, c(1)) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_il2",
+        { children: Seq[Expression] =>
+          val c = arity("graft_il2", "graft_il2(a, b)", 2)(children)
+          IntSqL2(c.head, c(1)) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_idot",
+        { children: Seq[Expression] =>
+          val c = arity("graft_idot", "graft_idot(a, b)", 2)(children)
+          IntDot(c.head, c(1)) }, "built-in")
       // Spark ships bloom_filter_agg / might_contain as INTERNAL
       // functions (catalyst's InjectRuntimeFilter plants them when it
       // builds runtime row-filters; they are absent from the public

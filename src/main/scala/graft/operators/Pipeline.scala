@@ -311,7 +311,7 @@ object Pipeline {
         val wf = TextAnalysis.perceptronEpochs(s, dir).last.select("w")
         val scored = Materialize(feats.crossJoin(broadcast(wf))
           .select(col("doc_id"), col("y"),
-            expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
+            TextAnalysis.idotOf(s, "x", "w")
               .as("score")))
         // budget-matched operating point from tx23's shared grid:
         // keep-count closest to the rule gate's keep-count (the y

@@ -72,10 +72,17 @@ object Similarity {
 
   /** Integer squared L2 between two equal-length long arrays — the
     * order-independent distance every integer-exact ranking uses.
+    * Compiled ([[graft.functions.IntSqL2]], r19): the HOF form
+    * (aggregate over zip_with) allocated a 64-slot array + two
+    * interpreted lambda folds per PAIR, and this expression sits in
+    * the corpus x query hot loops of every serve/encode/rerank in the
+    * family; IntVecSpec pins bit-identity to the HOF text the oracles
+    * mirror.
     */
-  private def il2(a: String, b: String) =
-    aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+  private def il2(a: String, b: String) = {
+    graft.functions.GraftFunctions.register(SparkSession.active)
+    expr(s"graft_il2($a, $b)")
+  }
 
   /** Explode a 64-long array column into 8 subspace slices
     * (`sub`, `out`) — ss08/ss09's PQ decomposition.
@@ -98,10 +105,13 @@ object Similarity {
     */
   private[operators] val PqRounds = 2
 
-  /** Integer dot product of two long-array columns. */
-  private def idot(a: String, b: String) =
-    aggregate(zip_with(col(a), col(b), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
+  /** Integer dot product of two long-array columns. Compiled
+    * ([[graft.functions.IntDot]], r19) — same rationale as [[il2]].
+    */
+  private def idot(a: String, b: String) = {
+    graft.functions.GraftFunctions.register(SparkSession.active)
+    expr(s"graft_idot($a, $b)")
+  }
 
   /** One Lloyd round over quantized corpus `q`: re-assign every vector
     * to its integer-dot-argmax centroid, re-estimate centroids as
@@ -571,9 +581,7 @@ object Similarity {
         // max_by — a map-side partial aggregation, NOT a per-vector
         // window (which would shuffle k rows per vector on vec_id)
         val assign = q.crossJoin(broadcast(seeds))
-          .withColumn("dot",
-            aggregate(zip_with(col("qe"), col("qs"), (x, y) => x * y),
-              lit(0L), (acc, x) => acc + x))
+          .withColumn("dot", idot("qe", "qs"))
           .groupBy(col("vec_id"))
           .agg(
             max_by(col("cluster"), struct(col("dot"), (-col("cluster")).as("nc"))).as("cluster"),
@@ -860,11 +868,8 @@ object Similarity {
           .select(col("vec_id"), col("qe"), col("qv"),
             explode(sequence(lit(0), lit(63))).as("i"))
           .select(col("vec_id"), (col("i") / 8).cast("int").as("qt"),
-            expr("""aggregate(
-                   |  zip_with(slice(qv, (i div 8) * 8 + 1, 8),
-                   |           slice(qe, (i % 8) * 8 + 1, 8),
-                   |           (x, y) -> x * y),
-                   |  0L, (a, v) -> a + v)""".stripMargin).as("dot"))
+            expr("""graft_idot(slice(qv, (i div 8) * 8 + 1, 8),
+                   |           slice(qe, (i % 8) * 8 + 1, 8))""".stripMargin).as("dot"))
           .groupBy(col("vec_id"), col("qt")).agg(max(col("dot")).as("m"))
           .groupBy(col("vec_id")).agg(sum(col("m")).as("maxsim_units"))
           .orderBy(col("maxsim_units").desc, col("vec_id")).limit(10)

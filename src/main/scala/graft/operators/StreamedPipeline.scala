@@ -106,7 +106,7 @@ object StreamedPipeline {
     val wf = TextAnalysis.perceptronEpochs(s, dir).last.select("w")
     val scored = Materialize(feats.crossJoin(broadcast(wf))
       .select(col("doc_id"), col("y"),
-        expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
+        TextAnalysis.idotOf(s, "x", "w")
           .as("score")))
     wf.crossJoin(TextAnalysis.budgetMatchedTheta(scored))
       .write.mode("overwrite").parquet(s"$storeDir/model")
@@ -221,7 +221,7 @@ object StreamedPipeline {
       val gated = Materialize(TextAnalysis.hashedFeaturesOf(inc)
         .crossJoin(model)
         .select(col("doc_id"),
-          (expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
+          (TextAnalysis.idotOf(s, "x", "w")
             >= col("theta")).as("model_keep")))
       fc.groupBy(col("reason").as("detail"))
         .agg(count(lit(1)).as("n"))

@@ -787,8 +787,7 @@ object TextAnalysis {
             .as("v"))
           .withColumn("wv", wv)
           .select(col("doc_id"),
-            expr("aggregate(zip_with(v, wv, (a, b) -> a * b), 0L, (s, x) -> s + x)")
-              .as("score"))
+            idotOf(s, "v", "wv").as("score"))
           .withColumn("model_keep",
             when(col("score") >= 0, 1).otherwise(0).cast("int"))
     },
@@ -834,8 +833,7 @@ object TextAnalysis {
         val wf = perceptronEpochs(s, dir).last.select("w")
         val sc = Materialize(feats.crossJoin(broadcast(wf))
           .select(col("doc_id"), col("y"),
-            expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
-              .as("score")))
+            idotOf(s, "x", "w").as("score")))
         sc.crossJoin(thresholdGrid(sc))
           .groupBy("k", "theta")
           .agg(
@@ -882,6 +880,19 @@ object TextAnalysis {
     * (filterVerdictsOf's legitimacy argument: the features are
     * per-doc, so batch scope cannot change them).
     */
+  /** Compiled integer dot between two long-array columns
+    * ([[graft.functions.IntDot]], r19 guide §4): the HOF fold
+    * (aggregate over zip_with) this family scored with allocates an
+    * intermediate array + two interpreted lambda folds per ROW; the
+    * model-score sites (tx22/tx23, pl04/pl07, the streamed gate) all
+    * run it corpus-sized. Bit-identical (integer math; IntVecSpec pins
+    * it against the HOF text the oracles mirror).
+    */
+  private[operators] def idotOf(s: SparkSession, a: String, b: String) = {
+    graft.functions.GraftFunctions.register(s)
+    expr(s"graft_idot($a, $b)")
+  }
+
   private[operators] def hashedFeaturesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), expr(
@@ -946,8 +957,7 @@ object TextAnalysis {
       coalesce(sum(expr(s"y * x[$j]")), lit(0L)).as(s"u$j"))
     (1 to TxEpochs).map { _ =>
       val upd = feats.crossJoin(broadcast(wf))
-        .withColumn("score",
-          expr("aggregate(zip_with(x, w, (a, b) -> a * b), 0L, (acc, p) -> acc + p)"))
+        .withColumn("score", idotOf(s, "x", "w"))
         .filter(col("y") * col("score") <= 0)
         .agg(count(lit(1)).as("n_miss"), sumCols: _*)
       val wn = Materialize(wf.crossJoin(broadcast(upd))
