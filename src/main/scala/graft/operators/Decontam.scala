@@ -47,14 +47,24 @@ object Decontam {
   /** Df-capped shingle postings tagged with the sp05 split bucket:
     * `(doc_id, b, g)`, pinned (feeds both join sides).
     */
-  private[operators] def rareShingles(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def rareShingles(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "rareshing")(rareShinglesFresh(s, dir))
+
+  /** The un-memoized build behind [[rareShingles]] (r19 optimization
+    * round: pl07 consumed the frame directly per run — a full-corpus
+    * shingle + df-cap pass + checkpoint per consumer — and every other
+    * consumer reached it through [[pairCountsFresh]], itself a memo
+    * build; the postings ARE the persisted index the operator docs
+    * describe). StageStoreSpec pins store == fresh.
+    */
+  private[graft] def rareShinglesFresh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val d = docs(s, dir).withColumn("b", expr(Sampling.bucket100("doc_id")))
     val e = Tables.spread(d, "doc_id")
       .select(col("doc_id"), col("b"), explode(expr("graft_shingles(text)")).as("g"))
     val rare = e.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= Dedup.DfCap).select("g")
-    Materialize(e.join(rare, "g").select("doc_id", "b", "g"))
+    e.join(rare, "g").select("doc_id", "b", "g")
   }
 
   /** The PERSISTABLE benchmark-side contamination index `(test_doc,

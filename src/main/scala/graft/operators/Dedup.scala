@@ -921,8 +921,16 @@ object Dedup {
       "dd12_incremental_dedup",
       Some(incrementalDuck),
       "Incremental ingestion dedup — the form every dd-family pass takes in PRODUCTION: a new crawl drop (10% md5 split) is admitted against the EXISTING corpus, not against itself. Per incoming doc, one verdict with audit provenance: exact_dup (byte-identical text already in the corpus — md5 fingerprint equi-join, 16 bytes per doc cross the wire), near_dup (word-trigram Jaccard >= 0.8 against a corpus doc over the df-capped inverted index — dd05's threshold / cap / join shape applied CROSS-SPLIT, similarity measured in the corpus index's rare-shingle vocabulary), or new; match_id = the smallest matching corpus doc (deterministic), null for new. The at-scale asymmetry is the whole point: the corpus fingerprint store and inverted index are the PERSISTED artifacts (built once, incrementally maintained — Compaction's snapshot discipline), and each drop probes them at drop-size cost: the incoming side of every join is drop-sized, the df cap bounds each incoming shingle's fan-out at 50 corpus postings, and nothing ever re-pairs corpus-vs-corpus (the m² the batch passes pay). Priority exact > near is a CASE after two LEFT probes; every count is an exact integer, the Jaccard division is the dd05 IEEE division — hash-identical cross-engine.") {
-      (s, dir) =>
-        incrementalVerdicts(s, spread(docs(s, dir), "doc_id"))
+      (s, dir) => {
+        // the factored core over the MEMOIZED store tables (r19): the
+        // drop probes persisted artifacts, exactly the operator's doc
+        // — incrementalVerdicts stays the spec's synthetic-frame door
+        val inc = spread(docs(s, dir), "doc_id")
+          .withColumn("bkt", expr(Sampling.bucket100("doc_id")))
+          .filter(col("bkt") < 10).select("doc_id", "text")
+        verdictsFromPairs(inc, storeMatchPairsOver(s, inc,
+          stdCorpusExact(s, dir), stdRare(s, dir), stdEc(s, dir)))
+      }
     },
 
     GraftQuery(
@@ -1684,6 +1692,50 @@ object Dedup {
     verdictsAgainstStore(s, inc, corpusExact(corp), corpusPostings(s, corp))
   }
 
+  /** The STANDARD split's ([0,10) drop vs [10,100) corpus over
+    * `documents`) corpus-side store tables, StageStore-memoized (r19
+    * optimization round, guide §2.4): dd12 and pl07 each re-derived
+    * the [10,100) fingerprint store AND the shingle posting list —
+    * an md5 + graft_shingles + explode pass over 90% of the corpus —
+    * fresh per run (pl07 paid it at BOTH ends of its two-drop
+    * protocol), and they are exactly the artifacts the operators'
+    * own docs call "the PERSISTED artifacts ... built once". Both are
+    * deterministic md5/string frames, so persist-then-read is
+    * bit-identical (StageStoreSpec's contract); the spec-facing
+    * [[incrementalVerdicts]] keeps taking arbitrary frames.
+    */
+  private[operators] def stdCorpus(s: SparkSession, dir: String): DataFrame =
+    spread(docs(s, dir), "doc_id")
+      .withColumn("bkt", expr(Sampling.bucket100("doc_id")))
+      .filter(col("bkt") >= 10).select("doc_id", "text")
+
+  private[operators] def stdCorpusExact(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "corpexact")(stdCorpusExactFresh(s, dir))
+
+  private[operators] def stdCorpusPostings(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "corppost")(stdCorpusPostingsFresh(s, dir))
+
+  // the un-memoized builds, exposed for StageStoreSpec's parity pins
+  private[graft] def stdCorpusExactFresh(s: SparkSession, dir: String): DataFrame =
+    corpusExact(stdCorpus(s, dir))
+  private[graft] def stdCorpusPostingsFresh(s: SparkSession, dir: String): DataFrame =
+    corpusPostings(s, stdCorpus(s, dir))
+  private[graft] def stdRareFresh(s: SparkSession, dir: String): DataFrame =
+    dfCapped(stdCorpusPostingsFresh(s, dir))
+  private[graft] def stdEcFresh(s: SparkSession, dir: String): DataFrame =
+    stdCorpusPostingsFresh(s, dir).join(stdRareFresh(s, dir), "g")
+
+  /** The standard store's df-capped artifacts, memoized one level
+    * further (the df-cap groupBy + capped-postings join were still
+    * re-derived and re-checkpointed per consumer run).
+    */
+  private[operators] def stdRare(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "corprare")(dfCapped(stdCorpusPostings(s, dir)))
+
+  private[operators] def stdEc(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "corpec")(
+      stdCorpusPostings(s, dir).join(stdRare(s, dir), "g"))
+
   /** The corpus-side persisted artifacts of the incremental pass, as
     * built from raw `(doc_id, text)`: the exact-fingerprint store
     * `(fp, cid)` — one row per DISTINCT text, cid = min holder (the
@@ -1734,15 +1786,47 @@ object Dedup {
       inc: DataFrame,
       corpExact: DataFrame,
       corpPostings: DataFrame): DataFrame = {
+    // store-side df cap (the persisted index's vocabulary); both
+    // splits' shingle streams are filtered by it
+    val rare = dfCapped(corpPostings)
+    val ec = Materialize(corpPostings.join(rare, "g"))
+    storeMatchPairsOver(s, inc, corpExact, rare, ec)
+  }
+
+  /** The store-side df-cap rule in one place: the vocabulary of
+    * shingles rare enough (df <= cap) to enter the probe index.
+    */
+  private[operators] def dfCapped(postings: DataFrame): DataFrame =
+    postings.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap).select("g")
+
+  /** [[verdictsAgainstStore]] over caller-supplied df-capped artifacts
+    * — the consumer door to [[storeMatchPairsOver]].
+    */
+  private[operators] def verdictsAgainstStoreOver(
+      s: SparkSession, inc: DataFrame, corpExact: DataFrame,
+      rare: DataFrame, ec: DataFrame): DataFrame =
+    verdictsFromPairs(inc, storeMatchPairsOver(s, inc, corpExact, rare, ec))
+
+  /** [[storeMatchPairs]] with the store-side df-capped artifacts
+    * (`rare` vocabulary, `ec` capped postings) supplied by the caller
+    * (r19 optimization round): for the STANDARD store they are
+    * StageStore tables built once per (application, dir) — dd12 and
+    * pl07's drop 1 probe the same persisted artifacts instead of
+    * re-deriving + re-checkpointing them per run. Accreted-vocabulary
+    * callers (pl07's drop 2) still derive them fresh over the union —
+    * that recomputation IS the snapshot protocol.
+    */
+  private[operators] def storeMatchPairsOver(
+      s: SparkSession,
+      inc: DataFrame,
+      corpExact: DataFrame,
+      rare: DataFrame,
+      ec: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val exactP = inc.select(col("doc_id"), md5(col("text")).as("fp"))
       .join(corpExact, "fp")
       .select(col("doc_id"), col("cid").as("match_id"), lit("exact").as("kind"))
-    // store-side df cap (the persisted index's vocabulary); both
-    // splits' shingle streams are filtered by it
-    val rare = corpPostings.groupBy("g").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap).select("g")
-    val ec = Materialize(corpPostings.join(rare, "g"))
     val ei = Materialize(inc.withColumn("gs", expr("graft_shingles(text)"))
       .select(col("doc_id"), explode(col("gs")).as("g"))
       .join(rare, "g"))

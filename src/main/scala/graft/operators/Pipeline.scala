@@ -560,7 +560,7 @@ object Pipeline {
           * manifest rows).
           */
         def admitDrop(batchId: Int, drop: DataFrame,
-            exact: DataFrame, postings: DataFrame,
+            exact: DataFrame, rare: DataFrame, ec: DataFrame,
             idx: DataFrame, snapIds: Seq[Long],
             corpusSoFar: DataFrame): (DataFrame, DataFrame) = {
           val fcd = Materialize(
@@ -570,7 +570,7 @@ object Pipeline {
           val probeDocs = Materialize(
             drop.join(s1.select("doc_id"), Seq("doc_id"), "left_semi"))
           val v = Materialize(
-            Dedup.verdictsAgainstStore(s, probeDocs, exact, postings)
+            Dedup.verdictsAgainstStoreOver(s, probeDocs, exact, rare, ec)
               .select("doc_id", "verdict"))
           val cls2 = Materialize(s1.join(v, Seq("doc_id"), "left"))
           val s2 = cls2.filter(col("verdict") === "new")
@@ -622,16 +622,25 @@ object Pipeline {
           (drop.join(s3.select("doc_id"), Seq("doc_id"), "left_semi"), rows)
         }
 
-        val exact0 = Dedup.corpusExact(corp)
-        val post0 = Dedup.corpusPostings(s, corp)
-        val (adm1, rows1) = admitDrop(0, d1, exact0, post0,
+        // the standing store's tables are the SAME [10,100) slice dd12
+        // probes — StageStore-memoized INCLUDING the df-capped
+        // vocabulary and capped postings (r19; drop 1 probes persisted
+        // artifacts instead of re-deriving + re-checkpointing them)
+        val exact0 = Dedup.stdCorpusExact(s, dir)
+        val post0 = Dedup.stdCorpusPostings(s, dir)
+        val (adm1, rows1) = admitDrop(0, d1, exact0,
+          Dedup.stdRare(s, dir), Dedup.stdEc(s, dir),
           idxA, Seq(-1L), corp)
         // the store AS LEFT BY drop 1 (sequential accretion — the
         // growth-bound anti-join is structural here: an admitted doc's
-        // fp cannot already be in the store, its verdict was 'new')
+        // fp cannot already be in the store, its verdict was 'new');
+        // the df cap is RECOMPUTED over the accreted vocabulary — that
+        // recomputation IS the protocol, so it stays fresh
         val exact1 = exact0.unionByName(Dedup.corpusExact(adm1))
         val post1 = post0.unionByName(Dedup.corpusPostings(s, adm1))
-        val (_, rows2) = admitDrop(1, d2, exact1, post1,
+        val rare1 = Dedup.dfCapped(post1)
+        val ec1 = Materialize(post1.join(rare1, "g"))
+        val (_, rows2) = admitDrop(1, d2, exact1, rare1, ec1,
           idxA.unionByName(idxB), Seq(-1L, 0L),
           corp.select("doc_id").unionByName(adm1.select("doc_id")))
         rows1.unionByName(rows2)

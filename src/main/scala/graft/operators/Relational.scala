@@ -1172,7 +1172,6 @@ object Relational {
         val vBase = s.read.parquet(s"$store/view").drop("mult")
         val (o, l) = mvSides(s, dir)
         val oD = o.filter(col("ob") >= 90)
-        val lBase = l.filter(col("lb") < 90)
         val lD = l.filter(col("lb") >= 90)
         val oBase = o.filter(col("ob") < 90)
         // Blakeley's three delta terms on SHUFFLED equi-joins (r19,
@@ -1182,10 +1181,14 @@ object Relational {
         // form (the term is a plain equi-join either way; the
         // full-rebuild oracle pins row-identity, PlanAuditSpec pins
         // zero hashed relations in the delta terms)
+        // r19 optimization round: terms 1 and 3 share the dO side, so
+        // by distributivity of join over (disjoint) union they ship as
+        // ONE join — dO x (L_old ∪ dL) = dO x L (the two slices
+        // partition lineitem) — same row multiset, one fewer
+        // shuffle+sort and two fewer base scans; still shuffled
         vBase
-          .unionByName(mvJoin(oD.hint("shuffle_merge"), lBase))
+          .unionByName(mvJoin(oD.hint("shuffle_merge"), l))
           .unionByName(mvJoin(oBase, lD.hint("shuffle_merge")))
-          .unionByName(mvJoin(oD.hint("shuffle_merge"), lD))
     },
 
     GraftQuery(
@@ -1227,9 +1230,11 @@ object Relational {
         // base-proportional by construction here (~22.5% of base
         // orders), the one delta class that must never be a hashed
         // relation
-        val deltas = mvJoinSigned(dO.hint("shuffle_merge"), lOld)
+        // r19: terms 1 and 3 fold to dO x (L_old ∪ dL) — join
+        // distributes over the union, same signed multiset, one fewer
+        // shuffle+sort (q67's factoring at multiplicity grain)
+        val deltas = mvJoinSigned(dO.hint("shuffle_merge"), lOld.unionByName(dL))
           .unionByName(mvJoinSigned(oOld, dL.hint("shuffle_merge")))
-          .unionByName(mvJoinSigned(dO.hint("shuffle_merge"), dL))
         // refresh: one view-key aggregation; zero/negative rows vanish
         vOld.unionByName(deltas)
           .groupBy("o_orderkey", "l_linenumber", "o_custkey", "o_orderdate", "price")
@@ -1278,9 +1283,8 @@ object Relational {
         // the view's rows never materialize; terms are shuffled
         // equi-joins (r19, VERDICT r18 #2 — the delete delta is
         // base-proportional, never a hashed relation)
-        val dAgg = rows(dO.hint("shuffle_merge"), lOld)
+        val dAgg = rows(dO.hint("shuffle_merge"), lOld.unionByName(dL))
           .unionByName(rows(oOld, dL.hint("shuffle_merge")))
-          .unionByName(rows(dO.hint("shuffle_merge"), dL))
           .groupBy("o_custkey")
           .agg(sum(col("price") * col("m")).as("d_revenue"),
             sum(col("m")).as("d_n"))
@@ -1331,9 +1335,8 @@ object Relational {
           a.join(b, col("o_orderkey") === col("l_orderkey"))
             .select(col("o_custkey"), col("price"),
               (col("mo") * col("ml")).as("m"))
-        val delta = rows(dO.hint("shuffle_merge"), lOld)
+        val delta = rows(dO.hint("shuffle_merge"), lOld.unionByName(dL))
           .unionByName(rows(oOld, dL.hint("shuffle_merge")))
-          .unionByName(rows(dO.hint("shuffle_merge"), dL))
         // the self-maintenance classifier: per delta-touched group,
         // insert/delete price extrema + the signed count. THIS is the
         // expensive shared core (three delta-term joins) — pinned
@@ -1424,9 +1427,8 @@ object Relational {
           a.join(b, col("o_orderkey") === col("l_orderkey"))
             .select(col("o_custkey"), col("qty"),
               (col("mo") * col("ml")).as("m"))
-        val delta = rows(dO.hint("shuffle_merge"), lOld)
+        val delta = rows(dO.hint("shuffle_merge"), lOld.unionByName(dL))
           .unionByName(rows(oOld, dL.hint("shuffle_merge")))
-          .unionByName(rows(dO.hint("shuffle_merge"), dL))
         // net the delta to (customer, qty) key grain; net-zero keys
         // out (no transition can arise from them)
         val dKey = delta.groupBy("o_custkey", "qty")

@@ -35,7 +35,20 @@ class StageStoreSpec extends AnyFunSuite {
     ("jaccardEdges", Dedup.jaccardEdges, Dedup.jaccardEdgesFresh),
     ("minhashSigs", Dedup.minhashSigs, Dedup.minhashSigsFresh),
     ("embGroupPairs", Dedup.embGroupPairs, Dedup.embGroupPairsFresh),
-    ("embVecMap", Dedup.embVecMap, Dedup.embVecMapFresh))
+    ("embVecMap", Dedup.embVecMap, Dedup.embVecMapFresh),
+    // r19 optimization round: the standard-split fingerprint store
+    // (dd12 + pl07's drop 1) and the decontam rare-shingle postings
+    ("stdCorpusExact", Dedup.stdCorpusExact, Dedup.stdCorpusExactFresh),
+    ("stdCorpusPostings", Dedup.stdCorpusPostings, Dedup.stdCorpusPostingsFresh),
+    ("stdRare", Dedup.stdRare, Dedup.stdRareFresh),
+    ("stdEc", Dedup.stdEc, Dedup.stdEcFresh),
+    ("rareShingles", Decontam.rareShingles, Decontam.rareShinglesFresh),
+    // gr19's consumed labeling (the store wraps the fresh build inline)
+    ("sccLabelsCond",
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        StageStore.table(s, d, "scclabcond")(Graph.sccLabels(s, d, Graph.CondensationQ)),
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        Graph.sccLabels(s, d, Graph.CondensationQ)))
 
   test("every memoized stage core serves exactly the fresh build's rows (sf0.001)") {
     for ((name, store, fresh) <- cores) {
