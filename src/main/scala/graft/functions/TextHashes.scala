@@ -152,6 +152,9 @@ object GraftFunctions {
         { children: Seq[Expression] =>
           val c = arity("graft_il2", "graft_il2(a, b)", 2)(children)
           IntSqL2(c.head, c(1)) }, "built-in")
+      reg.createOrReplaceTempFunction("graft_embsig",
+        { children: Seq[Expression] =>
+          EmbSig(arity("graft_embsig", "graft_embsig(e)", 1)(children).head) }, "built-in")
       reg.createOrReplaceTempFunction("graft_idot",
         { children: Seq[Expression] =>
           val c = arity("graft_idot", "graft_idot(a, b)", 2)(children)

@@ -61,7 +61,16 @@ object Graph {
   /** Directed sparsified edge list `(src, dst)`, pinned — one pass
     * over the fact tables feeds every iteration and both queries.
     */
-  private[graft] def edges(s: SparkSession, dir: String, q: Double = 0.5): DataFrame = {
+  private[graft] def edges(s: SparkSession, dir: String, q: Double = 0.5): DataFrame =
+    StageStore.table(s, dir, s"edges${(q * 100).toInt}")(edgesFresh(s, dir, q))
+
+  /** The un-memoized build behind [[edges]] (r19 optimization round:
+    * the front door is a lineitem x orders x customer x supplier join
+    * + percentile cut, and ~25 gr queries each re-ran it per run; the
+    * 25-node edge list is the definition of a stage artifact).
+    * StageStoreSpec pins store == fresh per q.
+    */
+  private[graft] def edgesFresh(s: SparkSession, dir: String, q: Double = 0.5): DataFrame = {
     val t = (n: String) => Tables.load(s, dir, n)
     val support = t("lineitem")
       .join(t("orders"), col("l_orderkey") === col("o_orderkey"))

@@ -47,9 +47,18 @@ private[graft] object Hashing {
     pl.map(v => s"$v.0").mkString("[", ",", "]")).mkString("[", ", ", "]")
 
   /** 32-char '1'/'0' hyperplane signature of double-array column `e`
-    * (Spark SQL dialect).
+    * (Spark SQL dialect). Compiled ([[graft.functions.EmbSig]], r19
+    * optimization round): the HOF text this replaces ran 32 planes x
+    * 64 dims of interpreted lambda per row; EmbSigSpec pins the
+    * compiled twin bit-identical to it. Callers must have
+    * GraftFunctions registered (every consumer site does).
     */
-  val embSigExpr: String =
+  val embSigExpr: String = "graft_embsig(e)"
+
+  /** The r4-r18 HOF formulation, kept verbatim for EmbSigSpec's
+    * bit-identity pin (the oracles still mirror this arithmetic).
+    */
+  val embSigHofExpr: String =
     s"""concat_ws('', transform($planesSpark, pl ->
        |  IF(aggregate(zip_with(e, pl, (x, y) -> x * y), 0D, (s, v) -> s + v) > 0, '1', '0')))""".stripMargin
 

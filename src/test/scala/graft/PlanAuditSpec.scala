@@ -519,22 +519,30 @@ class PlanAuditSpec extends AnyFunSuite {
         "and anti/semi scoping joins are all shuffle_merge equi-joins")
   }
 
-  test("q67/q68/q69: MV delta terms are shuffled equi-joins — no hashed relation in any serve") {
+  test("MV delta build + serves: shuffled equi-joins only, no hashed relation") {
     // VERDICT r18 #1 (What's wrong): a delta cut from the standing
     // base (q68/q69's DELETE slice is ~22.5% of base orders by the
     // fixtures' own construction) is base-proportional — broadcasting
-    // it is a driver OOM at 100x. The serves ship the gr28 recipe:
-    // shuffle_merge hints on every delta side, audited AFTER execution
-    // so AQE's runtime re-plan is what's asserted.
+    // it is a driver OOM at 100x. r19: the two shuffled term joins
+    // moved into the SHARED mvDelta store build (computed once per
+    // refresh cycle, consumed by all five maintainers), so the
+    // no-hashed-relation pin is asserted on the BUILD's executed plan;
+    // the serves are pinned broadcast-free for their remaining joins
+    // (the group-grain view merges).
+    val build = operators.Relational.mvDeltaFresh(spark, sf001)
+    build.collect() // finalize the adaptive plan before reading it
+    val bp = build.queryExecution.executedPlan.toString
+    assert(!bp.contains("Broadcast"),
+      "mvDelta build: a delta term planned a hashed relation — " +
+        "base-proportional deltas must stay shuffled equi-joins")
+    assert(bp.contains("SortMergeJoin"),
+      "mvDelta build: the shuffle_merge hints must hold through AQE")
     for (q <- Seq("q67_join_mv_delta", "q68_join_mv_counting", "q69_agg_mv_delta")) {
       val df = GraftQuery.all.find(_.name == q).get.build(spark, sf001)
-      df.collect() // finalize the adaptive plan before reading it
+      df.collect()
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("Broadcast"),
-        s"$q: a delta term planned a hashed relation — base-proportional " +
-          "deltas must stay shuffled equi-joins")
-      assert(p.contains("SortMergeJoin"),
-        s"$q: the shuffle_merge hints must hold through AQE")
+        s"$q: the serve planned a hashed relation")
     }
   }
 

@@ -43,6 +43,15 @@ class StageStoreSpec extends AnyFunSuite {
     ("stdRare", Dedup.stdRare, Dedup.stdRareFresh),
     ("stdEc", Dedup.stdEc, Dedup.stdEcFresh),
     ("rareShingles", Decontam.rareShingles, Decontam.rareShinglesFresh),
+    ("mvDelta",
+      (s: org.apache.spark.sql.SparkSession, d: String) =>
+        StageStore.table(s, d, "mvdelta")(Relational.mvDeltaFresh(s, d)),
+      Relational.mvDeltaFresh _),
+    ("edges50", (s: org.apache.spark.sql.SparkSession, d: String) => Graph.edges(s, d),
+      (s: org.apache.spark.sql.SparkSession, d: String) => Graph.edgesFresh(s, d)),
+    ("edges75",
+      (s: org.apache.spark.sql.SparkSession, d: String) => Graph.edges(s, d, Graph.CondensationQ),
+      (s: org.apache.spark.sql.SparkSession, d: String) => Graph.edgesFresh(s, d, Graph.CondensationQ)),
     // gr19's consumed labeling (the store wraps the fresh build inline)
     ("sccLabelsCond",
       (s: org.apache.spark.sql.SparkSession, d: String) =>
