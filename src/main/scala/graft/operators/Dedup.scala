@@ -921,16 +921,7 @@ object Dedup {
       "dd12_incremental_dedup",
       Some(incrementalDuck),
       "Incremental ingestion dedup — the form every dd-family pass takes in PRODUCTION: a new crawl drop (10% md5 split) is admitted against the EXISTING corpus, not against itself. Per incoming doc, one verdict with audit provenance: exact_dup (byte-identical text already in the corpus — md5 fingerprint equi-join, 16 bytes per doc cross the wire), near_dup (word-trigram Jaccard >= 0.8 against a corpus doc over the df-capped inverted index — dd05's threshold / cap / join shape applied CROSS-SPLIT, similarity measured in the corpus index's rare-shingle vocabulary), or new; match_id = the smallest matching corpus doc (deterministic), null for new. The at-scale asymmetry is the whole point: the corpus fingerprint store and inverted index are the PERSISTED artifacts (built once, incrementally maintained — Compaction's snapshot discipline), and each drop probes them at drop-size cost: the incoming side of every join is drop-sized, the df cap bounds each incoming shingle's fan-out at 50 corpus postings, and nothing ever re-pairs corpus-vs-corpus (the m² the batch passes pay). Priority exact > near is a CASE after two LEFT probes; every count is an exact integer, the Jaccard division is the dd05 IEEE division — hash-identical cross-engine.") {
-      (s, dir) => {
-        // the factored core over the MEMOIZED store tables (r19): the
-        // drop probes persisted artifacts, exactly the operator's doc
-        // — incrementalVerdicts stays the spec's synthetic-frame door
-        val inc = spread(docs(s, dir), "doc_id")
-          .withColumn("bkt", expr(Sampling.bucket100("doc_id")))
-          .filter(col("bkt") < 10).select("doc_id", "text")
-        verdictsFromPairs(inc, storeMatchPairsOver(s, inc,
-          stdCorpusExact(s, dir), stdRare(s, dir), stdEc(s, dir)))
-      }
+      (s, dir) => stdIncrementalVerdicts(s, dir)
     },
 
     GraftQuery(
@@ -1690,6 +1681,19 @@ object Dedup {
     val inc = dall.filter(col("bkt") < 10).select("doc_id", "text")
     val corp = dall.filter(col("bkt") >= 10).select("doc_id", "text")
     verdictsAgainstStore(s, inc, corpusExact(corp), corpusPostings(s, corp))
+  }
+
+  /** dd12's query over the MEMOIZED store tables (r19): the drop
+    * probes persisted artifacts, exactly the operator's doc —
+    * [[incrementalVerdicts]] stays the spec's synthetic-frame door.
+    * Shared by dd12 and pl02's stage-2 core (one definition).
+    */
+  private[operators] def stdIncrementalVerdicts(s: SparkSession, dir: String): DataFrame = {
+    val inc = spread(docs(s, dir), "doc_id")
+      .withColumn("bkt", expr(Sampling.bucket100("doc_id")))
+      .filter(col("bkt") < 10).select("doc_id", "text")
+    verdictsFromPairs(inc, storeMatchPairsOver(s, inc,
+      stdCorpusExact(s, dir), stdRare(s, dir), stdEc(s, dir)))
   }
 
   /** The STANDARD split's ([0,10) drop vs [10,100) corpus over

@@ -157,7 +157,7 @@ object Pipeline {
         val fc = Materialize(TextAnalysis.filterVerdicts(s, dir)
           .join(di, Seq("doc_id"), "left_semi"))
         val v = Materialize(
-          Dedup.incrementalVerdicts(s, Tables.spread(docsDf, "doc_id"))
+          Dedup.stdIncrementalVerdicts(s, dir)
             .select("doc_id", "verdict"))
         val cont = Decontam.overlapPairs(s, dir)
           .select(col("train_doc").as("doc_id")).distinct()
