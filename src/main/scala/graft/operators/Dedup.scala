@@ -375,14 +375,47 @@ object Dedup {
       .select(col("doc_id"), col("cluster"))
   }
 
+  /** [[groupEdges]]' two frames as ONE StageStore build (r19 session 2,
+    * guide §2.4): dd14 was the last groupEdges consumer still re-running
+    * the df-capped pair pipeline + clone-collapse fresh per run —
+    * `clusterAssignments` memoized the finished CHAIN for
+    * dd07/dd08/sp13/pl*, but dd14's pointer-jump loop consumes the raw
+    * EDGE LIST (its whole point is running a DIFFERENT fixpoint over the
+    * same graph). Both frames are deterministic md5/integer artifacts;
+    * StageStoreSpec pins store == fresh for each.
+    */
+  private[operators] def groupEdgesStored(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tag = DiskMemo.tag(s, dir)
+    val out = TempLayout.dir(s"stage_ddgedges_$tag", dir)
+    DiskMemo.ensure(s"stage_ddgedges_$tag", out) {
+      val (g, m) = groupEdges(s, dir)
+      g.write.mode("overwrite").parquet(s"$out/g")
+      m.write.mode("overwrite").parquet(s"$out/m")
+    }
+    (s.read.parquet(s"$out/g"), s.read.parquet(s"$out/m"))
+  }
+
+  // the un-memoized halves, exposed for StageStoreSpec's parity pins
+  private[graft] def groupEdgesFreshG(s: SparkSession, dir: String): DataFrame =
+    groupEdges(s, dir)._1
+  private[graft] def groupEdgesFreshM(s: SparkSession, dir: String): DataFrame =
+    groupEdges(s, dir)._2
+  private[graft] def groupEdgesStoredG(s: SparkSession, dir: String): DataFrame =
+    groupEdgesStored(s, dir)._1
+  private[graft] def groupEdgesStoredM(s: SparkSession, dir: String): DataFrame =
+    groupEdgesStored(s, dir)._2
+
   /** dd14: the same cluster assignment computed by gr09's
     * pointer-jumping round (O(log n) rounds on any chain length, no
     * vertex-scale broadcasts) instead of [[minLabelClusters]]'s plain
     * propagation (diameter rounds). Row-identical by construction —
-    * DedupSpec pins it against dd07.
+    * DedupSpec pins it against dd07. Consumes the stored edge list
+    * (r19 session 2): the pair pipeline builds once per (application,
+    * dir); the loop this query exists to exercise still runs per serve.
     */
   private[operators] def ptrJumpAssignments(s: SparkSession, dir: String): DataFrame = {
-    val (gEdges, mg) = groupEdges(s, dir)
+    val (gEdges, mg) = groupEdgesStored(s, dir)
     val pinned = Materialize.trackedLocalCheckpoint(
       gEdges.select(col("doc_a"), col("doc_b")))
     // partitioned on the hop-join key before the checkpoint (gr09's
@@ -1255,13 +1288,17 @@ object Dedup {
       Some(erasedStoreDuck),
       "INGESTION DEDUP UNDER ERASURE — the mutation the fingerprint store still lacked (VERDICT r18 #3: accretion dd12/StreamedDedup, compaction, the composed admission pipeline — but documents only ever ARRIVED; a GDPR-erased document's fingerprints and postings kept voting in near-dup verdicts forever, and the pipeline's corpus_after could never shrink): the store gains StreamedIndex's TOMBSTONE protocol at doc grain. An erasure batch writes the requested doc_ids under a deterministic tombs/batch_id=N partition (mode=overwrite — a replayed request is byte-stable; erasing a never-admitted doc is a structural no-op), the verdict pass reads the LIVE view — postings anti-join the erased ids, the exact table anti-joins on its HOLDER cid (the accretion protocol admits exactly one holder per distinct text, so the holder's row is the text's only live contribution; the one corner — a SEEDED clone family's collapsed min holder — demotes a re-arriving identical text from exact_dup to near_dup via its jaccard-1.0 sibling, still rejected, documented at readStore) — and compactStore makes the erasure PHYSICAL in its write-then-prune fold, clearing consumed tombstones (a crash between fold and tomb prune re-deletes already-removed rows, a no-op). The live view ALSO feeds accretion's fp growth-bound anti-join: a dead fp row must not shadow a new holder of the same text, or the text goes unprotected forever. THIS query runs the full lifecycle on fixture splits — seed the store (md5 bucket < 50), accrete one drop ([50, 80)) through the SHIPPED batch protocol, erase the `_del`-salted decile of ALL doc ids (admitted docs get erased; un-admitted requests no-op), then verdict a probe batch (>= 80) against the live store with the SAME factored verdictsAgainstStore every dedup serve runs. The oracle replays the whole protocol in SQL — admission against the seed store, holder-grain erasure, df-cap recomputed over the LIVE postings — so a tombstone that leaks into the wrong table, a dead fp shadowing, or a stale df count all hash-fail. At 100 TB: an erasure batch is request-sized, the live-view anti-joins probe a columnar LONG set, every verdict join stays drop-sized (dd12's asymmetry), and storage reclamation rides the compaction the store already schedules; StreamedDedupSpec pins the lifecycle — live-view verdicts == rebuild-without-erased, replayed erasure a no-op, post-compaction identity, and corpus_after genuinely shrinking through the pipeline ledger.") {
       (s, dir) =>
-        val store = erasedDedupStore(s, dir)
-        val (exact, postings) = StreamedDedup.readStore(
-          s, s"$store/store", Long.MinValue, applyTombstones = true)
+        // the live view's df-capped artifacts are deterministic
+        // functions of the (DiskMemo'd) store state, so they are
+        // StageStore tables like stdRare/stdEc (r19 session 2, guide
+        // §2.4): the serve probes persisted artifacts instead of
+        // re-running the corpus-scale df groupBy + capped-postings
+        // join per run. StageStoreSpec pins store == fresh.
+        val (exact, rare, ec) = erasedLiveArtifacts(s, dir)
         val probe = spread(docs(s, dir), "doc_id")
           .filter(expr(Sampling.bucket100("doc_id")) >= 80)
           .select("doc_id", "text")
-        verdictsAgainstStore(s, probe, exact, postings)
+        verdictsAgainstStoreOver(s, probe, exact, rare, ec)
     },
 
     GraftQuery(
@@ -1374,6 +1411,35 @@ object Dedup {
         1L, s"$out/store")
     }
   }
+
+  /** dd23's serve-side artifacts over the erased store's LIVE view:
+    * the tombstone-applied exact table plus the df-capped vocabulary
+    * and capped postings, the latter two StageStore-memoized (r19
+    * session 2) — deterministic functions of the DiskMemo'd store
+    * state, same discipline as [[stdRare]]/[[stdEc]]. Fresh doors
+    * exposed for StageStoreSpec's parity pins.
+    */
+  private[operators] def erasedLiveArtifacts(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val (exact, _) = erasedLiveView(s, dir)
+    val rare = StageStore.table(s, dir, "ddelrare")(erasedLiveRareFresh(s, dir))
+    val ec = StageStore.table(s, dir, "ddelec")(erasedLiveEcFresh(s, dir))
+    (exact, rare, ec)
+  }
+
+  private def erasedLiveView(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val store = erasedDedupStore(s, dir)
+    StreamedDedup.readStore(s, s"$store/store", Long.MinValue, applyTombstones = true)
+  }
+
+  private[graft] def erasedLiveRareFresh(s: SparkSession, dir: String): DataFrame =
+    dfCapped(erasedLiveView(s, dir)._2)
+  private[graft] def erasedLiveEcFresh(s: SparkSession, dir: String): DataFrame =
+    erasedLiveView(s, dir)._2.join(erasedLiveRareFresh(s, dir), "g")
+  private[graft] def erasedLiveRareStored(s: SparkSession, dir: String): DataFrame =
+    erasedLiveArtifacts(s, dir)._2
+  private[graft] def erasedLiveEcStored(s: SparkSession, dir: String): DataFrame =
+    erasedLiveArtifacts(s, dir)._3
 
   /** dd23's erasure-request split: an md5 salt over doc_id,
     * independent of the seed/drop/probe decile split (ss24's

@@ -36,6 +36,12 @@ class StageStoreSpec extends AnyFunSuite {
     ("minhashSigs", Dedup.minhashSigs, Dedup.minhashSigsFresh),
     ("embGroupPairs", Dedup.embGroupPairs, Dedup.embGroupPairsFresh),
     ("embVecMap", Dedup.embVecMap, Dedup.embVecMapFresh),
+    // r19 session 2: dd14's stored group-edge list + doc->group map
+    ("groupEdgesG", Dedup.groupEdgesStoredG, Dedup.groupEdgesFreshG),
+    ("groupEdgesM", Dedup.groupEdgesStoredM, Dedup.groupEdgesFreshM),
+    // r19 session 2: dd23's live-view df-cap artifacts
+    ("erasedLiveRare", Dedup.erasedLiveRareStored, Dedup.erasedLiveRareFresh),
+    ("erasedLiveEc", Dedup.erasedLiveEcStored, Dedup.erasedLiveEcFresh),
     // r19 optimization round: the standard-split fingerprint store
     // (dd12 + pl07's drop 1) and the decontam rare-shingle postings
     ("stdCorpusExact", Dedup.stdCorpusExact, Dedup.stdCorpusExactFresh),
