@@ -270,7 +270,12 @@ object Similarity {
       .orderBy(col("d"), col("code")).limit(nprobe)
       .select(col("code").as("cell")))
     // cell membership: argmin over the 4 broadcast cell vectors,
-    // map-side min_by — then keep ONLY the probed cell
+    // map-side min_by — then keep ONLY the probed cell. Measured and
+    // deliberately NOT store-read (r19 session 2): a StageStore'd
+    // assignment + code table regressed every cheap probe (ss09
+    // 0.66->1.02, ss16 1.52->2.03) — the parquet round trip of the
+    // 64-int arrays plus the member semi-join costs more than the
+    // one map-side argmin pass over the small embeddings scan.
     val members = q.crossJoin(broadcast(seeds))
       .withColumn("d", il2("qe", "qs"))
       .groupBy("vec_id")
@@ -1093,7 +1098,16 @@ object Similarity {
     * Exposed to the spec so the distortion pin measures the exact
     * codebooks the query serves.
     */
-  private[operators] def pqTrainedCodebooks(s: SparkSession, dir: String): DataFrame = {
+  /** The TRAINED codebooks as a StageStore table (r19 session 2):
+    * production trains codebooks once and stores them — the serve
+    * reads KB-scale arrays; the Lloyd rounds are the build. The
+    * un-memoized door stays for StageStoreSpec's parity pin and
+    * SimilaritySpec's distortion pin.
+    */
+  private[operators] def pqTrainedCodebooks(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "pqcds")(pqTrainedCodebooksFresh(s, dir))
+
+  private[graft] def pqTrainedCodebooksFresh(s: SparkSession, dir: String): DataFrame = {
     val q = qemb(s, dir)
     val seeds = mdSeeds(q, 4)
     val svq = Materialize(q.select(col("vec_id"), explode(subSlices("qe", "sv")).as("x"))

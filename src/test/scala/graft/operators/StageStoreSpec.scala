@@ -42,6 +42,9 @@ class StageStoreSpec extends AnyFunSuite {
     // r19 session 2: dd23's live-view df-cap artifacts
     ("erasedLiveRare", Dedup.erasedLiveRareStored, Dedup.erasedLiveRareFresh),
     ("erasedLiveEc", Dedup.erasedLiveEcStored, Dedup.erasedLiveEcFresh),
+    // r19 session 2: ss17's trained-codebook artifact
+    ("pqTrainedCodebooks", Similarity.pqTrainedCodebooks _,
+      Similarity.pqTrainedCodebooksFresh _),
     // r19 optimization round: the standard-split fingerprint store
     // (dd12 + pl07's drop 1) and the decontam rare-shingle postings
     ("stdCorpusExact", Dedup.stdCorpusExact, Dedup.stdCorpusExactFresh),
