@@ -1556,14 +1556,35 @@ object Dedup {
       sigs: DataFrame, truth: DataFrame,
       cands: Seq[(Int, Int, DataFrame)], sweep: DataFrame)
 
+  /** The sweep's artifacts as StageStore tables (r19 session 2, guide
+    * §2.4): dd20 and dd21 each re-ran the three band-key equi-joins,
+    * the truth semi-joins and the counter fold per run — but the sweep
+    * IS the operating-curve artifact a tuner freezes per corpus
+    * snapshot (dd21's own doc), so the candidate sets and the 3-row
+    * counter table build once per (application, dir) and both queries
+    * read them. `truth` is the already-memoized jaccardEdges store
+    * read — the extra checkpoint it used to carry was a leftover from
+    * before the LSH stage stores landed. StageStoreSpec pins store ==
+    * fresh for the sweep table and each candidate set.
+    */
   private[operators] def bandingSweep(s: SparkSession, dir: String): BandingSweep = {
     val sigs = minhashSigs(s, dir)
-    val truth = Materialize(jaccardEdges(s, dir).select("doc_a", "doc_b"))
-    val nt = broadcast(Materialize(truth.agg(count(lit(1)).as("n_true"))))
+    val truth = jaccardEdges(s, dir).select("doc_a", "doc_b")
     val cands = BandConfigs.map { case (b, r) =>
-      (b, r, Materialize(bandCandidatesBR(sigs, b, r)))
+      (b, r, StageStore.table(s, dir, s"bandcand${b}x$r")(bandCandidatesBR(sigs, b, r)))
     }
-    val sweep = cands.map { case (b, r, cand) =>
+    val sweep = StageStore.table(s, dir, "bandsweep")(
+      sweepTableOf(truth, cands))
+    BandingSweep(sigs, truth, cands, sweep)
+  }
+
+  /** The counter fold behind the sweep table — shared by the store
+    * build and the fresh door.
+    */
+  private def sweepTableOf(
+      truth: DataFrame, cands: Seq[(Int, Int, DataFrame)]): DataFrame = {
+    val nt = broadcast(truth.agg(count(lit(1)).as("n_true")))
+    cands.map { case (b, r, cand) =>
       val nc = cand.agg(count(lit(1)).as("n_candidates"))
       val ng = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
         .agg(count(lit(1)).as("n_caught"))
@@ -1574,8 +1595,23 @@ object Dedup {
           col("n_true").cast("bigint").as("n_true"),
           col("n_caught").cast("bigint").as("n_caught"))
     }.reduce(_ unionByName _)
-    BandingSweep(sigs, truth, cands, sweep)
   }
+
+  // the un-memoized doors, exposed for StageStoreSpec's parity pins
+  private[graft] def bandSweepFresh(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(s, dir)
+    val truth = jaccardEdges(s, dir).select("doc_a", "doc_b")
+    sweepTableOf(truth,
+      BandConfigs.map { case (b, r) => (b, r, bandCandidatesBR(sigs, b, r)) })
+  }
+  private[graft] def bandCandFresh(b: Int, r: Int)(
+      s: SparkSession, dir: String): DataFrame =
+    bandCandidatesBR(minhashSigs(s, dir), b, r)
+  private[graft] def bandCandStored(b: Int, r: Int)(
+      s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, s"bandcand${b}x$r")(bandCandFresh(b, r)(s, dir))
+  private[graft] def bandSweepStored(s: SparkSession, dir: String): DataFrame =
+    bandingSweep(s, dir).sweep
 
   /** dd19's position-grain cut set: later occurrences of any within-doc
     * repeated [[IntraK]]-gram, exploded to token positions, distinct.

@@ -42,6 +42,11 @@ class StageStoreSpec extends AnyFunSuite {
     // r19 session 2: dd23's live-view df-cap artifacts
     ("erasedLiveRare", Dedup.erasedLiveRareStored, Dedup.erasedLiveRareFresh),
     ("erasedLiveEc", Dedup.erasedLiveEcStored, Dedup.erasedLiveEcFresh),
+    // r19 session 2: the banding sweep's operating-curve artifacts
+    ("bandSweep", Dedup.bandSweepStored _, Dedup.bandSweepFresh _),
+    ("bandCand4x8", Dedup.bandCandStored(4, 8), Dedup.bandCandFresh(4, 8)),
+    ("bandCand8x4", Dedup.bandCandStored(8, 4), Dedup.bandCandFresh(8, 4)),
+    ("bandCand16x2", Dedup.bandCandStored(16, 2), Dedup.bandCandFresh(16, 2)),
     // r19 session 2: ss17's trained-codebook artifact
     ("pqTrainedCodebooks", Similarity.pqTrainedCodebooks _,
       Similarity.pqTrainedCodebooksFresh _),
