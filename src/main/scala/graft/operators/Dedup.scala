@@ -1261,7 +1261,10 @@ object Dedup {
       (s, dir) =>
         val store = clusterLabelStore(s, dir)
         val baseLab = s.read.parquet(s"$store/labels")
-        val edges = Materialize(jaccardEdges(s, dir).select("doc_a", "doc_b"))
+        // jaccardEdges is a StageStore read — the checkpoint it carried
+        // pre-dated the LSH stage stores; two parquet scans beat one
+        // eager checkpoint job (r19 session 2, measured on the sweep)
+        val edges = jaccardEdges(s, dir).select("doc_a", "doc_b")
         val bA = expr(Sampling.bucket100("doc_a"))
         val bB = expr(Sampling.bucket100("doc_b"))
         // the drop's edges: at least one endpoint outside the seed slice
