@@ -1845,6 +1845,21 @@ object Dedup {
     StageStore.table(s, dir, "corpec")(
       stdCorpusPostings(s, dir).join(stdRare(s, dir), "g"))
 
+  /** The standard corpus' full shingle document-frequency table
+    * `(g, df)` (r19 session 2): tx15's novelty vocabulary — the df
+    * grouping over [[stdCorpusPostings]] (postings are distinct per
+    * doc, so COUNT(*) per g IS the doc frequency). Memoized like the
+    * rest of the standard store's artifacts.
+    */
+  private[operators] def stdVocabDf(s: SparkSession, dir: String): DataFrame =
+    StageStore.table(s, dir, "corpdf")(
+      stdCorpusPostings(s, dir).groupBy("g").agg(count(lit(1)).as("df")))
+
+  private[graft] def stdVocabDfFresh(s: SparkSession, dir: String): DataFrame =
+    stdCorpusPostingsFresh(s, dir).groupBy("g").agg(count(lit(1)).as("df"))
+  private[graft] def stdVocabDfStored(s: SparkSession, dir: String): DataFrame =
+    stdVocabDf(s, dir)
+
   /** The corpus-side persisted artifacts of the incremental pass, as
     * built from raw `(doc_id, text)`: the exact-fingerprint store
     * `(fp, cid)` — one row per DISTINCT text, cid = min holder (the

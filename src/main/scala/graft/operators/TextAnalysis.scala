@@ -597,10 +597,11 @@ object TextAnalysis {
           .withColumn("gs", expr("graft_shingles(text)"))
         val totals = inc.select(col("doc_id"), size(col("gs")).cast("long").as("n_shingles"))
         val ei = inc.select(col("doc_id"), explode(col("gs")).as("g"))
-        val vocab = Materialize(dall.filter(col("bkt") >= 10)
-          .withColumn("gs", expr("graft_shingles(text)"))
-          .select(explode(col("gs")).as("g"))
-          .groupBy("g").agg(count(lit(1)).as("df")))
+        // the corpus vocabulary's df table is the standard store's
+        // artifact (r19 session 2): stdCorpusPostings is distinct per
+        // doc, so COUNT(*) per g IS this df — read the StageStore
+        // table instead of re-running the 90%-corpus shingle pass
+        val vocab = Dedup.stdVocabDf(s, dir)
         // hot/cold membership with a DATA-ADAPTIVE head line (gr03's
         // discipline): trigram doc-frequency tops out at 7 at sf0.01 —
         // any fixed constant leaves one side empty somewhere, so the

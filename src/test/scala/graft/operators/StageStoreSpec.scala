@@ -55,6 +55,7 @@ class StageStoreSpec extends AnyFunSuite {
     ("stdCorpusExact", Dedup.stdCorpusExact, Dedup.stdCorpusExactFresh),
     ("stdCorpusPostings", Dedup.stdCorpusPostings, Dedup.stdCorpusPostingsFresh),
     ("stdRare", Dedup.stdRare, Dedup.stdRareFresh),
+    ("stdVocabDf", Dedup.stdVocabDfStored _, Dedup.stdVocabDfFresh _),
     ("stdEc", Dedup.stdEc, Dedup.stdEcFresh),
     ("rareShingles", Decontam.rareShingles, Decontam.rareShinglesFresh),
     ("mvDelta",
