@@ -1285,14 +1285,12 @@ object Relational {
            |  AND (${lb("_mv")} >= 90 OR ${lb("_mvd")} >= 25)
            |GROUP BY 1""".stripMargin
       },
-      "MIN/MAX MV maintenance under deletes — the NON-SELF-MAINTAINABLE aggregate, completing the Gupta-Mumick family (q61: algebraic over one table; q67/q68: the join at row grain; q69: SUM/COUNT over the join — all of those refresh from the delta ALONE; MIN and MAX cannot: deleting a group's current minimum says nothing about the runner-up, which is why every IVM textbook singles them out and every production engine either carries per-group value multisets or re-derives affected groups): the persisted artifact is the customer-grain (mn, mx, n) of the base-x-base high-value join, q68's mixed insert+delete delta classifies each stored group per Gupta-Mumick's self-maintenance test, and only the groups that FAIL it re-aggregate from the mutated base. The classifier works off the three signed Blakeley terms at row grain (shuffled equi-joins, the family's r19 plan stance): per group, inserted-price extrema (m=+1 rows), deleted-price extrema (m=-1), and the signed count; a group is SAFE when its deletes stay strictly inside the stored open interval (del_mn > mn AND del_mx < mx — equality routes to recompute, which is what makes the sign-corner contamination analysis airtight: a net-zero insert+delete pair at a boundary price always trips the delete test before the insert could corrupt least/greatest), and a safe group refreshes closed-form — new_mn = least(mn, ins_mn), new_mx = greatest(mx, ins_mx), n += d_n — while new groups (no stored row) take their extrema from inserts alone. UNSAFE groups — boundary deletes, including every group that vanishes (deleting ALL rows necessarily deletes the min) — re-aggregate from the mutated bases restricted by a semi-join to the affected customer set: affected-groups-sized work, the honest price of MIN/MAX (measured at sf0.001: 85 recomputed vs 33 safe-closed-form — 21 of those with genuinely interior deletes — plus 3 new groups and 10 untouched pass-throughs; every class non-vacuous at every fixture, and the high recompute fraction is the fixture's own 22.5% line-grain delete rate doing exactly what the theory predicts — most groups lose a boundary row; production delta rates run orders of magnitude lower and the classifier's value scales with that). THE ORACLE IS THE FULL REBUILD — a classifier that under-routes (a boundary delete taking the closed form) surfaces as a stale extremum and hash-fails. At 100 TB: the classifier is delta-term aggregates at group grain, the closed-form path touches only delta-touched groups, and the recompute is a semi-joined base scan proportional to affected groups' row support (with the view bucketed by custkey and the base by orderkey this is the index-range scan production IVM runs) — the base x base join that built the view runs in NO refresh.") {
+      "MIN/MAX MV maintenance under deletes — the NON-SELF-MAINTAINABLE aggregate, completing the Gupta-Mumick family (q61: algebraic over one table; q67/q68: the join at row grain; q69: SUM/COUNT over the join — all of those refresh from the delta ALONE; MIN and MAX cannot: deleting a group's current minimum says nothing about the runner-up, which is why every IVM textbook singles them out and every production engine either carries per-group value multisets or re-derives affected groups): the persisted artifact is the customer-grain (mn, mx, n) of the base-x-base high-value join, q68's mixed insert+delete delta classifies each stored group per Gupta-Mumick's self-maintenance test, and only the groups that FAIL it re-derive their value multiset. The classifier works off the three signed Blakeley terms at row grain (shuffled equi-joins, the family's r19 plan stance): per group, inserted-price extrema (m=+1 rows), deleted-price extrema (m=-1), and the signed count; a group is SAFE when its deletes stay strictly inside the stored open interval (del_mn > mn AND del_mx < mx — equality routes to recompute, which is what makes the sign-corner contamination analysis airtight: a net-zero insert+delete pair at a boundary price always trips the delete test before the insert could corrupt least/greatest), and a safe group refreshes closed-form — new_mn = least(mn, ins_mn), new_mx = greatest(mx, ins_mx), n += d_n — while new groups (no stored row) take their extrema from inserts alone. UNSAFE groups — boundary deletes, including every group that vanishes (deleting ALL rows necessarily deletes the min) — reconstruct their mutated value multiset from the PERSISTED row-grain view (q67's jmv artifact — the 'carries per-group value multisets' arm of the textbook dichotomy) plus the stored signed delta, both semi-joined to the affected customer set: per (join key, price), new count = stored copies + net signed delta copies (Blakeley correctness — and the grain matters: the fixture carries genuine duplicate (orderkey, linenumber) line rows with distinct prices, so per-key flags undercount; the r19 optimization round's first draft did exactly that and the oracle caught it at 1149/1154 rows), keep counts > 0, re-aggregate — affected-groups'-row-support work with NO base-table scan in any refresh path (the r19 optimization: the mutated-base semi-join scan this operator shipped with re-paid the base scan + md5 split per refresh; the multiset identity reads only persisted artifacts, measured 2.44 -> 1.28 s at sf0.1). THE ORACLE IS THE FULL REBUILD on the mutated bases — a classifier that under-routes (a boundary delete taking the closed form), a stale stored multiset, or a net-count slip all surface as a stale extremum or row-count drift and hash-fail (measured at sf0.001: 85 reconstructed vs 33 safe-closed-form — 21 of those with genuinely interior deletes — plus 3 new groups and 10 untouched pass-throughs; every class non-vacuous at every fixture, and the high reconstruct fraction is the fixture's own 22.5% line-grain delete rate doing exactly what the theory predicts — most groups lose a boundary row; production delta rates run orders of magnitude lower and the classifier's value scales with that). At 100 TB: the classifier is delta-term aggregates at group grain, the closed-form path touches only delta-touched groups, and the reconstruction is view-rows-of-affected-groups work (with the view and delta both bucketed by custkey this is the co-located range scan production IVM runs against its MV log) — the base x base join that built the view runs in NO refresh, and neither does any base scan.") {
       (s, dir) =>
         val store = minmaxMvStore(s, dir)
         val vOld = s.read.parquet(s"$store/mm")
-        val (o, l) = mvSides(s, dir)
         // the classifier works off the SHARED stored delta (r19 — see
-        // mvDelta); o/l stay in scope for the UNSAFE groups' recompute
-        // scan, which is this operator's own honest price
+        // mvDelta)
         val delta = mvDelta(s, dir)
           .select(col("o_custkey"), col("price"),
             (col("mo") * col("ml")).as("m"))
@@ -1308,8 +1306,13 @@ object Relational {
           min(when(col("m") < 0, col("price"))).as("del_mn"),
           max(when(col("m") < 0, col("price"))).as("del_mx"),
           sum(col("m")).as("d_n")))
+        // shuffle_merge: under the `unsafe` consumers' del_mn.isNotNull
+        // filter Catalyst legally narrows this full outer to a RIGHT
+        // outer, and AQE would then broadcast the view side — the
+        // stored view is base-proportional, so the hint keeps every
+        // replanned instance a shuffled join (PlanAuditSpec pins it)
         val merged =
-          vOld.join(dAgg, Seq("o_custkey"), "full_outer")
+          vOld.hint("shuffle_merge").join(dAgg, Seq("o_custkey"), "full_outer")
             .withColumn("unsafe",
               col("del_mn").isNotNull &&
                 (col("mn").isNull ||  // delete on an unstored group:
@@ -1327,22 +1330,52 @@ object Relational {
             (coalesce(col("n_lines"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
               .as("n2"))
           .filter(col("n2") > 0)
-        // unsafe groups: re-aggregate from the MUTATED bases,
-        // restricted to the affected customers (vanished groups fall
-        // out naturally — the restricted scan finds no rows)
-        // the affected set is VIEW-grain (customer ids) — corpus-
-        // proportional at 100 TB under a heavy delete wave, so the
-        // semi-join ships shuffled like the delta terms (never a
-        // hashed relation)
+        // unsafe groups: reconstruct the mutated row multiset from the
+        // STORED row-grain view ± the stored delta — the "carries
+        // per-group value multisets" arm of the MIN/MAX taxonomy (the
+        // r19 optimization round moved the refresh off the mutated-base
+        // scan: the base join's row grain is already the persisted jmv
+        // artifact, and Blakeley correctness makes view + signed delta
+        // THE mutated multiset). The arithmetic runs at (join key,
+        // price) grain with COUNTS, not per-key flags: (l_orderkey,
+        // l_linenumber) is NOT unique in the base (the fixture carries
+        // genuine duplicate line numbers, caught by the oracle when an
+        // earlier draft assumed key-uniqueness), and duplicate rows of
+        // one key can carry DIFFERENT prices — counting per (key,
+        // price) keeps every physical copy, and net counts land on
+        // exactly {0, vcnt} in every mutation corner because a key's
+        // copies share their md5 buckets and move together. Vanished
+        // groups fall out naturally (every count nets to 0). The
+        // affected set is VIEW-grain (customer ids) — corpus-
+        // proportional at 100 TB under a heavy delete wave, so every
+        // join here ships shuffled like the delta terms (never a
+        // hashed relation; the full outer cannot broadcast by
+        // construction)
         val affected = merged.filter(col("unsafe")).select("o_custkey")
-        val mutO = o.filter(col("ob") >= 90 || col("ob2") >= 25)
+        val viewCnt = s.read.parquet(s"${joinMvStore(s, dir)}/view")
           .join(affected.hint("shuffle_merge"), Seq("o_custkey"), "left_semi")
-        val mutL = l.filter(col("lb") >= 90 || col("lb2") >= 25)
-        val recomputed = mutO
-          .join(mutL, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderkey", "l_linenumber", "o_custkey", "price")
+          .agg(sum(col("mult")).as("vcnt"))
+        val dNet = mvDelta(s, dir)
+          .join(affected.hint("shuffle_merge"), Seq("o_custkey"), "left_semi")
+          .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+            // the store keeps money decimal; the view casts at its own
+            // grain — decimal(12,2) -> double is exact, so the (key,
+            // price) grains align bit-for-bit
+            col("price").cast("double").as("price"),
+            (col("mo") * col("ml")).as("m"))
+          .groupBy("o_orderkey", "l_linenumber", "o_custkey", "price")
+          .agg(sum(col("m")).as("net"))
+        val recomputed = viewCnt.hint("shuffle_merge")
+          .join(dNet,
+            Seq("o_orderkey", "l_linenumber", "o_custkey", "price"),
+            "full_outer")
+          .withColumn("cnt", coalesce(col("vcnt"), lit(0L)) +
+            coalesce(col("net"), lit(0L)))
+          .filter(col("cnt") > 0)
           .groupBy("o_custkey")
           .agg(min(col("price")).as("mn2"), max(col("price")).as("mx2"),
-            count(lit(1)).as("n2"))
+            sum(col("cnt")).as("n2"))
         safe.unionByName(recomputed)
           .select(col("o_custkey"),
             col("mn2").cast("double").as("mn_price"),

@@ -537,7 +537,12 @@ class PlanAuditSpec extends AnyFunSuite {
         "base-proportional deltas must stay shuffled equi-joins")
     assert(bp.contains("SortMergeJoin"),
       "mvDelta build: the shuffle_merge hints must hold through AQE")
-    for (q <- Seq("q67_join_mv_delta", "q68_join_mv_counting", "q69_agg_mv_delta")) {
+    // q70 joined the pinned set in the r19 optimization round: its
+    // unsafe-group reconstruction joins (view rows x delta nets, both
+    // affected-restricted) are base-proportional under a heavy delete
+    // wave, exactly like the delta terms
+    for (q <- Seq("q67_join_mv_delta", "q68_join_mv_counting",
+        "q69_agg_mv_delta", "q70_minmax_mv_delta")) {
       val df = GraftQuery.all.find(_.name == q).get.build(spark, sf001)
       df.collect()
       val p = df.queryExecution.executedPlan.toString

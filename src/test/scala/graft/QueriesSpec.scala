@@ -274,6 +274,12 @@ class QueriesSpec extends AnyFunSuite {
     }.flatten
     assert(scans.exists(_.contains("graft_mmmv")),
       "q70's refresh does not read the persisted extrema view")
+    // r19 optimization: the unsafe-group path reconstructs from the
+    // persisted row-grain view + stored delta — NO refresh path may
+    // scan a base table (the base x base join and the md5 split both
+    // live in the store builds, paid once per application)
+    assert(scans.forall(!_.contains("testdata")),
+      s"q70's refresh scans a base table: ${scans.filter(_.contains("testdata"))}")
     // classifier classes, each non-vacuous at sf0.001: groups whose
     // extrema survive closed-form (same mn/mx, changed count), groups
     // whose MIN genuinely moved (the recompute path doing real work),
