@@ -243,9 +243,10 @@ object ScaleProbe {
       // pair-grain anti-join, dc08 a release-count tombstone filter
       "dc07_retroactive_audit", "dc08_release_retraction",
       // q70's refresh is the q68/q69 delta-term joins plus an
-      // affected-group semi-joined recompute — growth must track the
-      // delta terms and the affected groups' row support, never
-      // base x base
+      // affected-group multiset reconstruction off the persisted
+      // row-grain view + stored delta (r19 optimization round — no
+      // base scan in any refresh path) — growth must track the delta
+      // terms and the affected groups' row support, never base x base
       "q70_minmax_mv_delta",
       // q71's refresh is the delta-term joins + a delta-key aux
       // lookup + a group-grain merge — growth must track the delta,
